@@ -1,0 +1,116 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical product-catalog derivation over the driver's synthetic TPC-H-ish
+  * tables (TESTDATA.md). Mirrors the reference's WooCommerce data model
+  * (SURVEY §1.1; reference `includes/class-field-discovery.php:22-36`):
+  * `part` rows become products, even part keys fan out into 3 variations
+  * (`post_parent` children, reference `includes/class-variation-rollup.php:33-49`),
+  * and a deterministic synthetic `sync_state` table stands in for the engine's
+  * own bookkeeping store (reference DDL `includes/class-plugin.php:107-131`).
+  *
+  * Every derivation here has a byte-for-byte SQL mirror in [[OracleSql]] so
+  * each operator query gets a DuckDB oracle. Keep the two in lockstep.
+  *
+  * Scale posture: all derivations are narrow projections + a 3-way explode —
+  * no shuffle, fully pipelined into the parquet scan, and column pruning
+  * reaches the scan because everything is a `select` over the raw columns.
+  */
+object Catalog {
+
+  /** Fixed epoch for all derived timestamps (injected clock — SURVEY §7.5.4). */
+  val Base = "2024-01-01 00:00:00"
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
+  def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
+  def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  def events(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "events")
+
+  /** Parent products: one per `part` row. */
+  def parents(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir).select(
+      col("p_partkey").cast("bigint").as("product_id"),
+      lit(0L).as("parent_id"),
+      lit("product").as("post_type"),
+      when(col("p_partkey") % 10 === 0, "draft")
+        .when(col("p_partkey") % 10 === 1, "private")
+        .otherwise("publish").as("post_status"),
+      expr(s"timestamp'$Base' + make_interval(0,0,0,0,0,p_partkey,0)")
+        .as("post_modified_gmt"),
+      col("p_name").as("title"),
+      concat(lit("<p>"), col("p_type"), lit("</p>")).as("description"),
+      concat(lit("SKU-"), col("p_partkey")).as("sku"),
+      format_string("%.2f", col("p_retailprice")).as("price"),
+      col("p_brand").as("brand"),
+      col("p_size").cast("int").as("psize"),
+      lit(null).cast("string").as("attr_size"),
+      lit(1).as("site_id"))
+
+  /** Variation children: parts with even keys fan into 3 `product_variation`
+    * rows (reference variation model, `class-variation-rollup.php:33-49`). */
+  def variations(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir)
+      .where(col("p_partkey") % 2 === 0)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"),
+        col("p_retailprice"), explode(sequence(lit(1), lit(3))).as("i"))
+      .select(
+        (lit(1000000L) + col("p_partkey") * 10 + col("i")).as("product_id"),
+        col("p_partkey").cast("bigint").as("parent_id"),
+        lit("product_variation").as("post_type"),
+        when((col("p_partkey") + col("i")) % 7 === 0, "draft")
+          .otherwise("publish").as("post_status"),
+        expr(s"timestamp'$Base' + make_interval(0,0,0,0,0,p_partkey*10+i,0)")
+          .as("post_modified_gmt"),
+        concat(col("p_name"), lit(" - v"), col("i")).as("title"),
+        concat(lit("<p>variant "), col("i"), lit("</p>")).as("description"),
+        concat(lit("SKU-"), col("p_partkey"), lit("-"), col("i")).as("sku"),
+        format_string("%.2f", col("p_retailprice") + col("i")).as("price"),
+        col("p_brand").as("brand"),
+        (col("p_size") + col("i")).cast("int").as("psize"),
+        when(col("i") === 1, "S").when(col("i") === 2, "M")
+          .otherwise("L").as("attr_size"),
+        lit(1).as("site_id"))
+
+  /** Full catalog: parents ∪ variations. */
+  def products(spark: SparkSession, dir: String): DataFrame =
+    parents(spark, dir).unionByName(variations(spark, dir))
+
+  /** Deterministic synthetic sync-state: products with `p_partkey % 3 == 0`
+    * have `1 + pk % 3` chunk rows each; even keys are freshly synced, odd
+    * keys are stale; `pk % 9 == 0` rows are errored.
+    * Shapes match the reference DDL (`includes/class-plugin.php:107-131`). */
+  def syncState(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir)
+      .where(col("p_partkey") % 3 === 0)
+      .select(col("p_partkey"),
+        explode(sequence(lit(0), (col("p_partkey") % 3).cast("int"))).as("ci"))
+      .select(
+        lit(1).as("site_id"),
+        col("p_partkey").cast("bigint").as("product_id"),
+        lit("local").as("target"),
+        col("ci").cast("int").as("chunk_index"),
+        concat(lit("site-1:product-"), col("p_partkey"), lit(":chunk-"), col("ci"))
+          .as("vector_id"),
+        sha2(concat(lit("p"), col("p_partkey")), 256).as("product_sha"),
+        sha2(concat(lit("c"), col("p_partkey"), lit(":"), col("ci")), 256)
+          .as("chunk_sha"),
+        lit("text-embedding-3-small").as("model"),
+        lit(3072).as("dimension"),
+        when(col("p_partkey") % 9 === 0, "error").otherwise("synced").as("status"),
+        expr(s"timestamp'$Base' + make_interval(0,0,0,0,0,p_partkey-10,0)")
+          .as("updated_at"),
+        expr(s"timestamp'$Base' + make_interval(0,0,0,0,0," +
+          "p_partkey + (case when p_partkey % 2 = 0 then 10 else -10 end),0)")
+          .as("last_synced_at"))
+}

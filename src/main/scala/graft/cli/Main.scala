@@ -1,0 +1,133 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunker.Chunker
+import graft.embed.LocalHashEmbedder
+import graft.fingerprint.Fingerprint
+import graft.model.Selection
+import graft.store.ParquetVectorStore
+import graft.sync.SyncEngine
+
+/** CLI surface mirroring the reference's `wp wcvec` commands + planned set
+  * (reference `includes/cli/class-cli.php:43-166`, `README.md:160-175`,
+  * SURVEY §2.13):
+  *
+  *   chunk  --doc <id> [--size N] [--overlap N] [--data DIR]
+  *       normalize+chunk+fingerprint report for one document
+  *   embed  --text <s>
+  *       one-off embedding sanity (prints dim + first coords)
+  *   sync   --data DIR --work DIR [--force] [--limit N]
+  *       full pipeline over the documents table into the local store
+  *   status --work DIR
+  *       store/sync-state versions + row counts
+  *   purge  --work DIR --site N
+  *       delete a site's vectors
+  */
+object Main {
+
+  private def opt(args: Array[String], name: String): Option[String] = {
+    val i = args.indexOf(s"--$name")
+    if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+  }
+  private def flag(args: Array[String], name: String): Boolean =
+    args.contains(s"--$name")
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def docsAsProducts(spark: SparkSession, dir: String, limit: Int): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .limit(limit)
+      .select(
+        col("doc_id").as("product_id"),
+        lit(1).as("site_id"),
+        concat(lit("DOC-"), col("doc_id")).as("sku"),
+        col("text"))
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("chunk") =>
+      val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
+      val id = opt(args, "doc").getOrElse("0").toLong
+      val size = opt(args, "size").getOrElse("800").toInt
+      val overlap = opt(args, "overlap").getOrElse("100").toInt
+      if (size <= 0 || overlap < 0 || overlap >= size) {
+        System.err.println(s"error: --size must be > 0 and --overlap in [0, size); got size=$size overlap=$overlap")
+        sys.exit(2)
+      }
+      val spark = session()
+      val row = spark.read.parquet(s"$data/documents.parquet")
+        .where(col("doc_id") === id).select("text").collect()
+      if (row.isEmpty) { System.err.println(s"error: doc $id not found in $data"); sys.exit(1) }
+      val text = row.head.getString(0)
+      val sel = Selection(chunkSize = size, chunkOverlap = overlap)
+      val psha = Fingerprint.shaProduct(text, sel, 3072)
+      val chunks = Chunker.chunkText(text, size, overlap)
+      println(s"doc=$id bytes=${text.getBytes("UTF-8").length} product_sha=$psha chunks=${chunks.size}")
+      chunks.foreach { c =>
+        val csha = Fingerprint.shaChunk(psha, c.index, c.text)
+        println(f"  [${c.index}%3d] chars=${c.chars}%5d tokens~${c.approxTokens}%4d sha=${csha.take(12)} | ${c.text.take(60).replace("\n", "\\n")}...")
+      }
+      spark.stop()
+
+    case Some("embed") =>
+      val text = opt(args, "text").getOrElse { System.err.println("error: --text required"); sys.exit(2); "" }
+      val model = opt(args, "model").getOrElse("text-embedding-3-small")
+      val e = new LocalHashEmbedder(model)
+      val v = e.embedOne(text)
+      println(s"model=$model dim=${v.length} first8=${v.take(8).map(x => f"$x%.5f").mkString(",")}")
+
+    case Some("sync") =>
+      val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
+      val work = opt(args, "work").getOrElse { System.err.println("error: --work required"); sys.exit(2); "" }
+      val limit = opt(args, "limit").getOrElse("50").toInt
+      val spark = session()
+      val store = new ParquetVectorStore(spark, s"$work/store")
+      val engine = new SyncEngine(spark, new LocalHashEmbedder(), store,
+        s"$work/sync_state", Selection(chunkSize = 100, chunkOverlap = 20))
+      val t0 = System.nanoTime()
+      val summary = engine.sync(docsAsProducts(spark, data, limit), force = flag(args, "force"))
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"sync completed in $dt%.1fs:")
+      summary.collect().foreach(r => println(s"  ${r.getString(0)}: ${r.getLong(1)}"))
+      println(s"  store rows: ${store.count()} (v${store.currentVersion})")
+      println(s"  sync_state rows: ${engine.readSyncState().count()} (v${engine.syncVersion})")
+      spark.stop()
+
+    case Some("status") =>
+      val work = opt(args, "work").getOrElse { System.err.println("error: --work required"); sys.exit(2); "" }
+      val spark = session()
+      val store = new ParquetVectorStore(spark, s"$work/store")
+      val engine = new SyncEngine(spark, new LocalHashEmbedder(), store, s"$work/sync_state")
+      println(s"store: v${store.currentVersion}, ${store.count()} vectors")
+      val st = engine.readSyncState()
+      println(s"sync_state: v${engine.syncVersion}, ${st.count()} rows")
+      st.groupBy("status").count().collect()
+        .foreach(r => println(s"  ${r.getString(0)}: ${r.getLong(1)}"))
+      spark.stop()
+
+    case Some("purge") =>
+      val work = opt(args, "work").getOrElse { System.err.println("error: --work required"); sys.exit(2); "" }
+      val site = opt(args, "site").getOrElse("1").toInt
+      val spark = session()
+      val store = new ParquetVectorStore(spark, s"$work/store")
+      store.purgeSite(site)
+      println(s"purged site $site; store now ${store.count()} vectors (v${store.currentVersion})")
+      spark.stop()
+
+    case other =>
+      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|sync|status|purge")
+      sys.exit(2)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.events
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** K8 — append-only event log (reference `includes/class-events.php`):
+  * JSONL append → date-partitioned JSON sink; retention = partition drop;
+  * reads are filtered newest-first scans (S7) with offset/limit paging;
+  * CSV export capped (reference cap 5000, `class-events.php:166-189`).
+  *
+  * Scale posture: date partitioning makes retention a metadata operation
+  * (drop partition dirs older than N days) and gives every read a
+  * partition-pruned scan.
+  */
+final class EventLog(spark: SparkSession, root: String) {
+
+  /** Append rows (must carry a `ts` timestamp column); partitioned by day. */
+  def append(rows: DataFrame): Unit =
+    rows.withColumn("log_date", date_format(col("ts"), "yyyyMMdd"))
+      .write.mode(SaveMode.Append).partitionBy("log_date").json(root)
+
+  def read(): DataFrame = spark.read.json(root)
+
+  /** Retention: drop day-partitions older than `retainDays` from `today`
+    * (reference daily prune, `class-events.php:97-133`). */
+  def prune(today: java.time.LocalDate, retainDays: Int = 7): Seq[String] = {
+    val dir = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(dir)) return Nil
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+    val cutoff = today.minusDays(retainDays.toLong)
+    val dropped = java.nio.file.Files.list(dir).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("log_date=") &&
+          java.time.LocalDate.parse(n.stripPrefix("log_date="), fmt).isBefore(cutoff)
+      }
+    dropped.foreach { p =>
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    dropped.map(_.getFileName.toString)
+  }
+
+  /** Streamed CSV export, capped (`class-events.php:166-189`). */
+  def exportCsv(out: String, cap: Int = 5000): Unit =
+    read().orderBy(col("ts").desc).limit(cap)
+      .coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true").csv(out)
+}

@@ -1,0 +1,45 @@
+package graft.normalize
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Functions.stripHtml
+
+/** Selection-driven field normalization (reference
+  * `includes/class-field-normalizer.php:30-86`): project the selected
+  * fields, strip HTML, compose `label: value` lines, drop empty sections
+  * (P2, `class-field-normalizer.php:70-77`), join with newlines.
+  *
+  * The projection IS the logical-plan input (SURVEY §1.1 "field selection
+  * map") — Catalyst column pruning pushes it into the parquet scan.
+  */
+object Normalizer {
+
+  /** One section: `label: value`, or NULL when the value is empty
+    * (empty sections vanish from the composed text via concat_ws). */
+  private def section(label: String, value: org.apache.spark.sql.Column) =
+    when(value.isNotNull && length(value) > 0,
+      concat(lit(label), lit(": "), value))
+
+  /** Normalized text per product over the canonical catalog columns. */
+  def normalize(products: DataFrame): DataFrame =
+    products.select(
+      col("product_id"),
+      concat_ws("\n",
+        section("Title", stripHtml(col("title"))),
+        section("Description", stripHtml(col("description"))),
+        section("SKU", col("sku")),
+        section("Price", col("price")),
+        section("Brand", col("brand")),
+        section("Size", col("attr_size"))).as("text"))
+      .orderBy("product_id")
+
+  /** F7 product fingerprint: sha256 binding {text, chunking config, model,
+    * dimension} (reference `includes/class-fingerprint.php:23-44`). */
+  def fingerprint(normalized: DataFrame,
+      config: String = "size=800,overlap=100,model=text-embedding-3-small,dim=3072"
+  ): DataFrame =
+    normalized.select(
+      col("product_id"),
+      sha2(concat(col("text"), lit("|"), lit(config)), 256).as("product_sha"))
+      .orderBy("product_id")
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Functions.cosine
+
+/** Approximate-nearest-neighbor operators over an embedding column.
+  *
+  * Scale posture (100 TB): brute-force top-k is the correctness baseline —
+  * a broadcast of the (small) query set against a full scan of the
+  * candidate side, no shuffle of the candidates, ranking via
+  * `TakeOrderedAndProject` per query key. The scale path is sign-LSH
+  * bucketing: candidates shuffle once on an 8-bit bucket key, and queries
+  * only probe their own bucket — the classic IVF/LSH trade (recall vs.
+  * fan-out) with the bucket width as the knob.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
+    * the k nearest candidates by cosine. Ranking uses the 6-dp-rounded
+    * cosine with vec_id tiebreak so results are deterministic and
+    * oracle-reproducible. */
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val q = embeddings.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = embeddings
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = q.hint("broadcast").crossJoin(c)
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qe"), col("ce")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("qid", "cid", "cos", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  /** Sign-LSH bucket of the first `bits` embedding coordinates
+    * (coordinate-hyperplane LSH). */
+  def lshBucket(e: org.apache.spark.sql.Column, bits: Int = 8): org.apache.spark.sql.Column =
+    concat((1 to bits).map(i =>
+      when(element_at(e, i) >= 0f, "1").otherwise("0")): _*)
+
+  /** Bucket histogram — the partition-shape diagnostic for the LSH path. */
+  def lshBuckets(embeddings: DataFrame, bits: Int = 8): DataFrame =
+    embeddings
+      .select(lshBucket(col("embedding"), bits).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** Embedding-cosine near-dup: pairs in the same sign-LSH bucket with
+    * rounded cosine ≥ threshold. */
+  def cosineNearDup(embeddings: DataFrame, bits: Int = 8,
+      threshold: Double = 0.99): DataFrame = {
+    val withB = embeddings.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), bits).as("bucket"))
+    val a = withB.select(col("bucket"), col("vec_id").as("d1"), col("embedding").as("e1"))
+    val b = withB.select(col("bucket"), col("vec_id").as("d2"), col("embedding").as("e2"))
+    a.join(b, Seq("bucket"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(cosine(col("e1"), col("e2")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+      .orderBy("d1", "d2")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language-ID
+  * heuristic, quality scoring, token counting, document fingerprinting.
+  * All pure column expressions (whole-stage codegen, no UDFs), all
+  * reproducible in the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  private def countChar(text: org.apache.spark.sql.Column, ch: String) =
+    length(text) - length(regexp_replace(text, ch, ""))
+
+  /** Character-frequency language-ID heuristic (the synthetic corpus is
+    * ASCII, so the heuristic is a deterministic frequency argmax — the
+    * char-n-gram-profile slot of a real pipeline). */
+  def langId(documents: DataFrame): DataFrame = {
+    val t = lower(col("text"))
+    val ce = countChar(t, "e")
+    val ca = countChar(t, "a")
+    val co = countChar(t, "o")
+    documents.select(
+      col("doc_id"), col("lang"),
+      when(ce >= ca && ce >= co, "en")
+        .when(ca >= co, "es")
+        .otherwise("de").as("lang_pred"))
+      .withColumn("hit", when(col("lang") === col("lang_pred"), 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: token count, average token length, stopword ratio,
+    * a [0,1] composite. */
+  def quality(documents: DataFrame): DataFrame = {
+    val t = col("text")
+    val nTokens = size(regexp_extract_all(t, lit("\\S+"), lit(0)))
+    val nonSpace = length(regexp_replace(t, " ", ""))
+    val stopHits = (length(t) - length(regexp_replace(t, " the ", ""))) / lit(5)
+    documents.select(
+      col("doc_id"),
+      length(t).as("n_chars"),
+      nTokens.as("n_tokens"),
+      round(nonSpace / nTokens.cast("double"), 4).as("avg_token_len"),
+      round(stopHits / nTokens.cast("double"), 4).as("stop_ratio"),
+      round(least(lit(1.0), nTokens / lit(100.0)) *
+        (lit(1.0) - stopHits / nTokens.cast("double")), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish piece count (letters /
+    * digits / single punctuation), and the reference's byte-based
+    * approx-token estimate (`includes/class-chunker.php:95-99`). */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"),
+      ceil(octet_length(col("text")) / lit(4.0)).cast("int").as("approx_tokens"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint: sha256 of the normalized text + its 64-bit
+    * prefix (the cheap join key for exact dedup at scale). */
+  def fingerprint(documents: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    documents.select(
+      col("doc_id"),
+      sha2(norm, 256).as("fp"),
+      substring(sha2(norm, 256), 1, 16).as("fp64"))
+      .orderBy("doc_id")
+  }
+}

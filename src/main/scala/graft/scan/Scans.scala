@@ -1,0 +1,123 @@
+package graft.scan
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+
+/** Candidate scans + scheduler set-ops (SURVEY §2.1 S1–S3, §2.6 D1–D2).
+  *
+  * Scale posture: each scan is a filter/aggregate over the `sync_state`
+  * table joined to `products`. At 100 TB both sides are large, so the joins
+  * are plain shuffled equi-joins on `product_id` — Spark picks sort-merge +
+  * AQE; no row ever leaves the executors except the final `limit`, which is
+  * a `TakeOrderedAndProject` (no full sort materialized on the driver).
+  */
+object Scans {
+
+  /** Status-scope predicate P5 (reference `includes/class-storage.php:343-351`). */
+  def statusScope(includeDraftsPrivate: Boolean) =
+    if (includeDraftsPrivate)
+      col("post_status").isin("publish", "draft", "private")
+    else col("post_status") === "publish"
+
+  /** S1 — initial-sync candidate scan: products with NO sync-state rows
+    * (`NOT EXISTS` anti-join), newest-modified first, capped.
+    * Reference `includes/class-storage.php:223-243`. */
+  def initialScan(products: DataFrame, syncState: DataFrame, limit: Int,
+      includeDraftsPrivate: Boolean = false): DataFrame =
+    products
+      .where(statusScope(includeDraftsPrivate))
+      .join(syncState.select("product_id").distinct(), Seq("product_id"), "left_anti")
+      .orderBy(col("post_modified_gmt").desc, col("product_id").desc)
+      .limit(limit)
+      .select(col("product_id"),
+        date_format(col("post_modified_gmt"), "yyyy-MM-dd HH:mm:ss").as("modified"))
+
+  /** S2 — modified-since scan: products whose `post_modified_gmt >= since`
+    * and whose last sync (MAX(GREATEST(updated_at, last_synced_at)) per
+    * product) is missing or older than the modification.
+    * Reference `includes/class-storage.php:254-281` (the incremental
+    * watermark scan). The aggregate runs BEFORE the join so the join's
+    * build side is one row per product, not per chunk. */
+  def modifiedScan(products: DataFrame, syncState: DataFrame, since: String,
+      limit: Int, includeDraftsPrivate: Boolean = false): DataFrame = {
+    val lastSync = syncState.groupBy("product_id")
+      .agg(max(greatest(col("updated_at"), col("last_synced_at"))).as("last_sync"))
+    products
+      .where(statusScope(includeDraftsPrivate))
+      .join(lastSync, Seq("product_id"), "left_outer")
+      .where(col("post_modified_gmt") >= lit(since).cast("timestamp") &&
+        (col("last_sync").isNull || col("last_sync") < col("post_modified_gmt")))
+      .orderBy(col("post_modified_gmt").desc, col("product_id").desc)
+      .limit(limit)
+      .select(col("product_id"),
+        date_format(col("post_modified_gmt"), "yyyy-MM-dd HH:mm:ss").as("modified"))
+  }
+
+  /** S3 — error scan: DISTINCT errored product ids, id-descending, capped.
+    * Reference `includes/class-storage.php:300-308`. */
+  def errorScan(syncState: DataFrame, limit: Int): DataFrame =
+    syncState.where(col("status") === "error")
+      .select("product_id").distinct()
+      .orderBy(col("product_id").desc)
+      .limit(limit)
+
+  /** D1 — priority union of candidate lists: errors(0) ∪ modified(1) ∪
+    * initial(2), first-occurrence-wins dedup, capped.
+    * Reference `includes/class-scheduler.php:139-158`. */
+  def priorityUnion(products: DataFrame, syncState: DataFrame, since: String,
+      limit: Int): DataFrame = {
+    val err = errorScan(syncState, limit).withColumn("prio", lit(0))
+    val mod = modifiedScan(products, syncState, since, limit)
+      .select(col("product_id"), lit(1).as("prio"))
+    val init = initialScan(products, syncState, limit)
+      .select(col("product_id"), lit(2).as("prio"))
+    err.unionByName(mod).unionByName(init)
+      .groupBy("product_id").agg(min("prio").as("prio"))
+      .orderBy(col("prio"), col("product_id"))
+      .limit(limit)
+  }
+
+  /** S5 — variation children of a set of parents, id-ascending, capped per
+    * the rollup scan cap. Reference `includes/class-variation-rollup.php:33-49`. */
+  def variationChildren(products: DataFrame, parentFilter: org.apache.spark.sql.Column,
+      includeDraftsPrivate: Boolean = false): DataFrame =
+    products
+      .where(col("post_type") === "product_variation" && parentFilter &&
+        statusScope(includeDraftsPrivate))
+      .orderBy(col("parent_id"), col("product_id"))
+
+  /** D2 — variation+parent dedup: for variation rows also emit the parent
+    * id, order-preserving dedup. Reference `includes/class-storage.php:317-340`. */
+  def variationParentDedup(products: DataFrame): DataFrame =
+    products.where(col("post_type") === "product_variation")
+      .select(explode(array(col("product_id"), col("parent_id"))).as("id"))
+      .distinct()
+      .orderBy("id")
+
+  /** S6 — 3-stage product search: exact SKU → title contains → fuzzy SKU
+    * LIKE, dedup across stages, capped.
+    * Reference `admin/pages/class-admin-page-fields.php:131-213`. */
+  def productSearch(products: DataFrame, q: String, limit: Int): DataFrame = {
+    val base = products.select("product_id", "title", "sku")
+    val stage1 = base.where(col("sku") === q).withColumn("stage", lit(1))
+    val stage2 = base.where(lower(col("title")).contains(q.toLowerCase))
+      .withColumn("stage", lit(2))
+    val stage3 = base.where(col("sku").contains(q)).withColumn("stage", lit(3))
+    stage1.unionByName(stage2).unionByName(stage3)
+      .groupBy("product_id", "title", "sku").agg(min("stage").as("stage"))
+      .orderBy(col("stage"), col("product_id"))
+      .limit(limit)
+  }
+
+  /** S7 — event-log read: filters + newest-first + pagination.
+    * Reference `includes/class-events.php:50-94`. */
+  def eventLogRead(events: DataFrame, eventType: String, limit: Int): DataFrame =
+    events.where(col("event_type") === eventType && col("user_id") % 2 === 0)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(limit)
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+}

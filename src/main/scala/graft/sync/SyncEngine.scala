@@ -1,0 +1,215 @@
+package graft.sync
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.chunker.Chunker
+import graft.embed.Embedder
+import graft.fingerprint.Fingerprint
+import graft.model.Selection
+import graft.store.ParquetVectorStore
+
+/** The sync/delta engine — the reference's core "query"
+  * (`includes/class-indexer.php:284-479`, SURVEY §2.10) re-expressed as one
+  * dataflow over a SET of products, not a per-product loop:
+  *
+  *   candidates → normalize → product_sha
+  *     → short-circuit: anti-join sync_state on (product_id, product_sha)
+  *       BEFORE chunk/embed — unchanged products never reach the embedder.
+  *       (The reference embeds first and compares after,
+  *       `class-indexer.php:229` vs `:329` — hoisting the sha comparison is
+  *       the §4 improvement with identical semantics.)
+  *     → chunk (UDF + explode) → chunk_sha → embed (mapPartitions, batched)
+  *     → payloads
+  *     → full-outer join with sync_state on (product_id, chunk_index)  [J4]
+  *     → route delete / upsert / skip
+  *     → vector-store merge + sync_state snapshot merge + summary      [A4]
+  *
+  * Scale posture: the only wide exchanges are (a) the short-circuit
+  * anti-join and (b) the J4 full-outer join, both equi-joins on
+  * `product_id(,chunk_index)` — the natural co-partition key; both sides
+  * are projected to narrow (key, sha) columns before shuffling so chunk
+  * text and vectors never cross the wire. Embedding runs map-side after
+  * the pruning join, so cost is proportional to CHANGED data only.
+  */
+final class SyncEngine(
+    spark: SparkSession,
+    embedder: Embedder,
+    store: ParquetVectorStore,
+    syncStateRoot: String,
+    sel: Selection = Selection(),
+    clock: String = "2024-01-01T00:00:00+00:00") extends Serializable {
+
+  import spark.implicits._
+
+  private val target = "local"
+  private val fsRoot = java.nio.file.Paths.get(syncStateRoot)
+
+  val syncSchema: StructType = StructType(Seq(
+    StructField("site_id", IntegerType, nullable = false),
+    StructField("product_id", LongType, nullable = false),
+    StructField("target", StringType, nullable = false),
+    StructField("chunk_index", IntegerType, nullable = false),
+    StructField("vector_id", StringType),
+    StructField("product_sha", StringType),
+    StructField("chunk_sha", StringType),
+    StructField("model", StringType),
+    StructField("dimension", IntegerType),
+    StructField("status", StringType),
+    StructField("last_synced_at", StringType)))
+
+  private def versionFile = fsRoot.resolve("_VERSION")
+
+  def syncVersion: Int =
+    if (java.nio.file.Files.exists(versionFile))
+      new String(java.nio.file.Files.readAllBytes(versionFile)).trim.toInt
+    else 0
+
+  def readSyncState(): DataFrame = {
+    val v = syncVersion
+    if (v == 0) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], syncSchema)
+    else spark.read.parquet(fsRoot.resolve(s"v$v").toString)
+  }
+
+  private def commitSyncState(df: DataFrame): Unit = {
+    val next = syncVersion + 1
+    df.write.mode(SaveMode.Overwrite).parquet(fsRoot.resolve(s"v$next").toString)
+    java.nio.file.Files.createDirectories(fsRoot)
+    java.nio.file.Files.write(versionFile, next.toString.getBytes)
+  }
+
+  /** Normalized text + product_sha per candidate. `products` needs columns
+    * (product_id, site_id, sku, text). */
+  def fingerprinted(normalized: DataFrame): DataFrame = {
+    // hoist to locals: a UDF capturing `this` would drag the engine (and
+    // its non-serializable Path fields) into the task closure
+    val (selL, dimL) = (sel, embedder.dimension)
+    val shaUdf = udf((text: String) =>
+      Fingerprint.shaProduct(Option(text).getOrElse(""), selL, dimL))
+    normalized.withColumn("product_sha", shaUdf(col("text")))
+  }
+
+  /** Chunks + chunk shas + embeddings + payload columns for a set of
+    * (product_id, site_id, sku, text, product_sha) rows. Embedding runs in
+    * mapPartitions with reference batch size 100
+    * (`class-embeddings.php:85`). */
+  def buildPayloads(withSha: DataFrame): DataFrame = {
+    val chunked = Chunker.explodeChunks(
+      withSha, col("text"),
+      Seq(col("product_id"), col("site_id"), col("sku"), col("product_sha")),
+      sel.chunkSize, sel.chunkOverlap)
+    val chunkShaUdf = udf((psha: String, idx: Int, t: String) =>
+      Fingerprint.shaChunk(psha, idx, t))
+    val emb = embedder
+    val withMeta = chunked
+      .withColumn("chunk_sha", chunkShaUdf(col("product_sha"), col("chunk_index"), col("chunk_text")))
+      .withColumn("id", format_string("site-%d:product-%d:chunk-%d",
+        col("site_id"), col("product_id"), col("chunk_index")))
+    // map-side batched embedding; only CHANGED products reach this stage
+    val schema = StructType(withMeta.schema.fields :+
+      StructField("values", ArrayType(FloatType), nullable = false))
+    val out = withMeta.mapPartitions { it =>
+      it.grouped(100).flatMap { batch =>
+        val vecs = emb.embedTexts(batch.map(_.getAs[String]("chunk_text")))
+        batch.zip(vecs).map { case (r, v) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v.toSeq)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    out
+      .withColumn("url", format_string("https://example.test/product/%d", col("product_id")))
+      .withColumn("updated_at", lit(clock))
+      .withColumn("fingerprint", concat(lit("sha256:"), col("product_sha")))
+      .withColumn("fields", lit(sel.core.sorted.toArray))
+  }
+
+  /** One full sync pass over `normalized` (product_id, site_id, sku, text).
+    * Returns the per-action summary DataFrame (upserted/deleted/skipped). */
+  def sync(normalized: DataFrame, force: Boolean = false): DataFrame = {
+    val withSha = fingerprinted(normalized).cache()
+    val existing = readSyncState().where(col("target") === target).cache()
+
+    // Rebuild triggers: model/dimension mismatch → treat as changed
+    // (`class-indexer.php:320-327`).
+    val existingByProduct = existing.groupBy("product_id").agg(
+      first("product_sha").as("old_sha"),
+      max(when(col("model") =!= embedder.model ||
+        col("dimension") =!= embedder.dimension, 1).otherwise(0)).as("rebuild"))
+
+    // Short-circuit (`class-indexer.php:329-360`) hoisted BEFORE embedding:
+    // unchanged = same product_sha and no rebuild trigger and not forced.
+    val joined = withSha.join(existingByProduct, Seq("product_id"), "left_outer")
+    val unchanged =
+      if (force) joined.where(lit(false))
+      else joined.where(col("old_sha") === col("product_sha") && col("rebuild") === 0)
+    val changed =
+      if (force) joined
+      else joined.where(col("old_sha").isNull ||
+        col("old_sha") =!= col("product_sha") || col("rebuild") === 1)
+
+    val payloads = buildPayloads(
+      changed.select("product_id", "site_id", "sku", "text", "product_sha")).cache()
+
+    // J4: full-outer on (product_id, chunk_index), narrow projections only.
+    val fresh = payloads.select(col("product_id"), col("chunk_index"),
+      col("chunk_sha").as("f_sha"))
+    val exist = existing.select(col("product_id"), col("chunk_index"),
+      col("chunk_sha").as("e_sha"), col("vector_id"))
+      .join(changed.select("product_id"), Seq("product_id"), "left_semi")
+    val routed = fresh.join(exist, Seq("product_id", "chunk_index"), "full_outer")
+      .withColumn("action",
+        when(col("f_sha").isNull, "delete")
+          .when(col("e_sha").isNull || col("e_sha") =!= col("f_sha") || lit(force), "upsert")
+          .otherwise("skip"))
+      .cache()
+
+    // Execute deletes (by stored vector_id, fallback recomputed id —
+    // `class-indexer.php:390-409`) and upserts.
+    val deleteIds = routed.where(col("action") === "delete")
+      .select(coalesce(col("vector_id"),
+        format_string("site-1:product-%d:chunk-%d", col("product_id"), col("chunk_index")))
+        .as("id"))
+    val upserts = payloads.join(
+      routed.where(col("action") === "upsert")
+        .select("product_id", "chunk_index"),
+      Seq("product_id", "chunk_index"), "left_semi")
+    // Zero-remote-call short-circuit (golden case B): unchanged products
+    // must produce NO store writes at all (`class-indexer.php:329-360`).
+    if (deleteIds.limit(1).count() > 0) store.deleteByIds(deleteIds)
+    if (upserts.limit(1).count() > 0)
+      store.upsert(upserts.select(
+        col("id"), col("values"), col("site_id"), col("product_id"),
+        col("sku"), col("url"), col("updated_at"), col("fingerprint"), col("fields")))
+
+    // Merge sync_state: drop rows for changed products, re-insert fresh
+    // rows status='synced'; touch_all unchanged products (`:448-464, 350`).
+    val freshRows = payloads.select(
+      col("site_id"), col("product_id"), lit(target).as("target"),
+      col("chunk_index"), col("id").as("vector_id"),
+      col("product_sha"), col("chunk_sha"),
+      lit(embedder.model).as("model"), lit(embedder.dimension).as("dimension"),
+      lit("synced").as("status"), lit(clock).as("last_synced_at"))
+    val untouched = readSyncState()
+      .join(changed.select("product_id"), Seq("product_id"), "left_anti")
+    val touched = untouched
+      .join(unchanged.select("product_id"), Seq("product_id"), "left_semi")
+      .withColumn("last_synced_at", lit(clock))
+    val rest = untouched
+      .join(unchanged.select("product_id"), Seq("product_id"), "left_anti")
+    commitSyncState(rest.unionByName(touched)
+      .unionByName(freshRows.select(rest.columns.map(col): _*)))
+
+    // A4 summary (`class-indexer.php:468-477`).
+    val acted = routed.groupBy("action").agg(count(lit(1)).as("n"))
+    val skippedUnchanged = unchanged.agg(
+      coalesce(sum(lit(1)), lit(0L)).as("n_products"))
+      .select(lit("skip_unchanged").as("action"), col("n_products").as("n"))
+    val out = acted.unionByName(skippedUnchanged).orderBy("action")
+    val materialized = out.collect()
+    withSha.unpersist(); existing.unpersist(); payloads.unpersist(); routed.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(materialized.toSeq), out.schema)
+  }
+}
