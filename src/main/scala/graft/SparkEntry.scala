@@ -1,13 +1,607 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{Catalog, OracleSql}
+import graft.normalize.Normalizer
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.rollup.VariationRollup
+import graft.scan.Scans
+import graft.streaming.EventStream
+import graft.sync.DeltaPlan
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
+  * DuckDB oracle in [[oracleSql]]. Column names are aligned pairwise —
+  * the driver sorts columns by name before hashing.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing")(spark, "/root/testdata/sf0.001")
+
+  // ---- shared constants (mirrored in the SQL strings) ----
+  private val Since = "2024-01-01 10:00:00"
+  private val ScanLimit = 100
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ================= TPC-H-ish headline queries =================
+
+    // Q1-style pricing summary over lineitem (decimal sums → exact,
+    // engine-independent). One wide scan + one hash agg, map-side partial.
+    "q1_pricing" -> ((s, dir) => {
+      Catalog.lineitem(s, dir)
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Q3-style: top unshipped orders by revenue. Join order: the BUILDING
+    // filter cuts customer ~5× before the join; broadcast it.
+    "q3_top_orders" -> ((s, dir) => {
+      val cust = Catalog.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Catalog.orders(s, dir)
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = Catalog.lineitem(s, dir)
+        .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Q5-style regional revenue: 6-way join pruned by region filter; the
+    // dimension chain (region⋈nation⋈supplier) stays broadcast-size at any
+    // SF (dims grow slower than facts), so only orders⋈lineitem shuffles.
+    "q5_regional" -> ((s, dir) => {
+      val region = Catalog.region(s, dir).where(col("r_name") === "ASIA")
+      val nation = Catalog.nation(s, dir)
+      val supp = Catalog.supplier(s, dir)
+      val cust = Catalog.customer(s, dir)
+      val ord = Catalog.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = Catalog.lineitem(s, dir)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey") &&
+          cust("c_nationkey") === supp("s_nationkey"))
+        .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // ================= SURVEY §2.1/§2.6 scans & set-ops =================
+
+    "s1_initial_scan" -> ((s, dir) =>
+      Scans.initialScan(Catalog.products(s, dir), Catalog.syncState(s, dir), ScanLimit)),
+
+    "s2_modified_scan" -> ((s, dir) =>
+      Scans.modifiedScan(Catalog.products(s, dir), Catalog.syncState(s, dir), Since, ScanLimit)),
+
+    "s3_error_scan" -> ((s, dir) =>
+      Scans.errorScan(Catalog.syncState(s, dir), 50)),
+
+    "d1_priority_union" -> ((s, dir) =>
+      Scans.priorityUnion(Catalog.products(s, dir), Catalog.syncState(s, dir), Since, ScanLimit)),
+
+    "d2_variation_dedup" -> ((s, dir) =>
+      Scans.variationParentDedup(Catalog.products(s, dir))),
+
+    "s5_variation_children" -> ((s, dir) =>
+      Scans.variationChildren(Catalog.products(s, dir), col("parent_id") % 50 === 0)
+        .select(col("product_id"), col("parent_id"), col("sku"), col("attr_size"))),
+
+    "s6_product_search" -> ((s, dir) =>
+      Scans.productSearch(Catalog.products(s, dir), "SKU-12", 20)),
+
+    "s7_event_read" -> ((s, dir) =>
+      Scans.eventLogRead(Catalog.events(s, dir), "purchase", ScanLimit)),
+
+    // ================= §2.5 aggregation / §2.3 normalize =================
+
+    "a1_variation_rollup" -> ((s, dir) =>
+      VariationRollup.rollup(Catalog.products(s, dir), valuesCap = 2)),
+
+    "n1_normalize" -> ((s, dir) =>
+      Normalizer.normalize(Catalog.products(s, dir))),
+
+    "n2_fingerprint" -> ((s, dir) =>
+      Normalizer.fingerprint(Normalizer.normalize(Catalog.products(s, dir)))),
+
+    // ================= §2.10 delta (J4 + A4) =================
+
+    "j4_chunk_delta" -> ((s, dir) =>
+      DeltaPlan.documentsDelta(Catalog.documents(s, dir))),
+
+    "a4_delta_summary" -> ((s, dir) =>
+      DeltaPlan.summary(DeltaPlan.documentsDelta(Catalog.documents(s, dir)))),
+
+    // ================= dedup extensions =================
+
+    "dd_exact" -> ((s, dir) => Dedup.exact(Catalog.documents(s, dir))),
+
+    "dd_minhash" -> ((s, dir) =>
+      Dedup.minhash(Catalog.documents(s, dir)).orderBy("doc_id", "j")),
+
+    "dd_lsh_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Catalog.documents(s, dir))),
+
+    "dd_simhash" -> ((s, dir) => Dedup.simhash(Catalog.documents(s, dir))),
+
+    "dd_jaccard" -> ((s, dir) => Dedup.jaccardConsecutive(Catalog.documents(s, dir))),
+
+    // ================= similarity extensions =================
+
+    "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(Catalog.embeddings(s, dir))),
+
+    "sim_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(Catalog.embeddings(s, dir))),
+
+    "sim_near_dup" -> ((s, dir) =>
+      Similarity.cosineNearDup(Catalog.embeddings(s, dir), threshold = 0.25)),
+
+    // ================= text analysis =================
+
+    "ta_langid" -> ((s, dir) => TextAnalysis.langId(Catalog.documents(s, dir))),
+    "ta_quality" -> ((s, dir) => TextAnalysis.quality(Catalog.documents(s, dir))),
+    "ta_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Catalog.documents(s, dir))),
+    "ta_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Catalog.documents(s, dir))),
+
+    // ================= multimodal + streaming =================
+
+    "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(Catalog.documents(s, dir))),
+
+    "st_hourly" -> ((s, dir) => EventStream.hourlyCounts(s, dir)),
+  )
+
+  // ======================= DuckDB oracles =======================
+
+  private val P = OracleSql.prologue
+  private val stripHtmlSql =
+    // trim(collapse-ws(strip-tags(x))) — mirror of Functions.stripHtml
+    (x: String) => s"trim(regexp_replace(regexp_replace($x, '<[^>]*>', '', 'g'), '\\s+', ' ', 'g'))"
+  private def sectionSql(label: String, value: String): String =
+    s"CASE WHEN $value IS NOT NULL AND length($value) > 0 THEN '$label: ' || $value END"
+  private val normalizedTextSql: String = {
+    val sections = Seq(
+      sectionSql("Title", stripHtmlSql("title")),
+      sectionSql("Description", stripHtmlSql("description")),
+      sectionSql("SKU", "sku"),
+      sectionSql("Price", "price"),
+      sectionSql("Brand", "brand"),
+      sectionSql("Size", "attr_size"))
+    s"concat_ws(chr(10), ${sections.mkString(", ")})"
+  }
+  /** sha32: first 8 hex chars of sha256 as integer (mirror of Functions.sha32). */
+  private def sha32Sql(x: String): String =
+    s"CAST(CAST(concat('0x', substr(sha256($x), 1, 8)) AS UBIGINT) AS BIGINT)"
+  private val cosSql =
+    // double-precision sequential dot/norms — mirror of Functions.cosine
+    (a: String, b: String) =>
+      s"""(list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |    * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_regional" ->
+      """SELECT n_name,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "s1_initial_scan" -> (P +
+      s"""SELECT product_id, strftime(post_modified_gmt, '%Y-%m-%d %H:%M:%S') AS modified
+         |FROM products
+         |WHERE post_status = 'publish'
+         |  AND product_id NOT IN (SELECT DISTINCT product_id FROM sync_state)
+         |ORDER BY post_modified_gmt DESC, product_id DESC
+         |LIMIT $ScanLimit""".stripMargin),
+
+    "s2_modified_scan" -> (P +
+      s"""SELECT product_id, strftime(post_modified_gmt, '%Y-%m-%d %H:%M:%S') AS modified
+         |FROM products p
+         |LEFT JOIN (SELECT product_id, MAX(GREATEST(updated_at, last_synced_at)) AS last_sync
+         |           FROM sync_state GROUP BY product_id) ls USING (product_id)
+         |WHERE post_status = 'publish'
+         |  AND post_modified_gmt >= TIMESTAMP '$Since'
+         |  AND (last_sync IS NULL OR last_sync < post_modified_gmt)
+         |ORDER BY post_modified_gmt DESC, product_id DESC
+         |LIMIT $ScanLimit""".stripMargin),
+
+    "s3_error_scan" -> (P +
+      """SELECT DISTINCT product_id FROM sync_state
+        |WHERE status = 'error'
+        |ORDER BY product_id DESC
+        |LIMIT 50""".stripMargin),
+
+    "d1_priority_union" -> (P +
+      s""", err AS (
+         |  SELECT product_id, 0 AS prio FROM (
+         |    SELECT DISTINCT product_id FROM sync_state WHERE status = 'error'
+         |    ORDER BY product_id DESC LIMIT $ScanLimit)
+         |), mods AS (
+         |  SELECT product_id, 1 AS prio FROM (
+         |    SELECT product_id, post_modified_gmt
+         |    FROM products p
+         |    LEFT JOIN (SELECT product_id, MAX(GREATEST(updated_at, last_synced_at)) AS last_sync
+         |               FROM sync_state GROUP BY product_id) ls USING (product_id)
+         |    WHERE post_status = 'publish'
+         |      AND post_modified_gmt >= TIMESTAMP '$Since'
+         |      AND (last_sync IS NULL OR last_sync < post_modified_gmt)
+         |    ORDER BY post_modified_gmt DESC, product_id DESC
+         |    LIMIT $ScanLimit)
+         |), init AS (
+         |  SELECT product_id, 2 AS prio FROM (
+         |    SELECT product_id, post_modified_gmt
+         |    FROM products
+         |    WHERE post_status = 'publish'
+         |      AND product_id NOT IN (SELECT DISTINCT product_id FROM sync_state)
+         |    ORDER BY post_modified_gmt DESC, product_id DESC
+         |    LIMIT $ScanLimit)
+         |)
+         |SELECT product_id, MIN(prio) AS prio
+         |FROM (SELECT * FROM err UNION ALL SELECT * FROM mods UNION ALL SELECT * FROM init)
+         |GROUP BY product_id
+         |ORDER BY prio, product_id
+         |LIMIT $ScanLimit""".stripMargin),
+
+    "d2_variation_dedup" -> (P +
+      """SELECT DISTINCT id FROM (
+        |  SELECT product_id AS id FROM products WHERE post_type = 'product_variation'
+        |  UNION ALL
+        |  SELECT parent_id AS id FROM products WHERE post_type = 'product_variation')
+        |ORDER BY id""".stripMargin),
+
+    "s5_variation_children" -> (P +
+      """SELECT product_id, parent_id, sku, attr_size
+        |FROM products
+        |WHERE post_type = 'product_variation' AND parent_id % 50 = 0
+        |  AND post_status = 'publish'
+        |ORDER BY parent_id, product_id""".stripMargin),
+
+    "s6_product_search" -> (P +
+      """SELECT product_id, title, sku, MIN(stage) AS stage FROM (
+        |  SELECT product_id, title, sku, 1 AS stage FROM products WHERE sku = 'SKU-12'
+        |  UNION ALL
+        |  SELECT product_id, title, sku, 2 AS stage FROM products WHERE contains(lower(title), 'sku-12')
+        |  UNION ALL
+        |  SELECT product_id, title, sku, 3 AS stage FROM products WHERE contains(sku, 'SKU-12'))
+        |GROUP BY product_id, title, sku
+        |ORDER BY stage, product_id
+        |LIMIT 20""".stripMargin),
+
+    "s7_event_read" ->
+      s"""SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, user_id, event_type,
+         |  round(value, 2) AS value
+         |FROM events
+         |WHERE event_type = 'purchase' AND user_id % 2 = 0
+         |ORDER BY ts DESC, event_id DESC
+         |LIMIT $ScanLimit""".stripMargin,
+
+    "a1_variation_rollup" -> (P +
+      """, children AS (
+        |  SELECT * FROM products
+        |  WHERE post_type = 'product_variation' AND post_status = 'publish'
+        |), agg AS (
+        |  SELECT parent_id,
+        |    COUNT(*) AS n_variations,
+        |    MIN(CAST(price AS DOUBLE)) AS pmin,
+        |    MAX(CAST(price AS DOUBLE)) AS pmax,
+        |    list_sort(list_distinct(list(attr_size))) AS size_list,
+        |    list_sort(list_distinct(list(sku))) AS sku_list
+        |  FROM children GROUP BY parent_id
+        |), rendered AS (
+        |  SELECT parent_id, n_variations,
+        |    printf('%.2f', pmin) AS price_min,
+        |    printf('%.2f', pmax) AS price_max,
+        |    CASE WHEN len(size_list) > 2
+        |      THEN array_to_string(size_list[1:2], ', ') || ' (+' || (len(size_list) - 2) || ' more)'
+        |      ELSE array_to_string(size_list, ', ') END AS sizes,
+        |    CASE WHEN len(sku_list) > 2
+        |      THEN array_to_string(sku_list[1:2], ', ') || ' (+' || (len(sku_list) - 2) || ' more)'
+        |      ELSE array_to_string(sku_list, ', ') END AS skus
+        |  FROM agg
+        |)
+        |SELECT parent_id, n_variations, price_min, price_max, sizes, skus,
+        |  'Variations: ' || n_variations || '; Price range: ' || price_min ||
+        |  ' - ' || price_max || '; Sizes: ' || sizes || '; SKUs: ' || skus AS rollup_text
+        |FROM rendered
+        |ORDER BY parent_id""".stripMargin),
+
+    "n1_normalize" -> (P +
+      s"""SELECT product_id, $normalizedTextSql AS text
+         |FROM products
+         |ORDER BY product_id""".stripMargin),
+
+    "n2_fingerprint" -> (P +
+      s"""SELECT product_id,
+         |  sha256($normalizedTextSql || '|' ||
+         |    'size=800,overlap=100,model=text-embedding-3-small,dim=3072') AS product_sha
+         |FROM products
+         |ORDER BY product_id""".stripMargin),
+
+    "j4_chunk_delta" ->
+      """WITH fresh AS (
+        |  SELECT doc_id, i AS idx, sha256(substr(text, i * 200 + 1, 200)) AS sha
+        |  FROM documents, UNNEST(generate_series(0, CAST(ceil(length(text) / 200.0) AS INT) - 1)) t(i)
+        |  WHERE length(text) > 0
+        |), old_docs AS (
+        |  SELECT doc_id,
+        |    rpad(t0, CAST(length(t0) + CASE WHEN doc_id % 7 = 0 THEN 300 ELSE 0 END AS INTEGER), 'x') AS text
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN doc_id % 5 = 0 THEN 'OLD:' || text ELSE text END AS t0
+        |        FROM documents)
+        |), existing AS (
+        |  SELECT doc_id, i AS idx, sha256(substr(text, i * 200 + 1, 200)) AS sha
+        |  FROM old_docs, UNNEST(generate_series(0, CAST(ceil(length(text) / 200.0) AS INT) - 1)) t(i)
+        |  WHERE length(text) > 0
+        |)
+        |SELECT COALESCE(f.doc_id, e.doc_id) AS doc_id,
+        |       COALESCE(f.idx, e.idx) AS idx,
+        |  CASE WHEN f.sha IS NULL THEN 'delete'
+        |       WHEN e.sha IS NULL THEN 'upsert'
+        |       WHEN e.sha <> f.sha THEN 'upsert'
+        |       ELSE 'skip' END AS action
+        |FROM fresh f FULL OUTER JOIN existing e USING (doc_id, idx)
+        |ORDER BY doc_id, idx""".stripMargin,
+
+    "a4_delta_summary" ->
+      """WITH fresh AS (
+        |  SELECT doc_id, i AS idx, sha256(substr(text, i * 200 + 1, 200)) AS sha
+        |  FROM documents, UNNEST(generate_series(0, CAST(ceil(length(text) / 200.0) AS INT) - 1)) t(i)
+        |  WHERE length(text) > 0
+        |), old_docs AS (
+        |  SELECT doc_id,
+        |    rpad(t0, CAST(length(t0) + CASE WHEN doc_id % 7 = 0 THEN 300 ELSE 0 END AS INTEGER), 'x') AS text
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN doc_id % 5 = 0 THEN 'OLD:' || text ELSE text END AS t0
+        |        FROM documents)
+        |), existing AS (
+        |  SELECT doc_id, i AS idx, sha256(substr(text, i * 200 + 1, 200)) AS sha
+        |  FROM old_docs, UNNEST(generate_series(0, CAST(ceil(length(text) / 200.0) AS INT) - 1)) t(i)
+        |  WHERE length(text) > 0
+        |)
+        |SELECT action, COUNT(*) AS n FROM (
+        |  SELECT CASE WHEN f.sha IS NULL THEN 'delete'
+        |              WHEN e.sha IS NULL THEN 'upsert'
+        |              WHEN e.sha <> f.sha THEN 'upsert'
+        |              ELSE 'skip' END AS action
+        |  FROM fresh f FULL OUTER JOIN existing e USING (doc_id, idx))
+        |GROUP BY action
+        |ORDER BY action""".stripMargin,
+
+    "dd_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, h, COUNT(*) AS n
+        |FROM (SELECT doc_id,
+        |        sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+        |      FROM documents)
+        |GROUP BY h
+        |ORDER BY h""".stripMargin,
+
+    "dd_minhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+         |  FROM toks, UNNEST(generate_series(1, len(ts) - 2)) t(i)
+         |  WHERE len(ts) >= 3
+         |)
+         |SELECT doc_id, j, MIN(${sha32Sql("g || '#' || j")}) AS mh
+         |FROM sh, UNNEST(generate_series(0, 15)) u(j)
+         |GROUP BY doc_id, j
+         |ORDER BY doc_id, j""".stripMargin,
+
+    "dd_lsh_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+         |  FROM toks, UNNEST(generate_series(1, len(ts) - 2)) t(i)
+         |  WHERE len(ts) >= 3
+         |), mh AS (
+         |  SELECT doc_id, j, MIN(${sha32Sql("g || '#' || j")}) AS mh
+         |  FROM sh, UNNEST(generate_series(0, 15)) u(j)
+         |  GROUP BY doc_id, j
+         |), bands AS (
+         |  SELECT doc_id, CAST(floor(j / 4) AS BIGINT) AS band,
+         |    sha256(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS sig
+         |  FROM mh GROUP BY doc_id, CAST(floor(j / 4) AS BIGINT)
+         |)
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |WHERE a.doc_id < b.doc_id
+         |ORDER BY d1, d2""".stripMargin,
+
+    "dd_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, w
+         |  FROM (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\\S+')) AS w
+         |        FROM documents)
+         |), hs AS (
+         |  SELECT doc_id, ${sha32Sql("w")} AS h FROM toks
+         |), bits AS (
+         |  SELECT doc_id, b,
+         |    SUM(CASE WHEN floor(h / power(2, b)) % 2 = 1 THEN 1 ELSE -1 END) AS score
+         |  FROM hs, UNNEST(generate_series(0, 15)) u(b)
+         |  GROUP BY doc_id, b
+         |)
+         |SELECT doc_id,
+         |  CAST(SUM(CASE WHEN score >= 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "dd_jaccard" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, w
+        |  FROM (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\S+')) AS w
+        |        FROM documents)
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+        |  FROM tok a JOIN tok b ON a.w = b.w AND b.doc_id = a.doc_id + 1
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT d1, d2, round(common / (n1.n + n2.n - common), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes n1 ON n1.doc_id = d1
+        |JOIN sizes n2 ON n2.doc_id = d2
+        |ORDER BY d1""".stripMargin,
+
+    "sim_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+         |scored AS (
+         |  SELECT qid, cid, round(${cosSql("qe", "ce")}, 6) AS cos
+         |  FROM q CROSS JOIN c
+         |  WHERE qid <> cid
+         |), ranked AS (
+         |  SELECT qid, cid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |  FROM scored
+         |)
+         |SELECT qid, cid, cos, rn FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
+
+    "sim_lsh_buckets" ->
+      s"""SELECT bucket, COUNT(*) AS n FROM (
+         |  SELECT ${(1 to 8).map(i =>
+             s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS bucket
+         |  FROM embeddings)
+         |GROUP BY bucket
+         |ORDER BY bucket""".stripMargin,
+
+    "sim_near_dup" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |    ${(1 to 8).map(i =>
+             s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS bucket
+         |  FROM embeddings)
+         |SELECT d1, d2, cos FROM (
+         |  SELECT a.vec_id AS d1, bb.vec_id AS d2,
+         |    round(${cosSql("a.embedding", "bb.embedding")}, 6) AS cos
+         |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
+         |WHERE cos >= 0.25
+         |ORDER BY d1, d2""".stripMargin,
+
+    "ta_langid" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN ce >= ca AND ce >= co THEN 'en'
+        |       WHEN ca >= co THEN 'es'
+        |       ELSE 'de' END AS lang_pred,
+        |  CASE WHEN lang = (CASE WHEN ce >= ca AND ce >= co THEN 'en'
+        |                         WHEN ca >= co THEN 'es'
+        |                         ELSE 'de' END) THEN 1 ELSE 0 END AS hit
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    length(lower(text)) - length(replace(lower(text), 'e', '')) AS ce,
+        |    length(lower(text)) - length(replace(lower(text), 'a', '')) AS ca,
+        |    length(lower(text)) - length(replace(lower(text), 'o', '')) AS co
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "ta_quality" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  n_tokens,
+        |  round(non_space / CAST(n_tokens AS DOUBLE), 4) AS avg_token_len,
+        |  round(stop_hits / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
+        |  round(least(1.0, n_tokens / 100.0) * (1.0 - stop_hits / CAST(n_tokens AS DOUBLE)), 4) AS quality
+        |FROM (
+        |  SELECT doc_id, text,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |    length(replace(text, ' ', '')) AS non_space,
+        |    (length(text) - length(replace(text, ' the ', ''))) / 5 AS stop_hits
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "ta_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_ish_tokens,
+        |  CAST(ceil(strlen(text) / 4.0) AS INT) AS approx_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "ta_fingerprint" ->
+      """SELECT doc_id,
+        |  sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  substr(sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp64
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha,
+        |  CAST(strlen(text) % 640 AS INT) AS width,
+        |  CAST(strlen(text) % 480 AS INT) AS height,
+        |  CASE WHEN strlen(text) % 3 = 0 THEN 'png'
+        |       WHEN strlen(text) % 3 = 1 THEN 'jpeg'
+        |       ELSE 'webp' END AS format
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "st_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, COUNT(*) AS n,
+        |  SUM(CAST(value AS DECIMAL(18,6))) AS total
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
+  )
 }

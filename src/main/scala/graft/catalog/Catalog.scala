@@ -35,7 +35,17 @@ object Catalog {
   def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
-  def events(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "events")
+
+  /** The events parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read nanos as a long (legacy conf) and
+    * convert to a microsecond timestamp with integer division — a double
+    * round-trip would lose precision above 2^53 ns.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+  }
 
   /** Parent products: one per `part` row. */
   def parents(spark: SparkSession, dir: String): DataFrame =

@@ -19,12 +19,20 @@ object EventStream {
     * query (memory sink, complete mode), returned as a batch DataFrame. */
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
+    // ts is TIMESTAMP(NANOS) in the parquet — read as long nanos (legacy
+    // conf) and convert with integer division, same as Catalog.events.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema).parquet(path)
+    // FileStreamSource force-sets basePath to the path itself for non-glob
+    // paths, and basePath must be a directory — so address the single file
+    // through a glob, which leaves basePath inference to the parent dir.
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("total"))
     val name = s"graft_hourly_${System.nanoTime()}"
     val q = agg.writeStream
       .format("memory").queryName(name)
