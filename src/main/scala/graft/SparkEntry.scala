@@ -122,6 +122,25 @@ object SparkEntry {
     "a1_variation_rollup" -> ((s, dir) =>
       VariationRollup.rollup(Catalog.products(s, dir), valuesCap = 2)),
 
+    "a3_job_metrics" -> ((s, dir) =>
+      Scans.jobMetrics(Catalog.syncState(s, dir))),
+
+    // §2.7 scalar-function suite (F1/F4/F13/F14/F17 + the sha32 primitive)
+    "f_scalars" -> ((s, dir) => {
+      import graft.functions.Functions._
+      Catalog.products(s, dir).select(
+        col("product_id"),
+        stripHtml(col("description")).as("plain"),
+        labelValue("SKU", col("sku")).as("sku_line"),
+        format_string("%.2f", col("price").cast("double")).as("price_fmt"),
+        approxTokens(col("title")).as("title_tokens"),
+        sha32(col("sku")).as("sku_h"),
+        when(length(col("title")) > 20,
+          concat(substring(col("title"), 1, 20), lit("…")))
+          .otherwise(col("title")).as("title_trunc"))
+        .orderBy("product_id")
+    }),
+
     "n1_normalize" -> ((s, dir) =>
       Normalizer.normalize(Catalog.products(s, dir))),
 
@@ -360,6 +379,23 @@ object SparkEntry {
         |  ' - ' || price_max || '; Sizes: ' || sizes || '; SKUs: ' || skus AS rollup_text
         |FROM rendered
         |ORDER BY parent_id""".stripMargin),
+
+    "a3_job_metrics" -> (P +
+      """SELECT status, COUNT(*) AS n FROM sync_state
+        |GROUP BY status
+        |ORDER BY status""".stripMargin),
+
+    "f_scalars" -> (P +
+      s"""SELECT product_id,
+         |  ${stripHtmlSql("description")} AS plain,
+         |  'SKU: ' || sku AS sku_line,
+         |  printf('%.2f', CAST(price AS DOUBLE)) AS price_fmt,
+         |  CAST(ceil(strlen(title) / 4.0) AS INT) AS title_tokens,
+         |  ${sha32Sql("sku")} AS sku_h,
+         |  CASE WHEN length(title) > 20 THEN substr(title, 1, 20) || '…'
+         |       ELSE title END AS title_trunc
+         |FROM products
+         |ORDER BY product_id""".stripMargin),
 
     "n1_normalize" -> (P +
       s"""SELECT product_id, $normalizedTextSql AS text

@@ -30,8 +30,8 @@ object Dedup {
       .select("keep_id", "h", "n")
       .orderBy("h")
 
-  /** Distinct word 3-gram shingles per document. */
-  def shingles(documents: DataFrame): DataFrame =
+  /** Word 3-gram shingles per document, duplicates included (no shuffle). */
+  private def shinglesRaw(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("ts"))
@@ -42,32 +42,51 @@ object Dedup {
             element_at(col("ts"), i),
             element_at(col("ts"), i + 1),
             element_at(col("ts"), i + 2)))).as("g"))
-      .distinct()
 
-  /** MinHash signatures: k hash functions H_j(g) = sha32(g + "#" + j);
-    * per (doc, j) keep the min. Returns (doc_id, j, mh). */
+  /** Distinct word 3-gram shingles per document. */
+  def shingles(documents: DataFrame): DataFrame =
+    shinglesRaw(documents).distinct()
+
+  /** Wide MinHash signature: one row per doc, k columns `mh0..mh{k-1}`,
+    * each `min(sha32(g + "#" + j))` over the doc's shingles. One shuffle
+    * (map-side-combinable mins) — the per-(doc,j) explode variant would
+    * push k× the rows through that shuffle for the same answer. */
+  def minhashWide(documents: DataFrame, k: Int = 16): DataFrame =
+    // shinglesRaw, not shingles: `min` is duplicate-insensitive, so the
+    // distinct's full-text shuffle would buy nothing.
+    shinglesRaw(documents)
+      .groupBy("doc_id")
+      .agg(
+        min(sha32(concat(col("g"), lit("#"), lit(0)))).as("mh0"),
+        (1 until k).map(j =>
+          min(sha32(concat(col("g"), lit("#"), lit(j)))).as(s"mh$j")): _*)
+
+  /** MinHash signatures in long form (doc_id, j, mh) — unpivot of
+    * [[minhashWide]]; the cheap reshape happens after the aggregation. */
   def minhash(documents: DataFrame, k: Int = 16): DataFrame =
-    shingles(documents)
-      .select(col("doc_id"), col("g"),
-        explode(sequence(lit(0), lit(k - 1))).as("j"))
-      .select(col("doc_id"), col("j"),
-        sha32(concat(col("g"), lit("#"), col("j"))).as("h"))
-      .groupBy("doc_id", "j")
-      .agg(min("h").as("mh"))
+    minhashWide(documents, k)
+      .select(col("doc_id"), explode(array((0 until k).map(j =>
+        struct(lit(j).as("j"), col(s"mh$j").as("mh"))): _*)).as("x"))
+      .select(col("doc_id"), col("x.j").as("j"), col("x.mh").as("mh"))
 
-  /** LSH band signatures: bands of r rows, signature = sha256 of the
-    * comma-joined minhashes in j-order. Returns (doc_id, band, sig). */
-  def lshBands(mh: DataFrame, r: Int = 4): DataFrame =
-    mh.select(col("doc_id"), floor(col("j") / r).as("band"),
-        struct(col("j"), col("mh")).as("jm"))
-      .groupBy("doc_id", "band")
-      .agg(sha2(concat_ws(",",
-        transform(array_sort(collect_list(col("jm"))),
-          x => x.getField("mh").cast("string"))), 256).as("sig"))
+  /** LSH band signatures from the wide form: bands of r adjacent rows,
+    * signature = sha256 of the comma-joined minhashes in j-order. Computed
+    * row-wise — no second shuffle. Returns (doc_id, band, sig). */
+  def lshBands(documents: DataFrame, k: Int = 16, r: Int = 4): DataFrame = {
+    val wide = minhashWide(documents, k)
+    val bands = (0 until k / r).map { b =>
+      struct(lit(b.toLong).as("band"),
+        sha2(concat_ws(",",
+          (b * r until (b + 1) * r).map(j => col(s"mh$j").cast("string")): _*),
+          256).as("sig"))
+    }
+    wide.select(col("doc_id"), explode(array(bands: _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.sig").as("sig"))
+  }
 
   /** Candidate near-dup pairs: documents sharing any LSH band bucket. */
   def minhashLshPairs(documents: DataFrame, k: Int = 16, r: Int = 4): DataFrame = {
-    val bands = lshBands(minhash(documents, k), r)
+    val bands = lshBands(documents, k, r)
     val a = bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("d2"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))
