@@ -178,6 +178,8 @@ object SparkEntry {
     "sim_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDup(Catalog.embeddings(s, dir), threshold = 0.25)),
 
+    "sim_ivf" -> ((s, dir) => Similarity.ivfTopK(Catalog.embeddings(s, dir))),
+
     // ================= text analysis =================
 
     "ta_langid" -> ((s, dir) => TextAnalysis.langId(Catalog.documents(s, dir))),
@@ -573,6 +575,32 @@ object SparkEntry {
          |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
          |WHERE cos >= 0.25
          |ORDER BY d1, d2""".stripMargin,
+
+    "sim_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8
+         |), assigned AS (
+         |  SELECT vec_id, embedding, centroid_id AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.embedding", "c.ce")}, 6) DESC, c.centroid_id) AS arn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE arn = 1
+         |), q AS (
+         |  SELECT vec_id AS qid, embedding AS qe, cell FROM assigned WHERE vec_id < 8
+         |), cand AS (
+         |  SELECT vec_id AS cid, embedding AS ce, cell FROM assigned
+         |), scored AS (
+         |  SELECT qid, cid, round(${cosSql("qe", "ce")}, 6) AS cos
+         |  FROM q JOIN cand USING (cell)
+         |  WHERE qid <> cid
+         |), ranked AS (
+         |  SELECT qid, cid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |  FROM scored
+         |)
+         |SELECT qid, cid, cos, rn FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
 
     "ta_langid" ->
       """SELECT doc_id, lang,

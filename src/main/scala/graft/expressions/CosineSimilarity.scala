@@ -1,0 +1,92 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+
+/** Native Catalyst cosine-similarity over two array columns, with
+  * `doGenCode` so it runs inside whole-stage codegen — the higher-order
+  * `aggregate`/`zip_with` composition it replaces allocates a lambda frame
+  * per element and stays interpreted, which dominates the similarity ops'
+  * hot loop at dimension 64–3072 (SURVEY §2.9: reference dims 1536/3072,
+  * `includes/class-embeddings.php:17-24`).
+  *
+  * Double-precision sequential accumulation in index order — bitwise
+  * identical to the DuckDB oracle's list_transform/list_sum mirror.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Inputs are coerced to array<double> by the function builder
+  // ([[GraftFunctions]]) — AbstractDataType is private[sql], so the
+  // ImplicitCastInputTypes route isn't open to external expressions.
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, dot, na, nb, i) = (ctx.freshName("n"), ctx.freshName("dot"),
+        ctx.freshName("na"), ctx.freshName("nb"), ctx.freshName("i"))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double x = $a.getDouble($i);
+         |  double y = $b.getDouble($i);
+         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration surface for graft's native expressions: an injectable
+  * [[SparkSessionExtensions]] hook (`spark.sql.extensions=graft.expressions.
+  * GraftExtensions`) plus a runtime registrar for sessions built without it.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.cosineSimDescriptor)
+}
+
+object GraftFunctions {
+
+  private[expressions] val cosineSimDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSimilarity(
+        Cast(children(0), ArrayType(DoubleType)),
+        Cast(children(1), ArrayType(DoubleType))))
+
+  /** Idempotently register graft's functions into an existing session. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val (id, _, builder) = cosineSimDescriptor
+    if (!spark.sessionState.functionRegistry.functionExists(id)) {
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
+  }
+
+  /** cosine_sim as a Column (requires [[ensureRegistered]] on the session). */
+  def cosineSim(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
+}

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.Functions.cosine
+import graft.expressions.GraftFunctions
 
 /** Approximate-nearest-neighbor operators over an embedding column.
   *
@@ -16,6 +16,13 @@ import graft.functions.Functions.cosine
   */
 object Similarity {
 
+  /** Native codegen'd cosine (graft.expressions.CosineSimilarity) — the
+    * hot-loop primitive of every operator below. */
+  private def cos(df: DataFrame)(a: Column, b: Column): Column = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    GraftFunctions.cosineSim(a, b)
+  }
+
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
     * the k nearest candidates by cosine. Ranking uses the 6-dp-rounded
     * cosine with vec_id tiebreak so results are deterministic and
@@ -28,7 +35,7 @@ object Similarity {
     val scored = q.hint("broadcast").crossJoin(c)
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qe"), col("ce")), 6).as("cos"))
+        round(cos(embeddings)(col("qe"), col("ce")), 6).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rn", row_number().over(w))
@@ -61,8 +68,52 @@ object Similarity {
     a.join(b, Seq("bucket"))
       .where(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
-        round(cosine(col("e1"), col("e2")), 6).as("cos"))
+        round(cos(embeddings)(col("e1"), col("e2")), 6).as("cos"))
       .where(col("cos") >= threshold)
       .orderBy("d1", "d2")
+  }
+
+  /** IVF cell assignment: the first `nCentroids` vectors act as the coarse
+    * quantizer's (deterministic) centroid seeds; every vector lands in the
+    * cell of its highest-cosine centroid (vec_id tiebreak).
+    *
+    * Scale posture: centroids are broadcast (a k-means refinement would
+    * keep the same shape — small table out, broadcast back), so assignment
+    * is a map-only pass over the candidate side; the only shuffle in the
+    * IVF path is the final per-cell ranking. */
+  def ivfAssign(embeddings: DataFrame, nCentroids: Int = 8): DataFrame = {
+    val cents = embeddings.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    val scored = embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        round(cos(embeddings)(col("embedding"), col("ce")), 6).as("ccos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
+  }
+
+  /** IVF top-k: rank only candidates sharing the query's cell — the
+    * scale path (probes the coarse cell instead of the full corpus;
+    * recall/fan-out traded via `nCentroids`). */
+  def ivfTopK(embeddings: DataFrame, nCentroids: Int = 8, nQueries: Int = 8,
+      k: Int = 5): DataFrame = {
+    val assigned = ivfAssign(embeddings, nCentroids)
+    val q = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+    val c = assigned
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
+    val scored = q.hint("broadcast").join(c, Seq("cell"))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cos(embeddings)(col("qe"), col("ce")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("qid", "cid", "cos", "rn")
+      .orderBy("qid", "rn")
   }
 }
