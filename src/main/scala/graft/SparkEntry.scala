@@ -192,6 +192,8 @@ object SparkEntry {
     "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(Catalog.documents(s, dir))),
 
     "st_hourly" -> ((s, dir) => EventStream.hourlyCounts(s, dir)),
+
+    "st_debounce" -> ((s, dir) => EventStream.debouncedTotals(s, dir)),
   )
 
   // ======================= DuckDB oracles =======================
@@ -667,5 +669,13 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
+
+    "st_debounce" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  SUM(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS total_cents,
+        |  MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS last_ts_s
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
   )
 }

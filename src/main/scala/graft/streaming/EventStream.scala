@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 
 /** Structured-Streaming consumption of the CDC `events` table (the stand-in
   * for the reference's lifecycle hooks, SURVEY §2.11 T1–T4;
@@ -45,5 +45,57 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("total"))
       .orderBy("hour", "event_type")
+  }
+
+  /** Per-key debounced rollup — the reference's T2 parent-refresh debounce
+    * (variation burst → one parent refresh; `includes/class-lifecycle.php:
+    * 107-152`) mapped onto `mapGroupsWithState`: per key the state
+    * accumulates the burst and each micro-batch emits ONE updated row per
+    * key (the per-batch dedup that replaces the 30 s wall-clock buffer).
+    *
+    * Scale posture: state is one small row per active key; keys shuffle
+    * once to their state partition and the store is HDFS-backed at
+    * cluster scale.
+    */
+  def debouncedTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      .select(col("user_id").cast("long"), col("value").cast("double"),
+        col("ts").cast("long").as("ts_s"))
+      .as[(Long, Double, Long)]
+    val updated = stream
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[(Long, Double, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          val (n0, c0, t0) = state.getOption.getOrElse((0L, 0L, 0L))
+          var n = n0; var cents = c0; var t = t0
+          it.foreach { case (_, value, ts) =>
+            // integer cents: the sum stays order-independent (double
+            // accumulation order differs between engines/batches)
+            n += 1; cents += math.round(value * 100); if (ts > t) t = ts
+          }
+          state.update((n, cents, t))
+          (key, n, cents, t)
+      }
+    val name = s"graft_debounce_${System.nanoTime()}"
+    val q = updated.toDF("user_id", "n_events", "total_cents", "last_ts_s")
+      .writeStream
+      .format("memory").queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      // one row per key per micro-batch; keep the final state per key
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("total_cents"), col("last_ts_s"))).as("s"))
+      .select(col("user_id"), col("s.n_events").as("n_events"),
+        col("s.total_cents").as("total_cents"), col("s.last_ts_s").as("last_ts_s"))
+      .orderBy("user_id")
   }
 }
