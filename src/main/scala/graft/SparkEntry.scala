@@ -478,9 +478,11 @@ object SparkEntry {
          |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
          |  FROM toks, UNNEST(generate_series(1, len(ts) - 2)) t(i)
          |  WHERE len(ts) >= 3
+         |), hs AS (
+         |  SELECT doc_id, ${sha32Sql("g")} AS h FROM sh
          |)
-         |SELECT doc_id, j, MIN(${sha32Sql("g || '#' || j")}) AS mh
-         |FROM sh, UNNEST(generate_series(0, 15)) u(j)
+         |SELECT doc_id, j, MIN((h * (2 * j + 1) + 1000003 * j) % 4294967296) AS mh
+         |FROM hs, UNNEST(generate_series(0, 15)) u(j)
          |GROUP BY doc_id, j
          |ORDER BY doc_id, j""".stripMargin,
 
@@ -491,9 +493,11 @@ object SparkEntry {
          |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
          |  FROM toks, UNNEST(generate_series(1, len(ts) - 2)) t(i)
          |  WHERE len(ts) >= 3
+         |), hs AS (
+         |  SELECT doc_id, ${sha32Sql("g")} AS h FROM sh
          |), mh AS (
-         |  SELECT doc_id, j, MIN(${sha32Sql("g || '#' || j")}) AS mh
-         |  FROM sh, UNNEST(generate_series(0, 15)) u(j)
+         |  SELECT doc_id, j, MIN((h * (2 * j + 1) + 1000003 * j) % 4294967296) AS mh
+         |  FROM hs, UNNEST(generate_series(0, 15)) u(j)
          |  GROUP BY doc_id, j
          |), bands AS (
          |  SELECT doc_id, CAST(floor(j / 4) AS BIGINT) AS band,

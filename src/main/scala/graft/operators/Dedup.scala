@@ -51,15 +51,22 @@ object Dedup {
     * each `min(sha32(g + "#" + j))` over the doc's shingles. One shuffle
     * (map-side-combinable mins) — the per-(doc,j) explode variant would
     * push k× the rows through that shuffle for the same answer. */
+  /** h_j(g) = (a_j·sha32(g) + b_j) mod 2^32 with a_j odd — bijective and
+    * non-monotone per j, so ONE sha256 per shingle feeds all k hash
+    * functions (16 sha256/shingle was the dedup suite's hot loop).
+    * a_j·h ≤ 33·2^32 ≈ 2^37 — no 64-bit overflow. */
+  private def uhash(h: org.apache.spark.sql.Column, j: Int) =
+    pmod(h * lit(2L * j + 1) + lit(1000003L * j), lit(4294967296L))
+
   def minhashWide(documents: DataFrame, k: Int = 16): DataFrame =
     // shinglesRaw, not shingles: `min` is duplicate-insensitive, so the
     // distinct's full-text shuffle would buy nothing.
     shinglesRaw(documents)
+      .select(col("doc_id"), sha32(col("g")).as("h"))
       .groupBy("doc_id")
       .agg(
-        min(sha32(concat(col("g"), lit("#"), lit(0)))).as("mh0"),
-        (1 until k).map(j =>
-          min(sha32(concat(col("g"), lit("#"), lit(j)))).as(s"mh$j")): _*)
+        min(uhash(col("h"), 0)).as("mh0"),
+        (1 until k).map(j => min(uhash(col("h"), j)).as(s"mh$j")): _*)
 
   /** MinHash signatures in long form (doc_id, j, mh) — unpivot of
     * [[minhashWide]]; the cheap reshape happens after the aggregation. */
