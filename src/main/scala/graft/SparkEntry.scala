@@ -147,6 +147,9 @@ object SparkEntry {
     "n2_fingerprint" -> ((s, dir) =>
       Normalizer.fingerprint(Normalizer.normalize(Catalog.products(s, dir)))),
 
+    "n3_meta" -> ((s, dir) =>
+      Normalizer.metaSections(Catalog.productMeta(s, dir))),
+
     // ================= §2.10 delta (J4 + A4) =================
 
     "j4_chunk_delta" -> ((s, dir) =>
@@ -412,6 +415,25 @@ object SparkEntry {
          |    'size=800,overlap=100,model=text-embedding-3-small,dim=3072') AS product_sha
          |FROM products
          |ORDER BY product_id""".stripMargin),
+
+    "n3_meta" ->
+      """WITH meta AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS product_id, 'material' AS key, p_type AS value FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'container', 'PKG-' || CAST(p_size AS VARCHAR) FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), '_edit_lock', '17000000' || CAST(p_partkey % 10 AS VARCHAR) FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), '_private_note', 'note-' || p_partkey FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'warranty_months', CAST(p_partkey % 36 + 1 AS VARCHAR) FROM part
+        |), visible AS (
+        |  SELECT * FROM meta
+        |  WHERE key NOT IN ('_edit_lock', '_thumbnail_id')
+        |    AND key NOT LIKE '\_%' ESCAPE '\'
+        |)
+        |SELECT product_id,
+        |  string_agg(key || ': ' || value, '; ' ORDER BY key, value) AS meta_line,
+        |  '{' || string_agg('"' || key || '":"' || value || '"', ',' ORDER BY key, value) || '}' AS meta_json
+        |FROM visible
+        |GROUP BY product_id
+        |ORDER BY product_id""".stripMargin,
 
     "j4_chunk_delta" ->
       """WITH fresh AS (

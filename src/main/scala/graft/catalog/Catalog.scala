@@ -96,6 +96,24 @@ object Catalog {
   def products(spark: SparkSession, dir: String): DataFrame =
     parents(spark, dir).unionByName(variations(spark, dir))
 
+  /** Custom-meta rows (the reference's `get_post_meta` key/value pairs,
+    * SURVEY §1.1): deterministic long-format (product_id, key, value) with
+    * `_`-prefixed private keys and blacklist members mixed in, so the
+    * P3/P4 predicates have something to filter. */
+  def productMeta(spark: SparkSession, dir: String): DataFrame = {
+    val p = part(spark, dir)
+    val rows = Seq(
+      ("material", col("p_type")),
+      ("container", concat(lit("PKG-"), col("p_size"))),
+      ("_edit_lock", concat(lit("17000000"), col("p_partkey") % 10)),
+      ("_private_note", concat(lit("note-"), col("p_partkey"))),
+      ("warranty_months", (col("p_partkey") % 36 + 1).cast("string")))
+    p.select(col("p_partkey").cast("bigint").as("product_id"),
+        explode(array(rows.map { case (k, v) =>
+          struct(lit(k).as("key"), v.cast("string").as("value")) }: _*)).as("kv"))
+      .select(col("product_id"), col("kv.key").as("key"), col("kv.value").as("value"))
+  }
+
   /** Deterministic synthetic sync-state: products with `p_partkey % 3 == 0`
     * have `1 + pk % 3` chunk rows each; even keys are freshly synced, odd
     * keys are stale; `pk % 9 == 0` rows are errored.

@@ -33,6 +33,31 @@ object Normalizer {
         section("Size", col("attr_size"))).as("text"))
       .orderBy("product_id")
 
+  /** Meta-key blacklist P4 (reference hardcoded ignore list,
+    * `includes/class-field-discovery.php:149-155`). */
+  val MetaBlacklist: Seq[String] = Seq("_edit_lock", "_thumbnail_id")
+
+  /** Custom-meta sections from long-format (product_id, key, value) rows:
+    * P4 blacklist, P3 private-key predicate (`key[0]=='_'` excluded unless
+    * `showPrivate` — `class-field-normalizer.php:220-224`), then F10 KV
+    * flatten (`"k: v; k2: v2"`, `class-field-normalizer.php:489-516`) and
+    * F6 compact-JSON render (`class-field-normalizer.php:305-316`), both
+    * over key-sorted entries so output is deterministic (SURVEY §1.3). */
+  def metaSections(meta: DataFrame, showPrivate: Boolean = false): DataFrame = {
+    val visible = meta
+      .where(!col("key").isin(MetaBlacklist: _*))
+      .where(if (showPrivate) lit(true) else !col("key").startsWith("_"))
+    visible.groupBy("product_id")
+      .agg(array_sort(collect_list(struct(col("key"), col("value")))).as("kvs"))
+      .select(
+        col("product_id"),
+        array_join(transform(col("kvs"),
+          e => concat(e.getField("key"), lit(": "), e.getField("value"))), "; ")
+          .as("meta_line"),
+        to_json(map_from_entries(col("kvs"))).as("meta_json"))
+      .orderBy("product_id")
+  }
+
   /** F7 product fingerprint: sha256 binding {text, chunking config, model,
     * dimension} (reference `includes/class-fingerprint.php:23-44`). */
   def fingerprint(normalized: DataFrame,
