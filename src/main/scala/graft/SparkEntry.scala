@@ -150,6 +150,27 @@ object SparkEntry {
     "n3_meta" -> ((s, dir) =>
       Normalizer.metaSections(Catalog.productMeta(s, dir))),
 
+    "n4_acf" -> ((s, dir) =>
+      Normalizer.acfRender(Catalog.acfValues(s, dir))),
+
+    // ============ §2.2 sink semantics as checkable dataflow ============
+    // (The stateful ParquetVectorStore applies these same rewrites —
+    // `store/VectorStore.scala` K3/K4; here the anti-filter / anti-join
+    // run over the synthetic store rows so the oracle can replay them.)
+
+    "k3_delete_filter" -> ((s, dir) =>
+      Catalog.syncState(s, dir)
+        .where(!(col("product_id") % 10 === 3 && col("site_id") === 1))
+        .select("vector_id", "product_id")
+        .orderBy("vector_id")),
+
+    "k4_delete_ids" -> ((s, dir) => {
+      val ss = Catalog.syncState(s, dir)
+      val ids = ss.where(col("product_id") % 7 === 0).select("vector_id")
+      ss.join(ids, Seq("vector_id"), "left_anti")
+        .select("vector_id").orderBy("vector_id")
+    }),
+
     // ================= §2.10 delta (J4 + A4) =================
 
     "j4_chunk_delta" -> ((s, dir) =>
@@ -434,6 +455,40 @@ object SparkEntry {
         |FROM visible
         |GROUP BY product_id
         |ORDER BY product_id""".stripMargin,
+
+    "n4_acf" -> (P +
+      s""", acf AS (
+         |  SELECT CAST(p_partkey AS BIGINT) AS product_id, 'highlight' AS field_name, 'text' AS field_type, p_name AS value FROM part
+         |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'is_featured', 'true_false', CAST(p_partkey % 2 AS VARCHAR) FROM part
+         |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'rating', 'number', CAST(p_partkey % 5 + 1 AS VARCHAR) FROM part
+         |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'release_date', 'date',
+         |    strftime(TIMESTAMP '${OracleSql.Base}' + INTERVAL (p_partkey) DAY, '%Y-%m-%d') FROM part
+         |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'colors', 'checkbox',
+         |    CASE WHEN p_partkey % 3 = 0 THEN 'red|blue'
+         |         WHEN p_partkey % 3 = 1 THEN 'green'
+         |         ELSE 'red|green|blue' END FROM part
+         |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'spec', 'group',
+         |    'w=' || CAST(p_size AS VARCHAR) || '|brand=' || p_brand FROM part
+         |)
+         |SELECT product_id, field_name,
+         |  CASE field_type
+         |    WHEN 'true_false' THEN CASE WHEN value = '1' THEN 'true' ELSE 'false' END
+         |    WHEN 'checkbox' THEN replace(value, '|', ', ')
+         |    WHEN 'group' THEN replace(replace(value, '=', ': '), '|', '; ')
+         |    ELSE value END AS rendered
+         |FROM acf
+         |ORDER BY product_id, field_name""".stripMargin),
+
+    "k3_delete_filter" -> (P +
+      """SELECT vector_id, product_id FROM sync_state
+        |WHERE NOT (product_id % 10 = 3 AND site_id = 1)
+        |ORDER BY vector_id""".stripMargin),
+
+    "k4_delete_ids" -> (P +
+      """SELECT vector_id FROM sync_state
+        |WHERE vector_id NOT IN (
+        |  SELECT vector_id FROM sync_state WHERE product_id % 7 = 0)
+        |ORDER BY vector_id""".stripMargin),
 
     "j4_chunk_delta" ->
       """WITH fresh AS (

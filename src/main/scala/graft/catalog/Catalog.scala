@@ -114,6 +114,34 @@ object Catalog {
       .select(col("product_id"), col("kv.key").as("key"), col("kv.value").as("value"))
   }
 
+  /** ACF-style typed dynamic fields (reference type matrix
+    * `includes/class-field-normalizer.php:327-444`, discovery
+    * `includes/class-acf-integration.php:30-118`): long-format
+    * (product_id, field_name, field_type, value). Multi-values are
+    * `|`-packed, group fields `k=v|k2=v2` — the renderer (F11) unpacks. */
+  def acfValues(spark: SparkSession, dir: String): DataFrame = {
+    val p = part(spark, dir)
+    val rows = Seq(
+      ("highlight", "text", col("p_name")),
+      ("is_featured", "true_false", (col("p_partkey") % 2).cast("string")),
+      ("rating", "number", (col("p_partkey") % 5 + 1).cast("string")),
+      ("release_date", "date",
+        date_format(expr(s"timestamp'$Base' + make_interval(0,0,0,p_partkey,0,0,0)"),
+          "yyyy-MM-dd")),
+      ("colors", "checkbox",
+        when(col("p_partkey") % 3 === 0, "red|blue")
+          .when(col("p_partkey") % 3 === 1, "green")
+          .otherwise("red|green|blue")),
+      ("spec", "group",
+        concat(lit("w="), col("p_size"), lit("|brand="), col("p_brand"))))
+    p.select(col("p_partkey").cast("bigint").as("product_id"),
+        explode(array(rows.map { case (n, t, v) =>
+          struct(lit(n).as("field_name"), lit(t).as("field_type"),
+            v.cast("string").as("value")) }: _*)).as("f"))
+      .select(col("product_id"), col("f.field_name").as("field_name"),
+        col("f.field_type").as("field_type"), col("f.value").as("value"))
+  }
+
   /** Deterministic synthetic sync-state: products with `p_partkey % 3 == 0`
     * have `1 + pk % 3` chunk rows each; even keys are freshly synced, odd
     * keys are stale; `pk % 9 == 0` rows are errored.

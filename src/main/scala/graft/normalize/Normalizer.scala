@@ -58,6 +58,26 @@ object Normalizer {
       .orderBy("product_id")
   }
 
+  /** F11 ACF type-directed render (reference 16-way switch,
+    * `includes/class-field-normalizer.php:327-444`; the id→lookup types
+    * — taxonomy/post_object/relationship/image — are dimension-table
+    * joins in our model, see SURVEY §2.7 F11): scalar types pass
+    * through, `true_false` → "true"/"false", `checkbox` multi-values
+    * join `", "` (F5), `group` kv-rows render `"k: v; k2: v2"` (F10). */
+  def acfRender(acf: DataFrame): DataFrame =
+    acf.select(
+      col("product_id"), col("field_name"),
+      when(col("field_type") === "true_false",
+        when(col("value") === "1", "true").otherwise("false"))
+        .when(col("field_type") === "checkbox",
+          array_join(split(col("value"), "\\|"), ", "))
+        .when(col("field_type") === "group",
+          array_join(transform(split(col("value"), "\\|"),
+            kv => concat_ws(": ", split(kv, "=").getItem(0),
+              split(kv, "=").getItem(1))), "; "))
+        .otherwise(col("value")).as("rendered"))
+      .orderBy("product_id", "field_name")
+
   /** F7 product fingerprint: sha256 binding {text, chunking config, model,
     * dimension} (reference `includes/class-fingerprint.php:23-44`). */
   def fingerprint(normalized: DataFrame,
