@@ -210,6 +210,7 @@ object SparkEntry {
     "ta_quality" -> ((s, dir) => TextAnalysis.quality(Catalog.documents(s, dir))),
     "ta_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Catalog.documents(s, dir))),
     "ta_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Catalog.documents(s, dir))),
+    "ta_winnow" -> ((s, dir) => TextAnalysis.winnow(Catalog.documents(s, dir))),
 
     // ================= multimodal + streaming =================
 
@@ -730,6 +731,24 @@ object SparkEntry {
         |  substr(sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp64
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "ta_winnow" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts FROM documents
+         |), hsx AS (
+         |  SELECT doc_id,
+         |    list_transform(ts, t -> ${sha32Sql("t")}) AS hs
+         |  FROM toks WHERE len(ts) >= 8
+         |), wins AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    (hs[i]*823543 + hs[i+1]*117649 + hs[i+2]*16807 + hs[i+3]*2401 +
+         |     hs[i+4]*343 + hs[i+5]*49 + hs[i+6]*7 + hs[i+7]) % 4294967296 AS wh
+         |  FROM hsx, UNNEST(generate_series(1, len(hs) - 7)) t(i)
+         |)
+         |SELECT doc_id, CAST(floor(pos / 4) AS BIGINT) AS band, MIN(wh) AS fp
+         |FROM wins
+         |GROUP BY doc_id, band
+         |ORDER BY doc_id, band""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.Functions.sha32
 
 /** Text-analysis operators for a training-data pipeline: language-ID
   * heuristic, quality scoring, token counting, document fingerprinting.
@@ -69,5 +70,37 @@ object TextAnalysis {
       sha2(norm, 256).as("fp"),
       substring(sha2(norm, 256), 1, 16).as("fp64"))
       .orderBy("doc_id")
+  }
+
+  /** Winnowed rolling-hash fingerprints (the MOSS scheme): per token
+    * window of `w`, a Rabin-Karp positional hash W_i = Σ h_{i+d}·B^{w-1-d}
+    * mod 2^32 (B=7 keeps the 64-bit sum overflow-free at h<2^32); then
+    * keep the MIN window hash per band of `band` consecutive windows.
+    * Near-identical documents share most selected fingerprints, so a
+    * groupBy on (fp) finds local near-dups without pairwise comparison.
+    *
+    * Scale posture: window hashing is row-local (one pass over the token
+    * array); the only shuffle carries narrow (doc_id, band, fp) rows.
+    */
+  def winnow(documents: DataFrame, w: Int = 8, band: Int = 4): DataFrame = {
+    val pows = (0 until w).map(d => math.pow(7, w - 1 - d).toLong)
+    val hs = transform(
+      regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)),
+      t => sha32(t))
+    val windows = transform(
+      sequence(lit(1), size(col("hs")) - (w - 1)),
+      i => pmod(
+        pows.zipWithIndex.map { case (p, d) =>
+          element_at(col("hs"), i + d) * lit(p)
+        }.reduce(_ + _), lit(4294967296L)))
+    documents
+      .select(col("doc_id"), hs.as("hs"))
+      .where(size(col("hs")) >= w)
+      .select(col("doc_id"), posexplode(windows))
+      .select(col("doc_id"), floor(col("pos") / band).as("band"),
+        col("col").as("wh"))
+      .groupBy("doc_id", "band")
+      .agg(min("wh").as("fp"))
+      .orderBy("doc_id", "band")
   }
 }
