@@ -20,6 +20,8 @@ import graft.sync.SyncEngine
   *       one-off embedding sanity (prints dim + first coords)
   *   sync   --data DIR --work DIR [--force] [--limit N]
   *       full pipeline over the documents table into the local store
+  *   scan   --data DIR --work DIR [--limit N] [--quota N]
+  *       one scheduler tick: plan candidates, advance the watermark
   *   status --work DIR
   *       store/sync-state versions + row counts
   *   purge  --work DIR --site N
@@ -105,6 +107,25 @@ object Main {
       println(s"  sync_state rows: ${engine.readSyncState().count()} (v${engine.syncVersion})")
       spark.stop()
 
+    case Some("scan") =>
+      // T3/T4: one scheduler tick — plan candidates via the priority union
+      // against the persisted watermark, then advance the watermark.
+      val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
+      val work = opt(args, "work").getOrElse { System.err.println("error: --work required"); sys.exit(2); "" }
+      val limit = opt(args, "limit").getOrElse("200").toInt
+      val quota = opt(args, "quota").getOrElse("3").toInt
+      val spark = session()
+      val wm = new graft.scan.Watermark(s"$work/last_scan_gmt")
+      val now = java.time.Instant.now()
+      val planned = graft.scan.Scheduler.planScan(
+        graft.catalog.Catalog.products(spark, data),
+        graft.catalog.Catalog.syncState(spark, data),
+        wm.get, now, limit, quota).collect()
+      println(s"scan planned ${planned.length} candidates (watermark=${wm.get.getOrElse("<none>")})")
+      planned.take(10).foreach(r => println(s"  product ${r.getLong(0)} prio ${r.getInt(1)}"))
+      wm.set(graft.scan.Scheduler.Fmt.format(now))
+      spark.stop()
+
     case Some("status") =>
       val work = opt(args, "work").getOrElse { System.err.println("error: --work required"); sys.exit(2); "" }
       val spark = session()
@@ -127,7 +148,7 @@ object Main {
       spark.stop()
 
     case other =>
-      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|sync|status|purge")
+      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|sync|scan|status|purge")
       sys.exit(2)
   }
 }
