@@ -153,6 +153,9 @@ object SparkEntry {
     "n4_acf" -> ((s, dir) =>
       Normalizer.acfRender(Catalog.acfValues(s, dir))),
 
+    "n5_terms" -> ((s, dir) =>
+      Normalizer.termSections(Catalog.productTerms(s, dir))),
+
     // ============ §2.2 sink semantics as checkable dataflow ============
     // (The stateful ParquetVectorStore applies these same rewrites —
     // `store/VectorStore.scala` K3/K4; here the anti-filter / anti-join
@@ -479,6 +482,35 @@ object SparkEntry {
          |    ELSE value END AS rendered
          |FROM acf
          |ORDER BY product_id, field_name""".stripMargin),
+
+    "n5_terms" -> (P +
+      """, terms0 AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS product_id, 'product_cat' AS taxonomy,
+        |    'cat-' || CAST(p_partkey % 8 AS VARCHAR) AS term FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'product_tag',
+        |    'tag-' || CAST(p_partkey % 5 AS VARCHAR) FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'pa_color',
+        |    CASE WHEN p_partkey % 3 = 0 THEN 'royal-blue'
+        |         WHEN p_partkey % 3 = 1 THEN 'forest-green'
+        |         ELSE 'matte_black' END FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'pa_finish',
+        |    CASE WHEN p_partkey % 2 = 0 THEN 'brushed-steel' ELSE 'oiled_oak' END FROM part
+        |), rendered AS (
+        |  SELECT product_id, taxonomy,
+        |    CASE WHEN taxonomy LIKE 'pa\_%' ESCAPE '\'
+        |      THEN upper(substr(taxonomy, 4, 1)) || substr(taxonomy, 5)
+        |      ELSE taxonomy END AS label,
+        |    CASE WHEN taxonomy LIKE 'pa\_%' ESCAPE '\'
+        |      THEN array_to_string(list_transform(
+        |        string_split(replace(term, '_', '-'), '-'),
+        |        w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ')
+        |      ELSE term END AS v
+        |  FROM terms0
+        |)
+        |SELECT product_id, taxonomy, label, string_agg(v, ', ' ORDER BY v) AS terms
+        |FROM rendered
+        |GROUP BY product_id, taxonomy, label
+        |ORDER BY product_id, taxonomy""".stripMargin),
 
     "k3_delete_filter" -> (P +
       """SELECT vector_id, product_id FROM sync_state

@@ -114,6 +114,28 @@ object Catalog {
       .select(col("product_id"), col("kv.key").as("key"), col("kv.value").as("value"))
   }
 
+  /** Taxonomy term rows (the reference's `wp_get_post_terms` reads,
+    * SURVEY §1.1 / S4): long-format (product_id, taxonomy, term). Parents
+    * get a category + up to two tags; `pa_*` attribute taxonomies carry
+    * raw slugs the F15 prettifier renders. */
+  def productTerms(spark: SparkSession, dir: String): DataFrame = {
+    val p = part(spark, dir)
+    val rows = Seq(
+      ("product_cat", concat(lit("cat-"), col("p_partkey") % 8)),
+      ("product_tag", concat(lit("tag-"), col("p_partkey") % 5)),
+      ("pa_color",
+        when(col("p_partkey") % 3 === 0, "royal-blue")
+          .when(col("p_partkey") % 3 === 1, "forest-green")
+          .otherwise("matte_black")),
+      ("pa_finish",
+        when(col("p_partkey") % 2 === 0, "brushed-steel").otherwise("oiled_oak")))
+    p.select(col("p_partkey").cast("bigint").as("product_id"),
+        explode(array(rows.map { case (t, v) =>
+          struct(lit(t).as("taxonomy"), v.cast("string").as("term")) }: _*)).as("t"))
+      .select(col("product_id"), col("t.taxonomy").as("taxonomy"),
+        col("t.term").as("term"))
+  }
+
   /** ACF-style typed dynamic fields (reference type matrix
     * `includes/class-field-normalizer.php:327-444`, discovery
     * `includes/class-acf-integration.php:30-118`): long-format

@@ -78,6 +78,25 @@ object Normalizer {
         .otherwise(col("value")).as("rendered"))
       .orderBy("product_id", "field_name")
 
+  /** S4/F5/F15 taxonomy sections from long-format (product_id, taxonomy,
+    * term) rows: `pa_*` attribute slugs prettify to Title Case words
+    * (reference `ucwords(replace(_,-, ' '))`,
+    * `includes/class-variation-rollup.php:156-183`), plain taxonomies pass
+    * through; per-(product, taxonomy) terms sort and join `", "`
+    * (`includes/class-field-normalizer.php:157-178`). */
+  def termSections(terms: DataFrame): DataFrame = {
+    val isAttr = col("taxonomy").startsWith("pa_")
+    terms
+      .select(col("product_id"), col("taxonomy"),
+        when(isAttr, initcap(regexp_replace(col("taxonomy"), "^pa_", "")))
+          .otherwise(col("taxonomy")).as("label"),
+        when(isAttr, initcap(translate(col("term"), "-_", "  ")))
+          .otherwise(col("term")).as("v"))
+      .groupBy("product_id", "taxonomy", "label")
+      .agg(array_join(array_sort(collect_list(col("v"))), ", ").as("terms"))
+      .orderBy("product_id", "taxonomy")
+  }
+
   /** F7 product fingerprint: sha256 binding {text, chunking config, model,
     * dimension} (reference `includes/class-fingerprint.php:23-44`). */
   def fingerprint(normalized: DataFrame,
