@@ -122,7 +122,8 @@ final class SyncEngine(
       .withColumn("url", format_string("https://example.test/product/%d", col("product_id")))
       .withColumn("updated_at", lit(clock))
       .withColumn("fingerprint", concat(lit("sha256:"), col("product_sha")))
-      .withColumn("fields", lit(sel.core.sorted.toArray))
+      // D4: dedup the fields metadata list (`class-indexer.php:92-98`)
+      .withColumn("fields", lit(sel.core.distinct.sorted.toArray))
   }
 
   /** One full sync pass over `normalized` (product_id, site_id, sku, text).
