@@ -157,7 +157,8 @@ object Chunker {
       if (s == null) Seq.empty[Chunk]
       else chunkText(s, targetTokens, overlapTokens))
 
-  /** Explode a text column into one row per chunk. */
+  /** Explode a text column into one row per chunk (UDF + posexplode path —
+    * materializes the chunk array per row; fine at catalog scale). */
   def explodeChunks(df: DataFrame, textCol: Column, idCols: Seq[Column],
       targetTokens: Int = 800, overlapTokens: Int = 100): DataFrame =
     df.select(idCols :+ explode(chunkUdf(targetTokens, overlapTokens)(textCol)).as("chunk"): _*)
@@ -166,4 +167,16 @@ object Chunker {
         col("chunk.text").as("chunk_text"),
         col("chunk.chars").as("chars"),
         col("chunk.approxTokens").as("approx_tokens")): _*)
+
+  /** Generator path (the 100 TB shape, SURVEY §7.6.8): chunks stream out
+    * of a `Generate` node via `graft.expressions.ChunkGenerator` — no
+    * per-document array materialization. Same output schema as
+    * [[explodeChunks]]. */
+  def explodeChunksGen(df: DataFrame, textCol: Column, idCols: Seq[Column],
+      targetTokens: Int = 800, overlapTokens: Int = 100): DataFrame = {
+    graft.expressions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(idCols :+ call_function("chunk_gen",
+      textCol, lit(targetTokens), lit(overlapTokens))
+      .as(Seq("chunk_index", "chunk_text", "chars", "approx_tokens")): _*)
+  }
 }

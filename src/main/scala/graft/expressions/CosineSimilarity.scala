@@ -64,27 +64,47 @@ case class CosineSimilarity(left: Expression, right: Expression)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.cosineSimDescriptor)
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftFunctions {
 
-  private[expressions] val cosineSimDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private val cosineSimDescriptor: Descriptor =
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(
         Cast(children(0), ArrayType(DoubleType)),
         Cast(children(1), ArrayType(DoubleType))))
 
+  private val chunkGenDescriptor: Descriptor =
+    (FunctionIdentifier("chunk_gen"),
+      new ExpressionInfo(classOf[ChunkGenerator].getName, "chunk_gen"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "chunk_gen(text, size, overlap)")
+        // chunking config is per-job: bind from foldable arguments
+        def intOf(e: Expression): Int = e.eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"chunk_gen size/overlap must be literal ints, got $other")
+        }
+        ChunkGenerator(children(0), intOf(children(1)), intOf(children(2)))
+      })
+
+  private[expressions] val descriptors: Seq[Descriptor] =
+    Seq(cosineSimDescriptor, chunkGenDescriptor)
+
   /** Idempotently register graft's functions into an existing session. */
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val (id, _, builder) = cosineSimDescriptor
-    if (!spark.sessionState.functionRegistry.functionExists(id)) {
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+  def ensureRegistered(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, _, builder) =>
+      if (!spark.sessionState.functionRegistry.functionExists(id)) {
+        spark.sessionState.functionRegistry
+          .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+      }
     }
-  }
 
   /** cosine_sim as a Column (requires [[ensureRegistered]] on the session). */
   def cosineSim(a: Column, b: Column): Column =

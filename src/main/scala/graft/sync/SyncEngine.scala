@@ -96,7 +96,9 @@ final class SyncEngine(
     * mapPartitions with reference batch size 100
     * (`class-embeddings.php:85`). */
   def buildPayloads(withSha: DataFrame): DataFrame = {
-    val chunked = Chunker.explodeChunks(
+    // Generator path: chunks stream out of a Generate node (no
+    // per-document array materialization — the 100 TB shape).
+    val chunked = Chunker.explodeChunksGen(
       withSha, col("text"),
       Seq(col("product_id"), col("site_id"), col("sku"), col("product_sha")),
       sel.chunkSize, sel.chunkOverlap)
