@@ -4,6 +4,20 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** The adapter contract (reference
+  * `includes/adapters/class-adapter-interface.php:24-34`, injected per
+  * sync via the `wcvec_adapters_for_sync` filter — here plain constructor
+  * injection, SURVEY §2.12). */
+trait VectorStoreWriter {
+  def upsert(payloads: DataFrame): Int
+  def deleteByIds(ids: DataFrame): Int
+  def deleteByProduct(productId: Long, siteId: Int): Int
+  def purgeSite(siteId: Int): Int
+  def read(): DataFrame
+  def count(): Long
+  def currentVersion: Int
+}
+
 /** Vector-store sink with Pinecone-equivalent semantics on immutable
   * storage (SURVEY §2.2 K1–K5, §7.5.3): id-keyed upsert, delete-by-ids,
   * delete-by-metadata-filter, purge-site — each implemented as a
@@ -23,7 +37,7 @@ import org.apache.spark.sql.types._
   * keep one dir per version with a `_VERSION` cursor file.
   */
 final class ParquetVectorStore(spark: SparkSession, root: String)
-    extends Serializable {
+    extends VectorStoreWriter with Serializable {
 
   private val fs = java.nio.file.Paths.get(root)
 

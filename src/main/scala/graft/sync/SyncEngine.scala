@@ -8,7 +8,7 @@ import graft.chunker.Chunker
 import graft.embed.Embedder
 import graft.fingerprint.Fingerprint
 import graft.model.Selection
-import graft.store.ParquetVectorStore
+import graft.store.VectorStoreWriter
 
 /** The sync/delta engine — the reference's core "query"
   * (`includes/class-indexer.php:284-479`, SURVEY §2.10) re-expressed as one
@@ -36,7 +36,7 @@ import graft.store.ParquetVectorStore
 final class SyncEngine(
     spark: SparkSession,
     embedder: Embedder,
-    store: ParquetVectorStore,
+    store: VectorStoreWriter,
     syncStateRoot: String,
     sel: Selection = Selection(),
     clock: String = "2024-01-01T00:00:00+00:00") extends Serializable {
@@ -57,6 +57,8 @@ final class SyncEngine(
     StructField("model", StringType),
     StructField("dimension", IntegerType),
     StructField("status", StringType),
+    StructField("error_code", StringType),
+    StructField("error_msg", StringType),
     StructField("last_synced_at", StringType)))
 
   private def versionFile = fsRoot.resolve("_VERSION")
@@ -139,18 +141,24 @@ final class SyncEngine(
     val existingByProduct = existing.groupBy("product_id").agg(
       first("product_sha").as("old_sha"),
       max(when(col("model") =!= embedder.model ||
-        col("dimension") =!= embedder.dimension, 1).otherwise(0)).as("rebuild"))
+        col("dimension") =!= embedder.dimension, 1).otherwise(0)).as("rebuild"),
+      // T8: errored products never short-circuit — they self-heal on the
+      // next pass (reference re-picks them at scan priority 1,
+      // `class-scheduler.php:139`)
+      max(when(col("status") === "error", 1).otherwise(0)).as("has_error"))
 
     // Short-circuit (`class-indexer.php:329-360`) hoisted BEFORE embedding:
     // unchanged = same product_sha and no rebuild trigger and not forced.
     val joined = withSha.join(existingByProduct, Seq("product_id"), "left_outer")
     val unchanged =
       if (force) joined.where(lit(false))
-      else joined.where(col("old_sha") === col("product_sha") && col("rebuild") === 0)
+      else joined.where(col("old_sha") === col("product_sha") &&
+        col("rebuild") === 0 && col("has_error") === 0)
     val changed =
       if (force) joined
       else joined.where(col("old_sha").isNull ||
-        col("old_sha") =!= col("product_sha") || col("rebuild") === 1)
+        col("old_sha") =!= col("product_sha") || col("rebuild") === 1 ||
+        col("has_error") === 1)
 
     val payloads = buildPayloads(
       changed.select("product_id", "site_id", "sku", "text", "product_sha")).cache()
@@ -159,12 +167,16 @@ final class SyncEngine(
     val fresh = payloads.select(col("product_id"), col("chunk_index"),
       col("chunk_sha").as("f_sha"))
     val exist = existing.select(col("product_id"), col("chunk_index"),
-      col("chunk_sha").as("e_sha"), col("vector_id"))
+      col("chunk_sha").as("e_sha"), col("vector_id"),
+      col("status").as("e_status"))
       .join(changed.select("product_id"), Seq("product_id"), "left_semi")
     val routed = fresh.join(exist, Seq("product_id", "chunk_index"), "full_outer")
       .withColumn("action",
         when(col("f_sha").isNull, "delete")
-          .when(col("e_sha").isNull || col("e_sha") =!= col("f_sha") || lit(force), "upsert")
+          // error rows re-upsert even on sha match: the recorded sha
+          // describes a write that never landed (`class-indexer.php:438-443`)
+          .when(col("e_sha").isNull || col("e_sha") =!= col("f_sha") ||
+            col("e_status") === "error" || lit(force), "upsert")
           .otherwise("skip"))
       .cache()
 
@@ -180,20 +192,33 @@ final class SyncEngine(
       Seq("product_id", "chunk_index"), "left_semi")
     // Zero-remote-call short-circuit (golden case B): unchanged products
     // must produce NO store writes at all (`class-indexer.php:329-360`).
-    if (deleteIds.limit(1).count() > 0) store.deleteByIds(deleteIds)
-    if (upserts.limit(1).count() > 0)
-      store.upsert(upserts.select(
-        col("id"), col("values"), col("site_id"), col("product_id"),
-        col("sku"), col("url"), col("updated_at"), col("fingerprint"), col("fields")))
+    // Write failure poisons only this run's rows (marked status=error and
+    // re-picked next pass), not the job (`class-indexer.php:438-443`).
+    val writeError: Option[Throwable] =
+      try {
+        if (deleteIds.limit(1).count() > 0) store.deleteByIds(deleteIds)
+        if (upserts.limit(1).count() > 0)
+          store.upsert(upserts.select(
+            col("id"), col("values"), col("site_id"), col("product_id"),
+            col("sku"), col("url"), col("updated_at"), col("fingerprint"), col("fields")))
+        None
+      } catch { case e: Throwable => Some(e) }
 
     // Merge sync_state: drop rows for changed products, re-insert fresh
     // rows status='synced'; touch_all unchanged products (`:448-464, 350`).
+    val statusCol = if (writeError.isEmpty) lit("synced") else lit("error")
+    val errCode = if (writeError.isEmpty) lit(null).cast("string")
+      else lit("graft_store_error")
+    val errMsg = writeError.map(e =>
+        lit(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
+      .getOrElse(lit(null)).cast("string")
     val freshRows = payloads.select(
       col("site_id"), col("product_id"), lit(target).as("target"),
       col("chunk_index"), col("id").as("vector_id"),
       col("product_sha"), col("chunk_sha"),
       lit(embedder.model).as("model"), lit(embedder.dimension).as("dimension"),
-      lit("synced").as("status"), lit(clock).as("last_synced_at"))
+      statusCol.as("status"), errCode.as("error_code"), errMsg.as("error_msg"),
+      lit(clock).as("last_synced_at"))
     val untouched = readSyncState()
       .join(changed.select("product_id"), Seq("product_id"), "left_anti")
     val touched = untouched
