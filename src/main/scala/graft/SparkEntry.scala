@@ -125,6 +125,9 @@ object SparkEntry {
     "a3_job_metrics" -> ((s, dir) =>
       Scans.jobMetrics(Catalog.syncState(s, dir))),
 
+    "n6_collapse" -> ((s, dir) =>
+      VariationRollup.collapseText(Catalog.products(s, dir), valuesCap = 2)),
+
     // §2.7 scalar-function suite (F1/F4/F13/F14/F17 + the sha32 primitive)
     "f_scalars" -> ((s, dir) => {
       import graft.functions.Functions._
@@ -242,6 +245,37 @@ object SparkEntry {
       sectionSql("Size", "attr_size"))
     s"concat_ws(chr(10), ${sections.mkString(", ")})"
   }
+  /** Shared a1 rollup CTE chain (children -> agg -> rendered), appended
+    * after the catalog prologue. */
+  private val RollupCtes: String =
+    """, children AS (
+      |  SELECT * FROM products
+      |  WHERE post_type = 'product_variation' AND post_status = 'publish'
+      |), agg AS (
+      |  SELECT parent_id,
+      |    COUNT(*) AS n_variations,
+      |    MIN(CAST(price AS DOUBLE)) AS pmin,
+      |    MAX(CAST(price AS DOUBLE)) AS pmax,
+      |    list_sort(list_distinct(list(attr_size))) AS size_list,
+      |    list_sort(list_distinct(list(sku))) AS sku_list
+      |  FROM children GROUP BY parent_id
+      |), rendered AS (
+      |  SELECT parent_id, n_variations,
+      |    printf('%.2f', pmin) AS price_min,
+      |    printf('%.2f', pmax) AS price_max,
+      |    CASE WHEN len(size_list) > 2
+      |      THEN array_to_string(size_list[1:2], ', ') || ' (+' || (len(size_list) - 2) || ' more)'
+      |      ELSE array_to_string(size_list, ', ') END AS sizes,
+      |    CASE WHEN len(sku_list) > 2
+      |      THEN array_to_string(sku_list[1:2], ', ') || ' (+' || (len(sku_list) - 2) || ' more)'
+      |      ELSE array_to_string(sku_list, ', ') END AS skus
+      |  FROM agg
+      |)
+      |""".stripMargin
+  private val RollupTextSql: String =
+    "'Variations: ' || n_variations || '; Price range: ' || price_min || " +
+    "' - ' || price_max || '; Sizes: ' || sizes || '; SKUs: ' || skus"
+
   /** sha32: first 8 hex chars of sha256 as integer (mirror of Functions.sha32). */
   private def sha32Sql(x: String): String =
     s"CAST(CAST(concat('0x', substr(sha256($x), 1, 8)) AS UBIGINT) AS BIGINT)"
@@ -382,35 +416,22 @@ object SparkEntry {
          |ORDER BY ts DESC, event_id DESC
          |LIMIT $ScanLimit""".stripMargin,
 
-    "a1_variation_rollup" -> (P +
-      """, children AS (
-        |  SELECT * FROM products
-        |  WHERE post_type = 'product_variation' AND post_status = 'publish'
-        |), agg AS (
-        |  SELECT parent_id,
-        |    COUNT(*) AS n_variations,
-        |    MIN(CAST(price AS DOUBLE)) AS pmin,
-        |    MAX(CAST(price AS DOUBLE)) AS pmax,
-        |    list_sort(list_distinct(list(attr_size))) AS size_list,
-        |    list_sort(list_distinct(list(sku))) AS sku_list
-        |  FROM children GROUP BY parent_id
-        |), rendered AS (
-        |  SELECT parent_id, n_variations,
-        |    printf('%.2f', pmin) AS price_min,
-        |    printf('%.2f', pmax) AS price_max,
-        |    CASE WHEN len(size_list) > 2
-        |      THEN array_to_string(size_list[1:2], ', ') || ' (+' || (len(size_list) - 2) || ' more)'
-        |      ELSE array_to_string(size_list, ', ') END AS sizes,
-        |    CASE WHEN len(sku_list) > 2
-        |      THEN array_to_string(sku_list[1:2], ', ') || ' (+' || (len(sku_list) - 2) || ' more)'
-        |      ELSE array_to_string(sku_list, ', ') END AS skus
-        |  FROM agg
-        |)
-        |SELECT parent_id, n_variations, price_min, price_max, sizes, skus,
-        |  'Variations: ' || n_variations || '; Price range: ' || price_min ||
-        |  ' - ' || price_max || '; Sizes: ' || sizes || '; SKUs: ' || skus AS rollup_text
-        |FROM rendered
-        |ORDER BY parent_id""".stripMargin),
+    "a1_variation_rollup" -> (P + RollupCtes +
+      s"""SELECT parent_id, n_variations, price_min, price_max, sizes, skus,
+         |  $RollupTextSql AS rollup_text
+         |FROM rendered
+         |ORDER BY parent_id""".stripMargin),
+
+    "n6_collapse" -> (P + RollupCtes +
+      s""", rolled AS (
+         |  SELECT parent_id, $RollupTextSql AS rollup_text FROM rendered
+         |)
+         |SELECT product_id,
+         |  $normalizedTextSql ||
+         |    COALESCE(chr(10) || rollup_text, '') AS text
+         |FROM products LEFT JOIN rolled ON rolled.parent_id = products.product_id
+         |WHERE post_type = 'product'
+         |ORDER BY product_id""".stripMargin),
 
     "a3_job_metrics" -> (P +
       """SELECT status, COUNT(*) AS n FROM sync_state

@@ -44,4 +44,35 @@ object VariationRollup {
           lit("; SKUs: "), col("skus")).as("rollup_text"))
       .orderBy("parent_id")
   }
+
+  /** Variation strategies (reference enum,
+    * `includes/class-options.php:596-607`; candidate routing
+    * `includes/class-product-actions.php:202-248`):
+    *   separate    → parents AND variations index individually
+    *   collapse    → variations suppressed, their rollup folds into parent
+    *   parent_only → variations suppressed entirely
+    */
+  def candidates(products: DataFrame, strategy: String): DataFrame = strategy match {
+    case "separate" => products
+    case "collapse" | "parent_only" =>
+      products.where(col("post_type") =!= "product_variation")
+    case other => throw new IllegalArgumentException(
+      s"unknown variation strategy '$other' (separate|collapse|parent_only)")
+  }
+
+  /** Strategy `collapse`: the parent's normalized text with the rollup
+    * block appended (append point `includes/class-indexer.php:122-138`).
+    * Parents without published variations keep their text unchanged. */
+  def collapseText(products: DataFrame, valuesCap: Int = 20): DataFrame = {
+    val parents = products.where(col("post_type") === "product")
+    val normalized = graft.normalize.Normalizer.normalize(parents)
+    val rolled = rollup(products, valuesCap)
+      .select(col("parent_id"), col("rollup_text"))
+    normalized
+      .join(rolled, normalized("product_id") === rolled("parent_id"), "left_outer")
+      .select(col("product_id"),
+        concat(col("text"),
+          coalesce(concat(lit("\n"), col("rollup_text")), lit(""))).as("text"))
+      .orderBy("product_id")
+  }
 }
