@@ -22,6 +22,9 @@ import graft.sync.SyncEngine
   *       full pipeline over the documents table into the local store
   *   scan   --data DIR --work DIR [--limit N] [--quota N]
   *       one scheduler tick: plan candidates, advance the watermark
+  *   loop   --data DIR --work DIR [--ticks N] [--limit N] [--quota N]
+  *       scheduler + delta engine composed: plan from the engine's own
+  *       sync-state, sync exactly the planned candidates, repeat
   *   status --work DIR
   *       store/sync-state versions + row counts
   *   purge  --work DIR --site N
@@ -126,6 +129,47 @@ object Main {
       wm.set(graft.scan.Scheduler.Fmt.format(now))
       spark.stop()
 
+    case Some("loop") =>
+      // The full reference architecture composed (SURVEY §3.1 + §3.2):
+      // each tick plans candidates from the engine's OWN sync-state
+      // (errors ∪ modified ∪ initial, quota-capped), syncs exactly those
+      // through the delta engine, and advances the watermark.
+      val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
+      val work = opt(args, "work").getOrElse { System.err.println("error: --work required"); sys.exit(2); "" }
+      val ticks = opt(args, "ticks").getOrElse("3").toInt
+      val limit = opt(args, "limit").getOrElse("100").toInt
+      val quota = opt(args, "quota").getOrElse("100").toInt
+      val spark = session()
+      val products = graft.catalog.Catalog.products(spark, data)
+      val store = new ParquetVectorStore(spark, s"$work/store")
+      val engine = new SyncEngine(spark, new LocalHashEmbedder(), store,
+        s"$work/sync_state", Selection(chunkSize = 100, chunkOverlap = 20))
+      val wm = new graft.scan.Watermark(s"$work/last_scan_gmt")
+      for (t <- 1 to ticks) {
+        val now = java.time.Instant.now()
+        val state = engine.readSyncState()
+          .select(col("product_id"), col("status"),
+            col("last_synced_at").cast("timestamp").as("last_synced_at"))
+          .withColumn("updated_at", col("last_synced_at"))
+        val planned = graft.scan.Scheduler
+          .planScan(products, state, wm.get, now, limit, quota)
+          .select("product_id")
+        val n = planned.count()
+        println(s"tick $t: planned $n candidates (watermark=${wm.get.getOrElse("<none>")})")
+        if (n > 0) {
+          val cand = graft.normalize.Normalizer.normalize(products)
+            .join(planned, Seq("product_id"), "left_semi")
+            .join(products.select("product_id", "site_id", "sku"), Seq("product_id"))
+            .select("product_id", "site_id", "sku", "text")
+          engine.sync(cand).collect()
+            .foreach(r => println(s"  ${r.getString(0)}: ${r.getLong(1)}"))
+        }
+        wm.set(graft.scan.Scheduler.Fmt.format(now))
+      }
+      println(s"loop done: store ${store.count()} vectors (v${store.currentVersion}), " +
+        s"sync_state ${engine.readSyncState().count()} rows")
+      spark.stop()
+
     case Some("status") =>
       val work = opt(args, "work").getOrElse { System.err.println("error: --work required"); sys.exit(2); "" }
       val spark = session()
@@ -148,7 +192,7 @@ object Main {
       spark.stop()
 
     case other =>
-      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|sync|scan|status|purge")
+      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|sync|scan|loop|status|purge")
       sys.exit(2)
   }
 }
