@@ -197,6 +197,8 @@ object SparkEntry {
 
     "dd_simhash" -> ((s, dir) => Dedup.simhash(Catalog.documents(s, dir))),
 
+    "dd_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Catalog.documents(s, dir))),
+
     "dd_jaccard" -> ((s, dir) => Dedup.jaccardConsecutive(Catalog.documents(s, dir))),
 
     // ================= similarity extensions =================
@@ -658,6 +660,33 @@ object SparkEntry {
          |FROM bits
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    "dd_simhash_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, w
+         |  FROM (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\\S+')) AS w
+         |        FROM documents)
+         |), hs AS (
+         |  SELECT doc_id, ${sha32Sql("w")} AS h FROM toks
+         |), bits AS (
+         |  SELECT doc_id, b,
+         |    SUM(CASE WHEN floor(h / power(2, b)) % 2 = 1 THEN 1 ELSE -1 END) AS score
+         |  FROM hs, UNNEST(generate_series(0, 15)) u(b)
+         |  GROUP BY doc_id, b
+         |), sh AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN score >= 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id
+         |), blocks AS (
+         |  SELECT doc_id, simhash, blk, (simhash >> (blk * 4)) % 16 AS v
+         |  FROM sh, UNNEST(generate_series(0, 3)) t(blk)
+         |)
+         |SELECT DISTINCT d1, d2, hamming FROM (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.v = b.v AND a.doc_id < b.doc_id)
+         |WHERE hamming <= 3
+         |ORDER BY d1, d2""".stripMargin,
 
     "dd_jaccard" ->
       """WITH tok AS (

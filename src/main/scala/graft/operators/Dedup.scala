@@ -126,6 +126,39 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, via the
+    * standard block scheme: split the width into maxHamming+1 blocks —
+    * any pair within distance k agrees exactly on ≥1 block (pigeonhole),
+    * so candidates come from an equi-join on (block_idx, block_value)
+    * and only candidates pay the bit_count(xor) check.
+    *
+    * Scale posture: the join key is 4 bits × block-idx — shuffle carries
+    * (doc_id, simhash) only; no pairwise scan of the corpus. */
+  def simhashPairs(documents: DataFrame, bits: Int = 16,
+      maxHamming: Int = 3): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val blockBits = bits / nBlocks
+    val sh = simhash(documents, bits)
+    val blocks = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until nBlocks).map(b =>
+        struct(lit(b).as("blk"),
+          pmod(shiftright(col("simhash"), b * blockBits), lit(1 << blockBits))
+            .as("v"))): _*)).as("x"))
+      .select(col("doc_id"), col("simhash"),
+        col("x.blk").as("blk"), col("x.v").as("v"))
+    val a = blocks.select(col("blk"), col("v"),
+      col("doc_id").as("d1"), col("simhash").as("s1"))
+    val b = blocks.select(col("blk"), col("v"),
+      col("doc_id").as("d2"), col("simhash").as("s2"))
+    a.join(b, Seq("blk", "v"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("d1", "d2")
+  }
+
   /** n-gram (token) Jaccard between consecutive doc ids — the
     * oracle-checkable pairwise variant (the scalable path is MinHash+LSH). */
   def jaccardConsecutive(documents: DataFrame): DataFrame = {
