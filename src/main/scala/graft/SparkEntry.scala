@@ -671,14 +671,14 @@ object SparkEntry {
          |), bits AS (
          |  SELECT doc_id, b,
          |    SUM(CASE WHEN floor(h / power(2, b)) % 2 = 1 THEN 1 ELSE -1 END) AS score
-         |  FROM hs, UNNEST(generate_series(0, 15)) u(b)
+         |  FROM hs, UNNEST(generate_series(0, 31)) u(b)
          |  GROUP BY doc_id, b
          |), sh AS (
          |  SELECT doc_id,
          |    CAST(SUM(CASE WHEN score >= 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
          |  FROM bits GROUP BY doc_id
          |), blocks AS (
-         |  SELECT doc_id, simhash, blk, (simhash >> (blk * 4)) % 16 AS v
+         |  SELECT doc_id, simhash, blk, (simhash >> (blk * 8)) % 256 AS v
          |  FROM sh, UNNEST(generate_series(0, 3)) t(blk)
          |)
          |SELECT DISTINCT d1, d2, hamming FROM (

@@ -47,10 +47,6 @@ object Dedup {
   def shingles(documents: DataFrame): DataFrame =
     shinglesRaw(documents).distinct()
 
-  /** Wide MinHash signature: one row per doc, k columns `mh0..mh{k-1}`,
-    * each `min(sha32(g + "#" + j))` over the doc's shingles. One shuffle
-    * (map-side-combinable mins) — the per-(doc,j) explode variant would
-    * push k× the rows through that shuffle for the same answer. */
   /** h_j(g) = (a_j·sha32(g) + b_j) mod 2^32 with a_j odd — bijective and
     * non-monotone per j, so ONE sha256 per shingle feeds all k hash
     * functions (16 sha256/shingle was the dedup suite's hot loop).
@@ -58,6 +54,9 @@ object Dedup {
   private def uhash(h: org.apache.spark.sql.Column, j: Int) =
     pmod(h * lit(2L * j + 1) + lit(1000003L * j), lit(4294967296L))
 
+  /** Wide MinHash signature: one row per doc, k columns `mh0..mh{k-1}`.
+    * One shuffle (map-side-combinable mins) — the per-(doc,j) explode
+    * variant would push k× the rows through that shuffle. */
   def minhashWide(documents: DataFrame, k: Int = 16): DataFrame =
     // shinglesRaw, not shingles: `min` is duplicate-insensitive, so the
     // distinct's full-text shuffle would buy nothing.
@@ -132,9 +131,11 @@ object Dedup {
     * so candidates come from an equi-join on (block_idx, block_value)
     * and only candidates pay the bit_count(xor) check.
     *
-    * Scale posture: the join key is 4 bits × block-idx — shuffle carries
-    * (doc_id, simhash) only; no pairwise scan of the corpus. */
-  def simhashPairs(documents: DataFrame, bits: Int = 16,
+    * Scale posture: shuffle carries (doc_id, simhash) only; no pairwise
+    * scan of the corpus. 32-bit width (vs the 16-bit oracle-display
+    * variant) keeps 8-bit blocks → 256-way buckets, so per-bucket
+    * fan-out stays small even on a homogeneous corpus. */
+  def simhashPairs(documents: DataFrame, bits: Int = 32,
       maxHamming: Int = 3): DataFrame = {
     val nBlocks = maxHamming + 1
     val blockBits = bits / nBlocks
