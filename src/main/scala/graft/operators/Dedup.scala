@@ -101,27 +101,28 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** SimHash (16-bit here; width is a parameter): per bit b, sum (2·bit−1)
-    * over distinct tokens' sha32, sign → bit; simhash = Σ bit_b · 2^b. */
+  /** SimHash (width is a parameter): per bit b, sum (2·bit−1) over
+    * distinct tokens' sha32, sign → bit; simhash = Σ bit_b · 2^b.
+    * Wide form: one `sum` column per bit in a single groupBy — no
+    * bits× row explode through the shuffle (same trick as
+    * [[minhashWide]]). Bit b of h via floor-division (floor, not cast:
+    * DuckDB CAST double→BIGINT rounds while Spark truncates — floor
+    * agrees in both). */
   def simhash(documents: DataFrame, bits: Int = 16): DataFrame = {
-    val toks = documents
+    def bitScore(b: Int) =
+      sum(when(floor(col("h") / lit(math.pow(2.0, b))) % 2 === 1, 1)
+        .otherwise(-1)).as(s"s$b")
+    documents
       .select(col("doc_id"),
         explode(array_distinct(
           regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))).as("w"))
       .select(col("doc_id"), sha32(col("w")).as("h"))
-    toks
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(bits - 1))).as("b"))
-      .select(col("doc_id"), col("b"),
-        // bit b of h via floor-division (floor, not cast: DuckDB CAST
-        // double→BIGINT rounds while Spark truncates — floor agrees in both)
-        when(floor(col("h") / pow(lit(2.0), col("b"))) % 2 === 1, 1)
-          .otherwise(-1).as("v"))
-      .groupBy("doc_id", "b")
-      .agg(sum("v").as("score"))
       .groupBy("doc_id")
-      .agg(sum(when(col("score") >= 0,
-        pow(lit(2.0), col("b")).cast("long")).otherwise(0L)).as("simhash"))
+      .agg(bitScore(0), (1 until bits).map(bitScore): _*)
+      .select(col("doc_id"),
+        (0 until bits).map(b =>
+          when(col(s"s$b") >= 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
       .orderBy("doc_id")
   }
 
