@@ -100,7 +100,8 @@ object Main {
       val spark = session()
       val store = new ParquetVectorStore(spark, s"$work/store")
       val engine = new SyncEngine(spark, new LocalHashEmbedder(), store,
-        s"$work/sync_state", Selection(chunkSize = 100, chunkOverlap = 20))
+        s"$work/sync_state", Selection(chunkSize = 100, chunkOverlap = 20),
+        events = Some(new graft.events.EventLog(spark, s"$work/events")))
       val t0 = System.nanoTime()
       val summary = engine.sync(docsAsProducts(spark, data, limit), force = flag(args, "force"))
       val dt = (System.nanoTime() - t0) / 1e9
@@ -143,7 +144,8 @@ object Main {
       val products = graft.catalog.Catalog.products(spark, data)
       val store = new ParquetVectorStore(spark, s"$work/store")
       val engine = new SyncEngine(spark, new LocalHashEmbedder(), store,
-        s"$work/sync_state", Selection(chunkSize = 100, chunkOverlap = 20))
+        s"$work/sync_state", Selection(chunkSize = 100, chunkOverlap = 20),
+        events = Some(new graft.events.EventLog(spark, s"$work/events")))
       val wm = new graft.scan.Watermark(s"$work/last_scan_gmt")
       for (t <- 1 to ticks) {
         val now = java.time.Instant.now()
@@ -180,6 +182,13 @@ object Main {
       println(s"sync_state: v${engine.syncVersion}, ${st.count()} rows")
       st.groupBy("status").count().collect()
         .foreach(r => println(s"  ${r.getString(0)}: ${r.getLong(1)}"))
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$work/events"))) {
+        val ev = new graft.events.EventLog(spark, s"$work/events").read()
+        println(s"events: ${ev.count()} rows")
+        ev.orderBy(col("ts").desc).limit(3).collect().foreach(r =>
+          println(s"  ${r.getAs[Any]("action")} ${r.getAs[Any]("outcome")} " +
+            s"upserted=${r.getAs[Any]("upserted")} deleted=${r.getAs[Any]("deleted")} skipped=${r.getAs[Any]("skipped")}"))
+      }
       spark.stop()
 
     case Some("purge") =>

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 import graft.chunker.Chunker
 import graft.embed.Embedder
 import graft.fingerprint.Fingerprint
+import graft.events.EventLog
 import graft.model.Selection
 import graft.store.VectorStoreWriter
 
@@ -39,7 +40,8 @@ final class SyncEngine(
     store: VectorStoreWriter,
     syncStateRoot: String,
     sel: Selection = Selection(),
-    clock: String = "2024-01-01T00:00:00+00:00") extends Serializable {
+    clock: String = "2024-01-01T00:00:00+00:00",
+    events: Option[EventLog] = None) extends Serializable {
 
   import spark.implicits._
 
@@ -236,6 +238,21 @@ final class SyncEngine(
       .select(lit("skip_unchanged").as("action"), col("n_products").as("n"))
     val out = acted.unionByName(skippedUnchanged).orderBy("action")
     val materialized = out.collect()
+
+    // K8: append one event row per sync pass (reference logs per action,
+    // `includes/class-events.php:18-47`; SURVEY §2.2 K8).
+    events.foreach { log =>
+      val counts = materialized.map(r => r.getString(0) -> r.getLong(1)).toMap
+      val outcome = if (writeError.isEmpty) "success" else "error"
+      import spark.implicits._
+      log.append(Seq((clock, 1, target, "sync", outcome,
+          counts.getOrElse("upsert", 0L), counts.getOrElse("delete", 0L),
+          counts.getOrElse("skip", 0L) + counts.getOrElse("skip_unchanged", 0L),
+          writeError.map(e => Option(e.getMessage).getOrElse("").take(200)).orNull))
+        .toDF("ts_s", "site_id", "target", "action", "outcome",
+          "upserted", "deleted", "skipped", "error_msg")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s"))
+    }
     withSha.unpersist(); existing.unpersist(); payloads.unpersist(); routed.unpersist()
     spark.createDataFrame(
       spark.sparkContext.parallelize(materialized.toSeq), out.schema)
