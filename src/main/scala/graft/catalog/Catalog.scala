@@ -92,9 +92,55 @@ object Catalog {
           .otherwise("L").as("attr_size"),
         lit(1).as("site_id"))
 
-  /** Full catalog: parents ∪ variations. */
-  def products(spark: SparkSession, dir: String): DataFrame =
-    parents(spark, dir).unionByName(variations(spark, dir))
+  /** Full catalog: parents ∪ variations, produced in ONE `part` scan — a
+    * conditional explode emits i=0 (the parent row) always and i=1..3
+    * (variation rows) for even keys, with each column a when/otherwise on
+    * i. Semantically identical to `parents.unionByName(variations)` (the
+    * oracle prologue keeps the two-CTE form) but every consumer pays one
+    * scan and one codegen stage instead of two. */
+  def products(spark: SparkSession, dir: String): DataFrame = {
+    val p = part(spark, dir).select(
+      col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"),
+      col("p_retailprice"), col("p_type"),
+      explode(when(col("p_partkey") % 2 === 0, sequence(lit(0), lit(3)))
+        .otherwise(sequence(lit(0), lit(0)))).as("i"))
+    val isP = col("i") === 0
+    p.select(
+      when(isP, col("p_partkey").cast("bigint"))
+        .otherwise(lit(1000000L) + col("p_partkey") * 10 + col("i"))
+        .as("product_id"),
+      when(isP, lit(0L)).otherwise(col("p_partkey").cast("bigint"))
+        .as("parent_id"),
+      when(isP, "product").otherwise("product_variation").as("post_type"),
+      when(isP,
+        when(col("p_partkey") % 10 === 0, "draft")
+          .when(col("p_partkey") % 10 === 1, "private")
+          .otherwise("publish"))
+        .otherwise(when((col("p_partkey") + col("i")) % 7 === 0, "draft")
+          .otherwise("publish"))
+        .as("post_status"),
+      when(isP, expr(s"timestamp'$Base' + make_interval(0,0,0,0,0,p_partkey,0)"))
+        .otherwise(expr(s"timestamp'$Base' + make_interval(0,0,0,0,0,p_partkey*10+i,0)"))
+        .as("post_modified_gmt"),
+      when(isP, col("p_name"))
+        .otherwise(concat(col("p_name"), lit(" - v"), col("i"))).as("title"),
+      when(isP, concat(lit("<p>"), col("p_type"), lit("</p>")))
+        .otherwise(concat(lit("<p>variant "), col("i"), lit("</p>")))
+        .as("description"),
+      when(isP, concat(lit("SKU-"), col("p_partkey")))
+        .otherwise(concat(lit("SKU-"), col("p_partkey"), lit("-"), col("i")))
+        .as("sku"),
+      when(isP, format_string("%.2f", col("p_retailprice")))
+        .otherwise(format_string("%.2f", col("p_retailprice") + col("i")))
+        .as("price"),
+      col("p_brand").as("brand"),
+      when(isP, col("p_size")).otherwise(col("p_size") + col("i"))
+        .cast("int").as("psize"),
+      when(col("i") === 1, "S").when(col("i") === 2, "M")
+        .when(col("i") === 3, "L")
+        .otherwise(lit(null).cast("string")).as("attr_size"),
+      lit(1).as("site_id"))
+  }
 
   /** Custom-meta rows (the reference's `get_post_meta` key/value pairs,
     * SURVEY §1.1): deterministic long-format (product_id, key, value) with
