@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** SCALE.md's plan invariants as executable checks: pushdown reaches the
+  * scan, column pruning holds, dimension joins broadcast, single-pass
+  * claims stay single-pass. These are the properties that keep the
+  * operators flat at 100 TB — a regression here is a perf bug even when
+  * results stay correct.
+  */
+class PlanInvariantsSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q1: shipdate filter pushed to parquet scan; read schema pruned") {
+    val p = planOf("q1_pricing")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"), p)
+    // 6 of the 16 lineitem columns — comment/tax/etc never leave the scan
+    assert(!p.contains("l_comment") && !p.contains("l_tax"), p)
+  }
+
+  test("q5: the dimension chain broadcasts — only fact joins shuffle") {
+    val p = planOf("q5_regional")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts\n$p")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(r_name,ASIA)"), p)
+  }
+
+  test("s6: single-pass search — ONE scan, TakeOrdered, no shuffle") {
+    val p = planOf("s6_product_search")
+    // count detail headers — formatted mode lists each node twice
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 parquet scan, got $scans\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("dd_minhash: one data shuffle feeds the signature aggregation") {
+    val p = graft.operators.Dedup
+      .minhashWide(spark.read.parquet(s"$sfDir/documents.parquet"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val shuffles = """\(\d+\) Exchange\b""".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles\n$p")
+  }
+
+  test("sim_topk: query side broadcasts; candidates never shuffle pre-join") {
+    val p = planOf("sim_topk")
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("chunk generator: Generate node present (no array explode)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = graft.chunker.Chunker
+      .explodeChunksGen(docs, org.apache.spark.sql.functions.col("text"),
+        Seq(org.apache.spark.sql.functions.col("doc_id")))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("Generate"), p)
+  }
+}
