@@ -98,6 +98,10 @@ object SparkEntry {
     "s2_modified_scan" -> ((s, dir) =>
       Scans.modifiedScan(Catalog.products(s, dir), Catalog.syncState(s, dir), Since, ScanLimit)),
 
+    "s2_drafts" -> ((s, dir) =>
+      Scans.modifiedScan(Catalog.products(s, dir), Catalog.syncState(s, dir),
+        Since, ScanLimit, includeDraftsPrivate = true)),
+
     "s3_error_scan" -> ((s, dir) =>
       Scans.errorScan(Catalog.syncState(s, dir), 50)),
 
@@ -343,6 +347,17 @@ object SparkEntry {
          |LEFT JOIN (SELECT product_id, MAX(GREATEST(updated_at, last_synced_at)) AS last_sync
          |           FROM sync_state GROUP BY product_id) ls USING (product_id)
          |WHERE post_status = 'publish'
+         |  AND post_modified_gmt >= TIMESTAMP '$Since'
+         |  AND (last_sync IS NULL OR last_sync < post_modified_gmt)
+         |ORDER BY post_modified_gmt DESC, product_id DESC
+         |LIMIT $ScanLimit""".stripMargin),
+
+    "s2_drafts" -> (P +
+      s"""SELECT product_id, strftime(post_modified_gmt, '%Y-%m-%d %H:%M:%S') AS modified
+         |FROM products p
+         |LEFT JOIN (SELECT product_id, MAX(GREATEST(updated_at, last_synced_at)) AS last_sync
+         |           FROM sync_state GROUP BY product_id) ls USING (product_id)
+         |WHERE post_status IN ('publish', 'draft', 'private')
          |  AND post_modified_gmt >= TIMESTAMP '$Since'
          |  AND (last_sync IS NULL OR last_sync < post_modified_gmt)
          |ORDER BY post_modified_gmt DESC, product_id DESC
