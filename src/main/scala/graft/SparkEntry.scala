@@ -90,6 +90,23 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // Top-3 customers per market segment by order value: partial agg on
+    // the fact before the window, so the rank's shuffle carries one row
+    // per customer, not per order.
+    "q8_topn_per_group" -> ((s, dir) => {
+      val cust = Catalog.customer(s, dir).select("c_custkey", "c_mktsegment")
+      val totals = Catalog.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(dec(col("o_totalprice"))).as("total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment").orderBy(col("total").desc, col("c_custkey"))
+      totals.join(cust, totals("o_custkey") === cust("c_custkey"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("c_custkey"), col("total"), col("rn"))
+        .orderBy("c_mktsegment", "rn")
+    }),
+
     // ================= SURVEY §2.1/§2.6 scans & set-ops =================
 
     "s1_initial_scan" -> ((s, dir) =>
@@ -332,6 +349,19 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q8_topn_per_group" ->
+      """WITH totals AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  FROM orders GROUP BY o_custkey
+        |), ranked AS (
+        |  SELECT c_mktsegment, c_custkey, total,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY total DESC, c_custkey) AS rn
+        |  FROM totals JOIN customer ON o_custkey = c_custkey
+        |)
+        |SELECT c_mktsegment, c_custkey, total, rn FROM ranked WHERE rn <= 3
+        |ORDER BY c_mktsegment, rn""".stripMargin,
 
     "s1_initial_scan" -> (P +
       s"""SELECT product_id, strftime(post_modified_gmt, '%Y-%m-%d %H:%M:%S') AS modified
