@@ -20,6 +20,8 @@ import graft.sync.SyncEngine
   *       one-off embedding sanity (prints dim + first coords)
   *   sync   --data DIR --work DIR [--force] [--limit N]
   *       full pipeline over the documents table into the local store
+  *   preview --product ID [--data DIR]
+  *       read-only dry-run: normalized text + meta line, no writes
   *   scan   --data DIR --work DIR [--limit N] [--quota N]
   *       one scheduler tick: plan candidates, advance the watermark
   *   loop   --data DIR --work DIR [--ticks N] [--limit N] [--quota N]
@@ -109,6 +111,25 @@ object Main {
       summary.collect().foreach(r => println(s"  ${r.getString(0)}: ${r.getLong(1)}"))
       println(s"  store rows: ${store.count()} (v${store.currentVersion})")
       println(s"  sync_state rows: ${engine.readSyncState().count()} (v${engine.syncVersion})")
+      spark.stop()
+
+    case Some("preview") =>
+      // The read-only preview sub-pipeline (SURVEY §3.3; reference AJAX
+      // fields_preview `admin/pages/class-admin-page-fields.php:227-258`):
+      // same normalizer IR as sync but stops before fingerprint/chunk/embed.
+      val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
+      val id = opt(args, "product").getOrElse("2").toLong
+      val spark = session()
+      val products = graft.catalog.Catalog.products(spark, data)
+      val row = graft.normalize.Normalizer.normalize(products)
+        .where(col("product_id") === id).collect()
+      if (row.isEmpty) { System.err.println(s"error: product $id not found"); sys.exit(1) }
+      println(s"product $id normalized text:")
+      row.head.getString(1).split("\n").foreach(l => println(s"  $l"))
+      val meta = graft.normalize.Normalizer
+        .metaSections(graft.catalog.Catalog.productMeta(spark, data))
+        .where(col("product_id") === id).collect()
+      meta.headOption.foreach(m => println(s"  Meta: ${m.getString(1)}"))
       spark.stop()
 
     case Some("scan") =>
@@ -201,7 +222,7 @@ object Main {
       spark.stop()
 
     case other =>
-      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|sync|scan|loop|status|purge")
+      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|scan|loop|status|purge")
       sys.exit(2)
   }
 }
