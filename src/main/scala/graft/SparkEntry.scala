@@ -210,6 +210,10 @@ object SparkEntry {
 
     "dd_exact" -> ((s, dir) => Dedup.exact(Catalog.documents(s, dir))),
 
+    "dd_apply" -> ((s, dir) => Dedup.dropExactDuplicates(Catalog.documents(s, dir))),
+
+    "ta_filter" -> ((s, dir) => TextAnalysis.filterByQuality(Catalog.documents(s, dir))),
+
     "dd_minhash" -> ((s, dir) =>
       Dedup.minhash(Catalog.documents(s, dir)).orderBy("doc_id", "j")),
 
@@ -705,6 +709,28 @@ object SparkEntry {
          |FROM bits
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    "dd_apply" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id IN (
+        |  SELECT MIN(doc_id) FROM (
+        |    SELECT doc_id,
+        |      sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+        |    FROM documents)
+        |  GROUP BY h)
+        |ORDER BY doc_id""".stripMargin,
+
+    "ta_filter" ->
+      """SELECT doc_id, quality FROM (
+        |  SELECT doc_id,
+        |    round(least(1.0, n_tokens / 100.0) * (1.0 - stop_hits / CAST(n_tokens AS DOUBLE)), 4) AS quality
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |      (length(text) - length(replace(text, ' the ', ''))) / 5 AS stop_hits
+        |    FROM documents))
+        |WHERE quality >= 0.5
+        |ORDER BY doc_id""".stripMargin,
 
     "dd_simhash_pairs" ->
       s"""WITH toks AS (

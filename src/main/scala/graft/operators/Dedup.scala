@@ -161,6 +161,15 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Apply exact dedup: keep one document per normalized-content hash
+    * (min doc_id wins) — the "use the result" form of [[exact]]: a
+    * left-semi join of the corpus against the keep list. */
+  def dropExactDuplicates(documents: DataFrame): DataFrame = {
+    val keep = exact(documents).select(col("keep_id").as("doc_id"))
+    documents.join(keep, Seq("doc_id"), "left_semi")
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** n-gram (token) Jaccard between consecutive doc ids — the
     * oracle-checkable pairwise variant (the scalable path is MinHash+LSH). */
   def jaccardConsecutive(documents: DataFrame): DataFrame = {

@@ -72,6 +72,14 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Apply the quality score as a corpus filter — the training-pipeline
+    * action form of [[quality]]: keep documents at or above `threshold`. */
+  def filterByQuality(documents: DataFrame, threshold: Double = 0.5): DataFrame =
+    quality(documents)
+      .where(col("quality") >= threshold)
+      .select("doc_id", "quality")
+      .orderBy("doc_id")
+
   /** Winnowed rolling-hash fingerprints (the MOSS scheme): per token
     * window of `w`, a Rabin-Karp positional hash W_i = Σ h_{i+d}·B^{w-1-d}
     * mod 2^32 (B=7 keeps the 64-bit sum overflow-free at h<2^32); then
