@@ -252,6 +252,8 @@ object SparkEntry {
     "st_hourly" -> ((s, dir) => EventStream.hourlyCounts(s, dir)),
 
     "st_debounce" -> ((s, dir) => EventStream.debouncedTotals(s, dir)),
+
+    "st_sessions" -> ((s, dir) => EventStream.sessionCounts(s, dir)),
   )
 
   // ======================= DuckDB oracles =======================
@@ -922,6 +924,28 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
+
+    "st_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(MAX(ts) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS total_cents
+        |FROM sess
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "st_debounce" ->
       """SELECT user_id, COUNT(*) AS n_events,

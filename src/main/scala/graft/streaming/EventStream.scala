@@ -47,6 +47,26 @@ object EventStream {
       .orderBy("hour", "event_type")
   }
 
+  /** Per-user session windows (5-minute gap): Spark's `session_window`
+    * in batch mode — the same operator drives streaming sessionization
+    * with a watermark; batch keeps it deterministic for the oracle (an
+    * append-mode stream would hold back tail sessions inside the
+    * watermark horizon). Value sums as integer cents (order-independent,
+    * same rationale as [[debouncedTotals]]). */
+  def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
+    val events = graft.catalog.Catalog.events(spark, dir)
+    events
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("total_cents"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n"), col("total_cents"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** Per-key debounced rollup — the reference's T2 parent-refresh debounce
     * (variation burst → one parent refresh; `includes/class-lifecycle.php:
     * 107-152`) mapped onto `mapGroupsWithState`: per key the state
