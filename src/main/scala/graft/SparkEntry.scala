@@ -237,6 +237,9 @@ object SparkEntry {
 
     "sim_ivf" -> ((s, dir) => Similarity.ivfTopK(Catalog.embeddings(s, dir))),
 
+    "sim_ivf2" -> ((s, dir) =>
+      Similarity.ivfTopK(Catalog.embeddings(s, dir), nProbes = 2)),
+
     // ================= text analysis =================
 
     "ta_langid" -> ((s, dir) => TextAnalysis.langId(Catalog.documents(s, dir))),
@@ -839,6 +842,32 @@ object SparkEntry {
          |  FROM scored
          |)
          |SELECT qid, cid, cos, rn FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
+
+    "sim_ivf2" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8
+         |), cranked AS (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${cosSql("e.embedding", "c.ce")}, 6) DESC, c.centroid_id) AS arn
+         |  FROM embeddings e CROSS JOIN cents c
+         |), q AS (
+         |  SELECT vec_id AS qid, embedding AS qe, centroid_id AS cell
+         |  FROM cranked WHERE vec_id < 8 AND arn <= 2
+         |), cand AS (
+         |  SELECT vec_id AS cid, embedding AS ce, centroid_id AS cell
+         |  FROM cranked WHERE arn = 1
+         |), scored AS (
+         |  SELECT qid, cid, round(${cosSql("qe", "ce")}, 6) AS cos
+         |  FROM q JOIN cand USING (cell)
+         |  WHERE qid <> cid
+         |), rankd AS (
+         |  SELECT qid, cid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |  FROM scored
+         |)
+         |SELECT qid, cid, cos, rn FROM rankd WHERE rn <= 5
          |ORDER BY qid, rn""".stripMargin,
 
     "ta_langid" ->

@@ -81,7 +81,9 @@ object Similarity {
     * keep the same shape — small table out, broadcast back), so assignment
     * is a map-only pass over the candidate side; the only shuffle in the
     * IVF path is the final per-cell ranking. */
-  def ivfAssign(embeddings: DataFrame, nCentroids: Int = 8): DataFrame = {
+  /** Per-vector centroid ranking: every (vector, centroid) cosine with a
+    * rank `arn` per vector (1 = nearest cell). */
+  private def ivfRanked(embeddings: DataFrame, nCentroids: Int): DataFrame = {
     val cents = embeddings.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
     val scored = embeddings.select(col("vec_id"), col("embedding"))
@@ -90,20 +92,24 @@ object Similarity {
         round(cos(embeddings)(col("embedding"), col("ce")), 6).as("ccos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("ccos").desc, col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
+    scored.withColumn("arn", row_number().over(w))
   }
 
-  /** IVF top-k: rank only candidates sharing the query's cell — the
-    * scale path (probes the coarse cell instead of the full corpus;
-    * recall/fan-out traded via `nCentroids`). */
+  def ivfAssign(embeddings: DataFrame, nCentroids: Int = 8): DataFrame =
+    ivfRanked(embeddings, nCentroids)
+      .where(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
+
+  /** IVF top-k: rank only candidates sharing one of the query's probed
+    * cells — the scale path (probes `nProbes` coarse cells instead of the
+    * full corpus; recall/fan-out traded via `nCentroids` × `nProbes`). */
   def ivfTopK(embeddings: DataFrame, nCentroids: Int = 8, nQueries: Int = 8,
-      k: Int = 5): DataFrame = {
-    val assigned = ivfAssign(embeddings, nCentroids)
-    val q = assigned.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
-    val c = assigned
+      k: Int = 5, nProbes: Int = 1): DataFrame = {
+    val ranked = ivfRanked(embeddings, nCentroids)
+    val q = ranked.where(col("vec_id") < nQueries && col("arn") <= nProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("centroid_id").as("cell"))
+    val c = ivfAssign(embeddings, nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
     val scored = q.hint("broadcast").join(c, Seq("cell"))
       .where(col("qid") =!= col("cid"))
