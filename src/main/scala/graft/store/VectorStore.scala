@@ -76,7 +76,7 @@ final class ParquetVectorStore(spark: SparkSession, root: String)
 
   /** K1/K2 — id-keyed upsert: incoming rows replace same-id rows. */
   def upsert(payloads: DataFrame): Int = {
-    val incoming = payloads.select(schema.fieldNames.map(col): _*)
+    val incoming = payloads.select(schema.fieldNames.toIndexedSeq.map(col): _*)
     val kept = read().join(incoming.select("id"), Seq("id"), "left_anti")
     commit(kept.unionByName(incoming))
   }

@@ -229,7 +229,7 @@ final class SyncEngine(
     val rest = untouched
       .join(unchanged.select("product_id"), Seq("product_id"), "left_anti")
     commitSyncState(rest.unionByName(touched)
-      .unionByName(freshRows.select(rest.columns.map(col): _*)))
+      .unionByName(freshRows.select(rest.columns.toIndexedSeq.map(col): _*)))
 
     // A4 summary (`class-indexer.php:468-477`).
     val acted = routed.groupBy("action").agg(count(lit(1)).as("n"))
