@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** The dedup operators must DETECT near-duplicates, not just compute
+  * deterministic numbers: a lightly-perturbed copy of a document should
+  * pair with its original under MinHash-LSH, SimHash and winnowing,
+  * while unrelated documents should not.
+  */
+class DedupQualitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val base = (1 to 120).map(i => s"token$i").mkString(" ")
+  // ~5% token perturbation of base
+  private val nearDup = base.replace("token7 ", "tokenX ")
+    .replace("token42 ", "tokenY ").replace("token99 ", "tokenZ ")
+  private val unrelated = (1 to 120).map(i => s"word$i").mkString(" ")
+
+  private val docs = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+
+  test("minhash-LSH pairs the near-dup, not the unrelated doc") {
+    val pairs = Dedup.minhashLshPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missing: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)), pairs.toString)
+  }
+
+  test("simhash hamming pairs the near-dup, not the unrelated doc") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missing: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)), pairs.toString)
+  }
+
+  test("winnow fingerprints overlap heavily for near-dups, not unrelated") {
+    val fps = TextAnalysis.winnow(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    def overlap(a: Long, b: Long): Double =
+      fps(a).intersect(fps(b)).size.toDouble / fps(a).union(fps(b)).size
+    assert(overlap(1L, 2L) > 0.5, s"near-dup overlap ${overlap(1L, 2L)}")
+    assert(overlap(1L, 3L) < 0.05, s"unrelated overlap ${overlap(1L, 3L)}")
+  }
+
+  test("minhash similarity estimates track true Jaccard") {
+    val mh = Dedup.minhashWide(docs, k = 16).collect()
+      .map(r => r.getLong(0) -> (1 until 17).map(r.getLong).toSeq).toMap
+    def est(a: Long, b: Long): Double =
+      mh(a).zip(mh(b)).count { case (x, y) => x == y } / 16.0
+    // true Jaccard(base, nearDup) ≈ 112/124 ≈ 0.9 (3-gram shingles lower);
+    // estimates are coarse at k=16 — assert the ordering, not the value
+    assert(est(1L, 2L) > 0.5, s"near-dup estimate ${est(1L, 2L)}")
+    assert(est(1L, 3L) < 0.2, s"unrelated estimate ${est(1L, 3L)}")
+  }
+}
