@@ -320,10 +320,13 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
 
+    // Aggregate output types pinned to Spark's: DuckDB widens SUM(DECIMAL(18,s))
+    // to DECIMAL(38,s) while Spark produces DECIMAL(28,s) — values identical,
+    // but the driver's hash is type-sensitive (round-1 gate failure).
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
         |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem
@@ -364,12 +367,13 @@ object SparkEntry {
         |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
         |  FROM orders GROUP BY o_custkey
         |), ranked AS (
-        |  SELECT c_mktsegment, c_custkey, total,
+        |  SELECT c_mktsegment, c_custkey, CAST(total AS DECIMAL(28,2)) AS total,
         |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
         |      ORDER BY total DESC, c_custkey) AS rn
         |  FROM totals JOIN customer ON o_custkey = c_custkey
         |)
-        |SELECT c_mktsegment, c_custkey, total, rn FROM ranked WHERE rn <= 3
+        |SELECT c_mktsegment, c_custkey, total, CAST(rn AS INTEGER) AS rn
+        |FROM ranked WHERE rn <= 3
         |ORDER BY c_mktsegment, rn""".stripMargin,
 
     "s1_initial_scan" -> (P +
@@ -617,7 +621,7 @@ object SparkEntry {
         |  WHERE length(text) > 0
         |)
         |SELECT COALESCE(f.doc_id, e.doc_id) AS doc_id,
-        |       COALESCE(f.idx, e.idx) AS idx,
+        |       CAST(COALESCE(f.idx, e.idx) AS INTEGER) AS idx,
         |  CASE WHEN f.sha IS NULL THEN 'delete'
         |       WHEN e.sha IS NULL THEN 'upsert'
         |       WHEN e.sha <> f.sha THEN 'upsert'
@@ -668,7 +672,8 @@ object SparkEntry {
          |), hs AS (
          |  SELECT doc_id, ${sha32Sql("g")} AS h FROM sh
          |)
-         |SELECT doc_id, j, MIN((h * (2 * j + 1) + 1000003 * j) % 4294967296) AS mh
+         |SELECT doc_id, CAST(j AS INTEGER) AS j,
+         |  MIN((h * (2 * j + 1) + 1000003 * j) % 4294967296) AS mh
          |FROM hs, UNNEST(generate_series(0, 15)) u(j)
          |GROUP BY doc_id, j
          |ORDER BY doc_id, j""".stripMargin,
@@ -759,28 +764,25 @@ object SparkEntry {
          |)
          |SELECT DISTINCT d1, d2, hamming FROM (
          |  SELECT a.doc_id AS d1, b.doc_id AS d2,
-         |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
          |  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.v = b.v AND a.doc_id < b.doc_id)
          |WHERE hamming <= 3
          |ORDER BY d1, d2""".stripMargin,
 
     "dd_jaccard" ->
-      """WITH tok AS (
-        |  SELECT DISTINCT doc_id, w
-        |  FROM (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\S+')) AS w
-        |        FROM documents)
-        |), sizes AS (
-        |  SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
-        |), inter AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
-        |  FROM tok a JOIN tok b ON a.w = b.w AND b.doc_id = a.doc_id + 1
-        |  GROUP BY a.doc_id, b.doc_id
-        |)
-        |SELECT d1, d2, round(common / (n1.n + n2.n - common), 4) AS jaccard
-        |FROM inter
-        |JOIN sizes n1 ON n1.doc_id = d1
-        |JOIN sizes n2 ON n2.doc_id = d2
-        |ORDER BY d1""".stripMargin,
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, w
+         |  FROM (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\\S+')) AS w
+         |        FROM documents)
+         |), sets AS (
+         |  SELECT doc_id, list(DISTINCT ${sha32Sql("w")}) AS hs
+         |  FROM tok GROUP BY doc_id
+         |)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  round(len(list_intersect(a.hs, b.hs))
+         |        / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 4) AS jaccard
+         |FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+         |ORDER BY d1""".stripMargin,
 
     "sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
@@ -794,7 +796,7 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
          |  FROM scored
          |)
-         |SELECT qid, cid, cos, rn FROM ranked WHERE rn <= 5
+         |SELECT qid, cid, cos, CAST(rn AS INTEGER) AS rn FROM ranked WHERE rn <= 5
          |ORDER BY qid, rn""".stripMargin,
 
     "sim_lsh_buckets" ->
@@ -841,7 +843,7 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
          |  FROM scored
          |)
-         |SELECT qid, cid, cos, rn FROM ranked WHERE rn <= 5
+         |SELECT qid, cid, cos, CAST(rn AS INTEGER) AS rn FROM ranked WHERE rn <= 5
          |ORDER BY qid, rn""".stripMargin,
 
     "sim_ivf2" ->
@@ -867,7 +869,7 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
          |  FROM scored
          |)
-         |SELECT qid, cid, cos, rn FROM rankd WHERE rn <= 5
+         |SELECT qid, cid, cos, CAST(rn AS INTEGER) AS rn FROM rankd WHERE rn <= 5
          |ORDER BY qid, rn""".stripMargin,
 
     "ta_langid" ->
@@ -888,8 +890,8 @@ object SparkEntry {
 
     "ta_quality" ->
       """SELECT doc_id,
-        |  length(text) AS n_chars,
-        |  n_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(n_tokens AS INTEGER) AS n_tokens,
         |  round(non_space / CAST(n_tokens AS DOUBLE), 4) AS avg_token_len,
         |  round(stop_hits / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
         |  round(least(1.0, n_tokens / 100.0) * (1.0 - stop_hits / CAST(n_tokens AS DOUBLE)), 4) AS quality
@@ -903,8 +905,8 @@ object SparkEntry {
 
     "ta_tokens" ->
       """SELECT doc_id,
-        |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
-        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_ish_tokens,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_ish_tokens,
         |  CAST(ceil(strlen(text) / 4.0) AS INT) AS approx_tokens
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
@@ -949,7 +951,7 @@ object SparkEntry {
     "st_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, COUNT(*) AS n,
-        |  SUM(CAST(value AS DECIMAL(18,6))) AS total
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS total
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
@@ -971,14 +973,14 @@ object SparkEntry {
         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(MAX(ts) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
         |  COUNT(*) AS n,
-        |  SUM(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS total_cents
+        |  CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM sess
         |GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
 
     "st_debounce" ->
       """SELECT user_id, COUNT(*) AS n_events,
-        |  SUM(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS total_cents,
+        |  CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
         |  MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS last_ts_s
         |FROM events
         |GROUP BY user_id

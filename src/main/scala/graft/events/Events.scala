@@ -28,16 +28,21 @@ final class EventLog(spark: SparkSession, root: String) {
     if (!java.nio.file.Files.exists(dir)) return Nil
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
     val cutoff = today.minusDays(retainDays.toLong)
-    val dropped = java.nio.file.Files.list(dir).toArray.toSeq
-      .map(_.asInstanceOf[java.nio.file.Path])
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("log_date=") &&
-          java.time.LocalDate.parse(n.stripPrefix("log_date="), fmt).isBefore(cutoff)
-      }
+    // directory streams are closed (Using) — a leaked handle per prune call
+    // adds up in a long-lived scheduler loop
+    val dropped = scala.util.Using.resource(java.nio.file.Files.list(dir)) { s =>
+      s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("log_date=") &&
+            java.time.LocalDate.parse(n.stripPrefix("log_date="), fmt).isBefore(cutoff)
+        }
+    }
     dropped.foreach { p =>
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.delete(f))
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
+        w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
     }
     dropped.map(_.getFileName.toString)
   }

@@ -171,21 +171,31 @@ object Dedup {
   }
 
   /** n-gram (token) Jaccard between consecutive doc ids — the
-    * oracle-checkable pairwise variant (the scalable path is MinHash+LSH). */
+    * oracle-checkable pairwise variant (the scalable path is MinHash+LSH).
+    *
+    * Round-1 version joined token-level rows on the RAW token string —
+    * a full-text shuffle and the bench's single worst query (11 s / 22%).
+    * Now: tokens hash to sha32 longs row-locally, one groupBy collects the
+    * per-doc distinct-hash set, and the pair join carries ONE narrow
+    * long-array row per document keyed on doc_id. Raw text never crosses a
+    * shuffle; the intersection is a row-local `array_intersect`. The oracle
+    * mirrors the hash (as dd_minhash does), so the negligible 2^32
+    * collision behavior is identical on both sides. */
   def jaccardConsecutive(documents: DataFrame): DataFrame = {
-    val tok = documents
+    val sets = documents
       .select(col("doc_id"),
         explode(array_distinct(
           regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))).as("w"))
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = tok.select(col("doc_id").as("d1"), col("w"))
-    val b = tok.select((col("doc_id") - 1).as("d1"), col("w"),
-      col("doc_id").as("d2"))
-    val inter = a.join(b, Seq("d1", "w"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .select(col("doc_id"), sha32(col("w")).as("h"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("h")).as("hs"))
+    val a = sets.select(col("doc_id").as("d1"), col("hs").as("h1"))
+    val b = sets.select((col("doc_id") - 1).as("d1"),
+      col("doc_id").as("d2"), col("hs").as("h2"))
+    a.join(b, Seq("d1"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("h1"), col("h2"))).as("common"),
+        size(col("h1")).as("n1"), size(col("h2")).as("n2"))
       .select(col("d1"), col("d2"),
         round(col("common") / (col("n1") + col("n2") - col("common")), 4)
           .as("jaccard"))

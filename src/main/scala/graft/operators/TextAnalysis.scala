@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.Functions.sha32
 
 /** Text-analysis operators for a training-data pipeline: language-ID
   * heuristic, quality scoring, token counting, document fingerprinting.
@@ -91,24 +90,53 @@ object TextAnalysis {
     * array); the only shuffle carries narrow (doc_id, band, fp) rows.
     */
   def winnow(documents: DataFrame, w: Int = 8, band: Int = 4): DataFrame = {
-    val pows = (0 until w).map(d => math.pow(7, w - 1 - d).toLong)
-    val hs = transform(
-      regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)),
-      t => sha32(t))
-    val windows = transform(
-      sequence(lit(1), size(col("hs")) - (w - 1)),
-      i => pmod(
-        pows.zipWithIndex.map { case (p, d) =>
-          element_at(col("hs"), i + d) * lit(p)
-        }.reduce(_ + _), lit(4294967296L)))
-    documents
-      .select(col("doc_id"), hs.as("hs"))
-      .where(size(col("hs")) >= w)
-      .select(col("doc_id"), posexplode(windows))
-      .select(col("doc_id"), floor(col("pos") / band).as("band"),
-        col("col").as("wh"))
-      .groupBy("doc_id", "band")
-      .agg(min("wh").as("fp"))
+    // Typed mapPartitions hot loop (round-1 used interpreted higher-order
+    // `transform` with 8 element_ats per window — 10 s / 20% of the bench).
+    // Here each partition makes ONE pass: sha256 per token (reused digest
+    // instance), then a tight rolling-window loop that folds the per-band
+    // min in place, so only final (doc_id, band, fp) rows materialize. The
+    // hash (first 4 bytes of sha256, big-endian unsigned) and the
+    // polynomial mod 2^32 mirror sha32Sql/the oracle bit-for-bit.
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val pows = (0 until w).map(d => math.pow(7, w - 1 - d).toLong).toArray
+    val mod = 4294967296L
+    documents.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val tokenRe = java.util.regex.Pattern.compile("\\S+")
+        it.flatMap { case (docId, text) =>
+          val m = tokenRe.matcher(text.toLowerCase)
+          val hs = scala.collection.mutable.ArrayBuffer.empty[Long]
+          while (m.find()) {
+            val d = md.digest(m.group().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            hs += (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL))
+          }
+          val n = hs.length
+          if (n < w) Iterator.empty
+          else {
+            // bands arrive in order (window pos is monotone), so a linear
+            // buffer of per-band mins suffices — no map lookups.
+            val nWindows = n - w + 1
+            val nBands = (nWindows + band - 1) / band
+            val mins = Array.fill(nBands)(Long.MaxValue)
+            var i = 0
+            while (i < nWindows) {
+              var s = 0L
+              var dd = 0
+              while (dd < w) { s += hs(i + dd) * pows(dd); dd += 1 }
+              val wh = s % mod
+              val b = i / band
+              if (wh < mins(b)) mins(b) = wh
+              i += 1
+            }
+            (0 until nBands).iterator.map(b => (docId, b.toLong, mins(b)))
+          }
+        }
+      }
+      .toDF("doc_id", "band", "fp")
       .orderBy("doc_id", "band")
   }
 }

@@ -70,7 +70,12 @@ final class ParquetVectorStore(spark: SparkSession, root: String)
     val next = currentVersion + 1
     df.write.mode(SaveMode.Overwrite).parquet(fs.resolve(s"v$next").toString)
     java.nio.file.Files.createDirectories(fs)
-    java.nio.file.Files.write(versionFile, next.toString.getBytes)
+    // temp + atomic move: a partial write must never leave a corrupt cursor
+    val tmp = fs.resolve("_VERSION.tmp")
+    java.nio.file.Files.write(tmp, next.toString.getBytes)
+    java.nio.file.Files.move(tmp, versionFile,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     next
   }
 

@@ -15,13 +15,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
   */
 object EventStream {
 
+  /** Run `body` with `spark.sql.legacy.parquet.nanosAsLong=true`, restoring
+    * the previous value after — safe here because both callers fully
+    * materialize the stream (awaitTermination) before returning, so no lazy
+    * parquet read escapes the scope. (Catalog.events can't do this: its
+    * DataFrame reads parquet lazily at a later action.) */
+  private def withNanosAsLong[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Hourly event counts + value sums, computed through a real streaming
     * query (memory sink, complete mode), returned as a batch DataFrame. */
-  def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
+  def hourlyCounts(spark: SparkSession, dir: String): DataFrame = withNanosAsLong(spark) {
     val path = s"$dir/events.parquet"
     // ts is TIMESTAMP(NANOS) in the parquet — read as long nanos (legacy
     // conf) and convert with integer division, same as Catalog.events.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
     // FileStreamSource force-sets basePath to the path itself for non-glob
     // paths, and basePath must be a directory — so address the single file
@@ -77,9 +92,8 @@ object EventStream {
     * once to their state partition and the store is HDFS-backed at
     * cluster scale.
     */
-  def debouncedTotals(spark: SparkSession, dir: String): DataFrame = {
+  def debouncedTotals(spark: SparkSession, dir: String): DataFrame = withNanosAsLong(spark) {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
     val stream = spark.readStream.schema(schema).parquet(s"$dir/events*.parquet")

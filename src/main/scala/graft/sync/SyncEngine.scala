@@ -81,7 +81,12 @@ final class SyncEngine(
     val next = syncVersion + 1
     df.write.mode(SaveMode.Overwrite).parquet(fsRoot.resolve(s"v$next").toString)
     java.nio.file.Files.createDirectories(fsRoot)
-    java.nio.file.Files.write(versionFile, next.toString.getBytes)
+    // temp + atomic move: a partial write must never leave a corrupt cursor
+    val tmp = fsRoot.resolve("_VERSION.tmp")
+    java.nio.file.Files.write(tmp, next.toString.getBytes)
+    java.nio.file.Files.move(tmp, versionFile,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Normalized text + product_sha per candidate. `products` needs columns
@@ -170,7 +175,7 @@ final class SyncEngine(
       col("chunk_sha").as("f_sha"))
     val exist = existing.select(col("product_id"), col("chunk_index"),
       col("chunk_sha").as("e_sha"), col("vector_id"),
-      col("status").as("e_status"))
+      col("status").as("e_status"), col("site_id").as("e_site"))
       .join(changed.select("product_id"), Seq("product_id"), "left_semi")
     val routed = fresh.join(exist, Seq("product_id", "chunk_index"), "full_outer")
       .withColumn("action",
@@ -184,9 +189,13 @@ final class SyncEngine(
 
     // Execute deletes (by stored vector_id, fallback recomputed id —
     // `class-indexer.php:390-409`) and upserts.
+    // Fallback id recomputes from the row's OWN site_id (carried through
+    // `exist` as e_site) — a hardcoded site-1 would silently delete a
+    // nonexistent id for any other site.
     val deleteIds = routed.where(col("action") === "delete")
       .select(coalesce(col("vector_id"),
-        format_string("site-1:product-%d:chunk-%d", col("product_id"), col("chunk_index")))
+        format_string("site-%d:product-%d:chunk-%d",
+          col("e_site"), col("product_id"), col("chunk_index")))
         .as("id"))
     val upserts = payloads.join(
       routed.where(col("action") === "upsert")

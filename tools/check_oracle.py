@@ -36,10 +36,12 @@ def main():
         try:
             spark_rel = con.query(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
             spark_cols = sorted(spark_rel.columns)
+            spark_types = dict(zip(spark_rel.columns, [str(t) for t in spark_rel.types]))
             spark = con.execute(
                 f"SELECT {', '.join(spark_cols)} FROM spark_rel").fetchall()
             duck_rel = con.query(sql)
             duck_cols = sorted(duck_rel.columns)
+            duck_types = dict(zip(duck_rel.columns, [str(t) for t in duck_rel.types]))
             duck = con.execute(f"SELECT {', '.join(duck_cols)} FROM duck_rel").fetchall()
         except Exception as e:
             failures.append(name)
@@ -48,6 +50,16 @@ def main():
         if spark_cols != duck_cols:
             failures.append(name)
             print(f"FAIL {name}: columns spark={spark_cols} duck={duck_cols}")
+            continue
+        # Column TYPES must match too: the round-1 driver gate hashed result
+        # types, so DECIMAL(38,s)-vs-(28,s) and HUGEINT-vs-BIGINT divergences
+        # failed there while this (then value-only) checker passed.
+        type_diffs = [(c, spark_types[c], duck_types[c]) for c in spark_cols
+                      if spark_types[c] != duck_types[c]]
+        if type_diffs:
+            failures.append(name)
+            for c, st, dt in type_diffs:
+                print(f"FAIL {name}: col {c} type spark={st} duck={dt}")
             continue
         if len(spark) != len(duck):
             failures.append(name)
