@@ -138,16 +138,40 @@ object SparkEntry {
     "s7_event_read" -> ((s, dir) =>
       Scans.eventLogRead(Catalog.events(s, dir), "purchase", ScanLimit)),
 
+    // S7 with the reference's full read surface: action + per-row filter
+    // + OFFSET pagination (`includes/class-events.php:50-94`).
+    "s7b_event_paged" -> ((s, dir) =>
+      Scans.eventLogRead(Catalog.events(s, dir), "view", 50, offset = 100,
+        extraFilter = col("user_id") % 3 === 1)),
+
+    // K5 purge-site as a checkable anti-filter over a multi-site store
+    // derivation (ParquetVectorStore.purgeSite applies this same rewrite).
+    "k5_purge_site" -> ((s, dir) =>
+      Catalog.syncState(s, dir)
+        .withColumn("site_id", (col("product_id") % 3 + 1).cast("int"))
+        .where(col("site_id") =!= 2)
+        .select("vector_id", "site_id")
+        .orderBy("vector_id")),
+
     // ================= §2.5 aggregation / §2.3 normalize =================
 
     "a1_variation_rollup" -> ((s, dir) =>
-      VariationRollup.rollup(Catalog.products(s, dir), valuesCap = 2)),
+      VariationRollup.rollup(Catalog.products(s, dir), valuesCap = 2,
+        attrs = Some(Catalog.variationAttributes(s, dir)))),
+
+    // Generalized A1: distinct value-set per (parent, attribute) for EVERY
+    // attribute key — pa_* taxonomies, the size attribute, and an ACF field
+    // (reference `includes/class-variation-rollup.php:55-95`).
+    "a1b_attr_rollup" -> ((s, dir) =>
+      VariationRollup.attributeSets(Catalog.products(s, dir),
+        Catalog.variationAttributes(s, dir), valuesCap = 2)),
 
     "a3_job_metrics" -> ((s, dir) =>
       Scans.jobMetrics(Catalog.syncState(s, dir))),
 
     "n6_collapse" -> ((s, dir) =>
-      VariationRollup.collapseText(Catalog.products(s, dir), valuesCap = 2)),
+      VariationRollup.collapseText(Catalog.products(s, dir), valuesCap = 2,
+        attrs = Some(Catalog.variationAttributes(s, dir)))),
 
     // §2.7 scalar-function suite (F1/F4/F13/F14/F17 + the sha32 primitive)
     "f_scalars" -> ((s, dir) => {
@@ -176,6 +200,17 @@ object SparkEntry {
 
     "n4_acf" -> ((s, dir) =>
       Normalizer.acfRender(Catalog.acfValues(s, dir))),
+
+    // F11 full matrix: the 10 id-lookup/nested ACF types as dimension
+    // joins + row-local unpacking (with n4_acf's scalar six → all 16).
+    "n4b_acf_lookup" -> ((s, dir) =>
+      Normalizer.acfRenderLookup(
+        Catalog.acfLookupValues(s, dir),
+        Catalog.postTitles(s, dir),
+        Catalog.nation(s, dir).select(
+          col("n_nationkey").cast("bigint").as("term_id"),
+          col("n_name").as("term_name")),
+        Catalog.attachments(s, dir))),
 
     "n5_terms" -> ((s, dir) =>
       Normalizer.termSections(Catalog.productTerms(s, dir))),
@@ -277,12 +312,44 @@ object SparkEntry {
       sectionSql("Size", "attr_size"))
     s"concat_ws(chr(10), ${sections.mkString(", ")})"
   }
-  /** Shared a1 rollup CTE chain (children -> agg -> rendered), appended
-    * after the catalog prologue. */
+  /** SQL mirror of Functions.renderValueSet over a sorted-distinct list. */
+  private def valueSetSql(l: String, cap: Int): String =
+    s"""CASE WHEN len($l) > $cap
+       |      THEN array_to_string($l[1:$cap], ', ') || ' (+' || (len($l) - $cap) || ' more)'
+       |      ELSE array_to_string($l, ', ') END""".stripMargin
+  /** SQL mirror of the F15 prettifier (initcap over slug words). */
+  private def prettySql(v: String): String =
+    s"""array_to_string(list_transform(
+       |        string_split(replace($v, '_', '-'), '-'),
+       |        w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ')""".stripMargin
+  /** Mirror of Catalog.variationAttributes (all three attribute keys). */
+  private val VattrsCte: String =
+    """vattrs AS (
+      |  SELECT CAST(1000000 + p_partkey * 10 + i AS BIGINT) AS product_id,
+      |    a.attr_key, a.attr_value
+      |  FROM part, UNNEST(generate_series(1, 3)) t(i), LATERAL (
+      |    SELECT 'attr_size' AS attr_key,
+      |      CASE WHEN i = 1 THEN 'S' WHEN i = 2 THEN 'M' ELSE 'L' END AS attr_value
+      |    UNION ALL SELECT 'pa_color',
+      |      CASE WHEN (p_partkey + i * i) % 3 = 0 THEN 'royal-blue'
+      |           WHEN (p_partkey + i * i) % 3 = 1 THEN 'forest-green'
+      |           ELSE 'matte_black' END
+      |    UNION ALL SELECT 'acf:rating', CAST((p_partkey + i) % 5 + 1 AS VARCHAR)
+      |  ) a
+      |  WHERE p_partkey % 2 = 0
+      |)""".stripMargin
+  /** Shared a1 rollup CTE chain (children -> agg ⋈ colors -> rendered),
+    * appended after the catalog prologue. */
   private val RollupCtes: String =
-    """, children AS (
+    s""", children AS (
       |  SELECT * FROM products
       |  WHERE post_type = 'product_variation' AND post_status = 'publish'
+      |), $VattrsCte, color_sets AS (
+      |  SELECT parent_id,
+      |    list_sort(list_distinct(list(${prettySql("attr_value")}))) AS color_list
+      |  FROM children JOIN vattrs USING (product_id)
+      |  WHERE attr_key = 'pa_color'
+      |  GROUP BY parent_id
       |), agg AS (
       |  SELECT parent_id,
       |    COUNT(*) AS n_variations,
@@ -295,18 +362,16 @@ object SparkEntry {
       |  SELECT parent_id, n_variations,
       |    printf('%.2f', pmin) AS price_min,
       |    printf('%.2f', pmax) AS price_max,
-      |    CASE WHEN len(size_list) > 2
-      |      THEN array_to_string(size_list[1:2], ', ') || ' (+' || (len(size_list) - 2) || ' more)'
-      |      ELSE array_to_string(size_list, ', ') END AS sizes,
-      |    CASE WHEN len(sku_list) > 2
-      |      THEN array_to_string(sku_list[1:2], ', ') || ' (+' || (len(sku_list) - 2) || ' more)'
-      |      ELSE array_to_string(sku_list, ', ') END AS skus
-      |  FROM agg
+      |    ${valueSetSql("size_list", 2)} AS sizes,
+      |    ${valueSetSql("sku_list", 2)} AS skus,
+      |    ${valueSetSql("color_list", 2)} AS colors
+      |  FROM agg JOIN color_sets USING (parent_id)
       |)
       |""".stripMargin
   private val RollupTextSql: String =
     "'Variations: ' || n_variations || '; Price range: ' || price_min || " +
-    "' - ' || price_max || '; Sizes: ' || sizes || '; SKUs: ' || skus"
+    "' - ' || price_max || '; Sizes: ' || sizes || '; SKUs: ' || skus || " +
+    "'; Colors: ' || colors"
 
   /** sha32: first 8 hex chars of sha256 as integer (mirror of Functions.sha32). */
   private def sha32Sql(x: String): String =
@@ -476,11 +541,44 @@ object SparkEntry {
          |ORDER BY ts DESC, event_id DESC
          |LIMIT $ScanLimit""".stripMargin,
 
+    "s7b_event_paged" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, user_id, event_type,
+        |  round(value, 2) AS value
+        |FROM events
+        |WHERE event_type = 'view' AND user_id % 3 = 1
+        |ORDER BY ts DESC, event_id DESC
+        |LIMIT 50 OFFSET 100""".stripMargin,
+
+    "k5_purge_site" -> (P +
+      """SELECT vector_id, CAST(product_id % 3 + 1 AS INTEGER) AS site_id
+        |FROM sync_state
+        |WHERE CAST(product_id % 3 + 1 AS INTEGER) <> 2
+        |ORDER BY vector_id""".stripMargin),
+
     "a1_variation_rollup" -> (P + RollupCtes +
-      s"""SELECT parent_id, n_variations, price_min, price_max, sizes, skus,
+      s"""SELECT parent_id, n_variations, price_min, price_max, sizes, skus, colors,
          |  $RollupTextSql AS rollup_text
          |FROM rendered
          |ORDER BY parent_id""".stripMargin),
+
+    "a1b_attr_rollup" -> (P +
+      s""", children AS (
+         |  SELECT * FROM products
+         |  WHERE post_type = 'product_variation' AND post_status = 'publish'
+         |), $VattrsCte, pretty AS (
+         |  SELECT c.parent_id, v.attr_key,
+         |    CASE WHEN v.attr_key LIKE 'pa\\_%' ESCAPE '\\'
+         |      THEN ${prettySql("v.attr_value")}
+         |      ELSE v.attr_value END AS pv
+         |  FROM children c JOIN vattrs v ON v.product_id = c.product_id
+         |), sets AS (
+         |  SELECT parent_id, attr_key,
+         |    list_sort(list_distinct(list(pv))) AS l
+         |  FROM pretty GROUP BY parent_id, attr_key
+         |)
+         |SELECT parent_id, attr_key, ${valueSetSql("l", 2)} AS vals
+         |FROM sets
+         |ORDER BY parent_id, attr_key""".stripMargin),
 
     "n6_collapse" -> (P + RollupCtes +
       s""", rolled AS (
@@ -563,6 +661,76 @@ object SparkEntry {
          |    ELSE value END AS rendered
          |FROM acf
          |ORDER BY product_id, field_name""".stripMargin),
+
+    "n4b_acf_lookup" -> (P +
+      """, acfl AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS product_id, 'badge' AS field_name,
+        |    'taxonomy' AS field_type, CAST(p_partkey % 25 AS VARCHAR) AS value FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'related', 'post_object',
+        |    CAST(p_partkey % 100 + 1 AS VARCHAR) FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'cross_sells', 'relationship',
+        |    CAST(p_partkey % 100 + 1 AS VARCHAR) || '|' || CAST(p_partkey % 100 + 51 AS VARCHAR) FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'hero_image', 'image',
+        |    CAST(p_partkey % 199 + 1 AS VARCHAR) FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'gallery_imgs', 'gallery',
+        |    CAST(p_partkey % 199 + 1 AS VARCHAR) || '|' || CAST(p_partkey % 199 + 2 AS VARCHAR) FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'spec_sheet', 'file',
+        |    CAST(p_partkey % 197 + 3 AS VARCHAR) FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'features', 'repeater',
+        |    'name=' || p_name || ',qty=' || CAST(p_partkey % 9 + 1 AS VARCHAR) ||
+        |    '|name=' || p_brand || ',qty=' || CAST(p_partkey % 5 + 1 AS VARCHAR) FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'sections', 'flexible_content',
+        |    'intro:text=' || p_type || '|dims:w=' || CAST(p_size AS VARCHAR) ||
+        |    ',h=' || CAST(p_partkey % 40 AS VARCHAR) FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'blurb', 'wysiwyg',
+        |    '<b>' || p_name || '</b> <i>' || p_type || '</i>' FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'container_sel', 'select',
+        |    'PKG-' || CAST(p_size AS VARCHAR) FROM part
+        |), attachments AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS attachment_id,
+        |    CASE WHEN p_partkey % 4 = 0 THEN '' ELSE 'Alt ' || p_name END AS alt,
+        |    CASE WHEN p_partkey % 2 = 0 THEN 'Caption ' || CAST(p_partkey AS VARCHAR) ELSE '' END AS caption,
+        |    'https://example.test/media/' || CAST(p_partkey AS VARCHAR) || '.jpg' AS url
+        |  FROM part
+        |), refs AS (
+        |  SELECT product_id, field_name, field_type, g.i AS pos,
+        |    CAST(string_split(value, '|')[g.i] AS BIGINT) AS ref_id
+        |  FROM acfl, UNNEST(generate_series(1, len(string_split(value, '|')))) g(i)
+        |  WHERE field_type IN ('taxonomy', 'post_object', 'relationship', 'image', 'gallery', 'file')
+        |), items AS (
+        |  SELECT r.product_id, r.field_name, r.pos,
+        |    CASE WHEN r.field_type = 'taxonomy' THEN n.n_name
+        |         WHEN r.field_type IN ('post_object', 'relationship') THEN pt.p_name
+        |         WHEN r.field_type = 'file' THEN a.url
+        |         WHEN a.alt <> '' THEN a.alt
+        |         WHEN a.caption <> '' THEN a.caption
+        |         ELSE a.url END AS item
+        |  FROM refs r
+        |  LEFT JOIN nation n ON r.ref_id = n.n_nationkey
+        |  LEFT JOIN part pt ON r.ref_id = pt.p_partkey
+        |  LEFT JOIN attachments a ON r.ref_id = a.attachment_id
+        |), joined AS (
+        |  SELECT product_id, field_name, string_agg(item, ', ' ORDER BY pos) AS rendered
+        |  FROM items GROUP BY product_id, field_name
+        |), locals AS (
+        |  SELECT product_id, field_name,
+        |    CASE field_type
+        |      WHEN 'wysiwyg' THEN trim(regexp_replace(regexp_replace(value, '<[^>]*>', '', 'g'), '\s+', ' ', 'g'))
+        |      WHEN 'select' THEN value
+        |      WHEN 'repeater' THEN array_to_string(list_transform(string_split(value, '|'), r ->
+        |          array_to_string(list_transform(string_split(r, ','), kv ->
+        |            string_split(kv, '=')[1] || ': ' || string_split(kv, '=')[2]), '; ')), ' / ')
+        |      ELSE array_to_string(list_transform(string_split(value, '|'), r ->
+        |          regexp_extract(r, '^([^:]+):(.*)$', 1) || ' — ' ||
+        |          array_to_string(list_transform(string_split(regexp_extract(r, '^([^:]+):(.*)$', 2), ','), kv ->
+        |            string_split(kv, '=')[1] || ': ' || string_split(kv, '=')[2]), '; ')), ' / ')
+        |    END AS rendered
+        |  FROM acfl
+        |  WHERE field_type IN ('wysiwyg', 'select', 'repeater', 'flexible_content')
+        |)
+        |SELECT product_id, field_name, rendered FROM joined
+        |UNION ALL SELECT product_id, field_name, rendered FROM locals
+        |ORDER BY product_id, field_name""".stripMargin),
 
     "n5_terms" -> (P +
       """, terms0 AS (

@@ -210,6 +210,91 @@ object Catalog {
         col("f.field_type").as("field_type"), col("f.value").as("value"))
   }
 
+  /** Attachment dimension (media-library stand-in for the reference's
+    * image/gallery/file lookups, `includes/class-field-normalizer.php:
+    * 388-430`): alt/caption/url with deterministic gaps so the image
+    * render preference (alt → caption → url) is exercised. */
+  def attachments(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir).select(
+      col("p_partkey").cast("bigint").as("attachment_id"),
+      when(col("p_partkey") % 4 === 0, lit(""))
+        .otherwise(concat(lit("Alt "), col("p_name"))).as("alt"),
+      when(col("p_partkey") % 2 === 0, concat(lit("Caption "), col("p_partkey")))
+        .otherwise(lit("")).as("caption"),
+      concat(lit("https://example.test/media/"), col("p_partkey"), lit(".jpg"))
+        .as("url"))
+
+  /** Post-title dimension for post_object / relationship lookups
+    * (the reference resolves post ids to titles,
+    * `includes/class-field-normalizer.php:369-386`). */
+  def postTitles(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir).select(
+      col("p_partkey").cast("bigint").as("ref_pid"),
+      col("p_name").as("ref_title"))
+
+  /** ACF id-lookup + nested typed fields (the 10 types beyond
+    * [[acfValues]]'s scalar six — together the full 16-type matrix of
+    * `includes/class-field-normalizer.php:327-444`): long-format
+    * (product_id, field_name, field_type, value). Id lists are `|`-packed;
+    * repeater rows are `k=v,k2=v2|…`; flexible layouts are
+    * `layout:k=v,…|…`. All referenced ids exist at every SF (part has
+    * ≥200 rows at sf0.001; taxonomy ids resolve against `nation`). */
+  def acfLookupValues(spark: SparkSession, dir: String): DataFrame = {
+    val p = part(spark, dir)
+    val pk = col("p_partkey")
+    val rows = Seq(
+      ("badge", "taxonomy", (pk % 25).cast("string")),
+      ("related", "post_object", (pk % 100 + 1).cast("string")),
+      ("cross_sells", "relationship",
+        concat(pk % 100 + 1, lit("|"), pk % 100 + 51)),
+      ("hero_image", "image", (pk % 199 + 1).cast("string")),
+      ("gallery_imgs", "gallery",
+        concat(pk % 199 + 1, lit("|"), pk % 199 + 2)),
+      ("spec_sheet", "file", (pk % 197 + 3).cast("string")),
+      ("features", "repeater",
+        concat(lit("name="), col("p_name"), lit(",qty="), pk % 9 + 1,
+          lit("|name="), col("p_brand"), lit(",qty="), pk % 5 + 1)),
+      ("sections", "flexible_content",
+        concat(lit("intro:text="), col("p_type"),
+          lit("|dims:w="), col("p_size"), lit(",h="), pk % 40)),
+      ("blurb", "wysiwyg",
+        concat(lit("<b>"), col("p_name"), lit("</b> <i>"), col("p_type"), lit("</i>"))),
+      ("container_sel", "select", concat(lit("PKG-"), col("p_size"))))
+    p.select(pk.cast("bigint").as("product_id"),
+        explode(array(rows.map { case (n, t, v) =>
+          struct(lit(n).as("field_name"), lit(t).as("field_type"),
+            v.cast("string").as("value")) }: _*)).as("f"))
+      .select(col("product_id"), col("f.field_name").as("field_name"),
+        col("f.field_type").as("field_type"), col("f.value").as("value"))
+  }
+
+  /** Per-variation attribute rows for the generalized A1 rollup
+    * (reference aggregates EVERY `pa_*` attribute and selected ACF field,
+    * `includes/class-variation-rollup.php:55-95`): long-format
+    * (product_id, attr_key, attr_value) for the variation children. */
+  def variationAttributes(spark: SparkSession, dir: String): DataFrame = {
+    val base = part(spark, dir)
+      .where(col("p_partkey") % 2 === 0)
+      .select(col("p_partkey"), explode(sequence(lit(1), lit(3))).as("i"))
+      .select((lit(1000000L) + col("p_partkey") * 10 + col("i")).as("product_id"),
+        col("p_partkey"), col("i"))
+    val rows = Seq(
+      ("attr_size",
+        when(col("i") === 1, "S").when(col("i") === 2, "M").otherwise("L")),
+      // i² mod 3 cycles {1,1,0} — parents get TWO distinct colors that
+      // shift with the key, so the cap/`+N more` paths both occur
+      ("pa_color",
+        when((col("p_partkey") + col("i") * col("i")) % 3 === 0, "royal-blue")
+          .when((col("p_partkey") + col("i") * col("i")) % 3 === 1, "forest-green")
+          .otherwise("matte_black")),
+      ("acf:rating", ((col("p_partkey") + col("i")) % 5 + 1).cast("string")))
+    base.select(col("product_id"),
+        explode(array(rows.map { case (k, v) =>
+          struct(lit(k).as("attr_key"), v.cast("string").as("attr_value")) }: _*)).as("a"))
+      .select(col("product_id"), col("a.attr_key").as("attr_key"),
+        col("a.attr_value").as("attr_value"))
+  }
+
   /** Deterministic synthetic sync-state: products with `p_partkey % 3 == 0`
     * have `1 + pk % 3` chunk rows each; even keys are freshly synced, odd
     * keys are stale; `pk % 9 == 0` rows are errored.

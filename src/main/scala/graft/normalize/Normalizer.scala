@@ -78,6 +78,80 @@ object Normalizer {
         .otherwise(col("value")).as("rendered"))
       .orderBy("product_id", "field_name")
 
+  /** F11 (full matrix) — the id-lookup + nested ACF types the scalar
+    * [[acfRender]] can't express (reference
+    * `includes/class-field-normalizer.php:327-444`; discovery BFS over
+    * repeater/flexible sub-fields `includes/class-acf-integration.php:
+    * 76-109`):
+    *
+    *   - taxonomy → term name; post_object/relationship → post title;
+    *     image/gallery → alt-else-caption-else-url; file → url — all
+    *     DIMENSION JOINS: refs posexplode out of the `|`-packed value,
+    *     join the dims, and re-assemble in input order via a
+    *     sort-by-position collect (multi-value fields preserve authoring
+    *     order, as the reference's loops do).
+    *   - repeater rows (`k=v,k2=v2|…`) and flexible_content layouts
+    *     (`layout:k=v,…|…`) unpack row-locally into `k: v; k2: v2` lines
+    *     (nested F10), ` / `-joined across rows.
+    *   - wysiwyg strips HTML (F1); select passes through.
+    *
+    * Scale posture: the dims (terms, titles, attachments) are
+    * catalog-dimension-sized — Catalyst auto-broadcasts them at these
+    * stats and falls back to shuffle equi-joins if a dim outgrows the
+    * threshold; the single groupBy carries narrow (id, pos, item) rows.
+    */
+  def acfRenderLookup(acf: DataFrame, postTitles: DataFrame, terms: DataFrame,
+      attachments: DataFrame): DataFrame = {
+    val joinTypes = Seq("taxonomy", "post_object", "relationship", "image",
+      "gallery", "file")
+    val localTypes = Seq("wysiwyg", "select", "repeater", "flexible_content")
+
+    def kvLine(row: org.apache.spark.sql.Column) =
+      array_join(transform(split(row, ","),
+        kv => concat_ws(": ", element_at(split(kv, "="), 1),
+          element_at(split(kv, "="), 2))), "; ")
+
+    val local = acf.where(col("field_type").isin(localTypes: _*))
+      .select(col("product_id"), col("field_name"),
+        when(col("field_type") === "wysiwyg",
+          graft.functions.Functions.stripHtml(col("value")))
+          .when(col("field_type") === "select", col("value"))
+          .when(col("field_type") === "repeater",
+            array_join(transform(split(col("value"), "\\|"), kvLine(_)), " / "))
+          .otherwise( // flexible_content
+            array_join(transform(split(col("value"), "\\|"), row =>
+              concat(regexp_extract(row, "^([^:]+):(.*)$", 1), lit(" — "),
+                kvLine(regexp_extract(row, "^([^:]+):(.*)$", 2)))), " / "))
+          .as("rendered"))
+
+    val refs = acf.where(col("field_type").isin(joinTypes: _*))
+      .select(col("product_id"), col("field_name"), col("field_type"),
+        posexplode(split(col("value"), "\\|")))
+      .select(col("product_id"), col("field_name"), col("field_type"),
+        col("pos"), col("col").cast("bigint").as("ref_id"))
+    val imagePref =
+      when(col("alt") =!= "", col("alt"))
+        .when(col("caption") =!= "", col("caption"))
+        .otherwise(col("url"))
+    val joined = refs
+      .join(terms, refs("ref_id") === terms("term_id"), "left_outer")
+      .join(postTitles, refs("ref_id") === postTitles("ref_pid"), "left_outer")
+      .join(attachments, refs("ref_id") === attachments("attachment_id"), "left_outer")
+      .select(col("product_id"), col("field_name"), col("pos"),
+        when(col("field_type") === "taxonomy", col("term_name"))
+          .when(col("field_type").isin("post_object", "relationship"),
+            col("ref_title"))
+          .when(col("field_type") === "file", col("url"))
+          .otherwise(imagePref).as("item"))
+      .groupBy("product_id", "field_name")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos").as("p"), col("item").as("v")))),
+          s => s.getField("v")), ", ").as("rendered"))
+
+    local.unionByName(joined).orderBy("product_id", "field_name")
+  }
+
   /** S4/F5/F15 taxonomy sections from long-format (product_id, taxonomy,
     * term) rows: `pa_*` attribute slugs prettify to Title Case words
     * (reference `ucwords(replace(_,-, ' '))`,

@@ -16,11 +16,54 @@ import graft.functions.Functions
   */
 object VariationRollup {
 
-  /** Rollup table: one row per parent with the aggregates + rendered text. */
-  def rollup(products: DataFrame, valuesCap: Int = 20): DataFrame = {
-    val children = products
-      .where(col("post_type") === "product_variation" &&
-        col("post_status") === "publish")
+  private def publishedChildren(products: DataFrame) =
+    products.where(col("post_type") === "product_variation" &&
+      col("post_status") === "publish")
+
+  /** Generalized attribute rollup (reference iterates EVERY `pa_*`
+    * attribute and each selected ACF field, `includes/
+    * class-variation-rollup.php:55-95`): long-format
+    * (parent_id, attr_key, vals) — children join their attribute rows,
+    * `pa_*` slugs prettify (F15), one groupBy per (parent, key) renders
+    * the capped sorted distinct set. One shuffle; the attribute join is a
+    * narrow equi-join on the variation id. */
+  def attributeSets(products: DataFrame, attrs: DataFrame,
+      valuesCap: Int = 20): DataFrame = {
+    val pretty = when(col("attr_key").startsWith("pa_"),
+      initcap(translate(col("attr_value"), "-_", "  ")))
+      .otherwise(col("attr_value"))
+    publishedChildren(products).select("product_id", "parent_id")
+      .join(attrs, Seq("product_id"))
+      .select(col("parent_id"), col("attr_key"), pretty.as("v"))
+      .groupBy("parent_id", "attr_key")
+      .agg(Functions.renderValueSet(collect_list(col("v")), valuesCap).as("vals"))
+      .orderBy("parent_id", "attr_key")
+  }
+
+  /** Rollup table: one row per parent with the aggregates + rendered text.
+    * With `attrs`, the `pa_color` set joins in as a `colors` column and the
+    * rendered block gains a `Colors:` segment (the generalized-attribute
+    * path of [[attributeSets]] folded into the headline rollup). */
+  def rollup(products: DataFrame, valuesCap: Int = 20,
+      attrs: Option[DataFrame] = None): DataFrame = {
+    val base = baseRollup(products, valuesCap)
+    attrs match {
+      case None => base
+      case Some(a) =>
+        val colors = attributeSets(products, a, valuesCap)
+          .where(col("attr_key") === "pa_color")
+          .select(col("parent_id"), col("vals").as("colors"))
+        base.join(colors, Seq("parent_id"), "left_outer")
+          .select(col("parent_id"), col("n_variations"), col("price_min"),
+            col("price_max"), col("sizes"), col("skus"), col("colors"),
+            concat(col("rollup_text"), lit("; Colors: "), col("colors"))
+              .as("rollup_text"))
+          .orderBy("parent_id")
+    }
+  }
+
+  private def baseRollup(products: DataFrame, valuesCap: Int): DataFrame = {
+    val children = publishedChildren(products)
     children.groupBy(col("parent_id"))
       .agg(
         count(lit(1)).as("n_variations"),
@@ -63,10 +106,11 @@ object VariationRollup {
   /** Strategy `collapse`: the parent's normalized text with the rollup
     * block appended (append point `includes/class-indexer.php:122-138`).
     * Parents without published variations keep their text unchanged. */
-  def collapseText(products: DataFrame, valuesCap: Int = 20): DataFrame = {
+  def collapseText(products: DataFrame, valuesCap: Int = 20,
+      attrs: Option[DataFrame] = None): DataFrame = {
     val parents = products.where(col("post_type") === "product")
     val normalized = graft.normalize.Normalizer.normalize(parents)
-    val rolled = rollup(products, valuesCap)
+    val rolled = rollup(products, valuesCap, attrs)
       .select(col("parent_id"), col("rollup_text"))
     normalized
       .join(rolled, normalized("product_id") === rolled("parent_id"), "left_outer")

@@ -120,11 +120,18 @@ object Scans {
   def jobMetrics(syncState: DataFrame): DataFrame =
     syncState.groupBy("status").agg(count(lit(1)).as("n")).orderBy("status")
 
-  /** S7 — event-log read: filters + newest-first + pagination.
-    * Reference `includes/class-events.php:50-94`. */
-  def eventLogRead(events: DataFrame, eventType: String, limit: Int): DataFrame =
-    events.where(col("event_type") === eventType && col("user_id") % 2 === 0)
+  /** S7 — event-log read: per-row filters (action=event_type plus an
+    * arbitrary predicate standing in for the reference's
+    * product_id/target/outcome filters), newest-first, offset/limit
+    * pagination. Reference `includes/class-events.php:50-94`.
+    * The offset composes with the sort into one TakeOrdered-style pass —
+    * no full materialization. */
+  def eventLogRead(events: DataFrame, eventType: String, limit: Int,
+      offset: Int = 0,
+      extraFilter: org.apache.spark.sql.Column = col("user_id") % 2 === 0): DataFrame =
+    events.where(col("event_type") === eventType && extraFilter)
       .orderBy(col("ts").desc, col("event_id").desc)
+      .offset(offset)
       .limit(limit)
       .select(col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
