@@ -99,17 +99,32 @@ object Main {
       val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
       val work = opt(args, "work").getOrElse { System.err.println("error: --work required"); sys.exit(2); "" }
       val limit = opt(args, "limit").getOrElse("50").toInt
+      // --target local (default) | both: `both` also syncs into the
+      // ensure-store adapter under its own `target` rows (reference: one
+      // sync_state table, one row-set per enabled adapter).
+      val targetSel = opt(args, "target").getOrElse("local")
       val spark = session()
       val store = new ParquetVectorStore(spark, s"$work/store")
       val engine = new SyncEngine(spark, new LocalHashEmbedder(), store,
         s"$work/sync_state", Selection(chunkSize = 100, chunkOverlap = 20),
         events = Some(new graft.events.EventLog(spark, s"$work/events")))
       val t0 = System.nanoTime()
-      val summary = engine.sync(docsAsProducts(spark, data, limit), force = flag(args, "force"))
+      val candidates = docsAsProducts(spark, data, limit)
+      val summary = engine.sync(candidates, force = flag(args, "force"))
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"sync completed in $dt%.1fs:")
       summary.collect().foreach(r => println(s"  ${r.getString(0)}: ${r.getLong(1)}"))
       println(s"  store rows: ${store.count()} (v${store.currentVersion})")
+      if (targetSel == "both") {
+        val store2 = new graft.store.EnsureStoreVectorStore(spark, s"$work/store_vs")
+        val engine2 = new SyncEngine(spark, new LocalHashEmbedder(), store2,
+          s"$work/sync_state", Selection(chunkSize = 100, chunkOverlap = 20),
+          target = "vs")
+        val summary2 = engine2.sync(candidates, force = flag(args, "force"))
+        println(s"target vs (store ${store2.ensureStore()}):")
+        summary2.collect().foreach(r => println(s"  ${r.getString(0)}: ${r.getLong(1)}"))
+        println(s"  vs store rows: ${store2.count()} (v${store2.currentVersion})")
+      }
       println(s"  sync_state rows: ${engine.readSyncState().count()} (v${engine.syncVersion})")
       spark.stop()
 

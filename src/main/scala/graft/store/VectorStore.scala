@@ -20,24 +20,28 @@ trait VectorStoreWriter {
 
 /** Vector-store sink with Pinecone-equivalent semantics on immutable
   * storage (SURVEY §2.2 K1–K5, §7.5.3): id-keyed upsert, delete-by-ids,
-  * delete-by-metadata-filter, purge-site — each implemented as a
-  * deterministic merge-rewrite producing a new snapshot version, so every
-  * operation is idempotent (T7) and re-running converges.
+  * delete-by-metadata-filter, purge-site — each a deterministic
+  * merge-rewrite, so every operation is idempotent (T7) and re-running
+  * converges.
   *
   * Store schema: (id string, values array<float>, site_id int,
   * product_id bigint, sku string, url string, updated_at string,
   * fingerprint string, fields array<string>) — the flattened payload of
-  * reference `includes/class-indexer.php:101-116` /
-  * `includes/adapters/class-adapter-interface.php:24-34`.
+  * reference `includes/class-indexer.php:101-116`.
   *
-  * Scale posture: upsert is one left-anti join (old ∖ incoming-ids) + union
-  * — a single shuffle keyed on `id`; deletes are shuffle-free filters. A
-  * real deployment would partition snapshots by `site_id` and bucket by
-  * `product_id` so per-product deletes prune partitions; at test scale we
-  * keep one dir per version with a `_VERSION` cursor file.
+  * Snapshots are BUCKETED by `product_id % nBuckets` (round 1 rewrote the
+  * whole store every commit — a full copy per sync pass at 100 TB). A
+  * `_MANIFEST` cursor maps bucket → the commit whose files currently hold
+  * it; a commit writes ONLY the touched buckets under `c{N}/bucket=K/` and
+  * re-points just those manifest entries, so untouched buckets' files are
+  * never rewritten (asserted byte-identical by BucketedStoreSpec). All of
+  * a product's chunk vectors share a bucket, so the per-product delete and
+  * the sync delta's upserts each touch exactly the buckets they name.
+  * Purge-site still sweeps all buckets (a site spans products); a
+  * deployment partitioning additionally by `site_id` would prune that too.
   */
-final class ParquetVectorStore(spark: SparkSession, root: String)
-    extends VectorStoreWriter with Serializable {
+final class ParquetVectorStore(spark: SparkSession, root: String,
+    nBuckets: Int = 16) extends VectorStoreWriter with Serializable {
 
   private val fs = java.nio.file.Paths.get(root)
 
@@ -52,53 +56,120 @@ final class ParquetVectorStore(spark: SparkSession, root: String)
     StructField("fingerprint", StringType),
     StructField("fields", ArrayType(StringType))))
 
-  private def versionFile = fs.resolve("_VERSION")
+  private def manifestFile = fs.resolve("_MANIFEST")
 
-  def currentVersion: Int =
-    if (java.nio.file.Files.exists(versionFile))
-      new String(java.nio.file.Files.readAllBytes(versionFile)).trim.toInt
-    else 0
+  /** (commit counter, bucket → commit holding its current files). */
+  private def readManifest(): (Int, Map[Int, Int]) =
+    if (!java.nio.file.Files.exists(manifestFile)) (0, Map.empty)
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(manifestFile))
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toList
+      val entries = lines.tail.map { l =>
+        val Array(b, c) = l.split(" "); b.toInt -> c.toInt
+      }.toMap
+      (lines.head.toInt, entries)
+    }
 
-  def read(): DataFrame = {
-    val v = currentVersion
-    if (v == 0) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.parquet(fs.resolve(s"v$v").toString)
-  }
-
-  private def commit(df: DataFrame): Int = {
-    val next = currentVersion + 1
-    df.write.mode(SaveMode.Overwrite).parquet(fs.resolve(s"v$next").toString)
+  private def writeManifest(commit: Int, m: Map[Int, Int]): Unit = {
     java.nio.file.Files.createDirectories(fs)
+    val body = (commit.toString +: m.toSeq.sorted.map { case (b, c) => s"$b $c" })
+      .mkString("", "\n", "\n")
     // temp + atomic move: a partial write must never leave a corrupt cursor
-    val tmp = fs.resolve("_VERSION.tmp")
-    java.nio.file.Files.write(tmp, next.toString.getBytes)
-    java.nio.file.Files.move(tmp, versionFile,
+    val tmp = fs.resolve("_MANIFEST.tmp")
+    java.nio.file.Files.write(tmp, body.getBytes)
+    java.nio.file.Files.move(tmp, manifestFile,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def currentVersion: Int = readManifest()._1
+
+  private def emptyDf: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def bucketPath(b: Int, c: Int) = fs.resolve(s"c$c/bucket=$b").toString
+
+  /** Rows of the given buckets at their manifest commits (no bucket col —
+    * it's derivable from product_id). */
+  private def readBuckets(m: Map[Int, Int], buckets: Seq[Int]): DataFrame = {
+    val paths = buckets.distinct.flatMap(b => m.get(b).map(c => bucketPath(b, c)))
+    if (paths.isEmpty) emptyDf else spark.read.schema(schema).parquet(paths: _*)
+  }
+
+  def read(): DataFrame = {
+    val (_, m) = readManifest()
+    readBuckets(m, m.keys.toSeq)
+  }
+
+  /** Bucket from the payload's product_id (modulo: synthetic ids are
+    * uniform; an id-clustered deployment would swap in a stable hash). */
+  private def bucketCol = pmod(col("product_id"), lit(nBuckets.toLong)).cast("int")
+
+  /** Bucket recovered from the deterministic vector-id format
+    * `site-%d:product-%d:chunk-%d` (reference `class-indexer.php:147-150`)
+    * so delete-by-ids routes to buckets without a store scan. */
+  private def bucketOfId = pmod(
+    regexp_extract(col("id"), "product-(\\d+):", 1).cast("long"),
+    lit(nBuckets.toLong)).cast("int")
+
+  /** Write `df` (restricted to `touched` buckets, carrying a `bucket`
+    * column) as commit N, re-pointing only the touched manifest entries.
+    * A bucket whose rows all vanished drops out of the manifest. */
+  private def commitBuckets(touched: Seq[Int], df: DataFrame): Int = {
+    val (commit, m) = readManifest()
+    val next = commit + 1
+    val dir = fs.resolve(s"c$next")
+    df.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dir.toString)
+    val present = touched.distinct
+      .filter(b => java.nio.file.Files.exists(dir.resolve(s"bucket=$b"))).toSet
+    val m2 = (m -- touched.filterNot(present)) ++ present.map(_ -> next)
+    writeManifest(next, m2)
     next
   }
 
-  /** K1/K2 — id-keyed upsert: incoming rows replace same-id rows. */
+  /** K1/K2 — id-keyed upsert: incoming rows replace same-id rows; only
+    * the incoming rows' buckets are read and rewritten. */
   def upsert(payloads: DataFrame): Int = {
-    val incoming = payloads.select(schema.fieldNames.toIndexedSeq.map(col): _*)
-    val kept = read().join(incoming.select("id"), Seq("id"), "left_anti")
-    commit(kept.unionByName(incoming))
+    val incoming = payloads
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      .withColumn("bucket", bucketCol)
+    val touched = incoming.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val (_, m) = readManifest()
+    val kept = readBuckets(m, touched).withColumn("bucket", bucketCol)
+      .join(incoming.select("id"), Seq("id"), "left_anti")
+    commitBuckets(touched, kept.unionByName(incoming))
   }
 
-  /** K4 — delete by ids. */
-  def deleteByIds(ids: DataFrame): Int =
-    commit(read().join(ids.select("id"), Seq("id"), "left_anti"))
+  /** K4 — delete by ids, routed to buckets via the id format. */
+  def deleteByIds(ids: DataFrame): Int = {
+    val keyed = ids.select("id").withColumn("bucket", bucketOfId)
+    val touched = keyed.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val (_, m) = readManifest()
+    val kept = readBuckets(m, touched).withColumn("bucket", bucketCol)
+      .join(keyed.select("id"), Seq("id"), "left_anti")
+    commitBuckets(touched, kept)
+  }
 
-  /** K3 — delete by metadata filter {product_id, site_id}
-    * (the Pinecone `$eq` filter form). */
-  def deleteByProduct(productId: Long, siteId: Int): Int =
-    commit(read().where(!(col("product_id") === productId &&
-      col("site_id") === siteId)))
+  /** K3 — delete by metadata filter {product_id, site_id} (the Pinecone
+    * `$eq` filter form); exactly one bucket rewritten. */
+  def deleteByProduct(productId: Long, siteId: Int): Int = {
+    val b = ((productId % nBuckets + nBuckets) % nBuckets).toInt
+    val (_, m) = readManifest()
+    val kept = readBuckets(m, Seq(b)).withColumn("bucket", bucketCol)
+      .where(!(col("product_id") === productId && col("site_id") === siteId))
+    commitBuckets(Seq(b), kept)
+  }
 
-  /** K5 — purge site. */
-  def purgeSite(siteId: Int): Int =
-    commit(read().where(col("site_id") =!= siteId))
+  /** K5 — purge site (sweeps every bucket: sites span products). */
+  def purgeSite(siteId: Int): Int = {
+    val (_, m) = readManifest()
+    val touched = m.keys.toIndexedSeq
+    val kept = readBuckets(m, touched).withColumn("bucket", bucketCol)
+      .where(col("site_id") =!= siteId)
+    commitBuckets(touched, kept)
+  }
 
   def count(): Long = read().count()
 }

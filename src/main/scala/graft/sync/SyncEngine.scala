@@ -41,11 +41,11 @@ final class SyncEngine(
     syncStateRoot: String,
     sel: Selection = Selection(),
     clock: String = "2024-01-01T00:00:00+00:00",
-    events: Option[EventLog] = None) extends Serializable {
+    events: Option[EventLog] = None,
+    target: String = "local") extends Serializable {
 
   import spark.implicits._
 
-  private val target = "local"
   private val fsRoot = java.nio.file.Paths.get(syncStateRoot)
 
   val syncSchema: StructType = StructType(Seq(
@@ -230,14 +230,20 @@ final class SyncEngine(
       lit(embedder.model).as("model"), lit(embedder.dimension).as("dimension"),
       statusCol.as("status"), errCode.as("error_code"), errMsg.as("error_msg"),
       lit(clock).as("last_synced_at"))
-    val untouched = readSyncState()
+    // The merge rewrites only THIS target's rows — a second adapter's
+    // bookkeeping (other `target` values, reference's per-target row model
+    // `includes/class-plugin.php:126-127`) passes through untouched.
+    val all = readSyncState()
+    val others = all.where(col("target") =!= target)
+    val mine = all.where(col("target") === target)
+    val untouched = mine
       .join(changed.select("product_id"), Seq("product_id"), "left_anti")
     val touched = untouched
       .join(unchanged.select("product_id"), Seq("product_id"), "left_semi")
       .withColumn("last_synced_at", lit(clock))
     val rest = untouched
       .join(unchanged.select("product_id"), Seq("product_id"), "left_anti")
-    commitSyncState(rest.unionByName(touched)
+    commitSyncState(others.unionByName(rest).unionByName(touched)
       .unionByName(freshRows.select(rest.columns.toIndexedSeq.map(col): _*)))
 
     // A4 summary (`class-indexer.php:468-477`).
