@@ -261,6 +261,8 @@ object SparkEntry {
 
     "dd_jaccard" -> ((s, dir) => Dedup.jaccardConsecutive(Catalog.documents(s, dir))),
 
+    "dd_components" -> ((s, dir) => Dedup.lshComponents(Catalog.documents(s, dir))),
+
     // ================= similarity extensions =================
 
     "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(Catalog.embeddings(s, dir))),
@@ -275,6 +277,9 @@ object SparkEntry {
     "sim_ivf2" -> ((s, dir) =>
       Similarity.ivfTopK(Catalog.embeddings(s, dir), nProbes = 2)),
 
+    "sim_ivf_kmeans" -> ((s, dir) =>
+      Similarity.ivfKmeansTopK(Catalog.embeddings(s, dir))),
+
     // ================= text analysis =================
 
     "ta_langid" -> ((s, dir) => TextAnalysis.langId(Catalog.documents(s, dir))),
@@ -282,6 +287,16 @@ object SparkEntry {
     "ta_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Catalog.documents(s, dir))),
     "ta_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Catalog.documents(s, dir))),
     "ta_winnow" -> ((s, dir) => TextAnalysis.winnow(Catalog.documents(s, dir))),
+
+    // PII scrub over documents with a deterministic composed contact
+    // suffix (the corpus itself carries no PII; oracle mirrors the compose).
+    "ta_scrub" -> ((s, dir) =>
+      TextAnalysis.scrub(Catalog.documents(s, dir).select(
+        col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@example.com or https://ex.test/d/"), col("doc_id"),
+          lit(" ref 1234567"), col("doc_id")).as("text")))),
 
     // ================= multimodal + streaming =================
 
@@ -382,6 +397,26 @@ object SparkEntry {
       s"""(list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
          | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
          |    * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+
+  /** Shared minhash-band CTE chain (dd_lsh_pairs / dd_components). */
+  private val LshBandsCtes: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+       |  FROM toks, UNNEST(generate_series(1, len(ts) - 2)) t(i)
+       |  WHERE len(ts) >= 3
+       |), hs AS (
+       |  SELECT doc_id, ${sha32Sql("g")} AS h FROM sh
+       |), mh AS (
+       |  SELECT doc_id, j, MIN((h * (2 * j + 1) + 1000003 * j) % 4294967296) AS mh
+       |  FROM hs, UNNEST(generate_series(0, 15)) u(j)
+       |  GROUP BY doc_id, j
+       |), bands AS (
+       |  SELECT doc_id, CAST(floor(j / 4) AS BIGINT) AS band,
+       |    sha256(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS sig
+       |  FROM mh GROUP BY doc_id, CAST(floor(j / 4) AS BIGINT)
+       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -846,28 +881,43 @@ object SparkEntry {
          |GROUP BY doc_id, j
          |ORDER BY doc_id, j""".stripMargin,
 
-    "dd_lsh_pairs" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts FROM documents
-         |), sh AS (
-         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
-         |  FROM toks, UNNEST(generate_series(1, len(ts) - 2)) t(i)
-         |  WHERE len(ts) >= 3
-         |), hs AS (
-         |  SELECT doc_id, ${sha32Sql("g")} AS h FROM sh
-         |), mh AS (
-         |  SELECT doc_id, j, MIN((h * (2 * j + 1) + 1000003 * j) % 4294967296) AS mh
-         |  FROM hs, UNNEST(generate_series(0, 15)) u(j)
-         |  GROUP BY doc_id, j
-         |), bands AS (
-         |  SELECT doc_id, CAST(floor(j / 4) AS BIGINT) AS band,
-         |    sha256(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS sig
-         |  FROM mh GROUP BY doc_id, CAST(floor(j / 4) AS BIGINT)
-         |)
-         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-         |WHERE a.doc_id < b.doc_id
-         |ORDER BY d1, d2""".stripMargin,
+    "dd_lsh_pairs" -> (LshBandsCtes +
+      """
+        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |WHERE a.doc_id < b.doc_id
+        |ORDER BY d1, d2""".stripMargin),
+
+    // 3 unrolled rounds of min-label propagation over the LSH pair graph —
+    // the same fixed iteration count the Spark side runs.
+    "dd_components" -> (LshBandsCtes +
+      """, pairs AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT d1 AS a, d2 AS b FROM pairs
+        |  UNION ALL SELECT d2 AS a, d1 AS b FROM pairs
+        |), l0 AS (
+        |  SELECT doc_id, doc_id AS label FROM documents
+        |), l1 AS (
+        |  SELECT l.doc_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
+        |  FROM l0 l LEFT JOIN edges e ON e.a = l.doc_id
+        |            LEFT JOIN l0 n ON n.doc_id = e.b
+        |  GROUP BY l.doc_id, l.label
+        |), l2 AS (
+        |  SELECT l.doc_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
+        |  FROM l1 l LEFT JOIN edges e ON e.a = l.doc_id
+        |            LEFT JOIN l1 n ON n.doc_id = e.b
+        |  GROUP BY l.doc_id, l.label
+        |), l3 AS (
+        |  SELECT l.doc_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
+        |  FROM l2 l LEFT JOIN edges e ON e.a = l.doc_id
+        |            LEFT JOIN l2 n ON n.doc_id = e.b
+        |  GROUP BY l.doc_id, l.label
+        |)
+        |SELECT doc_id, label AS cluster FROM l3
+        |ORDER BY doc_id""".stripMargin),
 
     "dd_simhash" ->
       s"""WITH toks AS (
@@ -1040,6 +1090,45 @@ object SparkEntry {
          |SELECT qid, cid, cos, CAST(rn AS INTEGER) AS rn FROM rankd WHERE rn <= 5
          |ORDER BY qid, rn""".stripMargin,
 
+    "sim_ivf_kmeans" ->
+      s"""WITH cents0 AS (
+         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8
+         |), a0 AS (
+         |  SELECT vec_id, embedding, centroid_id AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.embedding", "c.ce")}, 6) DESC, c.centroid_id) AS arn
+         |    FROM embeddings e CROSS JOIN cents0 c)
+         |  WHERE arn = 1
+         |), cmean AS (
+         |  SELECT cell, j, round(avg(CAST(embedding[j] AS DOUBLE)), 9) AS m
+         |  FROM a0, UNNEST(generate_series(1, len(embedding))) t(j)
+         |  GROUP BY cell, j
+         |), cents1 AS (
+         |  SELECT cell AS centroid_id, list(m ORDER BY j) AS ce FROM cmean GROUP BY cell
+         |), a1 AS (
+         |  SELECT vec_id, embedding, centroid_id AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.embedding", "c.ce")}, 6) DESC, c.centroid_id) AS arn
+         |    FROM embeddings e CROSS JOIN cents1 c)
+         |  WHERE arn = 1
+         |), q AS (
+         |  SELECT vec_id AS qid, embedding AS qe, cell FROM a1 WHERE vec_id < 8
+         |), cand AS (
+         |  SELECT vec_id AS cid, embedding AS ce, cell FROM a1
+         |), scored AS (
+         |  SELECT qid, cid, round(${cosSql("qe", "ce")}, 6) AS cos
+         |  FROM q JOIN cand USING (cell)
+         |  WHERE qid <> cid
+         |), ranked AS (
+         |  SELECT qid, cid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |  FROM scored
+         |)
+         |SELECT qid, cid, cos, CAST(rn AS INTEGER) AS rn FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
+
     "ta_langid" ->
       """SELECT doc_id, lang,
         |  CASE WHEN ce >= ca AND ce >= co THEN 'en'
@@ -1103,6 +1192,25 @@ object SparkEntry {
          |FROM wins
          |GROUP BY doc_id, band
          |ORDER BY doc_id, band""".stripMargin,
+
+    "ta_scrub" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or https://ex.test/d/' || CAST(doc_id AS VARCHAR) ||
+        |    ' ref 1234567' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INTEGER) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INTEGER) AS n_nums,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+        |FROM docs
+        |ORDER BY doc_id""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id,

@@ -170,6 +170,35 @@ object Dedup {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Near-dup CLUSTERS from the LSH candidate pairs: `rounds` iterations
+    * of min-label propagation over the (undirected) pair graph — each doc
+    * adopts the smallest doc_id reachable within `rounds` hops, so LSH
+    * "buckets of pairs" become usable keep-one-per-cluster groups (the
+    * step a real dedup pipeline runs between candidate generation and the
+    * corpus filter). Fixed round count keeps it deterministic and lets the
+    * DuckDB oracle unroll the same iterations; near-dup components are
+    * tiny (bounded by cluster diameter), so 3 hops converges in practice
+    * and `log(n)` rounds is the general bound.
+    *
+    * Scale posture: each round is one narrow (edge ⋈ label) shuffle keyed
+    * on doc_id — the standard iterative-dataflow shape for connected
+    * components; no driver-side graph. */
+  def lshComponents(documents: DataFrame, k: Int = 16, r: Int = 4,
+      rounds: Int = 3): DataFrame = {
+    val pairs = minhashLshPairs(documents, k, r)
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    var labels = documents.select(col("doc_id"), col("doc_id").as("label"))
+    for (_ <- 1 to rounds) {
+      val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
+        .groupBy(col("a")).agg(min("label").as("nl"))
+      labels = labels.join(nbrMin, labels("doc_id") === nbrMin("a"), "left_outer")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+    }
+    labels.select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id")
+  }
+
   /** n-gram (token) Jaccard between consecutive doc ids — the
     * oracle-checkable pairwise variant (the scalable path is MinHash+LSH).
     *

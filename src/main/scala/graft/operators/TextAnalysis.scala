@@ -79,6 +79,27 @@ object TextAnalysis {
       .select("doc_id", "quality")
       .orderBy("doc_id")
 
+  /** PII/link scrubbing — the redaction pass a training-data pipeline runs
+    * before tokenization: emails → `<EMAIL>`, URLs → `<URL>`, long digit
+    * runs (id/phone-shaped) → `<NUM>`, with per-doc match counts. Pure
+    * codegen'd regexp expressions; the synthetic corpus carries no PII, so
+    * the query composes a deterministic contact suffix per document to
+    * exercise the patterns (the oracle mirrors the composition). */
+  def scrub(documents: DataFrame): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val urlRe = "https?://[^\\s]+"
+    val numRe = "[0-9]{6,}"
+    val t = col("text")
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(t, lit(emailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(urlRe), lit(0))).as("n_urls"),
+      size(regexp_extract_all(t, lit(numRe), lit(0))).as("n_nums"),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        emailRe, "<EMAIL>"), urlRe, "<URL>"), numRe, "<NUM>").as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
   /** Winnowed rolling-hash fingerprints (the MOSS scheme): per token
     * window of `w`, a Rabin-Karp positional hash W_i = Σ h_{i+d}·B^{w-1-d}
     * mod 2^32 (B=7 keeps the 64-bit sum overflow-free at h<2^32); then

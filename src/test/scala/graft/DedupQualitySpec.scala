@@ -45,6 +45,27 @@ class DedupQualitySpec extends SparkSpec {
     assert(overlap(1L, 3L) < 0.05, s"unrelated overlap ${overlap(1L, 3L)}")
   }
 
+  test("lshComponents clusters near-dup chains transitively, singletons stay alone") {
+    // 2 is a near-dup of 1, and 4 a near-dup of 2 (but not of 1 directly):
+    // label propagation must pull all three into cluster 1 transitively.
+    val nearDup2 = nearDup.replace("token13 ", "tokenA ")
+      .replace("token77 ", "tokenB ").replace("token101 ", "tokenC ")
+    val chain = docs.unionByName(Seq((4L, nearDup2)).toDF("doc_id", "text"))
+    val clusters = Dedup.lshComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(4L) == 1L,
+      clusters.toString)
+    assert(clusters(3L) == 3L, s"unrelated doc joined a cluster: $clusters")
+  }
+
+  test("scrub masks emails, urls and id-shaped digit runs") {
+    val d = Seq((1L, "mail me at a.b+c@ex-1.org or see https://x.test/p?q=2 id 12345678 ok 123"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.scrub(d).head()
+    assert(r.getInt(1) == 1 && r.getInt(2) == 1 && r.getInt(3) == 1, r.toString)
+    assert(r.getString(4) == "mail me at <EMAIL> or see <URL> id <NUM> ok 123")
+  }
+
   test("minhash similarity estimates track true Jaccard") {
     val mh = Dedup.minhashWide(docs, k = 16).collect()
       .map(r => r.getLong(0) -> (1 until 17).map(r.getLong).toSeq).toMap

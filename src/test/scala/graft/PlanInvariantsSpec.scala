@@ -50,6 +50,25 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("n4b: every ACF dimension lookup broadcasts; one refs scan") {
+    val p = planOf("n4b_acf_lookup")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3, s"expected >=3 broadcast dim joins, got $broadcasts\n$p")
+  }
+
+  test("dd_jaccard: no raw-text shuffle — exchanges carry hashed arrays only") {
+    val p = planOf("dd_jaccard")
+    // the token string column must not appear in any Exchange's schema
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("w#"), s"raw token column crosses a shuffle\n$p")
+  }
+
+  test("s7b: offset+limit compose into TakeOrdered (no global sort materialized)") {
+    val p = planOf("s7b_event_paged")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("chunk generator: Generate node present (no array explode)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val p = graft.chunker.Chunker
