@@ -215,6 +215,22 @@ object SparkEntry {
     "n5_terms" -> ((s, dir) =>
       Normalizer.termSections(Catalog.productTerms(s, dir))),
 
+    // The reference's FULL normalized document: core + per-key meta +
+    // per-taxonomy terms + all 16 ACF types, one deterministic text per
+    // product (`build_preview`, class-field-normalizer.php:30-86).
+    "n7_full_text" -> ((s, dir) => {
+      val acfAll = Normalizer.acfRender(Catalog.acfValues(s, dir))
+        .unionByName(Normalizer.acfRenderLookup(
+          Catalog.acfLookupValues(s, dir),
+          Catalog.postTitles(s, dir),
+          Catalog.nation(s, dir).select(
+            col("n_nationkey").cast("bigint").as("term_id"),
+            col("n_name").as("term_name")),
+          Catalog.attachments(s, dir)))
+      Normalizer.composeFull(Catalog.products(s, dir),
+        Catalog.productMeta(s, dir), Catalog.productTerms(s, dir), acfAll)
+    }),
+
     // ============ §2.2 sink semantics as checkable dataflow ============
     // (The stateful ParquetVectorStore applies these same rewrites —
     // `store/VectorStore.scala` K3/K4; here the anti-filter / anti-join
@@ -417,6 +433,76 @@ object SparkEntry {
        |    sha256(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS sig
        |  FROM mh GROUP BY doc_id, CAST(floor(j / 4) AS BIGINT)
        |)""".stripMargin
+
+  /** Shared n4b ACF id-lookup CTE chain (n4b_acf_lookup / n7_full_text):
+    * acfl source rows, attachments dim, ref explode, dim joins,
+    * order-preserving reassembly (`joined`), row-local renders (`locals`). */
+  private val AcfLookupCtes: String =
+    """, acfl AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS product_id, 'badge' AS field_name,
+        |    'taxonomy' AS field_type, CAST(p_partkey % 25 AS VARCHAR) AS value FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'related', 'post_object',
+        |    CAST(p_partkey % 100 + 1 AS VARCHAR) FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'cross_sells', 'relationship',
+        |    CAST(p_partkey % 100 + 1 AS VARCHAR) || '|' || CAST(p_partkey % 100 + 51 AS VARCHAR) FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'hero_image', 'image',
+        |    CAST(p_partkey % 199 + 1 AS VARCHAR) FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'gallery_imgs', 'gallery',
+        |    CAST(p_partkey % 199 + 1 AS VARCHAR) || '|' || CAST(p_partkey % 199 + 2 AS VARCHAR) FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'spec_sheet', 'file',
+        |    CAST(p_partkey % 197 + 3 AS VARCHAR) FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'features', 'repeater',
+        |    'name=' || p_name || ',qty=' || CAST(p_partkey % 9 + 1 AS VARCHAR) ||
+        |    '|name=' || p_brand || ',qty=' || CAST(p_partkey % 5 + 1 AS VARCHAR) FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'sections', 'flexible_content',
+        |    'intro:text=' || p_type || '|dims:w=' || CAST(p_size AS VARCHAR) ||
+        |    ',h=' || CAST(p_partkey % 40 AS VARCHAR) FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'blurb', 'wysiwyg',
+        |    '<b>' || p_name || '</b> <i>' || p_type || '</i>' FROM part
+        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'container_sel', 'select',
+        |    'PKG-' || CAST(p_size AS VARCHAR) FROM part
+        |), attachments AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS attachment_id,
+        |    CASE WHEN p_partkey % 4 = 0 THEN '' ELSE 'Alt ' || p_name END AS alt,
+        |    CASE WHEN p_partkey % 2 = 0 THEN 'Caption ' || CAST(p_partkey AS VARCHAR) ELSE '' END AS caption,
+        |    'https://example.test/media/' || CAST(p_partkey AS VARCHAR) || '.jpg' AS url
+        |  FROM part
+        |), refs AS (
+        |  SELECT product_id, field_name, field_type, g.i AS pos,
+        |    CAST(string_split(value, '|')[g.i] AS BIGINT) AS ref_id
+        |  FROM acfl, UNNEST(generate_series(1, len(string_split(value, '|')))) g(i)
+        |  WHERE field_type IN ('taxonomy', 'post_object', 'relationship', 'image', 'gallery', 'file')
+        |), items AS (
+        |  SELECT r.product_id, r.field_name, r.pos,
+        |    CASE WHEN r.field_type = 'taxonomy' THEN n.n_name
+        |         WHEN r.field_type IN ('post_object', 'relationship') THEN pt.p_name
+        |         WHEN r.field_type = 'file' THEN a.url
+        |         WHEN a.alt <> '' THEN a.alt
+        |         WHEN a.caption <> '' THEN a.caption
+        |         ELSE a.url END AS item
+        |  FROM refs r
+        |  LEFT JOIN nation n ON r.ref_id = n.n_nationkey
+        |  LEFT JOIN part pt ON r.ref_id = pt.p_partkey
+        |  LEFT JOIN attachments a ON r.ref_id = a.attachment_id
+        |), joined AS (
+        |  SELECT product_id, field_name, string_agg(item, ', ' ORDER BY pos) AS rendered
+        |  FROM items GROUP BY product_id, field_name
+        |), locals AS (
+        |  SELECT product_id, field_name,
+        |    CASE field_type
+        |      WHEN 'wysiwyg' THEN trim(regexp_replace(regexp_replace(value, '<[^>]*>', '', 'g'), '\s+', ' ', 'g'))
+        |      WHEN 'select' THEN value
+        |      WHEN 'repeater' THEN array_to_string(list_transform(string_split(value, '|'), r ->
+        |          array_to_string(list_transform(string_split(r, ','), kv ->
+        |            string_split(kv, '=')[1] || ': ' || string_split(kv, '=')[2]), '; ')), ' / ')
+        |      ELSE array_to_string(list_transform(string_split(value, '|'), r ->
+        |          regexp_extract(r, '^([^:]+):(.*)$', 1) || ' — ' ||
+        |          array_to_string(list_transform(string_split(regexp_extract(r, '^([^:]+):(.*)$', 2), ','), kv ->
+        |            string_split(kv, '=')[1] || ': ' || string_split(kv, '=')[2]), '; ')), ' / ')
+        |    END AS rendered
+        |  FROM acfl
+        |  WHERE field_type IN ('wysiwyg', 'select', 'repeater', 'flexible_content')
+        |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -697,75 +783,92 @@ object SparkEntry {
          |FROM acf
          |ORDER BY product_id, field_name""".stripMargin),
 
-    "n4b_acf_lookup" -> (P +
-      """, acfl AS (
-        |  SELECT CAST(p_partkey AS BIGINT) AS product_id, 'badge' AS field_name,
-        |    'taxonomy' AS field_type, CAST(p_partkey % 25 AS VARCHAR) AS value FROM part
-        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'related', 'post_object',
-        |    CAST(p_partkey % 100 + 1 AS VARCHAR) FROM part
-        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'cross_sells', 'relationship',
-        |    CAST(p_partkey % 100 + 1 AS VARCHAR) || '|' || CAST(p_partkey % 100 + 51 AS VARCHAR) FROM part
-        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'hero_image', 'image',
-        |    CAST(p_partkey % 199 + 1 AS VARCHAR) FROM part
-        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'gallery_imgs', 'gallery',
-        |    CAST(p_partkey % 199 + 1 AS VARCHAR) || '|' || CAST(p_partkey % 199 + 2 AS VARCHAR) FROM part
-        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'spec_sheet', 'file',
-        |    CAST(p_partkey % 197 + 3 AS VARCHAR) FROM part
-        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'features', 'repeater',
-        |    'name=' || p_name || ',qty=' || CAST(p_partkey % 9 + 1 AS VARCHAR) ||
-        |    '|name=' || p_brand || ',qty=' || CAST(p_partkey % 5 + 1 AS VARCHAR) FROM part
-        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'sections', 'flexible_content',
-        |    'intro:text=' || p_type || '|dims:w=' || CAST(p_size AS VARCHAR) ||
-        |    ',h=' || CAST(p_partkey % 40 AS VARCHAR) FROM part
-        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'blurb', 'wysiwyg',
-        |    '<b>' || p_name || '</b> <i>' || p_type || '</i>' FROM part
-        |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'container_sel', 'select',
-        |    'PKG-' || CAST(p_size AS VARCHAR) FROM part
-        |), attachments AS (
-        |  SELECT CAST(p_partkey AS BIGINT) AS attachment_id,
-        |    CASE WHEN p_partkey % 4 = 0 THEN '' ELSE 'Alt ' || p_name END AS alt,
-        |    CASE WHEN p_partkey % 2 = 0 THEN 'Caption ' || CAST(p_partkey AS VARCHAR) ELSE '' END AS caption,
-        |    'https://example.test/media/' || CAST(p_partkey AS VARCHAR) || '.jpg' AS url
-        |  FROM part
-        |), refs AS (
-        |  SELECT product_id, field_name, field_type, g.i AS pos,
-        |    CAST(string_split(value, '|')[g.i] AS BIGINT) AS ref_id
-        |  FROM acfl, UNNEST(generate_series(1, len(string_split(value, '|')))) g(i)
-        |  WHERE field_type IN ('taxonomy', 'post_object', 'relationship', 'image', 'gallery', 'file')
-        |), items AS (
-        |  SELECT r.product_id, r.field_name, r.pos,
-        |    CASE WHEN r.field_type = 'taxonomy' THEN n.n_name
-        |         WHEN r.field_type IN ('post_object', 'relationship') THEN pt.p_name
-        |         WHEN r.field_type = 'file' THEN a.url
-        |         WHEN a.alt <> '' THEN a.alt
-        |         WHEN a.caption <> '' THEN a.caption
-        |         ELSE a.url END AS item
-        |  FROM refs r
-        |  LEFT JOIN nation n ON r.ref_id = n.n_nationkey
-        |  LEFT JOIN part pt ON r.ref_id = pt.p_partkey
-        |  LEFT JOIN attachments a ON r.ref_id = a.attachment_id
-        |), joined AS (
-        |  SELECT product_id, field_name, string_agg(item, ', ' ORDER BY pos) AS rendered
-        |  FROM items GROUP BY product_id, field_name
-        |), locals AS (
-        |  SELECT product_id, field_name,
-        |    CASE field_type
-        |      WHEN 'wysiwyg' THEN trim(regexp_replace(regexp_replace(value, '<[^>]*>', '', 'g'), '\s+', ' ', 'g'))
-        |      WHEN 'select' THEN value
-        |      WHEN 'repeater' THEN array_to_string(list_transform(string_split(value, '|'), r ->
-        |          array_to_string(list_transform(string_split(r, ','), kv ->
-        |            string_split(kv, '=')[1] || ': ' || string_split(kv, '=')[2]), '; ')), ' / ')
-        |      ELSE array_to_string(list_transform(string_split(value, '|'), r ->
-        |          regexp_extract(r, '^([^:]+):(.*)$', 1) || ' — ' ||
-        |          array_to_string(list_transform(string_split(regexp_extract(r, '^([^:]+):(.*)$', 2), ','), kv ->
-        |            string_split(kv, '=')[1] || ': ' || string_split(kv, '=')[2]), '; ')), ' / ')
-        |    END AS rendered
-        |  FROM acfl
-        |  WHERE field_type IN ('wysiwyg', 'select', 'repeater', 'flexible_content')
-        |)
+    "n4b_acf_lookup" -> (P + AcfLookupCtes +
+      """
         |SELECT product_id, field_name, rendered FROM joined
         |UNION ALL SELECT product_id, field_name, rendered FROM locals
         |ORDER BY product_id, field_name""".stripMargin),
+
+    "n7_full_text" -> (P + AcfLookupCtes +
+      s""", acf_scalar AS (
+         |  SELECT product_id, field_name,
+         |    CASE field_type
+         |      WHEN 'true_false' THEN CASE WHEN value = '1' THEN 'true' ELSE 'false' END
+         |      WHEN 'checkbox' THEN replace(value, '|', ', ')
+         |      WHEN 'group' THEN replace(replace(value, '=', ': '), '|', '; ')
+         |      ELSE value END AS rendered
+         |  FROM (
+         |    SELECT CAST(p_partkey AS BIGINT) AS product_id, 'highlight' AS field_name, 'text' AS field_type, p_name AS value FROM part
+         |    UNION ALL SELECT CAST(p_partkey AS BIGINT), 'is_featured', 'true_false', CAST(p_partkey % 2 AS VARCHAR) FROM part
+         |    UNION ALL SELECT CAST(p_partkey AS BIGINT), 'rating', 'number', CAST(p_partkey % 5 + 1 AS VARCHAR) FROM part
+         |    UNION ALL SELECT CAST(p_partkey AS BIGINT), 'release_date', 'date',
+         |      strftime(TIMESTAMP '${OracleSql.Base}' + INTERVAL (p_partkey) DAY, '%Y-%m-%d') FROM part
+         |    UNION ALL SELECT CAST(p_partkey AS BIGINT), 'colors', 'checkbox',
+         |      CASE WHEN p_partkey % 3 = 0 THEN 'red|blue'
+         |           WHEN p_partkey % 3 = 1 THEN 'green'
+         |           ELSE 'red|green|blue' END FROM part
+         |    UNION ALL SELECT CAST(p_partkey AS BIGINT), 'spec', 'group',
+         |      'w=' || CAST(p_size AS VARCHAR) || '|brand=' || p_brand FROM part
+         |  )
+         |), acf_all AS (
+         |  SELECT * FROM acf_scalar
+         |  UNION ALL SELECT product_id, field_name, rendered FROM joined
+         |  UNION ALL SELECT product_id, field_name, rendered FROM locals
+         |), acf_lines AS (
+         |  SELECT product_id,
+         |    string_agg(field_name || ': ' || rendered, chr(10)
+         |      ORDER BY field_name, field_name || ': ' || rendered) AS acf_block
+         |  FROM acf_all GROUP BY product_id
+         |), meta0 AS (
+         |  SELECT CAST(p_partkey AS BIGINT) AS product_id, 'material' AS key, p_type AS value FROM part
+         |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'container', 'PKG-' || CAST(p_size AS VARCHAR) FROM part
+         |  UNION ALL SELECT CAST(p_partkey AS BIGINT), '_edit_lock', '17000000' || CAST(p_partkey % 10 AS VARCHAR) FROM part
+         |  UNION ALL SELECT CAST(p_partkey AS BIGINT), '_private_note', 'note-' || p_partkey FROM part
+         |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'warranty_months', CAST(p_partkey % 36 + 1 AS VARCHAR) FROM part
+         |), meta_lines AS (
+         |  SELECT product_id,
+         |    string_agg(key || ': ' || value, chr(10)
+         |      ORDER BY key, key || ': ' || value) AS meta_block
+         |  FROM meta0
+         |  WHERE key NOT IN ('_edit_lock', '_thumbnail_id')
+         |    AND key NOT LIKE '\\_%' ESCAPE '\\'
+         |  GROUP BY product_id
+         |), terms0 AS (
+         |  SELECT CAST(p_partkey AS BIGINT) AS product_id, 'product_cat' AS taxonomy,
+         |    'cat-' || CAST(p_partkey % 8 AS VARCHAR) AS term FROM part
+         |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'product_tag',
+         |    'tag-' || CAST(p_partkey % 5 AS VARCHAR) FROM part
+         |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'pa_color',
+         |    CASE WHEN p_partkey % 3 = 0 THEN 'royal-blue'
+         |         WHEN p_partkey % 3 = 1 THEN 'forest-green'
+         |         ELSE 'matte_black' END FROM part
+         |  UNION ALL SELECT CAST(p_partkey AS BIGINT), 'pa_finish',
+         |    CASE WHEN p_partkey % 2 = 0 THEN 'brushed-steel' ELSE 'oiled_oak' END FROM part
+         |), trendered AS (
+         |  SELECT product_id, taxonomy,
+         |    CASE WHEN taxonomy LIKE 'pa\\_%' ESCAPE '\\'
+         |      THEN upper(substr(taxonomy, 4, 1)) || substr(taxonomy, 5)
+         |      ELSE taxonomy END AS label,
+         |    CASE WHEN taxonomy LIKE 'pa\\_%' ESCAPE '\\'
+         |      THEN ${prettySql("term")}
+         |      ELSE term END AS v
+         |  FROM terms0
+         |), tagg AS (
+         |  SELECT product_id, taxonomy, label, string_agg(v, ', ' ORDER BY v) AS terms
+         |  FROM trendered GROUP BY product_id, taxonomy, label
+         |), term_lines AS (
+         |  SELECT product_id,
+         |    string_agg(label || ': ' || terms, chr(10)
+         |      ORDER BY taxonomy, label || ': ' || terms) AS term_block
+         |  FROM tagg GROUP BY product_id
+         |)
+         |SELECT product_id,
+         |  concat_ws(chr(10), $normalizedTextSql, meta_block, term_block, acf_block) AS text
+         |FROM products
+         |LEFT JOIN meta_lines USING (product_id)
+         |LEFT JOIN term_lines USING (product_id)
+         |LEFT JOIN acf_lines USING (product_id)
+         |ORDER BY product_id""".stripMargin),
 
     "n5_terms" -> (P +
       """, terms0 AS (

@@ -171,6 +171,46 @@ object Normalizer {
       .orderBy("product_id", "taxonomy")
   }
 
+  /** The reference's FULL normalized text (`build_preview`,
+    * `includes/class-field-normalizer.php:30-86`): core sections + one
+    * `key: value` line per visible meta key + one `Label: terms` line per
+    * taxonomy + one `field: rendered` line per ACF field (scalar AND
+    * lookup types), newline-joined in deterministic order (core first,
+    * then meta sorted by key, terms by taxonomy, ACF by field name —
+    * SURVEY §1.3's determinism rule).
+    *
+    * Scale posture: four narrow per-product aggregations joined on
+    * product_id; each side is pre-reduced to one row per product before
+    * its join, so the fan-in never multiplies rows. */
+  def composeFull(products: DataFrame, meta: DataFrame, terms: DataFrame,
+      acfRendered: DataFrame, showPrivate: Boolean = false): DataFrame = {
+    def lines(df: DataFrame, order: org.apache.spark.sql.Column,
+        line: org.apache.spark.sql.Column) =
+      df.groupBy("product_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(order.as("o"), line.as("l")))),
+          s => s.getField("l")), "\n").as("block"))
+    val metaLines = lines(
+      meta.where(!col("key").isin(MetaBlacklist: _*))
+        .where(if (showPrivate) lit(true) else !col("key").startsWith("_")),
+      col("key"), concat(col("key"), lit(": "), col("value")))
+      .withColumnRenamed("block", "meta_block")
+    val termLines = lines(termSections(terms),
+      col("taxonomy"), concat(col("label"), lit(": "), col("terms")))
+      .withColumnRenamed("block", "term_block")
+    val acfLines = lines(acfRendered,
+      col("field_name"), concat(col("field_name"), lit(": "), col("rendered")))
+      .withColumnRenamed("block", "acf_block")
+    normalize(products)
+      .join(metaLines, Seq("product_id"), "left_outer")
+      .join(termLines, Seq("product_id"), "left_outer")
+      .join(acfLines, Seq("product_id"), "left_outer")
+      .select(col("product_id"),
+        concat_ws("\n", col("text"), col("meta_block"), col("term_block"),
+          col("acf_block")).as("text"))
+      .orderBy("product_id")
+  }
+
   /** F7 product fingerprint: sha256 binding {text, chunking config, model,
     * dimension} (reference `includes/class-fingerprint.php:23-44`). */
   def fingerprint(normalized: DataFrame,
