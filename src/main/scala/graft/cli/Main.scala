@@ -48,6 +48,9 @@ object Main {
       .appName("graft-cli")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // session-build-time (not per-read mutation): the events parquet is
+      // TIMESTAMP(NANOS), which Spark only reads via this legacy conf
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -195,7 +198,19 @@ object Main {
         val n = planned.count()
         println(s"tick $t: planned $n candidates (watermark=${wm.get.getOrElse("<none>")})")
         if (n > 0) {
-          val cand = graft.normalize.Normalizer.normalize(products)
+          // full reference document: core + meta + terms + all ACF types
+          val acfAll = graft.normalize.Normalizer
+            .acfRender(graft.catalog.Catalog.acfValues(spark, data))
+            .unionByName(graft.normalize.Normalizer.acfRenderLookup(
+              graft.catalog.Catalog.acfLookupValues(spark, data),
+              graft.catalog.Catalog.postTitles(spark, data),
+              graft.catalog.Catalog.nation(spark, data).select(
+                col("n_nationkey").cast("bigint").as("term_id"),
+                col("n_name").as("term_name")),
+              graft.catalog.Catalog.attachments(spark, data)))
+          val cand = graft.normalize.Normalizer.composeFull(products,
+              graft.catalog.Catalog.productMeta(spark, data),
+              graft.catalog.Catalog.productTerms(spark, data), acfAll)
             .join(planned, Seq("product_id"), "left_semi")
             .join(products.select("product_id", "site_id", "sku"), Seq("product_id"))
             .select("product_id", "site_id", "sku", "text")
