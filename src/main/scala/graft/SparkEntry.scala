@@ -318,6 +318,8 @@ object SparkEntry {
 
     "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(Catalog.documents(s, dir))),
 
+    "mm_frames" -> ((s, dir) => Multimodal.frameSamplePlan(Catalog.documents(s, dir))),
+
     "st_hourly" -> ((s, dir) => EventStream.hourlyCounts(s, dir)),
 
     "st_debounce" -> ((s, dir) => EventStream.debouncedTotals(s, dir)),
@@ -1326,6 +1328,26 @@ object SparkEntry {
         |       ELSE 'webp' END AS format
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "mm_frames" ->
+      """WITH meta AS (
+        |  SELECT doc_id, CAST(strlen(text) AS BIGINT) // 1000 + 1 AS n_frames
+        |  FROM documents
+        |), m2 AS (
+        |  SELECT doc_id, n_frames,
+        |    greatest(CAST(1 AS BIGINT), n_frames // 8) AS stride
+        |  FROM meta
+        |), frames AS (
+        |  SELECT doc_id, n_frames, stride, f.fi AS frame_idx
+        |  FROM m2, UNNEST(generate_series(0, n_frames - 1, stride)) f(fi)
+        |)
+        |SELECT doc_id, n_frames,
+        |  CAST(frame_idx // stride AS INTEGER) AS sample_idx,
+        |  frame_idx,
+        |  round(frame_idx / 24.0, 3) AS ts_sec
+        |FROM frames
+        |WHERE frame_idx // stride < 8
+        |ORDER BY doc_id, sample_idx""".stripMargin,
 
     "st_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

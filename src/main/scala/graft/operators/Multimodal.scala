@@ -37,6 +37,32 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Video frame-sampling plan over a binary column: derive the stream's
+    * frame count from its metadata (here: bytes/1000 + 1 at a nominal
+    * 24 fps — a real container parser slots in at the same column), pick
+    * an even sampling stride targeting ≤ `maxFrames` samples, and emit
+    * one row per sampled frame with its index and timestamp. This is the
+    * PLAN side of frame extraction — the rows feed the batched decode
+    * path ([[decodePartitioned]]) which would seek those offsets.
+    *
+    * Scale posture: pure expressions + one `posexplode` whose fan-out is
+    * capped at `maxFrames` rows per asset; binary payloads stay in place. */
+  def frameSamplePlan(documents: DataFrame, maxFrames: Int = 8,
+      fps: Double = 24.0): DataFrame =
+    documents
+      .select(col("doc_id"),
+        expr("CAST(octet_length(text) AS BIGINT) DIV 1000 + 1").as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        greatest(lit(1L), expr(s"n_frames DIV $maxFrames")).as("stride"))
+      .select(col("doc_id"), col("n_frames"), col("stride"),
+        posexplode(sequence(lit(0L), col("n_frames") - 1, col("stride"))))
+      .where(col("pos") < maxFrames)
+      .select(col("doc_id"), col("n_frames"),
+        col("pos").cast("int").as("sample_idx"),
+        col("col").as("frame_idx"),
+        round(col("col") / lit(fps), 3).as("ts_sec"))
+      .orderBy("doc_id", "sample_idx")
+
   /** STUB decode: a real implementation would decode image bytes here
     * (libs not in this container). Deterministic fake keeps the pipeline
     * testable end-to-end. */
