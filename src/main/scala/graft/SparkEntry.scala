@@ -279,6 +279,12 @@ object SparkEntry {
 
     "dd_components" -> ((s, dir) => Dedup.lshComponents(Catalog.documents(s, dir))),
 
+    // eval-leakage check: docs 0-4 act as the benchmark set
+    "dd_decontaminate" -> ((s, dir) => {
+      val docs = Catalog.documents(s, dir)
+      Dedup.decontaminate(docs, docs.where(col("doc_id") < 5))
+    }),
+
     // ================= similarity extensions =================
 
     "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(Catalog.embeddings(s, dir))),
@@ -303,6 +309,10 @@ object SparkEntry {
     "ta_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Catalog.documents(s, dir))),
     "ta_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Catalog.documents(s, dir))),
     "ta_winnow" -> ((s, dir) => TextAnalysis.winnow(Catalog.documents(s, dir))),
+
+    "ta_split" -> ((s, dir) => TextAnalysis.split(Catalog.documents(s, dir))),
+
+    "ta_stats" -> ((s, dir) => TextAnalysis.corpusStats(Catalog.documents(s, dir))),
 
     // PII scrub over documents with a deterministic composed contact
     // suffix (the corpus itself carries no PII; oracle mirrors the compose).
@@ -1297,6 +1307,53 @@ object SparkEntry {
          |FROM wins
          |GROUP BY doc_id, band
          |ORDER BY doc_id, band""".stripMargin,
+
+    "ta_split" ->
+      s"""SELECT doc_id,
+         |  ${sha32Sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+         |  CASE WHEN ${sha32Sql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+         |       WHEN ${sha32Sql("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+
+    "ta_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(t AS BIGINT)) AS BIGINT) AS total_tokens,
+        |  round(avg(CAST(t AS DOUBLE)), 4) AS mean_tokens,
+        |  round(avg(q), 4) AS mean_quality
+        |FROM (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text, '\S+')) AS t,
+        |    least(1.0, len(regexp_extract_all(text, '\S+')) / 100.0) *
+        |      (1.0 - ((length(text) - length(replace(text, ' the ', ''))) / 5)
+        |             / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)) AS q
+        |  FROM documents)
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "dd_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+         |  FROM toks, UNNEST(generate_series(1, len(ts) - 2)) t(i)
+         |  WHERE len(ts) >= 3
+         |), hs AS (
+         |  SELECT doc_id, ${sha32Sql("g")} AS h FROM sh
+         |), bench AS (
+         |  SELECT DISTINCT h FROM hs WHERE doc_id < 5
+         |), agg AS (
+         |  SELECT hs.doc_id, COUNT(*) AS n_shingles,
+         |    CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM hs LEFT JOIN bench b ON hs.h = b.h
+         |  GROUP BY hs.doc_id
+         |)
+         |SELECT doc_id, n_shingles, n_hit,
+         |  round(n_hit / n_shingles, 4) AS overlap,
+         |  CAST(round(n_hit / n_shingles, 4) >= 0.5 AS INTEGER) AS contaminated
+         |FROM agg
+         |ORDER BY doc_id""".stripMargin,
 
     "ta_scrub" ->
       """WITH docs AS (

@@ -170,6 +170,30 @@ object Dedup {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Benchmark DECONTAMINATION: fraction of each document's distinct
+    * 3-gram shingles that appear in a benchmark set's shingles — the
+    * standard eval-leakage check a training pipeline runs before release.
+    * Shingles hash to sha32 (one sha256 each, as [[minhashWide]]); the
+    * benchmark's distinct hash set is tiny (eval suites are small), so
+    * the probe join broadcasts and the corpus side never shuffles; the
+    * per-doc fraction is one map-side-combinable aggregation.
+    * Returns (doc_id, n_shingles, n_hit, overlap, contaminated). */
+  def decontaminate(documents: DataFrame, benchmark: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    def hashed(df: DataFrame) = shingles(df)
+      .select(col("doc_id"), sha32(col("g")).as("h"))
+    val bench = hashed(benchmark).select("h").distinct()
+    hashed(documents)
+      .join(broadcast(bench.withColumn("hit", lit(1))), Seq("h"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        round(col("n_hit") / col("n_shingles"), 4).as("overlap"))
+      .withColumn("contaminated", (col("overlap") >= threshold).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup CLUSTERS from the LSH candidate pairs: `rounds` iterations
     * of min-label propagation over the (undirected) pair graph — each doc
     * adopts the smallest doc_id reachable within `rounds` hops, so LSH

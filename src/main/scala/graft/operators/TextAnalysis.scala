@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.Functions.sha32
 
 /** Text-analysis operators for a training-data pipeline: language-ID
   * heuristic, quality scoring, token counting, document fingerprinting.
@@ -98,6 +99,39 @@ object TextAnalysis {
       regexp_replace(regexp_replace(regexp_replace(t,
         emailRe, "<EMAIL>"), urlRe, "<URL>"), numRe, "<NUM>").as("scrubbed"))
       .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test split: bucket = sha32 of the document
+    * id mod 100 → 90/5/5. Hash-based (not random) so the split is stable
+    * across runs, machines and engines — the property a training pipeline
+    * needs for reproducible data cards. Map-only; no shuffle. */
+  def split(documents: DataFrame): DataFrame = {
+    val bucket = pmod(sha32(col("doc_id").cast("string")), lit(100L))
+    documents.select(
+      col("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < 90, "train").when(bucket < 95, "val")
+        .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus statistics per language — the reporting aggregation behind a
+    * dataset card: document count, token totals/means, mean quality.
+    * One map-side-combinable groupBy. */
+  def corpusStats(documents: DataFrame): DataFrame = {
+    val nTokens = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+    val stopHits = (length(col("text")) -
+      length(regexp_replace(col("text"), " the ", ""))) / lit(5)
+    val quality = least(lit(1.0), nTokens / lit(100.0)) *
+      (lit(1.0) - stopHits / nTokens.cast("double"))
+    documents
+      .select(col("lang"), nTokens.as("t"), quality.as("q"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t").cast("bigint")).as("total_tokens"),
+        round(avg(col("t").cast("double")), 4).as("mean_tokens"),
+        round(avg(col("q")), 4).as("mean_quality"))
+      .orderBy("lang")
   }
 
   /** Winnowed rolling-hash fingerprints (the MOSS scheme): per token
