@@ -360,11 +360,13 @@ object SparkEntry {
     s"""CASE WHEN len($l) > $cap
        |      THEN array_to_string($l[1:$cap], ', ') || ' (+' || (len($l) - $cap) || ' more)'
        |      ELSE array_to_string($l, ', ') END""".stripMargin
-  /** SQL mirror of the F15 prettifier (initcap over slug words). */
+  /** SQL mirror of the F15 prettifier. Spark's initcap lower-cases the
+    * tail of each word, so the mirror must too ("ROYAL-BLUE" → "Royal
+    * Blue", not "ROYAL BLUE"). */
   private def prettySql(v: String): String =
     s"""array_to_string(list_transform(
        |        string_split(replace($v, '_', '-'), '-'),
-       |        w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ')""".stripMargin
+       |        w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), ' ')""".stripMargin
   /** Mirror of Catalog.variationAttributes (all three attribute keys). */
   private val VattrsCte: String =
     """vattrs AS (
@@ -408,13 +410,13 @@ object SparkEntry {
       |    ${valueSetSql("size_list", 2)} AS sizes,
       |    ${valueSetSql("sku_list", 2)} AS skus,
       |    ${valueSetSql("color_list", 2)} AS colors
-      |  FROM agg JOIN color_sets USING (parent_id)
+      |  FROM agg LEFT JOIN color_sets USING (parent_id)
       |)
       |""".stripMargin
   private val RollupTextSql: String =
     "'Variations: ' || n_variations || '; Price range: ' || price_min || " +
     "' - ' || price_max || '; Sizes: ' || sizes || '; SKUs: ' || skus || " +
-    "'; Colors: ' || colors"
+    "COALESCE('; Colors: ' || colors, '')"
 
   /** sha32: first 8 hex chars of sha256 as integer (mirror of Functions.sha32). */
   private def sha32Sql(x: String): String =
@@ -859,7 +861,7 @@ object SparkEntry {
          |), trendered AS (
          |  SELECT product_id, taxonomy,
          |    CASE WHEN taxonomy LIKE 'pa\\_%' ESCAPE '\\'
-         |      THEN upper(substr(taxonomy, 4, 1)) || substr(taxonomy, 5)
+         |      THEN upper(substr(taxonomy, 4, 1)) || lower(substr(taxonomy, 5))
          |      ELSE taxonomy END AS label,
          |    CASE WHEN taxonomy LIKE 'pa\\_%' ESCAPE '\\'
          |      THEN ${prettySql("term")}
@@ -897,12 +899,12 @@ object SparkEntry {
         |), rendered AS (
         |  SELECT product_id, taxonomy,
         |    CASE WHEN taxonomy LIKE 'pa\_%' ESCAPE '\'
-        |      THEN upper(substr(taxonomy, 4, 1)) || substr(taxonomy, 5)
+        |      THEN upper(substr(taxonomy, 4, 1)) || lower(substr(taxonomy, 5))
         |      ELSE taxonomy END AS label,
         |    CASE WHEN taxonomy LIKE 'pa\_%' ESCAPE '\'
         |      THEN array_to_string(list_transform(
         |        string_split(replace(term, '_', '-'), '-'),
-        |        w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ')
+        |        w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), ' ')
         |      ELSE term END AS v
         |  FROM terms0
         |)

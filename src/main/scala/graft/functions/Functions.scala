@@ -48,6 +48,13 @@ object Functions {
   def shaUnit(c: Column): Column =
     sha32(c) / lit(4294967296.0) * 2.0 - 1.0
 
+  /** F15 slug prettifier: `royal-blue`/`matte_black` → `Royal Blue` /
+    * `Matte Black` (reference `ucwords(replace(_,-, ' '))`,
+    * `includes/class-variation-rollup.php:156-183`). One definition shared
+    * by term sections and the attribute rollup so the SQL mirror
+    * (SparkEntry.prettySql) tracks a single expression. */
+  def prettySlug(c: Column): Column = initcap(translate(c, "-_", "  "))
+
   /** Sorted-distinct-join with cap: renders a value set the way the
     * variation rollup does (`includes/class-variation-rollup.php:112-152`):
     * natural sort, cap at `cap`, `(+N more)` suffix. Input: an unsorted

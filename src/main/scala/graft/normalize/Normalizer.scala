@@ -43,10 +43,16 @@ object Normalizer {
     * flatten (`"k: v; k2: v2"`, `class-field-normalizer.php:489-516`) and
     * F6 compact-JSON render (`class-field-normalizer.php:305-316`), both
     * over key-sorted entries so output is deterministic (SURVEY §1.3). */
-  def metaSections(meta: DataFrame, showPrivate: Boolean = false): DataFrame = {
-    val visible = meta
+  /** P3/P4 meta-visibility rule, shared by every path that reads meta
+    * (metaSections and composeFull must never disagree on which keys are
+    * indexed). */
+  def visibleMeta(meta: DataFrame, showPrivate: Boolean): DataFrame =
+    meta
       .where(!col("key").isin(MetaBlacklist: _*))
       .where(if (showPrivate) lit(true) else !col("key").startsWith("_"))
+
+  def metaSections(meta: DataFrame, showPrivate: Boolean = false): DataFrame = {
+    val visible = visibleMeta(meta, showPrivate)
     visible.groupBy("product_id")
       .agg(array_sort(collect_list(struct(col("key"), col("value")))).as("kvs"))
       .select(
@@ -164,7 +170,7 @@ object Normalizer {
       .select(col("product_id"), col("taxonomy"),
         when(isAttr, initcap(regexp_replace(col("taxonomy"), "^pa_", "")))
           .otherwise(col("taxonomy")).as("label"),
-        when(isAttr, initcap(translate(col("term"), "-_", "  ")))
+        when(isAttr, graft.functions.Functions.prettySlug(col("term")))
           .otherwise(col("term")).as("v"))
       .groupBy("product_id", "taxonomy", "label")
       .agg(array_join(array_sort(collect_list(col("v"))), ", ").as("terms"))
@@ -190,9 +196,7 @@ object Normalizer {
         .agg(array_join(transform(
           array_sort(collect_list(struct(order.as("o"), line.as("l")))),
           s => s.getField("l")), "\n").as("block"))
-    val metaLines = lines(
-      meta.where(!col("key").isin(MetaBlacklist: _*))
-        .where(if (showPrivate) lit(true) else !col("key").startsWith("_")),
+    val metaLines = lines(visibleMeta(meta, showPrivate),
       col("key"), concat(col("key"), lit(": "), col("value")))
       .withColumnRenamed("block", "meta_block")
     val termLines = lines(termSections(terms),

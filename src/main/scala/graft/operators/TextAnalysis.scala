@@ -31,21 +31,27 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // shared scoring expressions — quality(), filterByQuality() and
+  // corpusStats() must grade with the SAME metric definition
+  private def nTokensCol = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+  private def stopHitsCol =
+    (length(col("text")) - length(regexp_replace(col("text"), " the ", ""))) / lit(5)
+  private def qualityCol =
+    least(lit(1.0), nTokensCol / lit(100.0)) *
+      (lit(1.0) - stopHitsCol / nTokensCol.cast("double"))
+
   /** Quality scoring: token count, average token length, stopword ratio,
     * a [0,1] composite. */
   def quality(documents: DataFrame): DataFrame = {
     val t = col("text")
-    val nTokens = size(regexp_extract_all(t, lit("\\S+"), lit(0)))
     val nonSpace = length(regexp_replace(t, " ", ""))
-    val stopHits = (length(t) - length(regexp_replace(t, " the ", ""))) / lit(5)
     documents.select(
       col("doc_id"),
       length(t).as("n_chars"),
-      nTokens.as("n_tokens"),
-      round(nonSpace / nTokens.cast("double"), 4).as("avg_token_len"),
-      round(stopHits / nTokens.cast("double"), 4).as("stop_ratio"),
-      round(least(lit(1.0), nTokens / lit(100.0)) *
-        (lit(1.0) - stopHits / nTokens.cast("double")), 4).as("quality"))
+      nTokensCol.as("n_tokens"),
+      round(nonSpace / nTokensCol.cast("double"), 4).as("avg_token_len"),
+      round(stopHitsCol / nTokensCol.cast("double"), 4).as("stop_ratio"),
+      round(qualityCol, 4).as("quality"))
       .orderBy("doc_id")
   }
 
@@ -73,7 +79,8 @@ object TextAnalysis {
   }
 
   /** Apply the quality score as a corpus filter — the training-pipeline
-    * action form of [[quality]]: keep documents at or above `threshold`. */
+    * action form of [[quality]] (same [[qualityCol]] metric): keep
+    * documents at or above `threshold`. */
   def filterByQuality(documents: DataFrame, threshold: Double = 0.5): DataFrame =
     quality(documents)
       .where(col("quality") >= threshold)
@@ -118,21 +125,15 @@ object TextAnalysis {
   /** Corpus statistics per language — the reporting aggregation behind a
     * dataset card: document count, token totals/means, mean quality.
     * One map-side-combinable groupBy. */
-  def corpusStats(documents: DataFrame): DataFrame = {
-    val nTokens = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
-    val stopHits = (length(col("text")) -
-      length(regexp_replace(col("text"), " the ", ""))) / lit(5)
-    val quality = least(lit(1.0), nTokens / lit(100.0)) *
-      (lit(1.0) - stopHits / nTokens.cast("double"))
+  def corpusStats(documents: DataFrame): DataFrame =
     documents
-      .select(col("lang"), nTokens.as("t"), quality.as("q"))
+      .select(col("lang"), nTokensCol.as("t"), qualityCol.as("q"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("t").cast("bigint")).as("total_tokens"),
         round(avg(col("t").cast("double")), 4).as("mean_tokens"),
         round(avg(col("q")), 4).as("mean_quality"))
       .orderBy("lang")
-  }
 
   /** Winnowed rolling-hash fingerprints (the MOSS scheme): per token
     * window of `w`, a Rabin-Karp positional hash W_i = Σ h_{i+d}·B^{w-1-d}
@@ -162,7 +163,9 @@ object TextAnalysis {
         val md = java.security.MessageDigest.getInstance("SHA-256")
         val tokenRe = java.util.regex.Pattern.compile("\\S+")
         it.flatMap { case (docId, text) =>
-          val m = tokenRe.matcher(text.toLowerCase)
+          // Locale.ROOT: executor-default locales (e.g. Turkish dotless-i)
+          // must not change token hashes vs Spark's lower()/the oracle
+          val m = tokenRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
           val hs = scala.collection.mutable.ArrayBuffer.empty[Long]
           while (m.find()) {
             val d = md.digest(m.group().getBytes(java.nio.charset.StandardCharsets.UTF_8))

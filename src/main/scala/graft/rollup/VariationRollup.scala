@@ -30,7 +30,7 @@ object VariationRollup {
   def attributeSets(products: DataFrame, attrs: DataFrame,
       valuesCap: Int = 20): DataFrame = {
     val pretty = when(col("attr_key").startsWith("pa_"),
-      initcap(translate(col("attr_value"), "-_", "  ")))
+      Functions.prettySlug(col("attr_value")))
       .otherwise(col("attr_value"))
     publishedChildren(products).select("product_id", "parent_id")
       .join(attrs, Seq("product_id"))
@@ -53,10 +53,13 @@ object VariationRollup {
         val colors = attributeSets(products, a, valuesCap)
           .where(col("attr_key") === "pa_color")
           .select(col("parent_id"), col("vals").as("colors"))
+        // a parent with variations but no color rows keeps its base text —
+        // a null-propagating concat would erase the whole rollup block
         base.join(colors, Seq("parent_id"), "left_outer")
           .select(col("parent_id"), col("n_variations"), col("price_min"),
             col("price_max"), col("sizes"), col("skus"), col("colors"),
-            concat(col("rollup_text"), lit("; Colors: "), col("colors"))
+            concat(col("rollup_text"),
+              coalesce(concat(lit("; Colors: "), col("colors")), lit("")))
               .as("rollup_text"))
           .orderBy("parent_id")
     }

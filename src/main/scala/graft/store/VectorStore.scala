@@ -107,10 +107,15 @@ final class ParquetVectorStore(spark: SparkSession, root: String,
 
   /** Bucket recovered from the deterministic vector-id format
     * `site-%d:product-%d:chunk-%d` (reference `class-indexer.php:147-150`)
-    * so delete-by-ids routes to buckets without a store scan. */
-  private def bucketOfId = pmod(
-    regexp_extract(col("id"), "product-(\\d+):", 1).cast("long"),
-    lit(nBuckets.toLong)).cast("int")
+    * so delete-by-ids routes to buckets without a store scan. An id that
+    * doesn't match the format maps to bucket −1 (no manifest entry →
+    * the delete is a no-op for it, matching the pre-bucketed anti-join
+    * behavior instead of crashing on a null bucket). */
+  private def bucketOfId = coalesce(
+    // try_cast: a non-matching id extracts "" and ANSI cast would throw
+    pmod(expr("try_cast(regexp_extract(id, 'product-(\\\\d+):', 1) AS BIGINT)"),
+      lit(nBuckets.toLong)).cast("int"),
+    lit(-1))
 
   /** Write `df` (restricted to `touched` buckets, carrying a `bucket`
     * column) as commit N, re-pointing only the touched manifest entries.
@@ -130,26 +135,33 @@ final class ParquetVectorStore(spark: SparkSession, root: String,
   /** K1/K2 — id-keyed upsert: incoming rows replace same-id rows; only
     * the incoming rows' buckets are read and rewritten. */
   def upsert(payloads: DataFrame): Int = {
+    // cache: the touched-bucket collect() and the commit write would
+    // otherwise each evaluate the caller's (possibly expensive) plan
     val incoming = payloads
       .select(schema.fieldNames.toIndexedSeq.map(col): _*)
       .withColumn("bucket", bucketCol)
-    val touched = incoming.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
-    val (_, m) = readManifest()
-    val kept = readBuckets(m, touched).withColumn("bucket", bucketCol)
-      .join(incoming.select("id"), Seq("id"), "left_anti")
-    commitBuckets(touched, kept.unionByName(incoming))
+      .cache()
+    try {
+      val touched = incoming.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toIndexedSeq
+      val (_, m) = readManifest()
+      val kept = readBuckets(m, touched).withColumn("bucket", bucketCol)
+        .join(incoming.select("id"), Seq("id"), "left_anti")
+      commitBuckets(touched, kept.unionByName(incoming))
+    } finally incoming.unpersist()
   }
 
   /** K4 — delete by ids, routed to buckets via the id format. */
   def deleteByIds(ids: DataFrame): Int = {
-    val keyed = ids.select("id").withColumn("bucket", bucketOfId)
-    val touched = keyed.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
-    val (_, m) = readManifest()
-    val kept = readBuckets(m, touched).withColumn("bucket", bucketCol)
-      .join(keyed.select("id"), Seq("id"), "left_anti")
-    commitBuckets(touched, kept)
+    val keyed = ids.select("id").withColumn("bucket", bucketOfId).cache()
+    try {
+      val touched = keyed.select("bucket").distinct()
+        .collect().map(_.getInt(0)).filter(_ >= 0).toIndexedSeq
+      val (_, m) = readManifest()
+      val kept = readBuckets(m, touched).withColumn("bucket", bucketCol)
+        .join(keyed.select("id"), Seq("id"), "left_anti")
+      commitBuckets(touched, kept)
+    } finally keyed.unpersist()
   }
 
   /** K3 — delete by metadata filter {product_id, site_id} (the Pinecone

@@ -74,6 +74,14 @@ class BucketedStoreSpec extends SparkSpec {
     assert(store.count() == 0)
   }
 
+  test("deleteByIds with a foreign-format id is a safe no-op") {
+    val root = Files.createTempDirectory("bstore3")
+    val store = new ParquetVectorStore(spark, root.toString, nBuckets = 4)
+    store.upsert(Seq(payload(5, 0)).toDF(cols: _*))
+    store.deleteByIds(Seq("bogus-id", "also:not:ours").toDF("id"))
+    assert(store.count() == 1)
+  }
+
   test("ensure-store: lazy creation, cached id, deterministic re-mint") {
     val root = Files.createTempDirectory("vsstore").resolve("s").toString
     val store = new EnsureStoreVectorStore(spark, root)
