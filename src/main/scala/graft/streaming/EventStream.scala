@@ -82,6 +82,66 @@ object EventStream {
       .orderBy("user_id", "session_start")
   }
 
+  /** Watermarked APPEND-mode hourly aggregation over a streaming input —
+    * the late-data-DROPPING form of [[hourlyCounts]] (complete mode keeps
+    * all state and can't exhibit watermark semantics). A window emits
+    * exactly once, when the watermark passes its end; events older than
+    * the watermark are discarded. Driven by StreamingSemanticsSpec with a
+    * MemoryStream; the caller starts the returned streaming DataFrame.
+    *
+    * Scale posture: state is bounded by the watermark horizon — the
+    * property that keeps an infinite CDC stream's state finite. */
+  def hourlyAppend(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"))
+
+  /** T2 debounce with the reference's ACTUAL flush semantics
+    * (`includes/class-lifecycle.php:107-152`: variation burst → ONE parent
+    * refresh after a 30 s quiet period): `flatMapGroupsWithState` with an
+    * EVENT-time timeout. Bursts accumulate silently in per-key state and
+    * push the key's flush deadline to last_event + `quietMs`; when the
+    * watermark passes the deadline the group flushes one
+    * (key, burst_size) row and clears its state. Event-time (not
+    * processing-time) keeps the operator deterministic under replay and
+    * lets `Trigger.AvailableNow` terminate — a wall-clock timeout would
+    * schedule timer batches forever. Input: (parent_id, event ts);
+    * `watermarkDelay` bounds out-of-orderness.
+    * [[debouncedTotals]] is the per-batch-dedup approximation. */
+  def debounceFlush(events: DataFrame, quietMs: Long = 30000,
+      watermarkDelay: String = "10 seconds"): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("parent_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, _) = state.get
+            state.remove()
+            Iterator((key, n))
+          } else {
+            val rows = it.toSeq
+            val (n0, t0) = state.getOption.getOrElse((0L, 0L))
+            val n = n0 + rows.size
+            val lastTs = math.max(t0, rows.map(_._2.getTime).max)
+            state.update((n, lastTs))
+            state.setTimeoutTimestamp(lastTs + quietMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Per-key debounced rollup — the reference's T2 parent-refresh debounce
     * (variation burst → one parent refresh; `includes/class-lifecycle.php:
     * 107-152`) mapped onto `mapGroupsWithState`: per key the state

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStream
+
+/** Watermark and timeout semantics driven through real streaming
+  * micro-batches: append-mode windows emit exactly once when the
+  * watermark passes, events older than the watermark are dropped, and
+  * the debounce flush fires only after a quiet period — behaviors the
+  * batch-shaped oracle queries cannot exercise. Each phase runs a
+  * Trigger.AvailableNow pass against a shared checkpoint (state persists
+  * across restarts), the deterministic drive pattern for MemoryStream.
+  */
+class StreamingSemanticsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def runPhases(stream: DataFrame)(phases: (() => Unit)*): Seq[Seq[Row]] = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    val out = scala.collection.mutable.ListBuffer.empty[Seq[Row]]
+    phases.map { phase =>
+      phase()
+      val collected = scala.collection.mutable.ListBuffer.empty[Row]
+      val q = stream.writeStream
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          collected.synchronized { collected ++= b.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      out += collected.toSeq
+      collected.toSeq
+    }.toSeq
+  }
+
+  test("append-mode window emits once on watermark passage; late data dropped") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val events = input.toDF()
+      .select(timestamp_seconds(col("_1")).as("ts"), col("_2").as("event_type"))
+    val agg = EventStream.hourlyAppend(events, "1 hour")
+    val h10 = 10L * 3600 // window [10:00, 11:00)
+
+    val phases = runPhases(agg)(
+      // burst inside the 10:00 window — must NOT emit yet
+      () => input.addData((h10 + 60, "save"), (h10 + 120, "save")),
+      // event time 13:00 -> watermark (1h lag) = 12:00 after this pass
+      () => input.addData((13L * 3600, "save")),
+      // next pass closes + emits the 10:00 window
+      () => input.addData((13L * 3600 + 300, "save")),
+      // a late event inside the closed window is DROPPED, not re-emitted
+      () => input.addData((h10 + 600, "save")))
+
+    def emitted(rows: Seq[Row]) =
+      rows.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val all = phases.map(emitted)
+    assert(all(0).isEmpty, "window emitted before watermark passed")
+    // the closed window emits EXACTLY once (in whichever pass the
+    // watermark advance lands), with the pre-watermark count of 2
+    assert(all.flatten.filter(_._1 == "1970-01-01 10:00:00") ==
+      Seq(("1970-01-01 10:00:00", "save", 2L)),
+      s"window must emit exactly once with count 2: $all")
+    assert(all(3).forall(_._1 != "1970-01-01 10:00:00"),
+      s"late event must not re-emit the closed window: ${all(3)}")
+  }
+
+  test("debounceFlush: bursts stay silent until the event-time quiet period passes") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (parent_id, epoch seconds)
+    val events = input.toDF()
+      .select(col("_1").as("parent_id"), timestamp_seconds(col("_2")).as("ts"))
+    val flushed = EventStream
+      .debounceFlush(events, quietMs = 30000, watermarkDelay = "10 seconds")
+      .toDF("parent_id", "n_events")
+
+    val phases = runPhases(flushed)(
+      // a burst of 3 variation saves for parent 7 at t=100..102s:
+      // flush deadline = 132s, watermark = 92s -> NO refresh yet
+      () => input.addData((7L, 100L), (7L, 101L), (7L, 102L)),
+      // an event for another parent at t=150s advances the watermark to
+      // 140s > 132s -> parent 7's quiet period has passed: flush (7, 3)
+      () => input.addData((8L, 150L)),
+      // t=250s -> watermark 240s > 180s -> parent 8 flushes too
+      () => input.addData((9L, 250L)))
+
+    def emitted(rows: Seq[Row]) = rows.map(r => (r.getLong(0), r.getLong(1)))
+    val all = phases.map(emitted)
+    assert(all(0).isEmpty, s"burst must not flush before its quiet period: $all")
+    assert(all.flatten.count(_ == (7L, 3L)) == 1 && all(0).isEmpty,
+      s"parent 7 should flush exactly one 3-event refresh: $all")
+    assert(all.flatten.contains((8L, 1L)), all.toString)
+  }
+}
