@@ -314,6 +314,10 @@ object SparkEntry {
 
     "ta_stats" -> ((s, dir) => TextAnalysis.corpusStats(Catalog.documents(s, dir))),
 
+    "ta_pack" -> ((s, dir) => TextAnalysis.packPlan(Catalog.documents(s, dir))),
+
+    "ta_vocab" -> ((s, dir) => TextAnalysis.vocabTopK(Catalog.documents(s, dir))),
+
     // PII scrub over documents with a deterministic composed contact
     // suffix (the corpus itself carries no PII; oracle mirrors the compose).
     "ta_scrub" -> ((s, dir) =>
@@ -1333,6 +1337,36 @@ object SparkEntry {
         |  FROM documents)
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    "ta_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, len(regexp_extract_all(text, '\S+')) AS n_tokens
+        |  FROM documents
+        |), offs AS (
+        |  SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |    CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS stream_offset
+        |  FROM toks
+        |)
+        |SELECT doc_id, lang, n_tokens, stream_offset,
+        |  CAST(floor(stream_offset / 2048.0) AS BIGINT) AS pack_id
+        |FROM offs
+        |ORDER BY doc_id""".stripMargin,
+
+    "ta_vocab" ->
+      """WITH tok AS (
+        |  SELECT lang, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents
+        |), counts AS (
+        |  SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY lang, token
+        |), ranked AS (
+        |  SELECT lang, token, n,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS INTEGER) AS rank
+        |  FROM counts
+        |)
+        |SELECT lang, token, n, rank FROM ranked WHERE rank <= 20
+        |ORDER BY lang, rank""".stripMargin,
 
     "dd_decontaminate" ->
       s"""WITH toks AS (

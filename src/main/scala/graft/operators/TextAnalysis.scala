@@ -135,6 +135,50 @@ object TextAnalysis {
         round(avg(col("q")), 4).as("mean_quality"))
       .orderBy("lang")
 
+  /** Sequence PACKING plan (concat-then-chunk): assign each document an
+    * offset in a per-language token stream and a pack id of `capacity`
+    * tokens — the layout step that turns a filtered corpus into fixed-size
+    * pretraining sequences. Documents stay whole here (the chunker splits
+    * oversized ones upstream); `pack_id = floor(stream_offset / capacity)`.
+    *
+    * Scale posture: one window partitioned by lang ordered by doc_id — at
+    * 100 TB the partition key becomes (lang, shard) so no single ordered
+    * partition grows unbounded; the assignment stays embarrassingly
+    * parallel across shards. */
+  def packPlan(documents: DataFrame, capacity: Int = 2048): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+    documents
+      .select(col("doc_id"), col("lang"), nTokensCol.as("n_tokens"))
+      .withColumn("stream_offset",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("stream_offset"),
+        floor(col("stream_offset") / capacity).as("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary head: the `k` most frequent tokens per language with
+    * counts and rank — the frequency table a tokenizer-training or
+    * stopword-induction step reads. Token explode is row-local; the count
+    * is one map-side-combinable groupBy; only (lang, token, n) rows reach
+    * the ranking window. */
+  def vocabTopK(documents: DataFrame, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n").desc, col("token"))
+    documents
+      .select(col("lang"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("token"))
+      .groupBy("lang", "token")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy("lang", "rank")
+  }
+
   /** Winnowed rolling-hash fingerprints (the MOSS scheme): per token
     * window of `w`, a Rabin-Karp positional hash W_i = Σ h_{i+d}·B^{w-1-d}
     * mod 2^32 (B=7 keeps the 64-bit sum overflow-free at h<2^32); then
