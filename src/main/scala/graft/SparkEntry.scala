@@ -302,6 +302,9 @@ object SparkEntry {
     "sim_ivf_kmeans" -> ((s, dir) =>
       Similarity.ivfKmeansTopK(Catalog.embeddings(s, dir))),
 
+    "sim_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Catalog.embeddings(s, dir))),
+
     // ================= text analysis =================
 
     "ta_langid" -> ((s, dir) => TextAnalysis.langId(Catalog.documents(s, dir))),
@@ -1249,6 +1252,27 @@ object SparkEntry {
          |)
          |SELECT qid, cid, cos, CAST(rn AS INTEGER) AS rn FROM ranked WHERE rn <= 5
          |ORDER BY qid, rn""".stripMargin,
+
+    "sim_quantize" ->
+      """WITH scaled AS (
+        |  SELECT vec_id, embedding,
+        |    round(greatest(
+        |      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+        |      1e-12) / 127.0, 9) AS scale
+        |  FROM embeddings
+        |), coded AS (
+        |  SELECT vec_id, embedding, scale,
+        |    list_transform(embedding, x ->
+        |      CAST(least(greatest(round(CAST(x AS DOUBLE) / scale, 0), -127), 127) AS INTEGER)) AS codes
+        |  FROM scaled
+        |)
+        |SELECT vec_id, scale, codes,
+        |  round(list_sum(list_transform(list_zip(embedding, codes), p ->
+        |      (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)
+        |      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)))
+        |    / len(codes), 12) AS mse
+        |FROM coded
+        |ORDER BY vec_id""".stripMargin,
 
     "ta_langid" ->
       """SELECT doc_id, lang,

@@ -147,6 +147,34 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Symmetric int8 quantization of the embedding column — the 4×
+    * storage-compression step an embedding store applies at scale (PQ's
+    * simpler cousin): per-vector scale = max|x|/127 (rounded to 9 dp so
+    * the oracle's float math agrees), codes = round(x/scale) clamped to
+    * [−127, 127], plus reconstruction-error metrics. All row-local
+    * sequential HOF arithmetic (no shuffle); the codes column is what a
+    * real store would persist alongside `scale`. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    def d(c: Column) = transform(c, x => x.cast("double"))
+    val e = d(col("embedding"))
+    val maxAbs = aggregate(e, lit(0.0), (a, x) => greatest(a, abs(x)))
+    val scaleCol = round(greatest(maxAbs, lit(1e-12)) / 127.0, 9)
+    val codes = transform(e, x =>
+      least(greatest(round(x / col("scale"), 0), lit(-127.0)), lit(127.0))
+        .cast("int"))
+    val err2 = aggregate(
+      zip_with(e, col("codes"), (x, c) =>
+        (x - c.cast("double") * col("scale")) *
+          (x - c.cast("double") * col("scale"))),
+      lit(0.0), (a, x) => a + x)
+    embeddings
+      .select(col("vec_id"), col("embedding"), scaleCol.as("scale"))
+      .withColumn("codes", codes)
+      .select(col("vec_id"), col("scale"), col("codes"),
+        round(err2 / size(col("codes")), 12).as("mse"))
+      .orderBy("vec_id")
+  }
+
   /** IVF top-k: rank only candidates sharing one of the query's probed
     * cells — the scale path (probes `nProbes` coarse cells instead of the
     * full corpus; recall/fan-out traded via `nCentroids` × `nProbes`). */
