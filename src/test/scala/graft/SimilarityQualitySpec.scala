@@ -35,6 +35,20 @@ class SimilarityQualitySpec extends SparkSpec {
     assert(ivf2 >= ivf1, s"multi-probe recall $ivf2 < single-probe $ivf1")
   }
 
+  test("int8 quantization respects the mathematical error bound") {
+    // symmetric rounding quantization: per-dim error <= scale/2, so
+    // mse <= scale^2/4 — a hard invariant, not a tuned threshold
+    Similarity.quantizeInt8(embeddings).collect().foreach { r =>
+      val scale = r.getDouble(1)
+      val mse = r.getDouble(3)
+      assert(mse <= scale * scale / 4 + 1e-12,
+        s"vec ${r.getLong(0)}: mse $mse > bound ${scale * scale / 4}")
+      // codes stay in the int8 range
+      val codes = r.getSeq[Int](2)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+    }
+  }
+
   test("k-means refinement keeps recall at least competitive with the seed quantizer") {
     val exact = resultSet(Similarity.bruteForceTopK(embeddings))
     val seed = recall(resultSet(Similarity.ivfTopK(embeddings)), exact)
