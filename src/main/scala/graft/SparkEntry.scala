@@ -367,13 +367,13 @@ object SparkEntry {
     s"""CASE WHEN len($l) > $cap
        |      THEN array_to_string($l[1:$cap], ', ') || ' (+' || (len($l) - $cap) || ' more)'
        |      ELSE array_to_string($l, ', ') END""".stripMargin
-  /** SQL mirror of the F15 prettifier. Spark's initcap lower-cases the
-    * tail of each word, so the mirror must too ("ROYAL-BLUE" → "Royal
-    * Blue", not "ROYAL BLUE"). */
+  /** SQL mirror of the F15 prettifier (ucwords semantics: first letters
+    * uppercase, word tails PRESERVED — matching Functions.prettySlug and
+    * the PHP reference). */
   private def prettySql(v: String): String =
     s"""array_to_string(list_transform(
        |        string_split(replace($v, '_', '-'), '-'),
-       |        w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), ' ')""".stripMargin
+       |        w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ')""".stripMargin
   /** Mirror of Catalog.variationAttributes (all three attribute keys). */
   private val VattrsCte: String =
     """vattrs AS (
@@ -868,7 +868,7 @@ object SparkEntry {
          |), trendered AS (
          |  SELECT product_id, taxonomy,
          |    CASE WHEN taxonomy LIKE 'pa\\_%' ESCAPE '\\'
-         |      THEN upper(substr(taxonomy, 4, 1)) || lower(substr(taxonomy, 5))
+         |      THEN upper(substr(taxonomy, 4, 1)) || substr(taxonomy, 5)
          |      ELSE taxonomy END AS label,
          |    CASE WHEN taxonomy LIKE 'pa\\_%' ESCAPE '\\'
          |      THEN ${prettySql("term")}
@@ -906,12 +906,12 @@ object SparkEntry {
         |), rendered AS (
         |  SELECT product_id, taxonomy,
         |    CASE WHEN taxonomy LIKE 'pa\_%' ESCAPE '\'
-        |      THEN upper(substr(taxonomy, 4, 1)) || lower(substr(taxonomy, 5))
+        |      THEN upper(substr(taxonomy, 4, 1)) || substr(taxonomy, 5)
         |      ELSE taxonomy END AS label,
         |    CASE WHEN taxonomy LIKE 'pa\_%' ESCAPE '\'
         |      THEN array_to_string(list_transform(
         |        string_split(replace(term, '_', '-'), '-'),
-        |        w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), ' ')
+        |        w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ')
         |      ELSE term END AS v
         |  FROM terms0
         |)
@@ -1256,9 +1256,9 @@ object SparkEntry {
     "sim_quantize" ->
       """WITH scaled AS (
         |  SELECT vec_id, embedding,
-        |    round(greatest(
-        |      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
-        |      1e-12) / 127.0, 9) AS scale
+        |    greatest(round(
+        |      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |      / 127.0, 9), 1e-9) AS scale
         |  FROM embeddings
         |), coded AS (
         |  SELECT vec_id, embedding, scale,

@@ -50,10 +50,15 @@ object Functions {
 
   /** F15 slug prettifier: `royal-blue`/`matte_black` → `Royal Blue` /
     * `Matte Black` (reference `ucwords(replace(_,-, ' '))`,
-    * `includes/class-variation-rollup.php:156-183`). One definition shared
-    * by term sections and the attribute rollup so the SQL mirror
+    * `includes/class-variation-rollup.php:156-183`). PHP's ucwords
+    * UPPERCASES first letters but PRESERVES the rest of each word
+    * (`ROYAL-BLUE` → `ROYAL BLUE`), so this is a word-wise transform,
+    * not `initcap` (which lowercases tails). One definition shared by
+    * term sections and the attribute rollup so the SQL mirror
     * (SparkEntry.prettySql) tracks a single expression. */
-  def prettySlug(c: Column): Column = initcap(translate(c, "-_", "  "))
+  def prettySlug(c: Column): Column =
+    array_join(transform(split(translate(c, "_", "-"), "-"),
+      w => concat(upper(w.substr(lit(1), lit(1))), w.substr(lit(2), length(w)))), " ")
 
   /** Sorted-distinct-join with cap: renders a value set the way the
     * variation rollup does (`includes/class-variation-rollup.php:112-152`):

@@ -166,9 +166,13 @@ object Normalizer {
     * (`includes/class-field-normalizer.php:157-178`). */
   def termSections(terms: DataFrame): DataFrame = {
     val isAttr = col("taxonomy").startsWith("pa_")
+    // label: ucwords-style (first letter up, tail preserved) on the
+    // stripped slug — matching the F15 value prettifier's semantics
+    val stripped = regexp_replace(col("taxonomy"), "^pa_", "")
     terms
       .select(col("product_id"), col("taxonomy"),
-        when(isAttr, initcap(regexp_replace(col("taxonomy"), "^pa_", "")))
+        when(isAttr, concat(upper(stripped.substr(lit(1), lit(1))),
+          stripped.substr(lit(2), length(stripped))))
           .otherwise(col("taxonomy")).as("label"),
         when(isAttr, graft.functions.Functions.prettySlug(col("term")))
           .otherwise(col("term")).as("v"))

@@ -158,7 +158,9 @@ object Similarity {
     def d(c: Column) = transform(c, x => x.cast("double"))
     val e = d(col("embedding"))
     val maxAbs = aggregate(e, lit(0.0), (a, x) => greatest(a, abs(x)))
-    val scaleCol = round(greatest(maxAbs, lit(1e-12)) / 127.0, 9)
+    // floor AFTER rounding: a near-zero vector's scale would otherwise
+    // round to exactly 0.0 and the code division would produce NaN/Inf
+    val scaleCol = greatest(round(maxAbs / 127.0, 9), lit(1e-9))
     val codes = transform(e, x =>
       least(greatest(round(x / col("scale"), 0), lit(-127.0)), lit(127.0))
         .cast("int"))

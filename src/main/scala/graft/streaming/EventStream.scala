@@ -132,12 +132,26 @@ object EventStream {
             Iterator((key, n))
           } else {
             val rows = it.toSeq
-            val (n0, t0) = state.getOption.getOrElse((0L, 0L))
-            val n = n0 + rows.size
-            val lastTs = math.max(t0, rows.map(_._2.getTime).max)
-            state.update((n, lastTs))
-            state.setTimeoutTimestamp(lastTs + quietMs)
-            Iterator.empty
+            val minTs = rows.map(_._2.getTime).min
+            val maxTs = rows.map(_._2.getTime).max
+            state.getOption match {
+              // the stored burst's quiet period had ALREADY elapsed in
+              // event time before these events arrived (the timeout just
+              // hadn't fired yet because the watermark lagged): flush it
+              // as its own refresh and start a fresh burst — otherwise
+              // two well-separated bursts would merge into one flush
+              case Some((n0, t0)) if t0 + quietMs <= minTs =>
+                state.update((rows.size.toLong, maxTs))
+                state.setTimeoutTimestamp(maxTs + quietMs)
+                Iterator((key, n0))
+              case prior =>
+                val (n0, t0) = prior.getOrElse((0L, 0L))
+                val n = n0 + rows.size
+                val lastTs = math.max(t0, maxTs)
+                state.update((n, lastTs))
+                state.setTimeoutTimestamp(lastTs + quietMs)
+                Iterator.empty
+            }
           }
       }
   }

@@ -21,7 +21,6 @@ class StreamingSemanticsSpec extends SparkSpec {
 
   private def runPhases(stream: DataFrame)(phases: (() => Unit)*): Seq[Seq[Row]] = {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ck").toString
-    val out = scala.collection.mutable.ListBuffer.empty[Seq[Row]]
     phases.map { phase =>
       phase()
       val collected = scala.collection.mutable.ListBuffer.empty[Row]
@@ -35,7 +34,6 @@ class StreamingSemanticsSpec extends SparkSpec {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      out += collected.toSeq
       collected.toSeq
     }.toSeq
   }
@@ -96,5 +94,34 @@ class StreamingSemanticsSpec extends SparkSpec {
     assert(all.flatten.count(_ == (7L, 3L)) == 1 && all(0).isEmpty,
       s"parent 7 should flush exactly one 3-event refresh: $all")
     assert(all.flatten.contains((8L, 1L)), all.toString)
+  }
+
+  test("debounceFlush: well-separated bursts never merge, even if the timeout lagged") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDF()
+      .select(col("_1").as("parent_id"), timestamp_seconds(col("_2")).as("ts"))
+    val flushed = EventStream
+      .debounceFlush(events, quietMs = 30000, watermarkDelay = "10 seconds")
+      .toDF("parent_id", "n_events")
+
+    val phases = runPhases(flushed)(
+      // burst 1 for parent 7 (deadline 132s)
+      () => input.addData((7L, 100L), (7L, 101L), (7L, 102L)),
+      // burst 2 for the SAME parent at t=500s: the watermark (92s) hasn't
+      // fired burst 1's timeout yet, but in event time its quiet period
+      // long passed -> burst 1 must flush as its own (7, 3) refresh, not
+      // merge into burst 2
+      () => input.addData((7L, 500L)),
+      // t=600s -> watermark 590s > 530s -> burst 2 flushes separately
+      () => input.addData((9L, 600L)))
+
+    def emitted(rows: Seq[Row]) = rows.map(r => (r.getLong(0), r.getLong(1)))
+    val all = phases.map(emitted)
+    assert(all(1).contains((7L, 3L)),
+      s"stale burst must flush when a later burst arrives: $all")
+    assert(all(2).contains((7L, 1L)),
+      s"the second burst must flush on its own: $all")
+    assert(all.flatten.count(_._1 == 7L) == 2, all.toString)
   }
 }
