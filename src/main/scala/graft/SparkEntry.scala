@@ -342,6 +342,19 @@ object SparkEntry {
     "st_debounce" -> ((s, dir) => EventStream.debouncedTotals(s, dir)),
 
     "st_sessions" -> ((s, dir) => EventStream.sessionCounts(s, dir)),
+
+    "st_sliding" -> ((s, dir) => EventStream.slidingCounts(s, dir)),
+
+    // OLAP grouping sets: revenue subtotals at (flag, status), (flag), ()
+    // — Spark ROLLUP ≡ DuckDB ROLLUP, null-marked subtotal rows.
+    "q9_rollup" -> ((s, dir) =>
+      Catalog.lineitem(s, dir)
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("decimal(28,2)").as("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")),
   )
 
   // ======================= DuckDB oracles =======================
@@ -1495,6 +1508,27 @@ object SparkEntry {
         |FROM sess
         |GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "st_sliding" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    make_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) - i) * 900 * 1000000)
+        |      AS win_start
+        |  FROM events, UNNEST(generate_series(0, 3)) t(i)
+        |)
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, COUNT(*) AS n
+        |FROM w
+        |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    "q9_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "st_debounce" ->
       """SELECT user_id, COUNT(*) AS n_events,

@@ -62,6 +62,22 @@ object EventStream {
       .orderBy("hour", "event_type")
   }
 
+  /** SLIDING hourly windows (1 h length, 15 min slide): each event lands
+    * in 4 overlapping windows — the trend-smoothing aggregation shape
+    * (tumbling is the slide==length special case). Batch-mode here for
+    * oracle determinism; the identical expression runs under a watermark
+    * in streaming. State scale: 4× tumbling, still bounded by horizon. */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val events = graft.catalog.Catalog.events(spark, dir)
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"))
+      .orderBy("win_start", "event_type")
+  }
+
   /** Per-user session windows (5-minute gap): Spark's `session_window`
     * in batch mode — the same operator drives streaming sessionization
     * with a watermark; batch keeps it deterministic for the oracle (an
