@@ -242,6 +242,34 @@ object Main {
       }
       spark.stop()
 
+    case Some("pipeline") =>
+      // Training-data pipeline report over the documents table: corpus
+      // stats, dedup posture, eval contamination, split sizes — the
+      // dataset-card numbers a corpus release pipeline produces.
+      val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
+      val spark = session()
+      val docs = spark.read.parquet(s"$data/documents.parquet")
+      val total = docs.count()
+      println(s"documents: $total")
+      graft.operators.TextAnalysis.corpusStats(docs).collect().foreach { r =>
+        println(f"  lang ${r.getString(0)}%-3s docs=${r.getLong(1)}%5d " +
+          f"tokens=${r.getLong(2)}%8d meanTok=${r.getDouble(3)}%8.1f " +
+          f"quality=${r.getDouble(4)}%6.3f")
+      }
+      val exactKeep = graft.operators.Dedup.dropExactDuplicates(docs).count()
+      val clusters = graft.operators.Dedup.lshComponents(docs)
+        .select("cluster").distinct().count()
+      println(s"dedup: exact keep $exactKeep/$total; near-dup clusters $clusters")
+      val contaminated = graft.operators.Dedup
+        .decontaminate(docs, docs.where(col("doc_id") < 5))
+        .where(col("contaminated") === 1).count()
+      println(s"decontamination vs docs 0-4: $contaminated flagged")
+      val splits = graft.operators.TextAnalysis.split(docs)
+        .groupBy("split").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      println(s"split: $splits")
+      spark.stop()
+
     case Some("purge") =>
       val work = opt(args, "work").getOrElse { System.err.println("error: --work required"); sys.exit(2); "" }
       val site = opt(args, "site").getOrElse("1").toInt
@@ -252,7 +280,7 @@ object Main {
       spark.stop()
 
     case other =>
-      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|scan|loop|status|purge")
+      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|scan|loop|status|purge|pipeline")
       sys.exit(2)
   }
 }

@@ -96,6 +96,18 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(math.abs(frac("test") - 0.05) < 0.01, frac.toString)
   }
 
+  test("approximate distinct (HLL) tracks the exact token count within tolerance") {
+    // the sketch path a 100 TB cardinality estimate would take (exact
+    // distinct = full shuffle; approx = mergeable fixed-size sketch)
+    val tok = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("w"))
+    val exact = tok.distinct().count()
+    val approx = tok.agg(approx_count_distinct(col("w"), 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
   test("lshComponents converged: an extra propagation round changes nothing") {
     // controlled near-dup chains (diameter <= 2 hops) over a random base
     val base = (0L until 30L).map(i => i -> randomDoc(80 + rnd.nextInt(40)))
