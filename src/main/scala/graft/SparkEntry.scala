@@ -207,9 +207,7 @@ object SparkEntry {
       Normalizer.acfRenderLookup(
         Catalog.acfLookupValues(s, dir),
         Catalog.postTitles(s, dir),
-        Catalog.nation(s, dir).select(
-          col("n_nationkey").cast("bigint").as("term_id"),
-          col("n_name").as("term_name")),
+        Catalog.termDim(s, dir),
         Catalog.attachments(s, dir))),
 
     "n5_terms" -> ((s, dir) =>

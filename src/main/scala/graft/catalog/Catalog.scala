@@ -224,6 +224,14 @@ object Catalog {
       concat(lit("https://example.test/media/"), col("p_partkey"), lit(".jpg"))
         .as("url"))
 
+  /** Taxonomy-term dimension for ACF taxonomy-id lookups (`nation` plays
+    * the terms table): (term_id, term_name). One definition for every
+    * consumer so the oracle mirrors can't drift from a call site. */
+  def termDim(spark: SparkSession, dir: String): DataFrame =
+    nation(spark, dir).select(
+      col("n_nationkey").cast("bigint").as("term_id"),
+      col("n_name").as("term_name"))
+
   /** Post-title dimension for post_object / relationship lookups
     * (the reference resolves post ids to titles,
     * `includes/class-field-normalizer.php:369-386`). */

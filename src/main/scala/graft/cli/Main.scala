@@ -204,9 +204,7 @@ object Main {
             .unionByName(graft.normalize.Normalizer.acfRenderLookup(
               graft.catalog.Catalog.acfLookupValues(spark, data),
               graft.catalog.Catalog.postTitles(spark, data),
-              graft.catalog.Catalog.nation(spark, data).select(
-                col("n_nationkey").cast("bigint").as("term_id"),
-                col("n_name").as("term_name")),
+              graft.catalog.Catalog.termDim(spark, data),
               graft.catalog.Catalog.attachments(spark, data)))
           val cand = graft.normalize.Normalizer.composeFull(products,
               graft.catalog.Catalog.productMeta(spark, data),
@@ -229,6 +227,10 @@ object Main {
       val store = new ParquetVectorStore(spark, s"$work/store")
       val engine = new SyncEngine(spark, new LocalHashEmbedder(), store, s"$work/sync_state")
       println(s"store: v${store.currentVersion}, ${store.count()} vectors")
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$work/store_vs"))) {
+        val vs = new graft.store.EnsureStoreVectorStore(spark, s"$work/store_vs")
+        println(s"vs store ${vs.ensureStore()}: v${vs.currentVersion}, ${vs.count()} vectors")
+      }
       val st = engine.readSyncState()
       println(s"sync_state: v${engine.syncVersion}, ${st.count()} rows")
       st.groupBy("status").count().collect()
@@ -277,6 +279,15 @@ object Main {
       val store = new ParquetVectorStore(spark, s"$work/store")
       store.purgeSite(site)
       println(s"purged site $site; store now ${store.count()} vectors (v${store.currentVersion})")
+      // a work dir synced with --target both has a second store: K5 must
+      // clear EVERY enabled adapter, as the reference's purge job does
+      val vsRoot = s"$work/store_vs"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(vsRoot))) {
+        val vs = new graft.store.EnsureStoreVectorStore(spark, vsRoot)
+        vs.purgeSite(site)
+        println(s"purged site $site from vs store; now ${vs.count()} vectors " +
+          s"(v${vs.currentVersion}, ${vs.lastPurgeBatches} delete batches)")
+      }
       spark.stop()
 
     case other =>

@@ -81,11 +81,11 @@ object Similarity {
     * keep the same shape — small table out, broadcast back), so assignment
     * is a map-only pass over the candidate side; the only shuffle in the
     * IVF path is the final per-cell ranking. */
-  /** Per-vector centroid ranking: every (vector, centroid) cosine with a
-    * rank `arn` per vector (1 = nearest cell). */
-  private def ivfRanked(embeddings: DataFrame, nCentroids: Int): DataFrame = {
-    val cents = embeddings.where(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+  /** Rank every vector against a broadcast centroid table (centroid_id,
+    * ce): per-vector cosine + rank `arn` (1 = nearest cell). ONE
+    * definition of the assignment tie-break shared by the seed and
+    * k-means-refined quantizers. */
+  private def rankAgainst(embeddings: DataFrame, cents: DataFrame): DataFrame = {
     val scored = embeddings.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
@@ -94,6 +94,31 @@ object Similarity {
       .partitionBy("vec_id").orderBy(col("ccos").desc, col("centroid_id"))
     scored.withColumn("arn", row_number().over(w))
   }
+
+  private def seedCents(embeddings: DataFrame, nCentroids: Int): DataFrame =
+    embeddings.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+
+  /** Per-cell top-k ranking shared by the IVF variants: q = (qid, qe,
+    * cell), c = (cid, ce2, cell); broadcast query side, rounded-cosine
+    * rank with cid tie-break. */
+  private def cellTopK(q: DataFrame, c: DataFrame, k: Int,
+      session: DataFrame): DataFrame = {
+    val scored = q.hint("broadcast").join(c, Seq("cell"))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cos(session)(col("qe"), col("ce2")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("qid", "cid", "cos", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  /** Per-vector centroid ranking against the first-N seed centroids. */
+  private def ivfRanked(embeddings: DataFrame, nCentroids: Int): DataFrame =
+    rankAgainst(embeddings, seedCents(embeddings, nCentroids))
 
   def ivfAssign(embeddings: DataFrame, nCentroids: Int = 8): DataFrame =
     ivfRanked(embeddings, nCentroids)
@@ -122,29 +147,14 @@ object Similarity {
         array_sort(collect_list(struct(col("pos").as("p"), col("m").as("m")))),
         s => s.getField("m")).as("ce"))
       .select(col("cell").as("centroid_id"), col("ce"))
-    val rescored = embeddings.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cents1))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        round(cos(embeddings)(col("embedding"), col("ce")), 6).as("ccos"))
-    val wa = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("ccos").desc, col("centroid_id"))
-    val assigned = rescored.withColumn("arn", row_number().over(wa))
+    val assigned = rankAgainst(embeddings, cents1)
       .where(col("arn") === 1)
       .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
     val q = assigned.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
     val c = assigned
       .select(col("vec_id").as("cid"), col("embedding").as("ce2"), col("cell"))
-    val scored = q.hint("broadcast").join(c, Seq("cell"))
-      .where(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        round(cos(embeddings)(col("qe"), col("ce2")), 6).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select("qid", "cid", "cos", "rn")
-      .orderBy("qid", "rn")
+    cellTopK(q, c, k, embeddings)
   }
 
   /** Symmetric int8 quantization of the embedding column — the 4×
@@ -187,16 +197,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("centroid_id").as("cell"))
     val c = ivfAssign(embeddings, nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
-    val scored = q.hint("broadcast").join(c, Seq("cell"))
-      .where(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        round(cos(embeddings)(col("qe"), col("ce")), 6).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select("qid", "cid", "cos", "rn")
-      .orderBy("qid", "rn")
+      .select(col("vec_id").as("cid"), col("embedding").as("ce2"), col("cell"))
+    cellTopK(q, c, k, embeddings)
   }
 }

@@ -64,15 +64,20 @@ final class EnsureStoreVectorStore(spark: SparkSession, root: String,
     ensureStore(); inner.deleteByProduct(productId, siteId)
   }
 
-  /** K5 fallback protocol: list pages of `pageSize` ids (ascending, cursor
-    * = last id), filter client-side by site, flush deletes in batches of
-    * `deleteBatch`. Returns the store version after the final flush. */
+  /** K5 fallback protocol: list pages of `pageSize` ids (id-ascending),
+    * filter client-side by site, flush deletes in batches of
+    * `deleteBatch`. The (id, site_id) listing is snapshotted ONCE — the
+    * store is a consistent local snapshot, so re-scanning per page (a
+    * remote API's pagination cost model) would make purge O(pages × N)
+    * for nothing; the observable protocol (page walk → client filter →
+    * batched deletes) is unchanged. Returns the version after the final
+    * flush. */
   def purgeSite(siteId: Int): Int = {
     ensureStore()
     import spark.implicits._
+    val listing = inner.read().select(col("id"), col("site_id"))
+      .orderBy("id").collect()
     val pending = scala.collection.mutable.ArrayBuffer.empty[String]
-    var cursor: Option[String] = None
-    var more = true
     var batches = 0
     def flush(): Unit = {
       val batch = pending.take(deleteBatch)
@@ -80,17 +85,10 @@ final class EnsureStoreVectorStore(spark: SparkSession, root: String,
       pending.remove(0, batch.length)
       batches += 1
     }
-    while (more) {
-      val base = inner.read().select(col("id"), col("site_id"))
-      val page = cursor.foldLeft(base)((df, c) => df.where(col("id") > c))
-        .orderBy("id").limit(pageSize).collect()
-      if (page.isEmpty) more = false
-      else {
-        cursor = Some(page.last.getString(0))
-        pending ++= page.iterator
-          .filter(_.getInt(1) == siteId).map(_.getString(0)) // client-side filter
-        while (pending.length >= deleteBatch) flush()
-      }
+    listing.grouped(pageSize).foreach { page =>
+      pending ++= page.iterator
+        .filter(_.getInt(1) == siteId).map(_.getString(0)) // client-side filter
+      while (pending.length >= deleteBatch) flush()
     }
     if (pending.nonEmpty) flush()
     lastPurgeBatches = batches

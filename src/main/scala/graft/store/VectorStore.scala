@@ -58,21 +58,35 @@ final class ParquetVectorStore(spark: SparkSession, root: String,
 
   private def manifestFile = fs.resolve("_MANIFEST")
 
-  /** (commit counter, bucket → commit holding its current files). */
+  /** (commit counter, bucket → commit holding its current files). The
+    * manifest header pins the store's bucket count — opening with a
+    * different `nBuckets` would route rows to the wrong buckets and
+    * silently lose them, so it fails loudly instead. A legacy
+    * `_VERSION`-layout store (pre-bucketing) likewise fails loudly
+    * rather than reading as empty. */
   private def readManifest(): (Int, Map[Int, Int]) =
-    if (!java.nio.file.Files.exists(manifestFile)) (0, Map.empty)
-    else {
+    if (!java.nio.file.Files.exists(manifestFile)) {
+      if (java.nio.file.Files.exists(fs.resolve("_VERSION")))
+        throw new IllegalStateException(
+          s"$root uses the legacy _VERSION store layout; re-sync into a " +
+            "fresh store dir (bucketed _MANIFEST layout)")
+      (0, Map.empty)
+    } else {
       val lines = new String(java.nio.file.Files.readAllBytes(manifestFile))
         .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toList
+      val header = lines.head.split(" ")
+      if (header.length > 1 && header(1).toInt != nBuckets)
+        throw new IllegalStateException(
+          s"$root was written with nBuckets=${header(1)}, opened with $nBuckets")
       val entries = lines.tail.map { l =>
         val Array(b, c) = l.split(" "); b.toInt -> c.toInt
       }.toMap
-      (lines.head.toInt, entries)
+      (header(0).toInt, entries)
     }
 
   private def writeManifest(commit: Int, m: Map[Int, Int]): Unit = {
     java.nio.file.Files.createDirectories(fs)
-    val body = (commit.toString +: m.toSeq.sorted.map { case (b, c) => s"$b $c" })
+    val body = (s"$commit $nBuckets" +: m.toSeq.sorted.map { case (b, c) => s"$b $c" })
       .mkString("", "\n", "\n")
     // temp + atomic move: a partial write must never leave a corrupt cursor
     val tmp = fs.resolve("_MANIFEST.tmp")

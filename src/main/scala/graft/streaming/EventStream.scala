@@ -147,27 +147,28 @@ object EventStream {
             state.remove()
             Iterator((key, n))
           } else {
-            val rows = it.toSeq
-            val minTs = rows.map(_._2.getTime).min
-            val maxTs = rows.map(_._2.getTime).max
-            state.getOption match {
-              // the stored burst's quiet period had ALREADY elapsed in
-              // event time before these events arrived (the timeout just
-              // hadn't fired yet because the watermark lagged): flush it
-              // as its own refresh and start a fresh burst — otherwise
-              // two well-separated bursts would merge into one flush
-              case Some((n0, t0)) if t0 + quietMs <= minTs =>
-                state.update((rows.size.toLong, maxTs))
-                state.setTimeoutTimestamp(maxTs + quietMs)
-                Iterator((key, n0))
-              case prior =>
-                val (n0, t0) = prior.getOrElse((0L, 0L))
-                val n = n0 + rows.size
-                val lastTs = math.max(t0, maxTs)
-                state.update((n, lastTs))
-                state.setTimeoutTimestamp(lastTs + quietMs)
-                Iterator.empty
+            // Event-time burst segmentation: walk this batch's rows in ts
+            // order, seeded with any stored burst; whenever the gap to the
+            // next event is ≥ the quiet period, the accumulated burst
+            // flushes as its own refresh. This handles BOTH a lagging
+            // watermark (stored burst already stale when new events
+            // arrive) and several well-separated bursts landing in ONE
+            // micro-batch (catch-up replay) — neither may merge.
+            val sorted = it.toSeq.sortBy(_._2.getTime)
+            val flushes = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+            var (curN, curT) = state.getOption.getOrElse((0L, Long.MinValue))
+            sorted.foreach { case (_, tsv) =>
+              val ms = tsv.getTime
+              if (curN > 0 && curT + quietMs <= ms) {
+                flushes += ((key, curN))
+                curN = 0L
+              }
+              curN += 1
+              curT = math.max(curT, ms)
             }
+            state.update((curN, curT))
+            state.setTimeoutTimestamp(curT + quietMs)
+            flushes.iterator
           }
       }
   }

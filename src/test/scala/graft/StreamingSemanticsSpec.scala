@@ -124,4 +124,29 @@ class StreamingSemanticsSpec extends SparkSpec {
       s"the second burst must flush on its own: $all")
     assert(all.flatten.count(_._1 == 7L) == 2, all.toString)
   }
+
+  test("debounceFlush: separated bursts in ONE micro-batch stay separate") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDF()
+      .select(col("_1").as("parent_id"), timestamp_seconds(col("_2")).as("ts"))
+    val flushed = EventStream
+      .debounceFlush(events, quietMs = 30000, watermarkDelay = "10 seconds")
+      .toDF("parent_id", "n_events")
+
+    val phases = runPhases(flushed)(
+      // catch-up replay: one batch carries bursts at t=100..102s AND
+      // t=500s for the same parent (gap 398s >> 30s quiet period)
+      () => input.addData((7L, 100L), (7L, 101L), (7L, 102L), (7L, 500L)),
+      // watermark to 590s -> the trailing single-event burst flushes too
+      () => input.addData((9L, 600L)))
+
+    def emitted(rows: Seq[Row]) = rows.map(r => (r.getLong(0), r.getLong(1)))
+    val all = phases.map(emitted)
+    assert(all(0).contains((7L, 3L)),
+      s"first burst must flush on segmentation within the batch: $all")
+    assert(all(1).contains((7L, 1L)),
+      s"trailing burst must flush separately: $all")
+    assert(!all.flatten.contains((7L, 4L)), s"bursts merged: $all")
+  }
 }
