@@ -317,6 +317,9 @@ object SparkEntry {
 
     "ta_pack" -> ((s, dir) => TextAnalysis.packPlan(Catalog.documents(s, dir))),
 
+    "ta_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(Catalog.documents(s, dir))),
+
     "ta_vocab" -> ((s, dir) => TextAnalysis.vocabTopK(Catalog.documents(s, dir))),
 
     // PII scrub over documents with a deterministic composed contact
@@ -1387,6 +1390,37 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens, stream_offset,
         |  CAST(floor(stream_offset / 2048.0) AS BIGINT) AS pack_id
         |FROM offs
+        |ORDER BY doc_id""".stripMargin,
+
+    "ta_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\S+')) AS w
+        |  FROM documents
+        |), counts AS (
+        |  SELECT doc_id, w, COUNT(*) AS n FROM tok GROUP BY doc_id, w
+        |), stats AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(n) AS INTEGER) AS n_tokens,
+        |    CAST(COUNT(*) AS INTEGER) AS n_types,
+        |    CAST(MAX(n) AS INTEGER) AS top_n
+        |  FROM counts GROUP BY doc_id
+        |), bi AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) - 1 AS INTEGER) AS n_bi,
+        |    CAST(len(list_distinct(list_transform(
+        |      generate_series(1, len(ts) - 1),
+        |      i -> ts[i] || ' ' || ts[i+1]))) AS INTEGER) AS n_bi_d
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts
+        |        FROM documents)
+        |  WHERE len(ts) >= 2
+        |)
+        |SELECT s.doc_id, n_tokens, n_types,
+        |  round(top_n / CAST(n_tokens AS DOUBLE), 4) AS top_word_ratio,
+        |  round(n_types / CAST(n_tokens AS DOUBLE), 4) AS type_token_ratio,
+        |  round(1.0 - n_bi_d / CAST(n_bi AS DOUBLE), 4) AS dup_bigram_ratio,
+        |  CAST(round(top_n / CAST(n_tokens AS DOUBLE), 4) <= 0.12
+        |    AND round(n_types / CAST(n_tokens AS DOUBLE), 4) >= 0.35 AS INTEGER) AS keep
+        |FROM stats s JOIN bi USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "ta_vocab" ->

@@ -135,6 +135,44 @@ object TextAnalysis {
         round(avg(col("q")), 4).as("mean_quality"))
       .orderBy("lang")
 
+  /** Repetition / diversity signals (the Gopher-rule family a corpus
+    * filter runs on top of length heuristics): top-word dominance,
+    * type-token ratio, duplicate-bigram fraction, and the resulting
+    * keep/drop flag. Token counting is one combinable (doc, token)
+    * aggregation; the bigram ratio is row-local array arithmetic. */
+  def repetitionSignals(documents: DataFrame, maxTopWord: Double = 0.12,
+      minTypeToken: Double = 0.35): DataFrame = {
+    val counts = documents
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+    val stats = counts.groupBy("doc_id").agg(
+      sum("n").cast("int").as("n_tokens"),
+      count(lit(1)).cast("int").as("n_types"),
+      max("n").cast("int").as("top_n"))
+    val bigrams = documents
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("ts")) - 1),
+          i => concat_ws(" ", element_at(col("ts"), i),
+            element_at(col("ts"), i + 1))).as("gs"))
+      .select(col("doc_id"), size(col("gs")).as("n_bi"),
+        size(array_distinct(col("gs"))).as("n_bi_d"))
+    val topRatio = round(col("top_n") / col("n_tokens").cast("double"), 4)
+    val typeRatio = round(col("n_types") / col("n_tokens").cast("double"), 4)
+    stats.join(bigrams, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        topRatio.as("top_word_ratio"),
+        typeRatio.as("type_token_ratio"),
+        round(lit(1.0) - col("n_bi_d") / col("n_bi").cast("double"), 4)
+          .as("dup_bigram_ratio"),
+        (topRatio <= maxTopWord && typeRatio >= minTypeToken).cast("int")
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Sequence PACKING plan (concat-then-chunk): assign each document an
     * offset in a per-language token stream and a pack id of `capacity`
     * tokens — the layout step that turns a filtered corpus into fixed-size
