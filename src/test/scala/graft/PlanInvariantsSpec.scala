@@ -69,6 +69,19 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("n7: compose joins stay 1-row-per-product — no fan-out multiplication") {
+    val df = SparkEntry.queries("n7_full_text")(spark, sfDir)
+    val products = SparkEntry.queries("n1_normalize")(spark, sfDir).count()
+    assert(df.count() == products, "composeFull must emit exactly one row per product")
+    assert(df.groupBy("product_id").count()
+      .where(org.apache.spark.sql.functions.col("count") > 1).count() == 0)
+  }
+
+  test("dd_decontaminate: benchmark set broadcasts — corpus side never shuffles to it") {
+    val p = planOf("dd_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("chunk generator: Generate node present (no array explode)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val p = graft.chunker.Chunker
