@@ -320,6 +320,11 @@ object SparkEntry {
     "ta_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(Catalog.documents(s, dir))),
 
+    "ta_sample" -> ((s, dir) =>
+      TextAnalysis.qualitySample(Catalog.documents(s, dir))),
+
+    "ta_mix" -> ((s, dir) => TextAnalysis.mixPlan(Catalog.documents(s, dir))),
+
     "ta_vocab" -> ((s, dir) => TextAnalysis.vocabTopK(Catalog.documents(s, dir))),
 
     // PII scrub over documents with a deterministic composed contact
@@ -1391,6 +1396,37 @@ object SparkEntry {
         |  CAST(floor(stream_offset / 2048.0) AS BIGINT) AS pack_id
         |FROM offs
         |ORDER BY doc_id""".stripMargin,
+
+    "ta_sample" ->
+      s"""SELECT doc_id,
+         |  round(least(1.0, len(regexp_extract_all(text, '\\S+')) / 100.0)
+         |    * (1.0 - ((length(text) - length(replace(text, ' the ', ''))) / 5)
+         |           / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)), 4) AS quality,
+         |  (${sha32Sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 1000000) / 1000000.0 AS u,
+         |  CAST((${sha32Sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 1000000) / 1000000.0
+         |    < round(least(1.0, len(regexp_extract_all(text, '\\S+')) / 100.0)
+         |        * (1.0 - ((length(text) - length(replace(text, ' the ', ''))) / 5)
+         |               / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)), 4) * 0.5
+         |    AS INTEGER) AS sampled
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+
+    "ta_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        |), tot AS (
+        |  SELECT lang, n_docs,
+        |    SUM(n_docs) OVER () AS total,
+        |    COUNT(*) OVER () AS k
+        |  FROM counts
+        |)
+        |SELECT lang, n_docs,
+        |  round(n_docs / CAST(total AS DOUBLE), 6) AS share,
+        |  round(1.0 / CAST(k AS DOUBLE), 6) AS target_share,
+        |  round(least(4.0, (1.0 / CAST(k AS DOUBLE))
+        |    / (n_docs / CAST(total AS DOUBLE))), 4) AS repeat_factor
+        |FROM tot
+        |ORDER BY lang""".stripMargin,
 
     "ta_repetition" ->
       """WITH tok AS (

@@ -135,6 +135,40 @@ object TextAnalysis {
         round(avg(col("q")), 4).as("mean_quality"))
       .orderBy("lang")
 
+  /** Quality-weighted deterministic sampling: each document draws a
+    * stable uniform u from its id hash and survives iff
+    * u < quality × rate — higher-quality documents sample at
+    * proportionally higher rates, and the decision is reproducible
+    * across runs and engines (no RNG state). Map-only. */
+  def qualitySample(documents: DataFrame, rate: Double = 0.5): DataFrame = {
+    val q = round(qualityCol, 4)
+    val u = pmod(sha32(concat(lit("sample:"), col("doc_id"))), lit(1000000L)) /
+      lit(1000000.0)
+    documents.select(
+      col("doc_id"), q.as("quality"), u.as("u"),
+      (u < q * rate).cast("int").as("sampled"))
+      .orderBy("doc_id")
+  }
+
+  /** Mixture re-weighting plan: per-language corpus share vs a uniform
+    * target share, with the capped repeat factor (epochs) that
+    * rebalances the mixture — the data-mixing step between curation and
+    * packing. Two tiny aggregations; the global totals ride a
+    * partition-less window (K languages ≈ a handful of rows). */
+  def mixPlan(documents: DataFrame, cap: Double = 4.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    documents.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("total", sum("n_docs").over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      .select(col("lang"), col("n_docs"),
+        round(col("n_docs") / col("total").cast("double"), 6).as("share"),
+        round(lit(1.0) / col("k").cast("double"), 6).as("target_share"),
+        round(least(lit(cap),
+          (lit(1.0) / col("k").cast("double")) /
+            (col("n_docs") / col("total").cast("double"))), 4).as("repeat_factor"))
+      .orderBy("lang")
+  }
+
   /** Repetition / diversity signals (the Gopher-rule family a corpus
     * filter runs on top of length heuristics): top-word dominance,
     * type-token ratio, duplicate-bigram fraction, and the resulting
