@@ -244,6 +244,22 @@ object Main {
       }
       spark.stop()
 
+    case Some("delete") =>
+      // the lifecycle delete path (reference trash/delete hook -> delete
+      // job): clear one product's vectors + bookkeeping rows
+      val work = opt(args, "work").getOrElse { System.err.println("error: --work required"); sys.exit(2); "" }
+      val pid = opt(args, "product").getOrElse { System.err.println("error: --product required"); sys.exit(2); "0" }.toLong
+      val site = opt(args, "site").getOrElse("1").toInt
+      val spark = session()
+      val store = new ParquetVectorStore(spark, s"$work/store")
+      val engine = new SyncEngine(spark, new LocalHashEmbedder(), store,
+        s"$work/sync_state", Selection(chunkSize = 100, chunkOverlap = 20),
+        events = Some(new graft.events.EventLog(spark, s"$work/events")))
+      val removed = engine.deleteProduct(pid, site)
+      println(s"deleted product $pid (site $site): $removed sync-state rows removed; " +
+        s"store ${store.count()} vectors (v${store.currentVersion})")
+      spark.stop()
+
     case Some("pipeline") =>
       // Training-data pipeline report over the documents table: corpus
       // stats, dedup posture, eval contamination, split sizes — the
@@ -291,7 +307,7 @@ object Main {
       spark.stop()
 
     case other =>
-      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|scan|loop|status|purge|pipeline")
+      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|scan|loop|status|purge|pipeline|delete")
       sys.exit(2)
   }
 }

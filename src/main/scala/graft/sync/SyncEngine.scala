@@ -137,6 +137,29 @@ final class SyncEngine(
       .withColumn("fields", lit(sel.core.distinct.sorted.toArray))
   }
 
+  /** The DELETE job (reference lifecycle: trash/delete → delete job clears
+    * the store's vectors AND this target's sync-state rows,
+    * `includes/class-lifecycle.php:39-67` + the delete job's
+    * `delete_by_product` + row purge). The sync pass can't do this — a
+    * deleted product never appears as a candidate — so deletion is its own
+    * entry point, idempotent like every other write (re-running converges
+    * on the same empty state). Returns the number of sync-state rows
+    * removed. */
+  def deleteProduct(productId: Long, siteId: Int = 1): Long = {
+    store.deleteByProduct(productId, siteId)
+    val all = readSyncState()
+    val mine = col("product_id") === productId && col("target") === target
+    val removed = all.where(mine).count()
+    commitSyncState(all.where(!mine))
+    events.foreach { log =>
+      import spark.implicits._
+      log.append(Seq((clock, siteId, target, "delete", "success", removed))
+        .toDF("ts_s", "site_id", "target", "action", "outcome", "deleted")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s"))
+    }
+    removed
+  }
+
   /** One full sync pass over `normalized` (product_id, site_id, sku, text).
     * Returns the per-action summary DataFrame (upserted/deleted/skipped). */
   def sync(normalized: DataFrame, force: Boolean = false): DataFrame = {

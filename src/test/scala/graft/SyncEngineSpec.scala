@@ -113,6 +113,27 @@ class SyncEngineSpec extends SparkSpec {
     assert(st.where(col("model") === "text-embedding-3-large").count() == st.count())
   }
 
+  test("F: deleteProduct clears one product's vectors + rows; re-sync re-indexes") {
+    val dir = Files.createTempDirectory("graftF")
+    val (engine, store) = mkEngine(dir)
+    engine.sync(docs(Seq(1L -> longText, 2L -> "tiny doc.")))
+    val before = store.count()
+    assert(engine.readSyncState().where(col("product_id") === 1L).count() > 0)
+
+    val removed = engine.deleteProduct(1L)
+    assert(removed > 0)
+    assert(store.read().where(col("product_id") === 1L).count() == 0)
+    assert(store.read().where(col("product_id") === 2L).count() > 0)
+    assert(engine.readSyncState().where(col("product_id") === 1L).count() == 0)
+    // idempotent: a second delete is a no-op
+    assert(engine.deleteProduct(1L) == 0L)
+
+    // the deleted product re-enters as NEW on the next sync pass
+    val s = actions(engine.sync(docs(Seq(1L -> longText, 2L -> "tiny doc."))))
+    assert(s.getOrElse("upsert", 0L) == removed, s.toString)
+    assert(store.count() == before)
+  }
+
   test("embeddings are deterministic and dimension-locked") {
     val e = new LocalHashEmbedder("text-embedding-3-small")
     val v1 = e.embedOne("hello")
