@@ -351,6 +351,10 @@ object SparkEntry {
 
     "st_sliding" -> ((s, dir) => EventStream.slidingCounts(s, dir)),
 
+    // T1 lifecycle routing: CDC change rows → index/delete/skip decisions
+    "t1_route" -> ((s, dir) =>
+      Scans.lifecycleRoute(Catalog.lifecycleCdc(s, dir))),
+
     // OLAP grouping sets: revenue subtotals at (flag, status), (flag), ()
     // — Spark ROLLUP ≡ DuckDB ROLLUP, null-marked subtotal rows.
     "q9_rollup" -> ((s, dir) =>
@@ -1576,6 +1580,30 @@ object SparkEntry {
         |FROM sess
         |GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "t1_route" ->
+      """WITH cdc AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS product_id,
+        |    CASE WHEN p_partkey % 7 = 0 THEN 'revision'
+        |         WHEN p_partkey % 7 = 1 THEN 'page'
+        |         WHEN p_partkey % 2 = 0 THEN 'product'
+        |         ELSE 'product_variation' END AS post_type,
+        |    CASE WHEN p_partkey % 4 = 0 THEN 'publish'
+        |         WHEN p_partkey % 4 = 1 THEN 'draft'
+        |         WHEN p_partkey % 4 = 2 THEN 'publish'
+        |         ELSE 'pending' END AS old_status,
+        |    CASE WHEN p_partkey % 3 = 0 THEN 'publish'
+        |         WHEN p_partkey % 3 = 1 THEN 'draft'
+        |         ELSE 'trash' END AS new_status
+        |  FROM part
+        |)
+        |SELECT product_id, post_type, old_status, new_status,
+        |  CASE WHEN post_type NOT IN ('product', 'product_variation') THEN 'skip'
+        |       WHEN new_status = 'publish' THEN 'index'
+        |       WHEN old_status = 'publish' AND new_status <> 'publish' THEN 'delete'
+        |       ELSE 'skip' END AS action
+        |FROM cdc
+        |ORDER BY product_id""".stripMargin,
 
     "st_sliding" ->
       """WITH w AS (

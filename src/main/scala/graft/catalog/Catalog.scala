@@ -303,6 +303,25 @@ object Catalog {
         col("a.attr_value").as("attr_value"))
   }
 
+  /** Synthetic lifecycle-CDC rows (the T1 hook payloads: what saved, from
+    * which status to which): deterministic status transitions over part
+    * keys, with non-product types mixed in so the router's P6 skip path
+    * has work. */
+  def lifecycleCdc(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir).select(
+      col("p_partkey").cast("bigint").as("product_id"),
+      when(col("p_partkey") % 7 === 0, "revision")
+        .when(col("p_partkey") % 7 === 1, "page")
+        .when(col("p_partkey") % 2 === 0, "product")
+        .otherwise("product_variation").as("post_type"),
+      when(col("p_partkey") % 4 === 0, "publish")
+        .when(col("p_partkey") % 4 === 1, "draft")
+        .when(col("p_partkey") % 4 === 2, "publish")
+        .otherwise("pending").as("old_status"),
+      when(col("p_partkey") % 3 === 0, "publish")
+        .when(col("p_partkey") % 3 === 1, "draft")
+        .otherwise("trash").as("new_status"))
+
   /** Deterministic synthetic sync-state: products with `p_partkey % 3 == 0`
     * have `1 + pk % 3` chunk rows each; even keys are freshly synced, odd
     * keys are stale; `pk % 9 == 0` rows are errored.

@@ -115,6 +115,25 @@ object Scans {
       .limit(limit)
       .select("product_id", "title", "sku", "stage")
 
+  /** T1 — lifecycle CDC routing (reference save/status-transition/trash
+    * hooks, `includes/class-lifecycle.php:39-67`, with the P6 skips
+    * `:118-131`): classify each change row into the job it enqueues —
+    *   skip    non-product types, autosaves, revisions
+    *   index   transition INTO publish (or a publish-state save)
+    *   delete  transition OUT of publish (unpublish ≡ purge) or trash
+    *   skip    everything else (draft→draft edits etc.)
+    * Pure row-local predicate chain — the streaming consumer applies it
+    * per micro-batch before fanning out to the sync/delete jobs. */
+  def lifecycleRoute(cdc: DataFrame): DataFrame =
+    cdc.select(col("product_id"), col("post_type"),
+      col("old_status"), col("new_status"),
+      when(!col("post_type").isin("product", "product_variation"), "skip")
+        .when(col("new_status") === "publish", "index")
+        .when(col("old_status") === "publish" &&
+          col("new_status") =!= "publish", "delete")
+        .otherwise("skip").as("action"))
+      .orderBy("product_id")
+
   /** A3 — job/queue metrics: row counts by sync status (the scheduler's
     * backlog estimate, reference `includes/class-scheduler.php:259-327`). */
   def jobMetrics(syncState: DataFrame): DataFrame =
