@@ -39,8 +39,11 @@ object SparkEntry {
         .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          // DECIMAL(38,s): DuckDB's natural SUM(DECIMAL(18,s)) width — Spark's
+          // (28,s) encodes as 12-byte parquet vs decimal128's 16, and the
+          // driver's hash is byte-width-sensitive (r2 gate failure).
+          sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_base_price"),
           sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
             .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
@@ -363,7 +366,7 @@ object SparkEntry {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).as("n"),
-          sum(dec(col("l_quantity"))).cast("decimal(28,2)").as("sum_qty"))
+          sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"))
         .orderBy("l_returnflag", "l_linestatus")),
   )
 
@@ -550,13 +553,14 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
 
-    // Aggregate output types pinned to Spark's: DuckDB widens SUM(DECIMAL(18,s))
-    // to DECIMAL(38,s) while Spark produces DECIMAL(28,s) — values identical,
-    // but the driver's hash is type-sensitive (round-1 gate failure).
+    // Aggregate widths pinned at DECIMAL(38,s) on BOTH sides: DuckDB's natural
+    // SUM(DECIMAL(18,s)) width, matched by an explicit up-cast in the Spark
+    // query (Spark's (28,s) is 12-byte parquet vs decimal128's 16 → driver
+    // hash divergence, r2 gate failure).
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
         |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem
@@ -1289,7 +1293,8 @@ object SparkEntry {
         |      CAST(least(greatest(round(CAST(x AS DOUBLE) / scale, 0), -127), 127) AS INTEGER)) AS codes
         |  FROM scaled
         |)
-        |SELECT vec_id, scale, codes,
+        |SELECT vec_id, scale,
+        |  CAST(to_json(codes) AS VARCHAR) AS codes,
         |  round(list_sum(list_transform(list_zip(embedding, codes), p ->
         |      (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)
         |      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)))
@@ -1554,7 +1559,7 @@ object SparkEntry {
     "st_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS total
+        |  SUM(CAST(value AS DECIMAL(18,6))) AS total
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
@@ -1620,7 +1625,7 @@ object SparkEntry {
 
     "q9_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)

@@ -182,7 +182,10 @@ object Similarity {
     embeddings
       .select(col("vec_id"), col("embedding"), scaleCol.as("scale"))
       .withColumn("codes", codes)
-      .select(col("vec_id"), col("scale"), col("codes"),
+      // codes serialized as compact JSON: a bare array<int> column is
+      // unhashable for the driver's pandas-based compare (r2 `err`), and
+      // "[1,2,3]" is the identical rendering on both engines.
+      .select(col("vec_id"), col("scale"), to_json(col("codes")).as("codes"),
         round(err2 / size(col("codes")), 12).as("mse"))
       .orderBy("vec_id")
   }

@@ -58,7 +58,10 @@ object EventStream {
     spark.table(name)
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-        col("event_type"), col("n"), col("total"))
+        col("event_type"), col("n"),
+        // DECIMAL(38,6) = DuckDB's natural SUM width; Spark's (28,6) is
+        // 12-byte parquet vs decimal128's 16 → driver hash divergence (r2).
+        col("total").cast("decimal(38,6)").as("total"))
       .orderBy("hour", "event_type")
   }
 

@@ -43,8 +43,9 @@ class SimilarityQualitySpec extends SparkSpec {
       val mse = r.getDouble(3)
       assert(mse <= scale * scale / 4 + 1e-12,
         s"vec ${r.getLong(0)}: mse $mse > bound ${scale * scale / 4}")
-      // codes stay in the int8 range
-      val codes = r.getSeq[Int](2)
+      // codes (JSON-serialized for the driver gate) stay in the int8 range
+      val codes = r.getString(2).stripPrefix("[").stripSuffix("]")
+        .split(",").filter(_.nonEmpty).map(_.trim.toInt)
       assert(codes.forall(c => c >= -127 && c <= 127))
     }
   }

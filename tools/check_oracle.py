@@ -5,7 +5,7 @@ oracle_sql.json in DuckDB over the raw parquet tables and compare
 (row count, column names, values). Strict by default — mirrors a
 hash-match — with a float near-miss report to localize precision bugs.
 
-Usage: python3 tools/check_oracle.py <outdir> [sfdir]
+Usage: python3 tools/check_oracle.py <outdir> [sfdir] [name1,name2,...]
 """
 import json, math, sys
 import duckdb
@@ -27,6 +27,9 @@ def main():
     outdir = sys.argv[1]
     sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if len(sys.argv) > 3:  # optional subset for fast local iteration
+        only = set(sys.argv[3].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in only}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
