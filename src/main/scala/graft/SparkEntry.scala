@@ -416,18 +416,33 @@ object SparkEntry {
       |  ) a
       |  WHERE p_partkey % 2 = 0
       |)""".stripMargin
-  /** Shared a1 rollup CTE chain (children -> agg ⋈ colors -> rendered),
+  /** Mirror of VariationRollup.attrLabel: pa_color → Color,
+    * acf:rating → ACF Rating, else prettified key. */
+  private def attrLabelSql(k: String): String =
+    s"""CASE WHEN $k LIKE 'pa\\_%' ESCAPE '\\' THEN ${prettySql(s"substr($k, 4)")}
+       |     WHEN $k LIKE 'acf:%' THEN 'ACF ' || ${prettySql(s"substr($k, 5)")}
+       |     ELSE ${prettySql(k)} END""".stripMargin
+  /** Shared a1 rollup CTE chain (children -> agg ⋈ attr block -> rendered),
     * appended after the catalog prologue. */
   private val RollupCtes: String =
     s""", children AS (
       |  SELECT * FROM products
       |  WHERE post_type = 'product_variation' AND post_status = 'publish'
-      |), $VattrsCte, color_sets AS (
+      |), $VattrsCte, attr_pretty AS (
+      |  SELECT c.parent_id, v.attr_key,
+      |    CASE WHEN v.attr_key LIKE 'pa\\_%' ESCAPE '\\'
+      |      THEN ${prettySql("v.attr_value")}
+      |      ELSE v.attr_value END AS pv
+      |  FROM children c JOIN vattrs v ON v.product_id = c.product_id
+      |), attr_sets AS (
+      |  SELECT parent_id, attr_key,
+      |    list_sort(list_distinct(list(pv))) AS l
+      |  FROM attr_pretty GROUP BY parent_id, attr_key
+      |), attr_block AS (
       |  SELECT parent_id,
-      |    list_sort(list_distinct(list(${prettySql("attr_value")}))) AS color_list
-      |  FROM children JOIN vattrs USING (product_id)
-      |  WHERE attr_key = 'pa_color'
-      |  GROUP BY parent_id
+      |    string_agg(${attrLabelSql("attr_key")} || ': ' || ${valueSetSql("l", 2)},
+      |               '; ' ORDER BY attr_key) AS attrs_text
+      |  FROM attr_sets GROUP BY parent_id
       |), agg AS (
       |  SELECT parent_id,
       |    COUNT(*) AS n_variations,
@@ -442,14 +457,14 @@ object SparkEntry {
       |    printf('%.2f', pmax) AS price_max,
       |    ${valueSetSql("size_list", 2)} AS sizes,
       |    ${valueSetSql("sku_list", 2)} AS skus,
-      |    ${valueSetSql("color_list", 2)} AS colors
-      |  FROM agg LEFT JOIN color_sets USING (parent_id)
+      |    attrs_text
+      |  FROM agg LEFT JOIN attr_block USING (parent_id)
       |)
       |""".stripMargin
   private val RollupTextSql: String =
     "'Variations: ' || n_variations || '; Price range: ' || price_min || " +
     "' - ' || price_max || '; Sizes: ' || sizes || '; SKUs: ' || skus || " +
-    "COALESCE('; Colors: ' || colors, '')"
+    "COALESCE('; ' || attrs_text, '')"
 
   /** sha32: first 8 hex chars of sha256 as integer (mirror of Functions.sha32). */
   private def sha32Sql(x: String): String =
@@ -725,7 +740,7 @@ object SparkEntry {
         |ORDER BY vector_id""".stripMargin),
 
     "a1_variation_rollup" -> (P + RollupCtes +
-      s"""SELECT parent_id, n_variations, price_min, price_max, sizes, skus, colors,
+      s"""SELECT parent_id, n_variations, price_min, price_max, sizes, skus, attrs_text,
          |  $RollupTextSql AS rollup_text
          |FROM rendered
          |ORDER BY parent_id""".stripMargin),

@@ -40,26 +40,44 @@ object VariationRollup {
       .orderBy("parent_id", "attr_key")
   }
 
+  /** Deterministic display label for an attribute key — `pa_color` →
+    * `Color`, `acf:rating` → `ACF Rating`, anything else prettified as-is
+    * (reference label resolution `includes/class-variation-rollup.php:
+    * 208-232` via wc_attribute_label / acf_label_fallback). */
+  def attrLabel(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(key.startsWith("pa_"), Functions.prettySlug(key.substr(lit(4), length(key))))
+      .when(key.startsWith("acf:"),
+        concat(lit("ACF "), Functions.prettySlug(key.substr(lit(5), length(key)))))
+      .otherwise(Functions.prettySlug(key))
+
   /** Rollup table: one row per parent with the aggregates + rendered text.
-    * With `attrs`, the `pa_color` set joins in as a `colors` column and the
-    * rendered block gains a `Colors:` segment (the generalized-attribute
-    * path of [[attributeSets]] folded into the headline rollup). */
+    * With `attrs`, EVERY `attributeSets` key — pa_* taxonomies, custom
+    * attributes, ACF fields — renders as a `Label: v1, v2 (+N more)`
+    * segment, key-sorted, appended to the rollup text (reference renders
+    * the full attribute map + ACF block,
+    * `includes/class-variation-rollup.php:55-95, 98-153`). */
   def rollup(products: DataFrame, valuesCap: Int = 20,
       attrs: Option[DataFrame] = None): DataFrame = {
     val base = baseRollup(products, valuesCap)
     attrs match {
       case None => base
       case Some(a) =>
-        val colors = attributeSets(products, a, valuesCap)
-          .where(col("attr_key") === "pa_color")
-          .select(col("parent_id"), col("vals").as("colors"))
-        // a parent with variations but no color rows keeps its base text —
-        // a null-propagating concat would erase the whole rollup block
-        base.join(colors, Seq("parent_id"), "left_outer")
+        val lines = attributeSets(products, a, valuesCap)
+          .select(col("parent_id"), col("attr_key"),
+            concat(attrLabel(col("attr_key")), lit(": "), col("vals")).as("line"))
+        // one ordered render per parent: sort by key (unique per parent) so
+        // the block is deterministic regardless of aggregation order
+        val block = lines.groupBy("parent_id")
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("attr_key"), col("line")))),
+              x => x.getField("line")), "; ").as("attrs_text"))
+        // a parent with variations but no attribute rows keeps its base
+        // text — a null-propagating concat would erase the whole block
+        base.join(block, Seq("parent_id"), "left_outer")
           .select(col("parent_id"), col("n_variations"), col("price_min"),
-            col("price_max"), col("sizes"), col("skus"), col("colors"),
+            col("price_max"), col("sizes"), col("skus"), col("attrs_text"),
             concat(col("rollup_text"),
-              coalesce(concat(lit("; Colors: "), col("colors")), lit("")))
+              coalesce(concat(lit("; "), col("attrs_text")), lit("")))
               .as("rollup_text"))
           .orderBy("parent_id")
     }
