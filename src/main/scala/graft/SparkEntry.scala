@@ -7,7 +7,7 @@ import graft.catalog.{Catalog, OracleSql}
 import graft.normalize.Normalizer
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.rollup.VariationRollup
-import graft.scan.Scans
+import graft.scan.{EventFilters, Scans}
 import graft.streaming.EventStream
 import graft.sync.DeltaPlan
 
@@ -138,14 +138,33 @@ object SparkEntry {
     "s6_product_search" -> ((s, dir) =>
       Scans.productSearch(Catalog.products(s, dir), "SKU-12", 20)),
 
+    // S7 with the reference's REAL filter columns: product_id + action +
+    // outcome equality over the log-row view (`filter_match`,
+    // `includes/class-events.php:148-155`).
     "s7_event_read" -> ((s, dir) =>
-      Scans.eventLogRead(Catalog.events(s, dir), "purchase", ScanLimit)),
+      Scans.eventLogRead(Catalog.eventLog(s, dir),
+        EventFilters(productId = Some(7L), action = Some("purchase"),
+          outcome = Some("success")), ScanLimit)),
 
-    // S7 with the reference's full read surface: action + per-row filter
-    // + OFFSET pagination (`includes/class-events.php:50-94`).
+    // S7 full read surface: target + action filters + OFFSET pagination
+    // (`includes/class-events.php:50-94`).
     "s7b_event_paged" -> ((s, dir) =>
-      Scans.eventLogRead(Catalog.events(s, dir), "view", 50, offset = 100,
-        extraFilter = col("user_id") % 3 === 1)),
+      Scans.eventLogRead(Catalog.eventLog(s, dir),
+        EventFilters(target = Some("vs"), action = Some("view")),
+        50, offset = 100)),
+
+    // S7 CSV export: the reference's stream_csv pulls filtered pages up
+    // to a 5000-row cap (`class-events.php:96-146`) — this is that capped,
+    // filtered, newest-first dataset (EventLog.exportCsv writes it).
+    "s7c_event_csv" -> ((s, dir) =>
+      Catalog.eventLog(s, dir)
+        .where(EventFilters(outcome = Some("success")).predicate)
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .limit(5000)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("site_id"), col("product_id"), col("target"), col("action"),
+          col("outcome"), col("duration_ms"))),
 
     // K5 purge-site as a checkable anti-filter over a multi-site store
     // derivation (ParquetVectorStore.purgeSite applies this same rewrite).
@@ -194,6 +213,22 @@ object SparkEntry {
 
     "n1_normalize" -> ((s, dir) =>
       Normalizer.normalize(Catalog.products(s, dir))),
+
+    // P1 for real: a NON-default selection — price/brand/size deselected,
+    // ONE meta key, ONE taxonomy, ONE ACF field — drives the whole
+    // document (`class-options.php:368-421` → `class-field-normalizer
+    // .php:44-66`). Deselected sections never appear in the plan.
+    "n1_selected" -> ((s, dir) =>
+      Normalizer.composeFull(
+        Catalog.products(s, dir),
+        Catalog.productMeta(s, dir),
+        Catalog.productTerms(s, dir),
+        Normalizer.acfRender(Catalog.acfValues(s, dir)),
+        graft.model.Selection(
+          core = Seq("title", "description", "sku"),
+          meta = Map("material" -> "text"),
+          tax = Seq("product_cat"),
+          acf = Seq("rating")))),
 
     "n2_fingerprint" -> ((s, dir) =>
       Normalizer.fingerprint(Normalizer.normalize(Catalog.products(s, dir)))),
@@ -373,6 +408,20 @@ object SparkEntry {
   // ======================= DuckDB oracles =======================
 
   private val P = OracleSql.prologue
+
+  /** SQL mirror of [[Catalog.eventLog]] — the reference's log-row shape
+    * (`class-events.php:105`) derived from the events stream table. */
+  private val EventLogSql =
+    """WITH event_log AS (
+      |  SELECT event_id, ts, 1 AS site_id, user_id AS product_id,
+      |    CASE WHEN CAST(props->>'k' AS INTEGER) % 2 = 0
+      |         THEN 'local' ELSE 'vs' END AS target,
+      |    event_type AS action,
+      |    CASE WHEN event_type = 'error' THEN 'error' ELSE 'success' END AS outcome,
+      |    round(value, 2) AS duration_ms
+      |  FROM events
+      |)
+      |""".stripMargin
   private val stripHtmlSql =
     // trim(collapse-ws(strip-tags(x))) — mirror of Functions.stripHtml
     (x: String) => s"trim(regexp_replace(regexp_replace($x, '<[^>]*>', '', 'g'), '\\s+', ' ', 'g'))"
@@ -717,21 +766,29 @@ object SparkEntry {
         |ORDER BY stage, product_id
         |LIMIT 20""".stripMargin),
 
-    "s7_event_read" ->
-      s"""SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, user_id, event_type,
-         |  round(value, 2) AS value
-         |FROM events
-         |WHERE event_type = 'purchase' AND user_id % 2 = 0
+    "s7_event_read" -> (EventLogSql +
+      s"""SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |  product_id, target, action, outcome, duration_ms
+         |FROM event_log
+         |WHERE product_id = 7 AND action = 'purchase' AND outcome = 'success'
          |ORDER BY ts DESC, event_id DESC
-         |LIMIT $ScanLimit""".stripMargin,
+         |LIMIT $ScanLimit""".stripMargin),
 
-    "s7b_event_paged" ->
-      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, user_id, event_type,
-        |  round(value, 2) AS value
-        |FROM events
-        |WHERE event_type = 'view' AND user_id % 3 = 1
+    "s7b_event_paged" -> (EventLogSql +
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  product_id, target, action, outcome, duration_ms
+        |FROM event_log
+        |WHERE target = 'vs' AND action = 'view'
         |ORDER BY ts DESC, event_id DESC
-        |LIMIT 50 OFFSET 100""".stripMargin,
+        |LIMIT 50 OFFSET 100""".stripMargin),
+
+    "s7c_event_csv" -> (EventLogSql +
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  site_id, product_id, target, action, outcome, duration_ms
+        |FROM event_log
+        |WHERE outcome = 'success'
+        |ORDER BY ts DESC, event_id DESC
+        |LIMIT 5000""".stripMargin),
 
     "k5_purge_site" -> (P +
       """SELECT vector_id, CAST(product_id % 3 + 1 AS INTEGER) AS site_id
@@ -790,6 +847,32 @@ object SparkEntry {
          |  CASE WHEN length(title) > 20 THEN substr(title, 1, 20) || '…'
          |       ELSE title END AS title_trunc
          |FROM products
+         |ORDER BY product_id""".stripMargin),
+
+    "n1_selected" -> (P +
+      s""", meta_lines AS (
+         |  SELECT CAST(p_partkey AS BIGINT) AS product_id,
+         |    'material: ' || p_type AS meta_block FROM part
+         |), term_lines AS (
+         |  SELECT CAST(p_partkey AS BIGINT) AS product_id,
+         |    'product_cat: cat-' || CAST(p_partkey % 8 AS VARCHAR) AS term_block
+         |  FROM part
+         |), acf_lines AS (
+         |  SELECT CAST(p_partkey AS BIGINT) AS product_id,
+         |    'rating: ' || CAST(p_partkey % 5 + 1 AS VARCHAR) AS acf_block
+         |  FROM part
+         |)
+         |SELECT product_id,
+         |  concat_ws(chr(10),
+         |    concat_ws(chr(10),
+         |      ${sectionSql("Title", stripHtmlSql("title"))},
+         |      ${sectionSql("Description", stripHtmlSql("description"))},
+         |      ${sectionSql("SKU", "sku")}),
+         |    meta_block, term_block, acf_block) AS text
+         |FROM products
+         |LEFT JOIN meta_lines USING (product_id)
+         |LEFT JOIN term_lines USING (product_id)
+         |LEFT JOIN acf_lines USING (product_id)
          |ORDER BY product_id""".stripMargin),
 
     "n1_normalize" -> (P +
@@ -1620,6 +1703,7 @@ object SparkEntry {
         |SELECT product_id, post_type, old_status, new_status,
         |  CASE WHEN post_type NOT IN ('product', 'product_variation') THEN 'skip'
         |       WHEN new_status = 'publish' THEN 'index'
+        |       WHEN new_status = 'trash' THEN 'delete'
         |       WHEN old_status = 'publish' AND new_status <> 'publish' THEN 'delete'
         |       ELSE 'skip' END AS action
         |FROM cdc

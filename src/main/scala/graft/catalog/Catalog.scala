@@ -47,6 +47,25 @@ object Catalog {
       .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
   }
 
+  /** Event-log VIEW over the synthetic events stream in the reference's
+    * log-row shape — ts/site_id/product_id/target/action/outcome/
+    * duration_ms, the CSV header of `includes/class-events.php:105` — so
+    * S7's four real filters (`filter_match` `:148-155`) act on their
+    * actual columns. Derivations are deterministic so the DuckDB oracle
+    * mirrors them exactly. */
+  def eventLog(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("event_id"),
+      col("ts"),
+      lit(1).as("site_id"),
+      col("user_id").as("product_id"),
+      when(get_json_object(col("props"), "$.k").cast("int") % 2 === 0, "local")
+        .otherwise("vs").as("target"),
+      col("event_type").as("action"),
+      when(col("event_type") === "error", "error").otherwise("success")
+        .as("outcome"),
+      round(col("value"), 2).as("duration_ms"))
+
   /** Parent products: one per `part` row. */
   def parents(spark: SparkSession, dir: String): DataFrame =
     part(spark, dir).select(

@@ -20,8 +20,9 @@ import graft.sync.SyncEngine
   *       one-off embedding sanity (prints dim + first coords)
   *   sync   --data DIR --work DIR [--force] [--limit N]
   *       full pipeline over the documents table into the local store
-  *   preview --product ID [--data DIR]
-  *       read-only dry-run: normalized text + meta line, no writes
+  *   preview --product ID [--data DIR] [--fields title,sku,…]
+  *       read-only dry-run: normalized text + meta line, no writes;
+  *       --fields applies the P1 selection to the preview projection
   *   scan   --data DIR --work DIR [--limit N] [--quota N]
   *       one scheduler tick: plan candidates, advance the watermark
   *   loop   --data DIR --work DIR [--ticks N] [--limit N] [--quota N]
@@ -137,9 +138,14 @@ object Main {
       // same normalizer IR as sync but stops before fingerprint/chunk/embed.
       val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
       val id = opt(args, "product").getOrElse("2").toLong
+      // --fields title,sku,… : the P1 selection drives the preview text
+      // exactly as it drives sync (same normalizer projection)
+      val fields = opt(args, "fields")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(graft.normalize.Normalizer.DefaultCore)
       val spark = session()
       val products = graft.catalog.Catalog.products(spark, data)
-      val row = graft.normalize.Normalizer.normalize(products)
+      val row = graft.normalize.Normalizer.normalize(products, fields)
         .where(col("product_id") === id).collect()
       if (row.isEmpty) { System.err.println(s"error: product $id not found"); sys.exit(1) }
       println(s"product $id normalized text:")
@@ -258,6 +264,19 @@ object Main {
       val removed = engine.deleteProduct(pid, site)
       println(s"deleted product $pid (site $site): $removed sync-state rows removed; " +
         s"store ${store.count()} vectors (v${store.currentVersion})")
+      // a work dir synced with --target both has a second adapter: the
+      // delete job must clear EVERY enabled adapter (same rule as purge)
+      val vsRoot = s"$work/store_vs"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(vsRoot))) {
+        val vs = new graft.store.EnsureStoreVectorStore(spark, vsRoot)
+        val engine2 = new SyncEngine(spark, new LocalHashEmbedder(), vs,
+          s"$work/sync_state", Selection(chunkSize = 100, chunkOverlap = 20),
+          target = "vs",
+          events = Some(new graft.events.EventLog(spark, s"$work/events")))
+        val removed2 = engine2.deleteProduct(pid, site)
+        println(s"deleted product $pid from vs store: $removed2 sync-state rows; " +
+          s"now ${vs.count()} vectors (v${vs.currentVersion})")
+      }
       spark.stop()
 
     case Some("pipeline") =>

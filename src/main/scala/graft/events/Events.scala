@@ -47,8 +47,11 @@ final class EventLog(spark: SparkSession, root: String) {
     dropped.map(_.getFileName.toString)
   }
 
-  /** Streamed CSV export, capped (`class-events.php:166-189`). */
-  def exportCsv(out: String, cap: Int = 5000): Unit =
-    read().orderBy(col("ts").desc).limit(cap)
+  /** Streamed CSV export, filtered + capped (reference `stream_csv`
+    * pulls pages through the same `filter_match` predicates up to a 5000
+    * cap, `class-events.php:96-146`). */
+  def exportCsv(out: String, cap: Int = 5000,
+      filters: graft.scan.EventFilters = graft.scan.EventFilters()): Unit =
+    read().where(filters.predicate).orderBy(col("ts").desc).limit(cap)
       .coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true").csv(out)
 }

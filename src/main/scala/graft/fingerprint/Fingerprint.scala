@@ -45,6 +45,7 @@ object Fingerprint {
     * dev-plan `development-plan.md:868-871`). */
   def canonicalSelection(sel: Selection): String = {
     val fields = Seq(
+      "acf" -> sortList(sel.acf).map(jstr).mkString("[", ",", "]"),
       "attributes" -> sortList(sel.attributes).map(jstr).mkString("[", ",", "]"),
       "core" -> sortList(sel.core).map(jstr).mkString("[", ",", "]"),
       "meta" -> sel.meta.toSeq.sortBy(_._1)

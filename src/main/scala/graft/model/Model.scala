@@ -56,6 +56,7 @@ final case class Selection(
     tax: Seq[String] = Nil,
     attributes: Seq[String] = Nil,
     meta: Map[String, String] = Map.empty, // key -> mode (text|json)
+    acf: Seq[String] = Nil, // ACF field names; empty = all discovered
     showPrivateMeta: Boolean = false,
     chunkSize: Int = 800,
     chunkOverlap: Int = 100,

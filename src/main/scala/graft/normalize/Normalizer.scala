@@ -20,18 +20,44 @@ object Normalizer {
     when(value.isNotNull && length(value) > 0,
       concat(lit(label), lit(": "), value))
 
+  /** The core-field catalog in the reference's render order
+    * (`class-field-normalizer.php:44-66`): selection key → rendered
+    * section. Selection picks WHICH of these flow; render order is always
+    * the catalog's (the reference iterates its field list, not the
+    * user's). */
+  private def coreCatalog: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "title" -> section("Title", stripHtml(col("title"))),
+    "description" -> section("Description", stripHtml(col("description"))),
+    "sku" -> section("SKU", col("sku")),
+    "price" -> section("Price", col("price")),
+    "brand" -> section("Brand", col("brand")),
+    "size" -> section("Size", col("attr_size")))
+
+  /** Every core key, in render order — the default (full) selection. */
+  val DefaultCore: Seq[String] =
+    Seq("title", "description", "sku", "price", "brand", "size")
+
   /** Normalized text per product over the canonical catalog columns. */
   def normalize(products: DataFrame): DataFrame =
+    normalize(products, DefaultCore)
+
+  /** P1 selection-driven core text: project ONLY the selected core
+    * fields (reference options blob → normalizer,
+    * `includes/class-options.php:368-421` applied
+    * `class-field-normalizer.php:44-66`). The selection IS the logical
+    * plan input — deselected columns are never referenced, so Catalyst
+    * prunes them out of the parquet scan. Unknown keys are ignored (the
+    * reference skips unknown option entries). */
+  def normalize(products: DataFrame, core: Seq[String]): DataFrame = {
+    val chosen = core.toSet
+    val sections = coreCatalog.collect { case (k, c) if chosen(k) => c }
+    require(sections.nonEmpty,
+      s"selection has no known core fields (got $core; known ${coreCatalog.map(_._1)})")
     products.select(
       col("product_id"),
-      concat_ws("\n",
-        section("Title", stripHtml(col("title"))),
-        section("Description", stripHtml(col("description"))),
-        section("SKU", col("sku")),
-        section("Price", col("price")),
-        section("Brand", col("brand")),
-        section("Size", col("attr_size"))).as("text"))
+      concat_ws("\n", sections: _*).as("text"))
       .orderBy("product_id")
+  }
 
   /** Meta-key blacklist P4 (reference hardcoded ignore list,
     * `includes/class-field-discovery.php:149-155`). */
@@ -193,23 +219,47 @@ object Normalizer {
     * product_id; each side is pre-reduced to one row per product before
     * its join, so the fan-in never multiplies rows. */
   def composeFull(products: DataFrame, meta: DataFrame, terms: DataFrame,
-      acfRendered: DataFrame, showPrivate: Boolean = false): DataFrame = {
+      acfRendered: DataFrame, showPrivate: Boolean = false): DataFrame =
+    composeFull(products, meta, terms, acfRendered,
+      graft.model.Selection(core = DefaultCore, showPrivateMeta = showPrivate))
+
+  /** P1 FOR REAL: the whole document is selection-driven. `sel.core`
+    * picks the core sections; `sel.meta` (when non-empty) restricts meta
+    * to the selected keys; `sel.tax` / `sel.attributes` (when non-empty)
+    * restrict taxonomies (plain / `pa_*` respectively); `sel.acf` (when
+    * non-empty) restricts ACF fields. Empty list = "all discovered", the
+    * reference's default-on behavior for unlisted sections.
+    *
+    * Each restriction is a WHERE on the long-format input BEFORE its
+    * per-product aggregation — a filter Catalyst pushes into that scan —
+    * never post-hoc text surgery. */
+  def composeFull(products: DataFrame, meta: DataFrame, terms: DataFrame,
+      acfRendered: DataFrame, sel: graft.model.Selection): DataFrame = {
     def lines(df: DataFrame, order: org.apache.spark.sql.Column,
         line: org.apache.spark.sql.Column) =
       df.groupBy("product_id")
         .agg(array_join(transform(
           array_sort(collect_list(struct(order.as("o"), line.as("l")))),
           s => s.getField("l")), "\n").as("block"))
-    val metaLines = lines(visibleMeta(meta, showPrivate),
+    val metaSel =
+      if (sel.meta.isEmpty) meta
+      else meta.where(col("key").isin(sel.meta.keys.toSeq: _*))
+    val termsSel =
+      if (sel.tax.isEmpty && sel.attributes.isEmpty) terms
+      else terms.where(col("taxonomy").isin((sel.tax ++ sel.attributes): _*))
+    val acfSel =
+      if (sel.acf.isEmpty) acfRendered
+      else acfRendered.where(col("field_name").isin(sel.acf: _*))
+    val metaLines = lines(visibleMeta(metaSel, sel.showPrivateMeta),
       col("key"), concat(col("key"), lit(": "), col("value")))
       .withColumnRenamed("block", "meta_block")
-    val termLines = lines(termSections(terms),
+    val termLines = lines(termSections(termsSel),
       col("taxonomy"), concat(col("label"), lit(": "), col("terms")))
       .withColumnRenamed("block", "term_block")
-    val acfLines = lines(acfRendered,
+    val acfLines = lines(acfSel,
       col("field_name"), concat(col("field_name"), lit(": "), col("rendered")))
       .withColumnRenamed("block", "acf_block")
-    normalize(products)
+    normalize(products, sel.core)
       .join(metaLines, Seq("product_id"), "left_outer")
       .join(termLines, Seq("product_id"), "left_outer")
       .join(acfLines, Seq("product_id"), "left_outer")

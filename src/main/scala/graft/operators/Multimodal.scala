@@ -4,16 +4,18 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video as opaque `binary` columns with
-  * typed metadata. The container has no image/audio codecs, so the decode
-  * step is a clearly-marked deterministic fake ([[fakeDecode]]) — the
-  * Spark-side plumbing (binary schema, batched per-partition processing,
-  * metadata extraction) is real and tested.
+  * typed metadata. Image decode is REAL — `javax.imageio` ships in the
+  * JDK, so PNG/JPEG/GIF/BMP headers are parsed for true dimensions
+  * ([[decodeImage]]); only non-image payloads (video/audio, whose codecs
+  * the JRE genuinely lacks) fall back to the clearly-marked deterministic
+  * fake ([[fakeDecode]]).
   *
   * Scale posture (100 TB): binary payloads never shuffle — metadata is
   * projected out in the scan stage and all downstream ops run on the
-  * narrow metadata columns. Decode runs in `mapPartitions` so a real
-  * decoder would amortize model/codec init per partition, the Scala
-  * equivalent of the `mapInPandas` batch shape.
+  * narrow metadata columns. Decode runs in `mapPartitions` so decoder
+  * init amortizes per partition, the Scala equivalent of the
+  * `mapInPandas` batch shape; dimension reads are header-only
+  * (`ImageReader.getWidth`), never a full pixel decode.
   */
 object Multimodal {
 
@@ -63,16 +65,67 @@ object Multimodal {
         round(col("col") / lit(fps), 3).as("ts_sec"))
       .orderBy("doc_id", "sample_idx")
 
-  /** STUB decode: a real implementation would decode image bytes here
-    * (libs not in this container). Deterministic fake keeps the pipeline
-    * testable end-to-end. */
+  /** Magic-byte sniff for the formats the JDK's ImageIO can read. The
+    * BMP/GIF checks extend past the 2–4 printable magic chars into bytes
+    * a TEXT payload can't produce (NULs / full 6-byte GIF version), so a
+    * document that merely starts with "BM…" never mis-routes. */
+  private def sniffImageFormat(bytes: Array[Byte]): Option[String] = {
+    def at(i: Int, v: Int) = bytes.length > i && (bytes(i) & 0xff) == v
+    if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G')) Some("png")
+    else if (at(0, 0xff) && at(1, 0xd8) && at(2, 0xff)) Some("jpeg")
+    else if (at(0, 'G') && at(1, 'I') && at(2, 'F') && at(3, '8') &&
+      (at(4, '7') || at(4, '9')) && at(5, 'a')) Some("gif")
+    else if (at(0, 'B') && at(1, 'M') &&
+      at(6, 0) && at(7, 0) && at(8, 0) && at(9, 0)) Some("bmp")
+    else None
+  }
+
+  /** STUB decode for NON-image payloads only (video/audio — no codecs in
+    * the JRE): deterministic fake keeps the pipeline testable end-to-end. */
   def fakeDecode(bytes: Array[Byte]): (Int, Int) = {
     val n = bytes.length
-    (n % 640, n % 480) // ??? real decoder goes here
+    (n % 640, n % 480) // ??? real av-codec goes here
+  }
+
+  /** Real image decode via JDK-builtin `javax.imageio`: header-only
+    * dimension read (no pixel decode) for PNG/JPEG/GIF/BMP; anything the
+    * sniffer doesn't recognize falls back to [[fakeDecode]] with the
+    * length-derived pseudo-format (so non-image payloads keep the exact
+    * behavior [[binaryMeta]]'s pure-expression oracle mirrors). */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, String) = {
+    def fallback = {
+      val (w, h) = fakeDecode(bytes)
+      val fmt = (bytes.length % 3) match {
+        case 0 => "png"; case 1 => "jpeg"; case _ => "webp"
+      }
+      (w, h, fmt)
+    }
+    sniffImageFormat(bytes) match {
+      case Some(fmt) =>
+        try {
+          val in = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(in)
+            if (readers.hasNext) {
+              val r = readers.next()
+              try { r.setInput(in, true); (r.getWidth(0), r.getHeight(0), fmt) }
+              finally r.dispose()
+            } else fallback
+          } finally in.close()
+        } catch {
+          // a truncated/corrupt header must degrade to the fake, not fail
+          // a 100 TB job on one bad asset
+          case _: java.io.IOException | _: IllegalArgumentException => fallback
+        }
+      case None => fallback
+    }
   }
 
   /** The batched per-partition decode path (the `mapInPandas` shape):
-    * binary in, typed metadata out, codec init amortized per partition. */
+    * binary in, typed metadata out, decoder init amortized per partition.
+    * Real image payloads get true ImageIO dimensions; non-image payloads
+    * agree exactly with [[binaryMeta]] (spec-asserted). */
   def decodePartitioned(documents: DataFrame): Dataset[MediaMeta] = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -80,15 +133,13 @@ object Multimodal {
       .select(col("doc_id").cast("long"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition "codec" init would happen here
+        // per-partition decoder init (MessageDigest; ImageIO reader
+        // registry is JVM-global and warms once)
         val md = java.security.MessageDigest.getInstance("SHA-256")
         it.map { case (id, bytes) =>
-          val (w, h) = fakeDecode(bytes)
+          val (w, h, fmt) = decodeImage(bytes)
           val sha = md.digest(bytes).map("%02x".format(_)).mkString
           md.reset()
-          val fmt = (bytes.length % 3) match {
-            case 0 => "png"; case 1 => "jpeg"; case _ => "webp"
-          }
           MediaMeta(id, bytes.length.toLong, sha, w, h, fmt)
         }
       }

@@ -120,7 +120,10 @@ object Scans {
     * `:118-131`): classify each change row into the job it enqueues —
     *   skip    non-product types, autosaves, revisions
     *   index   transition INTO publish (or a publish-state save)
-    *   delete  transition OUT of publish (unpublish ≡ purge) or trash
+    *   delete  ANY transition into trash (`on_trashed_post`/
+    *           `on_before_delete` fire regardless of prior status — a
+    *           trashed DRAFT must still clear its vectors when drafts are
+    *           indexed), or a transition OUT of publish (unpublish ≡ purge)
     *   skip    everything else (draft→draft edits etc.)
     * Pure row-local predicate chain — the streaming consumer applies it
     * per micro-batch before fanning out to the sync/delete jobs. */
@@ -129,6 +132,7 @@ object Scans {
       col("old_status"), col("new_status"),
       when(!col("post_type").isin("product", "product_variation"), "skip")
         .when(col("new_status") === "publish", "index")
+        .when(col("new_status") === "trash", "delete")
         .when(col("old_status") === "publish" &&
           col("new_status") =!= "publish", "delete")
         .otherwise("skip").as("action"))
@@ -139,21 +143,38 @@ object Scans {
   def jobMetrics(syncState: DataFrame): DataFrame =
     syncState.groupBy("status").agg(count(lit(1)).as("n")).orderBy("status")
 
-  /** S7 — event-log read: per-row filters (action=event_type plus an
-    * arbitrary predicate standing in for the reference's
-    * product_id/target/outcome filters), newest-first, offset/limit
-    * pagination. Reference `includes/class-events.php:50-94`.
+  /** S7 — event-log read with the reference's ACTUAL filter set
+    * (`filter_match`, `includes/class-events.php:148-155`): optional
+    * equality on product_id / target / action / outcome, newest-first,
+    * offset/limit pagination (`read_recent` `:50-94`). The input carries
+    * the reference's log-row columns (Catalog.eventLog / EventLog.read).
     * The offset composes with the sort into one TakeOrdered-style pass —
     * no full materialization. */
-  def eventLogRead(events: DataFrame, eventType: String, limit: Int,
-      offset: Int = 0,
-      extraFilter: org.apache.spark.sql.Column = col("user_id") % 2 === 0): DataFrame =
-    events.where(col("event_type") === eventType && extraFilter)
+  def eventLogRead(log: DataFrame, filters: EventFilters, limit: Int,
+      offset: Int = 0): DataFrame =
+    log.where(filters.predicate)
       .orderBy(col("ts").desc, col("event_id").desc)
       .offset(offset)
       .limit(limit)
       .select(col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
-        col("user_id"), col("event_type"),
-        round(col("value"), 2).as("value"))
+        col("product_id"), col("target"), col("action"), col("outcome"),
+        col("duration_ms"))
+}
+
+/** The S7 read/export filter set (reference `filter_match`,
+  * `includes/class-events.php:148-155`): each PRESENT field is an
+  * equality predicate; absent fields don't constrain. */
+final case class EventFilters(
+    productId: Option[Long] = None,
+    target: Option[String] = None,
+    action: Option[String] = None,
+    outcome: Option[String] = None) {
+  def predicate: org.apache.spark.sql.Column =
+    Seq(
+      productId.map(col("product_id") === _),
+      target.map(col("target") === _),
+      action.map(col("action") === _),
+      outcome.map(col("outcome") === _))
+      .flatten.foldLeft(lit(true))(_ && _)
 }

@@ -65,18 +65,24 @@ final class EnsureStoreVectorStore(spark: SparkSession, root: String,
   }
 
   /** K5 fallback protocol: list pages of `pageSize` ids (id-ascending),
-    * filter client-side by site, flush deletes in batches of
-    * `deleteBatch`. The (id, site_id) listing is snapshotted ONCE — the
-    * store is a consistent local snapshot, so re-scanning per page (a
-    * remote API's pagination cost model) would make purge O(pages × N)
-    * for nothing; the observable protocol (page walk → client filter →
-    * batched deletes) is unchanged. Returns the version after the final
-    * flush. */
+    * filter client-side by site (the remote API has no server-side
+    * metadata filter — that absence is WHY the fallback exists), flush
+    * deletes in batches of `deleteBatch`.
+    *
+    * The listing is snapshotted ONCE but streamed — a sorted
+    * `toLocalIterator` pulls one partition at a time, so driver memory is
+    * O(partition + pending batch), never O(store) (at 100 TB the listing
+    * is billions of ids; a `collect()` here was round 2's scale bug).
+    * Deletes committed mid-sweep can't invalidate the walk: store commits
+    * are append-only snapshots, so the open iterator keeps reading the
+    * files of the commit it started from. Returns the version after the
+    * final flush. */
   def purgeSite(siteId: Int): Int = {
     ensureStore()
     import spark.implicits._
+    import scala.jdk.CollectionConverters._
     val listing = inner.read().select(col("id"), col("site_id"))
-      .orderBy("id").collect()
+      .orderBy("id").toLocalIterator().asScala
     val pending = scala.collection.mutable.ArrayBuffer.empty[String]
     var batches = 0
     def flush(): Unit = {

@@ -37,11 +37,18 @@ trait VectorStoreWriter {
   * never rewritten (asserted byte-identical by BucketedStoreSpec). All of
   * a product's chunk vectors share a bucket, so the per-product delete and
   * the sync delta's upserts each touch exactly the buckets they name.
-  * Purge-site still sweeps all buckets (a site spans products); a
-  * deployment partitioning additionally by `site_id` would prune that too.
+  *
+  * `siteBuckets = true` extends the bucket key to
+  * `site_id * nBuckets + product_id % nBuckets` — every bucket then holds
+  * ONE site's rows, so `purgeSite` prunes to that site's buckets instead
+  * of sweeping the store (the multi-tenant deployment shape at 100 TB;
+  * requires `site_id >= 0`). The manifest header records the mode, so
+  * opening a store in the wrong mode fails loudly instead of mis-routing
+  * rows.
   */
 final class ParquetVectorStore(spark: SparkSession, root: String,
-    nBuckets: Int = 16) extends VectorStoreWriter with Serializable {
+    nBuckets: Int = 16, siteBuckets: Boolean = false)
+    extends VectorStoreWriter with Serializable {
 
   private val fs = java.nio.file.Paths.get(root)
 
@@ -78,6 +85,10 @@ final class ParquetVectorStore(spark: SparkSession, root: String,
       if (header.length > 1 && header(1).toInt != nBuckets)
         throw new IllegalStateException(
           s"$root was written with nBuckets=${header(1)}, opened with $nBuckets")
+      val wroteSite = header.length > 2 && header(2) == "site"
+      if (header.length > 1 && wroteSite != siteBuckets)
+        throw new IllegalStateException(
+          s"$root was written with siteBuckets=$wroteSite, opened with $siteBuckets")
       val entries = lines.tail.map { l =>
         val Array(b, c) = l.split(" "); b.toInt -> c.toInt
       }.toMap
@@ -86,7 +97,8 @@ final class ParquetVectorStore(spark: SparkSession, root: String,
 
   private def writeManifest(commit: Int, m: Map[Int, Int]): Unit = {
     java.nio.file.Files.createDirectories(fs)
-    val body = (s"$commit $nBuckets" +: m.toSeq.sorted.map { case (b, c) => s"$b $c" })
+    val mode = if (siteBuckets) " site" else ""
+    val body = (s"$commit $nBuckets$mode" +: m.toSeq.sorted.map { case (b, c) => s"$b $c" })
       .mkString("", "\n", "\n")
     // temp + atomic move: a partial write must never leave a corrupt cursor
     val tmp = fs.resolve("_MANIFEST.tmp")
@@ -115,9 +127,14 @@ final class ParquetVectorStore(spark: SparkSession, root: String,
     readBuckets(m, m.keys.toSeq)
   }
 
-  /** Bucket from the payload's product_id (modulo: synthetic ids are
-    * uniform; an id-clustered deployment would swap in a stable hash). */
-  private def bucketCol = pmod(col("product_id"), lit(nBuckets.toLong)).cast("int")
+  /** Bucket from the payload's (site_id,) product_id (modulo: synthetic
+    * ids are uniform; an id-clustered deployment would swap in a stable
+    * hash). Site-aware mode gives each site its own bucket range. */
+  private def bucketCol = {
+    val pidPart = pmod(col("product_id"), lit(nBuckets.toLong))
+    (if (siteBuckets) col("site_id").cast("long") * nBuckets + pidPart
+     else pidPart).cast("int")
+  }
 
   /** Bucket recovered from the deterministic vector-id format
     * `site-%d:product-%d:chunk-%d` (reference `class-indexer.php:147-150`)
@@ -125,11 +142,17 @@ final class ParquetVectorStore(spark: SparkSession, root: String,
     * doesn't match the format maps to bucket −1 (no manifest entry →
     * the delete is a no-op for it, matching the pre-bucketed anti-join
     * behavior instead of crashing on a null bucket). */
-  private def bucketOfId = coalesce(
+  private def bucketOfId = {
     // try_cast: a non-matching id extracts "" and ANSI cast would throw
-    pmod(expr("try_cast(regexp_extract(id, 'product-(\\\\d+):', 1) AS BIGINT)"),
-      lit(nBuckets.toLong)).cast("int"),
-    lit(-1))
+    val pidPart =
+      pmod(expr("try_cast(regexp_extract(id, 'product-(\\\\d+):', 1) AS BIGINT)"),
+        lit(nBuckets.toLong))
+    val sitePart =
+      expr("try_cast(regexp_extract(id, 'site-(\\\\d+):', 1) AS BIGINT)")
+    coalesce(
+      (if (siteBuckets) sitePart * nBuckets + pidPart else pidPart).cast("int"),
+      lit(-1))
+  }
 
   /** Write `df` (restricted to `touched` buckets, carrying a `bucket`
     * column) as commit N, re-pointing only the touched manifest entries.
@@ -181,17 +204,22 @@ final class ParquetVectorStore(spark: SparkSession, root: String,
   /** K3 — delete by metadata filter {product_id, site_id} (the Pinecone
     * `$eq` filter form); exactly one bucket rewritten. */
   def deleteByProduct(productId: Long, siteId: Int): Int = {
-    val b = ((productId % nBuckets + nBuckets) % nBuckets).toInt
+    val pidPart = ((productId % nBuckets + nBuckets) % nBuckets).toInt
+    val b = if (siteBuckets) siteId * nBuckets + pidPart else pidPart
     val (_, m) = readManifest()
     val kept = readBuckets(m, Seq(b)).withColumn("bucket", bucketCol)
       .where(!(col("product_id") === productId && col("site_id") === siteId))
     commitBuckets(Seq(b), kept)
   }
 
-  /** K5 — purge site (sweeps every bucket: sites span products). */
+  /** K5 — purge site. Default layout sweeps every bucket (sites span
+    * products); `siteBuckets` prunes the rewrite to the target site's own
+    * bucket range — the whole point of the site-partitioned layout. */
   def purgeSite(siteId: Int): Int = {
     val (_, m) = readManifest()
-    val touched = m.keys.toIndexedSeq
+    val touched =
+      if (siteBuckets) m.keys.filter(_ / nBuckets == siteId).toIndexedSeq
+      else m.keys.toIndexedSeq
     val kept = readBuckets(m, touched).withColumn("bucket", bucketCol)
       .where(col("site_id") =!= siteId)
     commitBuckets(touched, kept)

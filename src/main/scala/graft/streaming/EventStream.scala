@@ -32,7 +32,14 @@ object EventStream {
   }
 
   /** Hourly event counts + value sums, computed through a real streaming
-    * query (memory sink, complete mode), returned as a batch DataFrame. */
+    * query (memory sink, complete mode), returned as a batch DataFrame.
+    *
+    * Deliberately NO watermark: complete mode never evicts state, so a
+    * watermark adds no semantics here — but it DOES schedule a no-data
+    * finalize micro-batch (to publish the advanced watermark), and in
+    * complete mode that batch re-emits the ENTIRE result to the sink a
+    * second time. That doubled cost was round 2's st_hourly regression.
+    * The watermarked, state-bounded form is [[hourlyAppend]]. */
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = withNanosAsLong(spark) {
     val path = s"$dir/events.parquet"
     // ts is TIMESTAMP(NANOS) in the parquet — read as long nanos (legacy
@@ -44,7 +51,6 @@ object EventStream {
     val stream = spark.readStream.schema(schema).parquet(s"$dir/events*.parquet")
       .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
     val agg = stream
-      .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).as("total"))

@@ -153,8 +153,8 @@ final class SyncEngine(
     commitSyncState(all.where(!mine))
     events.foreach { log =>
       import spark.implicits._
-      log.append(Seq((clock, siteId, target, "delete", "success", removed))
-        .toDF("ts_s", "site_id", "target", "action", "outcome", "deleted")
+      log.append(Seq((clock, siteId, productId, target, "delete", "success", removed))
+        .toDF("ts_s", "site_id", "product_id", "target", "action", "outcome", "deleted")
         .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s"))
     }
     removed

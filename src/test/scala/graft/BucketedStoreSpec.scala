@@ -107,6 +107,33 @@ class BucketedStoreSpec extends SparkSpec {
     assert(left.length == 4 && left.forall(_ == 2))
   }
 
+  test("siteBuckets: purge rewrites ONLY the target site's buckets") {
+    val root = Files.createTempDirectory("sitebstore")
+    val store = new ParquetVectorStore(spark, root.toString, nBuckets = 4,
+      siteBuckets = true)
+    store.upsert((Seq(payload(1, 0, site = 1), payload(2, 0, site = 1),
+      payload(1, 0, site = 2), payload(6, 0, site = 2))).toDF(cols: _*))
+    // site 2's buckets live in range [8, 12); snapshot them
+    val site2dirs = Files.list(root.resolve("c1")).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.matches("bucket=(9|10)"))
+    assert(site2dirs.nonEmpty)
+    val before = site2dirs.map(fileHashes)
+
+    store.purgeSite(1)
+    assert(site2dirs.map(fileHashes) == before,
+      "purge of site 1 must not rewrite site 2's bucket files")
+    val left = store.read().select("site_id").as[Int].collect()
+    assert(left.length == 2 && left.forall(_ == 2))
+    // per-product ops still route: delete product 1 of site 2 only
+    store.deleteByProduct(1L, 2)
+    assert(store.read().select("id").as[String].collect().toSeq ==
+      Seq("site-2:product-6:chunk-0"))
+    // opening the same store without siteBuckets fails loudly
+    intercept[IllegalStateException] {
+      new ParquetVectorStore(spark, root.toString, nBuckets = 4).read()
+    }
+  }
+
   test("two sync targets keep separate sync_state rows in one table") {
     import graft.embed.LocalHashEmbedder
     import graft.model.Selection

@@ -134,6 +134,27 @@ class SyncEngineSpec extends SparkSpec {
     assert(store.count() == before)
   }
 
+  test("G: a SELECTION change → different product_sha → full re-index") {
+    val dir = Files.createTempDirectory("graftG")
+    val store = new ParquetVectorStore(spark, dir.resolve("store").toString)
+    val e1 = new SyncEngine(spark, new LocalHashEmbedder(), store,
+      dir.resolve("sync").toString, sel)
+    val n1 = actions(e1.sync(docs(Seq(1L -> longText))))("upsert")
+    // identical text, identical model — ONLY the field selection differs
+    // (price deselected): the sha binds canonicalSelection, so everything
+    // must rebuild, exactly as the reference's options-change invalidation
+    val e2 = new SyncEngine(spark, new LocalHashEmbedder(), store,
+      dir.resolve("sync").toString,
+      sel.copy(core = Seq("title", "description", "sku")))
+    val s2 = actions(e2.sync(docs(Seq(1L -> longText))))
+    assert(s2.getOrElse("upsert", 0L) == n1,
+      s"selection change must re-upsert all $n1 chunks, got $s2")
+    assert(s2.getOrElse("skip_unchanged", 0L) == 0L)
+    // and re-running with the SAME changed selection is again a no-op
+    val s3 = actions(e2.sync(docs(Seq(1L -> longText))))
+    assert(s3.getOrElse("skip_unchanged", 0L) == 1L)
+  }
+
   test("embeddings are deterministic and dimension-locked") {
     val e = new LocalHashEmbedder("text-embedding-3-small")
     val v1 = e.embedOne("hello")
