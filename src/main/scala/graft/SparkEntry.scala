@@ -315,6 +315,9 @@ object SparkEntry {
 
     "dd_components" -> ((s, dir) => Dedup.lshComponents(Catalog.documents(s, dir))),
 
+    // near-dedup materialized: canonical (min) doc per LSH cluster
+    "dd_near_apply" -> ((s, dir) => Dedup.nearDupApply(Catalog.documents(s, dir))),
+
     // eval-leakage check: docs 0-4 act as the benchmark set
     "dd_decontaminate" -> ((s, dir) => {
       val docs = Catalog.documents(s, dir)
@@ -364,6 +367,9 @@ object SparkEntry {
     "ta_mix" -> ((s, dir) => TextAnalysis.mixPlan(Catalog.documents(s, dir))),
 
     "ta_vocab" -> ((s, dir) => TextAnalysis.vocabTopK(Catalog.documents(s, dir))),
+
+    // TF-IDF keyword extraction: top-3 terms per document
+    "ta_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopK(Catalog.documents(s, dir))),
 
     // PII scrub over documents with a deterministic composed contact
     // suffix (the corpus itself carries no PII; oracle mirrors the compose).
@@ -544,6 +550,36 @@ object SparkEntry {
        |    sha256(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS sig
        |  FROM mh GROUP BY doc_id, CAST(floor(j / 4) AS BIGINT)
        |)""".stripMargin
+
+  /** Shared min-label-propagation chain over the LSH pair graph
+    * (dd_components / dd_near_apply): 3 unrolled rounds, matching the
+    * Spark side's fixed iteration count. */
+  private val ComponentsCtes: String =
+    """, pairs AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+      |  WHERE a.doc_id < b.doc_id
+      |), edges AS (
+      |  SELECT d1 AS a, d2 AS b FROM pairs
+      |  UNION ALL SELECT d2 AS a, d1 AS b FROM pairs
+      |), l0 AS (
+      |  SELECT doc_id, doc_id AS label FROM documents
+      |), l1 AS (
+      |  SELECT l.doc_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
+      |  FROM l0 l LEFT JOIN edges e ON e.a = l.doc_id
+      |            LEFT JOIN l0 n ON n.doc_id = e.b
+      |  GROUP BY l.doc_id, l.label
+      |), l2 AS (
+      |  SELECT l.doc_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
+      |  FROM l1 l LEFT JOIN edges e ON e.a = l.doc_id
+      |            LEFT JOIN l1 n ON n.doc_id = e.b
+      |  GROUP BY l.doc_id, l.label
+      |), l3 AS (
+      |  SELECT l.doc_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
+      |  FROM l2 l LEFT JOIN edges e ON e.a = l.doc_id
+      |            LEFT JOIN l2 n ON n.doc_id = e.b
+      |  GROUP BY l.doc_id, l.label
+      |)""".stripMargin
 
   /** Shared n4b ACF id-lookup CTE chain (n4b_acf_lookup / n7_full_text):
     * acfl source rows, attachments dim, ref explode, dim joins,
@@ -1139,33 +1175,15 @@ object SparkEntry {
 
     // 3 unrolled rounds of min-label propagation over the LSH pair graph —
     // the same fixed iteration count the Spark side runs.
-    "dd_components" -> (LshBandsCtes +
-      """, pairs AS (
-        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-        |  WHERE a.doc_id < b.doc_id
-        |), edges AS (
-        |  SELECT d1 AS a, d2 AS b FROM pairs
-        |  UNION ALL SELECT d2 AS a, d1 AS b FROM pairs
-        |), l0 AS (
-        |  SELECT doc_id, doc_id AS label FROM documents
-        |), l1 AS (
-        |  SELECT l.doc_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
-        |  FROM l0 l LEFT JOIN edges e ON e.a = l.doc_id
-        |            LEFT JOIN l0 n ON n.doc_id = e.b
-        |  GROUP BY l.doc_id, l.label
-        |), l2 AS (
-        |  SELECT l.doc_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
-        |  FROM l1 l LEFT JOIN edges e ON e.a = l.doc_id
-        |            LEFT JOIN l1 n ON n.doc_id = e.b
-        |  GROUP BY l.doc_id, l.label
-        |), l3 AS (
-        |  SELECT l.doc_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
-        |  FROM l2 l LEFT JOIN edges e ON e.a = l.doc_id
-        |            LEFT JOIN l2 n ON n.doc_id = e.b
-        |  GROUP BY l.doc_id, l.label
-        |)
+    "dd_components" -> (LshBandsCtes + ComponentsCtes +
+      """
         |SELECT doc_id, label AS cluster FROM l3
+        |ORDER BY doc_id""".stripMargin),
+
+    // Near-dedup APPLY: each cluster keeps its canonical (min) doc_id.
+    "dd_near_apply" -> (LshBandsCtes + ComponentsCtes +
+      """
+        |SELECT doc_id FROM l3 WHERE doc_id = label
         |ORDER BY doc_id""".stripMargin),
 
     "dd_simhash" ->
@@ -1579,6 +1597,29 @@ object SparkEntry {
         |)
         |SELECT lang, token, n, rank FROM ranked WHERE rank <= 20
         |ORDER BY lang, rank""".stripMargin,
+
+    "ta_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+        |), dfreq AS (
+        |  SELECT token, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token
+        |), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (token), nd
+        |), ranked AS (
+        |  SELECT doc_id, token, tfidf,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, token) AS INTEGER) AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, rank, token, tfidf FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     "dd_decontaminate" ->
       s"""WITH toks AS (

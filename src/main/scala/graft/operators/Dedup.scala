@@ -223,6 +223,19 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id")
   }
 
+  /** Near-dedup APPLY — the corpus filter a dedup pipeline actually
+    * ships: LSH components → keep each cluster's canonical (minimum)
+    * doc_id, drop the rest ([[dropExactDuplicates]]'s near-dup analog; the
+    * canonical-min rule is the standard deterministic survivor policy).
+    * Map-only on top of the components' narrow doc_id shuffles — the
+    * filter is `doc_id == cluster`, no extra join against the corpus
+    * needed because every doc carries its own label. */
+  def nearDupApply(documents: DataFrame): DataFrame =
+    lshComponents(documents)
+      .where(col("doc_id") === col("cluster"))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
   /** n-gram (token) Jaccard between consecutive doc ids — the
     * oracle-checkable pairwise variant (the scalable path is MinHash+LSH).
     *

@@ -232,6 +232,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF keyword extraction: top-`k` terms per document by
+    * `tf · ln(N/df)`, deterministic tie-break on the term — the keyword /
+    * topic-signal step of a corpus-analysis pipeline. The score rounds to
+    * 6 decimals BEFORE ranking so the ordering is engine-stable.
+    *
+    * Scale posture: two map-side-combinable aggregations (per-doc tf,
+    * per-term df) over narrow (doc_id, token) rows, the corpus count
+    * broadcasts as one row, and only (doc_id, token, score) rows reach
+    * the per-doc ranking window. The tf⋈df join is a token equi-join —
+    * vocab-sized build side, AQE picks broadcast vs sort-merge by stats. */
+  def tfidfTopK(documents: DataFrame, k: Int = 3): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = documents.select(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Vocabulary head: the `k` most frequent tokens per language with
     * counts and rank — the frequency table a tokenizer-training or
     * stopword-induction step reads. Token explode is row-local; the count

@@ -63,6 +63,25 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!exchanges.contains("w#"), s"raw token column crosses a shuffle\n$p")
   }
 
+  test("n1_selected: deselected core columns are PRUNED from the part scan") {
+    val p = graft.normalize.Normalizer
+      .normalize(graft.catalog.Catalog.products(spark, sfDir),
+        Seq("title", "sku"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // price/brand/size derive from p_retailprice/p_brand/p_size — a
+    // selection without them must not read those columns at all
+    assert(!p.contains("p_retailprice") && !p.contains("p_brand"), p)
+    assert(p.contains("p_name"), p) // title IS read
+  }
+
+  test("s7: the four real event filters push down to the scan") {
+    val p = planOf("s7_event_read")
+    // action = event_type is a direct column equality — must reach parquet
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+    assert(p.contains("EqualTo(user_id,7)"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("s7b: offset+limit compose into TakeOrdered (no global sort materialized)") {
     val p = planOf("s7b_event_paged")
     assert(p.contains("TakeOrderedAndProject"), p)
