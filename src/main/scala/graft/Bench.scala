@@ -30,7 +30,12 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        // Force via toRdd, NOT count(): count() lets Catalyst prune every
+        // output column and then eliminate unique-key outer joins — e.g.
+        // dd_components' whole label-propagation chain vanished and the
+        // "benchmark" measured a bare scan. toRdd materializes the full
+        // result rows on the executors without collecting them.
+        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case _: Throwable => false }
         (ok, (System.nanoTime() - t0) / 1e9)
       }

@@ -1,16 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection / micro-bench utility:
+  *   runMain graft.Explain q1_pricing q5_regional      # formatted plans
+  *   runMain graft.Explain --time 3 dd_components …    # n timed count() reps
+  * Data dir via SPARK_GRAFT_SF_DIR (default sf0.01).
+  */
 object Explain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    for (name <- args) {
-      println(s"========== $name ==========")
-      SparkEntry.queries(name)(spark, dir).explain("formatted")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    args.toList match {
+      case "--time" :: reps :: names =>
+        for (name <- names) {
+          val times = (1 to reps.toInt).map { _ =>
+            val t0 = System.nanoTime()
+            // toRdd: same honest forcing as Bench (count() would let the
+            // optimizer prune columns and eliminate outer joins)
+            val n = SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+            ((System.nanoTime() - t0) / 1e9, n)
+          }
+          println(f"$name%-25s rows=${times.head._2}%7d " +
+            times.map(t => f"${t._1}%.2fs").mkString(" "))
+        }
+      case names =>
+        for (name <- names) {
+          println(s"========== $name ==========")
+          SparkEntry.queries(name)(spark, dir).explain("formatted")
+        }
     }
     spark.stop()
   }

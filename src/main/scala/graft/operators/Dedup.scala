@@ -109,9 +109,11 @@ object Dedup {
     * DuckDB CAST double→BIGINT rounds while Spark truncates — floor
     * agrees in both). */
   def simhash(documents: DataFrame, bits: Int = 16): DataFrame = {
+    // ±1 per bit via integer shift/mask — h is a sha32 long in [0, 2^32),
+    // so (h >> b) & 1 ≡ the oracle's floor(h / 2^b) % 2, without the
+    // per-row double pow/floor (32 of these run per token row at bits=32)
     def bitScore(b: Int) =
-      sum(when(floor(col("h") / lit(math.pow(2.0, b))) % 2 === 1, 1)
-        .otherwise(-1)).as(s"s$b")
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b")
     documents
       .select(col("doc_id"),
         explode(array_distinct(
@@ -212,7 +214,13 @@ object Dedup {
     val pairs = minhashLshPairs(documents, k, r)
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
-    var labels = documents.select(col("doc_id"), col("doc_id").as("label"))
+    // Propagate over the pair-graph VERTEX set only — at corpus scale the
+    // docs that matched any LSH band are a small fraction, so the join
+    // rounds run on the near-dup subgraph, not the whole corpus. Isolated
+    // docs keep label = doc_id and rejoin at the end (same result, the
+    // rounds just skip rows that could never change).
+    val edgeDocs = edges.select(col("a").as("doc_id")).distinct()
+    var labels = edgeDocs.select(col("doc_id"), col("doc_id").as("label"))
     for (_ <- 1 to rounds) {
       val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
         .groupBy(col("a")).agg(min("label").as("nl"))
@@ -220,6 +228,9 @@ object Dedup {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
     }
+    labels = labels.unionByName(
+      documents.select(col("doc_id"), col("doc_id").as("label"))
+        .join(edgeDocs, Seq("doc_id"), "left_anti"))
     labels.select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id")
   }
 
