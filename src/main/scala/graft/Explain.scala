@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Plan-inspection / micro-bench utility:
   *   runMain graft.Explain q1_pricing q5_regional      # formatted plans
-  *   runMain graft.Explain --time 3 dd_components …    # n timed count() reps
+  *   runMain graft.Explain --time 3 dd_components …    # n timed toRdd reps
   * Data dir via SPARK_GRAFT_SF_DIR (default sf0.01).
   */
 object Explain {

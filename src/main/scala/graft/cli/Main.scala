@@ -58,6 +58,22 @@ object Main {
     s
   }
 
+  /** The second-adapter wiring shared by sync/delete/purge: the vs store
+    * under `$work/store_vs` plus a target="vs" engine logging to the
+    * shared event log (every adapter logs its actions, as the reference's
+    * jobs do). One definition so the three call sites can't drift. */
+  private def vsAdapter(spark: SparkSession, work: String)
+      : (graft.store.EnsureStoreVectorStore, SyncEngine) = {
+    val vs = new graft.store.EnsureStoreVectorStore(spark, s"$work/store_vs")
+    (vs, new SyncEngine(spark, new LocalHashEmbedder(), vs,
+      s"$work/sync_state", Selection(chunkSize = 100, chunkOverlap = 20),
+      target = "vs",
+      events = Some(new graft.events.EventLog(spark, s"$work/events"))))
+  }
+
+  private def hasVs(work: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(s"$work/store_vs"))
+
   private def docsAsProducts(spark: SparkSession, dir: String, limit: Int): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
       .limit(limit)
@@ -120,10 +136,7 @@ object Main {
       summary.collect().foreach(r => println(s"  ${r.getString(0)}: ${r.getLong(1)}"))
       println(s"  store rows: ${store.count()} (v${store.currentVersion})")
       if (targetSel == "both") {
-        val store2 = new graft.store.EnsureStoreVectorStore(spark, s"$work/store_vs")
-        val engine2 = new SyncEngine(spark, new LocalHashEmbedder(), store2,
-          s"$work/sync_state", Selection(chunkSize = 100, chunkOverlap = 20),
-          target = "vs")
+        val (store2, engine2) = vsAdapter(spark, work)
         val summary2 = engine2.sync(candidates, force = flag(args, "force"))
         println(s"target vs (store ${store2.ensureStore()}):")
         summary2.collect().foreach(r => println(s"  ${r.getString(0)}: ${r.getLong(1)}"))
@@ -143,6 +156,11 @@ object Main {
       val fields = opt(args, "fields")
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(graft.normalize.Normalizer.DefaultCore)
+      if (!fields.exists(graft.normalize.Normalizer.DefaultCore.contains)) {
+        System.err.println(s"error: --fields has no known core fields " +
+          s"(got ${fields.mkString(",")}; known ${graft.normalize.Normalizer.DefaultCore.mkString(",")})")
+        sys.exit(2)
+      }
       val spark = session()
       val products = graft.catalog.Catalog.products(spark, data)
       val row = graft.normalize.Normalizer.normalize(products, fields)
@@ -266,13 +284,8 @@ object Main {
         s"store ${store.count()} vectors (v${store.currentVersion})")
       // a work dir synced with --target both has a second adapter: the
       // delete job must clear EVERY enabled adapter (same rule as purge)
-      val vsRoot = s"$work/store_vs"
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(vsRoot))) {
-        val vs = new graft.store.EnsureStoreVectorStore(spark, vsRoot)
-        val engine2 = new SyncEngine(spark, new LocalHashEmbedder(), vs,
-          s"$work/sync_state", Selection(chunkSize = 100, chunkOverlap = 20),
-          target = "vs",
-          events = Some(new graft.events.EventLog(spark, s"$work/events")))
+      if (hasVs(work)) {
+        val (vs, engine2) = vsAdapter(spark, work)
         val removed2 = engine2.deleteProduct(pid, site)
         println(s"deleted product $pid from vs store: $removed2 sync-state rows; " +
           s"now ${vs.count()} vectors (v${vs.currentVersion})")
@@ -316,9 +329,8 @@ object Main {
       println(s"purged site $site; store now ${store.count()} vectors (v${store.currentVersion})")
       // a work dir synced with --target both has a second store: K5 must
       // clear EVERY enabled adapter, as the reference's purge job does
-      val vsRoot = s"$work/store_vs"
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(vsRoot))) {
-        val vs = new graft.store.EnsureStoreVectorStore(spark, vsRoot)
+      if (hasVs(work)) {
+        val (vs, _) = vsAdapter(spark, work)
         vs.purgeSite(site)
         println(s"purged site $site from vs store; now ${vs.count()} vectors " +
           s"(v${vs.currentVersion}, ${vs.lastPurgeBatches} delete batches)")

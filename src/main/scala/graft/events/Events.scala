@@ -19,7 +19,20 @@ final class EventLog(spark: SparkSession, root: String) {
     rows.withColumn("log_date", date_format(col("ts"), "yyyyMMdd"))
       .write.mode(SaveMode.Append).partitionBy("log_date").json(root)
 
-  def read(): DataFrame = spark.read.json(root)
+  /** Read the log, normalizing to the reference row shape: the four
+    * filterable columns always exist (missing → NULL, which every
+    * equality filter rejects — the reference's `filter_match` likewise
+    * fails a row lacking the filtered field). Without this, a
+    * product-filtered read over a log whose rows never carried
+    * product_id would crash on an unresolvable column. */
+  def read(): DataFrame = {
+    val df = spark.read.json(root)
+    Seq("product_id" -> "bigint", "target" -> "string",
+      "action" -> "string", "outcome" -> "string")
+      .foldLeft(df) { case (d, (c, t)) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(t))
+      }
+  }
 
   /** Retention: drop day-partitions older than `retainDays` from `today`
     * (reference daily prune, `class-events.php:97-133`). */

@@ -25,7 +25,7 @@ object Normalizer {
     * section. Selection picks WHICH of these flow; render order is always
     * the catalog's (the reference iterates its field list, not the
     * user's). */
-  private def coreCatalog: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+  private val coreCatalog: Seq[(String, org.apache.spark.sql.Column)] = Seq(
     "title" -> section("Title", stripHtml(col("title"))),
     "description" -> section("Description", stripHtml(col("description"))),
     "sku" -> section("SKU", col("sku")),
@@ -33,9 +33,9 @@ object Normalizer {
     "brand" -> section("Brand", col("brand")),
     "size" -> section("Size", col("attr_size")))
 
-  /** Every core key, in render order — the default (full) selection. */
-  val DefaultCore: Seq[String] =
-    Seq("title", "description", "sku", "price", "brand", "size")
+  /** Every core key, in render order — the default (full) selection
+    * (derived, so the two can't drift). */
+  val DefaultCore: Seq[String] = coreCatalog.map(_._1)
 
   /** Normalized text per product over the canonical catalog columns. */
   def normalize(products: DataFrame): DataFrame =

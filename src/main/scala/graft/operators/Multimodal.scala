@@ -66,15 +66,26 @@ object Multimodal {
       .orderBy("doc_id", "sample_idx")
 
   /** Magic-byte sniff for the formats the JDK's ImageIO can read. The
-    * BMP/GIF checks extend past the 2–4 printable magic chars into bytes
-    * a TEXT payload can't produce (NULs / full 6-byte GIF version), so a
-    * document that merely starts with "BM…" never mis-routes. */
+    * PNG/JPEG magics contain non-ASCII bytes, so text can't collide; the
+    * BMP/GIF magics are printable ASCII ("BM", "GIF89a"), so those checks
+    * additionally require a CONTROL byte right after the magic — the
+    * header region of a real BMP/GIF always has one (dimension/flag bytes;
+    * a GIF would need both dimensions ≥ 0x2000 px AND printable flag,
+    * background and aspect bytes to evade it), while a text payload that
+    * merely STARTS with "GIF89a …" is all-printable there and falls
+    * through to the non-image fallback. */
   private def sniffImageFormat(bytes: Array[Byte]): Option[String] = {
     def at(i: Int, v: Int) = bytes.length > i && (bytes(i) & 0xff) == v
+    // a byte no plain-text document contains (control chars minus \t\n\r)
+    def ctl(i: Int) = bytes.length > i && {
+      val b = bytes(i) & 0xff
+      b < 0x09 || (b > 0x0d && b < 0x20)
+    }
     if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G')) Some("png")
     else if (at(0, 0xff) && at(1, 0xd8) && at(2, 0xff)) Some("jpeg")
     else if (at(0, 'G') && at(1, 'I') && at(2, 'F') && at(3, '8') &&
-      (at(4, '7') || at(4, '9')) && at(5, 'a')) Some("gif")
+      (at(4, '7') || at(4, '9')) && at(5, 'a') &&
+      (6 to 12).exists(ctl)) Some("gif")
     else if (at(0, 'B') && at(1, 'M') &&
       at(6, 0) && at(7, 0) && at(8, 0) && at(9, 0)) Some("bmp")
     else None
