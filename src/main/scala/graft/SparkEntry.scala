@@ -318,6 +318,15 @@ object SparkEntry {
     // near-dedup materialized: canonical (min) doc per LSH cluster
     "dd_near_apply" -> ((s, dir) => Dedup.nearDupApply(Catalog.documents(s, dir))),
 
+    // incremental dedup: incoming batch (doc_id%10>=8) classified against
+    // the existing corpus (doc_id%10<8) — exact_dup / near_dup / new
+    "dd_incremental" -> ((s, dir) => {
+      val docs = Catalog.documents(s, dir)
+      Dedup.incrementalDedup(
+        docs.where(col("doc_id") % 10 >= 8),
+        docs.where(col("doc_id") % 10 < 8))
+    }),
+
     // eval-leakage check: docs 0-4 act as the benchmark set
     "dd_decontaminate" -> ((s, dir) => {
       val docs = Catalog.documents(s, dir)
@@ -1186,6 +1195,31 @@ object SparkEntry {
         |SELECT doc_id FROM l3 WHERE doc_id = label
         |ORDER BY doc_id""".stripMargin),
 
+    // Incremental dedup: bands/shas computed once over all docs, split by
+    // the same doc_id%10 rule the Spark query uses (the per-doc band/sha
+    // values are independent of the split, so one chain serves both sides).
+    "dd_incremental" -> (LshBandsCtes +
+      """, shas AS (
+        |  SELECT doc_id,
+        |    sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+        |  FROM documents
+        |), exact_ids AS (
+        |  SELECT DISTINCT s.doc_id FROM shas s
+        |  JOIN (SELECT DISTINCT h FROM shas WHERE doc_id % 10 < 8) c USING (h)
+        |  WHERE s.doc_id % 10 >= 8
+        |), near_ids AS (
+        |  SELECT DISTINCT b.doc_id FROM bands b
+        |  JOIN (SELECT DISTINCT band, sig FROM bands WHERE doc_id % 10 < 8) c
+        |    USING (band, sig)
+        |  WHERE b.doc_id % 10 >= 8
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id IN (SELECT doc_id FROM exact_ids) THEN 'exact_dup'
+        |       WHEN doc_id IN (SELECT doc_id FROM near_ids) THEN 'near_dup'
+        |       ELSE 'new' END AS status
+        |FROM documents WHERE doc_id % 10 >= 8
+        |ORDER BY doc_id""".stripMargin),
+
     "dd_simhash" ->
       s"""WITH toks AS (
          |  SELECT DISTINCT doc_id, w
@@ -1629,7 +1663,7 @@ object SparkEntry {
          |  FROM toks, UNNEST(generate_series(1, len(ts) - 2)) t(i)
          |  WHERE len(ts) >= 3
          |), hs AS (
-         |  SELECT doc_id, ${sha32Sql("g")} AS h FROM sh
+         |  SELECT DISTINCT doc_id, ${sha32Sql("g")} AS h FROM sh
          |), bench AS (
          |  SELECT DISTINCT h FROM hs WHERE doc_id < 5
          |), agg AS (

@@ -43,10 +43,6 @@ object Dedup {
             element_at(col("ts"), i + 1),
             element_at(col("ts"), i + 2)))).as("g"))
 
-  /** Distinct word 3-gram shingles per document. */
-  def shingles(documents: DataFrame): DataFrame =
-    shinglesRaw(documents).distinct()
-
   /** h_j(g) = (a_j·sha32(g) + b_j) mod 2^32 with a_j odd — bijective and
     * non-monotone per j, so ONE sha256 per shingle feeds all k hash
     * functions (16 sha256/shingle was the dedup suite's hot loop).
@@ -182,8 +178,11 @@ object Dedup {
     * Returns (doc_id, n_shingles, n_hit, overlap, contaminated). */
   def decontaminate(documents: DataFrame, benchmark: DataFrame,
       threshold: Double = 0.5): DataFrame = {
-    def hashed(df: DataFrame) = shingles(df)
-      .select(col("doc_id"), sha32(col("g")).as("h"))
+    // hash BEFORE distinct: the dedupe shuffle then carries (doc_id, long)
+    // rows, never raw shingle text (the oracle mirrors distinct-on-hash,
+    // so 2^32-collision behavior stays identical on both sides)
+    def hashed(df: DataFrame) = shinglesRaw(df)
+      .select(col("doc_id"), sha32(col("g")).as("h")).distinct()
     val bench = hashed(benchmark).select("h").distinct()
     hashed(documents)
       .join(broadcast(bench.withColumn("hit", lit(1))), Seq("h"), "left_outer")
@@ -232,6 +231,41 @@ object Dedup {
       documents.select(col("doc_id"), col("doc_id").as("label"))
         .join(edgeDocs, Seq("doc_id"), "left_anti"))
     labels.select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id")
+  }
+
+  /** Incremental (cross-snapshot) dedup — the PRODUCTION dedup shape: an
+    * INCOMING batch classifies against an EXISTING corpus without the
+    * corpus ever comparing to itself:
+    *   exact_dup  normalized-content sha already in the corpus
+    *   near_dup   any MinHash band signature already in the corpus
+    *   new        neither
+    *
+    * Scale posture: the corpus reduces to DISTINCT (sha) and (band, sig)
+    * key sets BEFORE the joins — at 100 TB those keys are materialized
+    * once per snapshot and every incoming crawl batch joins against them
+    * (two narrow left-semi joins keyed on hashes; raw text never
+    * shuffles). The incoming side pays one minhash pipeline over the
+    * batch only. */
+  def incrementalDedup(incoming: DataFrame, corpus: DataFrame,
+      k: Int = 16, r: Int = 4): DataFrame = {
+    def shaOf(df: DataFrame) =
+      df.select(col("doc_id"), sha2(norm(col("text")), 256).as("h"))
+    val corpusSha = shaOf(corpus).select("h").distinct()
+    val corpusSigs = lshBands(corpus, k, r).select("band", "sig").distinct()
+    val exactIds = shaOf(incoming)
+      .join(corpusSha, Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+    val nearIds = lshBands(incoming, k, r)
+      .join(corpusSigs, Seq("band", "sig"), "left_semi")
+      .select("doc_id").distinct()
+    incoming.select("doc_id")
+      .join(exactIds.withColumn("is_exact", lit(1)), Seq("doc_id"), "left_outer")
+      .join(nearIds.withColumn("is_near", lit(1)), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("is_exact") === 1, "exact_dup")
+          .when(col("is_near") === 1, "near_dup")
+          .otherwise("new").as("status"))
+      .orderBy("doc_id")
   }
 
   /** Near-dedup APPLY — the corpus filter a dedup pipeline actually
