@@ -404,6 +404,18 @@ object SparkEntry {
 
     "st_sliding" -> ((s, dir) => EventStream.slidingCounts(s, dir)),
 
+    // Streaming-dedup batch analog: an at-least-once feed (every 7th
+    // event replayed) deduped back to exactly-once, summarized by type
+    // (the streaming form — dropDuplicatesWithinWatermark — is driven by
+    // StreamingSemanticsSpec; this verifies the dedup arithmetic).
+    "st_dedup" -> ((s, dir) => {
+      val ev = Catalog.events(s, dir)
+      val replayed = ev.unionByName(ev.where(col("event_id") % 7 === 0))
+      EventStream.dedupBatch(replayed)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     // T1 lifecycle routing: CDC change rows → index/delete/skip decisions
     "t1_route" -> ((s, dir) =>
       Scans.lifecycleRoute(Catalog.lifecycleCdc(s, dir))),
@@ -1783,6 +1795,18 @@ object SparkEntry {
         |       ELSE 'skip' END AS action
         |FROM cdc
         |ORDER BY product_id""".stripMargin,
+
+    "st_dedup" ->
+      """WITH replayed AS (
+        |  SELECT event_id, event_type FROM events
+        |  UNION ALL
+        |  SELECT event_id, event_type FROM events WHERE event_id % 7 = 0
+        |), deduped AS (
+        |  SELECT DISTINCT event_id, event_type FROM replayed
+        |)
+        |SELECT event_type, COUNT(*) AS n FROM deduped
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "st_sliding" ->
       """WITH w AS (

@@ -125,6 +125,22 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"))
 
+  /** Streaming exactly-once dedup of an at-least-once delivery feed:
+    * `dropDuplicatesWithinWatermark` on the delivery key keeps the FIRST
+    * arrival and drops replays that land within the watermark horizon.
+    * State holds one entry per key only until the watermark passes it —
+    * the property that makes infinite-stream dedup feasible (plain
+    * dropDuplicates grows state forever). The ingest guard an
+    * at-least-once CDC hook feed needs before the sync fan-out. */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Batch analog of [[dedupStream]] for the oracle: replayed rows are
+    * byte-identical, so keep-any per event_id is deterministic. */
+  def dedupBatch(replayed: DataFrame): DataFrame =
+    replayed.dropDuplicates("event_id")
+
   /** T2 debounce with the reference's ACTUAL flush semantics
     * (`includes/class-lifecycle.php:107-152`: variation burst → ONE parent
     * refresh after a 30 s quiet period): `flatMapGroupsWithState` with an

@@ -66,6 +66,20 @@ class DedupQualitySpec extends SparkSpec {
     assert(r.getString(4) == "mail me at <EMAIL> or see <URL> id <NUM> ok 123")
   }
 
+  test("incrementalDedup classifies exact copy / near-dup / novel against a corpus") {
+    val corpus = Seq((10L, base), (11L, unrelated)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (20L, base),                               // byte-identical → exact_dup
+      (21L, base.toUpperCase),                   // case-only change → exact_dup (normalized)
+      (22L, nearDup),                            // ~5% perturbed → near_dup
+      (23L, (1 to 120).map(i => s"fresh$i").mkString(" "))) // novel → new
+      .toDF("doc_id", "text")
+    val st = Dedup.incrementalDedup(incoming, corpus)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(20L -> "exact_dup", 21L -> "exact_dup",
+      22L -> "near_dup", 23L -> "new"), st.toString)
+  }
+
   test("minhash similarity estimates track true Jaccard") {
     val mh = Dedup.minhashWide(docs, k = 16).collect()
       .map(r => r.getLong(0) -> (1 until 17).map(r.getLong).toSeq).toMap

@@ -69,6 +69,25 @@ class StreamingSemanticsSpec extends SparkSpec {
       s"late event must not re-emit the closed window: ${all(3)}")
   }
 
+  test("dedupStream: replays within the watermark horizon are dropped, new keys pass") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (event_id, ts seconds)
+    val events = input.toDF()
+      .select(col("_1").as("event_id"), timestamp_seconds(col("_2")).as("ts"))
+    val deduped = EventStream.dedupStream(events, "10 minutes")
+    val t0 = 10L * 3600
+
+    val phases = runPhases(deduped)(
+      // same-batch replay: the key emits exactly once
+      () => input.addData((1L, t0), (1L, t0 + 5)),
+      // next batch: in-horizon replay of 1 is dropped; new key 2 passes
+      () => input.addData((1L, t0 + 60), (2L, t0 + 60)))
+
+    val ids = phases.map(_.map(_.getLong(0)).sorted)
+    assert(ids(0) == Seq(1L), s"same-batch replay must collapse: $ids")
+    assert(ids(1) == Seq(2L), s"in-horizon replay must be dropped: $ids")
+  }
+
   test("debounceFlush: bursts stay silent until the event-time quiet period passes") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Long)] // (parent_id, epoch seconds)
