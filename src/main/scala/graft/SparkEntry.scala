@@ -377,6 +377,23 @@ object SparkEntry {
 
     "ta_vocab" -> ((s, dir) => TextAnalysis.vocabTopK(Catalog.documents(s, dir))),
 
+    // CAPSTONE — the corpus-release pipeline composed end to end from the
+    // operators above: quality filter → exact dedup → near-dedup →
+    // deterministic split → data-card counts. Composition stays lazy, so
+    // Catalyst fuses the id keep-lists into left-semi joins over one
+    // documents lineage instead of materializing stages.
+    "ta_release" -> ((s, dir) => {
+      val docs = Catalog.documents(s, dir)
+      val d1 = docs.join(TextAnalysis.filterByQuality(docs).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val d2 = d1.join(Dedup.dropExactDuplicates(d1), Seq("doc_id"), "left_semi")
+      val d3 = d2.join(Dedup.nearDupApply(d2), Seq("doc_id"), "left_semi")
+      TextAnalysis.split(d3)
+        .join(d3.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("split", "lang")
+    }),
+
     // TF-IDF keyword extraction: top-3 terms per document
     "ta_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopK(Catalog.documents(s, dir))),
 
@@ -552,10 +569,12 @@ object SparkEntry {
          | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
          |    * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
 
-  /** Shared minhash-band CTE chain (dd_lsh_pairs / dd_components). */
-  private val LshBandsCtes: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts FROM documents
+  /** Shared minhash-band CTE chain (dd_lsh_pairs / dd_components /
+    * ta_release), parameterized by the source relation so the same chain
+    * can run over a filtered corpus stage. */
+  private def lshBandsCtes(src: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts FROM $src
        |), sh AS (
        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
        |  FROM toks, UNNEST(generate_series(1, len(ts) - 2)) t(i)
@@ -572,11 +591,14 @@ object SparkEntry {
        |  FROM mh GROUP BY doc_id, CAST(floor(j / 4) AS BIGINT)
        |)""".stripMargin
 
+  private val LshBandsCtes: String = "WITH " + lshBandsCtes("documents")
+
   /** Shared min-label-propagation chain over the LSH pair graph
-    * (dd_components / dd_near_apply): 3 unrolled rounds, matching the
-    * Spark side's fixed iteration count. */
-  private val ComponentsCtes: String =
-    """, pairs AS (
+    * (dd_components / dd_near_apply / ta_release): 3 unrolled rounds,
+    * matching the Spark side's fixed iteration count; `src` is the
+    * vertex-universe relation. */
+  private def componentsCtes(src: String): String =
+    s""", pairs AS (
       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
       |  WHERE a.doc_id < b.doc_id
@@ -584,7 +606,7 @@ object SparkEntry {
       |  SELECT d1 AS a, d2 AS b FROM pairs
       |  UNION ALL SELECT d2 AS a, d1 AS b FROM pairs
       |), l0 AS (
-      |  SELECT doc_id, doc_id AS label FROM documents
+      |  SELECT doc_id, doc_id AS label FROM $src
       |), l1 AS (
       |  SELECT l.doc_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
       |  FROM l0 l LEFT JOIN edges e ON e.a = l.doc_id
@@ -601,6 +623,8 @@ object SparkEntry {
       |            LEFT JOIN l2 n ON n.doc_id = e.b
       |  GROUP BY l.doc_id, l.label
       |)""".stripMargin
+
+  private val ComponentsCtes: String = componentsCtes("documents")
 
   /** Shared n4b ACF id-lookup CTE chain (n4b_acf_lookup / n7_full_text):
     * acfl source rows, attachments dim, ref explode, dim joins,
@@ -1643,6 +1667,42 @@ object SparkEntry {
         |)
         |SELECT lang, token, n, rank FROM ranked WHERE rank <= 20
         |ORDER BY lang, rank""".stripMargin,
+
+    "ta_release" -> (
+      s"""WITH q AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      round(least(1.0, n_tokens / 100.0) * (1.0 - stop_hits / CAST(n_tokens AS DOUBLE)), 4) AS quality
+         |    FROM (
+         |      SELECT doc_id,
+         |        len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         |        (length(text) - length(replace(text, ' the ', ''))) / 5 AS stop_hits
+         |      FROM documents))
+         |  WHERE quality >= 0.5
+         |), d1 AS (
+         |  SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM q)
+         |), keep1 AS (
+         |  SELECT MIN(doc_id) AS doc_id
+         |  FROM (SELECT doc_id,
+         |          sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+         |        FROM d1)
+         |  GROUP BY h
+         |), d2 AS (
+         |  SELECT * FROM d1 WHERE doc_id IN (SELECT doc_id FROM keep1)
+         |), ${lshBandsCtes("d2")}${componentsCtes("d2")}
+         |, keep2 AS (
+         |  SELECT doc_id FROM l3 WHERE doc_id = label
+         |), d3 AS (
+         |  SELECT * FROM d2 WHERE doc_id IN (SELECT doc_id FROM keep2)
+         |)
+         |SELECT
+         |  CASE WHEN ${sha32Sql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+         |       WHEN ${sha32Sql("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  lang, COUNT(*) AS n_docs
+         |FROM d3
+         |GROUP BY 1, lang
+         |ORDER BY split, lang""".stripMargin),
 
     "ta_tfidf" ->
       """WITH tok AS (
