@@ -32,20 +32,24 @@ object SparkEntry {
 
     // ================= TPC-H-ish headline queries =================
 
-    // Q1-style pricing summary over lineitem (decimal sums → exact,
-    // engine-independent). One wide scan + one hash agg, map-side partial.
+    // Q1-style pricing summary over lineitem. One wide scan + one hash agg,
+    // map-side partial. Sums are BIGINT fixed-point (quantity is integral;
+    // money as cents, discounted price as 1e-4 units): pure integer
+    // arithmetic after one per-row rounding, so the result is exact and
+    // order-independent — and BIGINT is the only output family with a
+    // perfect driver-hash pass record (decimal outputs failed the gate in
+    // r2 at (28,s) AND r3 at (38,s) with values identical locally; the
+    // diag_dec_* probes below characterize that divergence).
     "q1_pricing" -> ((s, dir) => {
+      val extCents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val discBp = floor(col("l_discount") * 100 + 0.5).cast("long")
       Catalog.lineitem(s, dir)
         .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          // DECIMAL(38,s): DuckDB's natural SUM(DECIMAL(18,s)) width — Spark's
-          // (28,s) encodes as 12-byte parquet vs decimal128's 16, and the
-          // driver's hash is byte-width-sensitive (r2 gate failure).
-          sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-            .as("sum_disc_price"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(extCents).as("sum_base_price_cents"),
+          sum(extCents * (lit(100L) - discBp)).as("sum_disc_price_e4"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -438,15 +442,42 @@ object SparkEntry {
       Scans.lifecycleRoute(Catalog.lifecycleCdc(s, dir))),
 
     // OLAP grouping sets: revenue subtotals at (flag, status), (flag), ()
-    // — Spark ROLLUP ≡ DuckDB ROLLUP, null-marked subtotal rows.
+    // — Spark ROLLUP ≡ DuckDB ROLLUP, null-marked subtotal rows. sum_qty
+    // as BIGINT (quantity is integral) — same driver-hash rationale as q1.
     "q9_rollup" -> ((s, dir) =>
       Catalog.lineitem(s, dir)
         .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).as("n"),
-          sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"))
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy("l_returnflag", "l_linestatus")),
+
+    // ============ driver-hash diagnostic probes (NOT operator claims) ============
+    // q1/q9/st_hourly failed the driver hash gate in r2 (Spark decimal
+    // (28,s)) and r3 ((38,s) post-agg up-cast) while matching the oracle
+    // value-for-value locally. These two probes isolate the suspected
+    // discriminator — a Spark-side cast applied AFTER the aggregate — from
+    // decimal outputs in general, so the divergence is characterized by
+    // data instead of another all-or-nothing theory. Expected outcome is
+    // documented in COVERAGE.md; a red row here is the probe working.
+    //
+    // Probe A: Spark NATURAL decimal sum ((28,2), no post-agg cast);
+    // oracle down-casts DuckDB's (38,2) to match — exactly the shape of
+    // q8_topn_per_group's `total`, which passed r2 AND r3.
+    "diag_dec_natural" -> ((s, dir) =>
+      Catalog.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(dec(col("l_quantity"))).as("dqty"))
+        .orderBy("l_returnflag")),
+
+    // Probe B: identical values, but with the failing rows' shape — a
+    // Spark post-aggregate .cast to (38,2); oracle keeps its natural (38,2).
+    "diag_dec_postcast" -> ((s, dir) =>
+      Catalog.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("dqty"))
+        .orderBy("l_returnflag")),
   )
 
   // ======================= DuckDB oracles =======================
@@ -698,20 +729,36 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
 
-    // Aggregate widths pinned at DECIMAL(38,s) on BOTH sides: DuckDB's natural
-    // SUM(DECIMAL(18,s)) width, matched by an explicit up-cast in the Spark
-    // query (Spark's (28,s) is 12-byte parquet vs decimal128's 16 → driver
-    // hash divergence, r2 gate failure).
+    // BIGINT fixed-point sums (cents / 1e-4 units) on BOTH sides — the
+    // st_debounce/st_sessions total_cents pattern, the only output family
+    // with a perfect driver-hash pass record (decimal failed r2 AND r3;
+    // see the diag_dec_* probes). DuckDB SUM(BIGINT) → HUGEINT, so each
+    // sum is cast back to BIGINT to match Spark's LongType.
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // ---- driver-hash diagnostic probes (see the queries-side comment) ----
+    "diag_dec_natural" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS dqty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "diag_dec_postcast" ->
+      """SELECT l_returnflag,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS dqty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q3_top_orders" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
@@ -1804,7 +1851,7 @@ object SparkEntry {
     "st_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, COUNT(*) AS n,
-        |  SUM(CAST(value AS DECIMAL(18,6))) AS total
+        |  CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS total_micros
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
@@ -1883,7 +1930,7 @@ object SparkEntry {
 
     "q9_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)

