@@ -383,20 +383,12 @@ object SparkEntry {
 
     // CAPSTONE — the corpus-release pipeline composed end to end from the
     // operators above: quality filter → exact dedup → near-dedup →
-    // deterministic split → data-card counts. Composition stays lazy, so
-    // Catalyst fuses the id keep-lists into left-semi joins over one
-    // documents lineage instead of materializing stages.
-    "ta_release" -> ((s, dir) => {
-      val docs = Catalog.documents(s, dir)
-      val d1 = docs.join(TextAnalysis.filterByQuality(docs).select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      val d2 = d1.join(Dedup.dropExactDuplicates(d1), Seq("doc_id"), "left_semi")
-      val d3 = d2.join(Dedup.nearDupApply(d2), Seq("doc_id"), "left_semi")
-      TextAnalysis.split(d3)
-        .join(d3.select("doc_id", "lang"), Seq("doc_id"))
-        .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
-        .orderBy("split", "lang")
-    }),
+    // deterministic split → data-card counts, with each stage's keep-id
+    // list materialized at a stage boundary (r3's all-lazy composition
+    // re-derived the upstream dedup lineage per downstream branch — 20 s,
+    // 26% of the whole bench; see TextAnalysis.releasePipeline).
+    "ta_release" -> ((s, dir) =>
+      TextAnalysis.releasePipeline(Catalog.documents(s, dir))),
 
     // TF-IDF keyword extraction: top-3 terms per document
     "ta_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopK(Catalog.documents(s, dir))),

@@ -211,8 +211,18 @@ object Dedup {
   def lshComponents(documents: DataFrame, k: Int = 16, r: Int = 4,
       rounds: Int = 3): DataFrame = {
     val pairs = minhashLshPairs(documents, k, r)
+    // Materialize the candidate edges ONCE: every propagation round joins
+    // against them and the final isolated-doc anti-join reads their vertex
+    // set — without a stage boundary the shingle→minhash→LSH pipeline
+    // re-runs per reference (r3: dd_components spent ~4 s mostly
+    // re-deriving it). The edge set is the near-dup subgraph only — tiny
+    // relative to the corpus — so the snapshot is cheap. localCheckpoint
+    // (not persist) deliberately: it cuts lineage eagerly and bypasses the
+    // CacheManager, so repeated builds never alias each other's cache; a
+    // multi-executor pipeline would checkpoint to reliable storage.
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .localCheckpoint()
     // Propagate over the pair-graph VERTEX set only — at corpus scale the
     // docs that matched any LSH band are a small fraction, so the join
     // rounds run on the near-dup subgraph, not the whole corpus. Isolated
@@ -223,9 +233,13 @@ object Dedup {
     for (_ <- 1 to rounds) {
       val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
         .groupBy(col("a")).agg(min("label").as("nl"))
+      // checkpoint per round: plan depth stays O(1) in `rounds` (instead
+      // of each round's join nesting the previous rounds' plan), which
+      // also makes a data-driven round count safe.
       labels = labels.join(nbrMin, labels("doc_id") === nbrMin("a"), "left_outer")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
     }
     labels = labels.unionByName(
       documents.select(col("doc_id"), col("doc_id").as("label"))

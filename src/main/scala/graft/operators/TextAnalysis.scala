@@ -135,6 +135,43 @@ object TextAnalysis {
         round(avg(col("q")), 4).as("mean_quality"))
       .orderBy("lang")
 
+  /** Corpus-release pipeline — the capstone composition a training-data
+    * release actually runs: quality filter → exact dedup → near dedup →
+    * deterministic [[split]] → data-card counts, from the operators above
+    * plus [[Dedup.dropExactDuplicates]]/[[Dedup.nearDupApply]].
+    *
+    * With `materialize=true` (default) every stage's keep-id list and the
+    * final corpus (doc_id, lang) snapshot at a stage boundary via
+    * localCheckpoint — a real release pipeline materializes stages, both
+    * for lineage bookkeeping and because each downstream branch otherwise
+    * re-derives the whole upstream dedup (r3: the lazily-composed form
+    * re-ran the LSH pipeline per branch and cost 20 s — 26% of the whole
+    * bench). The keep lists are ids only, so the snapshots are narrow; on
+    * a cluster these would be reliable-storage checkpoints (the stage
+    * parquet a release pipeline keeps anyway). `materialize=false` keeps
+    * the round-3 all-lazy form for plan-equivalence testing.
+    *
+    * Stage passes over the corpus with materialization: quality (1),
+    * exact-dedup keep list (1), LSH edges + isolated-vertex set (2),
+    * final corpus projection (1) — 5 bounded passes, independent of how
+    * many downstream branches consume each stage. */
+  def releasePipeline(documents: DataFrame, materialize: Boolean = true): DataFrame = {
+    def snap(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
+    val keepQ = snap(filterByQuality(documents).select("doc_id"))
+    val d1 = documents.join(keepQ, Seq("doc_id"), "left_semi")
+    val keepE = snap(Dedup.dropExactDuplicates(d1))
+    val d2 = d1.join(keepE, Seq("doc_id"), "left_semi")
+    // nearDupApply's survivors are already ⊆ d2 ⊆ d1 — its output IS the
+    // final corpus id list.
+    val keepN = Dedup.nearDupApply(d2)
+    val corpus = snap(documents.select("doc_id", "lang")
+      .join(keepN, Seq("doc_id"), "left_semi"))
+    split(corpus)
+      .join(corpus.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy("split", "lang")
+  }
+
   /** Quality-weighted deterministic sampling: each document draws a
     * stable uniform u from its id hash and survives iff
     * u < quality × rate — higher-quality documents sample at

@@ -101,6 +101,35 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("ta_release: stage boundaries materialized — bounded documents passes") {
+    // With materialization every stage keep-list is snapshotted, so the
+    // FINAL executed plan reads stage snapshots (LogicalRDDs), never the
+    // documents parquet — the r3 form re-derived the whole dedup lineage
+    // per downstream branch (one full-corpus pass each at scale).
+    val df = SparkEntry.queries("ta_release")(spark, sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans == 0,
+      s"expected stage snapshots only in the final plan, got $scans parquet scans\n$p")
+    // and materialization must not change the result
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val lazyRows = graft.operators.TextAnalysis
+      .releasePipeline(docs, materialize = false).collect().toSeq
+    val matRows = graft.operators.TextAnalysis
+      .releasePipeline(docs, materialize = true).collect().toSeq
+    assert(matRows == lazyRows)
+  }
+
+  test("dd_components: LSH edges snapshot once — propagation rounds never re-derive minhash") {
+    val df = SparkEntry.queries("dd_components")(spark, sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // final plan: labels come from per-round snapshots; only the
+    // isolated-doc union may scan documents parquet (exactly once)
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans == 1,
+      s"expected 1 parquet scan (isolated-doc union), got $scans\n$p")
+  }
+
   test("chunk generator: Generate node present (no array explode)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val p = graft.chunker.Chunker
