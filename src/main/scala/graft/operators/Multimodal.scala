@@ -6,9 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: image/audio/video as opaque `binary` columns with
   * typed metadata. Image decode is REAL — `javax.imageio` ships in the
   * JDK, so PNG/JPEG/GIF/BMP headers are parsed for true dimensions
-  * ([[decodeImage]]); only non-image payloads (video/audio, whose codecs
-  * the JRE genuinely lacks) fall back to the clearly-marked deterministic
-  * fake ([[fakeDecode]]).
+  * ([[decodeImage]]). Video/audio CONTAINER metadata is also real:
+  * MP4 track width/height come from the `moov`→`trak`→`tkhd` box and WAV
+  * sample-rate/channels from the RIFF `fmt ` chunk — pure byte reads, no
+  * codec needed ([[decodeMedia]]). Only payloads that sniff as none of
+  * these fall back to the clearly-marked deterministic fake
+  * ([[fakeDecode]]); actual pixel/sample DECODE of av streams still
+  * requires codecs the JRE lacks and stays out of scope.
   *
   * Scale posture (100 TB): binary payloads never shuffle — metadata is
   * projected out in the scan stage and all downstream ops run on the
@@ -19,9 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Typed metadata of a decoded media payload. */
+  /** Typed metadata of a decoded media payload. `sample_rate`/`channels`
+    * are 0 for anything that isn't sniffed audio. */
   case class MediaMeta(doc_id: Long, n_bytes: Long, sha: String,
-      width: Int, height: Int, format: String)
+      width: Int, height: Int, format: String,
+      sample_rate: Int, channels: Int)
+
+  /** Decode result of one payload (no identity fields). */
+  case class MediaInfo(width: Int, height: Int, format: String,
+      sampleRate: Int, channels: Int)
 
   /** Column-level metadata extraction over a binary column — pure
     * expressions, oracle-checkable. */
@@ -91,28 +101,112 @@ object Multimodal {
     else None
   }
 
-  /** STUB decode for NON-image payloads only (video/audio — no codecs in
-    * the JRE): deterministic fake keeps the pipeline testable end-to-end. */
-  def fakeDecode(bytes: Array[Byte]): (Int, Int) = {
-    val n = bytes.length
-    (n % 640, n % 480) // ??? real av-codec goes here
+  // ---- container-header byte reads (no codec involved) ----
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    if (o < 0 || o + 4 > b.length) -1L
+    else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def le32(b: Array[Byte], o: Int): Long =
+    if (o < 0 || o + 4 > b.length) -1L
+    else ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+      ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+  private def le16(b: Array[Byte], o: Int): Int =
+    if (o < 0 || o + 2 > b.length) -1
+    else ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+  private def tag(b: Array[Byte], o: Int): String =
+    if (o < 0 || o + 4 > b.length) "" else new String(b, o, 4, "ISO-8859-1")
+
+  /** ISO-BMFF (MP4/MOV) sniff: the first box must be `ftyp` with a sane
+    * 32-bit size. The tag sits at bytes 4–7, after the size word, so a
+    * text payload can't collide without embedding an exact box header. */
+  private def sniffMp4(bytes: Array[Byte]): Boolean = {
+    val size = be32(bytes, 0)
+    tag(bytes, 4) == "ftyp" && size >= 16 && size <= bytes.length
   }
 
-  /** Real image decode via JDK-builtin `javax.imageio`: header-only
-    * dimension read (no pixel decode) for PNG/JPEG/GIF/BMP; anything the
-    * sniffer doesn't recognize falls back to [[fakeDecode]] with the
-    * length-derived pseudo-format (so non-image payloads keep the exact
-    * behavior [[binaryMeta]]'s pure-expression oracle mirrors). */
-  def decodeImage(bytes: Array[Byte]): (Int, Int, String) = {
-    def fallback = {
-      val (w, h) = fakeDecode(bytes)
-      val fmt = (bytes.length % 3) match {
-        case 0 => "png"; case 1 => "jpeg"; case _ => "webp"
+  /** RIFF/WAVE sniff: "RIFF" at 0 and "WAVE" at 8. */
+  private def sniffWav(bytes: Array[Byte]): Boolean =
+    tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE"
+
+  /** MP4 track dimensions from `moov`→`trak`→`tkhd`: in EVERY tkhd
+    * version the last 8 bytes of the box are width/height as 16.16
+    * fixed-point, so the read is a box walk + two big-endian words —
+    * the same magic-byte discipline as [[sniffImageFormat]], no codec.
+    * 64-bit (`size == 1`) and to-end-of-file (`size == 0`) boxes are
+    * treated as malformed for a header-only read. None on any
+    * truncated/inconsistent structure. */
+  private[operators] def parseMp4Dims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def findBox(name: String, from: Int, to: Int): Option[(Int, Int)] = {
+      var o = from
+      while (o + 8 <= to) {
+        val size = be32(bytes, o)
+        if (size < 8 || o + size > to) return None
+        if (tag(bytes, o + 4) == name) return Some((o + 8, (o + size).toInt))
+        o += size.toInt
       }
-      (w, h, fmt)
+      None
     }
+    for {
+      moov <- findBox("moov", 0, bytes.length)
+      trak <- findBox("trak", moov._1, moov._2)
+      tkhd <- findBox("tkhd", trak._1, trak._2)
+      if tkhd._2 - tkhd._1 >= 76 // v0 tkhd body is 84 bytes; be lenient, read from the end
+      w = (be32(bytes, tkhd._2 - 8) >> 16).toInt
+      h = (be32(bytes, tkhd._2 - 4) >> 16).toInt
+      if w > 0 && h > 0
+    } yield (w, h)
+  }
+
+  /** WAV (sample_rate, channels) from the RIFF `fmt ` chunk: chunk walk
+    * with little-endian reads; chunks are word-aligned. None on a
+    * missing/short `fmt ` or inconsistent sizes. */
+  private[operators] def parseWavFmt(bytes: Array[Byte]): Option[(Int, Int)] = {
+    var o = 12
+    while (o + 8 <= bytes.length) {
+      val id = tag(bytes, o)
+      val size = le32(bytes, o + 4)
+      if (size < 0 || o + 8 + size > bytes.length) return None
+      if (id == "fmt ") {
+        if (size < 16) return None
+        val channels = le16(bytes, o + 10)
+        val rate = le32(bytes, o + 12)
+        return if (rate > 0 && channels > 0) Some((rate.toInt, channels)) else None
+      }
+      o += 8 + size.toInt + (size.toInt & 1)
+    }
+    None
+  }
+
+  /** STUB decode for payloads that sniff as NO known container (the only
+    * remaining fake — image dims, MP4 dims and WAV rates are all real
+    * header reads): deterministic, keeps the pipeline testable
+    * end-to-end. */
+  def fakeDecode(bytes: Array[Byte]): (Int, Int) = {
+    val n = bytes.length
+    (n % 640, n % 480) // ??? real full av-codec decode goes here
+  }
+
+  private def fakeFormat(bytes: Array[Byte]): String =
+    (bytes.length % 3) match {
+      case 0 => "png"; case 1 => "jpeg"; case _ => "webp"
+    }
+
+  /** Real image decode via JDK-builtin `javax.imageio`: header-only
+    * dimension read (no pixel decode) for PNG/JPEG/GIF/BMP. A payload the
+    * sniffer positively identified but ImageIO can't read keeps its
+    * sniffed identity as `corrupt-<fmt>` (with the fallback dimensions),
+    * so a truncated real asset stays distinguishable from a non-image
+    * payload; anything unsniffed falls back to [[fakeDecode]] with the
+    * length-derived pseudo-format (the exact behavior [[binaryMeta]]'s
+    * pure-expression oracle mirrors). */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, String) = {
     sniffImageFormat(bytes) match {
       case Some(fmt) =>
+        def corrupt = {
+          val (w, h) = fakeDecode(bytes)
+          (w, h, s"corrupt-$fmt")
+        }
         try {
           val in = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
@@ -122,21 +216,52 @@ object Multimodal {
               val r = readers.next()
               try { r.setInput(in, true); (r.getWidth(0), r.getHeight(0), fmt) }
               finally r.dispose()
-            } else fallback
+            } else corrupt
           } finally in.close()
         } catch {
-          // a truncated/corrupt header must degrade to the fake, not fail
-          // a 100 TB job on one bad asset
-          case _: java.io.IOException | _: IllegalArgumentException => fallback
+          // a truncated/corrupt header must degrade, not fail a 100 TB
+          // job on one bad asset
+          case _: java.io.IOException | _: IllegalArgumentException => corrupt
         }
-      case None => fallback
+      case None =>
+        val (w, h) = fakeDecode(bytes)
+        (w, h, fakeFormat(bytes))
     }
   }
 
+  /** Full media decode: ImageIO dimensions for sniffed images, container
+    * header reads for MP4 (tkhd width/height) and WAV (fmt sample
+    * rate/channels), the deterministic fake only for genuinely opaque
+    * bytes. Sniffed-but-unparsable payloads are labeled
+    * `corrupt-<container>` rather than masquerading as the pseudo-format.
+    * Reference analog: the media-field metadata preference chain in
+    * `includes/class-field-normalizer.php:404-431`. */
+  def decodeMedia(bytes: Array[Byte]): MediaInfo =
+    if (sniffImageFormat(bytes).isDefined) {
+      val (w, h, fmt) = decodeImage(bytes)
+      MediaInfo(w, h, fmt, 0, 0)
+    } else if (sniffMp4(bytes)) {
+      parseMp4Dims(bytes) match {
+        case Some((w, h)) => MediaInfo(w, h, "mp4", 0, 0)
+        case None =>
+          val (w, h) = fakeDecode(bytes); MediaInfo(w, h, "corrupt-mp4", 0, 0)
+      }
+    } else if (sniffWav(bytes)) {
+      parseWavFmt(bytes) match {
+        case Some((rate, ch)) => MediaInfo(0, 0, "wav", rate, ch)
+        case None =>
+          val (w, h) = fakeDecode(bytes); MediaInfo(w, h, "corrupt-wav", 0, 0)
+      }
+    } else {
+      val (w, h) = fakeDecode(bytes)
+      MediaInfo(w, h, fakeFormat(bytes), 0, 0)
+    }
+
   /** The batched per-partition decode path (the `mapInPandas` shape):
     * binary in, typed metadata out, decoder init amortized per partition.
-    * Real image payloads get true ImageIO dimensions; non-image payloads
-    * agree exactly with [[binaryMeta]] (spec-asserted). */
+    * Real image payloads get true ImageIO dimensions, MP4/WAV payloads
+    * get true container-header metadata; unsniffed payloads agree exactly
+    * with [[binaryMeta]] (spec-asserted). */
   def decodePartitioned(documents: DataFrame): Dataset[MediaMeta] = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -148,10 +273,11 @@ object Multimodal {
         // registry is JVM-global and warms once)
         val md = java.security.MessageDigest.getInstance("SHA-256")
         it.map { case (id, bytes) =>
-          val (w, h, fmt) = decodeImage(bytes)
+          val m = decodeMedia(bytes)
           val sha = md.digest(bytes).map("%02x".format(_)).mkString
           md.reset()
-          MediaMeta(id, bytes.length.toLong, sha, w, h, fmt)
+          MediaMeta(id, bytes.length.toLong, sha, m.width, m.height,
+            m.format, m.sampleRate, m.channels)
         }
       }
   }

@@ -53,7 +53,73 @@ class MultimodalSpec extends SparkSpec {
   test("decodeImage degrades to the fallback on a truncated image header") {
     val good = imageBytes("png", 10, 10)
     val truncated = good.take(12) // magic survives, header doesn't
-    val (w, h, _) = Multimodal.decodeImage(truncated)
+    val (w, h, fmt) = Multimodal.decodeImage(truncated)
     assert((w, h) == ((truncated.length % 640, truncated.length % 480)))
+    // the sniffed identity survives corruption — a damaged real asset
+    // must not masquerade as a length-derived pseudo-format
+    assert(fmt == "corrupt-png")
+  }
+
+  // ---- minimal container builders (header bytes only, no codec) ----
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def ascii(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+
+  /** ftyp + moov>trak>tkhd(v0) with 16.16 fixed-point dims at the tail. */
+  private def mp4Bytes(w: Int, h: Int): Array[Byte] = {
+    val tkhdBody = new Array[Byte](76) // version..matrix zeroed (v0)
+    // full box size = 8 (header) + 76 (body) + 8 (16.16 width+height) = 92
+    val tkhd = be32(8L + tkhdBody.length + 8) ++ ascii("tkhd") ++ tkhdBody ++
+      be32(w.toLong << 16) ++ be32(h.toLong << 16)
+    val trak = be32(8L + tkhd.length) ++ ascii("trak") ++ tkhd
+    val moov = be32(8L + trak.length) ++ ascii("moov") ++ trak
+    val ftyp = be32(16) ++ ascii("ftyp") ++ ascii("isom") ++ be32(0)
+    ftyp ++ moov
+  }
+
+  /** RIFF/WAVE with a 16-byte PCM `fmt ` chunk and an empty data chunk. */
+  private def wavBytes(rate: Int, channels: Int): Array[Byte] = {
+    val fmt = ascii("fmt ") ++ le32(16) ++
+      le16(1) ++ le16(channels) ++ le32(rate.toLong) ++
+      le32(rate.toLong * channels * 2) ++ le16(channels * 2) ++ le16(16)
+    val data = ascii("data") ++ le32(0)
+    ascii("RIFF") ++ le32(4L + fmt.length + data.length) ++ ascii("WAVE") ++
+      fmt ++ data
+  }
+
+  test("decodeMedia reads TRUE MP4 dims and WAV rate/channels from container headers") {
+    val mp4 = Multimodal.decodeMedia(mp4Bytes(1920, 1080))
+    assert((mp4.width, mp4.height, mp4.format) == ((1920, 1080, "mp4")), mp4)
+    val wav = Multimodal.decodeMedia(wavBytes(44100, 2))
+    assert((wav.sampleRate, wav.channels, wav.format) == ((44100, 2, "wav")), wav)
+    val mono = Multimodal.decodeMedia(wavBytes(16000, 1))
+    assert((mono.sampleRate, mono.channels) == ((16000, 1)), mono)
+  }
+
+  test("decodeMedia labels truncated containers corrupt-<fmt>, never a pseudo-format") {
+    val cutMp4 = mp4Bytes(640, 360).take(40) // ftyp survives, moov truncated
+    val m = Multimodal.decodeMedia(cutMp4)
+    assert(m.format == "corrupt-mp4", m)
+    assert((m.width, m.height) == ((cutMp4.length % 640, cutMp4.length % 480)))
+    val cutWav = wavBytes(8000, 1).take(20) // RIFF/WAVE survive, fmt gone
+    val wv = Multimodal.decodeMedia(cutWav)
+    assert(wv.format == "corrupt-wav", wv)
+  }
+
+  test("decodeMedia: text payloads still take the deterministic fallback") {
+    val txt = "RIFFles in a pond — not a wave container".getBytes("UTF-8")
+    val m = Multimodal.decodeMedia(txt)
+    // "RIFF" prefix alone must not sniff as WAV ("WAVE" tag absent at 8)
+    assert(m.format == (txt.length % 3 match {
+      case 0 => "png"; case 1 => "jpeg"; case _ => "webp"
+    }), m)
+    assert((m.width, m.height) == ((txt.length % 640, txt.length % 480)))
   }
 }
