@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.chunker.Chunker
 import graft.embed.LocalHashEmbedder
 import graft.fingerprint.Fingerprint
-import graft.model.Selection
+import graft.model.{Selection, Tuning}
 import graft.store.ParquetVectorStore
 import graft.sync.SyncEngine
 
@@ -28,6 +28,9 @@ import graft.sync.SyncEngine
   *   loop   --data DIR --work DIR [--ticks N] [--limit N] [--quota N]
   *       scheduler + delta engine composed: plan from the engine's own
   *       sync-state, sync exactly the planned candidates, repeat
+  *   sample --work DIR [--product N] [--data DIR] [--force]
+  *       one-product END-TO-END dry run: chunk→embed→payload→delta with
+  *       writes stubbed; prints the would-be upsert/delete sets
   *   status --work DIR
   *       store/sync-state versions + row counts
   *   purge  --work DIR --site N
@@ -66,7 +69,7 @@ object Main {
       : (graft.store.EnsureStoreVectorStore, SyncEngine) = {
     val vs = new graft.store.EnsureStoreVectorStore(spark, s"$work/store_vs")
     (vs, new SyncEngine(spark, new LocalHashEmbedder(), vs,
-      s"$work/sync_state", Selection(chunkSize = 100, chunkOverlap = 20),
+      s"$work/sync_state", Selection(chunkSize = 100, chunkOverlap = 20).sanitized,
       target = "vs",
       events = Some(new graft.events.EventLog(spark, s"$work/events"))))
   }
@@ -87,12 +90,15 @@ object Main {
     case Some("chunk") =>
       val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
       val id = opt(args, "doc").getOrElse("0").toLong
-      val size = opt(args, "size").getOrElse("800").toInt
-      val overlap = opt(args, "overlap").getOrElse("100").toInt
-      if (size <= 0 || overlap < 0 || overlap >= size) {
-        System.err.println(s"error: --size must be > 0 and --overlap in [0, size); got size=$size overlap=$overlap")
-        sys.exit(2)
-      }
+      val rawSize = opt(args, "size").getOrElse("800").toInt
+      val rawOverlap = opt(args, "overlap").getOrElse("100").toInt
+      // the reference's input contract CORRECTS out-of-range config
+      // rather than rejecting it (class-options.php:414-417)
+      val clamped = Selection(chunkSize = rawSize, chunkOverlap = rawOverlap).sanitized
+      val (size, overlap) = (clamped.chunkSize, clamped.chunkOverlap)
+      if (size != rawSize || overlap != rawOverlap)
+        System.err.println(
+          s"note: clamped size=$rawSize overlap=$rawOverlap -> size=$size overlap=$overlap")
       val spark = session()
       val row = spark.read.parquet(s"$data/documents.parquet")
         .where(col("doc_id") === id).select("text").collect()
@@ -126,7 +132,7 @@ object Main {
       val spark = session()
       val store = new ParquetVectorStore(spark, s"$work/store")
       val engine = new SyncEngine(spark, new LocalHashEmbedder(), store,
-        s"$work/sync_state", Selection(chunkSize = 100, chunkOverlap = 20),
+        s"$work/sync_state", Selection(chunkSize = 100, chunkOverlap = 20).sanitized,
         events = Some(new graft.events.EventLog(spark, s"$work/events")))
       val t0 = System.nanoTime()
       val candidates = docsAsProducts(spark, data, limit)
@@ -179,8 +185,12 @@ object Main {
       // against the persisted watermark, then advance the watermark.
       val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
       val work = opt(args, "work").getOrElse { System.err.println("error: --work required"); sys.exit(2); "" }
-      val limit = opt(args, "limit").getOrElse("200").toInt
-      val quota = opt(args, "quota").getOrElse("3").toInt
+      // reference clamps: scan batch 20–2000, concurrent jobs 1–10
+      // (class-options.php:486-493,477-484) — correct, don't reject
+      val tun = Tuning(
+        scanBatchLimit = opt(args, "limit").getOrElse("200").toInt,
+        maxConcurrentJobs = opt(args, "quota").getOrElse("3").toInt).sanitized
+      val (limit, quota) = (tun.scanBatchLimit, tun.maxConcurrentJobs)
       val spark = session()
       val wm = new graft.scan.Watermark(s"$work/last_scan_gmt")
       val now = java.time.Instant.now()
@@ -207,7 +217,7 @@ object Main {
       val products = graft.catalog.Catalog.products(spark, data)
       val store = new ParquetVectorStore(spark, s"$work/store")
       val engine = new SyncEngine(spark, new LocalHashEmbedder(), store,
-        s"$work/sync_state", Selection(chunkSize = 100, chunkOverlap = 20),
+        s"$work/sync_state", Selection(chunkSize = 100, chunkOverlap = 20).sanitized,
         events = Some(new graft.events.EventLog(spark, s"$work/events")))
       val wm = new graft.scan.Watermark(s"$work/last_scan_gmt")
       for (t <- 1 to ticks) {
@@ -277,7 +287,7 @@ object Main {
       val spark = session()
       val store = new ParquetVectorStore(spark, s"$work/store")
       val engine = new SyncEngine(spark, new LocalHashEmbedder(), store,
-        s"$work/sync_state", Selection(chunkSize = 100, chunkOverlap = 20),
+        s"$work/sync_state", Selection(chunkSize = 100, chunkOverlap = 20).sanitized,
         events = Some(new graft.events.EventLog(spark, s"$work/events")))
       val removed = engine.deleteProduct(pid, site)
       println(s"deleted product $pid (site $site): $removed sync-state rows removed; " +
@@ -290,6 +300,43 @@ object Main {
         println(s"deleted product $pid from vs store: $removed2 sync-state rows; " +
           s"now ${vs.count()} vectors (v${vs.currentVersion})")
       }
+      spark.stop()
+
+    case Some("sample") =>
+      // End-to-end ONE-product dry run (reference admin sample_upsert/
+      // sample_delete, `admin/pages/class-admin-page-connections.php:
+      // 188-304`): the full chunk→embed→payload→delta path with every
+      // write stubbed — prints the would-be upsert/delete sets and proves
+      // the store and sync-state versions did not move.
+      val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
+      val work = opt(args, "work").getOrElse { System.err.println("error: --work required"); sys.exit(2); "" }
+      val spark = session()
+      val docs = spark.read.parquet(s"$data/documents.parquet")
+      // reference fallback: no/invalid product id → first published product
+      val pid = opt(args, "product").map(_.toLong).filter(_ > 0).getOrElse {
+        docs.agg(min(col("doc_id"))).head.getLong(0)
+      }
+      val candidate = docs.where(col("doc_id") === pid)
+        .select(col("doc_id").as("product_id"), lit(1).as("site_id"),
+          concat(lit("DOC-"), col("doc_id")).as("sku"), col("text"))
+      if (candidate.isEmpty) { System.err.println(s"error: doc $pid not found in $data"); sys.exit(1) }
+      val store = new ParquetVectorStore(spark, s"$work/store")
+      val engine = new SyncEngine(spark, new LocalHashEmbedder(), store,
+        s"$work/sync_state", Selection(chunkSize = 100, chunkOverlap = 20).sanitized,
+        events = Some(new graft.events.EventLog(spark, s"$work/events")))
+      val (storeV0, syncV0) = (store.currentVersion, engine.syncVersion)
+      val plan = engine.sampleDryRun(candidate, force = flag(args, "force")).collect()
+      val byAction = plan.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+      println(s"sample dry run: product $pid (target local, force=${flag(args, "force")})")
+      byAction.toSeq.sortBy(_._1).foreach { case (a, n) => println(s"  $a: $n") }
+      val upsertIds = plan.filter(_.getString(3) == "upsert").map(_.getString(2))
+      if (upsertIds.nonEmpty) // the reference's details preview: first & last ids
+        println(s"  first_id=${upsertIds.head} last_id=${upsertIds.last}")
+      plan.filter(_.getString(3) == "delete")
+        .foreach(r => println(s"  would delete ${r.getString(2)}"))
+      println(s"  store untouched: v${store.currentVersion} (was v$storeV0); " +
+        s"sync_state untouched: v${engine.syncVersion} (was v$syncV0)")
+      assert(store.currentVersion == storeV0 && engine.syncVersion == syncV0)
       spark.stop()
 
     case Some("pipeline") =>

@@ -60,9 +60,43 @@ final case class Selection(
     showPrivateMeta: Boolean = false,
     chunkSize: Int = 800,
     chunkOverlap: Int = 100,
-    model: String = "text-embedding-3-small")
+    model: String = "text-embedding-3-small") {
+
+  /** The reference's declared input contract (`class-options.php:368-421`
+    * `set_selected_fields` — every config write passes through deep
+    * sanitization): field lists are trimmed, emptied of blanks and
+    * deduplicated order-preserving; meta keys likewise with mode coerced
+    * to `json`|`text`; `chunking.size` clamps to ≥ 1 and
+    * `chunking.overlap` to ≥ 0 (`:414-417`), with overlap < size so a
+    * chunk always advances; an unknown model falls back to the default
+    * (`class-embeddings.php` resolves dimension by model — an unknown
+    * model has none). Idempotent: `sanitized.sanitized == sanitized`. */
+  def sanitized: Selection = {
+    def strs(xs: Seq[String]): Seq[String] =
+      xs.iterator.map(s => Option(s).getOrElse("").trim)
+        .filter(_.nonEmpty).distinct.toSeq
+    val size = math.max(1, chunkSize)
+    Selection(
+      core = strs(core),
+      tax = strs(tax),
+      attributes = strs(attributes),
+      meta = meta.iterator
+        .map { case (k, m) =>
+          Option(k).getOrElse("").trim -> (if (m == "json") "json" else "text") }
+        .filter(_._1.nonEmpty).toMap,
+      acf = strs(acf),
+      showPrivateMeta = showPrivateMeta,
+      chunkSize = size,
+      chunkOverlap = math.min(math.max(0, chunkOverlap), size - 1),
+      model =
+        if (Selection.modelDims.contains(model)) model
+        else Selection.DefaultModel)
+  }
+}
 
 object Selection {
+  val DefaultModel = "text-embedding-3-small"
+
   /** Model → locked dimension. NOTE: the reference's table is intentionally
     * nonstandard (3-small→3072, 3-large→1536 — `includes/class-embeddings.php:17-24`);
     * we replicate it verbatim per SURVEY §7.5.7. */
@@ -70,6 +104,40 @@ object Selection {
     "text-embedding-3-large" -> 1536,
     "text-embedding-3-small" -> 3072,
     "text-embedding-ada-002" -> 1536)
+}
+
+/** Operational knobs with the reference's clamps — the get/set pairs in
+  * `class-options.php` all correct out-of-range input instead of
+  * rejecting it:
+  *   batch upsert 10–500 default 100 (`:453-460`), concurrent jobs 1–10
+  *   default 3 (`:477-484`), scan batch 20–2000 default 200 (`:486-493`),
+  *   event-log retention days 1–90 default 7 (`:552-559`), rollup max
+  *   variations 20–5000 default 500 (`:626-632`), rollup values cap
+  *   5–200 default 20 (`:638-646`), scheduler cadence from a closed enum
+  *   default 15min (`:469-475`).
+  * Idempotent: `sanitized.sanitized == sanitized`. */
+final case class Tuning(
+    batchUpsertSize: Int = 100,
+    maxConcurrentJobs: Int = 3,
+    scanBatchLimit: Int = 200,
+    eventRetentionDays: Int = 7,
+    rollupMaxVariations: Int = 500,
+    rollupValuesCap: Int = 20,
+    schedulerCadence: String = "15min") {
+  def sanitized: Tuning = Tuning(
+    batchUpsertSize = batchUpsertSize.max(10).min(500),
+    maxConcurrentJobs = maxConcurrentJobs.max(1).min(10),
+    scanBatchLimit = scanBatchLimit.max(20).min(2000),
+    eventRetentionDays = eventRetentionDays.max(1).min(90),
+    rollupMaxVariations = rollupMaxVariations.max(20).min(5000),
+    rollupValuesCap = rollupValuesCap.max(5).min(200),
+    schedulerCadence =
+      if (Tuning.Cadences(schedulerCadence)) schedulerCadence else "15min")
+}
+
+object Tuning {
+  val Cadences: Set[String] =
+    Set("5min", "15min", "hourly", "twicedaily", "daily")
 }
 
 final case class EventRow(

@@ -160,9 +160,22 @@ final class SyncEngine(
     removed
   }
 
-  /** One full sync pass over `normalized` (product_id, site_id, sku, text).
-    * Returns the per-action summary DataFrame (upserted/deleted/skipped). */
-  def sync(normalized: DataFrame, force: Boolean = false): DataFrame = {
+  /** The delta plan shared by [[sync]] (which executes it) and
+    * [[sampleDryRun]] (which only reports it): short-circuit split,
+    * payload build, per-chunk full-outer routing, and the would-be
+    * delete-id / upsert sets. All intermediate frames are cached —
+    * call [[DeltaParts.unpersistAll]] when done. */
+  private final case class DeltaParts(
+      withSha: DataFrame, existing: DataFrame, unchanged: DataFrame,
+      changed: DataFrame, payloads: DataFrame, routed: DataFrame,
+      deleteIds: DataFrame, upserts: DataFrame) {
+    def unpersistAll(): Unit = {
+      withSha.unpersist(); existing.unpersist()
+      payloads.unpersist(); routed.unpersist()
+    }
+  }
+
+  private def deltaParts(normalized: DataFrame, force: Boolean): DeltaParts = {
     val withSha = fingerprinted(normalized).cache()
     val existing = readSyncState().where(col("target") === target).cache()
 
@@ -210,11 +223,10 @@ final class SyncEngine(
           .otherwise("skip"))
       .cache()
 
-    // Execute deletes (by stored vector_id, fallback recomputed id —
-    // `class-indexer.php:390-409`) and upserts.
-    // Fallback id recomputes from the row's OWN site_id (carried through
-    // `exist` as e_site) — a hardcoded site-1 would silently delete a
-    // nonexistent id for any other site.
+    // Deletes resolve by stored vector_id, fallback recomputed id —
+    // `class-indexer.php:390-409`. The fallback id recomputes from the
+    // row's OWN site_id (carried through `exist` as e_site) — a hardcoded
+    // site-1 would silently delete a nonexistent id for any other site.
     val deleteIds = routed.where(col("action") === "delete")
       .select(coalesce(col("vector_id"),
         format_string("site-%d:product-%d:chunk-%d",
@@ -224,6 +236,54 @@ final class SyncEngine(
       routed.where(col("action") === "upsert")
         .select("product_id", "chunk_index"),
       Seq("product_id", "chunk_index"), "left_semi")
+    DeltaParts(withSha, existing, unchanged, changed, payloads, routed,
+      deleteIds, upserts)
+  }
+
+  /** SAMPLE dry run — the reference's admin `sample_upsert`/`sample_delete`
+    * one-product probes (`admin/pages/class-admin-page-connections.php:
+    * 188-304`), generalized: run the FULL chunk→embed→payload→delta path
+    * for the given candidates and return the would-be per-chunk action
+    * set, with every write stubbed — no store mutation, no sync-state
+    * commit, no event row. `force = true` mirrors the reference's sample
+    * upsert exactly (it upserts unconditionally, skipping the
+    * short-circuit). Returns (product_id, chunk_index, vector_id, action,
+    * chunk_sha nullable for deletes). */
+  def sampleDryRun(normalized: DataFrame, force: Boolean = false): DataFrame = {
+    val parts = deltaParts(normalized, force)
+    val perChunk = parts.routed
+      .select(col("product_id"), col("chunk_index"),
+        coalesce(col("vector_id"),
+          format_string("site-%d:product-%d:chunk-%d",
+            coalesce(col("e_site"), lit(1)), col("product_id"), col("chunk_index")))
+          .as("vector_id"),
+        col("action"), col("f_sha").as("chunk_sha"))
+    val skippedUnchanged = parts.unchanged
+      .select(col("product_id"), lit(-1).as("chunk_index"),
+        lit(null).cast("string").as("vector_id"),
+        lit("skip_unchanged").as("action"),
+        col("product_sha").as("chunk_sha"))
+    val out = perChunk.unionByName(skippedUnchanged)
+      .orderBy("product_id", "chunk_index")
+    // materialize before unpersisting the lineage it depends on
+    val rows = out.collect()
+    parts.unpersistAll()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), out.schema)
+  }
+
+  /** One full sync pass over `normalized` (product_id, site_id, sku, text).
+    * Returns the per-action summary DataFrame (upserted/deleted/skipped). */
+  def sync(normalized: DataFrame, force: Boolean = false): DataFrame = {
+    val parts = deltaParts(normalized, force)
+    val withSha = parts.withSha
+    val existing = parts.existing
+    val unchanged = parts.unchanged
+    val changed = parts.changed
+    val payloads = parts.payloads
+    val routed = parts.routed
+    val deleteIds = parts.deleteIds
+    val upserts = parts.upserts
     // Zero-remote-call short-circuit (golden case B): unchanged products
     // must produce NO store writes at all (`class-indexer.php:329-360`).
     // Write failure poisons only this run's rows (marked status=error and

@@ -87,6 +87,38 @@ class SyncEngineSpec extends SparkSpec {
     assert(store.read().count() == engine.readSyncState().count())
   }
 
+  test("H: sampleDryRun reports the full delta with ZERO mutation") {
+    val dir = Files.createTempDirectory("graftH")
+    val (engine, store) = mkEngine(dir)
+    // seed real state so the dry run has a delta to report
+    engine.sync(docs(Seq(1L -> longText, 2L -> "tiny doc.")))
+    val (storeV, syncV) = (store.currentVersion, engine.syncVersion)
+    val storeRows = store.count()
+
+    // changed doc 1 (shrunk → would-be deletes + upserts), unchanged doc 2
+    val plan = engine.sampleDryRun(
+      docs(Seq(1L -> "Just one tiny sentence.", 2L -> "tiny doc.")))
+      .collect()
+    val byAction = plan.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    assert(byAction.getOrElse("upsert", 0) >= 1, byAction)
+    assert(byAction.getOrElse("delete", 0) >= 1,
+      s"shrunk doc must report stale chunks as would-be deletes: $byAction")
+    assert(byAction.getOrElse("skip_unchanged", 0) == 1, byAction)
+    // every reported row carries a resolvable vector id (except the
+    // skip_unchanged product-level rows)
+    assert(plan.filter(_.getString(3) != "skip_unchanged")
+      .forall(r => r.getString(2) != null && r.getString(2).nonEmpty))
+
+    // THE point: nothing moved — no store version, no rows, no sync-state
+    assert(store.currentVersion == storeV && store.count() == storeRows)
+    assert(engine.syncVersion == syncV)
+
+    // and a real sync of the same input executes exactly the plan
+    val s = actions(engine.sync(docs(Seq(1L -> "Just one tiny sentence.", 2L -> "tiny doc."))))
+    assert(s.getOrElse("upsert", 0L) == byAction.getOrElse("upsert", 0).toLong)
+    assert(s.getOrElse("delete", 0L) == byAction.getOrElse("delete", 0).toLong)
+  }
+
   test("D: chunk count decreased → stale indexes deleted") {
     val dir = Files.createTempDirectory("graftD")
     val (engine, store) = mkEngine(dir)
