@@ -129,11 +129,23 @@ final class ParquetVectorStore(spark: SparkSession, root: String,
 
   /** Bucket from the payload's (site_id,) product_id (modulo: synthetic
     * ids are uniform; an id-clustered deployment would swap in a stable
-    * hash). Site-aware mode gives each site its own bucket range. */
+    * hash). Site-aware mode gives each site its own bucket range — and
+    * FAILS LOUDLY on a NULL or negative site_id: such a row would land in
+    * a bucket that deleteByProduct/purgeSite's integer routing
+    * (`siteId * nBuckets`, `bucket / nBuckets == siteId`) can never
+    * address, i.e. written but silently unreachable by the pruned delete
+    * paths (the same fail-fast discipline as the manifest mode check). */
   private def bucketCol = {
     val pidPart = pmod(col("product_id"), lit(nBuckets.toLong))
-    (if (siteBuckets) col("site_id").cast("long") * nBuckets + pidPart
-     else pidPart).cast("int")
+    (if (siteBuckets) {
+      val site = when(col("site_id").isNull || col("site_id") < 0,
+        raise_error(concat(
+          lit("siteBuckets mode requires site_id >= 0; got "),
+          coalesce(col("site_id").cast("string"), lit("NULL")),
+          lit(" for product_id "), col("product_id").cast("string"))))
+        .otherwise(col("site_id").cast("long"))
+      site * nBuckets + pidPart
+    } else pidPart).cast("int")
   }
 
   /** Bucket recovered from the deterministic vector-id format

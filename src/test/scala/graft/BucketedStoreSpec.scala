@@ -134,6 +134,27 @@ class BucketedStoreSpec extends SparkSpec {
     }
   }
 
+  test("siteBuckets: NULL or negative site_id fails the write loudly") {
+    val root = Files.createTempDirectory("bstore_guard")
+    val store = new ParquetVectorStore(spark, root.toString, nBuckets = 4,
+      siteBuckets = true)
+    // a negative site would route to a bucket purgeSite/deleteByProduct's
+    // integer arithmetic can never address — must fail, not write
+    val bad = Seq(payload(1, 0, site = -2)).toDF(cols: _*)
+    val e = intercept[Exception](store.upsert(bad))
+    assert(Option(e.getMessage).getOrElse(e.toString)
+      .contains("site_id") || e.getCause != null)
+    assert(store.currentVersion == 0, "failed write must not commit")
+    // null site_id likewise
+    val badNull = Seq(payload(2, 0)).toDF(cols: _*)
+      .withColumn("site_id", org.apache.spark.sql.functions.lit(null).cast("int"))
+    intercept[Exception](store.upsert(badNull))
+    assert(store.currentVersion == 0)
+    // a valid write still lands
+    store.upsert(Seq(payload(3, 0, site = 2)).toDF(cols: _*))
+    assert(store.currentVersion == 1 && store.count() == 1)
+  }
+
   test("two sync targets keep separate sync_state rows in one table") {
     import graft.embed.LocalHashEmbedder
     import graft.model.Selection
