@@ -211,8 +211,14 @@ object Main {
       val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
       val work = opt(args, "work").getOrElse { System.err.println("error: --work required"); sys.exit(2); "" }
       val ticks = opt(args, "ticks").getOrElse("3").toInt
-      val limit = opt(args, "limit").getOrElse("100").toInt
-      val quota = opt(args, "quota").getOrElse("100").toInt
+      // same clamp contract as `scan` (class-options.php:486-493,477-484);
+      // the per-tick admission quota is the reference's max-concurrent-jobs
+      val rawLimit = opt(args, "limit").getOrElse("100").toInt
+      val rawQuota = opt(args, "quota").getOrElse("10").toInt
+      val tun = Tuning(scanBatchLimit = rawLimit, maxConcurrentJobs = rawQuota).sanitized
+      val (limit, quota) = (tun.scanBatchLimit, tun.maxConcurrentJobs)
+      if (limit != rawLimit || quota != rawQuota)
+        System.err.println(s"note: clamped limit=$rawLimit quota=$rawQuota -> limit=$limit quota=$quota")
       val spark = session()
       val products = graft.catalog.Catalog.products(spark, data)
       val store = new ParquetVectorStore(spark, s"$work/store")
@@ -312,10 +318,15 @@ object Main {
       val work = opt(args, "work").getOrElse { System.err.println("error: --work required"); sys.exit(2); "" }
       val spark = session()
       val docs = spark.read.parquet(s"$data/documents.parquet")
-      // reference fallback: no/invalid product id → first published product
-      val pid = opt(args, "product").map(_.toLong).filter(_ > 0).getOrElse {
-        docs.agg(min(col("doc_id"))).head.getLong(0)
-      }
+      // reference fallback: no/INVALID product id → first published product
+      // (sample_upsert coerces with (int) and falls back on <= 0)
+      val pid = opt(args, "product")
+        .flatMap(s => scala.util.Try(s.toLong).toOption).filter(_ > 0)
+        .getOrElse {
+          val row = docs.agg(min(col("doc_id"))).head
+          if (row.isNullAt(0)) { System.err.println(s"error: no documents in $data"); sys.exit(1) }
+          row.getLong(0)
+        }
       val candidate = docs.where(col("doc_id") === pid)
         .select(col("doc_id").as("product_id"), lit(1).as("site_id"),
           concat(lit("DOC-"), col("doc_id")).as("sku"), col("text"))

@@ -36,7 +36,8 @@ final class EventLog(spark: SparkSession, root: String) {
 
   /** Retention: drop day-partitions older than `retainDays` from `today`
     * (reference daily prune, `class-events.php:97-133`). */
-  def prune(today: java.time.LocalDate, retainDays: Int = 7): Seq[String] = {
+  def prune(today: java.time.LocalDate,
+      retainDays: Int = graft.model.Tuning().eventRetentionDays): Seq[String] = {
     val dir = java.nio.file.Paths.get(root)
     if (!java.nio.file.Files.exists(dir)) return Nil
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")

@@ -115,7 +115,13 @@ object Selection {
   *   variations 20–5000 default 500 (`:626-632`), rollup values cap
   *   5–200 default 20 (`:638-646`), scheduler cadence from a closed enum
   *   default 15min (`:469-475`).
-  * Idempotent: `sanitized.sanitized == sanitized`. */
+  * Consumers: scan/loop clamp --limit/--quota via scanBatchLimit /
+  * maxConcurrentJobs; SyncEngine batches payloads at batchUpsertSize;
+  * EventLog.prune defaults to eventRetentionDays; VariationRollup's
+  * valuesCap defaults to rollupValuesCap. rollupMaxVariations and
+  * schedulerCadence are validated contract surface for callers (the cli
+  * loop runs synchronous ticks — no wall-clock scheduler in a test
+  * harness). Idempotent: `sanitized.sanitized == sanitized`. */
 final case class Tuning(
     batchUpsertSize: Int = 100,
     maxConcurrentJobs: Int = 3,

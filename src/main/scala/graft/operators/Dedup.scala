@@ -23,12 +23,19 @@ object Dedup {
 
   /** Exact dedup: group by sha256 of normalized text, keep min doc_id. */
   def exact(documents: DataFrame): DataFrame =
+    exactUnsorted(documents).orderBy("h")
+
+  private def exactUnsorted(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), sha2(norm(col("text")), 256).as("h"))
       .groupBy("h")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
       .select("keep_id", "h", "n")
-      .orderBy("h")
+
+  /** Unsorted exact-dedup keep-ids — the stage-snapshot form for
+    * releasePipeline (no global sort before a checkpoint). */
+  private[operators] def exactKeepIds(documents: DataFrame): DataFrame =
+    exactUnsorted(documents).select(col("keep_id").as("doc_id"))
 
   /** Word 3-gram shingles per document, duplicates included (no shuffle). */
   private def shinglesRaw(documents: DataFrame): DataFrame =
@@ -209,7 +216,11 @@ object Dedup {
     * on doc_id — the standard iterative-dataflow shape for connected
     * components; no driver-side graph. */
   def lshComponents(documents: DataFrame, k: Int = 16, r: Int = 4,
-      rounds: Int = 3): DataFrame = {
+      rounds: Int = 3): DataFrame =
+    lshComponentsUnsorted(documents, k, r, rounds).orderBy("doc_id")
+
+  private[operators] def lshComponentsUnsorted(documents: DataFrame,
+      k: Int = 16, r: Int = 4, rounds: Int = 3): DataFrame = {
     val pairs = minhashLshPairs(documents, k, r)
     // Materialize the candidate edges ONCE: every propagation round joins
     // against them and the final isolated-doc anti-join reads their vertex
@@ -244,7 +255,7 @@ object Dedup {
     labels = labels.unionByName(
       documents.select(col("doc_id"), col("doc_id").as("label"))
         .join(edgeDocs, Seq("doc_id"), "left_anti"))
-    labels.select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id")
+    labels.select(col("doc_id"), col("label").as("cluster"))
   }
 
   /** Incremental (cross-snapshot) dedup — the PRODUCTION dedup shape: an
@@ -290,10 +301,14 @@ object Dedup {
     * filter is `doc_id == cluster`, no extra join against the corpus
     * needed because every doc carries its own label. */
   def nearDupApply(documents: DataFrame): DataFrame =
-    lshComponents(documents)
+    nearDupKeepIds(documents).orderBy("doc_id")
+
+  /** Unsorted near-dedup keep-ids — the stage-snapshot form for
+    * releasePipeline (no global sort before a checkpoint). */
+  private[operators] def nearDupKeepIds(documents: DataFrame): DataFrame =
+    lshComponentsUnsorted(documents)
       .where(col("doc_id") === col("cluster"))
       .select(col("doc_id"))
-      .orderBy("doc_id")
 
   /** n-gram (token) Jaccard between consecutive doc ids — the
     * oracle-checkable pairwise variant (the scalable path is MinHash+LSH).

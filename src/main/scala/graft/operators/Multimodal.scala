@@ -137,25 +137,28 @@ object Multimodal {
     * treated as malformed for a header-only read. None on any
     * truncated/inconsistent structure. */
   private[operators] def parseMp4Dims(bytes: Array[Byte]): Option[(Int, Int)] = {
-    def findBox(name: String, from: Int, to: Int): Option[(Int, Int)] = {
+    def findBoxes(name: String, from: Int, to: Int): Seq[(Int, Int)] = {
+      val found = Seq.newBuilder[(Int, Int)]
       var o = from
       while (o + 8 <= to) {
         val size = be32(bytes, o)
-        if (size < 8 || o + size > to) return None
-        if (tag(bytes, o + 4) == name) return Some((o + 8, (o + size).toInt))
+        if (size < 8 || o + size > to) return found.result() // malformed tail: stop
+        if (tag(bytes, o + 4) == name) found += ((o + 8, (o + size).toInt))
         o += size.toInt
       }
-      None
+      found.result()
     }
-    for {
-      moov <- findBox("moov", 0, bytes.length)
-      trak <- findBox("trak", moov._1, moov._2)
-      tkhd <- findBox("tkhd", trak._1, trak._2)
+    // walk EVERY trak and take the first with nonzero dims — audio tracks
+    // carry a 0×0 tkhd and routinely precede the video track
+    (for {
+      moov <- findBoxes("moov", 0, bytes.length).iterator
+      trak <- findBoxes("trak", moov._1, moov._2).iterator
+      tkhd <- findBoxes("tkhd", trak._1, trak._2).iterator
       if tkhd._2 - tkhd._1 >= 76 // v0 tkhd body is 84 bytes; be lenient, read from the end
       w = (be32(bytes, tkhd._2 - 8) >> 16).toInt
       h = (be32(bytes, tkhd._2 - 4) >> 16).toInt
       if w > 0 && h > 0
-    } yield (w, h)
+    } yield (w, h)).nextOption()
   }
 
   /** WAV (sample_rate, channels) from the RIFF `fmt ` chunk: chunk walk
@@ -195,18 +198,16 @@ object Multimodal {
   /** Real image decode via JDK-builtin `javax.imageio`: header-only
     * dimension read (no pixel decode) for PNG/JPEG/GIF/BMP. A payload the
     * sniffer positively identified but ImageIO can't read keeps its
-    * sniffed identity as `corrupt-<fmt>` (with the fallback dimensions),
-    * so a truncated real asset stays distinguishable from a non-image
-    * payload; anything unsniffed falls back to [[fakeDecode]] with the
-    * length-derived pseudo-format (the exact behavior [[binaryMeta]]'s
-    * pure-expression oracle mirrors). */
+    * sniffed identity as `corrupt-<fmt>` with ZEROED dimensions (unknown
+    * metadata is 0, never a fabricated value), so a truncated real asset
+    * stays distinguishable from a non-image payload; anything unsniffed
+    * falls back to [[fakeDecode]] with the length-derived pseudo-format
+    * (the exact behavior [[binaryMeta]]'s pure-expression oracle
+    * mirrors). */
   def decodeImage(bytes: Array[Byte]): (Int, Int, String) = {
     sniffImageFormat(bytes) match {
       case Some(fmt) =>
-        def corrupt = {
-          val (w, h) = fakeDecode(bytes)
-          (w, h, s"corrupt-$fmt")
-        }
+        def corrupt = (0, 0, s"corrupt-$fmt")
         try {
           val in = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
@@ -243,14 +244,14 @@ object Multimodal {
     } else if (sniffMp4(bytes)) {
       parseMp4Dims(bytes) match {
         case Some((w, h)) => MediaInfo(w, h, "mp4", 0, 0)
-        case None =>
-          val (w, h) = fakeDecode(bytes); MediaInfo(w, h, "corrupt-mp4", 0, 0)
+        // unknown metadata is ZERO, never fabricated: a corrupt container
+        // must not carry image-shaped fake dimensions downstream
+        case None => MediaInfo(0, 0, "corrupt-mp4", 0, 0)
       }
     } else if (sniffWav(bytes)) {
       parseWavFmt(bytes) match {
         case Some((rate, ch)) => MediaInfo(0, 0, "wav", rate, ch)
-        case None =>
-          val (w, h) = fakeDecode(bytes); MediaInfo(w, h, "corrupt-wav", 0, 0)
+        case None => MediaInfo(0, 0, "corrupt-wav", 0, 0)
       }
     } else {
       val (w, h) = fakeDecode(bytes)

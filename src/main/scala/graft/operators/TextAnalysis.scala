@@ -87,6 +87,17 @@ object TextAnalysis {
       .select("doc_id", "quality")
       .orderBy("doc_id")
 
+  /** Unsorted quality keep-ids — [[releasePipeline]]'s stage-snapshot form.
+    * Same metric AND the same round-to-4 boundary as [[filterByQuality]]
+    * (an unrounded compare would flip docs sitting exactly on the
+    * threshold); no global sort, because a sort feeding a checkpoint is
+    * pure wasted shuffle. */
+  private[operators] def qualityKeepIds(documents: DataFrame,
+      threshold: Double): DataFrame =
+    documents.select(col("doc_id"), round(qualityCol, 4).as("quality"))
+      .where(col("quality") >= threshold)
+      .select("doc_id")
+
   /** PII/link scrubbing — the redaction pass a training-data pipeline runs
     * before tokenization: emails → `<EMAIL>`, URLs → `<URL>`, long digit
     * runs (id/phone-shaped) → `<NUM>`, with per-doc match counts. Pure
@@ -155,15 +166,20 @@ object TextAnalysis {
     * exact-dedup keep list (1), LSH edges + isolated-vertex set (2),
     * final corpus projection (1) — 5 bounded passes, independent of how
     * many downstream branches consume each stage. */
-  def releasePipeline(documents: DataFrame, materialize: Boolean = true): DataFrame = {
+  def releasePipeline(documents: DataFrame, materialize: Boolean = true,
+      threshold: Double = 0.5): DataFrame = {
     def snap(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
-    val keepQ = snap(filterByQuality(documents).select("doc_id"))
+    // stage keep-lists snapshot UNSORTED: the public operators' global
+    // orderBy (oracle determinism) feeding a checkpoint would physically
+    // execute a range-partitioned sort nobody reads — the semi-joins
+    // below are order-indifferent
+    val keepQ = snap(qualityKeepIds(documents, threshold))
     val d1 = documents.join(keepQ, Seq("doc_id"), "left_semi")
-    val keepE = snap(Dedup.dropExactDuplicates(d1))
+    val keepE = snap(Dedup.exactKeepIds(d1))
     val d2 = d1.join(keepE, Seq("doc_id"), "left_semi")
-    // nearDupApply's survivors are already ⊆ d2 ⊆ d1 — its output IS the
+    // nearDupKeepIds' survivors are already ⊆ d2 ⊆ d1 — its output IS the
     // final corpus id list.
-    val keepN = Dedup.nearDupApply(d2)
+    val keepN = Dedup.nearDupKeepIds(d2)
     val corpus = snap(documents.select("doc_id", "lang")
       .join(keepN, Seq("doc_id"), "left_semi"))
     split(corpus)

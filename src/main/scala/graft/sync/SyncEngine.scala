@@ -42,7 +42,8 @@ final class SyncEngine(
     sel: Selection = Selection(),
     clock: String = "2024-01-01T00:00:00+00:00",
     events: Option[EventLog] = None,
-    target: String = "local") extends Serializable {
+    target: String = "local",
+    tuning: graft.model.Tuning = graft.model.Tuning()) extends Serializable {
 
   import spark.implicits._
 
@@ -102,8 +103,10 @@ final class SyncEngine(
 
   /** Chunks + chunk shas + embeddings + payload columns for a set of
     * (product_id, site_id, sku, text, product_sha) rows. Embedding runs in
-    * mapPartitions with reference batch size 100
-    * (`class-embeddings.php:85`). */
+    * mapPartitions batched at `tuning.batchUpsertSize` — the reference's
+    * payload batch knob (`get_batch_upsert_size`, default 100, clamp
+    * 10–500, `class-options.php:453-460`; its embed batch is the same
+    * 100, `class-embeddings.php:85`). */
   def buildPayloads(withSha: DataFrame): DataFrame = {
     // Generator path: chunks stream out of a Generate node (no
     // per-document array materialization — the 100 TB shape).
@@ -114,6 +117,7 @@ final class SyncEngine(
     val chunkShaUdf = udf((psha: String, idx: Int, t: String) =>
       Fingerprint.shaChunk(psha, idx, t))
     val emb = embedder
+    val batchSize = tuning.sanitized.batchUpsertSize
     val withMeta = chunked
       .withColumn("chunk_sha", chunkShaUdf(col("product_sha"), col("chunk_index"), col("chunk_text")))
       .withColumn("id", format_string("site-%d:product-%d:chunk-%d",
@@ -122,7 +126,7 @@ final class SyncEngine(
     val schema = StructType(withMeta.schema.fields :+
       StructField("values", ArrayType(FloatType), nullable = false))
     val out = withMeta.mapPartitions { it =>
-      it.grouped(100).flatMap { batch =>
+      it.grouped(batchSize).flatMap { batch =>
         val vecs = emb.embedTexts(batch.map(_.getAs[String]("chunk_text")))
         batch.zip(vecs).map { case (r, v) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v.toSeq)
@@ -207,8 +211,10 @@ final class SyncEngine(
       changed.select("product_id", "site_id", "sku", "text", "product_sha")).cache()
 
     // J4: full-outer on (product_id, chunk_index), narrow projections only.
+    // f_site rides along so the dry run can resolve ids for NEW chunks
+    // from the candidate's OWN site (not a hardcoded default).
     val fresh = payloads.select(col("product_id"), col("chunk_index"),
-      col("chunk_sha").as("f_sha"))
+      col("chunk_sha").as("f_sha"), col("site_id").as("f_site"))
     val exist = existing.select(col("product_id"), col("chunk_index"),
       col("chunk_sha").as("e_sha"), col("vector_id"),
       col("status").as("e_status"), col("site_id").as("e_site"))
@@ -251,11 +257,15 @@ final class SyncEngine(
     * chunk_sha nullable for deletes). */
   def sampleDryRun(normalized: DataFrame, force: Boolean = false): DataFrame = {
     val parts = deltaParts(normalized, force)
+    // id resolution mirrors execution exactly: existing rows keep their
+    // stored vector_id (deletes recompute from e_site, as sync does);
+    // NEW chunks take the id buildPayloads would mint from the
+    // candidate's own site_id — never a hardcoded default.
     val perChunk = parts.routed
       .select(col("product_id"), col("chunk_index"),
         coalesce(col("vector_id"),
           format_string("site-%d:product-%d:chunk-%d",
-            coalesce(col("e_site"), lit(1)), col("product_id"), col("chunk_index")))
+            coalesce(col("e_site"), col("f_site")), col("product_id"), col("chunk_index")))
           .as("vector_id"),
         col("action"), col("f_sha").as("chunk_sha"))
     val skippedUnchanged = parts.unchanged

@@ -50,11 +50,12 @@ class MultimodalSpec extends SparkSpec {
     assert((metas(3L).width, metas(3L).height) == ((n % 640, n % 480)))
   }
 
-  test("decodeImage degrades to the fallback on a truncated image header") {
+  test("decodeImage degrades on a truncated image header: corrupt-<fmt>, zero dims") {
     val good = imageBytes("png", 10, 10)
     val truncated = good.take(12) // magic survives, header doesn't
     val (w, h, fmt) = Multimodal.decodeImage(truncated)
-    assert((w, h) == ((truncated.length % 640, truncated.length % 480)))
+    // unknown metadata is ZERO, never fabricated
+    assert((w, h) == ((0, 0)))
     // the sniffed identity survives corruption — a damaged real asset
     // must not masquerade as a length-derived pseudo-format
     assert(fmt == "corrupt-png")
@@ -103,14 +104,30 @@ class MultimodalSpec extends SparkSpec {
     assert((mono.sampleRate, mono.channels) == ((16000, 1)), mono)
   }
 
-  test("decodeMedia labels truncated containers corrupt-<fmt>, never a pseudo-format") {
+  test("decodeMedia labels truncated containers corrupt-<fmt> with zeroed metadata") {
     val cutMp4 = mp4Bytes(640, 360).take(40) // ftyp survives, moov truncated
     val m = Multimodal.decodeMedia(cutMp4)
     assert(m.format == "corrupt-mp4", m)
-    assert((m.width, m.height) == ((cutMp4.length % 640, cutMp4.length % 480)))
+    assert((m.width, m.height, m.sampleRate, m.channels) == ((0, 0, 0, 0)), m)
     val cutWav = wavBytes(8000, 1).take(20) // RIFF/WAVE survive, fmt gone
     val wv = Multimodal.decodeMedia(cutWav)
     assert(wv.format == "corrupt-wav", wv)
+    assert((wv.width, wv.height, wv.sampleRate, wv.channels) == ((0, 0, 0, 0)), wv)
+  }
+
+  test("decodeMedia finds the VIDEO trak behind a leading 0x0 audio trak") {
+    // real encoders routinely order traks [audio, video]; the audio tkhd
+    // carries width=height=0 and must not shadow the video dims
+    val videoTkhd = be32(92) ++ ascii("tkhd") ++ new Array[Byte](76) ++
+      be32(1280L << 16) ++ be32(720L << 16)
+    val audioTkhd = be32(92) ++ ascii("tkhd") ++ new Array[Byte](76) ++
+      be32(0) ++ be32(0)
+    def trak(tkhd: Array[Byte]) = be32(8L + tkhd.length) ++ ascii("trak") ++ tkhd
+    val traks = trak(audioTkhd) ++ trak(videoTkhd)
+    val moov = be32(8L + traks.length) ++ ascii("moov") ++ traks
+    val ftyp = be32(16) ++ ascii("ftyp") ++ ascii("isom") ++ be32(0)
+    val m = Multimodal.decodeMedia(ftyp ++ moov)
+    assert((m.width, m.height, m.format) == ((1280, 720, "mp4")), m)
   }
 
   test("decodeMedia: text payloads still take the deterministic fallback") {

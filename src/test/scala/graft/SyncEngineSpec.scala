@@ -117,6 +117,14 @@ class SyncEngineSpec extends SparkSpec {
     val s = actions(engine.sync(docs(Seq(1L -> "Just one tiny sentence.", 2L -> "tiny doc."))))
     assert(s.getOrElse("upsert", 0L) == byAction.getOrElse("upsert", 0).toLong)
     assert(s.getOrElse("delete", 0L) == byAction.getOrElse("delete", 0).toLong)
+
+    // NEW product on a NON-default site: the dry-run ids must carry the
+    // candidate's own site, exactly as buildPayloads would mint them
+    val site7 = docs(Seq(9L -> "brand new doc.")).withColumn("site_id", lit(7))
+    val plan7 = engine.sampleDryRun(site7).collect()
+      .filter(_.getString(3) == "upsert")
+    assert(plan7.nonEmpty && plan7.forall(_.getString(2).startsWith("site-7:product-9:")),
+      plan7.map(_.getString(2)).mkString(","))
   }
 
   test("D: chunk count decreased → stale indexes deleted") {
