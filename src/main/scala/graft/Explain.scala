@@ -31,9 +31,26 @@ object Explain {
       case names =>
         for (name <- names) {
           println(s"========== $name ==========")
-          SparkEntry.queries(name)(spark, dir).explain("formatted")
+          // Checkpointing queries would EXECUTE their pipelines here and
+          // print opaque LogicalRDD snapshots — show the lazy form, which
+          // is the plan structure this tool exists to inspect.
+          lazyForms.getOrElse(name, SparkEntry.queries(name))(spark, dir)
+            .explain("formatted")
         }
     }
     spark.stop()
   }
+
+  /** Lazy (materialize=false) builders for the stage-snapshotting queries. */
+  private val lazyForms
+      : Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "ta_release" -> ((s, dir) => graft.operators.TextAnalysis.releasePipeline(
+      graft.catalog.Catalog.documents(s, dir), materialize = false)),
+    "dd_components" -> ((s, dir) => graft.operators.Dedup.lshComponents(
+      graft.catalog.Catalog.documents(s, dir), materialize = false)),
+    "dd_near_apply" -> ((s, dir) => graft.operators.Dedup.lshComponents(
+      graft.catalog.Catalog.documents(s, dir), materialize = false)
+      .where(org.apache.spark.sql.functions.col("doc_id") ===
+        org.apache.spark.sql.functions.col("cluster"))
+      .select("doc_id")))
 }

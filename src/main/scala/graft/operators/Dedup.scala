@@ -216,11 +216,15 @@ object Dedup {
     * on doc_id — the standard iterative-dataflow shape for connected
     * components; no driver-side graph. */
   def lshComponents(documents: DataFrame, k: Int = 16, r: Int = 4,
-      rounds: Int = 3): DataFrame =
-    lshComponentsUnsorted(documents, k, r, rounds).orderBy("doc_id")
+      rounds: Int = 3, materialize: Boolean = true): DataFrame =
+    lshComponentsUnsorted(documents, k, r, rounds, materialize).orderBy("doc_id")
 
   private[operators] def lshComponentsUnsorted(documents: DataFrame,
-      k: Int = 16, r: Int = 4, rounds: Int = 3): DataFrame = {
+      k: Int = 16, r: Int = 4, rounds: Int = 3,
+      materialize: Boolean = true): DataFrame = {
+    // materialize=false keeps the all-lazy plan (plan inspection,
+    // equivalence tests); the default snapshots are the production shape
+    def snap(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
     val pairs = minhashLshPairs(documents, k, r)
     // Materialize the candidate edges ONCE: every propagation round joins
     // against them and the final isolated-doc anti-join reads their vertex
@@ -231,9 +235,8 @@ object Dedup {
     // (not persist) deliberately: it cuts lineage eagerly and bypasses the
     // CacheManager, so repeated builds never alias each other's cache; a
     // multi-executor pipeline would checkpoint to reliable storage.
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .localCheckpoint()
+    val edges = snap(pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b"))))
     // Propagate over the pair-graph VERTEX set only — at corpus scale the
     // docs that matched any LSH band are a small fraction, so the join
     // rounds run on the near-dup subgraph, not the whole corpus. Isolated
@@ -247,10 +250,9 @@ object Dedup {
       // checkpoint per round: plan depth stays O(1) in `rounds` (instead
       // of each round's join nesting the previous rounds' plan), which
       // also makes a data-driven round count safe.
-      labels = labels.join(nbrMin, labels("doc_id") === nbrMin("a"), "left_outer")
+      labels = snap(labels.join(nbrMin, labels("doc_id") === nbrMin("a"), "left_outer")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
     }
     labels = labels.unionByName(
       documents.select(col("doc_id"), col("doc_id").as("label"))
@@ -305,8 +307,9 @@ object Dedup {
 
   /** Unsorted near-dedup keep-ids — the stage-snapshot form for
     * releasePipeline (no global sort before a checkpoint). */
-  private[operators] def nearDupKeepIds(documents: DataFrame): DataFrame =
-    lshComponentsUnsorted(documents)
+  private[operators] def nearDupKeepIds(documents: DataFrame,
+      materialize: Boolean = true): DataFrame =
+    lshComponentsUnsorted(documents, materialize = materialize)
       .where(col("doc_id") === col("cluster"))
       .select(col("doc_id"))
 

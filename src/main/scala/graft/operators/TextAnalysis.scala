@@ -178,8 +178,9 @@ object TextAnalysis {
     val keepE = snap(Dedup.exactKeepIds(d1))
     val d2 = d1.join(keepE, Seq("doc_id"), "left_semi")
     // nearDupKeepIds' survivors are already ⊆ d2 ⊆ d1 — its output IS the
-    // final corpus id list.
-    val keepN = Dedup.nearDupKeepIds(d2)
+    // final corpus id list. materialize propagates so the lazy form is
+    // lazy ALL the way down (no hidden checkpoint inside lshComponents).
+    val keepN = Dedup.nearDupKeepIds(d2, materialize)
     val corpus = snap(documents.select("doc_id", "lang")
       .join(keepN, Seq("doc_id"), "left_semi"))
     split(corpus)
