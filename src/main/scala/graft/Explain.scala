@@ -48,9 +48,6 @@ object Explain {
       graft.catalog.Catalog.documents(s, dir), materialize = false)),
     "dd_components" -> ((s, dir) => graft.operators.Dedup.lshComponents(
       graft.catalog.Catalog.documents(s, dir), materialize = false)),
-    "dd_near_apply" -> ((s, dir) => graft.operators.Dedup.lshComponents(
-      graft.catalog.Catalog.documents(s, dir), materialize = false)
-      .where(org.apache.spark.sql.functions.col("doc_id") ===
-        org.apache.spark.sql.functions.col("cluster"))
-      .select("doc_id")))
+    "dd_near_apply" -> ((s, dir) => graft.operators.Dedup.nearDupApply(
+      graft.catalog.Catalog.documents(s, dir), materialize = false)))
 }

@@ -27,7 +27,11 @@ import graft.sync.SyncEngine
   *       one scheduler tick: plan candidates, advance the watermark
   *   loop   --data DIR --work DIR [--ticks N] [--limit N] [--quota N]
   *       scheduler + delta engine composed: plan from the engine's own
-  *       sync-state, sync exactly the planned candidates, repeat
+  *       sync-state, sync exactly the planned candidates, repeat.
+  *       NOTE --quota is the reference's max-concurrent-jobs admission
+  *       knob and clamps to 1–10 (class-options.php:477-484): a tick
+  *       admits at most 10 products — raise --ticks, not --quota, to
+  *       drain a large backlog (the pre-clamp default admitted 100/tick)
   *   sample --work DIR [--product N] [--data DIR] [--force]
   *       one-product END-TO-END dry run: chunk→embed→payload→delta with
   *       writes stubbed; prints the would-be upsert/delete sets
@@ -187,10 +191,14 @@ object Main {
       val work = opt(args, "work").getOrElse { System.err.println("error: --work required"); sys.exit(2); "" }
       // reference clamps: scan batch 20–2000, concurrent jobs 1–10
       // (class-options.php:486-493,477-484) — correct, don't reject
+      val rawScanLimit = opt(args, "limit").getOrElse("200").toInt
+      val rawScanQuota = opt(args, "quota").getOrElse("3").toInt
       val tun = Tuning(
-        scanBatchLimit = opt(args, "limit").getOrElse("200").toInt,
-        maxConcurrentJobs = opt(args, "quota").getOrElse("3").toInt).sanitized
+        scanBatchLimit = rawScanLimit, maxConcurrentJobs = rawScanQuota).sanitized
       val (limit, quota) = (tun.scanBatchLimit, tun.maxConcurrentJobs)
+      if (limit != rawScanLimit || quota != rawScanQuota)
+        System.err.println(
+          s"note: clamped limit=$rawScanLimit quota=$rawScanQuota -> limit=$limit quota=$quota")
       val spark = session()
       val wm = new graft.scan.Watermark(s"$work/last_scan_gmt")
       val now = java.time.Instant.now()
@@ -396,7 +404,7 @@ object Main {
       spark.stop()
 
     case other =>
-      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|scan|loop|status|purge|pipeline|delete")
+      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete")
       sys.exit(2)
   }
 }

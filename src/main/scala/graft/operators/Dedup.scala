@@ -302,8 +302,8 @@ object Dedup {
     * Map-only on top of the components' narrow doc_id shuffles — the
     * filter is `doc_id == cluster`, no extra join against the corpus
     * needed because every doc carries its own label. */
-  def nearDupApply(documents: DataFrame): DataFrame =
-    nearDupKeepIds(documents).orderBy("doc_id")
+  def nearDupApply(documents: DataFrame, materialize: Boolean = true): DataFrame =
+    nearDupKeepIds(documents, materialize).orderBy("doc_id")
 
   /** Unsorted near-dedup keep-ids — the stage-snapshot form for
     * releasePipeline (no global sort before a checkpoint). */

@@ -167,8 +167,9 @@ final class SyncEngine(
   /** The delta plan shared by [[sync]] (which executes it) and
     * [[sampleDryRun]] (which only reports it): short-circuit split,
     * payload build, per-chunk full-outer routing, and the would-be
-    * delete-id / upsert sets. All intermediate frames are cached —
-    * call [[DeltaParts.unpersistAll]] when done. */
+    * delete-id / upsert sets. withSha/existing/payloads/routed are
+    * cached (the multiply-consumed frames) — call
+    * [[DeltaParts.unpersistAll]] when done. */
   private final case class DeltaParts(
       withSha: DataFrame, existing: DataFrame, unchanged: DataFrame,
       changed: DataFrame, payloads: DataFrame, routed: DataFrame,
@@ -273,21 +274,20 @@ final class SyncEngine(
         lit(null).cast("string").as("vector_id"),
         lit("skip_unchanged").as("action"),
         col("product_sha").as("chunk_sha"))
+    // snapshot CLUSTER-side before unpersisting the lineage it depends on
+    // — a driver collect() here would cap the API at driver memory, and
+    // the candidate set can be a whole scan batch
     val out = perChunk.unionByName(skippedUnchanged)
       .orderBy("product_id", "chunk_index")
-    // materialize before unpersisting the lineage it depends on
-    val rows = out.collect()
+      .localCheckpoint()
     parts.unpersistAll()
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq), out.schema)
+    out
   }
 
   /** One full sync pass over `normalized` (product_id, site_id, sku, text).
     * Returns the per-action summary DataFrame (upserted/deleted/skipped). */
   def sync(normalized: DataFrame, force: Boolean = false): DataFrame = {
     val parts = deltaParts(normalized, force)
-    val withSha = parts.withSha
-    val existing = parts.existing
     val unchanged = parts.unchanged
     val changed = parts.changed
     val payloads = parts.payloads
@@ -361,7 +361,7 @@ final class SyncEngine(
           "upserted", "deleted", "skipped", "error_msg")
         .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s"))
     }
-    withSha.unpersist(); existing.unpersist(); payloads.unpersist(); routed.unpersist()
+    parts.unpersistAll()
     spark.createDataFrame(
       spark.sparkContext.parallelize(materialized.toSeq), out.schema)
   }
