@@ -130,6 +130,32 @@ class MultimodalSpec extends SparkSpec {
     assert((m.width, m.height, m.format) == ((1280, 720, "mp4")), m)
   }
 
+  test("decodeMedia NEVER throws on arbitrary bytes (fuzz — one bad asset must not kill a job)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // adversarial prefixes: every sniffer magic, then random tails —
+    // exercises the bounds checks of the box/chunk walkers
+    val magics = Seq(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G'),
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte),
+      "GIF89a".getBytes("ISO-8859-1"),
+      "BM".getBytes("ISO-8859-1"),
+      "RIFF????WAVE".getBytes("ISO-8859-1"),
+      Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes("ISO-8859-1"),
+      Array.empty[Byte])
+    val g = for {
+      magic <- Gen.oneOf(magics)
+      tail <- Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    } yield magic ++ tail.toArray
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300),
+      Prop.forAll(g) { bytes =>
+        val m = Multimodal.decodeMedia(bytes)
+        m.format.nonEmpty && m.width >= 0 && m.height >= 0 &&
+          m.sampleRate >= 0 && m.channels >= 0
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("decodeMedia: text payloads still take the deterministic fallback") {
     val txt = "RIFFles in a pond — not a wave container".getBytes("UTF-8")
     val m = Multimodal.decodeMedia(txt)
