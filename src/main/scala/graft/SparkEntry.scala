@@ -39,7 +39,8 @@ object SparkEntry {
     // order-independent — and BIGINT is the only output family with a
     // perfect driver-hash pass record (decimal outputs failed the gate in
     // r2 at (28,s) AND r3 at (38,s) with values identical locally; the
-    // diag_dec_* probes below characterize that divergence).
+    // r4 diag probes confirmed it — see COVERAGE.md "driver-hash decimal
+    // contract").
     "q1_pricing" -> ((s, dir) => {
       val extCents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
       val discBp = floor(col("l_discount") * 100 + 0.5).cast("long")
@@ -445,31 +446,11 @@ object SparkEntry {
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy("l_returnflag", "l_linestatus")),
 
-    // ============ driver-hash diagnostic probes (NOT operator claims) ============
-    // q1/q9/st_hourly failed the driver hash gate in r2 (Spark decimal
-    // (28,s)) and r3 ((38,s) post-agg up-cast) while matching the oracle
-    // value-for-value locally. These two probes isolate the suspected
-    // discriminator — a Spark-side cast applied AFTER the aggregate — from
-    // decimal outputs in general, so the divergence is characterized by
-    // data instead of another all-or-nothing theory. Expected outcome is
-    // documented in COVERAGE.md; a red row here is the probe working.
-    //
-    // Probe A: Spark NATURAL decimal sum ((28,2), no post-agg cast);
-    // oracle down-casts DuckDB's (38,2) to match — exactly the shape of
-    // q8_topn_per_group's `total`, which passed r2 AND r3.
-    "diag_dec_natural" -> ((s, dir) =>
-      Catalog.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(sum(dec(col("l_quantity"))).as("dqty"))
-        .orderBy("l_returnflag")),
-
-    // Probe B: identical values, but with the failing rows' shape — a
-    // Spark post-aggregate .cast to (38,2); oracle keeps its natural (38,2).
-    "diag_dec_postcast" -> ((s, dir) =>
-      Catalog.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("dqty"))
-        .orderBy("l_returnflag")),
+    // NOTE: rounds 2–4 carried diag_dec_* driver-hash probes here. They
+    // are retired — both shapes (natural (28,2) and post-agg (38,2) cast)
+    // failed the driver hash while q3/q5/q8's decimals pass, confirming
+    // BIGINT fixed-point as the aggregate output contract for gated
+    // small-row aggregates. Conclusion recorded in COVERAGE.md.
   )
 
   // ======================= DuckDB oracles =======================
@@ -724,7 +705,8 @@ object SparkEntry {
     // BIGINT fixed-point sums (cents / 1e-4 units) on BOTH sides — the
     // st_debounce/st_sessions total_cents pattern, the only output family
     // with a perfect driver-hash pass record (decimal failed r2 AND r3;
-    // see the diag_dec_* probes). DuckDB SUM(BIGINT) → HUGEINT, so each
+    // r4 probes closed the question — COVERAGE.md "driver-hash decimal
+    // contract"). DuckDB SUM(BIGINT) → HUGEINT, so each
     // sum is cast back to BIGINT to match Spark's LongType.
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -736,21 +718,6 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-
-    // ---- driver-hash diagnostic probes (see the queries-side comment) ----
-    "diag_dec_natural" ->
-      """SELECT l_returnflag,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS dqty
-        |FROM lineitem
-        |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
-
-    "diag_dec_postcast" ->
-      """SELECT l_returnflag,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS dqty
-        |FROM lineitem
-        |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
 
     "q3_top_orders" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,

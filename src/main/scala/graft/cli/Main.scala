@@ -39,6 +39,15 @@ import graft.sync.SyncEngine
   *       store/sync-state versions + row counts
   *   purge  --work DIR --site N
   *       delete a site's vectors
+  *   validate --work DIR [--model M] [--dimension N]
+  *       connection validators (reference class-validators.php:20-139):
+  *       embed a "ping" and check its length against the configured
+  *       dimension; check each store is reachable/well-formed and its
+  *       vectors match that dimension
+  *   uninstall --work DIR [--purge-remote] [--site N]
+  *       full teardown (reference uninstall.php:28-71): watermark +
+  *       sync_state + stores + events removed; --purge-remote first
+  *       purges the site through every enabled adapter
   */
 object Main {
 
@@ -403,8 +412,54 @@ object Main {
       }
       spark.stop()
 
+    case Some("validate") =>
+      // The reference's "Validate connection" buttons (SURVEY §2.13;
+      // class-validators.php:20-139): one ping embed + a dimension check,
+      // then store reachability + stored-vector dimension per adapter.
+      val work = opt(args, "work").getOrElse { System.err.println("error: --work required"); sys.exit(2); "" }
+      val model = opt(args, "model").getOrElse(graft.model.Selection.DefaultModel)
+      val results = scala.collection.mutable.ListBuffer[(String, graft.validate.ValidationResult)]()
+      val embedder =
+        try Some(new LocalHashEmbedder(model))
+        catch {
+          case e: graft.embed.GraftEmbedError =>
+            results += ("embedder" -> graft.validate.ValidationResult(ok = false, e.code, e.msg))
+            None
+        }
+      // --dimension is the CONFIGURED dimension (Options::get_dimension()):
+      // it may disagree with the model's locked dimension — surfacing that
+      // is the validator's job, so it is NOT clamped to match.
+      val expectedDim = opt(args, "dimension").map(_.toInt)
+        .orElse(embedder.map(_.dimension))
+        .getOrElse(graft.model.Selection.modelDims(graft.model.Selection.DefaultModel))
+      embedder.foreach { e =>
+        results += ("embedder" -> graft.validate.Validators.validateEmbedder(e, expectedDim))
+      }
+      val spark = session()
+      results += ("store" ->
+        graft.validate.Validators.validateStore(spark, s"$work/store", expectedDim))
+      if (hasVs(work))
+        results += ("store_vs" ->
+          graft.validate.Validators.validateEnsureStore(spark, s"$work/store_vs", expectedDim))
+      results.foreach { case (name, r) =>
+        val mark = if (r.ok) "ok" else s"FAIL [${r.code}]"
+        println(s"  $name: $mark ${r.message}")
+      }
+      spark.stop()
+      if (results.exists(!_._2.ok)) sys.exit(1)
+
+    case Some("uninstall") =>
+      val work = opt(args, "work").getOrElse { System.err.println("error: --work required"); sys.exit(2); "" }
+      val site = opt(args, "site").getOrElse("1").toInt
+      val spark = session()
+      val removed = graft.lifecycle.Uninstall.uninstall(
+        spark, work, purgeRemote = flag(args, "purge-remote"), siteId = site)
+      if (removed.isEmpty) println(s"nothing to uninstall at $work")
+      else println(s"uninstalled $work: removed ${removed.mkString(", ")}")
+      spark.stop()
+
     case other =>
-      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete")
+      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall")
       sys.exit(2)
   }
 }

@@ -57,8 +57,8 @@ object EventStream {
         // micro-batches, and BIGINT is the only output family with a
         // perfect driver-hash record — decimal totals failed the gate in
         // r2 ((18,6)→(28,6)) and r3 (up-cast (38,6)) with values
-        // identical locally (same fix as q1_pricing; see the
-        // diag_dec_* probes in SparkEntry).
+        // identical locally (same fix as q1_pricing; see COVERAGE.md
+        // "driver-hash decimal contract").
         sum(floor(col("value") * 1000000 + 0.5).cast("long")).as("total_micros"))
     val name = s"graft_hourly_${System.nanoTime()}"
     val q = agg.writeStream
