@@ -37,7 +37,7 @@ final class EventLog(spark: SparkSession, root: String) {
   /** Retention: drop day-partitions older than `retainDays` from `today`
     * (reference daily prune, `class-events.php:97-133`). */
   def prune(today: java.time.LocalDate,
-      retainDays: Int = graft.model.Tuning().eventRetentionDays): Seq[String] = {
+      retainDays: Int = graft.model.Tuning.Default.eventRetentionDays): Seq[String] = {
     val dir = java.nio.file.Paths.get(root)
     if (!java.nio.file.Files.exists(dir)) return Nil
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")

@@ -97,6 +97,9 @@ final case class Selection(
 object Selection {
   val DefaultModel = "text-embedding-3-small"
 
+  /** The all-defaults instance (same hoist rationale as [[Tuning.Default]]). */
+  val Default: Selection = Selection()
+
   /** Model → locked dimension. NOTE: the reference's table is intentionally
     * nonstandard (3-small→3072, 3-large→1536 — `includes/class-embeddings.php:17-24`);
     * we replicate it verbatim per SURVEY §7.5.7. */
@@ -144,6 +147,11 @@ final case class Tuning(
 object Tuning {
   val Cadences: Set[String] =
     Set("5min", "15min", "hourly", "twicedaily", "daily")
+
+  /** The all-defaults instance, hoisted so default arguments reading one
+    * knob (`EventLog.prune`, the rollup `valuesCap`s) don't construct a
+    * fresh case class per call. */
+  val Default: Tuning = Tuning()
 }
 
 final case class EventRow(

@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * JDK, so PNG/JPEG/GIF/BMP headers are parsed for true dimensions
   * ([[decodeImage]]). Video/audio CONTAINER metadata is also real:
   * MP4 track width/height come from the `moov`→`trak`→`tkhd` box and WAV
-  * sample-rate/channels from the RIFF `fmt ` chunk — pure byte reads, no
-  * codec needed ([[decodeMedia]]). Only payloads that sniff as none of
-  * these fall back to the clearly-marked deterministic fake
-  * ([[fakeDecode]]); actual pixel/sample DECODE of av streams still
-  * requires codecs the JRE lacks and stays out of scope.
+  * sample-rate/channels/frame-count from the RIFF `fmt `/`data` chunks —
+  * pure byte reads, no codec needed ([[decodeMedia]]). PCM WAV *samples*
+  * are real too: PCM is codec-free, so [[decodeWavPcm]] reads the raw
+  * interleaved samples and [[audioStats]] computes per-asset signal
+  * statistics from them. Only payloads that sniff as none of these fall
+  * back to the clearly-marked deterministic fake ([[fakeDecode]]); the
+  * one remaining stub is pixel/sample decode of COMPRESSED av streams
+  * (MP4 video, MP3/AAC audio), which needs codecs the JRE lacks.
   *
   * Scale posture (100 TB): binary payloads never shuffle — metadata is
   * projected out in the scan stage and all downstream ops run on the
@@ -23,15 +26,23 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Typed metadata of a decoded media payload. `sample_rate`/`channels`
-    * are 0 for anything that isn't sniffed audio. */
+  /** Typed metadata of a decoded media payload. `sample_rate`/`channels`/
+    * `n_samples` are 0 for anything that isn't sniffed audio. */
   case class MediaMeta(doc_id: Long, n_bytes: Long, sha: String,
       width: Int, height: Int, format: String,
-      sample_rate: Int, channels: Int)
+      sample_rate: Int, channels: Int, n_samples: Long)
 
-  /** Decode result of one payload (no identity fields). */
+  /** Decode result of one payload (no identity fields). `nSamples` is the
+    * per-channel frame count (header-derived — data bytes / block align),
+    * real for PCM WAV, 0 elsewhere. */
   case class MediaInfo(width: Int, height: Int, format: String,
-      sampleRate: Int, channels: Int)
+      sampleRate: Int, channels: Int, nSamples: Long = 0L)
+
+  /** Fully decoded PCM WAV audio: layout from `fmt `, raw samples from
+    * `data`, normalized to [-1, 1], channel-interleaved
+    * (`samples.length == frames * channels`). */
+  case class PcmAudio(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      frames: Int, samples: Array[Float])
 
   /** Column-level metadata extraction over a binary column — pure
     * expressions, oracle-checkable. */
@@ -161,33 +172,84 @@ object Multimodal {
     } yield (w, h)).nextOption()
   }
 
-  /** WAV (sample_rate, channels) from the RIFF `fmt ` chunk: chunk walk
-    * with little-endian reads; chunks are word-aligned. None on a
-    * missing/short `fmt ` or inconsistent sizes. */
-  private[operators] def parseWavFmt(bytes: Array[Byte]): Option[(Int, Int)] = {
+  /** One pass over the RIFF chunk list: the `fmt ` layout words plus the
+    * `data` chunk's position. Little-endian reads, word-aligned chunks;
+    * None on a missing/short `fmt ` or inconsistent sizes. */
+  private case class WavLayout(audioFormat: Int, channels: Int, rate: Int,
+      blockAlign: Int, bitsPerSample: Int, dataAt: Int, dataLen: Int) {
+    def isPcm: Boolean = audioFormat == 1 &&
+      Set(8, 16, 24, 32).contains(bitsPerSample) &&
+      blockAlign == channels * (bitsPerSample / 8)
+    /** Per-channel frame count the header implies (0 without a data chunk). */
+    def frames: Int = if (dataAt >= 0 && blockAlign > 0) dataLen / blockAlign else 0
+  }
+
+  private def parseWavLayout(bytes: Array[Byte]): Option[WavLayout] = {
     var o = 12
+    var fmt: Option[(Int, Int, Int, Int, Int)] = None
+    var dataAt = -1
+    var dataLen = 0
     while (o + 8 <= bytes.length) {
       val id = tag(bytes, o)
       val size = le32(bytes, o + 4)
-      if (size < 0 || o + 8 + size > bytes.length) return None
+      if (size < 0 || o + 8 + size > bytes.length)
+        return None // truncated/inconsistent chunk list
       if (id == "fmt ") {
         if (size < 16) return None
-        val channels = le16(bytes, o + 10)
-        val rate = le32(bytes, o + 12)
-        return if (rate > 0 && channels > 0) Some((rate.toInt, channels)) else None
+        fmt = Some((le16(bytes, o + 8), le16(bytes, o + 10),
+          le32(bytes, o + 12).toInt, le16(bytes, o + 20), le16(bytes, o + 22)))
+      } else if (id == "data" && dataAt < 0) {
+        dataAt = o + 8; dataLen = size.toInt
       }
       o += 8 + size.toInt + (size.toInt & 1)
     }
-    None
+    fmt.collect { case (af, ch, rate, ba, bits) if rate > 0 && ch > 0 =>
+      WavLayout(af, ch, rate, ba, bits, dataAt, dataLen)
+    }
+  }
+
+  /** WAV (sample_rate, channels) from the RIFF `fmt ` chunk (header-only
+    * compatibility wrapper over [[parseWavLayout]]). */
+  private[operators] def parseWavFmt(bytes: Array[Byte]): Option[(Int, Int)] =
+    parseWavLayout(bytes).map(l => (l.rate, l.channels))
+
+  /** REAL sample decode for PCM WAV — the codec-free case the JRE can
+    * handle without any library: `fmt ` fixes the byte layout and `data`
+    * is raw interleaved samples. 8-bit is unsigned, 16/24/32-bit are
+    * signed little-endian; every width normalizes to [-1, 1]. None for
+    * non-PCM encodings (ADPCM/float/extensible), malformed layouts, or a
+    * missing data chunk — those keep the header-only metadata path. */
+  def decodeWavPcm(bytes: Array[Byte]): Option[PcmAudio] = {
+    if (!sniffWav(bytes)) return None
+    parseWavLayout(bytes).filter(l => l.isPcm && l.dataAt >= 0).map { l =>
+      val n = l.frames * l.channels
+      val out = new Array[Float](n)
+      val bytesPer = l.bitsPerSample / 8
+      var i = 0
+      while (i < n) {
+        val o = l.dataAt + i * bytesPer
+        out(i) = l.bitsPerSample match {
+          case 8 => ((bytes(o) & 0xff) - 128) / 128.0f
+          case 16 => (le16(bytes, o).toShort) / 32768.0f
+          case 24 =>
+            val v = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+              (bytes(o + 2) << 16) // top byte keeps its sign
+            v / 8388608.0f
+          case _ => le32(bytes, o).toInt / 2147483648.0f
+        }
+        i += 1
+      }
+      PcmAudio(l.rate, l.channels, l.bitsPerSample, l.frames, out)
+    }
   }
 
   /** STUB decode for payloads that sniff as NO known container (the only
-    * remaining fake — image dims, MP4 dims and WAV rates are all real
-    * header reads): deterministic, keeps the pipeline testable
-    * end-to-end. */
+    * remaining fake — image dims, MP4 dims, WAV rates AND PCM WAV samples
+    * are all real byte-level reads): deterministic, keeps the pipeline
+    * testable end-to-end. */
   def fakeDecode(bytes: Array[Byte]): (Int, Int) = {
     val n = bytes.length
-    (n % 640, n % 480) // ??? real full av-codec decode goes here
+    (n % 640, n % 480) // ??? real compressed-av-codec decode goes here
   }
 
   private def fakeFormat(bytes: Array[Byte]): String =
@@ -249,14 +311,61 @@ object Multimodal {
         case None => MediaInfo(0, 0, "corrupt-mp4", 0, 0)
       }
     } else if (sniffWav(bytes)) {
-      parseWavFmt(bytes) match {
-        case Some((rate, ch)) => MediaInfo(0, 0, "wav", rate, ch)
+      parseWavLayout(bytes) match {
+        // header-only frame count: data bytes / block align — no sample
+        // loop in the metadata path (decodeWavPcm is the on-demand reader)
+        case Some(l) =>
+          MediaInfo(0, 0, "wav", l.rate, l.channels,
+            if (l.isPcm) l.frames.toLong else 0L)
         case None => MediaInfo(0, 0, "corrupt-wav", 0, 0)
       }
     } else {
       val (w, h) = fakeDecode(bytes)
       MediaInfo(w, h, fakeFormat(bytes), 0, 0)
     }
+
+  /** Per-asset audio signal statistics from REAL decoded PCM samples. */
+  case class AudioStats(doc_id: Long, format: String, sample_rate: Int,
+      channels: Int, n_samples: Long, duration_sec: Double,
+      rms: Double, peak: Double)
+
+  /** Audio feature extraction over a binary column: decode PCM WAV
+    * payloads ([[decodeWavPcm]]) and compute per-asset RMS and peak —
+    * the "feature-extract" stage of the multimodal pipeline, running on
+    * true samples. Non-PCM / non-WAV payloads emit their sniffed format
+    * with zeroed stats (same degrade-don't-fail discipline as the
+    * decoders).
+    *
+    * Scale posture: `mapPartitions` over (doc_id, payload) — samples are
+    * decoded, folded into two scalars and DROPPED inside the partition;
+    * only the narrow stats rows ever shuffle or return. */
+  def audioStats(documents: DataFrame): Dataset[AudioStats] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id").cast("long"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeWavPcm(bytes) match {
+            case Some(a) =>
+              var i = 0; var sumSq = 0.0; var peak = 0.0
+              while (i < a.samples.length) {
+                val v = a.samples(i).toDouble
+                sumSq += v * v
+                val av = math.abs(v); if (av > peak) peak = av
+                i += 1
+              }
+              val rms = if (a.samples.length > 0)
+                math.sqrt(sumSq / a.samples.length) else 0.0
+              AudioStats(id, "wav", a.sampleRate, a.channels, a.frames.toLong,
+                a.frames.toDouble / a.sampleRate, rms, peak)
+            case None =>
+              AudioStats(id, decodeMedia(bytes).format, 0, 0, 0L, 0.0, 0.0, 0.0)
+          }
+        }
+      }
+  }
 
   /** The batched per-partition decode path (the `mapInPandas` shape):
     * binary in, typed metadata out, decoder init amortized per partition.
@@ -278,7 +387,7 @@ object Multimodal {
           val sha = md.digest(bytes).map("%02x".format(_)).mkString
           md.reset()
           MediaMeta(id, bytes.length.toLong, sha, m.width, m.height,
-            m.format, m.sampleRate, m.channels)
+            m.format, m.sampleRate, m.channels, m.nSamples)
         }
       }
   }

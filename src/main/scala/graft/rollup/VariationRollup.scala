@@ -28,7 +28,7 @@ object VariationRollup {
     * the capped sorted distinct set. One shuffle; the attribute join is a
     * narrow equi-join on the variation id. */
   def attributeSets(products: DataFrame, attrs: DataFrame,
-      valuesCap: Int = graft.model.Tuning().rollupValuesCap): DataFrame = {
+      valuesCap: Int = graft.model.Tuning.Default.rollupValuesCap): DataFrame = {
     val pretty = when(col("attr_key").startsWith("pa_"),
       Functions.prettySlug(col("attr_value")))
       .otherwise(col("attr_value"))
@@ -56,7 +56,7 @@ object VariationRollup {
     * segment, key-sorted, appended to the rollup text (reference renders
     * the full attribute map + ACF block,
     * `includes/class-variation-rollup.php:55-95, 98-153`). */
-  def rollup(products: DataFrame, valuesCap: Int = graft.model.Tuning().rollupValuesCap,
+  def rollup(products: DataFrame, valuesCap: Int = graft.model.Tuning.Default.rollupValuesCap,
       attrs: Option[DataFrame] = None): DataFrame = {
     val base = baseRollup(products, valuesCap)
     attrs match {
@@ -127,7 +127,7 @@ object VariationRollup {
   /** Strategy `collapse`: the parent's normalized text with the rollup
     * block appended (append point `includes/class-indexer.php:122-138`).
     * Parents without published variations keep their text unchanged. */
-  def collapseText(products: DataFrame, valuesCap: Int = graft.model.Tuning().rollupValuesCap,
+  def collapseText(products: DataFrame, valuesCap: Int = graft.model.Tuning.Default.rollupValuesCap,
       attrs: Option[DataFrame] = None): DataFrame = {
     val parents = products.where(col("post_type") === "product")
     val normalized = graft.normalize.Normalizer.normalize(parents)

@@ -39,11 +39,11 @@ final class SyncEngine(
     embedder: Embedder,
     store: VectorStoreWriter,
     syncStateRoot: String,
-    sel: Selection = Selection(),
+    sel: Selection = Selection.Default,
     clock: String = "2024-01-01T00:00:00+00:00",
     events: Option[EventLog] = None,
     target: String = "local",
-    tuning: graft.model.Tuning = graft.model.Tuning()) extends Serializable {
+    tuning: graft.model.Tuning = graft.model.Tuning.Default) extends Serializable {
 
   import spark.implicits._
 

@@ -156,6 +156,86 @@ class MultimodalSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  // ---- PCM WAV sample decode (codec-free, so the samples are REAL) ----
+
+  /** 16-bit PCM WAV with actual sample data (channel-interleaved). */
+  private def wavPcm16(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val data = samples.flatMap(s => le16(s & 0xffff))
+    val fmt = ascii("fmt ") ++ le32(16) ++
+      le16(1) ++ le16(channels) ++ le32(rate.toLong) ++
+      le32(rate.toLong * channels * 2) ++ le16(channels * 2) ++ le16(16)
+    val dataChunk = ascii("data") ++ le32(data.length.toLong) ++ data
+    ascii("RIFF") ++ le32(4L + fmt.length + dataChunk.length) ++ ascii("WAVE") ++
+      fmt ++ dataChunk
+  }
+
+  private def sine16(rate: Int, freq: Double, frames: Int, amp: Double): Array[Short] =
+    Array.tabulate(frames)(i =>
+      (math.sin(2 * math.Pi * freq * i / rate) * amp * 32767).toShort)
+
+  test("decodeWavPcm round-trips synthesized sine waves exactly (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val g = for {
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      freq <- Gen.chooseNum(20.0, 4000.0)
+      frames <- Gen.chooseNum(1, 2000)
+      amp <- Gen.chooseNum(0.05, 1.0)
+    } yield (rate, freq, frames, amp)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100),
+      Prop.forAll(g) { case (rate, freq, frames, amp) =>
+        val raw = sine16(rate, freq, frames, amp)
+        val decoded = Multimodal.decodeWavPcm(wavPcm16(rate, 1, raw))
+        decoded.exists { a =>
+          a.sampleRate == rate && a.channels == 1 && a.frames == frames &&
+            a.samples.length == frames &&
+            // 16-bit decode is s/32768 EXACTLY — no tolerance needed
+            a.samples.zip(raw).forall { case (f, s) => f == s / 32768.0f }
+        }
+      })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("decodeMedia reports the real PCM frame count header-only") {
+    val stereo = wavPcm16(44100, 2, sine16(44100, 440, 480, 0.5) ++ sine16(44100, 440, 480, 0.5))
+    val m = Multimodal.decodeMedia(stereo)
+    assert((m.sampleRate, m.channels, m.nSamples, m.format) == ((44100, 2, 480L, "wav")), m)
+    // the empty-data builder used elsewhere: 0 frames, still valid wav
+    assert(Multimodal.decodeMedia(wavBytes(8000, 1)).nSamples == 0L)
+  }
+
+  test("decodeWavPcm rejects non-PCM encodings and truncated data") {
+    // audioFormat=3 (IEEE float) — metadata stays readable, samples don't
+    val float32 = {
+      val fmt = ascii("fmt ") ++ le32(16) ++ le16(3) ++ le16(1) ++
+        le32(8000L) ++ le32(32000L) ++ le16(4) ++ le16(32)
+      val data = ascii("data") ++ le32(8) ++ new Array[Byte](8)
+      ascii("RIFF") ++ le32(4L + fmt.length + data.length) ++ ascii("WAVE") ++ fmt ++ data
+    }
+    assert(Multimodal.decodeWavPcm(float32).isEmpty)
+    assert(Multimodal.decodeMedia(float32).format == "wav") // header still real
+    assert(Multimodal.decodeMedia(float32).nSamples == 0L)  // but no PCM claim
+    val truncated = wavPcm16(8000, 1, sine16(8000, 100, 100, 0.5)).dropRight(7)
+    assert(Multimodal.decodeWavPcm(truncated).isEmpty)
+  }
+
+  test("audioStats computes RMS/peak from true samples, degrades on non-audio") {
+    import spark.implicits._
+    val amp = 0.5
+    val wav = wavPcm16(8000, 1, sine16(8000, 250, 8000, amp)) // 1 s, whole cycles
+    val txt = "not audio at all".getBytes("UTF-8")
+    val docs = Seq((1L, wav), (2L, txt)).toDF("doc_id", "text")
+    val stats = Multimodal.audioStats(docs).collect().map(s => s.doc_id -> s).toMap
+    val a = stats(1L)
+    assert((a.format, a.sample_rate, a.channels, a.n_samples) == (("wav", 8000, 1, 8000L)))
+    assert(math.abs(a.duration_sec - 1.0) < 1e-9)
+    // a full-period sine's RMS is amp/√2; quantization noise is ≤ ~1e-4
+    assert(math.abs(a.rms - amp / math.sqrt(2)) < 1e-3, s"rms=${a.rms}")
+    assert(math.abs(a.peak - amp) < 1e-3, s"peak=${a.peak}")
+    val t = stats(2L)
+    assert(t.n_samples == 0L && t.rms == 0.0 && t.sample_rate == 0)
+  }
+
   test("decodeMedia: text payloads still take the deterministic fallback") {
     val txt = "RIFFles in a pond — not a wave container".getBytes("UTF-8")
     val m = Multimodal.decodeMedia(txt)
