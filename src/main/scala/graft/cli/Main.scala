@@ -428,12 +428,15 @@ object Main {
         }
       // --dimension is the CONFIGURED dimension (Options::get_dimension()):
       // it may disagree with the model's locked dimension — surfacing that
-      // is the validator's job, so it is NOT clamped to match.
-      val expectedDim = opt(args, "dimension").map(_.toInt)
+      // is the validator's job, so it is NOT clamped to match. An invalid
+      // model with no explicit --dimension leaves NO configured dimension:
+      // the store checks then validate reachability only, instead of
+      // manufacturing a spurious store_dim_mismatch against a default.
+      val expectedDim: Option[Int] = opt(args, "dimension").map(_.toInt)
         .orElse(embedder.map(_.dimension))
-        .getOrElse(graft.model.Selection.modelDims(graft.model.Selection.DefaultModel))
       embedder.foreach { e =>
-        results += ("embedder" -> graft.validate.Validators.validateEmbedder(e, expectedDim))
+        results += ("embedder" ->
+          graft.validate.Validators.validateEmbedder(e, expectedDim.getOrElse(e.dimension)))
       }
       val spark = session()
       results += ("store" ->

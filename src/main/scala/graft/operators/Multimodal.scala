@@ -189,19 +189,28 @@ object Multimodal {
     var fmt: Option[(Int, Int, Int, Int, Int)] = None
     var dataAt = -1
     var dataLen = 0
-    while (o + 8 <= bytes.length) {
+    var halted = false
+    while (!halted && o + 8 <= bytes.length) {
       val id = tag(bytes, o)
       val size = le32(bytes, o + 4)
-      if (size < 0 || o + 8 + size > bytes.length)
-        return None // truncated/inconsistent chunk list
-      if (id == "fmt ") {
-        if (size < 16) return None
+      // A chunk whose declared size overruns the payload: streamed and
+      // truncated WAVs carry exactly this shape (a 0xFFFFFFFF or stale
+      // `data` size placeholder, or a file cut mid-data). An intact `fmt `
+      // read before the overrun must SURVIVE — real rate/channels must not
+      // downgrade to corrupt-wav — and an overrunning `data` clamps to the
+      // bytes actually present (whole frames only, via `frames`). The walk
+      // stops there: nothing after an overrun is addressable.
+      val overruns = size < 0 || o + 8 + size > bytes.length
+      if (id == "fmt " && !overruns) {
+        if (size < 16) return None // malformed fmt body: refuse the file
         fmt = Some((le16(bytes, o + 8), le16(bytes, o + 10),
           le32(bytes, o + 12).toInt, le16(bytes, o + 20), le16(bytes, o + 22)))
       } else if (id == "data" && dataAt < 0) {
-        dataAt = o + 8; dataLen = size.toInt
+        dataAt = o + 8
+        dataLen = if (overruns) bytes.length - dataAt else size.toInt
       }
-      o += 8 + size.toInt + (size.toInt & 1)
+      if (overruns) halted = true
+      else o += 8 + size.toInt + (size.toInt & 1)
     }
     fmt.collect { case (af, ch, rate, ba, bits) if rate > 0 && ch > 0 =>
       WavLayout(af, ch, rate, ba, bits, dataAt, dataLen)
@@ -219,29 +228,37 @@ object Multimodal {
     * signed little-endian; every width normalizes to [-1, 1]. None for
     * non-PCM encodings (ADPCM/float/extensible), malformed layouts, or a
     * missing data chunk — those keep the header-only metadata path. */
-  def decodeWavPcm(bytes: Array[Byte]): Option[PcmAudio] = {
+  def decodeWavPcm(bytesIn: Array[Byte]): Option[PcmAudio] = {
+    val bytes = if (bytesIn eq null) Array.emptyByteArray else bytesIn
     if (!sniffWav(bytes)) return None
     parseWavLayout(bytes).filter(l => l.isPcm && l.dataAt >= 0).map { l =>
+      // a truncated data chunk was clamped by the layout walk: decode the
+      // whole frames present rather than failing the asset
       val n = l.frames * l.channels
       val out = new Array[Float](n)
       val bytesPer = l.bitsPerSample / 8
       var i = 0
       while (i < n) {
-        val o = l.dataAt + i * bytesPer
-        out(i) = l.bitsPerSample match {
-          case 8 => ((bytes(o) & 0xff) - 128) / 128.0f
-          case 16 => (le16(bytes, o).toShort) / 32768.0f
-          case 24 =>
-            val v = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
-              (bytes(o + 2) << 16) // top byte keeps its sign
-            v / 8388608.0f
-          case _ => le32(bytes, o).toInt / 2147483648.0f
-        }
+        out(i) = pcmSampleAt(bytes, l.bitsPerSample, l.dataAt + i * bytesPer)
         i += 1
       }
       PcmAudio(l.rate, l.channels, l.bitsPerSample, l.frames, out)
     }
   }
+
+  /** One normalized PCM sample at byte offset `o`. 8-bit is unsigned;
+    * 16/24/32-bit are signed little-endian; 24-bit sign-extends via the
+    * top byte. */
+  @inline private def pcmSampleAt(bytes: Array[Byte], bits: Int, o: Int): Float =
+    bits match {
+      case 8 => ((bytes(o) & 0xff) - 128) / 128.0f
+      case 16 => (le16(bytes, o).toShort) / 32768.0f
+      case 24 =>
+        val v = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+          (bytes(o + 2) << 16) // top byte keeps its sign
+        v / 8388608.0f
+      case _ => le32(bytes, o).toInt / 2147483648.0f
+    }
 
   /** STUB decode for payloads that sniff as NO known container (the only
     * remaining fake — image dims, MP4 dims, WAV rates AND PCM WAV samples
@@ -266,7 +283,10 @@ object Multimodal {
     * falls back to [[fakeDecode]] with the length-derived pseudo-format
     * (the exact behavior [[binaryMeta]]'s pure-expression oracle
     * mirrors). */
-  def decodeImage(bytes: Array[Byte]): (Int, Int, String) = {
+  def decodeImage(bytesIn: Array[Byte]): (Int, Int, String) = {
+    // NULL payloads decode as empty (degrade-don't-fail: a null column
+    // value must not NPE a 100 TB job)
+    val bytes = if (bytesIn eq null) Array.emptyByteArray else bytesIn
     sniffImageFormat(bytes) match {
       case Some(fmt) =>
         def corrupt = (0, 0, s"corrupt-$fmt")
@@ -299,7 +319,8 @@ object Multimodal {
     * `corrupt-<container>` rather than masquerading as the pseudo-format.
     * Reference analog: the media-field metadata preference chain in
     * `includes/class-field-normalizer.php:404-431`. */
-  def decodeMedia(bytes: Array[Byte]): MediaInfo =
+  def decodeMedia(bytesIn: Array[Byte]): MediaInfo = {
+    val bytes = if (bytesIn eq null) Array.emptyByteArray else bytesIn
     if (sniffImageFormat(bytes).isDefined) {
       val (w, h, fmt) = decodeImage(bytes)
       MediaInfo(w, h, fmt, 0, 0)
@@ -323,6 +344,7 @@ object Multimodal {
       val (w, h) = fakeDecode(bytes)
       MediaInfo(w, h, fakeFormat(bytes), 0, 0)
     }
+  }
 
   /** Per-asset audio signal statistics from REAL decoded PCM samples. */
   case class AudioStats(doc_id: Long, format: String, sample_rate: Int,
@@ -346,20 +368,30 @@ object Multimodal {
       .select(col("doc_id").cast("long"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          decodeWavPcm(bytes) match {
-            case Some(a) =>
+        it.map { case (id, raw) =>
+          val bytes = if (raw eq null) Array.emptyByteArray else raw
+          val pcm =
+            if (sniffWav(bytes))
+              parseWavLayout(bytes).filter(l => l.isPcm && l.dataAt >= 0)
+            else None
+          pcm match {
+            case Some(l) =>
+              // STREAMING fold over the data chunk: decode one sample,
+              // accumulate two scalars, discard. O(1) extra memory per
+              // asset — a 1 GB WAV must not allocate a 2 GB Float array
+              // just to be reduced to rms/peak.
+              val n = l.frames * l.channels
+              val bytesPer = l.bitsPerSample / 8
               var i = 0; var sumSq = 0.0; var peak = 0.0
-              while (i < a.samples.length) {
-                val v = a.samples(i).toDouble
+              while (i < n) {
+                val v = pcmSampleAt(bytes, l.bitsPerSample, l.dataAt + i * bytesPer).toDouble
                 sumSq += v * v
                 val av = math.abs(v); if (av > peak) peak = av
                 i += 1
               }
-              val rms = if (a.samples.length > 0)
-                math.sqrt(sumSq / a.samples.length) else 0.0
-              AudioStats(id, "wav", a.sampleRate, a.channels, a.frames.toLong,
-                a.frames.toDouble / a.sampleRate, rms, peak)
+              val rms = if (n > 0) math.sqrt(sumSq / n) else 0.0
+              AudioStats(id, "wav", l.rate, l.channels, l.frames.toLong,
+                l.frames.toDouble / l.rate, rms, peak)
             case None =>
               AudioStats(id, decodeMedia(bytes).format, 0, 0, 0L, 0.0, 0.0, 0.0)
           }
@@ -382,7 +414,8 @@ object Multimodal {
         // per-partition decoder init (MessageDigest; ImageIO reader
         // registry is JVM-global and warms once)
         val md = java.security.MessageDigest.getInstance("SHA-256")
-        it.map { case (id, bytes) =>
+        it.map { case (id, raw) =>
+          val bytes = if (raw eq null) Array.emptyByteArray else raw
           val m = decodeMedia(bytes)
           val sha = md.digest(bytes).map("%02x".format(_)).mkString
           md.reset()

@@ -53,8 +53,13 @@ object Validators {
     * "index detail" = the stored vectors' dimension, asserted against the
     * configured one (`class-validators.php:109-135`). An empty store is
     * OK — the reference reports success with "no index specified yet"
-    * when there is nothing to check a dimension against. */
-  def validateStore(spark: SparkSession, root: String, expectedDim: Int): ValidationResult = {
+    * when there is nothing to check a dimension against. `expectedDim` =
+    * None skips only the dimension comparison (no configured dimension
+    * exists, e.g. an invalid model name with no explicit override — the
+    * reachability half must still run and must not invent a default to
+    * compare against). */
+  def validateStore(spark: SparkSession, root: String,
+      expectedDim: Option[Int]): ValidationResult = {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root)))
       return ValidationResult(ok = false, "store_unreachable",
         s"store root $root does not exist — nothing has been synced there.")
@@ -67,13 +72,19 @@ object Validators {
           s"store reachable (v$version). No vectors yet.")
       else {
         val dim = sample.head.getSeq[Float](0).length
-        if (dim != expectedDim)
-          ValidationResult(ok = false, "store_dim_mismatch",
-            s"store vectors have dimension $dim (expected $expectedDim). " +
-              "Re-sync after changing model/dimension.")
-        else
-          ValidationResult(ok = true, "ok",
-            s"store OK (v$version, dimension $dim).")
+        expectedDim match {
+          case Some(exp) if dim != exp =>
+            ValidationResult(ok = false, "store_dim_mismatch",
+              s"store vectors have dimension $dim (expected $exp). " +
+                "Re-sync after changing model/dimension.")
+          case Some(_) =>
+            ValidationResult(ok = true, "ok",
+              s"store OK (v$version, dimension $dim).")
+          case None =>
+            ValidationResult(ok = true, "ok",
+              s"store reachable (v$version, dimension $dim); no configured " +
+                "dimension to check against.")
+        }
       }
     } catch {
       // manifest mode/bucket-count mismatch, legacy layout, torn header
@@ -87,17 +98,25 @@ object Validators {
     * id must exist (the reference caches `_STORE_ID` on first use —
     * an adapter dir without it was never ensured), then the nested data
     * store validates like the primary. */
-  def validateEnsureStore(spark: SparkSession, root: String, expectedDim: Int): ValidationResult = {
-    val vs = new EnsureStoreVectorStore(spark, root)
-    if (!vs.storeExists)
-      return ValidationResult(ok = false, "store_unreachable",
-        s"adapter at $root has no _STORE_ID — ensure-store never ran.")
-    // the nested data store is created lazily on first WRITE — an ensured
-    // adapter with no data dir yet is a valid empty store
-    val innerResult =
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "data")))
-        ValidationResult(ok = true, "ok", "ensured, no vectors yet.")
-      else validateStore(spark, s"$root/data", expectedDim)
-    innerResult.copy(message = s"store ${vs.ensureStore()}: ${innerResult.message}")
-  }
+  def validateEnsureStore(spark: SparkSession, root: String,
+      expectedDim: Option[Int]): ValidationResult =
+    try {
+      val vs = new EnsureStoreVectorStore(spark, root)
+      if (!vs.storeExists)
+        return ValidationResult(ok = false, "store_unreachable",
+          s"adapter at $root has no _STORE_ID — ensure-store never ran.")
+      // the nested data store is created lazily on first WRITE — an ensured
+      // adapter with no data dir yet is a valid empty store
+      val innerResult =
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "data")))
+          ValidationResult(ok = true, "ok", "ensured, no vectors yet.")
+        else validateStore(spark, s"$root/data", expectedDim)
+      innerResult.copy(message = s"store ${vs.ensureStore()}: ${innerResult.message}")
+    } catch {
+      // unreadable _STORE_ID (permissions, torn write): a typed FAIL, not
+      // a stack trace — same contract as the primary-store path
+      case e: Exception =>
+        ValidationResult(ok = false, "store_invalid",
+          s"adapter at $root is not readable: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
+    }
 }

@@ -48,7 +48,7 @@ class LifecycleSpec extends SparkSpec {
     val dir = installedWorkDir()
     val emb = Validators.validateEmbedder(new LocalHashEmbedder(), Dim)
     assert(emb.ok && emb.code == "ok", emb.message)
-    val st = Validators.validateStore(spark, dir.resolve("store").toString, Dim)
+    val st = Validators.validateStore(spark, dir.resolve("store").toString, Some(Dim))
     assert(st.ok && st.code == "ok", st.message)
     Uninstall.uninstall(spark, dir.toString)
   }
@@ -67,13 +67,17 @@ class LifecycleSpec extends SparkSpec {
 
   test("validate: store vectors vs configured dimension → store_dim_mismatch") {
     val dir = installedWorkDir()
-    val r = Validators.validateStore(spark, dir.resolve("store").toString, 1536)
+    val r = Validators.validateStore(spark, dir.resolve("store").toString, Some(1536))
     assert(!r.ok && r.code == "store_dim_mismatch", r.message)
+    // no configured dimension (invalid model, no override): reachability
+    // still validates, but no spurious mismatch is manufactured
+    val noDim = Validators.validateStore(spark, dir.resolve("store").toString, None)
+    assert(noDim.ok && noDim.message.contains("no configured dimension"), noDim.message)
     Uninstall.uninstall(spark, dir.toString)
   }
 
   test("validate: missing store root → store_unreachable") {
-    val r = Validators.validateStore(spark, "/tmp/graft-no-such-store", Dim)
+    val r = Validators.validateStore(spark, "/tmp/graft-no-such-store", Some(Dim))
     assert(!r.ok && r.code == "store_unreachable")
   }
 
@@ -81,21 +85,26 @@ class LifecycleSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graftCorrupt")
     // the pre-bucketing legacy layout the manifest reader rejects loudly
     Files.write(dir.resolve("_VERSION"), "7".getBytes)
-    val r = Validators.validateStore(spark, dir.toString, Dim)
+    val r = Validators.validateStore(spark, dir.toString, Some(Dim))
     assert(!r.ok && r.code == "store_invalid", r.message)
   }
 
   test("validate: empty store is reachable-ok; un-ensured adapter is not") {
     val dir = Files.createTempDirectory("graftEmptyStore")
-    val r = Validators.validateStore(spark, dir.toString, Dim)
+    val r = Validators.validateStore(spark, dir.toString, Some(Dim))
     assert(r.ok && r.message.contains("No vectors yet"))
     val vsDir = Files.createTempDirectory("graftVs")
-    val un = Validators.validateEnsureStore(spark, vsDir.toString, Dim)
+    val un = Validators.validateEnsureStore(spark, vsDir.toString, Some(Dim))
     assert(!un.ok && un.code == "store_unreachable")
     val vs = new EnsureStoreVectorStore(spark, vsDir.toString)
     vs.ensureStore()
-    val ok = Validators.validateEnsureStore(spark, vsDir.toString, Dim)
+    val ok = Validators.validateEnsureStore(spark, vsDir.toString, Some(Dim))
     assert(ok.ok && ok.message.contains("vs_"), ok.message)
+    // an unreadable _STORE_ID must surface as a typed FAIL, not a crash
+    val badDir = Files.createTempDirectory("graftVsBad")
+    Files.createDirectories(badDir.resolve("_STORE_ID")) // a DIR, unreadable as a file
+    val bad = Validators.validateEnsureStore(spark, badDir.toString, Some(Dim))
+    assert(!bad.ok && bad.code == "store_invalid", bad.message)
   }
 
   // ---------------- uninstall ----------------

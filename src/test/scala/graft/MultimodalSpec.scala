@@ -204,6 +204,17 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeMedia(wavBytes(8000, 1)).nSamples == 0L)
   }
 
+  test("decodeWavPcm clamps a truncated/streamed data chunk to whole frames present") {
+    val full = wavPcm16(8000, 1, sine16(8000, 100, 100, 0.5))
+    // cut mid-sample: the declared data size now overruns by 7 bytes;
+    // real rate/channels must survive and the 96 intact frames decode
+    val truncated = full.dropRight(7)
+    val a = Multimodal.decodeWavPcm(truncated)
+    assert(a.exists(x => x.frames == 96 && x.sampleRate == 8000), a.map(_.frames))
+    val m = Multimodal.decodeMedia(truncated)
+    assert((m.format, m.sampleRate, m.nSamples) == (("wav", 8000, 96L)), m)
+  }
+
   test("decodeWavPcm rejects non-PCM encodings and truncated data") {
     // audioFormat=3 (IEEE float) — metadata stays readable, samples don't
     val float32 = {
@@ -215,8 +226,11 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWavPcm(float32).isEmpty)
     assert(Multimodal.decodeMedia(float32).format == "wav") // header still real
     assert(Multimodal.decodeMedia(float32).nSamples == 0L)  // but no PCM claim
-    val truncated = wavPcm16(8000, 1, sine16(8000, 100, 100, 0.5)).dropRight(7)
-    assert(Multimodal.decodeWavPcm(truncated).isEmpty)
+    // a cut that destroys the fmt chunk itself (not just data) stays None
+    assert(Multimodal.decodeWavPcm(wavBytes(8000, 1).take(20)).isEmpty)
+    // null payloads degrade, never NPE (the fuzz property's null analog)
+    assert(Multimodal.decodeWavPcm(null).isEmpty)
+    assert(Multimodal.decodeMedia(null).format.nonEmpty)
   }
 
   test("audioStats computes RMS/peak from true samples, degrades on non-audio") {
@@ -224,8 +238,10 @@ class MultimodalSpec extends SparkSpec {
     val amp = 0.5
     val wav = wavPcm16(8000, 1, sine16(8000, 250, 8000, amp)) // 1 s, whole cycles
     val txt = "not audio at all".getBytes("UTF-8")
-    val docs = Seq((1L, wav), (2L, txt)).toDF("doc_id", "text")
+    val docs = Seq((1L, wav), (2L, txt), (3L, null: Array[Byte]))
+      .toDF("doc_id", "text")
     val stats = Multimodal.audioStats(docs).collect().map(s => s.doc_id -> s).toMap
+    assert(stats(3L).n_samples == 0L) // null payload degrades, no NPE
     val a = stats(1L)
     assert((a.format, a.sample_rate, a.channels, a.n_samples) == (("wav", 8000, 1, 8000L)))
     assert(math.abs(a.duration_sec - 1.0) < 1e-9)
