@@ -223,8 +223,10 @@ object Dedup {
       k: Int = 16, r: Int = 4, rounds: Int = 3,
       materialize: Boolean = true): DataFrame = {
     // materialize=false keeps the all-lazy plan (plan inspection,
-    // equivalence tests); the default snapshots are the production shape
-    def snap(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
+    // equivalence tests); the default snapshots are the production shape —
+    // localCheckpoint on one JVM, reliable-storage checkpoints under
+    // `spark.graft.checkpoint=reliable` (see Stage.snap)
+    def snap(df: DataFrame): DataFrame = Stage.snap(df, materialize)
     val pairs = minhashLshPairs(documents, k, r)
     // Materialize the candidate edges ONCE: every propagation round joins
     // against them and the final isolated-doc anti-join reads their vertex

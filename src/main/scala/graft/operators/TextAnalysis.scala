@@ -168,7 +168,7 @@ object TextAnalysis {
     * many downstream branches consume each stage. */
   def releasePipeline(documents: DataFrame, materialize: Boolean = true,
       threshold: Double = 0.5): DataFrame = {
-    def snap(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
+    def snap(df: DataFrame): DataFrame = Stage.snap(df, materialize)
     // stage keep-lists snapshot UNSORTED: the public operators' global
     // orderBy (oracle determinism) feeding a checkpoint would physically
     // execute a range-partitioned sort nobody reads — the semi-joins

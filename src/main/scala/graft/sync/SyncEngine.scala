@@ -276,10 +276,12 @@ final class SyncEngine(
         col("product_sha").as("chunk_sha"))
     // snapshot CLUSTER-side before unpersisting the lineage it depends on
     // — a driver collect() here would cap the API at driver memory, and
-    // the candidate set can be a whole scan batch
-    val out = perChunk.unionByName(skippedUnchanged)
-      .orderBy("product_id", "chunk_index")
-      .localCheckpoint()
+    // the candidate set can be a whole scan batch (reliable-storage
+    // checkpoint under spark.graft.checkpoint=reliable; Stage.snap)
+    val out = graft.operators.Stage.snap(
+      perChunk.unionByName(skippedUnchanged)
+        .orderBy("product_id", "chunk_index"),
+      materialize = true)
     parts.unpersistAll()
     out
   }
