@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.{Catalog, OracleSql}
 import graft.normalize.Normalizer
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, Temporal, TextAnalysis}
 import graft.rollup.VariationRollup
 import graft.scan.{EventFilters, Scans}
 import graft.streaming.EventStream
@@ -338,6 +338,9 @@ object SparkEntry {
       Dedup.decontaminate(docs, docs.where(col("doc_id") < 5))
     }),
 
+    // substring-level dedup: duplicated 8-gram spans per document
+    "dd_spans" -> ((s, dir) => Dedup.duplicateSpans(Catalog.documents(s, dir))),
+
     // ================= similarity extensions =================
 
     "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(Catalog.embeddings(s, dir))),
@@ -357,6 +360,9 @@ object SparkEntry {
 
     "sim_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Catalog.embeddings(s, dir))),
+
+    // product-quantization encode: 8×8-dim codebooks, 1 Lloyd round
+    "sim_pq" -> ((s, dir) => Similarity.pqEncode(Catalog.embeddings(s, dir))),
 
     // ================= text analysis =================
 
@@ -393,6 +399,13 @@ object SparkEntry {
 
     // TF-IDF keyword extraction: top-3 terms per document
     "ta_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopK(Catalog.documents(s, dir))),
+
+    // BM25 keyword extraction: tf-saturating, length-normalized tfidf
+    "ta_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(Catalog.documents(s, dir))),
+
+    // unigram-LM surprisal (perplexity-filter slot), BIGINT micro-bits
+    "ta_unigram" -> ((s, dir) =>
+      TextAnalysis.unigramSurprisal(Catalog.documents(s, dir))),
 
     // PII scrub over documents with a deterministic composed contact
     // suffix (the corpus itself carries no PII; oracle mirrors the compose).
@@ -433,6 +446,11 @@ object SparkEntry {
     // T1 lifecycle routing: CDC change rows → index/delete/skip decisions
     "t1_route" -> ((s, dir) =>
       Scans.lifecycleRoute(Catalog.lifecycleCdc(s, dir))),
+
+    // J7 as-of join: each purchase attributed to the user's latest prior
+    // click — union-and-window (ONE user_id shuffle), not an inequality
+    // join. Epoch-micros BIGINT output.
+    "j7_asof" -> ((s, dir) => Temporal.asofAttribution(Catalog.events(s, dir))),
 
     // OLAP grouping sets: revenue subtotals at (flag, status), (flag), ()
     // — Spark ROLLUP ≡ DuckDB ROLLUP, null-marked subtotal rows. sum_qty
@@ -1494,6 +1512,53 @@ object SparkEntry {
         |FROM coded
         |ORDER BY vec_id""".stripMargin,
 
+    // PQ mirror: nano-scaled integer L2 makes argmin ties and error sums
+    // exact on both engines; the Lloyd mean rounds to 9 dp (ivf_kmeans
+    // contract). list_sum folds left-to-right like Spark's aggregate().
+    "sim_pq" ->
+      """WITH blocks AS (
+        |  SELECT vec_id, b AS blk, embedding[b*8+1 : b*8+8] AS sub
+        |  FROM embeddings, UNNEST(generate_series(0, 7)) t(b)
+        |), cents0 AS (
+        |  SELECT blk, vec_id AS cid, sub AS ce FROM blocks WHERE vec_id < 16
+        |), d0 AS (
+        |  SELECT bl.vec_id, bl.blk, bl.sub, c.cid,
+        |    CAST(round(list_sum(list_transform(list_zip(bl.sub, c.ce), p ->
+        |      (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) * 1e9, 0)
+        |      AS BIGINT) AS nano
+        |  FROM blocks bl JOIN cents0 c USING (blk)
+        |), a0 AS (
+        |  SELECT vec_id, blk, sub, cid AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, blk
+        |      ORDER BY nano, cid) AS rn FROM d0)
+        |  WHERE rn = 1
+        |), cmean AS (
+        |  SELECT blk, cell, j, round(avg(CAST(sub[j] AS DOUBLE)), 9) AS mv
+        |  FROM a0, UNNEST(generate_series(1, 8)) t(j)
+        |  GROUP BY blk, cell, j
+        |), cents1 AS (
+        |  SELECT blk, cell AS cid, list(mv ORDER BY j) AS ce
+        |  FROM cmean GROUP BY blk, cell
+        |), d1 AS (
+        |  SELECT bl.vec_id, bl.blk, c.cid,
+        |    CAST(round(list_sum(list_transform(list_zip(bl.sub, c.ce), p ->
+        |      (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) * 1e9, 0)
+        |      AS BIGINT) AS nano
+        |  FROM blocks bl JOIN cents1 c USING (blk)
+        |), a1 AS (
+        |  SELECT vec_id, blk, cid AS cell, nano FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, blk
+        |      ORDER BY nano, cid) AS rn FROM d1)
+        |  WHERE rn = 1
+        |)
+        |SELECT vec_id,
+        |  CAST(to_json(list(cell ORDER BY blk)) AS VARCHAR) AS codes,
+        |  CAST(SUM(nano) AS BIGINT) AS err_nano
+        |FROM a1 GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
+
     "ta_langid" ->
       """SELECT doc_id, lang,
         |  CASE WHEN ce >= ca AND ce >= co THEN 'en'
@@ -1733,6 +1798,58 @@ object SparkEntry {
         |SELECT doc_id, rank, token, tfidf FROM ranked WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
 
+    "ta_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+        |), dl AS (
+        |  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+        |), dfreq AS (
+        |  SELECT token, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token
+        |), consts AS (
+        |  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS sum_dl, COUNT(*) AS n_dl FROM dl
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    round(
+        |      ln(1.0 + CAST(n_docs - df + 0.5 AS DOUBLE)
+        |               / CAST(df + 0.5 AS DOUBLE))
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (tf + 1.2 * (0.25 + 0.75 *
+        |          (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_dl)))),
+        |      6) AS bm25
+        |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), consts
+        |), ranked AS (
+        |  SELECT doc_id, token, bm25,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY bm25 DESC, token) AS INTEGER) AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, rank, token, bm25 FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "ta_unigram" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents
+        |), cw AS (
+        |  SELECT token, COUNT(*) AS cw FROM tok GROUP BY token
+        |), tot AS (SELECT COUNT(*) AS t FROM tok),
+        |micro AS (
+        |  SELECT doc_id,
+        |    CAST(round(ln(CAST(t AS DOUBLE) / cw) / ln(2.0) * 1000000.0, 0)
+        |      AS BIGINT) AS m
+        |  FROM tok JOIN cw USING (token), tot
+        |)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(m) AS BIGINT) AS micro_bits,
+        |  CAST(round(CAST(SUM(m) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS micro_bpt
+        |FROM micro GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "dd_decontaminate" ->
       s"""WITH toks AS (
          |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts FROM documents
@@ -1754,6 +1871,51 @@ object SparkEntry {
          |  round(n_hit / n_shingles, 4) AS overlap,
          |  CAST(round(n_hit / n_shingles, 4) >= 0.5 AS INTEGER) AS contaminated
          |FROM agg
+         |ORDER BY doc_id""".stripMargin,
+
+    "dd_spans" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts
+         |  FROM documents
+         |), grams AS (
+         |  SELECT doc_id, i,
+         |    ${sha32Sql("array_to_string(ts[i:i+7], ' ')")} AS h
+         |  FROM base, UNNEST(generate_series(1, len(ts) - 7)) t(i)
+         |  WHERE len(ts) >= 8
+         |), duph AS (
+         |  SELECT h FROM (SELECT DISTINCT h, doc_id FROM grams)
+         |  GROUP BY h HAVING COUNT(*) >= 2
+         |), dup AS (
+         |  SELECT doc_id, i FROM grams WHERE h IN (SELECT h FROM duph)
+         |), marked AS (
+         |  SELECT doc_id, i,
+         |    max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM dup
+         |), islands0 AS (
+         |  SELECT doc_id, i,
+         |    SUM(CASE WHEN prev_end IS NULL OR i > prev_end THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY i
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM marked
+         |), islands AS (
+         |  SELECT doc_id, island, min(i) AS s, max(i + 7) AS e
+         |  FROM islands0 GROUP BY doc_id, island
+         |), per_doc AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |    CAST(SUM(e - s + 1) AS BIGINT) AS covered_tokens
+         |  FROM islands GROUP BY doc_id
+         |), dupc AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+         |  FROM dup GROUP BY doc_id
+         |)
+         |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  CAST(greatest(len(ts) - 7, 0) AS BIGINT) AS n_grams,
+         |  COALESCE(n_dup_grams, 0) AS n_dup_grams,
+         |  COALESCE(n_spans, 0) AS n_spans,
+         |  COALESCE(covered_tokens, 0) AS covered_tokens,
+         |  round(COALESCE(covered_tokens, 0) / CAST(len(ts) AS DOUBLE), 4) AS dup_frac
+         |FROM base LEFT JOIN dupc USING (doc_id) LEFT JOIN per_doc USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
     "ta_scrub" ->
@@ -1861,6 +2023,28 @@ object SparkEntry {
         |       ELSE 'skip' END AS action
         |FROM cdc
         |ORDER BY product_id""".stripMargin,
+
+    // as-of attribution mirrored with the same union-and-window encoding
+    // (DuckDB's native ASOF JOIN would also work; the shared window form
+    // pins identical tie-break semantics on both engines)
+    "j7_asof" ->
+      """WITH tagged AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |), marked AS (
+        |  SELECT event_id, user_id, ts_us, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src_ts_us
+        |  FROM tagged
+        |)
+        |SELECT event_id, user_id, ts_us, src_id, src_ts_us,
+        |  ts_us - src_ts_us AS gap_us
+        |FROM marked WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
 
     "st_dedup" ->
       """WITH replayed AS (

@@ -315,6 +315,66 @@ object Dedup {
       .where(col("doc_id") === col("cluster"))
       .select(col("doc_id"))
 
+  /** Duplicate n-gram SPAN detection — substring-level exact dedup (the
+    * "dedup at the span level, not the document level" operator of
+    * training-data curation, after Lee et al.'s suffix-array dedup): a
+    * token `l`-gram is duplicated when it occurs in ≥2 distinct
+    * documents; each document's duplicated gram positions merge into
+    * maximal covering spans (gaps-and-islands over [i, i+l−1]
+    * intervals), yielding span count, covered-token total and the
+    * duplicated-token fraction — the inputs to a span-cut or
+    * doc-drop policy.
+    *
+    * Scale posture: grams hash to sha32 in the scan stage (raw gram text
+    * never shuffles); the duplicate-gram set is one (hash, doc) distinct
+    * + one combinable count keyed on the hash; span merging is a per-doc
+    * window over narrow (doc_id, position) rows — the same
+    * one-key-shuffle shape as the rest of the dedup family. A
+    * suffix-array build (arbitrary-length longest repeats) trades this
+    * bounded shuffle for a global sort; fixed-`l` grams are the
+    * standard large-scale approximation. */
+  def duplicateSpans(documents: DataFrame, l: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val base = documents.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("ts"))
+    val grams = base.where(size(col("ts")) >= l)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("ts")) - (l - 1)),
+          i => concat_ws(" ",
+            (0 until l).map(d => element_at(col("ts"), i + d)): _*))))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), sha32(col("col")).as("h"))
+    val dupH = grams.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select("h")
+    val dup = grams.join(dupH, Seq("h"), "left_semi").select("doc_id", "i")
+    val wPrev = w.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(w.unboundedPreceding, -1)
+    val wRun = w.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(w.unboundedPreceding, 0)
+    val islands = dup
+      .withColumn("prev_end", max(col("i") + (l - 1)).over(wPrev))
+      .withColumn("new_island",
+        (col("prev_end").isNull || col("i") > col("prev_end")).cast("int"))
+      .withColumn("island", sum("new_island").over(wRun))
+      .groupBy("doc_id", "island")
+      .agg(min("i").as("s"), max(col("i") + (l - 1)).as("e"))
+    val perDoc = islands.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("covered_tokens"))
+    val dupCount = dup.groupBy("doc_id").agg(count(lit(1)).as("n_dup_grams"))
+    base.select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens"))
+      .withColumn("n_grams", greatest(col("n_tokens") - (l - 1), lit(0L)))
+      .join(dupCount, Seq("doc_id"), "left_outer")
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)) /
+          col("n_tokens").cast("double"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   /** n-gram (token) Jaccard between consecutive doc ids — the
     * oracle-checkable pairwise variant (the scalable path is MinHash+LSH).
     *

@@ -190,6 +190,66 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Product quantization (PQ) encode — the vector-compression step of a
+    * billion-scale ANN index (IVF-PQ's fine quantizer): the embedding
+    * splits into `m` sub-blocks of `subDim` dims; each block trains its
+    * own codebook (first-`nCentroids` seeds + one Lloyd round, the same
+    * deterministic quantizer-training shape as [[ivfKmeansTopK]]) and
+    * each vector encodes as `m` centroid ids — 64 float dims become 8
+    * bytes. Distances rank by NANO-scaled squared-L2 as BIGINT (one
+    * round per block, integer compare) so argmin ties and the per-vector
+    * error total are exact and order-independent on both engines —
+    * the fixed-point-aggregate contract applied to distance math.
+    *
+    * Scale posture: codebooks are m×nCentroids rows — broadcast; block
+    * explode and distance evaluation are map-only; the Lloyd mean is one
+    * narrow (blk, cell, j) combinable aggregation; the final code
+    * assembly is one groupBy(vec_id) over m-row groups. */
+  def pqEncode(embeddings: DataFrame, m: Int = 8, subDim: Int = 8,
+      nCentroids: Int = 16): DataFrame = {
+    val blocks = embeddings.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        b => slice(col("embedding"), b * subDim + 1, lit(subDim)))))
+      .select(col("vec_id"), col("pos").as("blk"), col("col").as("sub"))
+    // nano-scaled squared L2 — the integer ranking/error primitive
+    def nanoL2(a: Column, b: Column): Column =
+      round(aggregate(zip_with(a, b, (x, c) =>
+        (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
+        lit(0.0), (acc, x) => acc + x) * 1e9, 0).cast("bigint")
+    def assign(cents: DataFrame): DataFrame = {
+      val scored = blocks.join(broadcast(cents), Seq("blk"))
+        .select(col("vec_id"), col("blk"), col("sub"), col("cid"),
+          nanoL2(col("sub"), col("ce")).as("nano"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id", "blk").orderBy(col("nano"), col("cid"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("vec_id"), col("blk"), col("sub"),
+          col("cid").as("cell"), col("nano"))
+    }
+    val cents0 = blocks.where(col("vec_id") < nCentroids)
+      .select(col("blk"), col("vec_id").as("cid"), col("sub").as("ce"))
+    // one Lloyd round per block: per-dimension mean of the seed
+    // assignment, rounded to 9 dp (absorbs partial-agg summation order —
+    // the ivfKmeansTopK contract)
+    val cents1 = assign(cents0)
+      .select(col("blk"), col("cell"), posexplode(col("sub")))
+      .groupBy(col("blk"), col("cell"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 9).as("mv"))
+      .groupBy("blk", "cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos").as("p"), col("mv").as("mv")))),
+        s => s.getField("mv")).as("ce"))
+      .select(col("blk"), col("cell").as("cid"), col("ce"))
+    assign(cents1)
+      .groupBy("vec_id")
+      .agg(
+        to_json(transform(
+          array_sort(collect_list(struct(col("blk").as("b"), col("cell").as("c")))),
+          s => s.getField("c"))).as("codes"),
+        sum("nano").as("err_nano"))
+      .orderBy("vec_id")
+  }
+
   /** IVF top-k: rank only candidates sharing one of the query's probed
     * cells — the scale path (probes `nProbes` coarse cells instead of the
     * full corpus; recall/fan-out traded via `nCentroids` × `nProbes`). */

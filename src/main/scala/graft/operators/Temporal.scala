@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators over the event stream.
+  *
+  * Spark has no native AS OF join; the naive encoding is an inequality
+  * join (`s.ts <= t.ts`) whose physical plan is a per-key cartesian — a
+  * scale-killer. The Spark-first shape used here is union-and-window:
+  * tag both sides, sort once per key, and carry the latest source row
+  * forward with `last(..., ignoreNulls)` over a trailing frame. ONE
+  * shuffle on the key, linear per-partition scan, no pair explosion —
+  * the same plan a 1000-executor cluster wants at 100 TB.
+  */
+object Temporal {
+
+  /** As-of join (point-in-time attribution): for every `target` event,
+    * the latest `source` event strictly preceding it (in (ts, event_id)
+    * order) for the same user — the "purchase attributed to the last
+    * click" query of a conversion pipeline, and the general
+    * sensor-reading-as-of-measurement shape.
+    *
+    * Times are epoch MICROSECONDS as BIGINT (the engine's fixed-point
+    * output contract); targets with no prior source carry NULLs. The
+    * (ts, event_id) window order makes same-timestamp ties deterministic
+    * on both engines.
+    */
+  def asofAttribution(events: DataFrame, target: String = "purchase",
+      source: String = "click"): DataFrame = {
+    val tagged = events
+      .where(col("event_type").isin(target, source))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def lastSrc(c: org.apache.spark.sql.Column) =
+      last(when(col("event_type") === source, c), ignoreNulls = true).over(w)
+    tagged
+      .withColumn("src_id", lastSrc(col("event_id")))
+      .withColumn("src_ts_us", lastSrc(col("ts_us")))
+      .where(col("event_type") === target)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("src_id"), col("src_ts_us"),
+        (col("ts_us") - col("src_ts_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+}

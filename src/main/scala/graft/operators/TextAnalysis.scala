@@ -317,6 +317,84 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Okapi BM25 keyword extraction: top-`k` terms per document by the
+    * BM25 term weight — [[tfidfTopK]]'s saturating, length-normalized
+    * upgrade (the default lexical-retrieval score a corpus search or
+    * hybrid-RAG index uses). idf = ln(1 + (N − df + ½)/(df + ½)) (the
+    * Robertson–Spärck Jones form, always ≥ 0); tf saturates via
+    * k1 and the doc-length prior via b. Scores round to 6 dp BEFORE
+    * ranking (engine-stable ordering, token tie-break).
+    *
+    * Scale posture: identical to [[tfidfTopK]] — two map-side-combinable
+    * aggregations over narrow (doc_id, token) rows plus a per-doc length
+    * table; the corpus constants (N, avgdl) broadcast as one row, avgdl
+    * is an exact BIGINT token total over a double division (no
+    * order-dependent double summation); only (doc_id, token, score) rows
+    * reach the ranking window. */
+  def bm25TopK(documents: DataFrame, k: Int = 3, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfq = toks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val consts = documents.select(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n_dl")))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val avgdl = col("sum_dl").cast("double") / col("n_dl")
+    val score = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("bm25").desc, col("token"))
+    tf.join(dfq, Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"), col("token"), round(score, 6).as("bm25"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("bm25"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Unigram-LM surprisal scoring — the perplexity-filter slot of a
+    * curation pipeline (the CCNet/KenLM step, with the corpus's own
+    * unigram model standing in for the external LM): per token,
+    * surprisal = −log2 p(w) with p(w) = corpus count / corpus total;
+    * per document, the total and mean surprisal. Unusually-high
+    * bits-per-token flags gibberish, unusually-low flags boilerplate.
+    *
+    * Per-token surprisal rounds to integer MICRO-BITS (×10⁶) before the
+    * per-doc sum, so the aggregate is an exact, order-independent BIGINT
+    * — the engine's fixed-point aggregate-output contract (q1/st_hourly)
+    * applied to a double-valued score; a raw double sum would be
+    * partial-aggregation-order dependent across engines.
+    *
+    * Scale posture: one vocab-keyed count (map-side combinable), the
+    * corpus total broadcasts as one row, and the per-doc sum rides
+    * narrow (doc_id, micro) rows. */
+  def unigramSurprisal(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as("token"))
+    val cw = toks.groupBy("token").agg(count(lit(1)).as("cw"))
+    val tot = toks.agg(count(lit(1)).as("t"))
+    toks.join(cw, Seq("token"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(log(col("t").cast("double") / col("cw")) / log(lit(2.0)) * 1e6, 0)
+          .cast("bigint").as("micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("micro").as("micro_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("micro_bits"),
+        round(col("micro_bits") / col("n_tokens").cast("double"), 0)
+          .cast("bigint").as("micro_bpt"))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary head: the `k` most frequent tokens per language with
     * counts and rank — the frequency table a tokenizer-training or
     * stopword-induction step reads. Token explode is row-local; the count

@@ -45,6 +45,49 @@ class DedupQualitySpec extends SparkSpec {
     assert(overlap(1L, 3L) < 0.05, s"unrelated overlap ${overlap(1L, 3L)}")
   }
 
+  test("duplicateSpans: shared runs merge into maximal spans; short/unique docs zero") {
+    // doc 10 and 11 share one 10-token run; doc 12 is all-unique; doc 13
+    // is too short to hold an 8-gram at all
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val spanDocs = Seq(
+      (10L, (1 to 5).map(i => s"p$i").mkString(" ") + " " + shared + " " +
+        (1 to 5).map(i => s"s$i").mkString(" ")),
+      (11L, shared + " " + (1 to 10).map(i => s"t$i").mkString(" ")),
+      (12L, (1 to 20).map(i => s"u$i").mkString(" ")),
+      (13L, "a b c")).toDF("doc_id", "text")
+    val rows = Dedup.duplicateSpans(spanDocs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 10: run at tokens 6..15 → dup grams start 6..8, ONE merged span
+    // covering exactly the 10 shared tokens
+    assert(rows(10L).getLong(3) == 3, rows(10L).toString)   // n_dup_grams
+    assert(rows(10L).getLong(4) == 1, rows(10L).toString)   // n_spans
+    assert(rows(10L).getLong(5) == 10, rows(10L).toString)  // covered_tokens
+    assert(rows(10L).getDouble(6) == 0.5, rows(10L).toString)
+    // doc 11: run at tokens 1..10, same span arithmetic
+    assert(rows(11L).getLong(4) == 1 && rows(11L).getLong(5) == 10)
+    // unique doc: nothing flagged
+    assert(rows(12L).getLong(3) == 0 && rows(12L).getLong(5) == 0)
+    // short doc: no grams at all, fraction 0
+    assert(rows(13L).getLong(2) == 0 && rows(13L).getLong(4) == 0)
+  }
+
+  test("duplicateSpans: two disjoint shared runs stay two spans") {
+    val runA = (1 to 8).map(i => s"da$i").mkString(" ")
+    val runB = (1 to 8).map(i => s"db$i").mkString(" ")
+    val spanDocs = Seq(
+      (20L, runA + " " + (1 to 6).map(i => s"ga$i").mkString(" ") + " " + runB),
+      (21L, runA + " " + (1 to 6).map(i => s"gb$i").mkString(" ") + " " + runB))
+      .toDF("doc_id", "text")
+    val rows = Dedup.duplicateSpans(spanDocs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // each doc: dup gram starts at 1 and 15 → two islands of 8 tokens each
+    Seq(20L, 21L).foreach { d =>
+      assert(rows(d).getLong(3) == 2, rows(d).toString)
+      assert(rows(d).getLong(4) == 2, rows(d).toString)
+      assert(rows(d).getLong(5) == 16, rows(d).toString)
+    }
+  }
+
   test("lshComponents clusters near-dup chains transitively, singletons stay alone") {
     // 2 is a near-dup of 1, and 4 a near-dup of 2 (but not of 1 directly):
     // label propagation must pull all three into cluster 1 transitively.

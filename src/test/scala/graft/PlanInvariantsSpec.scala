@@ -130,6 +130,34 @@ class PlanInvariantsSpec extends SparkSpec {
       s"expected 1 parquet scan (isolated-doc union), got $scans\n$p")
   }
 
+  test("j7_asof: ONE key shuffle — union-and-window, no inequality join") {
+    val p = planOf("j7_asof")
+    // formatted mode lists the partitioning on the Exchange's detail line
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange (user_id window), got $hashEx\n$p")
+    // the naive as-of encoding is a per-key cartesian — must never appear
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sim_pq: both codebook joins broadcast — assignment is map-only") {
+    val p = planOf("sim_pq")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 2, s"expected >=2 broadcast codebook joins, got $broadcasts\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dd_spans: raw gram text never crosses a shuffle — hashes and positions only") {
+    val p = planOf("dd_spans")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("ts#") && !exchanges.contains("col#"),
+      s"raw token/gram column crosses a shuffle\n$exchanges")
+  }
+
+  test("ta_bm25: corpus constants ride a broadcast, not a shuffle") {
+    val p = planOf("ta_bm25")
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("chunk generator: Generate node present (no array explode)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val p = graft.chunker.Chunker

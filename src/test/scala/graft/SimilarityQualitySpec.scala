@@ -59,4 +59,34 @@ class SimilarityQualitySpec extends SparkSpec {
     assert(refined >= seed - 0.15, s"refined $refined vs seed $seed")
     assert(refined > 0.3, s"refined recall $refined")
   }
+
+  test("pqEncode: codes are m ints in centroid range; error is nonnegative") {
+    Similarity.pqEncode(embeddings).collect().foreach { r =>
+      val codes = r.getString(1).stripPrefix("[").stripSuffix("]")
+        .split(",").filter(_.nonEmpty).map(_.trim.toInt)
+      assert(codes.length == 8, r.toString)
+      assert(codes.forall(c => c >= 0 && c < 16), r.toString)
+      assert(r.getLong(2) >= 0L, r.toString)
+    }
+  }
+
+  test("pqEncode reconstructs a <=nCentroids-pattern corpus exactly (err 0)") {
+    import spark.implicits._
+    // 16 distinct patterns as seeds; vectors 16..19 duplicate patterns —
+    // every cluster is internally identical, so the Lloyd centroid IS the
+    // pattern and reconstruction error is exactly zero everywhere, and
+    // duplicates encode to the same codes as their originals.
+    def pattern(p: Int): Array[Float] =
+      Array.tabulate(64)(j => (math.sin(p * 64 + j) * 10).toFloat)
+    val vecs = (0 until 16).map(p => (p.toLong, pattern(p))) ++
+      (16 until 20).map(i => (i.toLong, pattern(i % 4)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val rows = Similarity.pqEncode(df).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(rows.values.forall(_._2 == 0L), rows.toString)
+    (16 until 20).foreach { i =>
+      assert(rows(i.toLong)._1 == rows((i % 4).toLong)._1,
+        s"duplicate $i codes differ from original ${i % 4}")
+    }
+  }
 }

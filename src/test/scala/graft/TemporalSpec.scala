@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+
+/** As-of join semantics: each target event attributes to the latest
+  * source event preceding it in (ts, event_id) order, per key; targets
+  * with no prior source carry NULLs; unrelated event types are ignored.
+  */
+class TemporalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ev(id: Long, user: Long, t: String, typ: String) =
+    (id, user, t, typ)
+
+  private lazy val events = Seq(
+    // user 1: interleaved clicks and purchases
+    ev(1, 1, "2024-01-01 10:00:00", "click"),
+    ev(4, 1, "2024-01-01 10:02:00", "purchase"),
+    ev(2, 1, "2024-01-01 10:05:00", "click"),
+    ev(9, 1, "2024-01-01 10:06:00", "view"), // ignored type
+    ev(3, 1, "2024-01-01 10:07:00", "purchase"),
+    // user 2: purchase with no prior click
+    ev(7, 2, "2024-01-01 09:00:00", "purchase"),
+    ev(8, 2, "2024-01-01 09:30:00", "click"),
+    // user 3: click and purchase at the SAME timestamp — the smaller
+    // event_id (the click) precedes in (ts, event_id) order
+    ev(5, 3, "2024-01-01 11:00:00", "click"),
+    ev(6, 3, "2024-01-01 11:00:00", "purchase"))
+    .toDF("event_id", "user_id", "t", "event_type")
+    .select(col("event_id"), col("user_id"),
+      to_timestamp(col("t")).as("ts"), col("event_type"))
+
+  test("purchases attribute to the latest prior click per user") {
+    val rows = Temporal.asofAttribution(events).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // purchase 4 (10:02) ← click 1 (10:00), gap 120 s
+    assert(rows(4L).getLong(3) == 1L, rows(4L).toString)
+    assert(rows(4L).getLong(5) == 120L * 1000000L, rows(4L).toString)
+    // purchase 3 (10:07) ← click 2 (10:05), NOT the older click 1
+    assert(rows(3L).getLong(3) == 2L, rows(3L).toString)
+    assert(rows(3L).getLong(5) == 120L * 1000000L, rows(3L).toString)
+  }
+
+  test("no prior source -> NULL attribution; later clicks don't leak back") {
+    val rows = Temporal.asofAttribution(events).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(7L).isNullAt(3) && rows(7L).isNullAt(4) && rows(7L).isNullAt(5),
+      rows(7L).toString)
+  }
+
+  test("same-timestamp tie: smaller event_id precedes deterministically") {
+    val rows = Temporal.asofAttribution(events).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(6L).getLong(3) == 5L, rows(6L).toString)
+    assert(rows(6L).getLong(5) == 0L, rows(6L).toString)
+  }
+
+  test("only target rows are emitted; sources and other types are not") {
+    val ids = Temporal.asofAttribution(events).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(3L, 4L, 6L, 7L), ids.toString)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** BM25 and unigram-surprisal scoring semantics on a corpus small enough
+  * to recompute by hand: discriminative terms must outrank ubiquitous
+  * ones, and the micro-bits fixed-point arithmetic must match an exact
+  * independent recomputation.
+  */
+class TextScoringSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // "common" appears in every doc; each doc also has its own rare terms
+  private lazy val corpus = Seq(
+    (1L, "common alpha alpha beta"),
+    (2L, "common gamma delta delta"),
+    (3L, "common epsilon zeta zeta"),
+    (4L, "common common common eta")).toDF("doc_id", "text")
+
+  test("bm25: a doc-specific term outranks the everywhere term") {
+    val rows = TextAnalysis.bm25TopK(corpus).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    // doc 1's top term must be one of its own rare terms, never "common"
+    // (df = N makes idf = ln(1 + 0.5/(N+0.5)) ≈ 0 — BM25's floor)
+    assert(byDoc(1L).minBy(_.getInt(1)).getString(2) != "common")
+    // within each doc, scores are non-increasing in rank
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+    // idf >= 0 always (the RSJ +1 form): no negative scores even at df=N
+    assert(rows.forall(_.getDouble(3) >= 0.0))
+  }
+
+  test("unigram surprisal: rare-token docs cost more bits per token") {
+    val rows = TextAnalysis.unigramSurprisal(corpus).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 4 is mostly the corpus's most frequent token — cheapest
+    val bpt = rows.view.mapValues(_.getLong(3)).toMap
+    assert(bpt(4L) == bpt.values.min, bpt.toString)
+    assert(bpt(1L) > bpt(4L), bpt.toString)
+  }
+
+  test("unigram surprisal micro-bits match an exact recomputation") {
+    val texts = Map(
+      1L -> "common alpha alpha beta", 2L -> "common gamma delta delta",
+      3L -> "common epsilon zeta zeta", 4L -> "common common common eta")
+    val toks = texts.view.mapValues(_.split(" ").toSeq).toMap
+    val counts = toks.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val total = toks.values.map(_.size).sum.toDouble
+    def micro(w: String): Long =
+      math.round(math.log(total / counts(w)) / math.log(2.0) * 1e6)
+    val rows = TextAnalysis.unigramSurprisal(corpus).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    toks.foreach { case (d, ws) =>
+      assert(rows(d).getLong(1) == ws.size)
+      assert(rows(d).getLong(2) == ws.map(micro).sum,
+        s"doc $d: ${rows(d).getLong(2)} vs ${ws.map(micro).sum}")
+    }
+  }
+}
