@@ -333,16 +333,22 @@ object Dedup {
     * suffix-array build (arbitrary-length longest repeats) trades this
     * bounded shuffle for a global sort; fixed-`l` grams are the
     * standard large-scale approximation. */
-  def duplicateSpans(documents: DataFrame, l: Int = 8): DataFrame = {
+  def duplicateSpans(documents: DataFrame, l: Int = 8,
+      materialize: Boolean = true): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val base = documents.select(col("doc_id"),
       regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("ts"))
-    val grams = base.where(size(col("ts")) >= l)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), size(col("ts")) - (l - 1)),
-          i => concat_ws(" ",
-            (0 until l).map(d => element_at(col("ts"), i + d)): _*))))
-      .select(col("doc_id"), (col("pos") + 1).as("i"), sha32(col("col")).as("h"))
+    // snapshot the hashed gram table ONCE: both the duplicate-hash set
+    // and the position join read it, and without a stage boundary the
+    // tokenize→explode→sha pipeline runs twice (the lshComponents lesson)
+    val grams = Stage.snap(
+      base.where(size(col("ts")) >= l)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), size(col("ts")) - (l - 1)),
+            i => concat_ws(" ",
+              (0 until l).map(d => element_at(col("ts"), i + d)): _*))))
+        .select(col("doc_id"), (col("pos") + 1).as("i"), sha32(col("col")).as("h")),
+      materialize)
     val dupH = grams.select("h", "doc_id").distinct()
       .groupBy("h").agg(count(lit(1)).as("nd"))
       .where(col("nd") >= 2).select("h")
