@@ -364,6 +364,10 @@ object SparkEntry {
     // product-quantization encode: 8×8-dim codebooks, 1 Lloyd round
     "sim_pq" -> ((s, dir) => Similarity.pqEncode(Catalog.embeddings(s, dir))),
 
+    // PQ ADC search: per-query LUT against the codebook, candidates
+    // ranked by integer sums of their codes' table entries
+    "sim_pq_topk" -> ((s, dir) => Similarity.pqTopK(Catalog.embeddings(s, dir))),
+
     // ================= text analysis =================
 
     "ta_langid" -> ((s, dir) => TextAnalysis.langId(Catalog.documents(s, dir))),
@@ -584,6 +588,52 @@ object SparkEntry {
   /** sha32: first 8 hex chars of sha256 as integer (mirror of Functions.sha32). */
   private def sha32Sql(x: String): String =
     s"CAST(CAST(concat('0x', substr(sha256($x), 1, 8)) AS UBIGINT) AS BIGINT)"
+
+  /** Nano-scaled squared L2 between two lists (mirror of
+    * Similarity.nanoL2; list_sum folds left-to-right like Spark's
+    * aggregate(), so the double arithmetic is order-identical). */
+  private def nanoL2Sql(a: String, b: String): String =
+    s"""CAST(round(list_sum(list_transform(list_zip($a, $b), p ->
+       |      (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+       |      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) * 1e9, 0)
+       |      AS BIGINT)""".stripMargin
+
+  /** Shared PQ training/assignment CTE chain (mirror of
+    * Similarity.pqBlocks/pqCodebook/pqAssign): blocks → seed centroids →
+    * seed assignment → one Lloyd round → final assignment `a1`
+    * (vec_id, blk, cell, nano). Used by sim_pq and sim_pq_topk. */
+  private val PqCtes: String =
+    s"""WITH blocks AS (
+       |  SELECT vec_id, b AS blk, embedding[b*8+1 : b*8+8] AS sub
+       |  FROM embeddings, UNNEST(generate_series(0, 7)) t(b)
+       |), cents0 AS (
+       |  SELECT blk, vec_id AS cid, sub AS ce FROM blocks WHERE vec_id < 16
+       |), d0 AS (
+       |  SELECT bl.vec_id, bl.blk, bl.sub, c.cid,
+       |    ${nanoL2Sql("bl.sub", "c.ce")} AS nano
+       |  FROM blocks bl JOIN cents0 c USING (blk)
+       |), a0 AS (
+       |  SELECT vec_id, blk, sub, cid AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, blk
+       |      ORDER BY nano, cid) AS rn FROM d0)
+       |  WHERE rn = 1
+       |), cmean AS (
+       |  SELECT blk, cell, j, round(avg(CAST(sub[j] AS DOUBLE)), 9) AS mv
+       |  FROM a0, UNNEST(generate_series(1, 8)) t(j)
+       |  GROUP BY blk, cell, j
+       |), cents1 AS (
+       |  SELECT blk, cell AS cid, list(mv ORDER BY j) AS ce
+       |  FROM cmean GROUP BY blk, cell
+       |), d1 AS (
+       |  SELECT bl.vec_id, bl.blk, c.cid,
+       |    ${nanoL2Sql("bl.sub", "c.ce")} AS nano
+       |  FROM blocks bl JOIN cents1 c USING (blk)
+       |), a1 AS (
+       |  SELECT vec_id, blk, cid AS cell, nano FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, blk
+       |      ORDER BY nano, cid) AS rn FROM d1)
+       |  WHERE rn = 1
+       |)""".stripMargin
   private val cosSql =
     // double-precision sequential dot/norms — mirror of Functions.cosine
     (a: String, b: String) =>
@@ -1515,49 +1565,35 @@ object SparkEntry {
     // PQ mirror: nano-scaled integer L2 makes argmin ties and error sums
     // exact on both engines; the Lloyd mean rounds to 9 dp (ivf_kmeans
     // contract). list_sum folds left-to-right like Spark's aggregate().
-    "sim_pq" ->
-      """WITH blocks AS (
-        |  SELECT vec_id, b AS blk, embedding[b*8+1 : b*8+8] AS sub
-        |  FROM embeddings, UNNEST(generate_series(0, 7)) t(b)
-        |), cents0 AS (
-        |  SELECT blk, vec_id AS cid, sub AS ce FROM blocks WHERE vec_id < 16
-        |), d0 AS (
-        |  SELECT bl.vec_id, bl.blk, bl.sub, c.cid,
-        |    CAST(round(list_sum(list_transform(list_zip(bl.sub, c.ce), p ->
-        |      (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
-        |      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) * 1e9, 0)
-        |      AS BIGINT) AS nano
-        |  FROM blocks bl JOIN cents0 c USING (blk)
-        |), a0 AS (
-        |  SELECT vec_id, blk, sub, cid AS cell FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, blk
-        |      ORDER BY nano, cid) AS rn FROM d0)
-        |  WHERE rn = 1
-        |), cmean AS (
-        |  SELECT blk, cell, j, round(avg(CAST(sub[j] AS DOUBLE)), 9) AS mv
-        |  FROM a0, UNNEST(generate_series(1, 8)) t(j)
-        |  GROUP BY blk, cell, j
-        |), cents1 AS (
-        |  SELECT blk, cell AS cid, list(mv ORDER BY j) AS ce
-        |  FROM cmean GROUP BY blk, cell
-        |), d1 AS (
-        |  SELECT bl.vec_id, bl.blk, c.cid,
-        |    CAST(round(list_sum(list_transform(list_zip(bl.sub, c.ce), p ->
-        |      (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
-        |      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) * 1e9, 0)
-        |      AS BIGINT) AS nano
-        |  FROM blocks bl JOIN cents1 c USING (blk)
-        |), a1 AS (
-        |  SELECT vec_id, blk, cid AS cell, nano FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, blk
-        |      ORDER BY nano, cid) AS rn FROM d1)
-        |  WHERE rn = 1
-        |)
+    "sim_pq" -> (PqCtes +
+      """
         |SELECT vec_id,
         |  CAST(to_json(list(cell ORDER BY blk)) AS VARCHAR) AS codes,
         |  CAST(SUM(nano) AS BIGINT) AS err_nano
         |FROM a1 GROUP BY vec_id
-        |ORDER BY vec_id""".stripMargin,
+        |ORDER BY vec_id""".stripMargin),
+
+    // ADC search mirror: per-query LUT vs the codebook, candidate
+    // distance = integer sum of its codes' LUT entries
+    "sim_pq_topk" -> (PqCtes +
+      s""", lutq AS (
+         |  SELECT bl.vec_id AS qid, bl.blk, c.cid,
+         |    ${nanoL2Sql("bl.sub", "c.ce")} AS dq
+         |  FROM blocks bl JOIN cents1 c USING (blk)
+         |  WHERE bl.vec_id < 8
+         |), scored AS (
+         |  SELECT l.qid, co.vec_id AS cid, CAST(SUM(l.dq) AS BIGINT) AS adist_nano
+         |  FROM a1 co JOIN lutq l ON co.blk = l.blk AND co.cell = l.cid
+         |  GROUP BY l.qid, co.vec_id
+         |), ranked AS (
+         |  SELECT qid, cid, adist_nano,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY adist_nano, cid) AS rn
+         |  FROM scored WHERE qid <> cid
+         |)
+         |SELECT qid, cid, adist_nano, CAST(rn AS INTEGER) AS rn
+         |FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin),
 
     "ta_langid" ->
       """SELECT doc_id, lang,

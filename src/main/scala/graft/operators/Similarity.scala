@@ -206,32 +206,50 @@ object Similarity {
     * narrow (blk, cell, j) combinable aggregation; the final code
     * assembly is one groupBy(vec_id) over m-row groups. */
   def pqEncode(embeddings: DataFrame, m: Int = 8, subDim: Int = 8,
-      nCentroids: Int = 16): DataFrame = {
-    val blocks = embeddings.select(col("vec_id"),
+      nCentroids: Int = 16): DataFrame =
+    pqAssign(embeddings, m, subDim, nCentroids)
+      .groupBy("vec_id")
+      .agg(
+        to_json(transform(
+          array_sort(collect_list(struct(col("blk").as("b"), col("cell").as("c")))),
+          s => s.getField("c"))).as("codes"),
+        sum("nano").as("err_nano"))
+      .orderBy("vec_id")
+
+  /** Sub-block view of the embedding column: (vec_id, blk, sub). */
+  private def pqBlocks(embeddings: DataFrame, m: Int, subDim: Int): DataFrame =
+    embeddings.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(m - 1)),
         b => slice(col("embedding"), b * subDim + 1, lit(subDim)))))
       .select(col("vec_id"), col("pos").as("blk"), col("col").as("sub"))
-    // nano-scaled squared L2 — the integer ranking/error primitive
-    def nanoL2(a: Column, b: Column): Column =
-      round(aggregate(zip_with(a, b, (x, c) =>
-        (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
-        lit(0.0), (acc, x) => acc + x) * 1e9, 0).cast("bigint")
-    def assign(cents: DataFrame): DataFrame = {
-      val scored = blocks.join(broadcast(cents), Seq("blk"))
-        .select(col("vec_id"), col("blk"), col("sub"), col("cid"),
-          nanoL2(col("sub"), col("ce")).as("nano"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id", "blk").orderBy(col("nano"), col("cid"))
-      scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("vec_id"), col("blk"), col("sub"),
-          col("cid").as("cell"), col("nano"))
-    }
+
+  /** Nano-scaled squared L2 — the integer ranking/error primitive shared
+    * by PQ training, encode and ADC search. */
+  private def nanoL2(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, c) =>
+      (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
+      lit(0.0), (acc, x) => acc + x) * 1e9, 0).cast("bigint")
+
+  /** Per-(vector, block) nearest centroid against a broadcast codebook
+    * (blk, cid, ce): returns (vec_id, blk, sub, cell, nano). */
+  private def pqNearest(blocks: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = blocks.join(broadcast(cents), Seq("blk"))
+      .select(col("vec_id"), col("blk"), col("sub"), col("cid"),
+        nanoL2(col("sub"), col("ce")).as("nano"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "blk").orderBy(col("nano"), col("cid"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_id"), col("blk"), col("sub"),
+        col("cid").as("cell"), col("nano"))
+  }
+
+  /** Trained per-block codebook (blk, cid, ce): first-`nCentroids` seeds
+    * + one Lloyd round. Means round to 9 dp (absorbs partial-agg
+    * summation order — the ivfKmeansTopK contract). */
+  private def pqCodebook(blocks: DataFrame, nCentroids: Int): DataFrame = {
     val cents0 = blocks.where(col("vec_id") < nCentroids)
       .select(col("blk"), col("vec_id").as("cid"), col("sub").as("ce"))
-    // one Lloyd round per block: per-dimension mean of the seed
-    // assignment, rounded to 9 dp (absorbs partial-agg summation order —
-    // the ivfKmeansTopK contract)
-    val cents1 = assign(cents0)
+    pqNearest(blocks, cents0)
       .select(col("blk"), col("cell"), posexplode(col("sub")))
       .groupBy(col("blk"), col("cell"), col("pos"))
       .agg(round(avg(col("col").cast("double")), 9).as("mv"))
@@ -240,14 +258,54 @@ object Similarity {
         array_sort(collect_list(struct(col("pos").as("p"), col("mv").as("mv")))),
         s => s.getField("mv")).as("ce"))
       .select(col("blk"), col("cell").as("cid"), col("ce"))
-    assign(cents1)
-      .groupBy("vec_id")
-      .agg(
-        to_json(transform(
-          array_sort(collect_list(struct(col("blk").as("b"), col("cell").as("c")))),
-          s => s.getField("c"))).as("codes"),
-        sum("nano").as("err_nano"))
-      .orderBy("vec_id")
+  }
+
+  /** Final PQ assignment (vec_id, blk, sub, cell, nano) against the
+    * trained codebook. */
+  private def pqAssign(embeddings: DataFrame, m: Int, subDim: Int,
+      nCentroids: Int): DataFrame = {
+    val blocks = pqBlocks(embeddings, m, subDim)
+    pqNearest(blocks, pqCodebook(blocks, nCentroids))
+  }
+
+  /** PQ ADC (asymmetric distance computation) top-k — the SEARCH path
+    * over [[pqEncode]]'s codes, and the reason PQ exists: each query
+    * builds a (blk, cid) → distance lookup table against the codebook
+    * (m × nCentroids entries), and every candidate's approximate
+    * distance is the SUM of m table entries selected by its codes — the
+    * raw candidate vectors are never touched at query time. Distances
+    * stay nano-scaled BIGINTs end to end, so ranking ties and the
+    * per-candidate sums are exact on both engines.
+    *
+    * Scale posture: the LUT is nQueries × m × nCentroids rows — tiny,
+    * broadcast; candidates contribute only their (vec_id, blk, cell)
+    * code rows to ONE combinable sum keyed on (qid, cid); only
+    * (qid, cid, adist) rows reach the ranking window. At 100 TB the
+    * codes table is the 8-bytes-per-vector index a real IVF-PQ system
+    * scans. */
+  def pqTopK(embeddings: DataFrame, m: Int = 8, subDim: Int = 8,
+      nCentroids: Int = 16, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val blocks = pqBlocks(embeddings, m, subDim)
+    val cents = pqCodebook(blocks, nCentroids)
+    val codes = pqNearest(blocks, cents)
+      .select(col("vec_id").as("cid2"), col("blk"), col("cell"))
+    val lut = blocks.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("blk"), col("sub"))
+      .join(broadcast(cents), Seq("blk"))
+      .select(col("qid"), col("blk"), col("cid"),
+        nanoL2(col("sub"), col("ce")).as("dq"))
+    val scored = codes
+      .join(broadcast(lut),
+        codes("blk") === lut("blk") && codes("cell") === lut("cid"))
+      .groupBy(col("qid"), col("cid2").as("cid"))
+      .agg(sum("dq").as("adist_nano"))
+      .where(col("qid") =!= col("cid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adist_nano"), col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("qid", "cid", "adist_nano", "rn")
+      .orderBy("qid", "rn")
   }
 
   /** IVF top-k: rank only candidates sharing one of the query's probed

@@ -146,6 +146,13 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sim_pq_topk: LUT and codebook broadcast — candidates only shuffle code rows") {
+    val p = planOf("sim_pq_topk")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins (codebook x2 + LUT), got $broadcasts\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dd_spans: raw gram text never crosses a shuffle — hashes and positions only") {
     val p = planOf("dd_spans")
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")

@@ -60,6 +60,26 @@ class SimilarityQualitySpec extends SparkSpec {
     assert(refined > 0.3, s"refined recall $refined")
   }
 
+  test("pqTopK: ADC recall against exact L2 is far above chance") {
+    import org.apache.spark.sql.functions._
+    val q = embeddings.where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = embeddings.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val d2 = aggregate(zip_with(col("qe"), col("ce"), (x, y) =>
+      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (a, x) => a + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("d"), col("cid"))
+    val exact = q.crossJoin(c).where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), d2.as("d"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+    val r = recall(resultSet(Similarity.pqTopK(embeddings)), resultSet(exact))
+    // 8 codes over 16-centroid blocks on a near-random corpus: measured
+    // ≈0.25 recall@5 vs the ≈0.01 random baseline — assert the margin,
+    // not the point estimate
+    assert(r > 0.15, s"ADC recall $r")
+  }
+
   test("pqEncode: codes are m ints in centroid range; error is nonnegative") {
     Similarity.pqEncode(embeddings).collect().foreach { r =>
       val codes = r.getString(1).stripPrefix("[").stripSuffix("]")
