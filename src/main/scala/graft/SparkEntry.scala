@@ -390,6 +390,16 @@ object SparkEntry {
 
     "ta_mix" -> ((s, dir) => TextAnalysis.mixPlan(Catalog.documents(s, dir))),
 
+    // per-language token-count quantiles (exact; approx form is the
+    // 100 TB path, spec-bounded against this)
+    "ta_quantiles" -> ((s, dir) =>
+      TextAnalysis.tokenQuantiles(Catalog.documents(s, dir))),
+
+    // stratified sampling: deterministic per-language fractions
+    "ta_stratified" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(Catalog.documents(s, dir),
+        Map("en" -> 0.25, "es" -> 0.5, "de" -> 0.75))),
+
     "ta_vocab" -> ((s, dir) => TextAnalysis.vocabTopK(Catalog.documents(s, dir))),
 
     // CAPSTONE — the corpus-release pipeline composed end to end from the
@@ -455,6 +465,11 @@ object SparkEntry {
     // click — union-and-window (ONE user_id shuffle), not an inequality
     // join. Epoch-micros BIGINT output.
     "j7_asof" -> ((s, dir) => Temporal.asofAttribution(Catalog.events(s, dir))),
+
+    // J8 interval join: ALL clicks within 30 min before each purchase —
+    // equi-join on user_id + residual range predicate (batch form of the
+    // streaming attributionJoin)
+    "j8_interval" -> ((s, dir) => Temporal.intervalJoin(Catalog.events(s, dir))),
 
     // OLAP grouping sets: revenue subtotals at (flag, status), (flag), ()
     // — Spark ROLLUP ≡ DuckDB ROLLUP, null-marked subtotal rows. sum_qty
@@ -1886,6 +1901,29 @@ object SparkEntry {
         |FROM micro GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
+    "ta_quantiles" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  round(quantile_cont(t, 0.5), 4) AS p50,
+        |  round(quantile_cont(t, 0.9), 4) AS p90,
+        |  round(quantile_cont(t, 0.99), 4) AS p99,
+        |  CAST(MAX(t) AS BIGINT) AS p100
+        |FROM (SELECT lang, len(regexp_extract_all(text, '\S+')) AS t
+        |      FROM documents)
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "ta_stratified" ->
+      s"""SELECT doc_id, lang,
+         |  (${sha32Sql("'strat:' || CAST(doc_id AS VARCHAR)")} % 1000000) / 1000000.0 AS u,
+         |  CAST(CASE lang WHEN 'en' THEN 0.25 WHEN 'es' THEN 0.5
+         |       WHEN 'de' THEN 0.75 ELSE 1.0 END AS DOUBLE) AS rate,
+         |  CAST((${sha32Sql("'strat:' || CAST(doc_id AS VARCHAR)")} % 1000000) / 1000000.0
+         |    < CAST(CASE lang WHEN 'en' THEN 0.25 WHEN 'es' THEN 0.5
+         |           WHEN 'de' THEN 0.75 ELSE 1.0 END AS DOUBLE)
+         |    AS INTEGER) AS sampled
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+
     "dd_decontaminate" ->
       s"""WITH toks AS (
          |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts FROM documents
@@ -2081,6 +2119,19 @@ object SparkEntry {
         |  ts_us - src_ts_us AS gap_us
         |FROM marked WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+
+    "j8_interval" ->
+      """WITH p AS (
+        |  SELECT event_id AS target_id, user_id, epoch_us(ts) AS t_us
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT event_id AS src_id, user_id, epoch_us(ts) AS s_us
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT user_id, target_id, t_us, src_id, s_us, t_us - s_us AS gap_us
+        |FROM p JOIN c USING (user_id)
+        |WHERE s_us <= t_us AND s_us >= t_us - 1800000000
+        |ORDER BY target_id, src_id""".stripMargin,
 
     "st_dedup" ->
       """WITH replayed AS (

@@ -47,4 +47,31 @@ object Temporal {
         (col("ts_us") - col("src_ts_us")).as("gap_us"))
       .orderBy("event_id")
   }
+
+  /** Interval join (batch form of the streaming
+    * [[graft.streaming.EventStream.attributionJoin]]): every (target,
+    * source) pair of the same user with source inside
+    * [target_ts − horizon, target_ts] — the all-qualifying-touchpoints
+    * attribution, where [[asofAttribution]] keeps only the latest one.
+    *
+    * Scale posture: an EQUI-join on user_id with the interval as a
+    * residual predicate — sort-merge/shuffled-hash on the key, never a
+    * cartesian; per-key fan-out is bounded by horizon × event density,
+    * the quantity the horizon knob controls. Epoch-micros BIGINT
+    * output. */
+  def intervalJoin(events: DataFrame, target: String = "purchase",
+      source: String = "click", horizonMinutes: Int = 30): DataFrame = {
+    val p = events.where(col("event_type") === target)
+      .select(col("event_id").as("target_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"))
+    val c = events.where(col("event_type") === source)
+      .select(col("event_id").as("src_id"), col("user_id"),
+        unix_micros(col("ts")).as("s_us"))
+    p.join(c, Seq("user_id"))
+      .where(col("s_us") <= col("t_us") &&
+        col("s_us") >= col("t_us") - lit(horizonMinutes * 60000000L))
+      .select(col("target_id"), col("user_id"), col("t_us"),
+        col("src_id"), col("s_us"), (col("t_us") - col("s_us")).as("gap_us"))
+      .orderBy("target_id", "src_id")
+  }
 }

@@ -146,6 +146,60 @@ object TextAnalysis {
         round(avg(col("q")), 4).as("mean_quality"))
       .orderBy("lang")
 
+  /** Per-language token-count quantiles — the distribution row of a
+    * dataset card (median/tail lengths drive chunking and packing
+    * choices). EXACT interpolated percentiles (Spark `percentile` ≡
+    * DuckDB `quantile_cont`: index (n−1)·p, linear interpolation),
+    * rounded to 4 dp before output.
+    *
+    * Scale posture: exact percentile buffers each group's values — fine
+    * for a per-language card (values are one int per doc), wrong for
+    * high-cardinality keys at 100 TB; [[tokenQuantilesApprox]] is the
+    * scale path (t-digest sketch, map-side combinable, bounded memory)
+    * and its error is spec-bounded against this exact form. */
+  def tokenQuantiles(documents: DataFrame): DataFrame =
+    documents.select(col("lang"), nTokensCol.as("t"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(t, 0.5)"), 4).as("p50"),
+        round(expr("percentile(t, 0.9)"), 4).as("p90"),
+        round(expr("percentile(t, 0.99)"), 4).as("p99"),
+        max("t").cast("bigint").as("p100"))
+      .orderBy("lang")
+
+  /** Sketch-based quantiles (the 100 TB path): `approx_percentile`
+    * (t-digest) with `accuracy` — combinable partial aggregation,
+    * bounded state per group, no per-group value buffering. Not
+    * oracle-gated (sketches are engine-specific); spec-bounded against
+    * [[tokenQuantiles]]. */
+  def tokenQuantilesApprox(documents: DataFrame, accuracy: Int = 10000): DataFrame =
+    documents.select(col("lang"), nTokensCol.as("t"))
+      .groupBy("lang")
+      .agg(
+        expr(s"approx_percentile(t, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile(t, 0.9, $accuracy)").as("p90"),
+        expr(s"approx_percentile(t, 0.99, $accuracy)").as("p99"))
+      .orderBy("lang")
+
+  /** Stratified sampling with per-language fractions — the mixture-
+    * rebalancing action form of [[mixPlan]] (`sampleBy` with a
+    * DETERMINISTIC hash draw instead of RNG state): each doc draws a
+    * stable uniform from its id and survives iff u < rate(lang).
+    * Reproducible across runs, machines and engines; map-only. */
+  def stratifiedSample(documents: DataFrame, rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame = {
+    val u = pmod(sha32(concat(lit("strat:"), col("doc_id"))), lit(1000000L)) /
+      lit(1000000.0)
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    documents.select(
+      col("doc_id"), col("lang"), u.as("u"), rate.as("rate"),
+      (u < rate).cast("int").as("sampled"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-release pipeline — the capstone composition a training-data
     * release actually runs: quality filter → exact dedup → near dedup →
     * deterministic [[split]] → data-card counts, from the operators above

@@ -144,6 +144,36 @@ object EventStream {
   def dedupBatch(replayed: DataFrame): DataFrame =
     replayed.dropDuplicates("event_id")
 
+  /** Stream-stream INTERVAL JOIN — streaming attribution over two live
+    * feeds: each purchase pairs with the same user's clicks inside
+    * [purchase_ts − horizon, purchase_ts]. Spark buffers both sides in
+    * watermark-bounded state, and the interval condition is what lets it
+    * EVICT: click state older than (watermark − horizon) can never match
+    * a future purchase and is dropped — bounded state on infinite feeds.
+    * The batch as-of form (latest single prior click) is
+    * [[graft.operators.Temporal.asofAttribution]]; the interval join is
+    * the streaming-native shape (all qualifying clicks, no per-key
+    * ordering state). Driven by StreamingSemanticsSpec.
+    *
+    * Scale posture: state keyed on user_id, bounded by watermark +
+    * horizon; the join shuffles both feeds once on the key. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "30 minutes",
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    p.join(c,
+      col("c_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** T2 debounce with the reference's ACTUAL flush semantics
     * (`includes/class-lifecycle.php:107-152`: variation burst → ONE parent
     * refresh after a 30 s quiet period): `flatMapGroupsWithState` with an

@@ -146,6 +146,12 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("j8_interval: equi-join on the key with residual range — never a cartesian") {
+    val p = planOf("j8_interval")
+    assert(p.contains("user_id"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("sim_pq_topk: LUT and codebook broadcast — candidates only shuffle code rows") {
     val p = planOf("sim_pq_topk")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size

@@ -168,4 +168,32 @@ class StreamingSemanticsSpec extends SparkSpec {
       s"trailing burst must flush separately: $all")
     assert(!all.flatten.contains((7L, 4L)), s"bursts merged: $all")
   }
+
+  test("stream-stream interval join pairs purchases with in-horizon clicks only") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Long)]
+    val purchases = MemoryStream[(Long, Long, Long)]
+    def asEvents(m: MemoryStream[(Long, Long, Long)]) = m.toDF()
+      .select(col("_1").as("event_id"), col("_2").as("user_id"),
+        timestamp_seconds(col("_3")).as("ts"))
+    val joined = EventStream.attributionJoin(
+      asEvents(clicks), asEvents(purchases), horizon = "5 minutes")
+
+    val phases = runPhases(joined)(
+      // user 1 purchase at t=1000: click 1 (t=700, inside the 300 s
+      // horizon) matches; click 2 (t=500, 500 s before) and click 3
+      // (other user) must not
+      () => {
+        clicks.addData((1L, 1L, 700L), (2L, 1L, 500L), (3L, 2L, 900L))
+        purchases.addData((10L, 1L, 1000L))
+      },
+      // a click arriving in a LATER batch with ts == purchase ts still
+      // joins against the buffered purchase state (<= bound)
+      () => clicks.addData((4L, 1L, 1000L)))
+
+    def pairs(rows: Seq[Row]) = rows.map(r => (r.getLong(0), r.getLong(3)))
+    val all = phases.map(pairs)
+    assert(all(0).toSet == Set((10L, 1L)), s"phase 1: $all")
+    assert(all(1).toSet == Set((10L, 4L)), s"phase 2 (buffered state): $all")
+  }
 }

@@ -42,6 +42,48 @@ class TextScoringSpec extends SparkSpec {
     assert(bpt(1L) > bpt(4L), bpt.toString)
   }
 
+  test("approx quantiles (the 100 TB path) track the exact percentiles") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exact = TextAnalysis.tokenQuantiles(docs).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val approx = TextAnalysis.tokenQuantilesApprox(docs).collect()
+      .map(r => r.getString(0) -> (r.getInt(1).toDouble, r.getInt(2).toDouble)).toMap
+    exact.foreach { case (lang, (p50, p90)) =>
+      // t-digest returns an actual data value; allow the adjacent-value
+      // gap plus interpolation slack
+      assert(math.abs(approx(lang)._1 - p50) <= math.max(5.0, p50 * 0.1),
+        s"$lang p50: approx ${approx(lang)._1} vs exact $p50")
+      assert(math.abs(approx(lang)._2 - p90) <= math.max(5.0, p90 * 0.1),
+        s"$lang p90: approx ${approx(lang)._2} vs exact $p90")
+    }
+  }
+
+  test("stratified sampling hits per-language fractions deterministically") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val rates = Map("en" -> 0.25, "es" -> 0.5, "de" -> 0.75)
+    val out = TextAnalysis.stratifiedSample(docs, rates).collect()
+    // decision is exactly u < rate, row by row
+    out.foreach { r =>
+      assert((r.getDouble(2) < r.getDouble(3)) == (r.getInt(4) == 1), r.toString)
+    }
+    // per-language empirical rate lands near its target (fixed hash draw
+    // — this is a determinism+sanity band, not a statistical test)
+    val byLang = out.groupBy(_.getString(1))
+    rates.foreach { case (lang, rate) =>
+      byLang.get(lang).foreach { rs =>
+        val emp = rs.count(_.getInt(4) == 1).toDouble / rs.length
+        assert(math.abs(emp - rate) < 0.15, s"$lang: empirical $emp vs $rate")
+      }
+    }
+    // unlisted languages take the default rate 1.0 — all sampled
+    byLang.filterNot { case (l, _) => rates.contains(l) }.foreach { case (_, rs) =>
+      assert(rs.forall(_.getInt(4) == 1))
+    }
+    // deterministic: a second run is identical
+    val again = TextAnalysis.stratifiedSample(docs, rates).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("unigram surprisal micro-bits match an exact recomputation") {
     val texts = Map(
       1L -> "common alpha alpha beta", 2L -> "common gamma delta delta",
