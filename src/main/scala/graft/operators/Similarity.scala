@@ -284,9 +284,14 @@ object Similarity {
     * codes table is the 8-bytes-per-vector index a real IVF-PQ system
     * scans. */
   def pqTopK(embeddings: DataFrame, m: Int = 8, subDim: Int = 8,
-      nCentroids: Int = 16, nQueries: Int = 8, k: Int = 5): DataFrame = {
+      nCentroids: Int = 16, nQueries: Int = 8, k: Int = 5,
+      materialize: Boolean = true): DataFrame = {
     val blocks = pqBlocks(embeddings, m, subDim)
-    val cents = pqCodebook(blocks, nCentroids)
+    // snapshot the trained codebook ONCE (m × nCentroids rows — tiny):
+    // both the candidate-encode pass and the query LUT read it, and
+    // without a stage boundary the whole seed-assign + Lloyd training
+    // lineage runs twice (the lshComponents lesson)
+    val cents = Stage.snap(pqCodebook(blocks, nCentroids), materialize)
     val codes = pqNearest(blocks, cents)
       .select(col("vec_id").as("cid2"), col("blk"), col("cell"))
     val lut = blocks.where(col("vec_id") < nQueries)
