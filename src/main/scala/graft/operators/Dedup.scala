@@ -202,6 +202,35 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bloom-sketch DECONTAMINATION — [[decontaminate]]'s 100 TB fallback
+    * for when the benchmark shingle set is too large to broadcast
+    * exactly (a full eval-suite union at modern scale): the benchmark
+    * side folds into a Bloom filter (built with Spark's combinable
+    * sketch aggregation — ~`−n·ln(fpp)/ln²2` bits regardless of shingle
+    * text size), the filter broadcasts, and the corpus side probes it
+    * map-only. Bloom guarantees NO false negatives, so contamination is
+    * never under-reported; overlap inflates by at most ~fpp on
+    * non-matching shingles (spec-bounded against the exact form).
+    * Same output shape as [[decontaminate]]; not oracle-gated (the
+    * sketch's bit layout is engine-specific). */
+  def decontaminateBloom(documents: DataFrame, benchmark: DataFrame,
+      threshold: Double = 0.5, fpp: Double = 0.01): DataFrame = {
+    def hashed(df: DataFrame) = shinglesRaw(df)
+      .select(col("doc_id"), sha32(col("g")).as("h")).distinct()
+    val bench = hashed(benchmark).select("h").distinct()
+    val bf = bench.stat.bloomFilter("h", math.max(1L, bench.count()), fpp)
+    val bfB = documents.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    hashed(documents)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(mightContain(col("h")), 1L).otherwise(0L)).as("n_hit"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        round(col("n_hit") / col("n_shingles"), 4).as("overlap"))
+      .withColumn("contaminated", (col("overlap") >= threshold).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup CLUSTERS from the LSH candidate pairs: `rounds` iterations
     * of min-label propagation over the (undirected) pair graph — each doc
     * adopts the smallest doc_id reachable within `rounds` hops, so LSH

@@ -45,6 +45,26 @@ class DedupQualitySpec extends SparkSpec {
     assert(overlap(1L, 3L) < 0.05, s"unrelated overlap ${overlap(1L, 3L)}")
   }
 
+  test("bloom decontamination: no false negatives, inflation bounded by fpp") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = corpus.where(col("doc_id") < 5)
+    val exact = Dedup.decontaminate(corpus, bench).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bloom = Dedup.decontaminateBloom(corpus, bench, fpp = 0.01).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bloom.keySet == exact.keySet)
+    // Bloom NEVER misses a true hit — contamination is never under-read
+    exact.foreach { case (d, (n, hits)) =>
+      assert(bloom(d)._1 == n, s"doc $d shingle count differs")
+      assert(bloom(d)._2 >= hits, s"doc $d: bloom ${bloom(d)._2} < exact $hits")
+    }
+    // ...and false positives stay near the configured rate (generous 10x
+    // slack over fpp=1% to keep the test deterministic-robust)
+    val extra = exact.map { case (d, (n, hits)) => (bloom(d)._2 - hits).toDouble }.sum
+    val nonHits = exact.map { case (_, (n, hits)) => (n - hits).toDouble }.sum
+    assert(extra / nonHits <= 0.1, s"false-positive rate ${extra / nonHits}")
+  }
+
   test("duplicateSpans: shared runs merge into maximal spans; short/unique docs zero") {
     // doc 10 and 11 share one 10-token run; doc 12 is all-unique; doc 13
     // is too short to hold an 8-gram at all
