@@ -399,6 +399,77 @@ object Multimodal {
       }
   }
 
+  /** Per-asset image signal statistics from REAL decoded pixels. */
+  case class ImageStats(doc_id: Long, format: String, width: Int,
+      height: Int, mean_r: Double, mean_g: Double, mean_b: Double,
+      luminance: Double)
+
+  /** Image feature extraction over a binary column: FULL pixel decode
+    * via JDK-builtin ImageIO (PNG/JPEG/GIF/BMP need no external codecs —
+    * only compressed audio/video streams do) → per-asset channel means
+    * and Rec.709 luminance, the "feature-extract" stage for the image
+    * modality ([[audioStats]]' photographic sibling).
+    *
+    * `maxPixels` is the decompression-bomb guard: a 100 TB job must not
+    * let one crafted 50 KB PNG allocate gigabytes — oversize assets keep
+    * their true header dimensions but skip the pixel pass, labeled
+    * `oversize-<fmt>`. Corrupt sniffed images degrade to
+    * `corrupt-<fmt>` with zeroed stats; non-image payloads pass through
+    * their [[decodeMedia]] identity with zeroed stats.
+    *
+    * Scale posture: `mapPartitions` — pixels are decoded, folded into
+    * three channel sums in-partition and dropped; only narrow stats rows
+    * shuffle or return. */
+  def imageStats(documents: DataFrame,
+      maxPixels: Long = 16L * 1024 * 1024): Dataset[ImageStats] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id").cast("long"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, raw) =>
+          val bytes = if (raw eq null) Array.emptyByteArray else raw
+          sniffImageFormat(bytes) match {
+            case Some(fmt) =>
+              def corrupt = ImageStats(id, s"corrupt-$fmt", 0, 0, 0, 0, 0, 0)
+              try {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes))
+                if (img eq null) corrupt
+                else {
+                  val w = img.getWidth; val h = img.getHeight
+                  if (w.toLong * h > maxPixels)
+                    ImageStats(id, s"oversize-$fmt", w, h, 0, 0, 0, 0)
+                  else {
+                    var r = 0.0; var g = 0.0; var b = 0.0
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) {
+                        val p = img.getRGB(x, y)
+                        r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    val n = w.toDouble * h
+                    val (mr, mg, mb) = (r / n, g / n, b / n)
+                    ImageStats(id, fmt, w, h, mr, mg, mb,
+                      0.2126 * mr + 0.7152 * mg + 0.0722 * mb)
+                  }
+                }
+              } catch {
+                case _: java.io.IOException | _: IllegalArgumentException |
+                     _: ArrayIndexOutOfBoundsException => corrupt
+              }
+            case None =>
+              ImageStats(id, decodeMedia(bytes).format, 0, 0, 0, 0, 0, 0)
+          }
+        }
+      }
+  }
+
   /** The batched per-partition decode path (the `mapInPandas` shape):
     * binary in, typed metadata out, decoder init amortized per partition.
     * Real image payloads get true ImageIO dimensions, MP4/WAV payloads

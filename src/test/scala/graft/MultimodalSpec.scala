@@ -252,6 +252,42 @@ class MultimodalSpec extends SparkSpec {
     assert(t.n_samples == 0L && t.rms == 0.0 && t.sample_rate == 0)
   }
 
+  test("imageStats computes exact channel means from true pixels; guards bombs") {
+    import spark.implicits._
+    def solid(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+    // (200, 100, 50) solid PNG — lossless, so the means are EXACT
+    val png = solid("png", 24, 16, (200 << 16) | (100 << 8) | 50)
+    val docs = Seq(
+      (1L, png),
+      (2L, png.take(16)),                      // truncated: corrupt-png
+      (3L, "plain text".getBytes("UTF-8")),    // non-image passthrough
+      (4L, null: Array[Byte]))
+      .toDF("doc_id", "text")
+    val stats = Multimodal.imageStats(docs).collect().map(s => s.doc_id -> s).toMap
+    val a = stats(1L)
+    assert((a.format, a.width, a.height) == (("png", 24, 16)), a.toString)
+    assert(a.mean_r == 200.0 && a.mean_g == 100.0 && a.mean_b == 50.0, a.toString)
+    assert(math.abs(a.luminance -
+      (0.2126 * 200 + 0.7152 * 100 + 0.0722 * 50)) < 1e-9, a.toString)
+    assert(stats(2L).format == "corrupt-png" && stats(2L).mean_r == 0.0)
+    assert(stats(3L).width == 0 && stats(3L).mean_r == 0.0)
+    assert(stats(4L).mean_r == 0.0) // null payload degrades, no NPE
+    // decompression-bomb guard: true header dims survive, pixel pass skipped
+    val bombed = Multimodal.imageStats(
+      Seq((9L, solid("png", 20, 20, 0xffffff))).toDF("doc_id", "text"),
+      maxPixels = 100).collect().head
+    assert(bombed.format == "oversize-png", bombed.toString)
+    assert((bombed.width, bombed.height) == ((20, 20)), bombed.toString)
+    assert(bombed.mean_r == 0.0 && bombed.luminance == 0.0, bombed.toString)
+  }
+
   test("decodeMedia: text payloads still take the deterministic fallback") {
     val txt = "RIFFles in a pond — not a wave container".getBytes("UTF-8")
     val m = Multimodal.decodeMedia(txt)
