@@ -48,6 +48,9 @@ import graft.sync.SyncEngine
   *       full teardown (reference uninstall.php:28-71): watermark +
   *       sync_state + stores + events removed; --purge-remote first
   *       purges the site through every enabled adapter
+  *   analyze --data DIR [--release]
+  *       corpus data-card: per-language stats, token-length quantiles,
+  *       and (with --release) the release-pipeline survivor counts
   */
 object Main {
 
@@ -451,6 +454,34 @@ object Main {
       spark.stop()
       if (results.exists(!_._2.ok)) sys.exit(1)
 
+    case Some("analyze") =>
+      // Corpus data-card over the documents table: per-language counts /
+      // token totals / quality, token-length quantiles, and the
+      // release-pipeline survivor counts — the curation surface driven
+      // from the CLI (library ops: TextAnalysis.corpusStats /
+      // tokenQuantiles / releasePipeline).
+      val dir = opt(args, "data").getOrElse("/root/testdata/sf0.001")
+      val spark = session()
+      val docs = graft.catalog.Catalog.documents(spark, dir)
+      println(s"corpus: ${docs.count()} documents")
+      println("per-language stats (docs, tokens, mean tokens, mean quality):")
+      graft.operators.TextAnalysis.corpusStats(docs).collect().foreach { r =>
+        println(f"  ${r.getString(0)}%-4s ${r.getLong(1)}%6d ${r.getLong(2)}%9d " +
+          f"${r.getDouble(3)}%10.2f ${r.getDouble(4)}%8.4f")
+      }
+      println("token-count quantiles (p50 / p90 / p99 / max):")
+      graft.operators.TextAnalysis.tokenQuantiles(docs).collect().foreach { r =>
+        println(f"  ${r.getString(0)}%-4s ${r.getDouble(2)}%8.1f ${r.getDouble(3)}%8.1f " +
+          f"${r.getDouble(4)}%8.1f ${r.getLong(5)}%6d")
+      }
+      if (flag(args, "release")) {
+        println("release pipeline (quality filter -> exact dedup -> near dedup -> split):")
+        graft.operators.TextAnalysis.releasePipeline(docs).collect().foreach { r =>
+          println(s"  ${r.getString(0)}/${r.getString(1)}: ${r.getLong(2)}")
+        }
+      }
+      spark.stop()
+
     case Some("uninstall") =>
       val work = opt(args, "work").getOrElse { System.err.println("error: --work required"); sys.exit(2); "" }
       val site = opt(args, "site").getOrElse("1").toInt
@@ -462,7 +493,7 @@ object Main {
       spark.stop()
 
     case other =>
-      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall")
+      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze")
       sys.exit(2)
   }
 }
