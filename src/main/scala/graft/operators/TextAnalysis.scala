@@ -350,13 +350,16 @@ object TextAnalysis {
     * broadcasts as one row, and only (doc_id, token, score) rows reach
     * the per-doc ranking window. The tf⋈df join is a token equi-join —
     * vocab-sized build side, AQE picks broadcast vs sort-merge by stats. */
-  def tfidfTopK(documents: DataFrame, k: Int = 3): DataFrame = {
-    val toks = documents.select(col("doc_id"),
-      explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
-        .as("token"))
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = toks.select("doc_id", "token").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
+  def tfidfTopK(documents: DataFrame, k: Int = 3,
+      materialize: Boolean = true): DataFrame = {
+    // EVERY downstream statistic derives from the ONE tf aggregation
+    // (df = rows per token ≡ distinct (doc, token) count), and the tf
+    // table snapshots at a stage boundary: its several consumers read
+    // the snapshot instead of re-scanning the corpus per statistic
+    // (gated by PlanInvariantsSpec) — the releasePipeline lesson
+    // applied to the scorer family.
+    val tf = Stage.snap(termFreq(documents), materialize)
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val nDocs = documents.select(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
@@ -385,15 +388,23 @@ object TextAnalysis {
     * is an exact BIGINT token total over a double division (no
     * order-dependent double summation); only (doc_id, token, score) rows
     * reach the ranking window. */
-  def bm25TopK(documents: DataFrame, k: Int = 3, k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
-    val toks = documents.select(col("doc_id"),
+  /** The (doc_id, token, tf) table every scorer below derives from —
+    * ONE corpus scan + one combinable shuffle; doc lengths, document
+    * frequencies and corpus totals are all exact integer derivations of
+    * it (dl = Σ tf per doc, df = rows per token, total = Σ tf), so the
+    * shared tf exchange is reused instead of re-scanning the corpus per
+    * statistic. */
+  private def termFreq(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
       explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
         .as("token"))
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val dfq = toks.select("doc_id", "token").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+
+  def bm25TopK(documents: DataFrame, k: Int = 3, k1: Double = 1.2,
+      b: Double = 0.75, materialize: Boolean = true): DataFrame = {
+    val tf = Stage.snap(termFreq(documents), materialize)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val consts = documents.select(count(lit(1)).as("n_docs"))
       .crossJoin(dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n_dl")))
     val idf = log(lit(1.0) +
@@ -430,19 +441,22 @@ object TextAnalysis {
     * Scale posture: one vocab-keyed count (map-side combinable), the
     * corpus total broadcasts as one row, and the per-doc sum rides
     * narrow (doc_id, micro) rows. */
-  def unigramSurprisal(documents: DataFrame): DataFrame = {
-    val toks = documents.select(col("doc_id"),
-      explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
-        .as("token"))
-    val cw = toks.groupBy("token").agg(count(lit(1)).as("cw"))
-    val tot = toks.agg(count(lit(1)).as("t"))
-    toks.join(cw, Seq("token"))
+  def unigramSurprisal(documents: DataFrame,
+      materialize: Boolean = true): DataFrame = {
+    // per-token micro-bits times tf replaces the per-occurrence rows:
+    // Σ_occurrences micro(w) ≡ Σ_tokens tf·micro(w) exactly (integer
+    // arithmetic), and everything derives from the one snapshotted tf
+    // aggregation
+    val tf = Stage.snap(termFreq(documents), materialize)
+    val cw = tf.groupBy("token").agg(sum("tf").as("cw"))
+    val tot = cw.agg(sum("cw").as("t"))
+    tf.join(cw, Seq("token"))
       .crossJoin(broadcast(tot))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("tf"),
         round(log(col("t").cast("double") / col("cw")) / log(lit(2.0)) * 1e6, 0)
           .cast("bigint").as("micro"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("micro").as("micro_bits"))
+      .agg(sum("tf").as("n_tokens"), sum(col("tf") * col("micro")).as("micro_bits"))
       .select(col("doc_id"), col("n_tokens"), col("micro_bits"),
         round(col("micro_bits") / col("n_tokens").cast("double"), 0)
           .cast("bigint").as("micro_bpt"))

@@ -171,6 +171,16 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("scorers: tf snapshots once — statistics never re-scan the corpus") {
+    // bm25/tfidf keep ONE parquet scan (the pruned n_docs count);
+    // unigram derives everything from the tf snapshot — zero scans
+    def scans(name: String) =
+      """\(\d+\) Scan parquet""".r.findAllIn(planOf(name)).size
+    assert(scans("ta_bm25") <= 1, s"ta_bm25: ${scans("ta_bm25")} scans")
+    assert(scans("ta_tfidf") <= 1, s"ta_tfidf: ${scans("ta_tfidf")} scans")
+    assert(scans("ta_unigram") == 0, s"ta_unigram: ${scans("ta_unigram")} scans")
+  }
+
   test("chunk generator: Generate node present (no array explode)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val p = graft.chunker.Chunker
