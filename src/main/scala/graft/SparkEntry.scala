@@ -341,6 +341,10 @@ object SparkEntry {
     // substring-level dedup: duplicated 8-gram spans per document
     "dd_spans" -> ((s, dir) => Dedup.duplicateSpans(Catalog.documents(s, dir))),
 
+    // span-cut APPLY: the cleaned text with every duplicated span removed
+    "dd_spans_apply" -> ((s, dir) =>
+      Dedup.duplicateSpansApply(Catalog.documents(s, dir))),
+
     // ================= similarity extensions =================
 
     "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(Catalog.embeddings(s, dir))),
@@ -1990,6 +1994,48 @@ object SparkEntry {
          |  COALESCE(covered_tokens, 0) AS covered_tokens,
          |  round(COALESCE(covered_tokens, 0) / CAST(len(ts) AS DOUBLE), 4) AS dup_frac
          |FROM base LEFT JOIN dupc USING (doc_id) LEFT JOIN per_doc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "dd_spans_apply" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts
+         |  FROM documents
+         |), grams AS (
+         |  SELECT doc_id, i,
+         |    ${sha32Sql("array_to_string(ts[i:i+7], ' ')")} AS h
+         |  FROM base, UNNEST(generate_series(1, len(ts) - 7)) t(i)
+         |  WHERE len(ts) >= 8
+         |), duph AS (
+         |  SELECT h FROM (SELECT DISTINCT h, doc_id FROM grams)
+         |  GROUP BY h HAVING COUNT(*) >= 2
+         |), dup AS (
+         |  SELECT doc_id, i FROM grams WHERE h IN (SELECT h FROM duph)
+         |), marked AS (
+         |  SELECT doc_id, i,
+         |    max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM dup
+         |), islands0 AS (
+         |  SELECT doc_id, i,
+         |    SUM(CASE WHEN prev_end IS NULL OR i > prev_end THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY i
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM marked
+         |), islands AS (
+         |  SELECT doc_id, island, min(i) AS s, max(i + 7) AS e
+         |  FROM islands0 GROUP BY doc_id, island
+         |), cov AS (
+         |  SELECT doc_id, flatten(list(generate_series(s, e) ORDER BY s)) AS covered
+         |  FROM islands GROUP BY doc_id
+         |)
+         |SELECT doc_id,
+         |  CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(len(covered), 0) AS BIGINT) AS n_cut_tokens,
+         |  COALESCE(array_to_string(list_transform(
+         |    list_filter(generate_series(1, len(ts)),
+         |      i -> NOT list_contains(COALESCE(covered, []), i)),
+         |    i -> ts[i]), ' '), '') AS cut_text
+         |FROM base LEFT JOIN cov USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
     "ta_scrub" ->

@@ -410,6 +410,63 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Duplicate-span APPLY — the action form of [[duplicateSpans]]: cut
+    * every duplicated token span out of each document and return the
+    * cleaned text (span-level dedup keeps the unique remainder of a
+    * document instead of dropping it whole — the Lee-et-al. policy).
+    * The FIRST occurrence is not preserved here (both sides of a
+    * duplicated gram are cut): for training-corpus boilerplate — headers,
+    * licenses, navigation — removing every copy is the standard policy.
+    *
+    * Scale posture: [[duplicateSpans]]'s shuffles plus one
+    * collect_list of (s, e) interval structs per doc (bounded by spans
+    * per doc, not tokens) and a row-local array rebuild of the kept
+    * tokens. */
+  def duplicateSpansApply(documents: DataFrame, l: Int = 8,
+      materialize: Boolean = true): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val base = documents.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("ts"))
+    val grams = Stage.snap(
+      base.where(size(col("ts")) >= l)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), size(col("ts")) - (l - 1)),
+            i => concat_ws(" ",
+              (0 until l).map(d => element_at(col("ts"), i + d)): _*))))
+        .select(col("doc_id"), (col("pos") + 1).as("i"), sha32(col("col")).as("h")),
+      materialize)
+    val dupH = grams.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select("h")
+    val dup = grams.join(dupH, Seq("h"), "left_semi").select("doc_id", "i")
+    val wPrev = w.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(w.unboundedPreceding, -1)
+    val wRun = w.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(w.unboundedPreceding, 0)
+    val spans = dup
+      .withColumn("prev_end", max(col("i") + (l - 1)).over(wPrev))
+      .withColumn("new_island",
+        (col("prev_end").isNull || col("i") > col("prev_end")).cast("int"))
+      .withColumn("island", sum("new_island").over(wRun))
+      .groupBy("doc_id", "island")
+      .agg(min("i").as("s"), max(col("i") + (l - 1)).as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    val covered = flatten(transform(col("spans"),
+      sp => sequence(sp.getField("s"), sp.getField("e"))))
+    val kept = filter(sequence(lit(1), size(col("ts"))),
+      i => !array_contains(col("covered"), i))
+    base.join(spans, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("ts"),
+        coalesce(covered, array().cast("array<int>")).as("covered"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("bigint").as("n_tokens"),
+        size(col("covered")).cast("bigint").as("n_cut_tokens"),
+        array_join(transform(kept, i => element_at(col("ts"), i)), " ")
+          .as("cut_text"))
+      .orderBy("doc_id")
+  }
+
   /** n-gram (token) Jaccard between consecutive doc ids — the
     * oracle-checkable pairwise variant (the scalable path is MinHash+LSH).
     *

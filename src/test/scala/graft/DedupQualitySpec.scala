@@ -91,6 +91,32 @@ class DedupQualitySpec extends SparkSpec {
     assert(rows(13L).getLong(2) == 0 && rows(13L).getLong(4) == 0)
   }
 
+  test("duplicateSpansApply cuts exactly the covered spans, keeps the rest") {
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val spanDocs = Seq(
+      (10L, (1 to 5).map(i => s"p$i").mkString(" ") + " " + shared + " " +
+        (1 to 5).map(i => s"s$i").mkString(" ")),
+      (11L, shared + " " + (1 to 10).map(i => s"t$i").mkString(" ")),
+      (12L, (1 to 20).map(i => s"u$i").mkString(" ")),
+      (13L, shared)) // entirely one duplicated run -> cut to empty
+    .toDF("doc_id", "text")
+    val rows = Dedup.duplicateSpansApply(spanDocs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 10: the 10 shared tokens vanish; prefix and suffix survive
+    assert(rows(10L).getString(3) == "p1 p2 p3 p4 p5 s1 s2 s3 s4 s5",
+      rows(10L).toString)
+    assert(rows(10L).getLong(2) == 10, rows(10L).toString)
+    // doc 11: run at the front cut, tail intact
+    assert(rows(11L).getString(3) == (1 to 10).map(i => s"t$i").mkString(" "),
+      rows(11L).toString)
+    // unique doc: untouched
+    assert(rows(12L).getString(3) == (1 to 20).map(i => s"u$i").mkString(" "))
+    assert(rows(12L).getLong(2) == 0)
+    // fully-duplicated doc: cut to the empty string (not NULL)
+    assert(rows(13L).getString(3) == "" && rows(13L).getLong(2) == 10,
+      rows(13L).toString)
+  }
+
   test("duplicateSpans: two disjoint shared runs stay two spans") {
     val runA = (1 to 8).map(i => s"da$i").mkString(" ")
     val runB = (1 to 8).map(i => s"db$i").mkString(" ")
