@@ -406,6 +406,14 @@ object SparkEntry {
 
     "ta_vocab" -> ((s, dir) => TextAnalysis.vocabTopK(Catalog.documents(s, dir))),
 
+    // BPE merge training: the learned merge table (deterministic argmax
+    // with lexicographic tie-break). No SQL oracle exists for the
+    // iterative argmax → driver records the weaker rows-only check;
+    // BpeSpec verifies the merge sequence against an independent
+    // sequential reference implementation.
+    "ta_bpe" -> ((s, dir) =>
+      operators.Bpe.bpeMerges(Catalog.documents(s, dir), nMerges = 20)),
+
     // CAPSTONE — the corpus-release pipeline composed end to end from the
     // operators above: quality filter → exact dedup → near-dedup →
     // deterministic split → data-card counts, with each stage's keep-id
