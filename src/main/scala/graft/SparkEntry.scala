@@ -399,6 +399,11 @@ object SparkEntry {
     "ta_quantiles" -> ((s, dir) =>
       TextAnalysis.tokenQuantiles(Catalog.documents(s, dir))),
 
+    // per-language exact vocabulary cardinality (HLL approx form is the
+    // 100 TB path, spec-bounded)
+    "ta_cardinality" -> ((s, dir) =>
+      TextAnalysis.tokenCardinality(Catalog.documents(s, dir))),
+
     // stratified sampling: deterministic per-language fractions
     "ta_stratified" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(Catalog.documents(s, dir),
@@ -482,6 +487,9 @@ object SparkEntry {
     // equi-join on user_id + residual range predicate (batch form of the
     // streaming attributionJoin)
     "j8_interval" -> ((s, dir) => Temporal.intervalJoin(Catalog.events(s, dir))),
+
+    // J9 ordered funnel: signup -> click -> purchase conversion counts
+    "j9_funnel" -> ((s, dir) => Temporal.funnel(Catalog.events(s, dir))),
 
     // OLAP grouping sets: revenue subtotals at (flag, status), (flag), ()
     // — Spark ROLLUP ≡ DuckDB ROLLUP, null-marked subtotal rows. sum_qty
@@ -1923,6 +1931,45 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    "ta_cardinality" ->
+      """SELECT lang, COUNT(*) AS n_tokens,
+        |  COUNT(DISTINCT token) AS n_distinct
+        |FROM (SELECT lang, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |      FROM documents)
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "j9_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(us) AS t FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.us) AS t FROM ev e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.us >= s1.t GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.us) AS t FROM ev e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.us >= s2.t GROUP BY e.user_id
+        |), n AS (
+        |  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+        |         (SELECT COUNT(*) FROM s2) AS n2,
+        |         (SELECT COUNT(*) FROM s3) AS n3
+        |)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'signup' AS event_type, n1 AS n_users,
+        |    CASE WHEN n1 = 0 THEN 0.0
+        |         ELSE round(n1 / CAST(n1 AS DOUBLE), 4) END AS conversion FROM n
+        |  UNION ALL
+        |  SELECT 2, 'click', n2,
+        |    CASE WHEN n1 = 0 THEN 0.0
+        |         ELSE round(n2 / CAST(n1 AS DOUBLE), 4) END FROM n
+        |  UNION ALL
+        |  SELECT 3, 'purchase', n3,
+        |    CASE WHEN n1 = 0 THEN 0.0
+        |         ELSE round(n3 / CAST(n1 AS DOUBLE), 4) END FROM n)
+        |ORDER BY step""".stripMargin,
 
     "ta_stratified" ->
       s"""SELECT doc_id, lang,

@@ -48,6 +48,46 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** Ordered event FUNNEL — the conversion analysis of an event
+    * pipeline: how many users completed signup → click → purchase IN
+    * ORDER (each step's first occurrence at or after the previous
+    * step's). Returns one row per step with the surviving-user count
+    * and the conversion rate vs step 1.
+    *
+    * Scale posture: each step is one combinable min-aggregation plus an
+    * equi-join on user_id against the previous step's (user, ts) table —
+    * never an inequality join; per-step tables shrink monotonically. */
+  def funnel(events: DataFrame,
+      steps: Seq[String] = Seq("signup", "click", "purchase"),
+      materialize: Boolean = true): DataFrame = {
+    val spark = events.sparkSession
+    val ev = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    // fold: step k's table = users whose first step-k event is >= their
+    // step-(k-1) time; each step table snapshots (it feeds both its
+    // count and the next step's join)
+    val stepTables = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val mine = ev.where(col("event_type") === step)
+        val reached = prev match {
+          case None => mine
+          case Some(p) =>
+            mine.join(p.select(col("user_id"), col("t").as("prev_t")), Seq("user_id"))
+              .where(col("us") >= col("prev_t"))
+        }
+        Some(Stage.snap(reached.groupBy("user_id").agg(min("us").as("t")),
+          materialize))
+    }.flatten
+    val counts = stepTables.map(_.count())
+    import spark.implicits._
+    steps.zip(counts).zipWithIndex.map { case ((step, n), i) =>
+      (i + 1, step, n,
+        if (counts.head == 0L) 0.0
+        else math.round(n.toDouble / counts.head * 10000).toDouble / 10000)
+    }.toDF("step", "event_type", "n_users", "conversion")
+      .orderBy("step")
+  }
+
   /** Interval join (batch form of the streaming
     * [[graft.streaming.EventStream.attributionJoin]]): every (target,
     * source) pair of the same user with source inside

@@ -182,6 +182,34 @@ object TextAnalysis {
         expr(s"approx_percentile(t, 0.99, $accuracy)").as("p99"))
       .orderBy("lang")
 
+  /** Per-language vocabulary cardinality — the lexical-diversity row of
+    * a dataset card: token total and EXACT distinct-token count.
+    *
+    * Scale posture: exact distinct is a two-phase shuffle on (lang,
+    * token) — fine for a per-language card, expensive at extreme
+    * cardinality; [[tokenCardinalityApprox]] (HyperLogLog++ sketch,
+    * combinable, bounded memory) is the 100 TB path, spec-bounded
+    * against this exact form. */
+  def tokenCardinality(documents: DataFrame): DataFrame =
+    documents.select(col("lang"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as("token"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("n_distinct"))
+      .orderBy("lang")
+
+  /** Sketch-based cardinality (the 100 TB path): `approx_count_distinct`
+    * (HLL++) with `rsd` relative error. Not oracle-gated (sketches are
+    * engine-specific); spec-bounded against [[tokenCardinality]]. */
+  def tokenCardinalityApprox(documents: DataFrame, rsd: Double = 0.02): DataFrame =
+    documents.select(col("lang"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as("token"))
+      .groupBy("lang")
+      .agg(approx_count_distinct(col("token"), rsd).as("n_distinct_approx"))
+      .orderBy("lang")
+
   /** Stratified sampling with per-language fractions — the mixture-
     * rebalancing action form of [[mixPlan]] (`sampleBy` with a
     * DETERMINISTIC hash draw instead of RNG state): each doc draws a

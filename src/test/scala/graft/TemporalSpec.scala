@@ -57,6 +57,30 @@ class TemporalSpec extends SparkSpec {
     assert(rows(6L).getLong(5) == 0L, rows(6L).toString)
   }
 
+  test("funnel: steps count only in order; out-of-order purchases drop") {
+    // user 1: signup -> click -> purchase (full conversion)
+    // user 2: signup -> purchase -> click (purchase precedes the click,
+    //          so step 3 must NOT count it; the click still counts)
+    // user 3: click + purchase but NO signup — never enters the funnel
+    val ev = Seq(
+      (11L, 1L, "2024-01-01 09:00:00", "signup"),
+      (12L, 1L, "2024-01-01 09:10:00", "click"),
+      (13L, 1L, "2024-01-01 09:20:00", "purchase"),
+      (21L, 2L, "2024-01-01 09:00:00", "signup"),
+      (22L, 2L, "2024-01-01 09:10:00", "purchase"),
+      (23L, 2L, "2024-01-01 09:20:00", "click"),
+      (31L, 3L, "2024-01-01 09:00:00", "click"),
+      (32L, 3L, "2024-01-01 09:10:00", "purchase"))
+      .toDF("event_id", "user_id", "t", "event_type")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("t")).as("ts"), col("event_type"))
+    val rows = Temporal.funnel(ev).collect()
+      .map(r => r.getInt(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(1) == ((2L, 1.0)), rows.toString)
+    assert(rows(2) == ((2L, 1.0)), rows.toString)
+    assert(rows(3) == ((1L, 0.5)), rows.toString)
+  }
+
   test("only target rows are emitted; sources and other types are not") {
     val ids = Temporal.asofAttribution(events).collect().map(_.getLong(0)).toSet
     assert(ids == Set(3L, 4L, 6L, 7L), ids.toString)

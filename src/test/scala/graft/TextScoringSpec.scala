@@ -58,6 +58,18 @@ class TextScoringSpec extends SparkSpec {
     }
   }
 
+  test("approx cardinality (HLL, the 100 TB path) tracks exact distinct counts") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exact = TextAnalysis.tokenCardinality(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val approx = TextAnalysis.tokenCardinalityApprox(docs, rsd = 0.02).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (lang, n) =>
+      val rel = math.abs(approx(lang) - n).toDouble / n
+      assert(rel < 0.05, s"$lang: approx ${approx(lang)} vs exact $n (rel $rel)")
+    }
+  }
+
   test("stratified sampling hits per-language fractions deterministically") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val rates = Map("en" -> 0.25, "es" -> 0.5, "de" -> 0.75)
