@@ -372,6 +372,10 @@ object SparkEntry {
     // ranked by integer sums of their codes' table entries
     "sim_pq_topk" -> ((s, dir) => Similarity.pqTopK(Catalog.embeddings(s, dir))),
 
+    // IVF-PQ: coarse cell + PQ codes of the residual (the production
+    // billion-vector index posting)
+    "sim_ivfpq" -> ((s, dir) => Similarity.ivfPqEncode(Catalog.embeddings(s, dir))),
+
     // ================= text analysis =================
 
     "ta_langid" -> ((s, dir) => TextAnalysis.langId(Catalog.documents(s, dir))),
@@ -634,13 +638,15 @@ object SparkEntry {
        |      AS BIGINT)""".stripMargin
 
   /** Shared PQ training/assignment CTE chain (mirror of
-    * Similarity.pqBlocks/pqCodebook/pqAssign): blocks → seed centroids →
-    * seed assignment → one Lloyd round → final assignment `a1`
-    * (vec_id, blk, cell, nano). Used by sim_pq and sim_pq_topk. */
-  private val PqCtes: String =
-    s"""WITH blocks AS (
+    * Similarity.pqBlocks/pqCodebook/pqAssign) over any (vec_id,
+    * embedding) source: blocks → seed centroids → seed assignment → one
+    * Lloyd round → final assignment `a1` (vec_id, blk, cell, nano).
+    * Used by sim_pq / sim_pq_topk (src = embeddings) and sim_ivfpq
+    * (src = coarse-residuals). */
+  private def pqChain(src: String): String =
+    s"""blocks AS (
        |  SELECT vec_id, b AS blk, embedding[b*8+1 : b*8+8] AS sub
-       |  FROM embeddings, UNNEST(generate_series(0, 7)) t(b)
+       |  FROM $src, UNNEST(generate_series(0, 7)) t(b)
        |), cents0 AS (
        |  SELECT blk, vec_id AS cid, sub AS ce FROM blocks WHERE vec_id < 16
        |), d0 AS (
@@ -1600,7 +1606,7 @@ object SparkEntry {
     // PQ mirror: nano-scaled integer L2 makes argmin ties and error sums
     // exact on both engines; the Lloyd mean rounds to 9 dp (ivf_kmeans
     // contract). list_sum folds left-to-right like Spark's aggregate().
-    "sim_pq" -> (PqCtes +
+    "sim_pq" -> ("WITH " + pqChain("embeddings") +
       """
         |SELECT vec_id,
         |  CAST(to_json(list(cell ORDER BY blk)) AS VARCHAR) AS codes,
@@ -1610,7 +1616,7 @@ object SparkEntry {
 
     // ADC search mirror: per-query LUT vs the codebook, candidate
     // distance = integer sum of its codes' LUT entries
-    "sim_pq_topk" -> (PqCtes +
+    "sim_pq_topk" -> ("WITH " + pqChain("embeddings") +
       s""", lutq AS (
          |  SELECT bl.vec_id AS qid, bl.blk, c.cid,
          |    ${nanoL2Sql("bl.sub", "c.ce")} AS dq
@@ -1629,6 +1635,35 @@ object SparkEntry {
          |SELECT qid, cid, adist_nano, CAST(rn AS INTEGER) AS rn
          |FROM ranked WHERE rn <= 5
          |ORDER BY qid, rn""".stripMargin),
+
+    // IVF-PQ mirror: integer nano-L2 coarse assignment, exact double
+    // residuals, then the shared PQ chain over the residual table
+    "sim_ivfpq" -> (s"""WITH coarse AS (
+         |  SELECT vec_id AS ccell, embedding AS cce FROM embeddings
+         |  WHERE vec_id < 8
+         |), cscored AS (
+         |  SELECT e.vec_id, e.embedding, c.ccell, c.cce,
+         |    ${nanoL2Sql("e.embedding", "c.cce")} AS cnano
+         |  FROM embeddings e CROSS JOIN coarse c
+         |), cassign AS (
+         |  SELECT vec_id, embedding, ccell, cce FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY cnano, ccell) AS crn FROM cscored)
+         |  WHERE crn = 1
+         |), resid AS (
+         |  SELECT vec_id, list_transform(list_zip(embedding, cce), p ->
+         |    CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS embedding
+         |  FROM cassign
+         |), """.stripMargin + pqChain("resid") +
+      """, pqcodes AS (
+        |  SELECT vec_id,
+        |    CAST(to_json(list(cell ORDER BY blk)) AS VARCHAR) AS codes,
+        |    CAST(SUM(nano) AS BIGINT) AS err_nano
+        |  FROM a1 GROUP BY vec_id
+        |)
+        |SELECT vec_id, ccell AS cell, codes, err_nano
+        |FROM pqcodes JOIN cassign USING (vec_id)
+        |ORDER BY vec_id""".stripMargin),
 
     "ta_langid" ->
       """SELECT doc_id, lang,

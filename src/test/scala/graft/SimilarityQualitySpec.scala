@@ -80,6 +80,38 @@ class SimilarityQualitySpec extends SparkSpec {
     assert(r > 0.15, s"ADC recall $r")
   }
 
+  test("ivfPqEncode: residual PQ beats raw PQ on a CLUSTERED corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 8 well-separated cluster centers (= the coarse seeds, vec_id < 8)
+    // + 6 members each, perturbed by a small deterministic offset —
+    // exactly the regime the residual decomposition exists for
+    def center(c: Int): Array[Float] =
+      Array.tabulate(64)(j => (math.sin(c * 97 + j) * 50).toFloat)
+    val vecs = (0 until 8).map(c => (c.toLong, center(c))) ++
+      (0 until 48).map { i =>
+        val c = i % 8
+        val p = center(c).zipWithIndex.map { case (v, j) =>
+          v + (math.cos(i * 31 + j) * 0.5).toFloat
+        }
+        ((8 + i).toLong, p)
+      }
+    val df = vecs.toDF("vec_id", "embedding")
+    def totalErr(res: org.apache.spark.sql.DataFrame): Long =
+      res.agg(sum("err_nano")).collect().head.getLong(0)
+    val raw = totalErr(Similarity.pqEncode(df))
+    val ivfpq = totalErr(Similarity.ivfPqEncode(df))
+    assert(ivfpq < raw,
+      s"residual PQ ($ivfpq) must beat raw PQ ($raw) on clustered data")
+    // every member lands in its own cluster's coarse cell
+    val cells = Similarity.ivfPqEncode(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 48).foreach { i =>
+      assert(cells((8 + i).toLong) == (i % 8).toLong,
+        s"member ${8 + i} in cell ${cells((8 + i).toLong)}, expected ${i % 8}")
+    }
+  }
+
   test("pqEncode: codes are m ints in centroid range; error is nonnegative") {
     Similarity.pqEncode(embeddings).collect().foreach { r =>
       val codes = r.getString(1).stripPrefix("[").stripSuffix("]")
