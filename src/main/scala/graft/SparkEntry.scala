@@ -376,6 +376,11 @@ object SparkEntry {
     // billion-vector index posting)
     "sim_ivfpq" -> ((s, dir) => Similarity.ivfPqEncode(Catalog.embeddings(s, dir))),
 
+    // IVF-PQ search: probe 2 coarse cells, ADC over residual codes —
+    // cell pruning and vector compression composed
+    "sim_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Catalog.embeddings(s, dir))),
+
     // ================= text analysis =================
 
     "ta_langid" -> ((s, dir) => TextAnalysis.langId(Catalog.documents(s, dir))),
@@ -1664,6 +1669,61 @@ object SparkEntry {
         |SELECT vec_id, ccell AS cell, codes, err_nano
         |FROM pqcodes JOIN cassign USING (vec_id)
         |ORDER BY vec_id""".stripMargin),
+
+    // IVF-PQ search mirror: per-(query, probed-cell) residual LUT, cell
+    // pruning via the candcodes.ccell = lut.pcell equi-join
+    "sim_ivfpq_topk" -> (s"""WITH coarse AS (
+         |  SELECT vec_id AS ccell, embedding AS cce FROM embeddings
+         |  WHERE vec_id < 8
+         |), cscored AS (
+         |  SELECT e.vec_id, e.embedding, c.ccell, c.cce,
+         |    ${nanoL2Sql("e.embedding", "c.cce")} AS cnano
+         |  FROM embeddings e CROSS JOIN coarse c
+         |), cassign AS (
+         |  SELECT vec_id, embedding, ccell, cce FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY cnano, ccell) AS crn FROM cscored)
+         |  WHERE crn = 1
+         |), resid AS (
+         |  SELECT vec_id, list_transform(list_zip(embedding, cce), p ->
+         |    CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS embedding
+         |  FROM cassign
+         |), """.stripMargin + pqChain("resid") +
+      s""", qprobe AS (
+         |  SELECT qid, ccell AS pcell,
+         |    list_transform(list_zip(qe, cce), p ->
+         |      CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS rq
+         |  FROM (
+         |    SELECT e.vec_id AS qid, e.embedding AS qe, c.ccell, c.cce,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${nanoL2Sql("e.embedding", "c.cce")}, c.ccell) AS prn
+         |    FROM embeddings e CROSS JOIN coarse c
+         |    WHERE e.vec_id < 8)
+         |  WHERE prn <= 2
+         |), rqb AS (
+         |  SELECT qid, pcell, b AS blk, rq[b*8+1 : b*8+8] AS sub
+         |  FROM qprobe, UNNEST(generate_series(0, 7)) t(b)
+         |), lutq AS (
+         |  SELECT r.qid, r.pcell, r.blk, c.cid,
+         |    ${nanoL2Sql("r.sub", "c.ce")} AS dq
+         |  FROM rqb r JOIN cents1 c USING (blk)
+         |), candcodes AS (
+         |  SELECT a1.vec_id AS cid, ca.ccell, a1.blk, a1.cell
+         |  FROM a1 JOIN cassign ca USING (vec_id)
+         |), scored AS (
+         |  SELECT l.qid, cc.cid, CAST(SUM(l.dq) AS BIGINT) AS adist_nano
+         |  FROM candcodes cc JOIN lutq l
+         |    ON cc.ccell = l.pcell AND cc.blk = l.blk AND cc.cell = l.cid
+         |  GROUP BY l.qid, cc.cid
+         |), ranked AS (
+         |  SELECT qid, cid, adist_nano,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY adist_nano, cid) AS rn
+         |  FROM scored WHERE qid <> cid
+         |)
+         |SELECT qid, cid, adist_nano, CAST(rn AS INTEGER) AS rn
+         |FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin),
 
     "ta_langid" ->
       """SELECT doc_id, lang,

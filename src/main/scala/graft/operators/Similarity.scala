@@ -337,8 +337,14 @@ object Similarity {
     * broadcast; assignment and residual computation are map-only; the
     * only shuffles are the Lloyd mean and the final code assembly —
     * identical to [[pqEncode]] plus one broadcast join. */
-  def ivfPqEncode(embeddings: DataFrame, nCoarse: Int = 8, m: Int = 8,
-      subDim: Int = 8, nCentroids: Int = 16): DataFrame = {
+  /** Shared IVF-PQ internals: coarse table, residual table (with each
+    * vector's coarse cell), the trained residual codebook and the
+    * per-(vector, block) residual code assignment. */
+  private case class IvfPqParts(coarse: DataFrame, residuals: DataFrame,
+      cents: DataFrame, assign: DataFrame)
+
+  private def ivfPqParts(embeddings: DataFrame, nCoarse: Int, m: Int,
+      subDim: Int, nCentroids: Int, materialize: Boolean): IvfPqParts = {
     val coarse = embeddings.where(col("vec_id") < nCoarse)
       .select(col("vec_id").as("ccell"), col("embedding").as("cce"))
     val assigned = {
@@ -353,18 +359,82 @@ object Similarity {
     val residuals = assigned.select(col("vec_id"), col("ccell"),
       zip_with(col("embedding"), col("cce"),
         (x, c) => x.cast("double") - c.cast("double")).as("embedding"))
-    val codes = pqAssign(residuals.select("vec_id", "embedding"),
-      m, subDim, nCentroids)
+    val blocks = pqBlocks(residuals.select("vec_id", "embedding"), m, subDim)
+    val cents = Stage.snap(pqCodebook(blocks, nCentroids), materialize)
+    IvfPqParts(coarse, residuals, cents, pqNearest(blocks, cents))
+  }
+
+  def ivfPqEncode(embeddings: DataFrame, nCoarse: Int = 8, m: Int = 8,
+      subDim: Int = 8, nCentroids: Int = 16,
+      materialize: Boolean = true): DataFrame = {
+    val parts = ivfPqParts(embeddings, nCoarse, m, subDim, nCentroids, materialize)
+    val codes = parts.assign
       .groupBy("vec_id")
       .agg(
         to_json(transform(
           array_sort(collect_list(struct(col("blk").as("b"), col("cell").as("c")))),
           s => s.getField("c"))).as("codes"),
         sum("nano").as("err_nano"))
-    residuals.select("vec_id", "ccell").join(codes, Seq("vec_id"))
+    parts.residuals.select("vec_id", "ccell").join(codes, Seq("vec_id"))
       .select(col("vec_id"), col("ccell").as("cell"), col("codes"),
         col("err_nano"))
       .orderBy("vec_id")
+  }
+
+  /** IVF-PQ top-k search — the full composed query path: each query
+    * probes its `nProbes` nearest coarse cells, builds a PER-PROBED-CELL
+    * residual LUT (query-minus-centroid against the residual codebook),
+    * and ranks ONLY candidates posted in the probed cells by the integer
+    * sum of their codes' LUT entries. This is IVF's pruning (untouched
+    * cells are never read) composed with PQ's compression (candidate
+    * vectors are never read) — the production billion-vector query.
+    *
+    * Scale posture: LUT is nQueries × nProbes × m × nCentroids rows —
+    * broadcast; candidates contribute only (cell, blk, code) rows, and
+    * the probed-cell equi-join prunes whole cells before any distance
+    * math. */
+  def ivfPqTopK(embeddings: DataFrame, nCoarse: Int = 8, m: Int = 8,
+      subDim: Int = 8, nCentroids: Int = 16, nQueries: Int = 8,
+      nProbes: Int = 2, k: Int = 5, materialize: Boolean = true): DataFrame = {
+    val parts = ivfPqParts(embeddings, nCoarse, m, subDim, nCentroids, materialize)
+    // query → nProbes nearest coarse cells, residual query per probe
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cnano"), col("ccell"))
+    val qprobe = embeddings.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(parts.coarse))
+      .select(col("qid"), col("qe"), col("ccell"), col("cce"),
+        nanoL2(col("qe"), col("cce")).as("cnano"))
+      .withColumn("prn", row_number().over(wq)).where(col("prn") <= nProbes)
+      .select(col("qid"), col("ccell").as("pcell"),
+        zip_with(col("qe"), col("cce"),
+          (x, c) => x.cast("double") - c.cast("double")).as("rq"))
+    val rqBlocks = qprobe.select(col("qid"), col("pcell"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        b => slice(col("rq"), b * subDim + 1, lit(subDim)))))
+      .select(col("qid"), col("pcell"), col("pos").as("blk"), col("col").as("sub"))
+    val lut = rqBlocks.join(broadcast(parts.cents), Seq("blk"))
+      .select(col("qid"), col("pcell"), col("blk"), col("cid"),
+        nanoL2(col("sub"), col("ce")).as("dq"))
+    // candidate code rows carry their coarse cell — the probed-cell join
+    // IS the IVF pruning
+    val codes = parts.assign.select(col("vec_id").as("cid2"),
+        col("blk"), col("cell"))
+      .join(parts.residuals.select(col("vec_id").as("cid2"), col("ccell")),
+        Seq("cid2"))
+    val scored = codes
+      .join(broadcast(lut),
+        codes("ccell") === lut("pcell") && codes("blk") === lut("blk") &&
+          codes("cell") === lut("cid"))
+      .groupBy(col("qid"), col("cid2").as("cid"))
+      .agg(sum("dq").as("adist_nano"))
+      .where(col("qid") =!= col("cid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adist_nano"), col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("qid", "cid", "adist_nano", "rn")
+      .orderBy("qid", "rn")
   }
 
   /** IVF top-k: rank only candidates sharing one of the query's probed
