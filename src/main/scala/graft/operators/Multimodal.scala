@@ -303,8 +303,12 @@ object Multimodal {
           } finally in.close()
         } catch {
           // a truncated/corrupt header must degrade, not fail a 100 TB
-          // job on one bad asset
-          case _: java.io.IOException | _: IllegalArgumentException => corrupt
+          // job on one bad asset. NonFatal, not an exception list: the
+          // fuzz property found GIF-magic bytes on which ImageIO's reader
+          // throws IndexOutOfBoundsException ("read past end of image
+          // sequence") — any decoder-internal unchecked throw must land
+          // here, only JVM-fatal errors may propagate
+          case scala.util.control.NonFatal(_) => corrupt
         }
       case None =>
         val (w, h) = fakeDecode(bytes)
@@ -460,8 +464,9 @@ object Multimodal {
                   }
                 }
               } catch {
-                case _: java.io.IOException | _: IllegalArgumentException |
-                     _: ArrayIndexOutOfBoundsException => corrupt
+                // same degrade-don't-fail rule as decodeImage: decoder
+                // internals throw unchecked types on crafted bytes
+                case scala.util.control.NonFatal(_) => corrupt
               }
             case None =>
               ImageStats(id, decodeMedia(bytes).format, 0, 0, 0, 0, 0, 0)
