@@ -356,9 +356,14 @@ object Similarity {
         .partitionBy("vec_id").orderBy(col("cnano"), col("ccell"))
       scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
     }
-    val residuals = assigned.select(col("vec_id"), col("ccell"),
-      zip_with(col("embedding"), col("cce"),
-        (x, c) => x.cast("double") - c.cast("double")).as("embedding"))
+    // snapshot the residual table: the codebook training, the code
+    // assignment and the candidate-cell join all read it, and without a
+    // stage boundary each consumer re-runs the coarse broadcast+window
+    val residuals = Stage.snap(
+      assigned.select(col("vec_id"), col("ccell"),
+        zip_with(col("embedding"), col("cce"),
+          (x, c) => x.cast("double") - c.cast("double")).as("embedding")),
+      materialize)
     val blocks = pqBlocks(residuals.select("vec_id", "embedding"), m, subDim)
     val cents = Stage.snap(pqCodebook(blocks, nCentroids), materialize)
     IvfPqParts(coarse, residuals, cents, pqNearest(blocks, cents))
