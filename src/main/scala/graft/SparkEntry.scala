@@ -365,6 +365,10 @@ object SparkEntry {
     "sim_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Catalog.embeddings(s, dir))),
 
+    // per-label embedding centroids (mean pooling / class prototypes)
+    "sim_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(Catalog.embeddings(s, dir))),
+
     // product-quantization encode: 8×8-dim codebooks, 1 Lloyd round
     "sim_pq" -> ((s, dir) => Similarity.pqEncode(Catalog.embeddings(s, dir))),
 
@@ -1607,6 +1611,20 @@ object SparkEntry {
         |    / len(codes), 12) AS mse
         |FROM coded
         |ORDER BY vec_id""".stripMargin,
+
+    "sim_centroids" ->
+      """WITH cm AS (
+        |  SELECT label, j,
+        |    CAST(round(avg(CAST(embedding[j] AS DOUBLE)) * 1e9, 0) AS BIGINT) AS m,
+        |    COUNT(*) AS n
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(j)
+        |  GROUP BY label, j
+        |)
+        |SELECT label,
+        |  CAST(to_json(list(m ORDER BY j)) AS VARCHAR) AS centroid_nano,
+        |  CAST(MAX(n) AS BIGINT) AS n_members
+        |FROM cm GROUP BY label
+        |ORDER BY label""".stripMargin,
 
     // PQ mirror: nano-scaled integer L2 makes argmin ties and error sums
     // exact on both engines; the Lloyd mean rounds to 9 dp (ivf_kmeans

@@ -157,6 +157,31 @@ object Similarity {
     cellTopK(q, c, k, embeddings)
   }
 
+  /** Per-label embedding centroids — mean pooling over a group key (the
+    * class-centroid / prototype computation behind nearest-centroid
+    * classification, cluster summaries and doc-from-chunk pooling):
+    * element-wise mean per label as NANO-scaled BIGINTs (one rounding of
+    * the mean, then integer rendering — double JSON rendering is
+    * engine-specific, sci-notation vs fixed; integers render identically
+    * everywhere), plus the member count.
+    *
+    * Scale posture: one narrow (label, pos, x) combinable aggregation —
+    * the same shape as the IVF Lloyd step; no vector ever shuffles
+    * whole. */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("col").cast("double")) * 1e9, 0).cast("bigint").as("m"),
+        count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(
+        to_json(transform(
+          array_sort(collect_list(struct(col("pos").as("p"), col("m").as("m")))),
+          s => s.getField("m"))).as("centroid_nano"),
+        max("n").as("n_members"))
+      .orderBy("label")
+
   /** Symmetric int8 quantization of the embedding column — the 4×
     * storage-compression step an embedding store applies at scale (PQ's
     * simpler cousin): per-vector scale = max|x|/127 (rounded to 9 dp so

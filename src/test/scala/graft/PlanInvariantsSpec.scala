@@ -159,6 +159,13 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sim_ivfpq_topk: probed-cell pruning join + broadcasts, no cartesian between fact sides") {
+    val p = planOf("sim_ivfpq_topk")
+    val broadcasts = "BroadcastExchange".r.findAllIn(p).size
+    assert(broadcasts >= 2, s"expected >=2 broadcasts (coarse + LUT), got $broadcasts\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dd_spans: raw gram text never crosses a shuffle — hashes and positions only") {
     val p = planOf("dd_spans")
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
