@@ -1412,7 +1412,7 @@ object SparkEntry {
     "ta_filter" ->
       """SELECT doc_id, quality FROM (
         |  SELECT doc_id,
-        |    round(least(1.0, n_tokens / 100.0) * (1.0 - stop_hits / CAST(n_tokens AS DOUBLE)), 4) AS quality
+        |    round(least(1.0, n_tokens / 100.0) * (1.0 - stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE)), 4) AS quality
         |  FROM (
         |    SELECT doc_id,
         |      len(regexp_extract_all(text, '\S+')) AS n_tokens,
@@ -1763,9 +1763,9 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(length(text) AS INTEGER) AS n_chars,
         |  CAST(n_tokens AS INTEGER) AS n_tokens,
-        |  round(non_space / CAST(n_tokens AS DOUBLE), 4) AS avg_token_len,
-        |  round(stop_hits / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
-        |  round(least(1.0, n_tokens / 100.0) * (1.0 - stop_hits / CAST(n_tokens AS DOUBLE)), 4) AS quality
+        |  round(non_space / CAST(greatest(n_tokens, 1) AS DOUBLE), 4) AS avg_token_len,
+        |  round(stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE), 4) AS stop_ratio,
+        |  round(least(1.0, n_tokens / 100.0) * (1.0 - stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE)), 4) AS quality
         |FROM (
         |  SELECT doc_id, text,
         |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
@@ -1826,7 +1826,7 @@ object SparkEntry {
         |    len(regexp_extract_all(text, '\S+')) AS t,
         |    least(1.0, len(regexp_extract_all(text, '\S+')) / 100.0) *
         |      (1.0 - ((length(text) - length(replace(text, ' the ', ''))) / 5)
-        |             / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)) AS q
+        |             / CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE)) AS q
         |  FROM documents)
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
@@ -1851,12 +1851,12 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  round(least(1.0, len(regexp_extract_all(text, '\\S+')) / 100.0)
          |    * (1.0 - ((length(text) - length(replace(text, ' the ', ''))) / 5)
-         |           / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)), 4) AS quality,
+         |           / CAST(greatest(len(regexp_extract_all(text, '\\S+')), 1) AS DOUBLE)), 4) AS quality,
          |  (${sha32Sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 1000000) / 1000000.0 AS u,
          |  CAST((${sha32Sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 1000000) / 1000000.0
          |    < round(least(1.0, len(regexp_extract_all(text, '\\S+')) / 100.0)
          |        * (1.0 - ((length(text) - length(replace(text, ' the ', ''))) / 5)
-         |               / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)), 4) * 0.5
+         |               / CAST(greatest(len(regexp_extract_all(text, '\\S+')), 1) AS DOUBLE)), 4) * 0.5
          |    AS INTEGER) AS sampled
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
@@ -1927,7 +1927,7 @@ object SparkEntry {
       s"""WITH q AS (
          |  SELECT doc_id FROM (
          |    SELECT doc_id,
-         |      round(least(1.0, n_tokens / 100.0) * (1.0 - stop_hits / CAST(n_tokens AS DOUBLE)), 4) AS quality
+         |      round(least(1.0, n_tokens / 100.0) * (1.0 - stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE)), 4) AS quality
          |    FROM (
          |      SELECT doc_id,
          |        len(regexp_extract_all(text, '\\S+')) AS n_tokens,
@@ -2160,7 +2160,9 @@ object SparkEntry {
          |  COALESCE(n_dup_grams, 0) AS n_dup_grams,
          |  COALESCE(n_spans, 0) AS n_spans,
          |  COALESCE(covered_tokens, 0) AS covered_tokens,
-         |  round(COALESCE(covered_tokens, 0) / CAST(len(ts) AS DOUBLE), 4) AS dup_frac
+         |  CASE WHEN len(ts) = 0 THEN 0.0
+         |       ELSE round(COALESCE(covered_tokens, 0) / CAST(len(ts) AS DOUBLE), 4)
+         |  END AS dup_frac
          |FROM base LEFT JOIN dupc USING (doc_id) LEFT JOIN per_doc USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 

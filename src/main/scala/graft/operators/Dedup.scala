@@ -405,8 +405,12 @@ object Dedup {
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
-        round(coalesce(col("covered_tokens"), lit(0L)) /
-          col("n_tokens").cast("double"), 4).as("dup_frac"))
+        // empty documents exist in real corpora: under ANSI mode the
+        // unguarded covered/0 is a JOB-KILLING DIVIDE_BY_ZERO, not a
+        // quiet NaN (found by ReferenceCrossCheckSpec's generator)
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("covered_tokens"), lit(0L)) /
+            col("n_tokens").cast("double"), 4)).as("dup_frac"))
       .orderBy("doc_id")
   }
 

@@ -36,9 +36,15 @@ object TextAnalysis {
   private def nTokensCol = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
   private def stopHitsCol =
     (length(col("text")) - length(regexp_replace(col("text"), " the ", ""))) / lit(5)
+  // greatest(n, 1) denominators: empty documents exist in real corpora,
+  // and under Spark 4 ANSI mode an unguarded x/0 is a JOB-KILLING
+  // DIVIDE_BY_ZERO, not a quiet NaN (ReferenceCrossCheckSpec found the
+  // dup_frac instance; this is the same hazard). For n_tokens >= 1 the
+  // value is unchanged; for empty docs quality degrades to 0.
+  private def safeTokens = greatest(nTokensCol, lit(1)).cast("double")
   private def qualityCol =
     least(lit(1.0), nTokensCol / lit(100.0)) *
-      (lit(1.0) - stopHitsCol / nTokensCol.cast("double"))
+      (lit(1.0) - stopHitsCol / safeTokens)
 
   /** Quality scoring: token count, average token length, stopword ratio,
     * a [0,1] composite. */
@@ -49,8 +55,8 @@ object TextAnalysis {
       col("doc_id"),
       length(t).as("n_chars"),
       nTokensCol.as("n_tokens"),
-      round(nonSpace / nTokensCol.cast("double"), 4).as("avg_token_len"),
-      round(stopHitsCol / nTokensCol.cast("double"), 4).as("stop_ratio"),
+      round(nonSpace / safeTokens, 4).as("avg_token_len"),
+      round(stopHitsCol / safeTokens, 4).as("stop_ratio"),
       round(qualityCol, 4).as("quality"))
       .orderBy("doc_id")
   }

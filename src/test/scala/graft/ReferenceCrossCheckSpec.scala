@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.{Dedup, Temporal}
+
+/** Property cross-checks against INDEPENDENT sequential reference
+  * implementations (written from the operator definitions, sharing no
+  * code with the distributed versions): on randomized inputs the full
+  * output tables must match row for row. This catches partition-order,
+  * window-frame and tie-break bugs that fixed examples miss.
+  */
+class ReferenceCrossCheckSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def check(p: Prop, n: Int = 30): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ---- duplicateSpans reference ----
+  private def refSpans(docs: Seq[(Long, String)], l: Int)
+      : Map[Long, (Long, Long, Long, Long, Long)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> "\\S+".r.findAllIn(t.toLowerCase).toVector
+    }.toMap
+    val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    toks.foreach { case (id, ts) =>
+      if (ts.length >= l)
+        (0 to ts.length - l).foreach { i =>
+          val g = ts.slice(i, i + l).mkString(" ")
+          gramDocs(g) = gramDocs.getOrElse(g, Set.empty) + id
+        }
+    }
+    toks.map { case (id, ts) =>
+      val dupPos =
+        if (ts.length < l) Seq.empty[Int]
+        else (0 to ts.length - l).filter { i =>
+          gramDocs(ts.slice(i, i + l).mkString(" ")).size >= 2
+        }.map(_ + 1) // 1-based
+      // merge [i, i+l-1] intervals
+      var spans = List.empty[(Int, Int)]
+      dupPos.foreach { i =>
+        spans match {
+          case (s, e) :: rest if i <= e => spans = (s, math.max(e, i + l - 1)) :: rest
+          case _ => spans = (i, i + l - 1) :: spans
+        }
+      }
+      val covered = spans.map { case (s, e) => e - s + 1 }.sum
+      id -> ((ts.length.toLong, math.max(ts.length - l + 1, 0).toLong,
+        dupPos.length.toLong, spans.length.toLong, covered.toLong))
+    }
+  }
+
+  test("duplicateSpans matches the sequential reference on random corpora") {
+    // small shared vocab + injected shared phrases force cross-doc grams
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val phrase = Gen.listOfN(9, word).map(_.mkString(" "))
+    val doc = for {
+      pre <- Gen.listOf(word).map(_.take(6))
+      ph <- Gen.oneOf(true, false)
+      shared <- phrase
+      post <- Gen.listOf(word).map(_.take(6))
+    } yield (pre ++ (if (ph) Seq(shared) else Nil) ++ post).mkString(" ")
+    val corpus = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, doc))
+    check(Prop.forAll(corpus) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.duplicateSpans(df, l = 4).collect().map { r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      }.toMap
+      got == refSpans(docs, l = 4)
+    })
+  }
+
+  // ---- asofAttribution reference ----
+  private def refAsof(events: Seq[(Long, Long, Long, String)])
+      : Map[Long, (Option[Long], Option[Long])] = {
+    events.filter(e => e._4 == "purchase" || e._4 == "click")
+      .groupBy(_._2).flatMap { case (_, evs) =>
+        var lastClick: Option[(Long, Long)] = None
+        evs.sortBy(e => (e._3, e._1)).flatMap { case (id, _, ts, typ) =>
+          if (typ == "click") { lastClick = Some((id, ts)); None }
+          else Some(id -> ((lastClick.map(_._1), lastClick.map(_._2))))
+        }
+      }
+  }
+
+  test("asofAttribution matches the sequential reference, ties included") {
+    // a SMALL timestamp domain forces same-ts ties between clicks and
+    // purchases — exactly where window tie-break bugs live
+    val ev = for {
+      user <- Gen.choose(1L, 3L)
+      ts <- Gen.choose(0L, 9L)
+      typ <- Gen.oneOf("click", "purchase", "view")
+    } yield (user, ts, typ)
+    val feed = Gen.choose(1, 25).flatMap(n => Gen.listOfN(n, ev))
+    check(Prop.forAll(feed) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, ts, typ), i) =>
+        (i.toLong, u, ts, typ)
+      }
+      val df = rows.toDF("event_id", "user_id", "s", "event_type")
+        .select(col("event_id"), col("user_id"),
+          timestamp_seconds(col("s")).as("ts"), col("event_type"))
+      val got = Temporal.asofAttribution(df).collect().map { r =>
+        r.getLong(0) -> ((if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4) / 1000000L)))
+      }.toMap
+      got == refAsof(rows)
+    })
+  }
+}
