@@ -33,6 +33,24 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(math.abs(rows(2).getDouble(0) - 1.0 / math.sqrt(2)) < 1e-15)
   }
 
+  test("zero vector degrades to NaN — JVM arithmetic, never an ANSI throw") {
+    GraftFunctions.ensureRegistered(spark)
+    // doGenCode emits raw Java division (IEEE): a zero-norm vector gives
+    // NaN instead of killing the job the way an ANSI SQL division would.
+    // Spark SQL (like DuckDB) orders NaN GREATER than every value, so a
+    // NaN cosine passes `>= threshold` filters — cross-engine-consistent,
+    // and the reason zero vectors should be filtered upstream of
+    // cosineNearDup, not relied on to self-exclude.
+    val df = Seq((Array(0.0f, 0.0f, 0.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+    val v = df.select(GraftFunctions.cosineSim(col("a"), col("b")).as("c"))
+      .collect().head.getDouble(0)
+    assert(v.isNaN, s"expected NaN for zero vector, got $v")
+    assert(df.select((GraftFunctions.cosineSim(col("a"), col("b")) >= 0.5)
+      .as("keep")).collect().head.getBoolean(0),
+      "Spark NaN ordering: NaN >= threshold must be TRUE (documented semantics)")
+  }
+
   test("codegen and interpreted paths agree on real embeddings") {
     GraftFunctions.ensureRegistered(spark)
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
