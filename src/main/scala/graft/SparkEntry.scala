@@ -2344,7 +2344,7 @@ object SparkEntry {
         |  SELECT event_id AS src_id, user_id, epoch_us(ts) AS s_us
         |  FROM events WHERE event_type = 'click'
         |)
-        |SELECT user_id, target_id, t_us, src_id, s_us, t_us - s_us AS gap_us
+        |SELECT target_id, user_id, t_us, src_id, s_us, t_us - s_us AS gap_us
         |FROM p JOIN c USING (user_id)
         |WHERE s_us <= t_us AND s_us >= t_us - 1800000000
         |ORDER BY target_id, src_id""".stripMargin,

@@ -435,7 +435,11 @@ object Main {
       // model with no explicit --dimension leaves NO configured dimension:
       // the store checks then validate reachability only, instead of
       // manufacturing a spurious store_dim_mismatch against a default.
-      val expectedDim: Option[Int] = opt(args, "dimension").map(_.toInt)
+      val expectedDim: Option[Int] = opt(args, "dimension")
+        .map(d => d.toIntOption.getOrElse {
+          System.err.println(s"error: --dimension must be an integer, got '$d'")
+          sys.exit(2)
+        })
         .orElse(embedder.map(_.dimension))
       embedder.foreach { e =>
         results += ("embedder" ->

@@ -217,7 +217,11 @@ object Dedup {
       threshold: Double = 0.5, fpp: Double = 0.01): DataFrame = {
     def hashed(df: DataFrame) = shinglesRaw(df)
       .select(col("doc_id"), sha32(col("g")).as("h")).distinct()
-    val bench = hashed(benchmark).select("h").distinct()
+    // snapshot before the two actions (count + sketch build): without a
+    // stage boundary each re-runs the whole shingle pipeline — on the
+    // operator whose premise is a LARGE benchmark side
+    val bench = Stage.snap(hashed(benchmark).select("h").distinct(),
+      materialize = true)
     val bf = bench.stat.bloomFilter("h", math.max(1L, bench.count()), fpp)
     val bfB = documents.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
@@ -362,8 +366,13 @@ object Dedup {
     * suffix-array build (arbitrary-length longest repeats) trades this
     * bounded shuffle for a global sort; fixed-`l` grams are the
     * standard large-scale approximation. */
-  def duplicateSpans(documents: DataFrame, l: Int = 8,
-      materialize: Boolean = true): DataFrame = {
+  /** Shared span-detection pipeline for [[duplicateSpans]] and
+    * [[duplicateSpansApply]]: tokenized docs, duplicated gram positions,
+    * and the merged maximal islands (doc_id, island, s, e). One shared
+    * definition so a hardening fix in one consumer cannot silently miss
+    * the other. */
+  private def spanIslands(documents: DataFrame, l: Int,
+      materialize: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window
     val base = documents.select(col("doc_id"),
       regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("ts"))
@@ -393,6 +402,12 @@ object Dedup {
       .withColumn("island", sum("new_island").over(wRun))
       .groupBy("doc_id", "island")
       .agg(min("i").as("s"), max(col("i") + (l - 1)).as("e"))
+    (base, dup, islands)
+  }
+
+  def duplicateSpans(documents: DataFrame, l: Int = 8,
+      materialize: Boolean = true): DataFrame = {
+    val (base, dup, islands) = spanIslands(documents, l, materialize)
     val perDoc = islands.groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1).as("covered_tokens"))
@@ -428,38 +443,18 @@ object Dedup {
     * tokens. */
   def duplicateSpansApply(documents: DataFrame, l: Int = 8,
       materialize: Boolean = true): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-    val base = documents.select(col("doc_id"),
-      regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("ts"))
-    val grams = Stage.snap(
-      base.where(size(col("ts")) >= l)
-        .select(col("doc_id"),
-          posexplode(transform(sequence(lit(1), size(col("ts")) - (l - 1)),
-            i => concat_ws(" ",
-              (0 until l).map(d => element_at(col("ts"), i + d)): _*))))
-        .select(col("doc_id"), (col("pos") + 1).as("i"), sha32(col("col")).as("h")),
-      materialize)
-    val dupH = grams.select("h", "doc_id").distinct()
-      .groupBy("h").agg(count(lit(1)).as("nd"))
-      .where(col("nd") >= 2).select("h")
-    val dup = grams.join(dupH, Seq("h"), "left_semi").select("doc_id", "i")
-    val wPrev = w.partitionBy("doc_id").orderBy("i")
-      .rowsBetween(w.unboundedPreceding, -1)
-    val wRun = w.partitionBy("doc_id").orderBy("i")
-      .rowsBetween(w.unboundedPreceding, 0)
-    val spans = dup
-      .withColumn("prev_end", max(col("i") + (l - 1)).over(wPrev))
-      .withColumn("new_island",
-        (col("prev_end").isNull || col("i") > col("prev_end")).cast("int"))
-      .withColumn("island", sum("new_island").over(wRun))
-      .groupBy("doc_id", "island")
-      .agg(min("i").as("s"), max(col("i") + (l - 1)).as("e"))
-      .groupBy("doc_id")
+    val (base, _, islands) = spanIslands(documents, l, materialize)
+    val spans = islands.groupBy("doc_id")
       .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
     val covered = flatten(transform(col("spans"),
       sp => sequence(sp.getField("s"), sp.getField("e"))))
-    val kept = filter(sequence(lit(1), size(col("ts"))),
-      i => !array_contains(col("covered"), i))
+    // zero-token guard: sequence(1, 0) yields [1, 0] (Spark steps -1
+    // when start > stop) and element_at(ts, 0) then THROWS — an empty
+    // document must produce an empty kept-list, not kill the job
+    // (review finding; the dup_frac sibling had the same hazard)
+    val positions = when(size(col("ts")) > 0,
+      sequence(lit(1), size(col("ts")))).otherwise(array().cast("array<int>"))
+    val kept = filter(positions, i => !array_contains(col("covered"), i))
     base.join(spans, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("ts"),
         coalesce(covered, array().cast("array<int>")).as("covered"))

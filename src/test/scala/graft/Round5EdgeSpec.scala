@@ -58,6 +58,23 @@ class Round5EdgeSpec extends SparkSpec {
     assert(cut.getString(3) == (1 to 30).map(i => s"w$i").mkString(" "))
   }
 
+  test("a present-but-EMPTY document row never kills the span operators") {
+    // distinct from the empty-CORPUS case: sequence(1, 0) steps -1 in
+    // Spark and element_at(ts, 0) throws — the review-found crash
+    val mixed = Seq(
+      (1L, (1 to 20).map(i => s"x$i").mkString(" ")),
+      (2L, ""),
+      (3L, "   ")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(mixed).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(spans(2L).getLong(1) == 0 && spans(2L).getDouble(6) == 0.0)
+    val cut = Dedup.duplicateSpansApply(mixed).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(cut(2L).getString(3) == "" && cut(2L).getLong(2) == 0, cut(2L).toString)
+    assert(cut(3L).getString(3) == "" && cut(3L).getLong(1) == 0, cut(3L).toString)
+    assert(cut(1L).getString(3).startsWith("x1 "), cut(1L).toString)
+  }
+
   test("bpe on a single repeated character still terminates and merges") {
     val docs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
     val merges = Bpe.bpeMerges(docs, nMerges = 10).collect()
