@@ -89,6 +89,33 @@ class ReferenceCrossCheckSpec extends SparkSpec {
       }
   }
 
+  test("intervalJoin matches a nested-loop reference on random feeds") {
+    val ev = for {
+      user <- Gen.choose(1L, 3L)
+      ts <- Gen.choose(0L, 5000L)
+      typ <- Gen.oneOf("click", "purchase", "view")
+    } yield (user, ts, typ)
+    val feed = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, ev))
+    check(Prop.forAll(feed) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, ts, typ), i) =>
+        (i.toLong, u, ts, typ)
+      }
+      val df = rows.toDF("event_id", "user_id", "s", "event_type")
+        .select(col("event_id"), col("user_id"),
+          timestamp_seconds(col("s")).as("ts"), col("event_type"))
+      val got = Temporal.intervalJoin(df, horizonMinutes = 30).collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      // reference: literal nested loop over all (purchase, click) pairs
+      val ref = (for {
+        (pid, pu, pts, pt) <- rows if pt == "purchase"
+        (cid, cu, cts, ct) <- rows
+        if ct == "click" && cu == pu &&
+          cts <= pts && cts >= pts - 1800L
+      } yield (pid, cid)).toSet
+      got == ref
+    })
+  }
+
   test("asofAttribution matches the sequential reference, ties included") {
     // a SMALL timestamp domain forces same-ts ties between clicks and
     // purchases — exactly where window tie-break bugs live
