@@ -116,6 +116,48 @@ class ReferenceCrossCheckSpec extends SparkSpec {
     })
   }
 
+  test("funnel matches a sequential step-fold reference on random feeds") {
+    val ev = for {
+      user <- Gen.choose(1L, 4L)
+      ts <- Gen.choose(0L, 50L)
+      typ <- Gen.oneOf("signup", "click", "purchase", "view")
+    } yield (user, ts, typ)
+    val feed = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, ev))
+    check(Prop.forAll(feed) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, ts, typ), i) =>
+        (i.toLong, u, ts, typ)
+      }
+      val df = rows.toDF("event_id", "user_id", "s", "event_type")
+        .select(col("event_id"), col("user_id"),
+          timestamp_seconds(col("s")).as("ts"), col("event_type"))
+      val got = Temporal.funnel(df).collect().sortBy(_.getInt(0))
+        .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      // reference: per user, fold first-at-or-after times step by step
+      // (None = step 1, no floor; Some(m) = user must appear in m)
+      val byUser = rows.groupBy(_._2)
+      def stepTimes(step: String,
+          prev: Option[Map[Long, Long]]): Map[Long, Long] =
+        byUser.flatMap { case (u, es) =>
+          val floor = prev.map(_.get(u))
+          floor match {
+            case Some(None) => None // user fell out at an earlier step
+            case _ =>
+              es.filter(e => e._4 == step &&
+                  floor.flatten.forall(e._3 >= _)).map(_._3)
+                .minOption.map(u -> _)
+          }
+        }
+      val s1 = stepTimes("signup", None)
+      val s2 = stepTimes("click", Some(s1))
+      val s3 = stepTimes("purchase", Some(s2))
+      val n1 = s1.size.toLong
+      def conv(n: Long) =
+        if (n1 == 0) 0.0 else math.round(n.toDouble / n1 * 10000).toDouble / 10000
+      got == Seq((n1, conv(n1)), (s2.size.toLong, conv(s2.size)),
+        (s3.size.toLong, conv(s3.size)))
+    }, n = 40)
+  }
+
   test("asofAttribution matches the sequential reference, ties included") {
     // a SMALL timestamp domain forces same-ts ties between clicks and
     // purchases — exactly where window tie-break bugs live
