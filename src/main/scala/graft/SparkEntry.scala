@@ -323,6 +323,12 @@ object SparkEntry {
     // near-dedup materialized: canonical (min) doc per LSH cluster
     "dd_near_apply" -> ((s, dir) => Dedup.nearDupApply(Catalog.documents(s, dir))),
 
+    // survivor policy by SOURCE priority: curated sources (src0-src9)
+    // outrank crawl sources (src10+) within each near-dup cluster
+    "dd_near_src" -> ((s, dir) =>
+      Dedup.nearDupApplyByPriority(Catalog.documents(s, dir),
+        (0 until 10).map(i => s"src$i" -> 0).toMap, defaultRank = 1)),
+
     // incremental dedup: incoming batch (doc_id%10>=8) classified against
     // the existing corpus (doc_id%10<8) — exact_dup / near_dup / new
     "dd_incremental" -> ((s, dir) => {
@@ -1353,6 +1359,23 @@ object SparkEntry {
     "dd_near_apply" -> (LshBandsCtes + ComponentsCtes +
       """
         |SELECT doc_id FROM l3 WHERE doc_id = label
+        |ORDER BY doc_id""".stripMargin),
+
+    // Survivor policy by source priority: curated (src0-src9) rank 0,
+    // crawl rank 1; per-cluster (prio, doc_id) winner.
+    "dd_near_src" -> (LshBandsCtes + ComponentsCtes +
+      """, pr AS (
+        |  SELECT l3.doc_id, l3.label AS cluster, d.source,
+        |    CASE WHEN d.source IN ('src0','src1','src2','src3','src4',
+        |      'src5','src6','src7','src8','src9') THEN 0 ELSE 1 END AS prio
+        |  FROM l3 JOIN documents d USING (doc_id)
+        |), surv AS (
+        |  SELECT doc_id, cluster, source,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster
+        |      ORDER BY prio, doc_id) AS rn
+        |  FROM pr
+        |)
+        |SELECT doc_id, cluster, source FROM surv WHERE rn = 1
         |ORDER BY doc_id""".stripMargin),
 
     // Incremental dedup: bands/shas computed once over all docs, split by

@@ -348,6 +348,32 @@ object Dedup {
       .where(col("doc_id") === col("cluster"))
       .select(col("doc_id"))
 
+  /** Source-priority near-dedup survivor policy — what real curation
+    * uses instead of keep-min-id: within each near-dup cluster keep the
+    * member from the highest-priority SOURCE (curated feed beats crawl
+    * copy), breaking ties on doc_id. `rank` maps source → priority
+    * (lower wins; unlisted sources take `defaultRank`).
+    *
+    * Scale posture: [[lshComponents]]' shuffles plus one narrow
+    * (doc_id, source) join and a per-cluster rank window — cluster
+    * sizes are bounded by near-dup diameter, so the window partitions
+    * stay small. */
+  def nearDupApplyByPriority(documents: DataFrame, rank: Map[String, Int],
+      defaultRank: Int = 100, materialize: Boolean = true): DataFrame = {
+    val prio = rank.foldLeft(lit(defaultRank)) { case (acc, (s, r)) =>
+      when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("prio"), col("doc_id"))
+    lshComponentsUnsorted(documents, materialize = materialize)
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("prio", prio)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("cluster"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** Duplicate n-gram SPAN detection — substring-level exact dedup (the
     * "dedup at the span level, not the document level" operator of
     * training-data curation, after Lee et al.'s suffix-array dedup): a

@@ -45,6 +45,22 @@ class DedupQualitySpec extends SparkSpec {
     assert(overlap(1L, 3L) < 0.05, s"unrelated overlap ${overlap(1L, 3L)}")
   }
 
+  test("source-priority survivor: curated copy wins over a LOWER-id crawl copy") {
+    val withSrc = Seq(
+      (1L, base, "crawl"),       // near-dup pair 1-2: crawl has the MIN id
+      (2L, nearDup, "curated"),  // ...but curated must survive
+      (3L, unrelated, "crawl"))  // singleton: survives regardless of source
+      .toDF("doc_id", "text", "source")
+    val survivors = Dedup.nearDupApplyByPriority(withSrc,
+      Map("curated" -> 0), defaultRank = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(survivors.keySet == Set(2L, 3L), survivors.toString)
+    assert(survivors(2L) == "curated")
+    // min-id policy would have kept doc 1 — assert the policies differ
+    val minId = Dedup.nearDupApply(withSrc).collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 3L), minId.toString)
+  }
+
   test("bloom decontamination: no false negatives, inflation bounded by fpp") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bench = corpus.where(col("doc_id") < 5)
