@@ -431,12 +431,18 @@ object SparkEntry {
     "ta_vocab" -> ((s, dir) => TextAnalysis.vocabTopK(Catalog.documents(s, dir))),
 
     // BPE merge training: the learned merge table (deterministic argmax
-    // with lexicographic tie-break). No SQL oracle exists for the
-    // iterative argmax → driver records the weaker rows-only check;
-    // BpeSpec verifies the merge sequence against an independent
-    // sequential reference implementation.
+    // with lexicographic tie-break). The bounded 20-round loop unrolls
+    // into a chained-CTE DuckDB oracle (OracleSql.bpeMerges), so the
+    // driver records a full hash gate; BpeSpec additionally verifies the
+    // merge sequence against an independent sequential reference.
     "ta_bpe" -> ((s, dir) =>
       operators.Bpe.bpeMerges(Catalog.documents(s, dir), nMerges = 20)),
+
+    // BPE segmenter over a FIXED merge table (Bpe.DemoMerges): map-only
+    // over the corpus, merge list broadcast via closure; the oracle
+    // mirrors the rank-ordered merges as nested list folds.
+    "ta_bpe_encode" -> ((s, dir) =>
+      operators.Bpe.bpeEncode(Catalog.documents(s, dir), operators.Bpe.DemoMerges)),
 
     // CAPSTONE — the corpus-release pipeline composed end to end from the
     // operators above: quality filter → exact dedup → near-dedup →
@@ -1945,6 +1951,14 @@ object SparkEntry {
         |)
         |SELECT lang, token, n, rank FROM ranked WHERE rank <= 20
         |ORDER BY lang, rank""".stripMargin,
+
+    // Generated: the bounded BPE training loop unrolled into 20 chained
+    // CTE rounds (pair-count/argmax + list_reduce rewrite per round).
+    "ta_bpe" -> OracleSql.bpeMerges(20),
+
+    // Generated: rank-ordered merge applications unrolled into nested
+    // row-local list folds over each document's word list.
+    "ta_bpe_encode" -> OracleSql.bpeEncode(operators.Bpe.DemoMerges),
 
     "ta_release" -> (
       s"""WITH q AS (

@@ -76,4 +76,75 @@ object OracleSql {
 
   /** Prefix `sql` with the catalog prologue. */
   def withCatalog(sql: String): String = prologue + sql
+
+  /** DuckDB oracle for BPE merge training ([[graft.operators.Bpe.bpeMerges]]).
+    *
+    * The trainer's loop is bounded (`nMerges` rounds), so it unrolls into a
+    * chain of CTE pairs — per round, one pair-count/argmax CTE (`b{k}`) and
+    * one vocab-rewrite CTE (`v{k}`). The greedy left-to-right merge is a
+    * `list_reduce` fold: append each symbol unless the accumulator's tail
+    * equals the chosen left and the symbol equals the chosen right, in which
+    * case replace the tail with the merged token. The fold is equivalent to
+    * the sequential two-pointer scan because a just-merged tail (`l || r`)
+    * can never itself equal `l`, so no double-merge chain is possible.
+    * Every CTE is MATERIALIZED: `v{k}` is referenced twice (by `b{k+1}` and
+    * `v{k+1}`), and inlining would re-evaluate the chain exponentially.
+    * Tie-breaks mirror the Spark side: count desc, then (left, right)
+    * lexicographic — binary collation on both engines, tokens are [a-z_].
+    */
+  def bpeMerges(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH v0 AS MATERIALIZED (
+      |  SELECT string_split(w, '')[:-2] || [string_split(w, '')[-1] || '_'] AS syms, n
+      |  FROM (SELECT w, CAST(count(*) AS BIGINT) AS n
+      |        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |              FROM documents)
+      |        GROUP BY w))""".stripMargin
+    for (k <- 1 to nMerges) {
+      sb ++= s""", b$k AS MATERIALIZED (
+      |  SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(syms[:-2]) AS l, unnest(syms[2:]) AS r, n FROM v${k - 1})
+      |  GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+      if (k < nMerges) sb ++= s""", v$k AS MATERIALIZED (
+      |  SELECT list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
+      |      CASE WHEN acc[-1] = b.l AND x[1] = b.r
+      |           THEN acc[:-2] || [b.l || b.r] ELSE acc || x END) AS syms, n
+      |  FROM v${k - 1}, b$k b)""".stripMargin
+    }
+    val sel = (1 to nMerges).map { k =>
+      s"SELECT CAST($k AS INTEGER) AS rank, l AS lhs, r AS rhs, " +
+        s"l || r AS merged, cnt AS weight FROM b$k"
+    }.mkString(" UNION ALL ")
+    sb ++= s"\nSELECT * FROM ($sel) ORDER BY rank"
+    sb.toString
+  }
+
+  /** DuckDB oracle for the BPE segmenter ([[graft.operators.Bpe.bpeEncode]])
+    * over a FIXED merge table: per word, the rank-ordered merge
+    * applications unroll into nested `list_reduce` folds (same fold as
+    * [[bpeMerges]], with the chosen pair a literal), all row-local inside
+    * one `list_transform` over the document's word list — no joins, no
+    * unnest. Merge tokens are [a-z_] so literal splicing is injection-safe.
+    */
+  def bpeEncode(merges: Seq[(String, String)]): String = {
+    var expr = "string_split(w, '')[:-2] || [string_split(w, '')[-1] || '_']"
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      expr = s"list_reduce(list_transform($expr, s$i -> [s$i]), " +
+        s"(a$i, x$i) -> CASE WHEN a$i[-1] = '$l' AND x$i[1] = '$r' " +
+        s"THEN a$i[:-2] || ['$l$r'] ELSE a$i || x$i END)"
+    }
+    s"""WITH d AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |         regexp_extract_all(lower(text), '[a-z]+') AS words
+       |  FROM documents
+       |), e AS (
+       |  SELECT doc_id, len(words) AS n_words,
+       |         list_transform(words, w -> $expr) AS encs
+       |  FROM d)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(coalesce(list_sum(list_transform(encs, e -> len(e))), 0) AS BIGINT)
+       |    AS n_subwords,
+       |  array_to_string(flatten(encs)[:8], ' ') AS subwords_preview
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
 }

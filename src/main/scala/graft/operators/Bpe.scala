@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** A fixed English-ish merge table for the gated segmenter query
+    * (ta_bpe_encode): deterministic input → the oracle can mirror the
+    * rank-ordered application exactly. Later merges depend on earlier
+    * ones ((th,e_) needs (t,h); (an,d_) needs (a,n)), so the query also
+    * exercises rank-order application. */
+  val DemoMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e_"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("e", "n"), ("a", "t"), ("o", "r"),
+    ("e", "s_"), ("an", "d_"))
+
   /** (symbols, weight) vocab rows after `nMerges` rounds + the merge
     * table collected so far. Internal driver loop state. */
   private case class TrainState(vocab: Dataset[(Seq[String], Long)],
@@ -91,17 +101,19 @@ object Bpe {
     out.toSeq
   }
 
-  /** The learned merge table: (rank, left, right, merged, weight) in
-    * training order — the artifact a tokenizer ships. Deterministic, so
-    * it is driver-gated as a rows-level check (no SQL oracle: the
-    * iterative argmax has no bounded SQL form). */
+  /** The learned merge table: (rank, lhs, rhs, merged, weight) in
+    * training order — the artifact a tokenizer ships. (`lhs`/`rhs`, not
+    * `left`/`right`: those are reserved words in ANSI SQL and would need
+    * fragile quoting in every downstream engine.) Deterministic and
+    * fully driver-gated: the bounded loop unrolls into a chained-CTE
+    * DuckDB oracle ([[graft.catalog.OracleSql.bpeMerges]]). */
   def bpeMerges(documents: DataFrame, nMerges: Int = 20,
       materialize: Boolean = true): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     train(documents, nMerges, materialize).merges.zipWithIndex
       .map { case ((l, r, n), i) => (i + 1, l, r, l + r, n) }
-      .toDF("rank", "left", "right", "merged", "weight")
+      .toDF("rank", "lhs", "rhs", "merged", "weight")
   }
 
   /** Tokenize text with a learned merge table: per word, apply every

@@ -40,12 +40,13 @@ def main():
             spark_rel = con.query(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
             spark_cols = sorted(spark_rel.columns)
             spark_types = dict(zip(spark_rel.columns, [str(t) for t in spark_rel.types]))
+            quoted = lambda cols: ", ".join(f'"{c}"' for c in cols)
             spark = con.execute(
-                f"SELECT {', '.join(spark_cols)} FROM spark_rel").fetchall()
+                f"SELECT {quoted(spark_cols)} FROM spark_rel").fetchall()
             duck_rel = con.query(sql)
             duck_cols = sorted(duck_rel.columns)
             duck_types = dict(zip(duck_rel.columns, [str(t) for t in duck_rel.types]))
-            duck = con.execute(f"SELECT {', '.join(duck_cols)} FROM duck_rel").fetchall()
+            duck = con.execute(f"SELECT {quoted(duck_cols)} FROM duck_rel").fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: exception {type(e).__name__}: {str(e)[:300]}")
