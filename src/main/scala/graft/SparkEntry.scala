@@ -668,8 +668,10 @@ object SparkEntry {
     s"""blocks AS (
        |  SELECT vec_id, b AS blk, embedding[b*8+1 : b*8+8] AS sub
        |  FROM $src, UNNEST(generate_series(0, 7)) t(b)
+       |), cseed AS (
+       |  SELECT DISTINCT vec_id FROM blocks ORDER BY vec_id LIMIT 16
        |), cents0 AS (
-       |  SELECT blk, vec_id AS cid, sub AS ce FROM blocks WHERE vec_id < 16
+       |  SELECT blk, vec_id AS cid, sub AS ce FROM blocks JOIN cseed USING (vec_id)
        |), d0 AS (
        |  SELECT bl.vec_id, bl.blk, bl.sub, c.cid,
        |    ${nanoL2Sql("bl.sub", "c.ce")} AS nano
@@ -1530,7 +1532,7 @@ object SparkEntry {
 
     "sim_ivf" ->
       s"""WITH cents AS (
-         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8
+         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8
          |), assigned AS (
          |  SELECT vec_id, embedding, centroid_id AS cell FROM (
          |    SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -1556,7 +1558,7 @@ object SparkEntry {
 
     "sim_ivf2" ->
       s"""WITH cents AS (
-         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8
+         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8
          |), cranked AS (
          |  SELECT e.vec_id, e.embedding, c.centroid_id,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1582,7 +1584,7 @@ object SparkEntry {
 
     "sim_ivf_kmeans" ->
       s"""WITH cents0 AS (
-         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8
+         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8
          |), a0 AS (
          |  SELECT vec_id, embedding, centroid_id AS cell FROM (
          |    SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -1690,9 +1692,24 @@ object SparkEntry {
 
     // IVF-PQ mirror: integer nano-L2 coarse assignment, exact double
     // residuals, then the shared PQ chain over the residual table
-    "sim_ivfpq" -> (s"""WITH coarse AS (
+    "sim_ivfpq" -> (s"""WITH coarse0 AS (
          |  SELECT vec_id AS ccell, embedding AS cce FROM embeddings
-         |  WHERE vec_id < 8
+         |  ORDER BY vec_id LIMIT 8
+         |), c0scored AS (
+         |  SELECT e.vec_id, e.embedding, c.ccell,
+         |    ${nanoL2Sql("e.embedding", "c.cce")} AS c0nano
+         |  FROM embeddings e CROSS JOIN coarse0 c
+         |), c0assign AS (
+         |  SELECT vec_id, embedding, ccell FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY c0nano, ccell) AS c0rn FROM c0scored)
+         |  WHERE c0rn = 1
+         |), ccmean AS (
+         |  SELECT ccell, j, round(avg(CAST(embedding[j] AS DOUBLE)), 9) AS m
+         |  FROM c0assign, UNNEST(generate_series(1, len(embedding))) t(j)
+         |  GROUP BY ccell, j
+         |), coarse AS (
+         |  SELECT ccell, list(m ORDER BY j) AS cce FROM ccmean GROUP BY ccell
          |), cscored AS (
          |  SELECT e.vec_id, e.embedding, c.ccell, c.cce,
          |    ${nanoL2Sql("e.embedding", "c.cce")} AS cnano
@@ -1719,9 +1736,24 @@ object SparkEntry {
 
     // IVF-PQ search mirror: per-(query, probed-cell) residual LUT, cell
     // pruning via the candcodes.ccell = lut.pcell equi-join
-    "sim_ivfpq_topk" -> (s"""WITH coarse AS (
+    "sim_ivfpq_topk" -> (s"""WITH coarse0 AS (
          |  SELECT vec_id AS ccell, embedding AS cce FROM embeddings
-         |  WHERE vec_id < 8
+         |  ORDER BY vec_id LIMIT 8
+         |), c0scored AS (
+         |  SELECT e.vec_id, e.embedding, c.ccell,
+         |    ${nanoL2Sql("e.embedding", "c.cce")} AS c0nano
+         |  FROM embeddings e CROSS JOIN coarse0 c
+         |), c0assign AS (
+         |  SELECT vec_id, embedding, ccell FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY c0nano, ccell) AS c0rn FROM c0scored)
+         |  WHERE c0rn = 1
+         |), ccmean AS (
+         |  SELECT ccell, j, round(avg(CAST(embedding[j] AS DOUBLE)), 9) AS m
+         |  FROM c0assign, UNNEST(generate_series(1, len(embedding))) t(j)
+         |  GROUP BY ccell, j
+         |), coarse AS (
+         |  SELECT ccell, list(m ORDER BY j) AS cce FROM ccmean GROUP BY ccell
          |), cscored AS (
          |  SELECT e.vec_id, e.embedding, c.ccell, c.cce,
          |    ${nanoL2Sql("e.embedding", "c.cce")} AS cnano

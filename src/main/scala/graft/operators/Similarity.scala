@@ -95,9 +95,12 @@ object Similarity {
     scored.withColumn("arn", row_number().over(w))
   }
 
+  /** Seed centroids: the `nCentroids` SMALLEST vec_ids — rank-based, not
+    * `vec_id < n`, so a filtered/non-contiguous id space still seeds a
+    * full codebook (TakeOrderedAndProject: map-side top-N, no full sort). */
   private def seedCents(embeddings: DataFrame, nCentroids: Int): DataFrame =
-    embeddings.where(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    embeddings.select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+      .orderBy("centroid_id").limit(nCentroids)
 
   /** Per-cell top-k ranking shared by the IVF variants: q = (qid, qe,
     * cell), c = (cid, ce2, cell); broadcast query side, rounded-cosine
@@ -272,7 +275,12 @@ object Similarity {
     * + one Lloyd round. Means round to 9 dp (absorbs partial-agg
     * summation order — the ivfKmeansTopK contract). */
   private def pqCodebook(blocks: DataFrame, nCentroids: Int): DataFrame = {
-    val cents0 = blocks.where(col("vec_id") < nCentroids)
+    // seed by rank (the N smallest vec_ids), not `vec_id < n`: a filtered
+    // corpus with non-contiguous ids would otherwise under-seed or empty
+    // the codebook
+    val seedIds = blocks.select("vec_id").distinct()
+      .orderBy("vec_id").limit(nCentroids)
+    val cents0 = blocks.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("blk"), col("vec_id").as("cid"), col("sub").as("ce"))
     pqNearest(blocks, cents0)
       .select(col("blk"), col("cell"), posexplode(col("sub")))
@@ -347,16 +355,20 @@ object Similarity {
     *
     * The residual decomposition pays off on CLUSTERED corpora (residuals
     * concentrate near zero, so the codebook budget buys lower error —
-    * SimilarityQualitySpec proves it on a clustered corpus); on an
-    * unclustered corpus subtracting a weakly-correlated centroid
-    * INFLATES variance (measured ~1.6× raw-PQ error on the synthetic
-    * near-random embeddings) — which is why real systems train the
-    * coarse quantizer on the data distribution rather than hoping.
+    * SimilarityQualitySpec proves it on a clustered corpus). The coarse
+    * quantizer is TRAINED, not just seeded: seeds (the `nCoarse`
+    * smallest-id vectors) get one Lloyd refinement — assign all vectors,
+    * recompute each cell's centroid as the element-wise mean — before
+    * the final assignment, the same quantizer-training step as
+    * [[ivfKmeansTopK]] and the per-block PQ codebooks. Untrained seeds
+    * subtract a weakly-correlated centroid and INFLATE residual variance
+    * (~1.6× raw-PQ error measured on unclustered data in round 5).
     *
-    * Determinism: coarse centroids are the first `nCoarse` vectors
-    * (float→double conversion exact, residual subtraction exact in
-    * doubles), distances are nano-scaled BIGINTs end to end, the PQ
-    * codebook trains with the same seed+one-Lloyd shape as [[pqEncode]].
+    * Determinism: seed order is the vec_id order, Lloyd means round to
+    * 9 dp (absorbing partial-agg summation order, the ivfKmeansTopK
+    * contract), residual subtraction is exact in doubles, distances are
+    * nano-scaled BIGINTs end to end, the PQ codebook trains with the
+    * same seed+one-Lloyd shape as [[pqEncode]].
     *
     * Scale posture: coarse centroids and per-block codebooks both
     * broadcast; assignment and residual computation are map-only; the
@@ -370,17 +382,36 @@ object Similarity {
 
   private def ivfPqParts(embeddings: DataFrame, nCoarse: Int, m: Int,
       subDim: Int, nCentroids: Int, materialize: Boolean): IvfPqParts = {
-    val coarse = embeddings.where(col("vec_id") < nCoarse)
-      .select(col("vec_id").as("ccell"), col("embedding").as("cce"))
-    val assigned = {
+    // nearest-coarse-cell assignment against a broadcast centroid table
+    def assignTo(cents: DataFrame): DataFrame = {
       val scored = embeddings.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(coarse))
+        .crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"), col("ccell"), col("cce"),
           nanoL2(col("embedding"), col("cce")).as("cnano"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("cnano"), col("ccell"))
       scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
     }
+    // coarse quantizer: rank-based seeds + ONE Lloyd round (assign all,
+    // re-center each cell on its members' mean — one narrow combinable
+    // (ccell, pos, x) aggregation, same shape as the PQ codebooks).
+    // Every seed lands in its own cell (self-distance 0), so no cell is
+    // empty unless two seeds are identical vectors — in which case the
+    // duplicate cell drops out here and out of the search fan-out too.
+    val coarse0 = embeddings
+      .select(col("vec_id").as("ccell"), col("embedding").as("cce"))
+      .orderBy("ccell").limit(nCoarse)
+    val coarse = Stage.snap(
+      assignTo(coarse0)
+        .select(col("ccell"), posexplode(col("embedding")))
+        .groupBy(col("ccell"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 9).as("mv"))
+        .groupBy("ccell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos").as("p"), col("mv").as("mv")))),
+          s => s.getField("mv")).as("cce")),
+      materialize)
+    val assigned = assignTo(coarse)
     // snapshot the residual table: the codebook training, the code
     // assignment and the candidate-cell join all read it, and without a
     // stage boundary each consumer re-runs the coarse broadcast+window

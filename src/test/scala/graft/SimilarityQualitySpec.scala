@@ -122,8 +122,14 @@ class SimilarityQualitySpec extends SparkSpec {
       res.agg(sum("err_nano")).collect().head.getLong(0)
     val raw = totalErr(Similarity.pqEncode(df))
     val ivfpq = totalErr(Similarity.ivfPqEncode(df))
-    assert(ivfpq < raw,
-      s"residual PQ ($ivfpq) must beat raw PQ ($raw) on clustered data")
+    // with the TRAINED coarse quantizer (seeds + one Lloyd round) the
+    // residuals concentrate around each cluster mean: measured 3.95×
+    // error reduction vs raw PQ on this corpus, against 1.42× with
+    // round 5's untrained seeds (raw PQ's 16 per-block centroids already
+    // capture 8 clusters well, which bounds the achievable margin) —
+    // assert a conservative 2.5×, not the point estimate
+    assert(ivfpq * 5 < raw * 2,
+      s"residual PQ ($ivfpq) must beat raw PQ ($raw) by >=2.5x on clustered data")
     // every member lands in its own cluster's coarse cell
     val cells = Similarity.ivfPqEncode(df).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
