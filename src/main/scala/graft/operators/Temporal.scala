@@ -56,11 +56,12 @@ object Temporal {
     *
     * Scale posture: each step is one combinable min-aggregation plus an
     * equi-join on user_id against the previous step's (user, ts) table —
-    * never an inequality join; per-step tables shrink monotonically. */
+    * never an inequality join; per-step tables shrink monotonically.
+    * The summary is ONE job: per-step 1-row aggregates union into the
+    * result instead of a per-step .count() action. */
   def funnel(events: DataFrame,
       steps: Seq[String] = Seq("signup", "click", "purchase"),
       materialize: Boolean = true): DataFrame = {
-    val spark = events.sparkSession
     val ev = events.select(col("user_id"), col("event_type"),
       unix_micros(col("ts")).as("us"))
     // fold: step k's table = users whose first step-k event is >= their
@@ -78,13 +79,23 @@ object Temporal {
         Some(Stage.snap(reached.groupBy("user_id").agg(min("us").as("t")),
           materialize))
     }.flatten
-    val counts = stepTables.map(_.count())
-    import spark.implicits._
-    steps.zip(counts).zipWithIndex.map { case ((step, n), i) =>
-      (i + 1, step, n,
-        if (counts.head == 0L) 0.0
-        else math.round(n.toDouble / counts.head * 10000).toDouble / 10000)
-    }.toDF("step", "event_type", "n_users", "conversion")
+    // ONE job for the whole summary regardless of step count (was one
+    // .count() action per step): each snapshotted step table contributes
+    // a 1-row global aggregate, the union is steps.length rows, and the
+    // step-1 denominator arrives via a running-first window — funnel
+    // itself triggers no driver-side action beyond the stage snapshots.
+    val stepRows = steps.zipWithIndex.zip(stepTables).map { case ((step, i), t) =>
+      t.groupBy().agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(step).as("event_type"), col("n_users"))
+    }.reduce(_.union(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("step")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    stepRows
+      .withColumn("conversion",
+        when(first(col("n_users")).over(w) === 0, lit(0.0))
+          .otherwise(round(col("n_users") / first(col("n_users")).over(w), 4)))
       .orderBy("step")
   }
 
