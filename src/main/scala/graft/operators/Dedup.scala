@@ -225,7 +225,7 @@ object Dedup {
     val bf = bench.stat.bloomFilter("h", math.max(1L, bench.count()), fpp)
     val bfB = documents.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
-    hashed(documents)
+    val out = hashed(documents)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(mightContain(col("h")), 1L).otherwise(0L)).as("n_hit"))
@@ -233,6 +233,13 @@ object Dedup {
         round(col("n_hit") / col("n_shingles"), 4).as("overlap"))
       .withColumn("contaminated", (col("overlap") >= threshold).cast("int"))
       .orderBy("doc_id")
+    // snapshot the (narrow) verdict rows, then RELEASE the broadcast:
+    // the filter pins ~-n*ln(fpp)/ln^2(2) bits on the driver and every
+    // executor for the session's lifetime otherwise — a leak for a
+    // long-lived session that decontaminates repeated batches
+    val snapped = Stage.snap(out, materialize = true)
+    bfB.destroy()
+    snapped
   }
 
   /** Near-dup CLUSTERS from the LSH candidate pairs: `rounds` iterations
@@ -480,7 +487,12 @@ object Dedup {
     // (review finding; the dup_frac sibling had the same hazard)
     val positions = when(size(col("ts")) > 0,
       sequence(lit(1), size(col("ts")))).otherwise(array().cast("array<int>"))
-    val kept = filter(positions, i => !array_contains(col("covered"), i))
+    // array_except (hash-set membership, left order preserved) instead of
+    // a per-position array_contains scan: the latter is
+    // O(n_tokens x covered_tokens) per document — quadratic on large
+    // heavily-duplicated docs. positions are distinct, so except ==
+    // filter here
+    val kept = array_except(positions, col("covered"))
     base.join(spans, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("ts"),
         coalesce(covered, array().cast("array<int>")).as("covered"))

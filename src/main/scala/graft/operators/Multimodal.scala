@@ -437,31 +437,36 @@ object Multimodal {
           sniffImageFormat(bytes) match {
             case Some(fmt) =>
               def corrupt = ImageStats(id, s"corrupt-$fmt", 0, 0, 0, 0, 0, 0)
-              try {
+              // header-only dimension read FIRST (decodeImage): a
+              // decompression bomb declares huge dimensions in a tiny
+              // payload, and ImageIO.read allocates the full pixel
+              // buffer BEFORE any post-decode size check could run —
+              // the guard must fire off the header alone
+              val (hw, hh, hfmt) = decodeImage(bytes)
+              if (hfmt.startsWith("corrupt-")) corrupt
+              else if (hw.toLong * hh > maxPixels)
+                ImageStats(id, s"oversize-$fmt", hw, hh, 0, 0, 0, 0)
+              else try {
                 val img = javax.imageio.ImageIO.read(
                   new java.io.ByteArrayInputStream(bytes))
                 if (img eq null) corrupt
                 else {
                   val w = img.getWidth; val h = img.getHeight
-                  if (w.toLong * h > maxPixels)
-                    ImageStats(id, s"oversize-$fmt", w, h, 0, 0, 0, 0)
-                  else {
-                    var r = 0.0; var g = 0.0; var b = 0.0
-                    var y = 0
-                    while (y < h) {
-                      var x = 0
-                      while (x < w) {
-                        val p = img.getRGB(x, y)
-                        r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-                        x += 1
-                      }
-                      y += 1
+                  var r = 0.0; var g = 0.0; var b = 0.0
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val p = img.getRGB(x, y)
+                      r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+                      x += 1
                     }
-                    val n = w.toDouble * h
-                    val (mr, mg, mb) = (r / n, g / n, b / n)
-                    ImageStats(id, fmt, w, h, mr, mg, mb,
-                      0.2126 * mr + 0.7152 * mg + 0.0722 * mb)
+                    y += 1
                   }
+                  val n = w.toDouble * h
+                  val (mr, mg, mb) = (r / n, g / n, b / n)
+                  ImageStats(id, fmt, w, h, mr, mg, mb,
+                    0.2126 * mr + 0.7152 * mg + 0.0722 * mb)
                 }
               } catch {
                 // same degrade-don't-fail rule as decodeImage: decoder

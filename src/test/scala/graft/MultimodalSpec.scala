@@ -286,6 +286,29 @@ class MultimodalSpec extends SparkSpec {
     assert(bombed.format == "oversize-png", bombed.toString)
     assert((bombed.width, bombed.height) == ((20, 20)), bombed.toString)
     assert(bombed.mean_r == 0.0 && bombed.luminance == 0.0, bombed.toString)
+    // a TRUE decompression bomb: 33-byte payload whose IHDR declares
+    // 60000×60000 (~14 GB decoded at 4 B/px). The guard must fire from
+    // the header read ALONE — ImageIO.read would allocate the full
+    // pixel buffer before any post-decode check could run
+    val bomb = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      val ihdr = java.nio.ByteBuffer.allocate(17)
+      ihdr.put("IHDR".getBytes("US-ASCII"))
+      ihdr.putInt(60000).putInt(60000)
+      ihdr.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      val body = ihdr.array()
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(13).array())
+      out.write(body)
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+      out.toByteArray
+    }
+    val trueBomb = Multimodal.imageStats(
+      Seq((10L, bomb)).toDF("doc_id", "text")).collect().head
+    assert(trueBomb.format == "oversize-png", trueBomb.toString)
+    assert((trueBomb.width, trueBomb.height) == ((60000, 60000)), trueBomb.toString)
   }
 
   test("decodeMedia: text payloads still take the deterministic fallback") {
