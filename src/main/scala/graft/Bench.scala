@@ -21,6 +21,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Checkpoint-mode override (SPARK_GRAFT_CHECKPOINT=reliable) for the
+    // Stage.snap storage A/B: reliable mode snapshots stages to a
+    // checkpoint DIR (the multi-executor posture) instead of
+    // executor-local blocks; the bench delta is recorded in SCALE.md.
+    sys.env.get("SPARK_GRAFT_CHECKPOINT").foreach { mode =>
+      spark.conf.set("spark.graft.checkpoint", mode)
+      if (mode == "reliable") spark.sparkContext.setCheckpointDir(
+        Files.createTempDirectory("graft-ckpt").toString)
+    }
     // Untimed warmup: JVM classloading / codegen-compiler / parquet-footer
     // costs land here instead of inside the first timed query.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
