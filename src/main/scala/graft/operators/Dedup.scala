@@ -399,13 +399,14 @@ object Dedup {
     * suffix-array build (arbitrary-length longest repeats) trades this
     * bounded shuffle for a global sort; fixed-`l` grams are the
     * standard large-scale approximation. */
-  /** Shared span-detection pipeline for [[duplicateSpans]] and
-    * [[duplicateSpansApply]]: tokenized docs, duplicated gram positions,
-    * and the merged maximal islands (doc_id, island, s, e). One shared
+  /** Shared span-detection pipeline for [[duplicateSpans]],
+    * [[duplicateSpansApply]] and [[suffixArraySpans]]: tokenized docs,
+    * the snapshotted hashed gram table, duplicated gram positions, and
+    * the merged maximal islands (doc_id, island, s, e). One shared
     * definition so a hardening fix in one consumer cannot silently miss
-    * the other. */
+    * the others. */
   private def spanIslands(documents: DataFrame, l: Int,
-      materialize: Boolean): (DataFrame, DataFrame, DataFrame) = {
+      materialize: Boolean): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window
     val base = documents.select(col("doc_id"),
       regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("ts"))
@@ -435,12 +436,12 @@ object Dedup {
       .withColumn("island", sum("new_island").over(wRun))
       .groupBy("doc_id", "island")
       .agg(min("i").as("s"), max(col("i") + (l - 1)).as("e"))
-    (base, dup, islands)
+    (base, grams, dup, islands)
   }
 
   def duplicateSpans(documents: DataFrame, l: Int = 8,
       materialize: Boolean = true): DataFrame = {
-    val (base, dup, islands) = spanIslands(documents, l, materialize)
+    val (base, _, dup, islands) = spanIslands(documents, l, materialize)
     val perDoc = islands.groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1).as("covered_tokens"))
@@ -476,7 +477,7 @@ object Dedup {
     * tokens. */
   def duplicateSpansApply(documents: DataFrame, l: Int = 8,
       materialize: Boolean = true): DataFrame = {
-    val (base, _, islands) = spanIslands(documents, l, materialize)
+    val (base, _, _, islands) = spanIslands(documents, l, materialize)
     val spans = islands.groupBy("doc_id")
       .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
     val covered = flatten(transform(col("spans"),
@@ -502,6 +503,147 @@ object Dedup {
         array_join(transform(kept, i => element_at(col("ts"), i)), " ")
           .as("cut_text"))
       .orderBy("doc_id")
+  }
+
+  /** ARBITRARY-LENGTH duplicate spans on the worst offenders — the
+    * suffix-array exact pass of Lee et al.'s ExactSubstr dedup, run as a
+    * refinement stage over the sample [[duplicateSpans]] flags rather
+    * than over the whole corpus. Fixed-`l` grams are the standard
+    * corpus-scale approximation (they quantize span boundaries to gram
+    * granularity and see only cross-document repeats); this pass gives
+    * the sampled documents EXACT maximal extents for every repeat of
+    * length ≥ `minLen`, including within-document repeats and
+    * overlapping occurrences — the full ExactSubstr semantics.
+    *
+    * Output: one row per maximal duplicated token span, (doc_id, s, e,
+    * span_len), 1-based inclusive token positions.
+    *
+    * Scale posture: candidate RANKING rides the distributed
+    * [[spanIslands]] chain (dup_frac over the same snapshotted gram
+    * table); the exact pass runs on a BOUNDED sample — the `topK` worst
+    * offenders PLUS up to `maxPartners` docs sharing a duplicated gram
+    * with one (the copies that define the offenders' exact extents: an
+    * offender whose duplicate lives outside the sample would otherwise
+    * show no repeat). Sample token streams reduce to sha32 longs
+    * row-locally before the single repartition, so raw text still never
+    * crosses a shuffle and the one-task suffix sort is O(sample), not
+    * O(corpus). Sharding the sample (one suffix array per near-dup
+    * cluster) is the same code at larger caps. Determinism: per-doc
+    * unique negative sentinels separate documents (token hashes are
+    * 32-bit nonnegative), so all suffixes are distinct, no repeat
+    * crosses a document boundary, and the suffix order is total; the
+    * naive suffix sort is O(n·log n·lcp) — fine for a bounded sample,
+    * and the place a full-corpus build would swap in DC3/doubling. */
+  def suffixArraySpans(documents: DataFrame, l: Int = 8, topK: Int = 20,
+      minLen: Int = 8, maxPartners: Int = 100,
+      materialize: Boolean = true): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (base, grams, _, islands) = spanIslands(documents, l, materialize)
+    val ranked = islands.groupBy("doc_id")
+      .agg(sum(col("e") - col("s") + 1).as("covered"))
+      .join(base.select(col("doc_id"), size(col("ts")).as("nt")), Seq("doc_id"))
+      .select(col("doc_id"), when(col("nt") === 0, lit(0.0))
+        .otherwise(col("covered") / col("nt").cast("double")).as("frac"))
+    val offenders = ranked
+      .orderBy(col("frac").desc, col("doc_id"))
+      .limit(topK)
+      .select("doc_id")
+    // partner expansion: any doc sharing a gram with an offender (the
+    // shared gram is duplicated by definition when the docs differ)
+    val offenderHashes = grams.join(broadcast(offenders), Seq("doc_id"))
+      .select("h").distinct()
+    val partners = grams.join(broadcast(offenderHashes), Seq("h"))
+      .select("doc_id").distinct()
+      .join(broadcast(offenders), Seq("doc_id"), "left_anti")
+      .join(ranked, Seq("doc_id"))
+      .orderBy(col("frac").desc, col("doc_id"))
+      .limit(maxPartners)
+      .select("doc_id")
+    val sample = documents
+      .join(broadcast(offenders.union(partners)), Seq("doc_id"))
+      .select(col("doc_id").cast("long"),
+        transform(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)),
+          t => sha32(t)).as("hs"))
+      .as[(Long, Array[Long])]
+    sample.repartition(1).mapPartitions { it =>
+      val docs = it.toArray.sortBy(_._1)
+      if (docs.isEmpty) Iterator.empty
+      else {
+        // concatenated hash stream with a unique negative sentinel after
+        // each document (hashes are in [0, 2^32) — sentinels can't match)
+        val n = docs.map(_._2.length).sum + docs.length
+        val arr = new Array[Long](n)
+        val docStart = new Array[Int](docs.length)
+        var off = 0
+        docs.zipWithIndex.foreach { case ((_, hs), k) =>
+          docStart(k) = off
+          System.arraycopy(hs, 0, arr, off, hs.length)
+          off += hs.length
+          arr(off) = -(k + 1).toLong
+          off += 1
+        }
+        // suffix array (naive sort — bounded sample) + Kasai LCP
+        def less(i0: Int, j0: Int): Boolean = {
+          var i = i0; var j = j0
+          while (i < n && j < n) {
+            if (arr(i) != arr(j)) return arr(i) < arr(j)
+            i += 1; j += 1
+          }
+          i == n
+        }
+        val sa = Array.range(0, n).sortWith(less)
+        val rank = new Array[Int](n)
+        var r = 0
+        while (r < n) { rank(sa(r)) = r; r += 1 }
+        val lcp = new Array[Int](n) // lcp(r) = LCP(sa(r), sa(r+1))
+        var h = 0
+        var p = 0
+        while (p < n) {
+          val rp = rank(p)
+          if (rp + 1 < n) {
+            val q = sa(rp + 1)
+            while (p + h < n && q + h < n && arr(p + h) == arr(q + h)) h += 1
+            lcp(rp) = h
+            if (h > 0) h -= 1
+          } else h = 0
+          p += 1
+        }
+        // rep(p) = longest repeated prefix at p = max LCP with either
+        // suffix-order neighbor; covered = union of [p, p+rep-1] for
+        // rep >= minLen. Qualifying intervals never contain a sentinel
+        // (a repeat would need the unique sentinel twice), and interval
+        // merging can't bridge one (the sentinel position itself never
+        // qualifies), so each merged island lies within one document.
+        def rep(p: Int): Int = {
+          val rp = rank(p)
+          math.max(lcp(rp), if (rp > 0) lcp(rp - 1) else 0)
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, Int)]
+        var s = -1; var e = -2
+        def flush(): Unit = if (s >= 0) {
+          var k = java.util.Arrays.binarySearch(docStart, s)
+          if (k < 0) k = -k - 2
+          val ls = s - docStart(k) + 1
+          val le = e - docStart(k) + 1
+          out += ((docs(k)._1, ls, le, le - ls + 1))
+        }
+        p = 0
+        while (p < n) {
+          val rp = rep(p)
+          if (rp >= minLen) {
+            val pe = p + rp - 1
+            if (s < 0) { s = p; e = pe }
+            else if (p <= e + 1) e = math.max(e, pe)
+            else { flush(); s = p; e = pe }
+          }
+          p += 1
+        }
+        flush()
+        out.iterator
+      }
+    }.toDF("doc_id", "s", "e", "span_len")
+      .orderBy("doc_id", "s")
   }
 
   /** n-gram (token) Jaccard between consecutive doc ids — the

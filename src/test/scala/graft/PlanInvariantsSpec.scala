@@ -173,6 +173,20 @@ class PlanInvariantsSpec extends SparkSpec {
       s"raw token/gram column crosses a shuffle\n$exchanges")
   }
 
+  test("suffix-array spans: sample ids broadcast; no raw text in any exchange") {
+    val p = graft.operators.Dedup
+      .suffixArraySpans(spark.read.parquet(s"$sfDir/documents.parquet"),
+        materialize = false)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the offender/partner id sets ride broadcasts into the sample join
+    assert(p.contains("BroadcastExchange"), p)
+    // only the sha32 hash stream (hs) reaches the single repartition —
+    // tokenized text (ts) and raw text must not cross any exchange
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("ts#") && !exchanges.contains("text#"),
+      s"raw text crosses a shuffle\n$exchanges")
+  }
+
   test("ta_bm25: corpus constants ride a broadcast, not a shuffle") {
     val p = planOf("ta_bm25")
     assert(p.contains("BroadcastExchange"), p)
