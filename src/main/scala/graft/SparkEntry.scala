@@ -360,6 +360,12 @@ object SparkEntry {
     "sim_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDup(Catalog.embeddings(s, dir), threshold = 0.25)),
 
+    // SemDeDup survivors: embedding-cosine near-dup graph -> min-label
+    // components -> canonical-min survivor (the semantic counterpart of
+    // dd_near_apply; catches paraphrases lexical MinHash can't see)
+    "sim_semdedup" -> ((s, dir) =>
+      Similarity.semanticDedup(Catalog.embeddings(s, dir), threshold = 0.25)),
+
     "sim_ivf" -> ((s, dir) => Similarity.ivfTopK(Catalog.embeddings(s, dir))),
 
     "sim_ivf2" -> ((s, dir) =>
@@ -1529,6 +1535,45 @@ object SparkEntry {
          |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
          |WHERE cos >= 0.25
          |ORDER BY d1, d2""".stripMargin,
+
+    // SemDeDup mirror: cosine edges + the same bounded 3-round min-label
+    // propagation as dd_components, keyed on vec_id
+    "sim_semdedup" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |    ${(1 to 8).map(i =>
+             s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS bucket
+         |  FROM embeddings
+         |), pairs AS (
+         |  SELECT d1, d2 FROM (
+         |    SELECT a.vec_id AS d1, bb.vec_id AS d2,
+         |      round(${cosSql("a.embedding", "bb.embedding")}, 6) AS cos
+         |    FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
+         |  WHERE cos >= 0.25
+         |), edges AS (
+         |  SELECT d1 AS a, d2 AS bb FROM pairs
+         |  UNION ALL SELECT d2 AS a, d1 AS bb FROM pairs
+         |), l0 AS (
+         |  SELECT vec_id, vec_id AS label FROM embeddings
+         |), l1 AS (
+         |  SELECT l.vec_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
+         |  FROM l0 l LEFT JOIN edges e ON e.a = l.vec_id
+         |            LEFT JOIN l0 n ON n.vec_id = e.bb
+         |  GROUP BY l.vec_id, l.label
+         |), l2 AS (
+         |  SELECT l.vec_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
+         |  FROM l1 l LEFT JOIN edges e ON e.a = l.vec_id
+         |            LEFT JOIN l1 n ON n.vec_id = e.bb
+         |  GROUP BY l.vec_id, l.label
+         |), l3 AS (
+         |  SELECT l.vec_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
+         |  FROM l2 l LEFT JOIN edges e ON e.a = l.vec_id
+         |            LEFT JOIN l2 n ON n.vec_id = e.bb
+         |  GROUP BY l.vec_id, l.label
+         |)
+         |SELECT vec_id, label AS cluster,
+         |  CAST(vec_id = label AS INTEGER) AS survivor
+         |FROM l3 ORDER BY vec_id""".stripMargin,
 
     "sim_ivf" ->
       s"""WITH cents AS (

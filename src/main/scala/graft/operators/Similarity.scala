@@ -160,6 +160,47 @@ object Similarity {
     cellTopK(q, c, k, embeddings)
   }
 
+  /** SEMANTIC dedup survivors (SemDeDup, Abbas et al. 2023): documents
+    * whose EMBEDDINGS are near-duplicates cluster together and only the
+    * canonical (minimum-id) member survives — the embedding-space
+    * counterpart of [[graft.operators.Dedup.nearDupApply]], catching
+    * paraphrases and re-encodings that lexical MinHash can't see.
+    * Edges are the sign-LSH-bucketed cosine pairs ([[cosineNearDup]]);
+    * clusters come from the same bounded min-label propagation as
+    * `lshComponents` (both engines run the identical `rounds` joins, so
+    * the result agrees even before full convergence); survivors are
+    * `vec_id == cluster`. Returns (vec_id, cluster, survivor).
+    *
+    * Scale posture: identical to the lexical components chain — edges
+    * snapshot once (the near-dup subgraph only), each round is one
+    * narrow (edge ⋈ label) equi-join keyed on vec_id, labels checkpoint
+    * per round so plan depth stays O(1) in rounds, isolated vectors skip
+    * the rounds and union back. */
+  def semanticDedup(embeddings: DataFrame, bits: Int = 8,
+      threshold: Double = 0.25, rounds: Int = 3,
+      materialize: Boolean = true): DataFrame = {
+    def snap(df: DataFrame): DataFrame = Stage.snap(df, materialize)
+    val pairs = cosineNearDup(embeddings, bits, threshold)
+    val edges = snap(pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b"))))
+    val edgeDocs = edges.select(col("a").as("vec_id")).distinct()
+    var labels = edgeDocs.select(col("vec_id"), col("vec_id").as("label"))
+    for (_ <- 1 to rounds) {
+      val nbrMin = edges.join(labels, edges("b") === labels("vec_id"))
+        .groupBy(col("a")).agg(min("label").as("nl"))
+      labels = snap(labels.join(nbrMin, labels("vec_id") === nbrMin("a"), "left_outer")
+        .select(col("vec_id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
+    }
+    labels = labels.unionByName(
+      embeddings.select(col("vec_id"), col("vec_id").as("label"))
+        .join(edgeDocs, Seq("vec_id"), "left_anti"))
+    labels
+      .select(col("vec_id"), col("label").as("cluster"),
+        (col("vec_id") === col("label")).cast("int").as("survivor"))
+      .orderBy("vec_id")
+  }
+
   /** Per-label embedding centroids — mean pooling over a group key (the
     * class-centroid / prototype computation behind nearest-centroid
     * classification, cluster summaries and doc-from-chunk pooling):

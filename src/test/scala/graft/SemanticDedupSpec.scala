@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** [[Similarity.semanticDedup]] — SemDeDup survivors over the
+  * embedding-cosine near-dup graph: cluster collapse, canonical-min
+  * survivor policy, singleton passthrough, and the composition property
+  * that every dropped vector's cluster IS a surviving id.
+  */
+class SemanticDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 tight clusters of 4 near-identical vectors each (tiny deterministic
+  // perturbations — cosine ~0.9999) + 4 well-separated singletons.
+  // Centers are sinusoids of DISTINCT frequencies (same-frequency,
+  // phase-shifted centers have cosine = cos(Δphase) — an earlier fixture
+  // aliased two "distinct" centers to cosine 1.0); max cross-center
+  // |cos| here is 0.24, and every sign-hashed coordinate (j < 8) sits at
+  // |x| ≥ 0.25, so the ±0.01 perturbation can't flip an LSH bucket bit.
+  private def fixture = {
+    def center(c: Int): Array[Float] =
+      Array.tabulate(16)(j => (math.sin((c + 1) * (j + 0.7)) * 10).toFloat)
+    val clustered = (0 until 12).map { i =>
+      val c = i % 3
+      val p = center(c).zipWithIndex.map { case (v, j) =>
+        v + (math.cos(i * 13 + j) * 0.01).toFloat
+      }
+      (i.toLong, p)
+    }
+    val singles = (0 until 4).map(s => ((12 + s).toLong, center(4 + s)))
+    (clustered ++ singles).toDF("vec_id", "embedding")
+  }
+
+  test("near-identical embeddings collapse; min id survives; singletons pass") {
+    val rows = Similarity.semanticDedup(fixture, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byId = rows.map(t => t._1 -> t).toMap
+    // cluster c's members are ids {c, c+3, c+6, c+9}; min = c survives
+    (0 until 3).foreach { c =>
+      Seq(c, c + 3, c + 6, c + 9).foreach { m =>
+        assert(byId(m.toLong)._2 == c.toLong, s"member $m: ${byId(m.toLong)}")
+      }
+      assert(byId(c.toLong)._3 == 1 && byId((c + 9).toLong)._3 == 0)
+    }
+    (12 until 16).foreach { s =>
+      assert(byId(s.toLong) == ((s.toLong, s.toLong, 1)), byId(s.toLong))
+    }
+    assert(rows.count(_._3 == 1) == 3 + 4)
+  }
+
+  test("every dropped vector's cluster is a surviving id (apply-safety)") {
+    val rows = Similarity.semanticDedup(fixture, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val survivors = rows.filter(_._3 == 1).map(_._1).toSet
+    rows.filter(_._3 == 0).foreach { case (id, cluster, _) =>
+      assert(survivors.contains(cluster), s"dropped $id -> orphan cluster $cluster")
+    }
+  }
+
+  test("threshold gates the graph: at cos >= 1.1 nothing clusters") {
+    val rows = Similarity.semanticDedup(fixture, threshold = 1.1).collect()
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1) && r.getInt(2) == 1))
+  }
+
+  test("deterministic across runs") {
+    def run() = Similarity.semanticDedup(fixture, threshold = 0.99)
+      .collect().map(_.toString).toSeq
+    assert(run() == run())
+  }
+}
