@@ -119,7 +119,10 @@ object Bpe {
   /** Tokenize text with a learned merge table: per word, apply every
     * merge in rank order (the standard BPE segmenter). Returns
     * (doc_id, n_words, n_subwords, subwords_preview). Map-only over the
-    * corpus with the merge list broadcast via closure. */
+    * corpus with the merge list broadcast via closure. Hot-loop shape:
+    * each merge first runs an allocation-free adjacency scan and only
+    * rebuilds the symbol array on an actual hit — most merges don't
+    * occur in most words, so the common case allocates nothing. */
   def bpeEncode(documents: DataFrame, merges: Seq[(String, String)],
       previewN: Int = 8): DataFrame = {
     val spark = documents.sparkSession
@@ -138,20 +141,50 @@ object Bpe {
           while (m.find()) {
             nWords += 1
             val w = m.group()
-            val chars = w.map(_.toString).toSeq
-            var syms: Seq[String] = chars.init :+ (chars.last + "_")
+            var syms = new Array[String](w.length)
+            var c = 0
+            while (c < w.length) { syms(c) = String.valueOf(w.charAt(c)); c += 1 }
+            syms(w.length - 1) = syms(w.length - 1) + "_"
             var k = 0
             while (k < mergeList.length) {
-              syms = mergePair(syms, mergeList(k)._1, mergeList(k)._2)
+              val l = mergeList(k)._1; val r = mergeList(k)._2
+              var hit = -1
+              var i = 0
+              while (hit < 0 && i + 1 < syms.length) {
+                if (syms(i) == l && syms(i + 1) == r) hit = i
+                i += 1
+              }
+              if (hit >= 0) syms = mergePairArr(syms, l, r, hit)
               k += 1
             }
             nSub += syms.length
-            syms.foreach(s => if (preview.length < previewN) preview += s)
+            var s = 0
+            while (s < syms.length) {
+              if (preview.length < previewN) preview += syms(s)
+              s += 1
+            }
           }
           (id, nWords, nSub, preview.mkString(" "))
         }
       }
       .toDF("doc_id", "n_words", "n_subwords", "subwords_preview")
       .orderBy("doc_id")
+  }
+
+  /** Array form of [[mergePair]] for the segmenter hot loop: `from` is
+    * the first known hit, so the prefix copies verbatim. Semantics are
+    * identical (greedy left-to-right, spec-cross-checked). */
+  private def mergePairArr(syms: Array[String], l: String, r: String,
+      from: Int): Array[String] = {
+    val out = new Array[String](syms.length)
+    System.arraycopy(syms, 0, out, 0, from)
+    var n = from
+    var i = from
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out(n) = l + r; n += 1; i += 2
+      } else { out(n) = syms(i); n += 1; i += 1 }
+    }
+    java.util.Arrays.copyOf(out, n)
   }
 }
