@@ -85,4 +85,28 @@ class TemporalSpec extends SparkSpec {
     val ids = Temporal.asofAttribution(events).collect().map(_.getLong(0)).toSet
     assert(ids == Set(3L, 4L, 6L, 7L), ids.toString)
   }
+
+  test("funnel is lazy: construction triggers no Spark job (one-action summary)") {
+    // round 5 ran one .count() action per step on the driver; the
+    // summary is now a union of per-step 1-row aggregates, so with
+    // materialize=false (no stage snapshots) building the DataFrame
+    // must not run ANY job — the caller's single action does all work
+    val ev = Seq((11L, 1L, "2024-01-01 09:00:00", "signup"))
+      .toDF("event_id", "user_id", "t", "event_type")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("t")).as("ts"), col("event_type"))
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Temporal.funnel(ev, materialize = false)
+      Thread.sleep(500) // listener bus is async; give events time to land
+      assert(jobs == 0, s"funnel construction ran $jobs job(s)")
+      assert(df.collect().length == 3)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
