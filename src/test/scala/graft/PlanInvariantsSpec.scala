@@ -173,6 +173,14 @@ class PlanInvariantsSpec extends SparkSpec {
       s"raw token/gram column crosses a shuffle\n$exchanges")
   }
 
+  test("ta_bpe_encode: map-only segmenter — only the output sort exchanges") {
+    val p = planOf("ta_bpe_encode")
+    val exchanges = """\(\d+\) Exchange\b""".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the final sort exchange, got $exchanges\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"segmenter must not shuffle on a key\n$p")
+  }
+
   test("suffix-array spans: sample ids broadcast; no raw text in any exchange") {
     val p = graft.operators.Dedup
       .suffixArraySpans(spark.read.parquet(s"$sfDir/documents.parquet"),

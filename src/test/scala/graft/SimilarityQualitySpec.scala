@@ -101,6 +101,41 @@ class SimilarityQualitySpec extends SparkSpec {
     assert(again == Similarity.ivfPqTopK(embeddings).collect().map(_.toString).toSeq)
   }
 
+  test("ivfPqTopK on a CLUSTERED corpus: trained coarse + residual ADC finds the cluster") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // same clustered regime as the encode test: 8 separated centers
+    // (= the seeds) + 6 members each. Exact L2 top-5 for each center
+    // query is its own cluster's members; the composed search (probe 2
+    // trained cells, rank by residual ADC) must recover most of them —
+    // this is the regime the IVF-PQ composition exists for, vs the
+    // ~0.15 recall it gets on the near-random corpus above
+    def center(c: Int): Array[Float] =
+      Array.tabulate(64)(j => (math.sin(c * 97 + j) * 50).toFloat)
+    val vecs = (0 until 8).map(c => (c.toLong, center(c))) ++
+      (0 until 48).map { i =>
+        val c = i % 8
+        val p = center(c).zipWithIndex.map { case (v, j) =>
+          v + (math.cos(i * 31 + j) * 0.5).toFloat
+        }
+        ((8 + i).toLong, p)
+      }
+    val df = vecs.toDF("vec_id", "embedding")
+    val qe = df.select(col("vec_id").as("qid"), col("embedding").as("q"))
+      .where(col("qid") < 8)
+    val c = df.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val d2 = aggregate(zip_with(col("q"), col("ce"), (x, y) =>
+      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (a, x) => a + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("d"), col("cid"))
+    val exact = resultSet(qe.crossJoin(c).where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), d2.as("d"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 5))
+    val r = recall(resultSet(Similarity.ivfPqTopK(df)), exact)
+    assert(r > 0.8, s"clustered IVF-PQ recall $r")
+  }
+
   test("ivfPqEncode: residual PQ beats raw PQ on a CLUSTERED corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

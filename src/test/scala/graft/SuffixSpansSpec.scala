@@ -93,6 +93,38 @@ class SuffixSpansSpec extends SparkSpec {
     assert(islands.subsetOf(spans.map(_._1).toSet))
   }
 
+  test("randomized cross-check: operator equals brute force on 30 seeded corpora") {
+    // small vocab forces repeats; caps set so the sample is EXACTLY the
+    // docs with a cross-doc duplicated l-gram (offenders = all flagged;
+    // any gram-sharing partner is itself flagged), which the reference
+    // can compute independently
+    val l = 3
+    (1 to 30).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f")
+      val corpus = (1L to 8L).map { d =>
+        val len = 5 + rnd.nextInt(26)
+        d -> Seq.fill(len)(vocab(rnd.nextInt(vocab.length)))
+      }
+      val df = corpus.map { case (d, ts) => (d, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.suffixArraySpans(df, l = l, topK = 100, minLen = l,
+          maxPartners = 100)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+        .toSeq
+      // independent sample rule: doc has some l-gram occurring in ANOTHER doc
+      val grams = corpus.map { case (d, ts) =>
+        d -> ts.sliding(l).filter(_.length == l).map(_.mkString(" ")).toSet
+      }.toMap
+      val sampled = corpus.filter { case (d, _) =>
+        grams(d).exists(g => corpus.exists { case (d2, _) =>
+          d2 != d && grams(d2).contains(g) })
+      }
+      assert(got == bruteSpans(sampled, minLen = l),
+        s"seed $seed mismatch:\ngot:  $got\nwant: ${bruteSpans(sampled, minLen = l)}")
+    }
+  }
+
   test("no duplicates / short docs / empty input produce empty output") {
     val unique = Seq((1L, "a b c d e"), (2L, "f g h i j")).toDF("doc_id", "text")
     assert(Dedup.suffixArraySpans(unique, l = 3, topK = 5, minLen = 3).count() == 0)
