@@ -429,6 +429,12 @@ object SparkEntry {
     "ta_cardinality" -> ((s, dir) =>
       TextAnalysis.tokenCardinality(Catalog.documents(s, dir))),
 
+    // heavy hitters: frequent tokens above an absolute count (exact,
+    // one combinable shuffle; heavyHittersApprox is the spec-bounded
+    // Misra-Gries bounded-memory path)
+    "ta_heavy" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(Catalog.documents(s, dir), minCount = 300)),
+
     // stratified sampling: deterministic per-language fractions
     "ta_stratified" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(Catalog.documents(s, dir),
@@ -2197,6 +2203,13 @@ object SparkEntry {
         |    CASE WHEN n1 = 0 THEN 0.0
         |         ELSE round(n3 / CAST(n1 AS DOUBLE), 4) END FROM n)
         |ORDER BY step""".stripMargin,
+
+    "ta_heavy" ->
+      """SELECT token, COUNT(*) AS n
+        |FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |      FROM documents)
+        |GROUP BY token HAVING COUNT(*) >= 300
+        |ORDER BY n DESC, token""".stripMargin,
 
     "ta_stratified" ->
       s"""SELECT doc_id, lang,

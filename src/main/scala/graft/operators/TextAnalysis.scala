@@ -216,6 +216,64 @@ object TextAnalysis {
       .agg(approx_count_distinct(col("token"), rsd).as("n_distinct_approx"))
       .orderBy("lang")
 
+  /** Heavy hitters (frequent tokens above an absolute count): one
+    * map-side-combinable (token) aggregation + threshold filter — the
+    * exact form, and [[heavyHittersApprox]]'s correctness reference.
+    * Only (token, n) rows above the threshold survive to the sort. */
+  def heavyHitters(documents: DataFrame, minCount: Long = 100): DataFrame =
+    documents.select(
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .orderBy(col("n").desc, col("token"))
+
+  /** Misra–Gries heavy-hitters SKETCH — the bounded-memory single-pass
+    * path for when even the distinct-token shuffle is too much (the
+    * summary is ≤ `k` counters per partition, merged pairwise): every
+    * token with true count > N/k is guaranteed present, and each
+    * reported count underestimates by at most N/k (the classic MG
+    * bounds survive the distributed merge). Not oracle-gated — the
+    * surviving counter set depends on merge order — but the BOUNDS are
+    * order-independent and spec-asserted against [[heavyHitters]].
+    * Output: (token, n_min) candidate heavy hitters, n_min ≤ true n. */
+  def heavyHittersApprox(documents: DataFrame, k: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val agg = new org.apache.spark.sql.expressions.Aggregator[
+        String, Map[String, Long], Map[String, Long]] {
+      def zero: Map[String, Long] = Map.empty
+      private def shrink(m: Map[String, Long]): Map[String, Long] =
+        if (m.size <= k) m
+        else {
+          // decrement all by the (k+1)-th largest count; drop non-positive
+          val cut = m.values.toSeq.sorted(Ordering[Long].reverse)(k)
+          m.flatMap { case (t, n) =>
+            if (n - cut > 0) Some(t -> (n - cut)) else None
+          }
+        }
+      def reduce(b: Map[String, Long], t: String): Map[String, Long] =
+        shrink(b.updated(t, b.getOrElse(t, 0L) + 1L))
+      def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+        shrink(b.foldLeft(a) { case (acc, (t, n)) =>
+          acc.updated(t, acc.getOrElse(t, 0L) + n)
+        })
+      def finish(m: Map[String, Long]): Map[String, Long] = m
+      def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[Map[String, Long]]]
+      def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Map[String, Long]]]
+    }
+    documents.select(
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as("token"))
+      .as[String]
+      .select(agg.toColumn) // typed select: one MG summary row
+      .toDF("summary")
+      .select(explode(col("summary")))
+      .toDF("token", "n_min")
+      .orderBy(col("n_min").desc, col("token"))
+  }
+
   /** Stratified sampling with per-language fractions — the mixture-
     * rebalancing action form of [[mixPlan]] (`sampleBy` with a
     * DETERMINISTIC hash draw instead of RNG state): each doc draws a

@@ -70,6 +70,28 @@ class TextScoringSpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries heavy hitters honor the classic bounds vs exact counts") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exact = TextAnalysis.heavyHitters(docs, minCount = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val k = 64
+    val approx = TextAnalysis.heavyHittersApprox(docs, k).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.size <= k, s"summary overflow: ${approx.size} > $k")
+    val bound = n.toDouble / k
+    // guarantee 1: every token with true count > N/k is in the summary
+    exact.filter(_._2 > bound).foreach { case (t, c) =>
+      assert(approx.contains(t), s"frequent '$t' (count $c > $bound) missing")
+    }
+    // guarantee 2: reported counts underestimate by at most N/k
+    approx.foreach { case (t, est) =>
+      val truth = exact.getOrElse(t, 0L)
+      assert(est <= truth, s"'$t' overestimated: $est > $truth")
+      assert(truth - est <= bound, s"'$t' undercount ${truth - est} > $bound")
+    }
+  }
+
   test("stratified sampling hits per-language fractions deterministically") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val rates = Map("en" -> 0.25, "es" -> 0.5, "de" -> 0.75)
