@@ -49,5 +49,8 @@ object Explain {
     "dd_components" -> ((s, dir) => graft.operators.Dedup.lshComponents(
       graft.catalog.Catalog.documents(s, dir), materialize = false)),
     "dd_near_apply" -> ((s, dir) => graft.operators.Dedup.nearDupApply(
-      graft.catalog.Catalog.documents(s, dir), materialize = false)))
+      graft.catalog.Catalog.documents(s, dir), materialize = false)),
+    "sim_semdedup" -> ((s, dir) => graft.operators.Similarity.semanticDedup(
+      graft.catalog.Catalog.embeddings(s, dir), threshold = 0.25,
+      materialize = false)))
 }

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Degenerate-input edges for the round-6 operators: empty corpora,
+  * all-unique corpora, sub-threshold sizes. The rule: degrade to empty
+  * results, never throw. */
+class Round6EdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def emptyEmb =
+    Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+
+  test("semanticDedup on empty / single-vector input") {
+    assert(Similarity.semanticDedup(emptyEmb).count() == 0)
+    val one = Seq((7L, Array.fill(16)(1.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.semanticDedup(one).collect()
+    assert(r.length == 1 && r.head.getLong(1) == 7L && r.head.getInt(2) == 1)
+  }
+
+  test("heavyHitters: empty corpus, threshold above every count") {
+    assert(TextAnalysis.heavyHitters(emptyDocs, minCount = 1).count() == 0)
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(TextAnalysis.heavyHitters(docs, minCount = 2).count() == 0)
+    assert(TextAnalysis.heavyHittersApprox(emptyDocs).count() == 0)
+  }
+
+  test("heavyHittersApprox: k larger than the vocabulary is exact") {
+    val docs = Seq((1L, "x x x y y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.heavyHittersApprox(docs, k = 64).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // no counter ever evicts, so MG degenerates to exact counting
+    assert(got == Map("x" -> 3L, "y" -> 2L, "z" -> 1L), got.toString)
+  }
+
+  test("suffixArraySpans: doc shorter than the gram width never flags") {
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    // 2 tokens < l=3: no grams exist, so no offenders and no sample
+    assert(Dedup.suffixArraySpans(docs, l = 3, minLen = 3).count() == 0)
+  }
+
+  test("bpeEncode: single-char words and empty text") {
+    val docs = Seq((1L, "a b c a"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rows = graft.operators.Bpe
+      .bpeEncode(docs, graft.operators.Bpe.DemoMerges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L) == ((4L, 4L))) // each 1-char word is one subword c_
+    assert(rows(2L) == ((0L, 0L)) && rows(3L) == ((0L, 0L)))
+  }
+}
