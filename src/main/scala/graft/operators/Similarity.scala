@@ -300,17 +300,25 @@ object Similarity {
       lit(0.0), (acc, x) => acc + x) * 1e9, 0).cast("bigint")
 
   /** Per-(vector, block) nearest centroid against a broadcast codebook
-    * (blk, cid, ce): returns (vec_id, blk, sub, cell, nano). */
-  private def pqNearest(blocks: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = blocks.join(broadcast(cents), Seq("blk"))
+    * (blk, cid, ce): returns (vec_id, blk, sub, cell, nano).
+    *
+    * Argmin via `min_by` AGGREGATION, not a rank window: the aggregate
+    * gets map-side combine (candidate×centroid rows reduce to one row
+    * per (vector, block) before the shuffle) and no sort — the window
+    * form shuffles and sorts the full scored set. The (nano, cid) order
+    * key is unique (cid is), so the argmin is deterministic — the same
+    * tie-break the window encoded. `sub` is group-constant (it depends
+    * only on the group key), so first() is deterministic too. */
+  private def pqNearest(blocks: DataFrame, cents: DataFrame): DataFrame =
+    blocks.join(broadcast(cents), Seq("blk"))
       .select(col("vec_id"), col("blk"), col("sub"), col("cid"),
         nanoL2(col("sub"), col("ce")).as("nano"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id", "blk").orderBy(col("nano"), col("cid"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .groupBy("vec_id", "blk")
+      .agg(first(col("sub")).as("sub"),
+        min_by(struct(col("cid"), col("nano")),
+          struct(col("nano"), col("cid"))).as("best"))
       .select(col("vec_id"), col("blk"), col("sub"),
-        col("cid").as("cell"), col("nano"))
-  }
+        col("best.cid").as("cell"), col("best.nano").as("nano"))
 
   /** Trained per-block codebook (blk, cid, ce): first-`nCentroids` seeds
     * + one Lloyd round. Means round to 9 dp (absorbs partial-agg
@@ -424,15 +432,19 @@ object Similarity {
   private def ivfPqParts(embeddings: DataFrame, nCoarse: Int, m: Int,
       subDim: Int, nCentroids: Int, materialize: Boolean): IvfPqParts = {
     // nearest-coarse-cell assignment against a broadcast centroid table
-    def assignTo(cents: DataFrame): DataFrame = {
-      val scored = embeddings.select(col("vec_id"), col("embedding"))
+    // (min_by argmin, same map-side-combine rationale as pqNearest;
+    // embedding is group-constant so first() is deterministic)
+    def assignTo(cents: DataFrame): DataFrame =
+      embeddings.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"), col("ccell"), col("cce"),
           nanoL2(col("embedding"), col("cce")).as("cnano"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("cnano"), col("ccell"))
-      scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-    }
+        .groupBy("vec_id")
+        .agg(first(col("embedding")).as("embedding"),
+          min_by(struct(col("ccell"), col("cce")),
+            struct(col("cnano"), col("ccell"))).as("best"))
+        .select(col("vec_id"), col("embedding"),
+          col("best.ccell").as("ccell"), col("best.cce").as("cce"))
     // coarse quantizer: rank-based seeds + ONE Lloyd round (assign all,
     // re-center each cell on its members' mean — one narrow combinable
     // (ccell, pos, x) aggregation, same shape as the PQ codebooks).
