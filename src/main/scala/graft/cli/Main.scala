@@ -48,9 +48,11 @@ import graft.sync.SyncEngine
   *       full teardown (reference uninstall.php:28-71): watermark +
   *       sync_state + stores + events removed; --purge-remote first
   *       purges the site through every enabled adapter
-  *   analyze --data DIR [--release]
+  *   analyze --data DIR [--release] [--spans]
   *       corpus data-card: per-language stats, token-length quantiles,
-  *       and (with --release) the release-pipeline survivor counts
+  *       frequent tokens, (with --spans) exact duplicated-span extents
+  *       on the worst offenders (suffix-array pass), and (with
+  *       --release) the release-pipeline survivor counts
   */
 object Main {
 
@@ -477,6 +479,22 @@ object Main {
       graft.operators.TextAnalysis.tokenQuantiles(docs).collect().foreach { r =>
         println(f"  ${r.getString(0)}%-4s ${r.getDouble(2)}%8.1f ${r.getDouble(3)}%8.1f " +
           f"${r.getDouble(4)}%8.1f ${r.getLong(5)}%6d")
+      }
+      println("frequent tokens (count >= 1% of stream):")
+      val total = graft.operators.TextAnalysis
+        .heavyHitters(docs, minCount = 1).agg(
+          org.apache.spark.sql.functions.sum("n")).collect().head.getLong(0)
+      graft.operators.TextAnalysis.heavyHitters(docs, math.max(1L, total / 100))
+        .limit(10).collect().foreach { r =>
+          println(f"  ${r.getString(0)}%-12s ${r.getLong(1)}%6d")
+        }
+      if (flag(args, "spans")) {
+        println("exact duplicated spans on the worst offenders (suffix-array pass):")
+        graft.operators.Dedup.suffixArraySpans(docs, topK = 5)
+          .limit(10).collect().foreach { r =>
+            println(s"  doc ${r.getLong(0)}: tokens ${r.getInt(1)}-${r.getInt(2)} " +
+              s"(${r.getInt(3)} duplicated)")
+          }
       }
       if (flag(args, "release")) {
         println("release pipeline (quality filter -> exact dedup -> near dedup -> split):")
