@@ -366,6 +366,20 @@ object SparkEntry {
     "sim_semdedup" -> ((s, dir) =>
       Similarity.semanticDedup(Catalog.embeddings(s, dir), threshold = 0.25)),
 
+    // SemDeDup APPLY: the survivor decision (made in embedding space)
+    // filters the documents corpus — one narrow id join; the dedup
+    // action a curation pipeline actually ships
+    "sim_semdedup_apply" -> ((s, dir) => {
+      val surv = Similarity
+        .semanticDedup(Catalog.embeddings(s, dir), threshold = 0.25)
+        .where(col("survivor") === 1)
+        .select(col("vec_id").as("doc_id"))
+      Catalog.documents(s, dir).join(surv, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("bigint").as("text_len"))
+        .orderBy("doc_id")
+    }),
+
     "sim_ivf" -> ((s, dir) => Similarity.ivfTopK(Catalog.embeddings(s, dir))),
 
     "sim_ivf2" -> ((s, dir) =>
@@ -773,6 +787,43 @@ object SparkEntry {
       |)""".stripMargin
 
   private val ComponentsCtes: String = componentsCtes("documents")
+
+  /** Shared SemDeDup CTE chain (sim_semdedup / sim_semdedup_apply):
+    * sign-LSH buckets → cosine pairs → symmetric edges → 3 min-label
+    * propagation rounds (l3 = final labels, keyed on vec_id). */
+  private lazy val SemDedupCtes: String =
+    s"""b AS (
+       |  SELECT vec_id, embedding,
+       |    ${(1 to 8).map(i =>
+           s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS bucket
+       |  FROM embeddings
+       |), pairs AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT a.vec_id AS d1, bb.vec_id AS d2,
+       |      round(${cosSql("a.embedding", "bb.embedding")}, 6) AS cos
+       |    FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
+       |  WHERE cos >= 0.25
+       |), edges AS (
+       |  SELECT d1 AS a, d2 AS bb FROM pairs
+       |  UNION ALL SELECT d2 AS a, d1 AS bb FROM pairs
+       |), l0 AS (
+       |  SELECT vec_id, vec_id AS label FROM embeddings
+       |), l1 AS (
+       |  SELECT l.vec_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
+       |  FROM l0 l LEFT JOIN edges e ON e.a = l.vec_id
+       |            LEFT JOIN l0 n ON n.vec_id = e.bb
+       |  GROUP BY l.vec_id, l.label
+       |), l2 AS (
+       |  SELECT l.vec_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
+       |  FROM l1 l LEFT JOIN edges e ON e.a = l.vec_id
+       |            LEFT JOIN l1 n ON n.vec_id = e.bb
+       |  GROUP BY l.vec_id, l.label
+       |), l3 AS (
+       |  SELECT l.vec_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
+       |  FROM l2 l LEFT JOIN edges e ON e.a = l.vec_id
+       |            LEFT JOIN l2 n ON n.vec_id = e.bb
+       |  GROUP BY l.vec_id, l.label
+       |)""".stripMargin
 
   /** Shared n4b ACF id-lookup CTE chain (n4b_acf_lookup / n7_full_text):
     * acfl source rows, attachments dim, ref explode, dim joins,
@@ -1545,41 +1596,18 @@ object SparkEntry {
     // SemDeDup mirror: cosine edges + the same bounded 3-round min-label
     // propagation as dd_components, keyed on vec_id
     "sim_semdedup" ->
-      s"""WITH b AS (
-         |  SELECT vec_id, embedding,
-         |    ${(1 to 8).map(i =>
-             s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS bucket
-         |  FROM embeddings
-         |), pairs AS (
-         |  SELECT d1, d2 FROM (
-         |    SELECT a.vec_id AS d1, bb.vec_id AS d2,
-         |      round(${cosSql("a.embedding", "bb.embedding")}, 6) AS cos
-         |    FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
-         |  WHERE cos >= 0.25
-         |), edges AS (
-         |  SELECT d1 AS a, d2 AS bb FROM pairs
-         |  UNION ALL SELECT d2 AS a, d1 AS bb FROM pairs
-         |), l0 AS (
-         |  SELECT vec_id, vec_id AS label FROM embeddings
-         |), l1 AS (
-         |  SELECT l.vec_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
-         |  FROM l0 l LEFT JOIN edges e ON e.a = l.vec_id
-         |            LEFT JOIN l0 n ON n.vec_id = e.bb
-         |  GROUP BY l.vec_id, l.label
-         |), l2 AS (
-         |  SELECT l.vec_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
-         |  FROM l1 l LEFT JOIN edges e ON e.a = l.vec_id
-         |            LEFT JOIN l1 n ON n.vec_id = e.bb
-         |  GROUP BY l.vec_id, l.label
-         |), l3 AS (
-         |  SELECT l.vec_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
-         |  FROM l2 l LEFT JOIN edges e ON e.a = l.vec_id
-         |            LEFT JOIN l2 n ON n.vec_id = e.bb
-         |  GROUP BY l.vec_id, l.label
-         |)
-         |SELECT vec_id, label AS cluster,
-         |  CAST(vec_id = label AS INTEGER) AS survivor
-         |FROM l3 ORDER BY vec_id""".stripMargin,
+      (s"WITH $SemDedupCtes\n" +
+        """SELECT vec_id, label AS cluster,
+          |  CAST(vec_id = label AS INTEGER) AS survivor
+          |FROM l3 ORDER BY vec_id""".stripMargin),
+
+    // SemDeDup APPLY mirror: survivor ids join the documents corpus
+    "sim_semdedup_apply" ->
+      (s"WITH $SemDedupCtes\n" +
+        """SELECT d.doc_id, d.lang, CAST(length(d.text) AS BIGINT) AS text_len
+          |FROM documents d JOIN l3 ON d.doc_id = l3.vec_id
+          |WHERE l3.vec_id = l3.label
+          |ORDER BY d.doc_id""".stripMargin),
 
     "sim_ivf" ->
       s"""WITH cents AS (
