@@ -489,6 +489,14 @@ object SparkEntry {
     "ta_unigram" -> ((s, dir) =>
       TextAnalysis.unigramSurprisal(Catalog.documents(s, dir))),
 
+    // bigram-LM surprisal: context-sensitive word-salad detector
+    "ta_bigram" -> ((s, dir) =>
+      TextAnalysis.bigramSurprisal(Catalog.documents(s, dir))),
+
+    // perplexity-band filter (the unigram scorer's APPLY form)
+    "ta_lm_filter" -> ((s, dir) =>
+      TextAnalysis.lmFilter(Catalog.documents(s, dir), 4890000L, 4950000L)),
+
     // PII scrub over documents with a deterministic composed contact
     // suffix (the corpus itself carries no PII; oracle mirrors the compose).
     "ta_scrub" -> ((s, dir) =>
@@ -2181,6 +2189,61 @@ object SparkEntry {
         |  CAST(round(CAST(SUM(m) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS micro_bpt
         |FROM micro GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "ta_bigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+        |  FROM documents
+        |), bgs AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ts)-1),
+        |                          i -> ts[i] || ' ' || ts[i+1])) AS bg
+        |  FROM toks
+        |), tfbg AS (
+        |  SELECT doc_id, bg, COUNT(*) AS tf FROM bgs GROUP BY 1, 2
+        |), cbg AS MATERIALIZED (
+        |  SELECT bg, SUM(tf) AS c FROM tfbg GROUP BY 1
+        |), cl AS (
+        |  SELECT split_part(bg, ' ', 1) AS l, SUM(c) AS cl FROM cbg GROUP BY 1
+        |), perdoc AS (
+        |  SELECT t.doc_id, SUM(t.tf) AS n_bigrams,
+        |    SUM(t.tf * CAST(round(ln(CAST(cl.cl AS DOUBLE) / b.c)
+        |                          / ln(2.0) * 1000000.0, 0) AS BIGINT))
+        |      AS micro_bits
+        |  FROM tfbg t JOIN cbg b USING (bg)
+        |  JOIN cl ON split_part(t.bg, ' ', 1) = cl.l
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(p.micro_bits, 0) AS BIGINT) AS micro_bits,
+        |  CASE WHEN p.n_bigrams > 0
+        |       THEN CAST(round(p.micro_bits / CAST(p.n_bigrams AS DOUBLE), 0)
+        |                 AS BIGINT) END AS micro_bpb
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "ta_lm_filter" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents
+        |), cw AS (
+        |  SELECT token, COUNT(*) AS cw FROM tok GROUP BY token
+        |), tot AS (SELECT COUNT(*) AS t FROM tok),
+        |micro AS (
+        |  SELECT doc_id,
+        |    CAST(round(ln(CAST(t AS DOUBLE) / cw) / ln(2.0) * 1000000.0, 0)
+        |      AS BIGINT) AS m
+        |  FROM tok JOIN cw USING (token), tot
+        |), scored AS (
+        |  SELECT doc_id,
+        |    CAST(round(CAST(SUM(m) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS micro_bpt
+        |  FROM micro GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, d.lang, d.source, s.micro_bpt
+        |FROM documents d JOIN scored s USING (doc_id)
+        |WHERE s.micro_bpt BETWEEN 4890000 AND 4950000
+        |ORDER BY d.doc_id""".stripMargin,
 
     "ta_quantiles" ->
       """SELECT lang, COUNT(*) AS n_docs,

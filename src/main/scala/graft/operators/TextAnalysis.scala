@@ -555,6 +555,81 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM surprisal — the context-sensitive upgrade of
+    * [[unigramSurprisal]]: per bigram (w₋₁, w), surprisal
+    * = −log2 p(w | w₋₁) with p = corpus bigram count / left-context
+    * count, summed per document over all adjacent token pairs. A
+    * document the corpus's own bigram statistics find surprising is
+    * word-salad even when its unigram mix looks normal (shuffled text
+    * has the same unigram score but a much higher bigram score — the
+    * discriminator the spec asserts).
+    *
+    * Same fixed-point contract as the unigram form: per-bigram
+    * micro-bits (×10⁶, rounded to BIGINT) before the per-doc sum, so
+    * the aggregate is exact and partial-aggregation-order independent.
+    *
+    * Scale posture: bigrams are built ROW-LOCALLY from the token array
+    * (`transform` over an index sequence — no ordering window, no
+    * cross-row state), then reduced to (doc_id, bigram, tf) once; the
+    * corpus bigram table snapshots and feeds both the pair count and
+    * the left-context marginal, so the explode happens exactly once.
+    * Short docs (<2 tokens) take the empty-array branch — `sequence`
+    * throws on start > stop (the dd_spans_apply lesson). */
+  def bigramSurprisal(documents: DataFrame,
+      materialize: Boolean = true): DataFrame = {
+    val ts = documents.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("ts"))
+    val bgs = ts.select(col("doc_id"),
+      explode(when(size(col("ts")) >= 2,
+          expr("transform(sequence(0, size(ts)-2), i -> concat(ts[i], ' ', ts[i+1]))"))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    val tfbg = Stage.snap(
+      bgs.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf")), materialize)
+    val cbg = Stage.snap(
+      tfbg.groupBy("bg").agg(sum("tf").as("c")), materialize)
+    val cl = cbg
+      .groupBy(substring_index(col("bg"), " ", 1).as("l"))
+      .agg(sum("c").as("cl"))
+    val perdoc = tfbg.join(cbg, Seq("bg"))
+      .join(cl, substring_index(col("bg"), " ", 1) === cl("l"))
+      .select(col("doc_id"), col("tf"),
+        round(log(col("cl").cast("double") / col("c")) / log(lit(2.0)) * 1e6, 0)
+          .cast("bigint").as("micro"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        sum(col("tf") * col("micro")).as("micro_bits"))
+    // docs with <2 tokens carry zero bigrams, not a dropped row
+    documents.select(col("doc_id")).join(perdoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("micro_bits"), lit(0L)).as("micro_bits"),
+        when(col("n_bigrams") > 0,
+          round(col("micro_bits") / col("n_bigrams").cast("double"), 0)
+            .cast("bigint")).as("micro_bpb"))
+      .orderBy("doc_id")
+  }
+
+  /** Perplexity-band filter — the APPLY form of [[unigramSurprisal]]
+    * (the CCNet/KenLM curation step): keep documents whose mean
+    * surprisal falls inside [lo, hi] micro-bits-per-token. Below the
+    * band is boilerplate (the model finds it too predictable); above
+    * is gibberish. Survivors carry their score so downstream mixing
+    * can stratify on it.
+    *
+    * Scale posture: the scorer's one vocab-keyed shuffle plus a
+    * doc_id equi-join back to the corpus — the corpus text itself
+    * never re-shuffles. */
+  def lmFilter(documents: DataFrame,
+      loMicroBpt: Long, hiMicroBpt: Long,
+      materialize: Boolean = true): DataFrame = {
+    val kept = unigramSurprisal(documents, materialize)
+      .where(col("micro_bpt").between(loMicroBpt, hiMicroBpt))
+      .select("doc_id", "micro_bpt")
+    documents.join(kept, Seq("doc_id"))
+      .select("doc_id", "lang", "source", "micro_bpt")
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary head: the `k` most frequent tokens per language with
     * counts and rank — the frequency table a tokenizer-training or
     * stopword-induction step reads. Token explode is row-local; the count

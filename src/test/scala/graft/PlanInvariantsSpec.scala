@@ -208,6 +208,17 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(scans("ta_bm25") <= 1, s"ta_bm25: ${scans("ta_bm25")} scans")
     assert(scans("ta_tfidf") <= 1, s"ta_tfidf: ${scans("ta_tfidf")} scans")
     assert(scans("ta_unigram") == 0, s"ta_unigram: ${scans("ta_unigram")} scans")
+    // bigram snapshots its (doc_id, bigram, tf) table; the only live scan
+    // is the doc_id spine of the final zero-fill left join
+    assert(scans("ta_bigram") <= 1, s"ta_bigram: ${scans("ta_bigram")} scans")
+  }
+
+  test("ta_bigram: bigrams build row-locally — no window, no sort before the count") {
+    val p = planOf("ta_bigram")
+    assert(!p.contains("Window"), s"bigram construction must not use a window\n$p")
+    // corpus stats join back on narrow keys; raw text never crosses an exchange
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text#"), s"raw text crosses a shuffle\n$exchanges")
   }
 
   test("chunk generator: Generate node present (no array explode)") {

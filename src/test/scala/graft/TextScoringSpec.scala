@@ -118,6 +118,56 @@ class TextScoringSpec extends SparkSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("bigram surprisal: micro-bits match an exact recomputation; short docs zero out") {
+    val docs = Seq(
+      (1L, "a b a b a b"), (2L, "a b c"), (3L, "solo"), (4L, "")).toDF("doc_id", "text")
+    // independent sequential reference
+    val toks = Map(1L -> Seq("a", "b", "a", "b", "a", "b"),
+      2L -> Seq("a", "b", "c"), 3L -> Seq("solo"), 4L -> Seq.empty[String])
+    val bgs = toks.view.mapValues(ws => ws.zip(ws.drop(1))).toMap
+    val cbg = bgs.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val cl = bgs.values.flatten.groupBy(_._1).view.mapValues(_.size).toMap
+    def micro(bg: (String, String)): Long =
+      math.round(math.log(cl(bg._1).toDouble / cbg(bg)) / math.log(2.0) * 1e6)
+    val rows = TextAnalysis.bigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == 4) // short docs present, not dropped
+    bgs.foreach { case (d, pairs) =>
+      assert(rows(d).getLong(1) == pairs.size, s"doc $d n_bigrams")
+      assert(rows(d).getLong(2) == pairs.map(micro).sum, s"doc $d micro_bits")
+    }
+    assert(rows(3L).isNullAt(3) && rows(4L).isNullAt(3)) // no mean over 0 bigrams
+  }
+
+  test("bigram surprisal separates word-salad that unigram cannot see") {
+    // ten docs share one fixed word order; the eleventh has the SAME
+    // token multiset scrambled — identical unigram score by construction,
+    // but its bigrams are corpus-rare
+    val patterned = (1L to 10L).map(i => (i, "the quick fox jumps over dog"))
+    val scrambled = Seq((11L, "fox the dog quick jumps over"))
+    val docs = (patterned ++ scrambled).toDF("doc_id", "text")
+    val uni = TextAnalysis.unigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(uni(11L) == uni(1L), "same multiset must score identically on unigram")
+    val bi = TextAnalysis.bigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(bi(11L) > bi(1L),
+      s"scrambled doc must be bigram-surprising: ${bi(11L)} vs ${bi(1L)}")
+  }
+
+  test("lmFilter keeps exactly the docs inside the surprisal band, score attached") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"lang", $"source", $"text")
+    val scored = TextAnalysis.unigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val (lo, hi) = (4800000L, 5000000L)
+    val kept = TextAnalysis.lmFilter(docs, lo, hi).collect()
+    val expect = scored.filter { case (_, b) => b >= lo && b <= hi }.keySet
+    assert(kept.map(_.getLong(0)).toSet == expect)
+    assert(kept.nonEmpty && kept.length < scored.size, "band must actually filter")
+    kept.foreach(r => assert(r.getLong(3) == scored(r.getLong(0))))
+  }
+
   test("unigram surprisal micro-bits match an exact recomputation") {
     val texts = Map(
       1L -> "common alpha alpha beta", 2L -> "common gamma delta delta",
