@@ -550,6 +550,13 @@ object SparkEntry {
     // J9 ordered funnel: signup -> click -> purchase conversion counts
     "j9_funnel" -> ((s, dir) => Temporal.funnel(Catalog.events(s, dir))),
 
+    // cohort retention triangle: signup-week cohorts x weeks-since-signup
+    "j10_cohort" -> ((s, dir) =>
+      Temporal.cohortRetention(Catalog.events(s, dir))),
+
+    // semi-structured payload rollup: typed field out of the JSON props
+    "s8_json_props" -> ((s, dir) => Scans.propsRollup(Catalog.events(s, dir))),
+
     // OLAP grouping sets: revenue subtotals at (flag, status), (flag), ()
     // — Spark ROLLUP ≡ DuckDB ROLLUP, null-marked subtotal rows. sum_qty
     // as BIGINT (quantity is integral) — same driver-hash rationale as q1.
@@ -2294,6 +2301,36 @@ object SparkEntry {
         |    CASE WHEN n1 = 0 THEN 0.0
         |         ELSE round(n3 / CAST(n1 AS DOUBLE), 4) END FROM n)
         |ORDER BY step""".stripMargin,
+
+    "j10_cohort" ->
+      """WITH coh AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS es,
+        |    min(epoch_us(ts)) // 604800000000 AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+        |), sz AS (
+        |  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+        |  FROM coh GROUP BY 1
+        |), act AS (
+        |  SELECT c.cohort_week,
+        |    (epoch_us(e.ts) - c.es) // 604800000000 AS week_offset,
+        |    e.user_id
+        |  FROM events e JOIN coh c USING (user_id)
+        |  WHERE epoch_us(e.ts) >= c.es
+        |)
+        |SELECT a.cohort_week, a.week_offset,
+        |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active,
+        |  s.cohort_users
+        |FROM act a JOIN sz s USING (cohort_week)
+        |GROUP BY 1, 2, s.cohort_users
+        |ORDER BY 1, 2""".stripMargin,
+
+    "s8_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ta_heavy" ->
       """SELECT token, COUNT(*) AS n

@@ -125,4 +125,37 @@ object Temporal {
         col("src_id"), col("s_us"), (col("t_us") - col("s_us")).as("gap_us"))
       .orderBy("target_id", "src_id")
   }
+
+  /** Cohort retention: users grouped by signup week, then the count of
+    * cohort members still active `k` weeks later — the retention
+    * triangle every growth dashboard draws, and the engagement-decay
+    * curve a data-mixing pipeline weights refresh crawls by.
+    *
+    * Weeks are integer divisions of epoch MICROSECONDS (pure BIGINT
+    * arithmetic — no calendar-week truncation, whose Monday/Sunday
+    * convention differs across engines). Activity strictly before the
+    * user's signup instant is excluded.
+    *
+    * Scale posture: the signup table reduces to one row per user before
+    * anything joins it (broadcast-size for dim-like user counts,
+    * shuffle equi-join beyond); the distinct-user count is the one
+    * two-phase shuffle — swap in approx_count_distinct when cohorts
+    * reach HLL scale (the ta_cardinality pairing). */
+  def cohortRetention(events: DataFrame,
+      weekMicros: Long = 604800000000L): DataFrame = {
+    val coh = events.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("es"))
+      .withColumn("cohort_week", expr(s"es div ${weekMicros}L"))
+    val size = coh.groupBy("cohort_week").agg(count(lit(1)).as("cohort_users"))
+    events.select(col("user_id"), unix_micros(col("ts")).as("ea"))
+      .join(coh, Seq("user_id"))
+      .where(col("ea") >= col("es"))
+      .select(col("cohort_week"),
+        expr(s"(ea - es) div ${weekMicros}L").as("week_offset"), col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(size, Seq("cohort_week"))
+      .select("cohort_week", "week_offset", "n_active", "cohort_users")
+      .orderBy("cohort_week", "week_offset")
+  }
 }

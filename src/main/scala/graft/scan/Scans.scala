@@ -160,6 +160,20 @@ object Scans {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
         col("product_id"), col("target"), col("action"), col("outcome"),
         col("duration_ms"))
+
+  /** S8 — semi-structured payload rollup: extract a typed field from a
+    * JSON `props` string column and aggregate per event type. The
+    * common at-scale shape for event streams whose payload schema is
+    * open-ended: `get_json_object` is codegen'd, the parse happens in
+    * the scan stage (no UDF, no intermediate struct materialization),
+    * and the aggregate is one map-side-combinable shuffle of
+    * (event_type, k) rows — the JSON text itself never shuffles. */
+  def propsRollup(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+      .orderBy("event_type")
 }
 
 /** The S7 read/export filter set (reference `filter_match`,

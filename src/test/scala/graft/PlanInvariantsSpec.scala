@@ -213,6 +213,18 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(scans("ta_bigram") <= 1, s"ta_bigram: ${scans("ta_bigram")} scans")
   }
 
+  test("s8_json_props: JSON parses in the scan stage — props never crosses an exchange") {
+    val p = planOf("s8_json_props")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("props#"), s"raw JSON crosses a shuffle\n$exchanges")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
+  test("j10_cohort: equi-joins only — no cartesian, no inequality-join explosion") {
+    val p = planOf("j10_cohort")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("ta_bigram: bigrams build row-locally — no window, no sort before the count") {
     val p = planOf("ta_bigram")
     assert(!p.contains("Window"), s"bigram construction must not use a window\n$p")

@@ -181,4 +181,40 @@ class ReferenceCrossCheckSpec extends SparkSpec {
       got == refAsof(rows)
     })
   }
+
+  test("cohortRetention matches a sequential reference on random feeds") {
+    val wk = 7L // use a 7-"second" week so random feeds span many cohorts
+    val ev = for {
+      user <- Gen.choose(1L, 5L)
+      ts <- Gen.choose(0L, 40L)
+      typ <- Gen.oneOf("signup", "click", "purchase", "view")
+    } yield (user, ts, typ)
+    val feed = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, ev))
+    check(Prop.forAll(feed) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, ts, typ), i) =>
+        (i.toLong, u, ts, typ)
+      }
+      val df = rows.toDF("event_id", "user_id", "s", "event_type")
+        .select(col("event_id"), col("user_id"),
+          timestamp_seconds(col("s")).as("ts"), col("event_type"))
+      val got = Temporal.cohortRetention(df, weekMicros = wk * 1000000L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      // reference: per user the min signup time; then distinct
+      // (cohort, offset, user) over at-or-after-signup activity
+      val signup = rows.filter(_._4 == "signup").groupBy(_._2)
+        .view.mapValues(_.map(_._3).min).toMap
+      val sizes = signup.groupBy { case (_, es) => es / wk }
+        .view.mapValues(_.size.toLong).toMap
+      val triangle = rows
+        .flatMap { case (_, u, ts, _) =>
+          signup.get(u).filter(ts >= _).map(es => (es / wk, (ts - es) / wk, u))
+        }.distinct
+        .groupBy { case (c, o, _) => (c, o) }
+        .view.mapValues(_.size.toLong).toMap
+      val want = triangle.map { case ((c, o), n) => (c, o) -> (n, sizes(c)) }
+      got == want
+    })
+  }
 }

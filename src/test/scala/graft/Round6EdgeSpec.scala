@@ -49,4 +49,28 @@ class Round6EdgeSpec extends SparkSpec {
     assert(rows(1L) == ((4L, 4L))) // each 1-char word is one subword c_
     assert(rows(2L) == ((0L, 0L)) && rows(3L) == ((0L, 0L)))
   }
+
+  test("propsRollup: missing keys and malformed JSON degrade to NULL, not a crash") {
+    val events = Seq(
+      (1L, "click", """{"k": 10}"""),
+      (2L, "click", """{"k": 32}"""),
+      (3L, "click", """{"other": 5}"""), // no k
+      (4L, "view", "not json at all"),   // malformed
+      (5L, "view", null.asInstanceOf[String]))
+      .toDF("event_id", "event_type", "props")
+    val got = graft.scan.Scans.propsRollup(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.get(2), r.get(3))).toMap
+    // counts include every row; sum/max skip unparseable payloads
+    assert(got("click") == ((3L, 42L, 32L)), got.toString)
+    assert(got("view") == ((2L, null, null)), got.toString)
+  }
+
+  test("cohortRetention: no signups at all -> empty triangle") {
+    val events = Seq((1L, 9L, "2024-01-01 10:00:00", "click"))
+      .toDF("event_id", "user_id", "t", "event_type")
+      .select($"event_id", $"user_id",
+        org.apache.spark.sql.functions.to_timestamp($"t").as("ts"),
+        $"event_type")
+    assert(graft.operators.Temporal.cohortRetention(events).count() == 0)
+  }
 }

@@ -109,4 +109,31 @@ class TemporalSpec extends SparkSpec {
       assert(df.collect().length == 3)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("cohort retention: signup-week cohorts, offsets, pre-signup excluded") {
+    val wk = 604800L // seconds
+    val feed = Seq(
+      // user 1 signs up mid-week 0, active again in week-offset 1
+      (1L, 1L, 100L, "signup"), (2L, 1L, 200L, "click"),
+      (3L, 1L, 100L + wk, "view"),
+      // user 1 pre-signup activity must NOT count (would be offset < 0)
+      (4L, 1L, 50L, "click"),
+      // user 2 signs up week 0, never returns
+      (5L, 2L, 300L, "signup"),
+      // user 3 signs up week 1, active weeks 1 and 2
+      (6L, 3L, wk + 10L, "signup"), (7L, 3L, 2 * wk + 10L, "purchase"),
+      // user 4 never signs up — excluded entirely
+      (8L, 4L, 400L, "click"))
+      .toDF("event_id", "user_id", "s", "event_type")
+      .select(col("event_id"), col("user_id"),
+        timestamp_seconds(col("s")).as("ts"), col("event_type"))
+    val got = Temporal.cohortRetention(feed).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(
+      (0L, 0L) -> (2L, 2L), // both week-0 users active at signup instant
+      (0L, 1L) -> (1L, 2L), // only user 1 returns
+      (1L, 0L) -> (1L, 1L),
+      (1L, 1L) -> (1L, 1L)), got.toString)
+  }
 }
