@@ -2179,23 +2179,9 @@ object SparkEntry {
         |ORDER BY doc_id, rank""".stripMargin,
 
     "ta_unigram" ->
-      """WITH tok AS (
-        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS token
-        |  FROM documents
-        |), cw AS (
-        |  SELECT token, COUNT(*) AS cw FROM tok GROUP BY token
-        |), tot AS (SELECT COUNT(*) AS t FROM tok),
-        |micro AS (
-        |  SELECT doc_id,
-        |    CAST(round(ln(CAST(t AS DOUBLE) / cw) / ln(2.0) * 1000000.0, 0)
-        |      AS BIGINT) AS m
-        |  FROM tok JOIN cw USING (token), tot
-        |)
-        |SELECT doc_id, COUNT(*) AS n_tokens,
-        |  CAST(SUM(m) AS BIGINT) AS micro_bits,
-        |  CAST(round(CAST(SUM(m) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS micro_bpt
-        |FROM micro GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
+      (OracleSql.unigramScored +
+        """SELECT doc_id, n_tokens, micro_bits, micro_bpt FROM scored
+          |ORDER BY doc_id""".stripMargin),
 
     "ta_bigram" ->
       """WITH toks AS (
@@ -2231,26 +2217,11 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
 
     "ta_lm_filter" ->
-      """WITH tok AS (
-        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS token
-        |  FROM documents
-        |), cw AS (
-        |  SELECT token, COUNT(*) AS cw FROM tok GROUP BY token
-        |), tot AS (SELECT COUNT(*) AS t FROM tok),
-        |micro AS (
-        |  SELECT doc_id,
-        |    CAST(round(ln(CAST(t AS DOUBLE) / cw) / ln(2.0) * 1000000.0, 0)
-        |      AS BIGINT) AS m
-        |  FROM tok JOIN cw USING (token), tot
-        |), scored AS (
-        |  SELECT doc_id,
-        |    CAST(round(CAST(SUM(m) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS micro_bpt
-        |  FROM micro GROUP BY doc_id
-        |)
-        |SELECT d.doc_id, d.lang, d.source, s.micro_bpt
-        |FROM documents d JOIN scored s USING (doc_id)
-        |WHERE s.micro_bpt BETWEEN 4890000 AND 4950000
-        |ORDER BY d.doc_id""".stripMargin,
+      (OracleSql.unigramScored +
+        """SELECT d.doc_id, d.lang, d.source, s.micro_bpt
+          |FROM documents d JOIN scored s USING (doc_id)
+          |WHERE s.micro_bpt BETWEEN 4890000 AND 4950000
+          |ORDER BY d.doc_id""".stripMargin),
 
     "ta_quantiles" ->
       """SELECT lang, COUNT(*) AS n_docs,
@@ -2325,12 +2296,17 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
 
     "s8_json_props" ->
-      """SELECT event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-        |    AS BIGINT) AS sum_k,
-        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
-        |    AS BIGINT) AS max_k
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH parsed AS (
+        |  SELECT event_type,
+        |    CASE WHEN props IS NOT NULL AND json_valid(props)
+        |         THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |         END AS k
+        |  FROM events
+        |)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(MAX(k) AS BIGINT) AS max_k
+        |FROM parsed GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ta_heavy" ->
       """SELECT token, COUNT(*) AS n

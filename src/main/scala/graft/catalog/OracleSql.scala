@@ -77,6 +77,31 @@ object OracleSql {
   /** Prefix `sql` with the catalog prologue. */
   def withCatalog(sql: String): String = prologue + sql
 
+  /** Shared unigram-LM scoring chain
+    * ([[graft.operators.TextAnalysis.unigramSurprisal]]): defines `scored`
+    * (doc_id, n_tokens, micro_bits, micro_bpt). ONE definition feeds both
+    * the ta_unigram gate and the ta_lm_filter gate — the scoring math
+    * cannot silently fork between them. */
+  val unigramScored: String =
+    """WITH tok AS (
+      |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS token
+      |  FROM documents
+      |), cw AS (
+      |  SELECT token, COUNT(*) AS cw FROM tok GROUP BY token
+      |), tot AS (SELECT COUNT(*) AS t FROM tok),
+      |micro AS (
+      |  SELECT doc_id,
+      |    CAST(round(ln(CAST(t AS DOUBLE) / cw) / ln(2.0) * 1000000.0, 0)
+      |      AS BIGINT) AS m
+      |  FROM tok JOIN cw USING (token), tot
+      |), scored AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    CAST(SUM(m) AS BIGINT) AS micro_bits,
+      |    CAST(round(CAST(SUM(m) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS micro_bpt
+      |  FROM micro GROUP BY doc_id
+      |)
+      |""".stripMargin
+
   /** DuckDB oracle for BPE merge training ([[graft.operators.Bpe.bpeMerges]]).
     *
     * The trainer's loop is bounded (`nMerges` rounds), so it unrolls into a

@@ -142,10 +142,16 @@ object Temporal {
     * two-phase shuffle — swap in approx_count_distinct when cohorts
     * reach HLL scale (the ta_cardinality pairing). */
   def cohortRetention(events: DataFrame,
-      weekMicros: Long = 604800000000L): DataFrame = {
-    val coh = events.where(col("event_type") === "signup")
-      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("es"))
-      .withColumn("cohort_week", expr(s"es div ${weekMicros}L"))
+      weekMicros: Long = 604800000000L,
+      materialize: Boolean = true): DataFrame = {
+    // the signup table has two consumers (cohort sizes + the activity
+    // join) — snapshot it once rather than re-running the scan+agg per
+    // branch (the funnel/tfbg pattern)
+    val coh = Stage.snap(
+      events.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("es"))
+        .withColumn("cohort_week", expr(s"es div ${weekMicros}L")),
+      materialize)
     val size = coh.groupBy("cohort_week").agg(count(lit(1)).as("cohort_users"))
     events.select(col("user_id"), unix_micros(col("ts")).as("ea"))
       .join(coh, Seq("user_id"))

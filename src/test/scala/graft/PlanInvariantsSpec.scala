@@ -217,7 +217,17 @@ class PlanInvariantsSpec extends SparkSpec {
     val p = planOf("s8_json_props")
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
     assert(!exchanges.contains("props#"), s"raw JSON crosses a shuffle\n$exchanges")
-    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    // the parse must sit BELOW the shuffle: formatted-mode detail blocks
+    // number nodes upstream-first, so the node evaluating
+    // get_json_object must precede the first Exchange node
+    val idx = p.indexOf("get_json_object")
+    assert(idx >= 0, s"no get_json_object in plan\n$p")
+    val parseNode = "(?m)^\\((\\d+)\\)".r.findAllMatchIn(p.substring(0, idx))
+      .map(_.group(1).toInt).toSeq.lastOption.getOrElse(-1)
+    val exchangeNode = "(?m)^\\((\\d+)\\) Exchange".r.findFirstMatchIn(p)
+      .map(_.group(1).toInt).getOrElse(Int.MaxValue)
+    assert(parseNode >= 0 && parseNode < exchangeNode,
+      s"json parse at node $parseNode is not below the exchange at $exchangeNode\n$p")
   }
 
   test("j10_cohort: equi-joins only — no cartesian, no inequality-join explosion") {
