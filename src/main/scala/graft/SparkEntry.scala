@@ -395,6 +395,11 @@ object SparkEntry {
     "sim_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Catalog.embeddings(s, dir))),
 
+    // mislabeled-sample flagging: cosine to the own-label centroid,
+    // outliers = vectors anti-correlated with their class prototype
+    "sim_outliers" -> ((s, dir) =>
+      Similarity.centroidOutliers(Catalog.embeddings(s, dir))),
+
     // product-quantization encode: 8×8-dim codebooks, 1 Lloyd round
     "sim_pq" -> ((s, dir) => Similarity.pqEncode(Catalog.embeddings(s, dir))),
 
@@ -1750,6 +1755,26 @@ object SparkEntry {
         |  CAST(MAX(n) AS BIGINT) AS n_members
         |FROM cm GROUP BY label
         |ORDER BY label""".stripMargin,
+
+    // nano-rounded centroids feed the cosine so both engines score
+    // bit-identical inputs; the outlier test compares the ROUNDED cos
+    "sim_outliers" ->
+      s"""WITH cm AS (
+         |  SELECT label, j,
+         |    CAST(round(avg(CAST(embedding[j] AS DOUBLE)) * 1e9, 0) AS BIGINT) AS m
+         |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(j)
+         |  GROUP BY label, j
+         |), cent AS (
+         |  SELECT label, list(CAST(m AS DOUBLE) / 1e9 ORDER BY j) AS c
+         |  FROM cm GROUP BY label
+         |), scored AS (
+         |  SELECT e.vec_id, e.label,
+         |    round(${cosSql("e.embedding", "cent.c")}, 6) AS cos
+         |  FROM embeddings e JOIN cent USING (label)
+         |)
+         |SELECT vec_id, label, cos,
+         |  CAST(cos < -0.10 AS INT) AS is_outlier
+         |FROM scored ORDER BY vec_id""".stripMargin,
 
     // PQ mirror: nano-scaled integer L2 makes argmin ties and error sums
     // exact on both engines; the Lloyd mean rounds to 9 dp (ivf_kmeans

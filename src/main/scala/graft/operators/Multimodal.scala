@@ -480,6 +480,122 @@ object Multimodal {
       }
   }
 
+  /** One image's 64-bit difference hash (0 when undecodable). */
+  case class DHashRow(doc_id: Long, format: String, dhash: Long)
+
+  /** Perceptual difference-hash (dHash) over a binary image column —
+    * the image modality's near-dup signature, closing the dedup matrix
+    * (text: MinHash/SimHash; embeddings: SemDeDup; pixels: this).
+    * Decode → 9×8 luminance grid (deterministic integer box average,
+    * not platform-filtered rescale) → 64 bits of left<right adjacent
+    * comparisons. Brightness/contrast/scale shifts preserve most bits;
+    * different pictures land ~32 bits apart.
+    *
+    * Same guard ladder as [[imageStats]]: header-only bomb check first,
+    * corrupt/oversize/non-image rows degrade to hash 0 with a labeled
+    * format (excluded from pairing downstream, never a job failure).
+    *
+    * Scale posture: map-only `mapPartitions`; pixels fold to 72 cell
+    * means in-partition and only (doc_id, format, INT64) rows leave. */
+  def imageDHash(documents: DataFrame,
+      maxPixels: Long = 16L * 1024 * 1024): Dataset[DHashRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id").cast("long"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, raw) =>
+          val bytes = if (raw eq null) Array.emptyByteArray else raw
+          sniffImageFormat(bytes) match {
+            case Some(fmt) =>
+              def corrupt = DHashRow(id, s"corrupt-$fmt", 0L)
+              val (hw, hh, hfmt) = decodeImage(bytes)
+              if (hfmt.startsWith("corrupt-")) corrupt
+              else if (hw.toLong * hh > maxPixels)
+                DHashRow(id, s"oversize-$fmt", 0L)
+              else try {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes))
+                if (img eq null) corrupt
+                else {
+                  val w = img.getWidth; val h = img.getHeight
+                  val grid = Array.ofDim[Double](8, 9)
+                  var gy = 0
+                  while (gy < 8) {
+                    var gx = 0
+                    while (gx < 9) {
+                      val x0 = gx * w / 9
+                      val x1 = math.min(w, math.max(x0 + 1, (gx + 1) * w / 9))
+                      val y0 = gy * h / 8
+                      val y1 = math.min(h, math.max(y0 + 1, (gy + 1) * h / 8))
+                      var s = 0.0; var n = 0
+                      var y = y0
+                      while (y < y1) {
+                        var x = x0
+                        while (x < x1) {
+                          val p = img.getRGB(x, y)
+                          s += 0.2126 * ((p >> 16) & 0xff) +
+                            0.7152 * ((p >> 8) & 0xff) + 0.0722 * (p & 0xff)
+                          n += 1; x += 1
+                        }
+                        y += 1
+                      }
+                      grid(gy)(gx) = if (n == 0) 0.0 else s / n
+                      gx += 1
+                    }
+                    gy += 1
+                  }
+                  var hash = 0L; var i = 0
+                  while (i < 64) {
+                    if (grid(i / 8)(i % 8) < grid(i / 8)(i % 8 + 1))
+                      hash |= (1L << i)
+                    i += 1
+                  }
+                  DHashRow(id, fmt, hash)
+                }
+              } catch {
+                case scala.util.control.NonFatal(_) => corrupt
+              }
+            case None => DHashRow(id, decodeMedia(bytes).format, 0L)
+          }
+        }
+      }
+  }
+
+  /** Near-dup image pairs among [[imageDHash]] rows: pigeonhole-block
+    * candidate join (hamming ≤ maxHamming ⇒ at least one of the
+    * maxHamming+1 disjoint bit blocks matches exactly) + exact
+    * `bit_count(xor)` verification — the [[graft.operators.Dedup]]
+    * simhashPairs shape lifted to 64-bit perceptual hashes. Only
+    * successfully-decoded rows pair (corrupt/oversize/non-image rows
+    * all share hash 0 and would cross-join each other). */
+  def dhashPairs(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(64 % nBlocks == 0,
+      s"maxHamming+1 = $nBlocks must divide 64 for full block coverage")
+    val blockBits = 64 / nBlocks
+    val decoded = hashes.where(col("format").isin("png", "jpeg", "gif", "bmp"))
+    val blocks = decoded.select(col("doc_id"), col("dhash"),
+      explode(array((0 until nBlocks).map(b =>
+        struct(lit(b).as("blk"),
+          pmod(shiftrightunsigned(col("dhash"), b * blockBits),
+            lit(1L << blockBits)).as("v"))): _*)).as("x"))
+      .select(col("doc_id"), col("dhash"),
+        col("x.blk").as("blk"), col("x.v").as("v"))
+    val a = blocks.select(col("blk"), col("v"),
+      col("doc_id").as("d1"), col("dhash").as("h1"))
+    val b = blocks.select(col("blk"), col("v"),
+      col("doc_id").as("d2"), col("dhash").as("h2"))
+    a.join(b, Seq("blk", "v"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("d1", "d2")
+  }
+
   /** The batched per-partition decode path (the `mapInPandas` shape):
     * binary in, typed metadata out, decoder init amortized per partition.
     * Real image payloads get true ImageIO dimensions, MP4/WAV payloads

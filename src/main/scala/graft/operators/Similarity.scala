@@ -226,6 +226,48 @@ object Similarity {
         max("n").as("n_members"))
       .orderBy("label")
 
+  /** Label-centroid outlier detection — the mislabeled-sample /
+    * noisy-data flagging step of an embedding curation pipeline: score
+    * every vector by cosine to its OWN label's centroid and flag the
+    * ones negatively (or weakly) correlated with their class
+    * prototype. The standard first pass before training a classifier
+    * on weak labels.
+    *
+    * The centroid used for scoring is the NANO-ROUNDED mean (the
+    * [[labelCentroids]] contract): both engines round each mean to an
+    * integer nano before the cosine, so the cosine's inputs are
+    * bit-identical and the 6-dp rounding cannot straddle an
+    * engine-specific ulp. The outlier decision compares the ROUNDED
+    * cosine, for the same reason.
+    *
+    * Scale posture: centroids are one narrow (label, pos, x)
+    * combinable agg; the per-label centroid table is tiny and
+    * broadcasts; scoring is map-only HOF arithmetic per row. */
+  def centroidOutliers(embeddings: DataFrame, threshold: Double = -0.10,
+      materialize: Boolean = true): DataFrame = {
+    val cents = Stage.snap(
+      embeddings
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("col").cast("double")) * 1e9, 0)
+          .cast("bigint").as("m"))
+        .groupBy("label")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos").as("p"), col("m").as("m")))),
+          s => s.getField("m").cast("double") / 1e9).as("c")),
+      materialize)
+    val x = transform(col("embedding"), v => v.cast("double"))
+    val dot = aggregate(zip_with(x, col("c"), (a, b) => a * b),
+      lit(0.0), (a, v) => a + v)
+    val nx = sqrt(aggregate(transform(x, v => v * v), lit(0.0), (a, v) => a + v))
+    val nc = sqrt(aggregate(transform(col("c"), v => v * v),
+      lit(0.0), (a, v) => a + v))
+    embeddings.join(broadcast(cents), Seq("label"))
+      .select(col("vec_id"), col("label"), round(dot / (nx * nc), 6).as("cos"))
+      .withColumn("is_outlier", (col("cos") < threshold).cast("int"))
+      .orderBy("vec_id")
+  }
+
   /** Symmetric int8 quantization of the embedding column — the 4×
     * storage-compression step an embedding store applies at scale (PQ's
     * simpler cousin): per-vector scale = max|x|/127 (rounded to 9 dp so

@@ -61,6 +61,64 @@ class MultimodalSpec extends SparkSpec {
     assert(fmt == "corrupt-png")
   }
 
+  private def patternPng(w: Int, h: Int, f: (Int, Int) => Int,
+      brighten: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = math.min(255, math.max(0, f(x, y) + brighten))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("imageDHash: brightness shift preserves the hash; different pictures diverge") {
+    import spark.implicits._
+    def gradient(x: Int, y: Int) = (x * 4) % 256
+    def checker(x: Int, y: Int) = if (((x / 8) + (y / 8)) % 2 == 0) 30 else 220
+    val docs = Seq(
+      (1L, patternPng(64, 64, gradient)),
+      (2L, patternPng(64, 64, gradient, brighten = 25)), // same scene, brighter
+      (3L, patternPng(64, 64, checker)),                 // different picture
+      (4L, "not an image".getBytes("UTF-8")),
+      (5L, patternPng(64, 64, gradient).take(12)))       // corrupt
+      .toDF("doc_id", "text")
+    val rows = Multimodal.imageDHash(docs).collect()
+      .map(r => r.doc_id -> r).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // dHash is brightness-invariant by construction (adjacent deltas)
+    assert(ham(rows(1L).dhash, rows(2L).dhash) <= 7,
+      s"brightened copy too far: ${ham(rows(1L).dhash, rows(2L).dhash)}")
+    assert(ham(rows(1L).dhash, rows(3L).dhash) > 12,
+      s"different pictures too close: ${ham(rows(1L).dhash, rows(3L).dhash)}")
+    assert(rows(4L).dhash == 0L && rows(5L).format == "corrupt-png")
+    // deterministic: a second run produces identical hashes
+    val again = Multimodal.imageDHash(docs).collect().map(r => r.doc_id -> r.dhash).toMap
+    assert(rows.view.mapValues(_.dhash).toMap == again)
+  }
+
+  test("dhashPairs: near-dup pair found, different pair absent, corrupt rows never pair") {
+    import spark.implicits._
+    def gradient(x: Int, y: Int) = (x * 4) % 256
+    def checker(x: Int, y: Int) = if (((x / 8) + (y / 8)) % 2 == 0) 30 else 220
+    val docs = Seq(
+      (1L, patternPng(64, 64, gradient)),
+      (2L, patternPng(64, 64, gradient, brighten = 25)),
+      (3L, patternPng(64, 64, checker)),
+      (4L, "not an image A".getBytes("UTF-8")),
+      (5L, "not an image B".getBytes("UTF-8"))) // both hash 0 — must not pair
+      .toDF("doc_id", "text")
+    val pairs = Multimodal.dhashPairs(Multimodal.imageDHash(docs).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L),
+      s"undecodable rows paired: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"different pictures paired: $pairs")
+  }
+
   // ---- minimal container builders (header bytes only, no codec) ----
 
   private def be32(v: Long): Array[Byte] =

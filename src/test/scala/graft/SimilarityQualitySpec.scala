@@ -174,6 +174,28 @@ class SimilarityQualitySpec extends SparkSpec {
     }
   }
 
+  test("centroidOutliers flags a planted mislabeled vector, in-cluster members pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two tight clusters with OPPOSED directions; one vector carries
+    // the wrong label — anti-correlated with its class prototype
+    def base(sign: Int): Array[Float] =
+      Array.tabulate(16)(j => (sign * (10 + j)).toFloat)
+    def member(sign: Int, i: Int): Array[Float] =
+      base(sign).zipWithIndex.map { case (v, j) =>
+        v + (math.cos(i * 13 + j) * 0.3).toFloat }
+    val rows =
+      (0 until 6).map(i => (i.toLong, member(+1, i), 0)) ++
+      (0 until 6).map(i => ((10 + i).toLong, member(-1, i), 1)) :+
+      ((99L, member(-1, 7), 0)) // negative-cluster vector labeled 0
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity.centroidOutliers(df, threshold = -0.10)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(got(99L) == 1, s"planted mislabel not flagged: $got")
+    assert(got.filterNot(_._1 == 99L).values.forall(_ == 0),
+      s"clean members flagged: $got")
+  }
+
   test("pqEncode: codes are m ints in centroid range; error is nonnegative") {
     Similarity.pqEncode(embeddings).collect().foreach { r =>
       val codes = r.getString(1).stripPrefix("[").stripSuffix("]")
