@@ -48,11 +48,13 @@ import graft.sync.SyncEngine
   *       full teardown (reference uninstall.php:28-71): watermark +
   *       sync_state + stores + events removed; --purge-remote first
   *       purges the site through every enabled adapter
-  *   analyze --data DIR [--release] [--spans]
+  *   analyze --data DIR [--release] [--spans] [--embeddings]
   *       corpus data-card: per-language stats, token-length quantiles,
   *       frequent tokens, (with --spans) exact duplicated-span extents
-  *       on the worst offenders (suffix-array pass), and (with
-  *       --release) the release-pipeline survivor counts
+  *       on the worst offenders (suffix-array pass), (with --release)
+  *       the release-pipeline survivor counts, and (with --embeddings)
+  *       embedding-space curation: centroid-outlier and semantic-dedup
+  *       survivor counts
   */
 object Main {
 
@@ -501,6 +503,19 @@ object Main {
         graft.operators.TextAnalysis.releasePipeline(docs).collect().foreach { r =>
           println(s"  ${r.getString(0)}/${r.getString(1)}: ${r.getLong(2)}")
         }
+      }
+      if (flag(args, "embeddings")) {
+        import org.apache.spark.sql.functions.{col, count, lit, sum}
+        val emb = graft.catalog.Catalog.embeddings(spark, dir)
+        println("embedding-space curation:")
+        val o = graft.operators.Similarity.centroidOutliers(emb)
+          .agg(sum("is_outlier").cast("long"), count(lit(1))).collect().head
+        println(s"  label outliers (anti-correlated with class centroid): " +
+          s"${o.getLong(0)} / ${o.getLong(1)} vectors")
+        val sdd = graft.operators.Similarity.semanticDedup(emb)
+          .agg(sum("survivor").cast("long"), count(lit(1))).collect().head
+        println(s"  semantic dedup: ${sdd.getLong(0)} survivors / " +
+          s"${sdd.getLong(1)} vectors (cos >= 0.25 near-dup graph)")
       }
       spark.stop()
 
