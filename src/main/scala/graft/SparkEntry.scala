@@ -55,6 +55,21 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // Q6-style forecast-revenue: the classic scan-throughput benchmark —
+    // tight filter over one fact table, single partial+final agg, no
+    // join. Shipdate/quantity predicates push to the parquet scan; the
+    // discount band evaluates on basis points (fixed-point contract).
+    "q6_forecast" -> ((s, dir) => {
+      val extCents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val discBp = floor(col("l_discount") * 100 + 0.5).cast("long")
+      Catalog.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          discBp.between(5L, 7L) && col("l_quantity") < 24)
+        .agg(sum(extCents * discBp).as("revenue_e4"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // Q3-style: top unshipped orders by revenue. Join order: the BUILDING
     // filter cuts customer ~5× before the join; broadcast it.
     "q3_top_orders" -> ((s, dir) => {
@@ -303,6 +318,10 @@ object SparkEntry {
     "dd_exact" -> ((s, dir) => Dedup.exact(Catalog.documents(s, dir))),
 
     "dd_apply" -> ((s, dir) => Dedup.dropExactDuplicates(Catalog.documents(s, dir))),
+
+    // per-source duplication dashboard: doc counts, distinct-sha counts,
+    // duplicate rate in integer basis points
+    "dd_src_stats" -> ((s, dir) => Dedup.dupStatsBySource(Catalog.documents(s, dir))),
 
     "ta_filter" -> ((s, dir) => TextAnalysis.filterByQuality(Catalog.documents(s, dir))),
 
@@ -923,6 +942,18 @@ object SparkEntry {
     // r4 probes closed the question — COVERAGE.md "driver-hash decimal
     // contract"). DuckDB SUM(BIGINT) → HUGEINT, so each
     // sum is cast back to BIGINT to match Spark's LongType.
+    "q6_forecast" ->
+      """SELECT
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |         * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS revenue_e4,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND floor(l_discount * 100 + 0.5) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
+
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -1415,6 +1446,17 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY h
         |ORDER BY h""".stripMargin,
+
+    "dd_src_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT h) AS n_unique,
+        |  CAST((COUNT(*) - COUNT(DISTINCT h)) * 10000 // COUNT(*) AS BIGINT)
+        |    AS dup_bps
+        |FROM (SELECT source,
+        |        sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+        |      FROM documents)
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "dd_minhash" ->
       s"""WITH toks AS (

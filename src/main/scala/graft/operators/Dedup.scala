@@ -32,6 +32,23 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
       .select("keep_id", "h", "n")
 
+  /** Per-source duplication dashboard — the crawl-health rollup a
+    * curation run reads before deciding refresh weights: per source,
+    * document count, distinct normalized-sha count, and the duplicate
+    * rate in integer BASIS POINTS (the BIGINT fixed-point output
+    * contract; integer division matches DuckDB's `//`).
+    *
+    * Scale posture: one combinable (source, sha) reduction; the
+    * distinct count is the standard two-phase shuffle, keyed on a
+    * 64-hex sha — raw text never leaves the scan stage. */
+  def dupStatsBySource(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), sha2(norm(col("text")), 256).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("h").as("n_unique"))
+      .withColumn("dup_bps", expr("(n_docs - n_unique) * 10000 div n_docs"))
+      .orderBy("source")
+
   /** Unsorted exact-dedup keep-ids — the stage-snapshot form for
     * releasePipeline (no global sort before a checkpoint). */
   private[operators] def exactKeepIds(documents: DataFrame): DataFrame =

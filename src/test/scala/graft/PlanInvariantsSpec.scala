@@ -213,6 +213,21 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(scans("ta_bigram") <= 1, s"ta_bigram: ${scans("ta_bigram")} scans")
   }
 
+  test("q6: shipdate+quantity push to the scan; read schema is 4 columns") {
+    val p = planOf("q6_forecast")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_quantity"), p)
+    // only shipdate/quantity/extendedprice/discount leave the scan
+    assert(!p.contains("l_comment") && !p.contains("l_orderkey"), p)
+  }
+
+  test("sim_outliers: the centroid table broadcasts; scoring is join-then-project") {
+    val p = planOf("sim_outliers")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("s8_json_props: JSON parses in the scan stage — props never crosses an exchange") {
     val p = planOf("s8_json_props")
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
