@@ -2366,6 +2366,8 @@ object SparkEntry {
       """WITH parsed AS (
         |  SELECT event_type,
         |    CASE WHEN props IS NOT NULL AND json_valid(props)
+        |          AND regexp_matches(json_extract_string(props, '$.k'),
+        |                             '^-?[0-9]+$')
         |         THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
         |         END AS k
         |  FROM events

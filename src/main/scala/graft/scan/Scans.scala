@@ -168,12 +168,19 @@ object Scans {
     * the scan stage (no UDF, no intermediate struct materialization),
     * and the aggregate is one map-side-combinable shuffle of
     * (event_type, k) rows — the JSON text itself never shuffles. */
-  def propsRollup(events: DataFrame): DataFrame =
+  def propsRollup(events: DataFrame): DataFrame = {
+    // integer-pattern guard BEFORE the cast: a valid-JSON payload whose
+    // k is a string ({"k": "abc"}) must degrade to NULL, not throw the
+    // ANSI cast error and kill the job (and TRY_CAST semantics diverge
+    // across engines on fractional strings — the pattern guard is the
+    // portable form)
+    val kStr = get_json_object(col("props"), "$.k")
     events.select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        when(kStr.rlike("^-?[0-9]+$"), kStr.cast("bigint")).as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
       .orderBy("event_type")
+  }
 }
 
 /** The S7 read/export filter set (reference `filter_match`,

@@ -217,4 +217,30 @@ class ReferenceCrossCheckSpec extends SparkSpec {
       got == want
     })
   }
+
+  test("bigramSurprisal matches a sequential reference on random corpora") {
+    // tiny vocabulary → heavy bigram collisions, plus empty and 1-token
+    // docs (the sequence() guard path)
+    val word = Gen.oneOf("a", "b", "ab", "ba", "x")
+    val doc = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, doc))
+    check(Prop.forAll(corpus) { docs =>
+      val rows = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.operators.TextAnalysis
+        .bigramSurprisal(rows.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val toks = rows.map { case (id, t) =>
+        id -> "[a-z]+".r.findAllIn(t.toLowerCase).toSeq
+      }.toMap
+      val bgs = toks.view.mapValues(ws => ws.zip(ws.drop(1))).toMap
+      val cbg = bgs.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val cl = bgs.values.flatten.groupBy(_._1).view.mapValues(_.size).toMap
+      def micro(bg: (String, String)): Long =
+        math.round(math.log(cl(bg._1).toDouble / cbg(bg)) / math.log(2.0) * 1e6)
+      val want = toks.map { case (id, _) =>
+        id -> (bgs(id).size.toLong, bgs(id).map(micro).sum)
+      }
+      got == want
+    })
+  }
 }

@@ -65,6 +65,21 @@ class Round6EdgeSpec extends SparkSpec {
     assert(got("view") == ((2L, null, null)), got.toString)
   }
 
+  test("propsRollup: VALID json with a non-integer k degrades to NULL, no ANSI throw") {
+    // {"k": "abc"} passes json_valid — without the integer-pattern
+    // guard the ANSI cast throws and one bad payload kills the job;
+    // fractional strings are also excluded (TRY_CAST rounds on one
+    // engine and nulls on the other — the guard is the portable form)
+    val events = Seq(
+      (1L, "click", """{"k": "abc"}"""),
+      (2L, "click", """{"k": 3.5}"""),
+      (3L, "click", """{"k": -7}"""))
+      .toDF("event_id", "event_type", "props")
+    val got = graft.scan.Scans.propsRollup(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.get(2), r.get(3))).toMap
+    assert(got("click") == ((3L, -7L, -7L)), got.toString)
+  }
+
   test("cohortRetention: no signups at all -> empty triangle") {
     val events = Seq((1L, 9L, "2024-01-01 10:00:00", "click"))
       .toDF("event_id", "user_id", "t", "event_type")
