@@ -478,6 +478,26 @@ object SparkEntry {
       TextAnalysis.stratifiedSample(Catalog.documents(s, dir),
         Map("en" -> 0.25, "es" -> 0.5, "de" -> 0.75))),
 
+    // deterministic seeded sharding: per-shard balance card (map-only
+    // assignment + one combinable aggregation)
+    "ta_shard" -> ((s, dir) =>
+      TextAnalysis.shardBalance(Catalog.documents(s, dir))),
+
+    // per-doc token entropy + type-token ratio in integer micro-nats /
+    // basis points: one row-local mapPartitions pass, zero shuffle
+    "ta_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(Catalog.documents(s, dir))),
+
+    // per-source quota cap: deterministic hash lottery, two-phase salted
+    // top-N so a mega-source cannot straggle the window
+    "dd_cap_source" -> ((s, dir) =>
+      Dedup.capPerSource(Catalog.documents(s, dir))),
+
+    // sign random projection 64 -> 16 (JL): exact integer micro-unit
+    // contract, sign matrix in the task closure (map-only)
+    "sim_rp" -> ((s, dir) =>
+      Similarity.randomProject(Catalog.embeddings(s, dir))),
+
     "ta_vocab" -> ((s, dir) => TextAnalysis.vocabTopK(Catalog.documents(s, dir))),
 
     // BPE merge training: the learned merge table (deterministic argmax
@@ -2395,6 +2415,64 @@ object SparkEntry {
          |    AS INTEGER) AS sampled
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+
+    "ta_shard" ->
+      s"""SELECT
+         |  CAST(${sha32Sql("'shard:v1:' || CAST(doc_id AS VARCHAR)")} % 8 AS INTEGER) AS shard,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  COUNT(DISTINCT lang) AS n_langs
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ta_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t
+        |  FROM documents
+        |), tc AS (
+        |  SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS nd
+        |  FROM tc GROUP BY 1
+        |), ent AS (
+        |  SELECT tc.doc_id,
+        |    CAST(SUM(CAST(round((CAST(tc.c AS DOUBLE) / a.n)
+        |      * ln(CAST(a.n AS DOUBLE) / tc.c) * 1e6, 0) AS BIGINT)) AS BIGINT) AS e
+        |  FROM tc JOIN agg a USING (doc_id) GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(a.n, 0) AS n_tokens,
+        |  COALESCE(a.nd, 0) AS n_distinct,
+        |  CASE WHEN COALESCE(a.n, 0) = 0 THEN 0
+        |       ELSE a.nd * 10000 // a.n END AS ttr_bps,
+        |  COALESCE(e.e, 0) AS entropy_micro
+        |FROM documents d
+        |LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |LEFT JOIN ent e ON d.doc_id = e.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "dd_cap_source" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${sha32Sql("'cap:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+         |  FROM documents)
+         |SELECT doc_id, source, CAST(rk AS INTEGER) AS rk
+         |FROM r WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
+
+    "sim_rp" ->
+      s"""WITH js AS (SELECT UNNEST(generate_series(0, 63)) AS j),
+         |ks AS (SELECT UNNEST(generate_series(0, 15)) AS k),
+         |sgn AS (
+         |  SELECT j, k,
+         |    CASE WHEN ${sha32Sql("'rp:v1:' || CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)")}
+         |      % 2 = 0 THEN 1 ELSE -1 END AS s
+         |  FROM js, ks
+         |)
+         |SELECT e.vec_id, CAST(sgn.k AS INTEGER) AS k,
+         |  CAST(SUM(sgn.s * CAST(round(CAST(e.embedding[sgn.j + 1] AS DOUBLE)
+         |    * 1e6, 0) AS BIGINT)) AS BIGINT) AS y_micro
+         |FROM embeddings e JOIN sgn ON sgn.j < len(e.embedding)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "dd_decontaminate" ->
       s"""WITH toks AS (

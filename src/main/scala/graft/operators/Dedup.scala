@@ -49,6 +49,41 @@ object Dedup {
       .withColumn("dup_bps", expr("(n_docs - n_unique) * 10000 div n_docs"))
       .orderBy("source")
 
+  /** Per-source quota cap — "at most N documents per source", the
+    * domain-cap staple of web-crawl curation (one domain must not
+    * dominate the mixture). Selection is a deterministic hash lottery:
+    * rank within source by (sha32("cap:doc_id"), doc_id) and keep rank
+    * ≤ N, so the kept set is a reproducible uniform sample of each
+    * source, not a crawl-order prefix.
+    *
+    * Scale posture: the naive form is ONE window over `source` — and a
+    * mega-source (half the crawl from one domain) makes that window's
+    * partition the straggler. So phase 1 pre-prunes under (source, salt):
+    * any row in the global per-source top-N is also in its salt
+    * subgroup's top-N, so keeping ≤ N per (source, salt) is lossless,
+    * and the phase-2 window sees at most N·salts rows per source —
+    * bounded regardless of source skew (same two-phase shape as
+    * [[graft.operators.Skew]]'s salted aggregation). Only (doc_id,
+    * source, pri) rows shuffle; text never leaves the scan. */
+  def capPerSource(documents: DataFrame, maxPerSource: Int = 20,
+      salts: Int = 16): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val pri = sha32(concat(lit("cap:"), col("doc_id")))
+    val pre = documents
+      .select(col("doc_id"), col("source"), pri.as("pri"),
+        pmod(col("doc_id"), lit(salts.toLong)).as("salt"))
+      .withColumn("rk1", row_number().over(
+        w.partitionBy("source", "salt").orderBy(col("pri"), col("doc_id"))))
+      .where(col("rk1") <= maxPerSource)
+      .drop("rk1", "salt")
+    pre
+      .withColumn("rk", row_number().over(
+        w.partitionBy("source").orderBy(col("pri"), col("doc_id"))))
+      .where(col("rk") <= maxPerSource)
+      .select("doc_id", "source", "rk")
+      .orderBy("source", "rk")
+  }
+
   /** Unsorted exact-dedup keep-ids — the stage-snapshot form for
     * releasePipeline (no global sort before a checkpoint). */
   private[operators] def exactKeepIds(documents: DataFrame): DataFrame =

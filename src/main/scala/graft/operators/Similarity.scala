@@ -606,4 +606,64 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("embedding").as("ce2"), col("cell"))
     cellTopK(q, c, k, embeddings)
   }
+
+  /** Driver-side mirror of Functions.sha32 (first 8 hex chars of sha256 as
+    * unsigned int = first 4 bytes big-endian) — same byte walk as
+    * TextAnalysis.winnow's executor-side hash. */
+  private def sha32Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Sign random projection (Achlioptas/JL): reduce `inDim`-d embeddings
+    * to `outDim` components y_k = Σ_j sign(j,k)·x_j with sign(j,k) = ±1
+    * from the parity of sha32("rp:seed:j:k") — the cheap, deterministic
+    * dimensionality reduction a pipeline runs before LSH bucketing or
+    * coarse clustering when the input dim is large.
+    *
+    * Exactness contract: components quantize to integer micro-units
+    * (round(x·1e6), half away from zero) BEFORE the signed sum, so y_micro
+    * is exact integer arithmetic — order-independent and reproducible
+    * bit-for-bit in the DuckDB oracle (a float Σ± would be
+    * summation-order-dependent across engines).
+    *
+    * Scale posture: the sign matrix (inDim × outDim ints) lives in the
+    * task closure — no join, no shuffle; one map-only pass emits outDim
+    * narrow rows per vector. */
+  def randomProject(embeddings: DataFrame, inDim: Int = 64, outDim: Int = 16,
+      seed: String = "v1"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val signs: Array[Array[Int]] = Array.tabulate(inDim, outDim) { (j, k) =>
+      if (sha32Local(s"rp:$seed:$j:$k") % 2 == 0) 1 else -1
+    }
+    embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, emb) =>
+          val xi = new Array[Long](emb.length)
+          var j = 0
+          while (j < emb.length) {
+            val v = emb(j).toDouble * 1e6
+            // half away from zero, matching DuckDB round(x, 0)
+            xi(j) = (math.signum(v) * math.floor(math.abs(v) + 0.5)).toLong
+            j += 1
+          }
+          (0 until outDim).iterator.map { k =>
+            var s = 0L
+            var jj = 0
+            val d = math.min(xi.length, inDim)
+            while (jj < d) {
+              s += (if (signs(jj)(k) == 1) xi(jj) else -xi(jj))
+              jj += 1
+            }
+            (id, k, s)
+          }
+        }
+      }
+      .toDF("vec_id", "k", "y_micro")
+      .orderBy("vec_id", "k")
+  }
 }

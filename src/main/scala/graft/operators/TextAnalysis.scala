@@ -711,4 +711,79 @@ object TextAnalysis {
       .toDF("doc_id", "band", "fp")
       .orderBy("doc_id", "band")
   }
+
+  /** Deterministic shard assignment — the "write the training corpus as
+    * N files" step of a release: shard = sha32("shard:seed:doc_id") mod
+    * nShards. Pure map-only column math (no shuffle, no RNG state), so
+    * assignment is reproducible across runs/engines and a re-run of a
+    * failed shard writes byte-identical content. The seed string versions
+    * the layout: bumping it reshuffles every doc deterministically. */
+  def shardAssign(documents: DataFrame, nShards: Int = 8,
+      seed: String = "v1"): DataFrame =
+    documents.select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      pmod(sha32(concat(lit(s"shard:$seed:"), col("doc_id"))),
+        lit(nShards.toLong)).cast("int").as("shard"))
+
+  /** Per-shard balance card over [[shardAssign]] — doc count, char mass
+    * and language spread per shard. The check a release runs before
+    * shipping: a sha-based assignment should be near-uniform; a skewed
+    * card means the shard key is wrong. One combinable aggregation. */
+  def shardBalance(documents: DataFrame, nShards: Int = 8,
+      seed: String = "v1"): DataFrame =
+    shardAssign(documents, nShards, seed)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        countDistinct("lang").as("n_langs"))
+      .orderBy("shard")
+
+  /** Per-document token Shannon entropy + type-token ratio — the
+    * vocabulary-diversity quality signal ([[qualityScore]]'s structural
+    * ratios don't see repetition at the vocab level; `repetitionScore`
+    * sees n-gram loops but not low-diversity prose).
+    *
+    * Output per doc: n_tokens, n_distinct, ttr_bps (type-token ratio in
+    * integer basis points) and entropy_micro = Σ_t round((c_t/n)·ln(n/c_t)
+    * ·1e6) in integer micro-nats. Each term rounds independently, so the
+    * sum is order-independent — the same fixed-point contract as
+    * unigramSurprisal's micro-bits, which is what makes a float-free
+    * DuckDB mirror possible.
+    *
+    * Scale posture: ONE typed mapPartitions pass, zero shuffle — tokenize,
+    * count into a local map, fold the entropy sum in place. The explode +
+    * two-level-agg form would shuffle every (doc_id, token) pair; per-doc
+    * state is bounded by the doc's vocab so row-local is strictly better
+    * at any corpus size. */
+  def tokenEntropy(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val tokenRe = java.util.regex.Pattern.compile("[a-z]+")
+        it.map { case (docId, text) =>
+          // Locale.ROOT mirrors Spark lower()/the oracle (see winnow)
+          val m = tokenRe.matcher(
+            if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT))
+          val counts = new java.util.HashMap[String, Long]()
+          var n = 0L
+          while (m.find()) { counts.merge(m.group(), 1L, _ + _); n += 1 }
+          val nd = counts.size.toLong
+          var entMicro = 0L
+          if (n > 0L) {
+            val itc = counts.values().iterator()
+            while (itc.hasNext) {
+              val c = itc.next().toDouble
+              // round half-away-from-zero (DuckDB round); terms are ≥ 0
+              entMicro += math.floor((c / n) * math.log(n / c) * 1e6 + 0.5).toLong
+            }
+          }
+          val ttrBps = if (n == 0L) 0L else nd * 10000L / n
+          (docId, n, nd, ttrBps, entMicro)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "n_distinct", "ttr_bps", "entropy_micro")
+      .orderBy("doc_id")
+  }
 }

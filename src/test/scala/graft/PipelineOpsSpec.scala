@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Properties of the round-6 pipeline additions: deterministic sharding,
+  * per-source quota caps, token entropy, and sign random projection.
+  * Each operator's oracle row checks exact values at sf0.01; these specs
+  * pin the SEMANTIC contracts (losslessness of the two-phase cap,
+  * order-independence of the entropy fixed-point, closure-matrix
+  * determinism of the projection) that a green hash can't distinguish
+  * from luck.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  // ---- sharding ----
+
+  test("shard: every doc lands in exactly one shard; balance card sums to the corpus") {
+    val total = docs.count()
+    val totalChars = docs.agg(sum("n_chars")).head.getLong(0)
+    val assign = TextAnalysis.shardAssign(docs, nShards = 8)
+    assert(assign.count() == total)
+    assert(assign.where(col("shard") < 0 || col("shard") >= 8).count() == 0)
+    val bal = TextAnalysis.shardBalance(docs, nShards = 8).collect()
+    assert(bal.map(_.getLong(1)).sum == total)
+    assert(bal.map(_.getLong(2)).sum == totalChars)
+  }
+
+  test("shard: assignment is run-deterministic; bumping the seed re-deals") {
+    val a = TextAnalysis.shardAssign(docs).orderBy("doc_id").collect()
+    val b = TextAnalysis.shardAssign(docs).orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    val c = TextAnalysis.shardAssign(docs, seed = "v2").orderBy("doc_id").collect()
+    assert(a.zip(c).exists { case (x, y) => x.getInt(3) != y.getInt(3) },
+      "a new seed should move at least one document")
+  }
+
+  // ---- per-source quota cap ----
+
+  test("cap: at most N per source; an under-quota source keeps every doc") {
+    val capped = Dedup.capPerSource(docs, maxPerSource = 3)
+    val perSrc = capped.groupBy("source").count().collect()
+    assert(perSrc.forall(_.getLong(1) <= 3))
+    val srcSizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSrc.foreach { r =>
+      val want = math.min(3L, srcSizes(r.getString(0)))
+      assert(r.getLong(1) == want, s"source ${r.getString(0)}")
+    }
+  }
+
+  test("cap: two-phase salted pre-prune is lossless vs the one-window reference") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(graft.functions.Functions.sha32(concat(lit("cap:"), col("doc_id"))),
+        col("doc_id"))
+    val ref = docs
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+      .select("doc_id", "source", "rk").orderBy("source", "rk").collect()
+    for (salts <- Seq(1, 4, 16)) {
+      val got = Dedup.capPerSource(docs, maxPerSource = 5, salts = salts).collect()
+      assert(got.sameElements(ref), s"salts=$salts diverged from the reference")
+    }
+  }
+
+  // ---- token entropy ----
+
+  test("entropy: degenerate docs — empty, single-token-repeated, all-distinct") {
+    val d = Seq(
+      (1L, ""), (2L, "spam spam spam spam"), (3L, "a b c d")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenEntropy(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 0 && r(1L).getLong(4) == 0)
+    // one distinct token: p=1, ln(1)=0 — zero entropy, ttr 2500 bps
+    assert(r(2L).getLong(4) == 0 && r(2L).getLong(3) == 2500)
+    // 4 uniform distinct tokens: 4 * round((1/4)·ln(4)·1e6)
+    val term = math.floor(0.25 * math.log(4.0) * 1e6 + 0.5).toLong
+    assert(r(3L).getLong(4) == 4 * term && r(3L).getLong(3) == 10000)
+  }
+
+  test("entropy: row-local pass equals the explode+agg reference on the corpus") {
+    val toks = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("t"))
+    val tc = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val n = tc.groupBy("doc_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("nd"))
+    val ref = tc.join(n, "doc_id")
+      .groupBy("doc_id")
+      .agg(sum(round((col("c") / col("n")) * log(col("n") / col("c")) * 1e6)
+        .cast("long")).as("e"))
+      .join(n, "doc_id")
+      .select(col("doc_id"), col("n"), col("nd"),
+        (col("nd") * 10000 / col("n")).cast("long").as("ttr"), col("e"))
+      .orderBy("doc_id").collect()
+    val got = TextAnalysis.tokenEntropy(docs).collect()
+    assert(got.length == ref.length)
+    got.zip(ref).foreach { case (g, r) =>
+      assert(g.getLong(0) == r.getLong(0) && g.getLong(1) == r.getLong(1) &&
+        g.getLong(2) == r.getLong(2) && g.getLong(3) == r.getLong(3) &&
+        g.getLong(4) == r.getLong(4), s"doc ${g.getLong(0)}: $g vs $r")
+    }
+  }
+
+  // ---- sign random projection ----
+
+  test("rp: matches a naive sequential reference on sample vectors") {
+    val sample = embs.where(col("vec_id") < 5)
+      .select(col("vec_id").cast("long"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = Similarity.randomProject(embs.where(col("vec_id") < 5)).collect()
+    // independent sign derivation (sha256 via java.security, parity of the
+    // first-4-bytes big-endian value) and an explicit quantize-then-sum
+    def sha32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    assert(got.length == 5 * 16)
+    got.foreach { r =>
+      val (id, k, y) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      val x = sample(id)
+      val want = x.indices.map { j =>
+        val xi = math.floor(math.abs(x(j).toDouble * 1e6) + 0.5).toLong *
+          (if (x(j) < 0) -1 else 1)
+        if (sha32(s"rp:v1:$j:$k") % 2 == 0) xi else -xi
+      }.sum
+      assert(y == want, s"vec $id k=$k")
+    }
+  }
+
+  test("rp: projection preserves cluster structure on a clustered corpus (JL sanity)") {
+    // the parquet embeddings are isotropic noise (same-label mean cosine
+    // ≈ 0 — nothing to preserve), so JL sanity uses a deterministic
+    // clustered corpus: 4 well-separated centroids + small per-point
+    // perturbation, the same construction SimilarityQualitySpec uses
+    def h(s: String, m: Int): Int = (math.abs(s.hashCode) % m)
+    val pts = for (c <- 0 until 4; i <- 0 until 10) yield {
+      val base = Array.tabulate(64)(j =>
+        if (h(s"c:$c:$j", 2) == 0) 1.0f else -1.0f)
+      val noisy = base.zipWithIndex.map { case (v, j) =>
+        v + (h(s"n:$c:$i:$j", 100) - 50) / 500.0f }
+      ((c * 10 + i).toLong, noisy, c)
+    }
+    val df = pts.map(p => (p._1, p._2)).toDF("vec_id", "embedding")
+    val lab = pts.map(p => p._1 -> p._3).toMap
+    val proj = Similarity.randomProject(df).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(_.getLong(2).toDouble).toArray }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val ids = proj.keys.toArray.sorted
+    var (sSum, sN, dSum, dN) = (0.0, 0, 0.0, 0)
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val c = cos(proj(ids(i)), proj(ids(j)))
+      if (lab(ids(i)) == lab(ids(j))) { sSum += c; sN += 1 }
+      else { dSum += c; dN += 1 }
+    }
+    assert(sN > 0 && dN > 0)
+    assert(sSum / sN > dSum / dN + 0.3,
+      s"projection lost cluster structure: same=${sSum / sN} diff=${dSum / dN}")
+  }
+}

@@ -173,6 +173,37 @@ class PlanInvariantsSpec extends SparkSpec {
       s"raw token/gram column crosses a shuffle\n$exchanges")
   }
 
+  test("ta_shard: map-only assignment + one combinable agg — no join anywhere") {
+    val p = planOf("ta_shard")
+    assert(!p.contains("Join"), s"shard balance must not join\n$p")
+    assert(p.contains("HashAggregate"), p)
+    // raw text is never read: the scan projects only the 3 used columns
+    assert(!p.contains("text#"), s"shard card must not read text\n$p")
+  }
+
+  test("ta_entropy: single row-local pass — only the output sort exchanges") {
+    val p = planOf("ta_entropy")
+    val exchanges = """\(\d+\) Exchange\b""".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the final sort exchange, got $exchanges\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"entropy must not shuffle on a key — per-doc state is row-local\n$p")
+  }
+
+  test("dd_cap_source: pre-prune filter sits under the per-source window; no text shuffles") {
+    val p = planOf("dd_cap_source")
+    val windows = """\(\d+\) Window\b""".r.findAllIn(p).size
+    assert(windows == 2, s"expected salted + final windows, got $windows\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text#"), s"raw text crosses a shuffle\n$exchanges")
+  }
+
+  test("sim_rp: sign matrix lives in the closure — map-only, no join, one sort exchange") {
+    val p = planOf("sim_rp")
+    assert(!p.contains("Join"), s"projection must not join a sign table\n$p")
+    val exchanges = """\(\d+\) Exchange\b""".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the final sort exchange, got $exchanges\n$p")
+  }
+
   test("ta_bpe_encode: map-only segmenter — only the output sort exchanges") {
     val p = planOf("ta_bpe_encode")
     val exchanges = """\(\d+\) Exchange\b""".r.findAllIn(p).size
