@@ -598,6 +598,15 @@ object SparkEntry {
     "j10_cohort" -> ((s, dir) =>
       Temporal.cohortRetention(Catalog.events(s, dir))),
 
+    // hourly event-rate anomaly: z-score (integer milli) vs the trailing
+    // 24 observed hourly buckets, from exact integer window sums
+    "a5_rate_anomaly" -> ((s, dir) =>
+      Temporal.rateAnomaly(Catalog.events(s, dir))),
+
+    // near-dup cluster-size histogram over the shared components chain
+    "dd_cluster_hist" -> ((s, dir) =>
+      Dedup.clusterSizeHistogram(Catalog.documents(s, dir))),
+
     // semi-structured payload rollup: typed field out of the JSON props
     "s8_json_props" -> ((s, dir) => Scans.propsRollup(Catalog.events(s, dir))),
 
@@ -2381,6 +2390,38 @@ object SparkEntry {
         |FROM act a JOIN sz s USING (cohort_week)
         |GROUP BY 1, 2, s.cohort_users
         |ORDER BY 1, 2""".stripMargin,
+
+    "a5_rate_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), win AS (
+        |  SELECT event_type, hour, n,
+        |    CAST(SUM(n) OVER w AS BIGINT) AS s,
+        |    CAST(SUM(n * n) OVER w AS BIGINT) AS ss,
+        |    COUNT(*) OVER w AS m
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  n, s, ss,
+        |  CASE WHEN (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / 24.0) / 24.0 > 0
+        |       THEN CAST(round((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / 24.0)
+        |         / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / 24.0) / 24.0)
+        |         * 1000, 0) AS BIGINT)
+        |       END AS z_milli
+        |FROM win WHERE m = 24
+        |ORDER BY event_type, hour""".stripMargin,
+
+    "dd_cluster_hist" -> (LshBandsCtes + ComponentsCtes +
+      """, cs AS (
+        |  SELECT label AS cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |  FROM l3 GROUP BY 1
+        |)
+        |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+        |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "s8_json_props" ->
       """WITH parsed AS (

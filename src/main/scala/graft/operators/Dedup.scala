@@ -311,6 +311,24 @@ object Dedup {
       rounds: Int = 3, materialize: Boolean = true): DataFrame =
     lshComponentsUnsorted(documents, k, r, rounds, materialize).orderBy("doc_id")
 
+  /** Cluster-size histogram over the near-dup components — the "how much
+    * mass does dedup remove, and in what clumps" card a curation review
+    * reads: for each cluster size, how many clusters and how many docs.
+    * A long tail of size-2 clusters means boilerplate noise; a few giant
+    * clusters mean template spam worth a source-level fix.
+    *
+    * Scale posture: rides the shared (snapshotted) components chain, then
+    * two combinable count aggregations over (cluster) and (size) — both
+    * keyed on small integers, nothing wide shuffles. */
+  def clusterSizeHistogram(documents: DataFrame): DataFrame =
+    lshComponentsUnsorted(documents)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy("cluster_size")
+
   private[operators] def lshComponentsUnsorted(documents: DataFrame,
       k: Int = 16, r: Int = 4, rounds: Int = 3,
       materialize: Boolean = true): DataFrame = {

@@ -164,4 +164,44 @@ object Temporal {
       .select("cohort_week", "week_offset", "n_active", "cohort_users")
       .orderBy("cohort_week", "week_offset")
   }
+
+  /** Hourly event-rate anomaly score — the pipeline-health monitor a
+    * production ingest runs: per event type, each hour's count against
+    * the trailing `trailing` observed hourly buckets, as a z-score in
+    * integer MILLI units. A crawler dying (z ≪ 0) or a spam flood
+    * (z ≫ 0) shows up as |z_milli| ≳ 3000.
+    *
+    * Determinism contract: the window carries exact integer sums (Σn,
+    * Σn²); mean/variance derive from them with ONE fixed expression tree
+    * mirrored verbatim in the oracle, so the doubles are bit-identical
+    * across engines before the final milli-round. Hours with an
+    * incomplete trailing window, or zero variance, emit no score (NULL
+    * keeps the row's count visible without inventing a z).
+    *
+    * Scale posture: one combinable (event_type, hour) count — the
+    * hourly table is metadata-sized at any corpus scale — then a
+    * per-type window over it. Nothing event-proportional shuffles past
+    * the first aggregation. */
+  def rateAnomaly(events: DataFrame, trailing: Int = 24): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-trailing, -1)
+    val t = lit(trailing.toDouble)
+    val scored = hourly
+      .withColumn("s", sum("n").over(w))
+      .withColumn("ss", sum(col("n") * col("n")).over(w))
+      .withColumn("m", count(lit(1)).over(w))
+      .where(col("m") === trailing)
+    val sD = col("s").cast("double")
+    val variance = (col("ss").cast("double") - sD * col("s") / t) / t
+    val z = round((col("n").cast("double") - sD / t) / sqrt(variance) * 1000)
+      .cast("long")
+    scored.select(col("event_type"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n"), col("s"), col("ss"),
+        when(variance > 0, z).as("z_milli"))
+      .orderBy("event_type", "hour")
+  }
 }

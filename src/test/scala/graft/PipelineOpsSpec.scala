@@ -67,6 +67,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- cluster-size histogram ----
+
+  test("cluster histogram: doc mass sums to the corpus; sizes match components") {
+    val hist = Dedup.clusterSizeHistogram(docs).collect()
+    assert(hist.map(_.getLong(2)).sum == docs.count(),
+      "every doc belongs to exactly one cluster")
+    val sizes = Dedup.lshComponents(docs).groupBy("cluster").count()
+      .groupBy("count").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    hist.foreach { r =>
+      assert(sizes(r.getLong(0)) == r.getLong(1), s"size ${r.getLong(0)}")
+    }
+  }
+
   // ---- token entropy ----
 
   test("entropy: degenerate docs — empty, single-token-repeated, all-distinct") {

@@ -204,6 +204,13 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(exchanges == 1, s"expected only the final sort exchange, got $exchanges\n$p")
   }
 
+  test("a5_rate_anomaly: hourly pre-aggregation feeds the window — no join, no event-proportional shuffle past the count") {
+    val p = planOf("a5_rate_anomaly")
+    assert(!p.contains("Join"), s"anomaly scoring must not join\n$p")
+    // the (event_type, hour) count reduces before the per-type window
+    assert(p.contains("HashAggregate") && p.contains("Window"), p)
+  }
+
   test("ta_bpe_encode: map-only segmenter — only the output sort exchanges") {
     val p = planOf("ta_bpe_encode")
     val exchanges = """\(\d+\) Exchange\b""".r.findAllIn(p).size

@@ -136,4 +136,30 @@ class TemporalSpec extends SparkSpec {
       (1L, 0L) -> (1L, 1L),
       (1L, 1L) -> (1L, 1L)), got.toString)
   }
+
+  // 25 hourly buckets of event type `t`: counts per hour from `counts`
+  private def hourlyFeed(counts: Seq[Int]) =
+    counts.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(i => (h.toLong * 3600 + i, "t"))
+    }.toDF("s", "event_type")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"))
+
+  test("rate anomaly: hand-computed z over an alternating baseline; no score before a full window") {
+    // hours 0..23 alternate 1,2 (mean 1.5, var 0.25); hour 24 spikes to 5
+    val counts = (0 until 24).map(h => 1 + h % 2) :+ 5
+    val got = Temporal.rateAnomaly(hourlyFeed(counts)).collect()
+    // only hour 24 carries 24 trailing buckets
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(2) == 5 && r.getLong(3) == 36 && r.getLong(4) == 60)
+    // z = (5 - 1.5) / 0.5 * 1000 — exact in doubles
+    assert(r.getLong(5) == 7000, r.toString)
+  }
+
+  test("rate anomaly: zero-variance baseline emits the count but no z") {
+    val counts = Seq.fill(24)(2) :+ 7
+    val got = Temporal.rateAnomaly(hourlyFeed(counts)).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(2) == 7 && got.head.isNullAt(5), got.head.toString)
+  }
 }
