@@ -48,7 +48,7 @@ import graft.sync.SyncEngine
   *       full teardown (reference uninstall.php:28-71): watermark +
   *       sync_state + stores + events removed; --purge-remote first
   *       purges the site through every enabled adapter
-  *   analyze --data DIR [--release] [--spans] [--embeddings]
+  *   analyze --data DIR [--release] [--spans] [--embeddings] [--shards] [--diversity]
   *       corpus data-card: per-language stats, token-length quantiles,
   *       frequent tokens, (with --spans) exact duplicated-span extents
   *       on the worst offenders (suffix-array pass), (with --release)
@@ -516,6 +516,34 @@ object Main {
           .agg(sum("survivor").cast("long"), count(lit(1))).collect().head
         println(s"  semantic dedup: ${sdd.getLong(0)} survivors / " +
           s"${sdd.getLong(1)} vectors (cos >= 0.25 near-dup graph)")
+      }
+      if (flag(args, "shards")) {
+        println("shard balance (8 sha-keyed shards: docs, chars, langs):")
+        graft.operators.TextAnalysis.shardBalance(docs).collect().foreach { r =>
+          println(f"  shard ${r.getInt(0)}: ${r.getLong(1)}%5d docs " +
+            f"${r.getLong(2)}%9d chars ${r.getLong(3)}%2d langs")
+        }
+        println("per-source caps (quota 20, hash lottery): kept docs per source:")
+        graft.operators.Dedup.capPerSource(docs)
+          .groupBy("source").count().orderBy("source")
+          .collect().foreach { r =>
+            println(f"  ${r.getString(0)}%-8s ${r.getLong(1)}%4d kept")
+          }
+      }
+      if (flag(args, "diversity")) {
+        import org.apache.spark.sql.functions.{avg, col, min, max}
+        println("vocabulary diversity (token entropy, micro-nats):")
+        val e = graft.operators.TextAnalysis.tokenEntropy(docs)
+          .agg(avg(col("entropy_micro")).cast("long"),
+            min("entropy_micro"), max("entropy_micro"),
+            avg(col("ttr_bps")).cast("long")).collect().head
+        println(s"  entropy mean ${e.getLong(0)} min ${e.getLong(1)} " +
+          s"max ${e.getLong(2)}; mean TTR ${e.getLong(3)} bps")
+        println("near-dup cluster-size histogram (size: clusters / docs):")
+        graft.operators.Dedup.clusterSizeHistogram(docs).collect().foreach { r =>
+          println(f"  ${r.getLong(0)}%3d: ${r.getLong(1)}%5d clusters " +
+            f"${r.getLong(2)}%6d docs")
+        }
       }
       spark.stop()
 
