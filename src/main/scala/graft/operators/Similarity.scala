@@ -364,13 +364,17 @@ object Similarity {
 
   /** Trained per-block codebook (blk, cid, ce): first-`nCentroids` seeds
     * + one Lloyd round. Means round to 9 dp (absorbs partial-agg
-    * summation order — the ivfKmeansTopK contract). */
-  private def pqCodebook(blocks: DataFrame, nCentroids: Int): DataFrame = {
-    // seed by rank (the N smallest vec_ids), not `vec_id < n`: a filtered
-    // corpus with non-contiguous ids would otherwise under-seed or empty
-    // the codebook
-    val seedIds = blocks.select("vec_id").distinct()
-      .orderBy("vec_id").limit(nCentroids)
+    * summation order — the ivfKmeansTopK contract).
+    *
+    * `source` is the UN-EXPLODED (vec_id, …) table behind `blocks`: seed
+    * ranking runs on it as a TakeOrdered over vectors — ranking on
+    * `blocks` itself would need a distinct + shuffle over m× as many
+    * rows for the same id set. Seeding stays rank-based (the N smallest
+    * vec_ids), not `vec_id < n`: a filtered corpus with non-contiguous
+    * ids would otherwise under-seed or empty the codebook. */
+  private def pqCodebook(blocks: DataFrame, source: DataFrame,
+      nCentroids: Int): DataFrame = {
+    val seedIds = source.select("vec_id").orderBy("vec_id").limit(nCentroids)
     val cents0 = blocks.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("blk"), col("vec_id").as("cid"), col("sub").as("ce"))
     pqNearest(blocks, cents0)
@@ -389,7 +393,7 @@ object Similarity {
   private def pqAssign(embeddings: DataFrame, m: Int, subDim: Int,
       nCentroids: Int): DataFrame = {
     val blocks = pqBlocks(embeddings, m, subDim)
-    pqNearest(blocks, pqCodebook(blocks, nCentroids))
+    pqNearest(blocks, pqCodebook(blocks, embeddings, nCentroids))
   }
 
   /** PQ ADC (asymmetric distance computation) top-k — the SEARCH path
@@ -415,7 +419,7 @@ object Similarity {
     // both the candidate-encode pass and the query LUT read it, and
     // without a stage boundary the whole seed-assign + Lloyd training
     // lineage runs twice (the lshComponents lesson)
-    val cents = Stage.snap(pqCodebook(blocks, nCentroids), materialize)
+    val cents = Stage.snap(pqCodebook(blocks, embeddings, nCentroids), materialize)
     val codes = pqNearest(blocks, cents)
       .select(col("vec_id").as("cid2"), col("blk"), col("cell"))
     val lut = blocks.where(col("vec_id") < nQueries)
@@ -516,7 +520,7 @@ object Similarity {
           (x, c) => x.cast("double") - c.cast("double")).as("embedding")),
       materialize)
     val blocks = pqBlocks(residuals.select("vec_id", "embedding"), m, subDim)
-    val cents = Stage.snap(pqCodebook(blocks, nCentroids), materialize)
+    val cents = Stage.snap(pqCodebook(blocks, residuals, nCentroids), materialize)
     IvfPqParts(coarse, residuals, cents, pqNearest(blocks, cents))
   }
 
