@@ -488,6 +488,11 @@ object SparkEntry {
     "ta_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(Catalog.documents(s, dir))),
 
+    // hashing-trick linear quality scorer (deterministic disclosed
+    // weights): closure weight table, row-local integer scoring
+    "ta_classify" -> ((s, dir) =>
+      TextAnalysis.classifyQuality(Catalog.documents(s, dir))),
+
     // per-source quota cap: deterministic hash lottery, two-phase salted
     // top-N so a mega-source cannot straggle the window
     "dd_cap_source" -> ((s, dir) =>
@@ -2490,6 +2495,29 @@ object SparkEntry {
         |LEFT JOIN agg a ON d.doc_id = a.doc_id
         |LEFT JOIN ent e ON d.doc_id = e.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "ta_classify" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t
+         |  FROM documents
+         |), tw AS (
+         |  SELECT doc_id,
+         |    ${sha32Sql("'w:v1:' || CAST(" + sha32Sql("t") + " % 1024 AS VARCHAR)")}
+         |      % 2001 - 1000 AS w
+         |  FROM toks
+         |), agg AS (
+         |  SELECT doc_id, COUNT(*) AS n, CAST(SUM(w) AS BIGINT) AS sum_w
+         |  FROM tw GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n, 0) AS n_tokens,
+         |  COALESCE(a.sum_w, 0) AS sum_w,
+         |  CASE WHEN a.n IS NULL THEN NULL
+         |       ELSE a.sum_w * 1000 // a.n END AS mean_w_milli,
+         |  CAST(CASE WHEN a.n IS NOT NULL AND a.sum_w * 1000 // a.n >= 0
+         |       THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dd_cap_source" ->
       s"""WITH r AS (

@@ -55,6 +55,11 @@ import graft.sync.SyncEngine
   *       the release-pipeline survivor counts, and (with --embeddings)
   *       embedding-space curation: centroid-outlier and semantic-dedup
   *       survivor counts
+  *   export --data DIR --out PATH [--n-shards N] [--seed S]
+  *       write the corpus as a sha-sharded partitioned parquet dataset
+  *       (partitionBy(shard)): the "ship the training corpus as N
+  *       reproducible shards" sink — a re-run writes the identical
+  *       layout, and a failed shard can be rewritten alone
   */
 object Main {
 
@@ -547,6 +552,31 @@ object Main {
       }
       spark.stop()
 
+    case Some("export") =>
+      val dir = opt(args, "data").getOrElse("/root/testdata/sf0.001")
+      val out = opt(args, "out").getOrElse {
+        System.err.println("error: --out required"); sys.exit(2); ""
+      }
+      val nShards = opt(args, "n-shards").getOrElse("8").toInt
+      val seed = opt(args, "seed").getOrElse("v1")
+      if (nShards <= 0) {
+        System.err.println("error: --n-shards must be positive"); sys.exit(2)
+      }
+      val spark = session()
+      val docs = graft.catalog.Catalog.documents(spark, dir)
+      // deterministic layout: the shard key is content-independent sha
+      // math over doc_id, so a re-export writes the identical assignment
+      docs.join(
+          graft.operators.TextAnalysis.shardAssign(docs, nShards, seed)
+            .select("doc_id", "shard"), Seq("doc_id"))
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      val back = spark.read.parquet(out)
+      println(s"exported ${back.count()} docs to $out in $nShards shards (seed $seed):")
+      back.groupBy("shard").count().orderBy("shard").collect().foreach { r =>
+        println(f"  shard ${r.get(0)}: ${r.getLong(1)}%6d docs")
+      }
+      spark.stop()
+
     case Some("uninstall") =>
       val work = opt(args, "work").getOrElse { System.err.println("error: --work required"); sys.exit(2); "" }
       val site = opt(args, "site").getOrElse("1").toInt
@@ -558,7 +588,7 @@ object Main {
       spark.stop()
 
     case other =>
-      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze")
+      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export")
       sys.exit(2)
   }
 }

@@ -738,6 +738,64 @@ object TextAnalysis {
         countDistinct("lang").as("n_langs"))
       .orderBy("shard")
 
+  /** Hashing-trick linear quality scorer — the model-based filter slot
+    * of a curation pipeline (the fastText-style classifier that replaces
+    * hand-written heuristics once labels exist): each token hashes into
+    * a `dim`-entry weight table, a document scores as the mean token
+    * weight, and the keep decision thresholds the mean at 0.
+    *
+    * The weight table here is a DISCLOSED deterministic stand-in
+    * (w[i] = sha32("w:seed:i") mod 2001 − 1000 — there is no trained
+    * model in this environment); the Spark-side contract is the real
+    * thing: the table lives in the task closure (at real dims it would
+    * broadcast), scoring is one row-local pass, and the outputs are
+    * exact integers (sum of integer weights; mean as floor-divided
+    * MILLI-weights) so the oracle matches bit-for-bit.
+    *
+    * Scale posture: map-only — no shuffle at any corpus size; the same
+    * shape serves a real exported linear model by swapping the table. */
+  def classifyQuality(documents: DataFrame, dim: Int = 1024,
+      seed: String = "v1"): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val weights = Array.tabulate(dim)(i =>
+      (sha32Driver(s"w:$seed:$i") % 2001L - 1000L).toInt)
+    documents.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val tokenRe = java.util.regex.Pattern.compile("[a-z]+")
+        it.map { case (docId, text) =>
+          val m = tokenRe.matcher(
+            if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT))
+          var n = 0L
+          var sumW = 0L
+          while (m.find()) {
+            val d = md.digest(m.group().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+            sumW += weights((h % dim).toInt)
+            n += 1
+          }
+          // plain Long division: truncates toward zero, same as DuckDB `//`
+          val mean = if (n == 0L) None else Some(sumW * 1000L / n)
+          (docId, n, sumW, mean, if (mean.exists(_ >= 0L)) 1 else 0)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "sum_w", "mean_w_milli", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** Driver-side sha32 (first 4 bytes of sha256, big-endian) — the same
+    * value Functions.sha32 computes as a Column; used to fill
+    * deterministic closure tables. */
+  private def sha32Driver(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
   /** Per-document token Shannon entropy + type-token ratio — the
     * vocabulary-diversity quality signal ([[qualityScore]]'s structural
     * ratios don't see repetition at the vocab level; `repetitionScore`

@@ -39,6 +39,32 @@ class PipelineOpsSpec extends SparkSpec {
       "a new seed should move at least one document")
   }
 
+  test("shard: partitioned export layout is reproducible and prunable") {
+    def export(path: String): Unit =
+      docs.join(TextAnalysis.shardAssign(docs, 4).select("doc_id", "shard"),
+          Seq("doc_id"))
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val t1 = java.nio.file.Files.createTempDirectory("graft_exp1").toString
+    export(t1)
+    val back = spark.read.parquet(t1)
+    assert(back.count() == docs.count())
+    val dirs = new java.io.File(t1).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.sameElements(Array("shard=0", "shard=1", "shard=2", "shard=3")))
+    // single-shard read = that shard's assignment, via partition pruning
+    val one = back.where(col("shard") === 2).count()
+    assert(one ==
+      TextAnalysis.shardAssign(docs, 4).where(col("shard") === 2).count())
+    // a second export writes the identical (doc_id, shard) layout
+    val t2 = java.nio.file.Files.createTempDirectory("graft_exp2").toString
+    export(t2)
+    val a = spark.read.parquet(t1).select("doc_id", "shard")
+      .orderBy("doc_id").collect()
+    val b = spark.read.parquet(t2).select("doc_id", "shard")
+      .orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
   // ---- per-source quota cap ----
 
   test("cap: at most N per source; an under-quota source keeps every doc") {
@@ -118,6 +144,29 @@ class PipelineOpsSpec extends SparkSpec {
         g.getLong(2) == r.getLong(2) && g.getLong(3) == r.getLong(3) &&
         g.getLong(4) == r.getLong(4), s"doc ${g.getLong(0)}: $g vs $r")
     }
+  }
+
+  // ---- hashing-trick quality classifier ----
+
+  test("classify: matches an independent per-token weight fold; empty doc scores NULL") {
+    def sha32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    def w(tok: String): Long = sha32(s"w:v1:${sha32(tok) % 1024}") % 2001 - 1000
+    val d = Seq((1L, "alpha beta alpha"), (2L, ""), (3L, "Gamma GAMMA gamma"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.classifyQuality(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val exp1 = 2 * w("alpha") + w("beta")
+    assert(got(1L).getLong(2) == exp1)
+    assert(got(1L).getLong(3) == exp1 * 1000 / 3)
+    assert(got(1L).getInt(4) == (if (exp1 >= 0) 1 else 0))
+    assert(got(2L).getLong(1) == 0 && got(2L).isNullAt(3) && got(2L).getInt(4) == 0)
+    // case folding: all three tokens hash identically
+    assert(got(3L).getLong(2) == 3 * w("gamma"))
   }
 
   // ---- sign random projection ----

@@ -189,6 +189,13 @@ class PlanInvariantsSpec extends SparkSpec {
       s"entropy must not shuffle on a key — per-doc state is row-local\n$p")
   }
 
+  test("ta_classify: weight table in the closure — map-only, one sort exchange") {
+    val p = planOf("ta_classify")
+    val exchanges = """\(\d+\) Exchange\b""".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the final sort exchange, got $exchanges\n$p")
+    assert(!p.contains("hashpartitioning") && !p.contains("Join"), p)
+  }
+
   test("dd_cap_source: pre-prune filter sits under the per-source window; no text shuffles") {
     val p = planOf("dd_cap_source")
     val windows = """\(\d+\) Window\b""".r.findAllIn(p).size
