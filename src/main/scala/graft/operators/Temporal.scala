@@ -182,10 +182,20 @@ object Temporal {
     * hourly table is metadata-sized at any corpus scale — then a
     * per-type window over it. Nothing event-proportional shuffles past
     * the first aggregation. */
-  def rateAnomaly(events: DataFrame, trailing: Int = 24): DataFrame = {
-    val hourly = events
+  def rateAnomaly(events: DataFrame, trailing: Int = 24): DataFrame =
+    rateAnomalyFromHourly(hourlyOf(events), trailing)
+
+  /** The (event_type, hour, n) pre-aggregation under [[rateAnomaly]] —
+    * exposed so a streaming monitor can MAINTAIN it incrementally (counts
+    * merge by sum) and re-score without the raw events. */
+  def hourlyOf(events: DataFrame): DataFrame =
+    events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n"))
+
+  /** Scoring half of [[rateAnomaly]]: the trailing window + z over an
+    * (event_type, hour, n) table, whatever maintained it. */
+  def rateAnomalyFromHourly(hourly: DataFrame, trailing: Int = 24): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("hour")
       .rowsBetween(-trailing, -1)
     val t = lit(trailing.toDouble)
