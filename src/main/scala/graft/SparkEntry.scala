@@ -498,6 +498,11 @@ object SparkEntry {
     "dd_cap_source" -> ((s, dir) =>
       Dedup.capPerSource(Catalog.documents(s, dir))),
 
+    // per-source TOKEN budget: hash-lottery prefix until the running
+    // token total exceeds the budget (prior-sum salted pre-prune)
+    "dd_budget_source" -> ((s, dir) =>
+      Dedup.tokenBudgetPerSource(Catalog.documents(s, dir), budgetTokens = 800)),
+
     // sign random projection 64 -> 16 (JL): exact integer micro-unit
     // contract, sign matrix in the task closure (map-only)
     "sim_rp" -> ((s, dir) =>
@@ -2527,6 +2532,22 @@ object SparkEntry {
          |  FROM documents)
          |SELECT doc_id, source, CAST(rk AS INTEGER) AS rk
          |FROM r WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
+
+    "dd_budget_source" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tok,
+         |    ${sha32Sql("'budget:v1:' || CAST(doc_id AS VARCHAR)")} AS pri
+         |  FROM documents
+         |), win AS (
+         |  SELECT doc_id, source, n_tok,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY pri, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+         |  FROM base
+         |)
+         |SELECT doc_id, source, n_tok, cum_tok
+         |FROM win WHERE cum_tok <= 800
+         |ORDER BY source, cum_tok, doc_id""".stripMargin,
 
     "sim_rp" ->
       s"""WITH js AS (SELECT UNNEST(generate_series(0, 63)) AS j),

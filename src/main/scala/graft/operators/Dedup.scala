@@ -84,6 +84,47 @@ object Dedup {
       .orderBy("source", "rk")
   }
 
+  /** Per-source TOKEN budget sampling — [[capPerSource]]'s release-time
+    * sibling with the quota in tokens, not documents ("ship at most B
+    * tokens per source"): docs accumulate in deterministic hash-lottery
+    * order and survive while the running total stays within budget. A
+    * source whose next doc would overflow stops there (no partial docs).
+    *
+    * Scale posture: the same two-phase salted shape as the doc cap, but
+    * the safe pre-prune condition is on the PRIOR salt-local sum, not
+    * the inclusive one. Why it is lossless: a doc whose salt-local
+    * predecessors already exceed B has global predecessors exceeding B
+    * too, so it — and everything globally after it — is truth-dropped
+    * (1); hence no dropped doc precedes a truth-kept doc, and phase 2's
+    * prefix sums are EXACT for every kept doc (2); and any survivor
+    * after a dropped doc still sees that salt's > B kept tokens ahead of
+    * it in phase 2, so it cannot be falsely kept (3). (Dropping on the
+    * inclusive sum instead would erase the dropped doc's tokens from
+    * phase 2's accounting and let a later doc sneak under budget.) Only
+    * (doc_id, source, n_tok, pri) rows shuffle. */
+  def tokenBudgetPerSource(documents: DataFrame, budgetTokens: Long = 2000,
+      salts: Int = 16, seed: String = "v1"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val pri = sha32(concat(lit(s"budget:$seed:"), col("doc_id")))
+    val base = documents.select(col("doc_id"), col("source"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .cast("long").as("n_tok"),
+      pri.as("pri"), pmod(col("doc_id"), lit(salts.toLong)).as("salt"))
+    val pre = base
+      .withColumn("cum1", sum("n_tok").over(
+        w.partitionBy("source", "salt").orderBy(col("pri"), col("doc_id"))
+          .rowsBetween(w.unboundedPreceding, w.currentRow)))
+      .where(col("cum1") - col("n_tok") <= budgetTokens)
+      .drop("cum1", "salt")
+    pre
+      .withColumn("cum_tok", sum("n_tok").over(
+        w.partitionBy("source").orderBy(col("pri"), col("doc_id"))
+          .rowsBetween(w.unboundedPreceding, w.currentRow)))
+      .where(col("cum_tok") <= budgetTokens)
+      .select("doc_id", "source", "n_tok", "cum_tok")
+      .orderBy("source", "cum_tok", "doc_id")
+  }
+
   /** Unsorted exact-dedup keep-ids — the stage-snapshot form for
     * releasePipeline (no global sort before a checkpoint). */
   private[operators] def exactKeepIds(documents: DataFrame): DataFrame =

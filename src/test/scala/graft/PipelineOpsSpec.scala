@@ -93,6 +93,44 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("budget: per-source kept tokens never exceed the budget; prefix rule holds") {
+    val b = 400L
+    val kept = Dedup.tokenBudgetPerSource(docs, budgetTokens = b)
+    val per = kept.groupBy("source").agg(sum("n_tok").as("t")).collect()
+    assert(per.forall(_.getLong(1) <= b))
+    // cum_tok is the running total and equals the per-source prefix sums
+    kept.collect().groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(3))
+      var run = 0L
+      sorted.foreach { r =>
+        run += r.getLong(2)
+        assert(r.getLong(3) == run, s"cum_tok mismatch in ${r.getString(1)}")
+      }
+    }
+  }
+
+  test("budget: prior-sum salted pre-prune is lossless vs the one-window reference") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(graft.functions.Functions.sha32(
+        concat(lit("budget:v1:"), col("doc_id"))), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    for (b <- Seq(100L, 800L, 5000L)) {
+      val ref = docs.select(col("doc_id"), col("source"),
+          size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+            .cast("long").as("n_tok"))
+        .withColumn("cum_tok", sum("n_tok").over(w))
+        .where(col("cum_tok") <= b)
+        .select("doc_id", "source", "n_tok", "cum_tok")
+        .orderBy("source", "cum_tok", "doc_id").collect()
+      for (salts <- Seq(1, 4, 16)) {
+        val got = Dedup.tokenBudgetPerSource(docs, b, salts).collect()
+        assert(got.sameElements(ref), s"budget=$b salts=$salts diverged")
+      }
+    }
+  }
+
   // ---- cluster-size histogram ----
 
   test("cluster histogram: doc mass sums to the corpus; sizes match components") {

@@ -204,6 +204,14 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!exchanges.contains("text#"), s"raw text crosses a shuffle\n$exchanges")
   }
 
+  test("dd_budget_source: salted prior-sum pre-prune under the per-source window; text stays in the scan") {
+    val p = planOf("dd_budget_source")
+    val windows = """\(\d+\) Window\b""".r.findAllIn(p).size
+    assert(windows == 2, s"expected salted + final cumsum windows, got $windows\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text#"), s"raw text crosses a shuffle\n$exchanges")
+  }
+
   test("sim_rp: sign matrix lives in the closure — map-only, no join, one sort exchange") {
     val p = planOf("sim_rp")
     assert(!p.contains("Join"), s"projection must not join a sign table\n$p")
