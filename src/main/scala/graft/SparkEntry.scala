@@ -2536,7 +2536,7 @@ object SparkEntry {
     "dd_budget_source" ->
       s"""WITH base AS (
          |  SELECT doc_id, source,
-         |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tok,
+         |    CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS BIGINT) AS n_tok,
          |    ${sha32Sql("'budget:v1:' || CAST(doc_id AS VARCHAR)")} AS pri
          |  FROM documents
          |), win AS (

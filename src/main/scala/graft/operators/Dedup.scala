@@ -106,9 +106,11 @@ object Dedup {
       salts: Int = 16, seed: String = "v1"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val pri = sha32(concat(lit(s"budget:$seed:"), col("doc_id")))
+    // coalesce before tokenizing: a NULL text is a zero-token doc, not a
+    // silently vanished row (size(NULL) would null the whole prefix sum)
     val base = documents.select(col("doc_id"), col("source"),
-      size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
-        .cast("long").as("n_tok"),
+      size(regexp_extract_all(lower(coalesce(col("text"), lit(""))),
+        lit("[a-z]+"), lit(0))).cast("long").as("n_tok"),
       pri.as("pri"), pmod(col("doc_id"), lit(salts.toLong)).as("salt"))
     val pre = base
       .withColumn("cum1", sum("n_tok").over(

@@ -184,6 +184,44 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- degenerate inputs across the round-6 additions ----
+
+  test("edge: empty / null-text corpus never throws across the new operators") {
+    val empty = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val nulls = Seq((1L, null: String, "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextAnalysis.shardBalance(empty).count() == 0)
+    assert(TextAnalysis.tokenEntropy(empty).count() == 0)
+    assert(TextAnalysis.classifyQuality(empty).count() == 0)
+    assert(Dedup.capPerSource(empty).count() == 0)
+    assert(Dedup.tokenBudgetPerSource(empty).count() == 0)
+    // null text = zero tokens, not a crash; doc still shards and caps
+    assert(TextAnalysis.shardAssign(nulls).count() == 1)
+    val e = TextAnalysis.tokenEntropy(nulls).head
+    assert(e.getLong(1) == 0 && e.getLong(4) == 0)
+    val c = TextAnalysis.classifyQuality(nulls).head
+    assert(c.getLong(1) == 0 && c.isNullAt(3))
+    assert(Dedup.capPerSource(nulls).count() == 1)
+    // null text = zero tokens: fits even a zero budget (nothing precedes it)
+    assert(Dedup.tokenBudgetPerSource(nulls, budgetTokens = 0).count() == 1)
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.randomProject(emptyEmb).count() == 0)
+    val emptyEv = Seq.empty[(java.sql.Timestamp, String)].toDF("ts", "event_type")
+    assert(graft.operators.Temporal.rateAnomaly(emptyEv).count() == 0)
+  }
+
+  test("edge: budget 0 keeps a source's zero-token prefix; nShards 1 puts everything in shard 0") {
+    // separate sources: prefix semantics within one source would also
+    // (correctly) drop a zero-token doc that trails the overflow point
+    val d = Seq((1L, "a b c", "en", "s1", 5L), (2L, "", "en", "s2", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = Dedup.tokenBudgetPerSource(d, budgetTokens = 0).collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(2L))
+    val sh = TextAnalysis.shardAssign(d, nShards = 1).collect()
+    assert(sh.forall(_.getInt(3) == 0))
+  }
+
   // ---- hashing-trick quality classifier ----
 
   test("classify: matches an independent per-token weight fold; empty doc scores NULL") {
