@@ -533,6 +533,12 @@ object SparkEntry {
     "ta_release" -> ((s, dir) =>
       TextAnalysis.releasePipeline(Catalog.documents(s, dir))),
 
+    // CAPSTONE V2 — the classifier-era chain: model-scored keep ->
+    // exact dedup -> near dedup -> per-source token budget, reported as
+    // a per-stage shrinkage card (stage, n_docs, n_tokens)
+    "ta_release2" -> ((s, dir) =>
+      TextAnalysis.releasePipelineV2(Catalog.documents(s, dir))),
+
     // TF-IDF keyword extraction: top-3 terms per document
     "ta_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopK(Catalog.documents(s, dir))),
 
@@ -2227,6 +2233,60 @@ object SparkEntry {
          |FROM d3
          |GROUP BY 1, lang
          |ORDER BY split, lang""".stripMargin),
+
+    "ta_release2" -> {
+      val ntok =
+        "CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS BIGINT)"
+      def cardSql(stage: String, rel: String) =
+        s"""SELECT '$stage' AS stage, COUNT(*) AS n_docs,
+           |  COALESCE(CAST(SUM($ntok) AS BIGINT), 0) AS n_tokens FROM $rel"""
+          .stripMargin
+      s"""WITH ctoks AS (
+         |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t
+         |  FROM documents
+         |), ctw AS (
+         |  SELECT doc_id,
+         |    ${sha32Sql("'w:v1:' || CAST(" + sha32Sql("t") + " % 1024 AS VARCHAR)")}
+         |      % 2001 - 1000 AS w
+         |  FROM ctoks
+         |), cagg AS (
+         |  SELECT doc_id, COUNT(*) AS n, CAST(SUM(w) AS BIGINT) AS sum_w
+         |  FROM ctw GROUP BY 1
+         |), d1 AS (
+         |  SELECT * FROM documents WHERE doc_id IN
+         |    (SELECT doc_id FROM cagg WHERE sum_w * 1000 // n >= 0)
+         |), keep1 AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM (
+         |    SELECT doc_id,
+         |      sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+         |    FROM d1)
+         |  GROUP BY h
+         |), d2 AS (
+         |  SELECT * FROM d1 WHERE doc_id IN (SELECT doc_id FROM keep1)
+         |), ${lshBandsCtes("d2")}${componentsCtes("d2")}
+         |, d3 AS (
+         |  SELECT * FROM d2 WHERE doc_id IN
+         |    (SELECT doc_id FROM l3 WHERE doc_id = label)
+         |), bbase AS (
+         |  SELECT doc_id, source, $ntok AS n_tok,
+         |    ${sha32Sql("'budget:v1:' || CAST(doc_id AS VARCHAR)")} AS pri
+         |  FROM d3
+         |), bwin AS (
+         |  SELECT doc_id,
+         |    SUM(n_tok) OVER (PARTITION BY source ORDER BY pri, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM bbase
+         |), d4 AS (
+         |  SELECT * FROM d3 WHERE doc_id IN
+         |    (SELECT doc_id FROM bwin WHERE cum <= 800)
+         |)
+         |${cardSql("00_input", "documents")}
+         |UNION ALL ${cardSql("10_classify", "d1")}
+         |UNION ALL ${cardSql("20_exact", "d2")}
+         |UNION ALL ${cardSql("30_near", "d3")}
+         |UNION ALL ${cardSql("40_budget", "d4")}
+         |ORDER BY stage""".stripMargin
+    },
 
     "ta_tfidf" ->
       """WITH tok AS (

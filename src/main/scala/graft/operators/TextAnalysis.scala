@@ -335,6 +335,48 @@ object TextAnalysis {
       .orderBy("split", "lang")
   }
 
+  /** Release pipeline V2 — the round-6 capstone: the CLASSIFIER-era
+    * curation chain (model-scored keep decision instead of heuristic
+    * ratios) composed end to end from this round's operators:
+    *
+    *   classify ([[classifyQuality]] keep=1) → exact dedup → near dedup
+    *   → per-source token budget ([[Dedup.tokenBudgetPerSource]])
+    *
+    * with a per-stage (stage, n_docs, n_tokens) card as output — the
+    * shrinkage report a release review reads to see where mass went.
+    *
+    * Scale posture: the releasePipeline lessons apply unchanged — each
+    * stage's keep-id list snapshots UNSORTED at a stage boundary, semi-
+    * joins carry ids only, and every stage is itself scale-shaped
+    * (map-only classify, sha-keyed exact, bucketed LSH, salted budget
+    * windows). The cards are five bounded aggregations. */
+  def releasePipelineV2(documents: DataFrame, budgetTokens: Long = 800,
+      materialize: Boolean = true): DataFrame = {
+    def snap(df: DataFrame): DataFrame = Stage.snap(df, materialize)
+    val nTok = size(regexp_extract_all(lower(coalesce(col("text"), lit(""))),
+      lit("[a-z]+"), lit(0))).cast("long")
+    def card(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(nTok), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+    val keepC = snap(classifyQuality(documents).where(col("keep") === 1)
+      .select("doc_id"))
+    val d1 = documents.join(keepC, Seq("doc_id"), "left_semi")
+    val keepE = snap(Dedup.exactKeepIds(d1))
+    val d2 = d1.join(keepE, Seq("doc_id"), "left_semi")
+    val keepN = Dedup.nearDupKeepIds(d2, materialize)
+    val d3 = d2.join(keepN, Seq("doc_id"), "left_semi")
+    val keepB = snap(Dedup.tokenBudgetPerSource(d3, budgetTokens)
+      .select("doc_id"))
+    val d4 = d3.join(keepB, Seq("doc_id"), "left_semi")
+    card("00_input", documents)
+      .unionByName(card("10_classify", d1))
+      .unionByName(card("20_exact", d2))
+      .unionByName(card("30_near", d3))
+      .unionByName(card("40_budget", d4))
+      .orderBy("stage")
+  }
+
   /** Quality-weighted deterministic sampling: each document draws a
     * stable uniform u from its id hash and survives iff
     * u < quality × rate — higher-quality documents sample at

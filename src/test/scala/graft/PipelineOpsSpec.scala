@@ -184,6 +184,25 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- release pipeline V2 ----
+
+  test("releaseV2: monotone shrinkage; stages agree with the standalone operators") {
+    val card = TextAnalysis.releasePipelineV2(docs, budgetTokens = 400)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val stages = Seq("00_input", "10_classify", "20_exact", "30_near", "40_budget")
+    assert(card.keySet == stages.toSet)
+    // docs and tokens only ever shrink down the chain
+    stages.sliding(2).foreach { case Seq(a, b) =>
+      assert(card(b)._1 <= card(a)._1 && card(b)._2 <= card(a)._2, s"$a -> $b grew")
+    }
+    assert(card("00_input")._1 == docs.count())
+    // stage 1 = the standalone classifier's keep count
+    assert(card("10_classify")._1 ==
+      TextAnalysis.classifyQuality(docs).where(col("keep") === 1).count())
+    // final stage respects the per-source token budget
+    assert(card("40_budget")._2 <= 400L * docs.select("source").distinct().count())
+  }
+
   // ---- degenerate inputs across the round-6 additions ----
 
   test("edge: empty / null-text corpus never throws across the new operators") {
