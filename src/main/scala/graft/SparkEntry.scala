@@ -331,6 +331,13 @@ object SparkEntry {
     "dd_lsh_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(Catalog.documents(s, dir))),
 
+    // cross-split leakage audit: val/test docs with an LSH near-dup in
+    // train — the eval drop-list a release applies before shipping
+    "dd_split_leak" -> ((s, dir) => {
+      val docs = Catalog.documents(s, dir)
+      Dedup.splitLeakage(docs, TextAnalysis.split(docs))
+    }),
+
     "dd_simhash" -> ((s, dir) => Dedup.simhash(Catalog.documents(s, dir))),
 
     "dd_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Catalog.documents(s, dir))),
@@ -373,6 +380,10 @@ object SparkEntry {
     // ================= similarity extensions =================
 
     "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(Catalog.embeddings(s, dir))),
+
+    // hard-negative mining: per query, top-k most-similar DIFFERENT-label
+    // candidates — the contrastive-training data step
+    "sim_hardneg" -> ((s, dir) => Similarity.hardNegatives(Catalog.embeddings(s, dir))),
 
     "sim_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(Catalog.embeddings(s, dir))),
 
@@ -1526,6 +1537,30 @@ object SparkEntry {
         |WHERE a.doc_id < b.doc_id
         |ORDER BY d1, d2""".stripMargin),
 
+    "dd_split_leak" -> (LshBandsCtes +
+      s"""
+        |, pairs AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id < b.doc_id
+        |), sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ${sha32Sql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+        |         WHEN ${sha32Sql("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |), e AS (
+        |  SELECT d1 AS eval_id, d2 AS other_id FROM pairs
+        |  UNION ALL SELECT d2 AS eval_id, d1 AS other_id FROM pairs
+        |)
+        |SELECT e.eval_id AS doc_id, se.split,
+        |  COUNT(DISTINCT e.other_id) AS n_train_dups
+        |FROM e JOIN sp se ON se.doc_id = e.eval_id
+        |       JOIN sp so ON so.doc_id = e.other_id
+        |WHERE se.split IN ('val', 'test') AND so.split = 'train'
+        |GROUP BY e.eval_id, se.split
+        |ORDER BY doc_id""".stripMargin),
+
     // 3 unrolled rounds of min-label propagation over the LSH pair graph —
     // the same fixed iteration count the Spark side runs.
     "dd_components" -> (LshBandsCtes + ComponentsCtes +
@@ -1677,6 +1712,23 @@ object SparkEntry {
          |  FROM scored
          |)
          |SELECT qid, cid, cos, CAST(rn AS INTEGER) AS rn FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
+
+    "sim_hardneg" ->
+      s"""WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+         |           FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS cid, label AS clabel, embedding AS ce FROM embeddings),
+         |scored AS (
+         |  SELECT qid, qlabel, cid, clabel, round(${cosSql("qe", "ce")}, 6) AS cos
+         |  FROM q CROSS JOIN c
+         |  WHERE qlabel <> clabel
+         |), ranked AS (
+         |  SELECT qid, qlabel, cid, clabel, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |  FROM scored
+         |)
+         |SELECT qid, qlabel, cid, clabel, cos, CAST(rn AS INTEGER) AS rn
+         |FROM ranked WHERE rn <= 5
          |ORDER BY qid, rn""".stripMargin,
 
     "sim_lsh_buckets" ->

@@ -199,6 +199,41 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Cross-split near-dup LEAKAGE audit — eval hygiene for a
+    * train/val/test release: an eval document with a near-duplicate in
+    * train is a contaminated eval point (the model has effectively seen
+    * it), so for each val/test doc that shares an LSH near-dup pair
+    * with a train doc, report how many train near-dups it has. The
+    * output is the drop-list an eval-set release applies before
+    * shipping — the split-level counterpart of [[decontaminate]]
+    * (which audits against an EXTERNAL benchmark; this audits the
+    * corpus's own split boundary).
+    *
+    * `splits` is the (doc_id, split) assignment — pass
+    * `TextAnalysis.split(documents)` for the standard hash split, or
+    * any custom assignment.
+    *
+    * Scale posture: candidates come from the bucketed LSH band join
+    * (never all-pairs); the split table is two narrow id-keyed joins
+    * onto the pair list; the count is one combinable agg. Raw text
+    * never shuffles past the minhash scan stage. */
+  def splitLeakage(documents: DataFrame, splits: DataFrame,
+      k: Int = 16, r: Int = 4): DataFrame = {
+    val pairs = minhashLshPairs(documents, k, r)
+    val s = splits.select(col("doc_id"), col("split"))
+    // both directions: the eval doc may sit on either side of d1 < d2
+    val e = pairs.select(col("d1").as("eval_id"), col("d2").as("other_id"))
+      .unionByName(pairs.select(col("d2").as("eval_id"), col("d1").as("other_id")))
+    e.join(s.select(col("doc_id").as("eval_id"), col("split")), Seq("eval_id"))
+      .join(s.select(col("doc_id").as("other_id"),
+        col("split").as("other_split")), Seq("other_id"))
+      .where(col("split").isin("val", "test") && col("other_split") === "train")
+      .groupBy("eval_id", "split")
+      .agg(countDistinct("other_id").as("n_train_dups"))
+      .select(col("eval_id").as("doc_id"), col("split"), col("n_train_dups"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash (width is a parameter): per bit b, sum (2·bit−1) over
     * distinct tokens' sha32, sign → bit; simhash = Σ bit_b · 2^b.
     * Wide form: one `sum` column per bit in a single groupBy — no

@@ -44,6 +44,38 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Hard-negative mining — the contrastive-training data step
+    * (retrieval/embedding fine-tuning wants negatives that are SIMILAR
+    * but wrong): for each query vector, the k most-cosine-similar
+    * candidates whose label DIFFERS from the query's. Same determinism
+    * contract as [[bruteForceTopK]] (6-dp-rounded cosine, vec_id
+    * tiebreak).
+    *
+    * Scale posture: the query side broadcasts (nQueries rows); the
+    * label-inequality predicate filters the broadcast join's stream
+    * side before ranking, and the per-query top-k is one rank window
+    * over qid. At billion-candidate scale the same output contract is
+    * served by swapping the scored source for [[pqTopK]]/[[ivfPqTopK]]
+    * candidates — the ranking tail is unchanged. */
+  def hardNegatives(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val q = embeddings.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"))
+    val c = embeddings
+      .select(col("vec_id").as("cid"), col("label").as("clabel"),
+        col("embedding").as("ce"))
+    val scored = q.hint("broadcast").crossJoin(c)
+      .where(col("qlabel") =!= col("clabel"))
+      .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+        round(cos(embeddings)(col("qe"), col("ce")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("qid", "qlabel", "cid", "clabel", "cos", "rn")
+      .orderBy("qid", "rn")
+  }
+
   /** Sign-LSH bucket of the first `bits` embedding coordinates
     * (coordinate-hyperplane LSH). */
   def lshBucket(e: org.apache.spark.sql.Column, bits: Int = 8): org.apache.spark.sql.Column =

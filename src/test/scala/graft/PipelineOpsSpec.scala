@@ -328,4 +328,64 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sSum / sN > dSum / dN + 0.3,
       s"projection lost cluster structure: same=${sSum / sN} diff=${dSum / dN}")
   }
+
+  // ---- hard-negative mining ----
+
+  test("hardneg: every negative has a different label, ranks contiguous, cos non-increasing") {
+    val rows = Similarity.hardNegatives(embs, nQueries = 4, k = 5).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(1) != r.getInt(3)),
+      "a hard negative shares its query's label")
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(5))
+      assert(sorted.map(_.getInt(5)).toSeq == (1 to sorted.length),
+        "ranks must be contiguous from 1")
+      val cs = sorted.map(_.getDouble(4))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        "cosine must be non-increasing in rank")
+    }
+  }
+
+  test("hardneg: agrees with the top-k of the label-filtered brute-force ranking") {
+    // independent reference: rank ALL different-label candidates per
+    // query with bruteForceTopK's k wide open, filter, take 5
+    val wide = Similarity.bruteForceTopK(embs.where(col("vec_id") < 200), nQueries = 4, k = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val labels = embs.where(col("vec_id") < 200).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = wide.groupBy(_._1).toSeq.flatMap { case (qid, rs) =>
+      rs.filter(r => labels(r._2) != labels(qid))
+        .sortBy(r => (-r._3, r._2)).take(5)
+        .zipWithIndex.map { case ((_, cid, cos), i) => (qid, cid, cos, i + 1) }
+    }.toSet
+    val got = Similarity.hardNegatives(embs.where(col("vec_id") < 200), nQueries = 4, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(4), r.getInt(5)))
+      .toSet
+    assert(got == expected)
+  }
+
+  // ---- cross-split leakage audit ----
+
+  test("split leakage: a planted train/test duplicate is flagged; same-split dups are not") {
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docsDf = Seq(
+      (1L, t, "en", "web", t.length.toLong),
+      (2L, t, "en", "web", t.length.toLong), // dup of 1
+      (3L, "totally different words nothing shared here at all today friend",
+        "en", "web", 60L),
+      (4L, t + " lambda", "en", "web", 66L)  // near-dup of 1 (shares shingles)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val splits = Seq((1L, "train"), (2L, "test"), (3L, "test"), (4L, "train"))
+      .toDF("doc_id", "split")
+    val leaks = Dedup.splitLeakage(docsDf, splits).collect()
+    assert(leaks.map(_.getLong(0)).toSeq == Seq(2L),
+      s"only the test-side dup of a train doc should be flagged: ${leaks.toSeq}")
+    val r = leaks.head
+    assert(r.getString(1) == "test" && r.getLong(2) == 2L,
+      "doc 2 has TWO train near-dups (1 exact, 4 near)")
+    // same-split duplicates are dedup's business, not a leak
+    val allTrain = Seq((1L, "train"), (2L, "train"), (3L, "train"), (4L, "train"))
+      .toDF("doc_id", "split")
+    assert(Dedup.splitLeakage(docsDf, allTrain).count() == 0)
+  }
 }

@@ -50,6 +50,16 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("sim_hardneg: query side broadcasts, same contract as sim_topk") {
+    val p = planOf("sim_hardneg")
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("dd_split_leak: split joins are equi-joins on ids — never a cartesian") {
+    val p = planOf("dd_split_leak")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("n4b: every ACF dimension lookup broadcasts; one refs scan") {
     val p = planOf("n4b_acf_lookup")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
