@@ -390,6 +390,11 @@ object SparkEntry {
     "sim_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDup(Catalog.embeddings(s, dir), threshold = 0.25)),
 
+    // bucketed kNN graph: every vector's top-k among its sign-LSH
+    // bucket-mates — the every-vector scale path next to sim_topk's
+    // brute-force few-query baseline
+    "sim_knn" -> ((s, dir) => Similarity.knnGraph(Catalog.embeddings(s, dir))),
+
     // SemDeDup survivors: embedding-cosine near-dup graph -> min-label
     // components -> canonical-min survivor (the semantic counterpart of
     // dd_near_apply; catches paraphrases lexical MinHash can't see)
@@ -534,6 +539,11 @@ object SparkEntry {
     // mirrors the rank-ordered merges as nested list folds.
     "ta_bpe_encode" -> ((s, dir) =>
       operators.Bpe.bpeEncode(Catalog.documents(s, dir), operators.Bpe.DemoMerges)),
+
+    // per-language tokenizer fertility (subwords/word, basis points)
+    // over the fixed demo merge table — the tokenizer-efficiency card
+    "ta_fertility" -> ((s, dir) =>
+      operators.Bpe.tokenizerFertility(Catalog.documents(s, dir))),
 
     // CAPSTONE — the corpus-release pipeline composed end to end from the
     // operators above: quality filter → exact dedup → near-dedup →
@@ -1752,6 +1762,25 @@ object SparkEntry {
          |WHERE cos >= 0.25
          |ORDER BY d1, d2""".stripMargin,
 
+    "sim_knn" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |    ${(1 to 8).map(i =>
+             s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS bucket
+         |  FROM embeddings
+         |), scored AS (
+         |  SELECT a.vec_id AS src, bb.vec_id AS dst,
+         |    round(${cosSql("a.embedding", "bb.embedding")}, 6) AS cos
+         |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id
+         |), ranked AS (
+         |  SELECT src, dst, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+         |  FROM scored
+         |)
+         |SELECT src, dst, cos, CAST(rn AS INTEGER) AS rn
+         |FROM ranked WHERE rn <= 3
+         |ORDER BY src, rn""".stripMargin,
+
     // SemDeDup mirror: cosine edges + the same bounded 3-round min-label
     // propagation as dd_components, keyed on vec_id
     "sim_semdedup" ->
@@ -2249,6 +2278,8 @@ object SparkEntry {
     // Generated: rank-ordered merge applications unrolled into nested
     // row-local list folds over each document's word list.
     "ta_bpe_encode" -> OracleSql.bpeEncode(operators.Bpe.DemoMerges),
+
+    "ta_fertility" -> OracleSql.bpeFertility(operators.Bpe.DemoMerges),
 
     "ta_release" -> (
       s"""WITH q AS (

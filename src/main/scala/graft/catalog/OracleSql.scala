@@ -151,13 +151,21 @@ object OracleSql {
     * one `list_transform` over the document's word list — no joins, no
     * unnest. Merge tokens are [a-z_] so literal splicing is injection-safe.
     */
-  def bpeEncode(merges: Seq[(String, String)]): String = {
+  /** The per-word segmentation expression shared by [[bpeEncode]] and
+    * [[bpeFertility]]: rank-ordered merges unrolled into nested
+    * `list_reduce` folds over the word's character list. */
+  private def bpeEncodeExpr(merges: Seq[(String, String)]): String = {
     var expr = "string_split(w, '')[:-2] || [string_split(w, '')[-1] || '_']"
     merges.zipWithIndex.foreach { case ((l, r), i) =>
       expr = s"list_reduce(list_transform($expr, s$i -> [s$i]), " +
         s"(a$i, x$i) -> CASE WHEN a$i[-1] = '$l' AND x$i[1] = '$r' " +
         s"THEN a$i[:-2] || ['$l$r'] ELSE a$i || x$i END)"
     }
+    expr
+  }
+
+  def bpeEncode(merges: Seq[(String, String)]): String = {
+    val expr = bpeEncodeExpr(merges)
     s"""WITH d AS (
        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
        |         regexp_extract_all(lower(text), '[a-z]+') AS words
@@ -171,5 +179,31 @@ object OracleSql {
        |    AS n_subwords,
        |  array_to_string(flatten(encs)[:8], ' ') AS subwords_preview
        |FROM e ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB oracle for per-language tokenizer fertility
+    * ([[graft.operators.Bpe.tokenizerFertility]]): the [[bpeEncode]]
+    * segmentation chain aggregated per lang, fertility as integer basis
+    * points with the zero-word guard mirrored. */
+  def bpeFertility(merges: Seq[(String, String)]): String = {
+    val expr = bpeEncodeExpr(merges)
+    s"""WITH d AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       |         regexp_extract_all(lower(text), '[a-z]+') AS words
+       |  FROM documents
+       |), e AS (
+       |  SELECT doc_id, lang, len(words) AS n_words,
+       |         list_transform(words, w -> $expr) AS encs
+       |  FROM d
+       |), agg AS (
+       |  SELECT lang,
+       |    CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |    CAST(SUM(coalesce(list_sum(list_transform(encs, e -> len(e))), 0))
+       |      AS BIGINT) AS n_subwords
+       |  FROM e GROUP BY lang)
+       |SELECT lang, n_words, n_subwords,
+       |  CASE WHEN n_words = 0 THEN 0
+       |       ELSE n_subwords * 10000 // n_words END AS fertility_bps
+       |FROM agg ORDER BY lang""".stripMargin
   }
 }

@@ -187,4 +187,24 @@ object Bpe {
     }
     java.util.Arrays.copyOf(out, n)
   }
+
+  /** Tokenizer fertility per language — subwords-per-word in integer
+    * basis points, the standard tokenizer-efficiency metric (a language
+    * the merge table serves poorly fragments into more subwords per
+    * word, inflating its effective sequence length and training cost).
+    * Rides [[bpeEncode]]'s per-doc counts; the language join carries
+    * only (doc_id, lang) against (doc_id, counts) narrow rows, then one
+    * combinable per-lang sum. Zero-word languages report fertility 0
+    * (guarded on both engines) rather than dividing by zero. */
+  def tokenizerFertility(documents: DataFrame,
+      merges: Seq[(String, String)] = DemoMerges): DataFrame =
+    bpeEncode(documents, merges)
+      .select("doc_id", "n_words", "n_subwords")
+      .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(sum("n_words").as("n_words"), sum("n_subwords").as("n_subwords"))
+      .withColumn("fertility_bps",
+        when(col("n_words") === 0L, 0L)
+          .otherwise(expr("n_subwords * 10000 div n_words")))
+      .orderBy("lang")
 }

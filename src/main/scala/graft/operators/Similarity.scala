@@ -105,6 +105,38 @@ object Similarity {
       .orderBy("d1", "d2")
   }
 
+  /** Bucketed kNN graph — each vector's top-k neighbor list over the
+    * WHOLE corpus ([[bruteForceTopK]] is the exact baseline for a few
+    * query vectors; this is the every-vector scale path): candidates
+    * are sign-LSH bucket-mates only, so the candidate join is bucketed
+    * — never all-pairs — and the per-vector top-k is a rank window over
+    * the bounded in-bucket candidate set. The kNN graph is the substrate
+    * of graph-based ANN indexes and of kNN-classification audits.
+    *
+    * Recall is bucket-bounded by construction: a true neighbor in
+    * another bucket is unseen (the standard LSH trade; the spec
+    * quantifies recall vs brute force on the query head). Vectors alone
+    * in their bucket emit no rows. Determinism: 6-dp-rounded cosine,
+    * dst tiebreak — the [[bruteForceTopK]] contract. */
+  def knnGraph(embeddings: DataFrame, bits: Int = 8, k: Int = 3): DataFrame = {
+    val withB = embeddings.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), bits).as("bucket"))
+    val a = withB.select(col("bucket"), col("vec_id").as("src"),
+      col("embedding").as("e1"))
+    val b = withB.select(col("bucket"), col("vec_id").as("dst"),
+      col("embedding").as("e2"))
+    val scored = a.join(b, Seq("bucket"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(cos(embeddings)(col("e1"), col("e2")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("src", "dst", "cos", "rn")
+      .orderBy("src", "rn")
+  }
+
   /** IVF cell assignment: the first `nCentroids` vectors act as the coarse
     * quantizer's (deterministic) centroid seeds; every vector lands in the
     * cell of its highest-cosine centroid (vec_id tiebreak).

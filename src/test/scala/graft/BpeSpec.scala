@@ -87,4 +87,32 @@ class BpeSpec extends SparkSpec {
       .sum("n_subwords")).collect().head.getLong(0)
     assert(nChars == counts.head)
   }
+
+  test("fertility: per-lang sums match the segmenter; a served language beats an unseen one") {
+    import org.apache.spark.sql.functions._
+    // "low" lang uses words the DemoMerges table was drawn from; "zz"
+    // uses alien words the merges never fire on; "empty" has no words
+    val d = Seq(
+      (1L, "low lower lowest low", "low"), (2L, "low lowest", "low"),
+      (3L, "quartz jigsaw phlegm", "zz"),
+      (4L, "", "empty")
+    ).toDF("doc_id", "text", "lang")
+    val f = Bpe.tokenizerFertility(d, Bpe.DemoMerges).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // cross-check per-lang sums against the per-doc segmenter output
+    val enc = Bpe.bpeEncode(d, Bpe.DemoMerges)
+      .join(d.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(sum("n_words").as("w"), sum("n_subwords").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    f.foreach { case (lang, r) =>
+      assert((r.getLong(1), r.getLong(2)) == enc(lang), s"sums differ for $lang")
+    }
+    // every word is at least one subword -> fertility >= 10000 bps
+    assert(f("low").getLong(3) >= 10000 && f("zz").getLong(3) >= 10000)
+    // merges fire on the served language, not the alien one
+    assert(f("low").getLong(3) < f("zz").getLong(3),
+      s"served lang should segment tighter: ${f("low")} vs ${f("zz")}")
+    // zero-word lang: guarded fertility 0, no divide-by-zero
+    assert(f("empty").getLong(1) == 0L && f("empty").getLong(3) == 0L)
+  }
 }

@@ -60,6 +60,16 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("sim_knn: candidate join is a bucket equi-join — never all-pairs") {
+    val p = planOf("sim_knn")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ta_fertility: lang join is an id equi-join; no cartesian anywhere") {
+    val p = planOf("ta_fertility")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("n4b: every ACF dimension lookup broadcasts; one refs scan") {
     val p = planOf("n4b_acf_lookup")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
