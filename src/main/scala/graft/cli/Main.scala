@@ -48,13 +48,15 @@ import graft.sync.SyncEngine
   *       full teardown (reference uninstall.php:28-71): watermark +
   *       sync_state + stores + events removed; --purge-remote first
   *       purges the site through every enabled adapter
-  *   analyze --data DIR [--release] [--spans] [--embeddings] [--shards] [--diversity]
+  *   analyze --data DIR [--release] [--spans] [--embeddings] [--shards]
+  *           [--diversity] [--leakage]
   *       corpus data-card: per-language stats, token-length quantiles,
   *       frequent tokens, (with --spans) exact duplicated-span extents
   *       on the worst offenders (suffix-array pass), (with --release)
-  *       the release-pipeline survivor counts, and (with --embeddings)
+  *       the release-pipeline survivor counts, (with --embeddings)
   *       embedding-space curation: centroid-outlier and semantic-dedup
-  *       survivor counts
+  *       survivor counts, and (with --leakage) the cross-split near-dup
+  *       leak list + per-language tokenizer fertility
   *   export --data DIR --out PATH [--n-shards N] [--seed S]
   *       write the corpus as a sha-sharded partitioned parquet dataset
   *       (partitionBy(shard)): the "ship the training corpus as N
@@ -534,6 +536,21 @@ object Main {
           .collect().foreach { r =>
             println(f"  ${r.getString(0)}%-8s ${r.getLong(1)}%4d kept")
           }
+      }
+      if (flag(args, "leakage")) {
+        println("cross-split near-dup leakage (val/test docs with a train near-dup):")
+        val leaks = graft.operators.Dedup
+          .splitLeakage(docs, graft.operators.TextAnalysis.split(docs)).collect()
+        if (leaks.isEmpty) println("  none — splits are leak-free")
+        else leaks.take(10).foreach { r =>
+          println(s"  doc ${r.getLong(0)} (${r.getString(1)}): " +
+            s"${r.getLong(2)} train near-dup(s)")
+        }
+        println("tokenizer fertility per language (subwords/word, bps):")
+        graft.operators.Bpe.tokenizerFertility(docs).collect().foreach { r =>
+          println(f"  ${r.getString(0)}%-4s ${r.getLong(3)}%6d bps " +
+            f"(${r.getLong(2)}%8d subwords / ${r.getLong(1)}%8d words)")
+        }
       }
       if (flag(args, "diversity")) {
         import org.apache.spark.sql.functions.{avg, col, min, max}
