@@ -89,6 +89,25 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // Q4-style order-priority check: orders in one quarter with at least
+    // one LATE lineitem (shipped > 30 days after the order date — the
+    // testdata's analog of Q4's commit<receipt). The EXISTS encodes as a
+    // LEFT SEMI equi-join on orderkey with the lateness residual — one
+    // key shuffle, no row duplication however many lineitems match.
+    "q4_priority" -> ((s, dir) => {
+      val ord = Catalog.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      val li = Catalog.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      ord.join(li,
+          ord("o_orderkey") === li("l_orderkey") &&
+            li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Q5-style regional revenue: 6-way join pruned by region filter; the
     // dimension chain (region⋈nation⋈supplier) stays broadcast-size at any
     // SF (dims grow slower than facts), so only orders⋈lineitem shuffles.
@@ -338,6 +357,13 @@ object SparkEntry {
       Dedup.splitLeakage(docs, TextAnalysis.split(docs))
     }),
 
+    // the APPLY form: the cleaned corpus after dropping the leaked
+    // eval docs the audit flagged
+    "dd_leak_apply" -> ((s, dir) => {
+      val docs = Catalog.documents(s, dir)
+      Dedup.splitLeakageApply(docs, TextAnalysis.split(docs))
+    }),
+
     "dd_simhash" -> ((s, dir) => Dedup.simhash(Catalog.documents(s, dir))),
 
     "dd_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Catalog.documents(s, dir))),
@@ -394,6 +420,11 @@ object SparkEntry {
     // bucket-mates — the every-vector scale path next to sim_topk's
     // brute-force few-query baseline
     "sim_knn" -> ((s, dir) => Similarity.knnGraph(Catalog.embeddings(s, dir))),
+
+    // kNN label-agreement audit: majority vote of bucket-mate neighbors
+    // vs the stored label — the label-noise review queue
+    "sim_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(Catalog.embeddings(s, dir))),
 
     // SemDeDup survivors: embedding-cosine near-dup graph -> min-label
     // components -> canonical-min survivor (the semantic counterpart of
@@ -1044,6 +1075,17 @@ object SparkEntry {
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
 
+    "q4_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q5_regional" ->
       """SELECT n_name,
         |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
@@ -1571,6 +1613,32 @@ object SparkEntry {
         |GROUP BY e.eval_id, se.split
         |ORDER BY doc_id""".stripMargin),
 
+    "dd_leak_apply" -> (LshBandsCtes +
+      s"""
+        |, pairs AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id < b.doc_id
+        |), sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ${sha32Sql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+        |         WHEN ${sha32Sql("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |), e AS (
+        |  SELECT d1 AS eval_id, d2 AS other_id FROM pairs
+        |  UNION ALL SELECT d2 AS eval_id, d1 AS other_id FROM pairs
+        |), leaks AS (
+        |  SELECT DISTINCT e.eval_id
+        |  FROM e JOIN sp se ON se.doc_id = e.eval_id
+        |         JOIN sp so ON so.doc_id = e.other_id
+        |  WHERE se.split IN ('val', 'test') AND so.split = 'train'
+        |)
+        |SELECT d.doc_id, sp.split, CAST(length(d.text) AS BIGINT) AS text_len
+        |FROM documents d JOIN sp ON sp.doc_id = d.doc_id
+        |WHERE d.doc_id NOT IN (SELECT eval_id FROM leaks)
+        |ORDER BY d.doc_id""".stripMargin),
+
     // 3 unrolled rounds of min-label propagation over the LSH pair graph —
     // the same fixed iteration count the Spark side runs.
     "dd_components" -> (LshBandsCtes + ComponentsCtes +
@@ -1780,6 +1848,38 @@ object SparkEntry {
          |SELECT src, dst, cos, CAST(rn AS INTEGER) AS rn
          |FROM ranked WHERE rn <= 3
          |ORDER BY src, rn""".stripMargin,
+
+    "sim_knn_classify" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |    ${(1 to 8).map(i =>
+             s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS bucket
+         |  FROM embeddings
+         |), scored AS (
+         |  SELECT a.vec_id AS src, bb.vec_id AS dst,
+         |    round(${cosSql("a.embedding", "bb.embedding")}, 6) AS cos
+         |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id
+         |), g AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+         |    FROM scored)
+         |  WHERE rn <= 3
+         |), votes AS (
+         |  SELECT g.src, e.label AS nlabel, COUNT(*) AS v
+         |  FROM g JOIN embeddings e ON e.vec_id = g.dst
+         |  GROUP BY g.src, e.label
+         |), pick AS (
+         |  SELECT src, nlabel AS pred FROM (
+         |    SELECT src, nlabel,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY v DESC, nlabel) AS rk
+         |    FROM votes)
+         |  WHERE rk = 1
+         |)
+         |SELECT p.src AS vec_id, e.label, p.pred,
+         |  CAST(p.pred = e.label AS INTEGER) AS agree
+         |FROM pick p JOIN embeddings e ON e.vec_id = p.src
+         |ORDER BY vec_id""".stripMargin,
 
     // SemDeDup mirror: cosine edges + the same bounded 3-round min-label
     // propagation as dd_components, keyed on vec_id

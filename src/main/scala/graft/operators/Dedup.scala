@@ -234,6 +234,21 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** [[splitLeakage]]'s APPLY form — the cleaned release: every train
+    * doc plus the eval docs with NO train near-dup, i.e. the corpus
+    * after dropping the contaminated eval points the audit flagged.
+    * One id-only anti-join onto the corpus; same narrow-join discipline
+    * as the other apply operators. */
+  def splitLeakageApply(documents: DataFrame, splits: DataFrame,
+      k: Int = 16, r: Int = 4): DataFrame = {
+    val leaks = splitLeakage(documents, splits, k, r).select("doc_id")
+    documents.join(splits.select(col("doc_id"), col("split")), Seq("doc_id"))
+      .join(leaks, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("split"),
+        length(col("text")).cast("bigint").as("text_len"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash (width is a parameter): per bit b, sum (2·bit−1) over
     * distinct tokens' sha32, sign → bit; simhash = Σ bit_b · 2^b.
     * Wide form: one `sum` column per bit in a single groupBy — no

@@ -76,6 +76,34 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** kNN label-agreement audit over [[knnGraph]] — the confident-
+    * learning-style label-noise check (complementary to
+    * [[centroidOutliers]]' parametric prototype test): each vector's
+    * predicted label is the majority vote of its k bucket-mate
+    * neighbors (ties break to the smallest label), and `agree` flags
+    * whether the vote matches the stored label. Low-agreement vectors
+    * are the relabel/review queue. Vectors alone in their bucket have
+    * no neighbors and emit no row — honest abstention, not a guess.
+    *
+    * Scale posture: rides the bucketed graph; votes are one combinable
+    * (src, label) count; the argmax is a rank window over ≤ k rows per
+    * vector; label joins carry (id, int) rows only. */
+  def knnClassify(embeddings: DataFrame, bits: Int = 8, k: Int = 3): DataFrame = {
+    val lbl = embeddings.select(col("vec_id"), col("label"))
+    val votes = knnGraph(embeddings, bits, k)
+      .join(lbl.select(col("vec_id").as("dst"), col("label").as("nlabel")),
+        Seq("dst"))
+      .groupBy("src", "nlabel").agg(count(lit(1)).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("v").desc, col("nlabel"))
+    votes.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("src").as("vec_id"), col("nlabel").as("pred"))
+      .join(lbl, Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("pred"),
+        (col("pred") === col("label")).cast("int").as("agree"))
+      .orderBy("vec_id")
+  }
+
   /** Sign-LSH bucket of the first `bits` embedding coordinates
     * (coordinate-hyperplane LSH). */
   def lshBucket(e: org.apache.spark.sql.Column, bits: Int = 8): org.apache.spark.sql.Column =

@@ -387,5 +387,33 @@ class PipelineOpsSpec extends SparkSpec {
     val allTrain = Seq((1L, "train"), (2L, "train"), (3L, "train"), (4L, "train"))
       .toDF("doc_id", "split")
     assert(Dedup.splitLeakage(docsDf, allTrain).count() == 0)
+
+    // APPLY form: exactly the leaked docs are dropped, nothing else
+    val kept = Dedup.splitLeakageApply(docsDf, splits).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L),
+      s"apply must drop only the flagged doc 2: kept $kept")
+  }
+
+  // ---- kNN label-agreement audit ----
+
+  test("knn classify: a planted mislabeled vector disagrees; clean cluster members agree") {
+    // two tight clusters in the same sign bucket region; vector 5 sits
+    // in cluster A's position but carries cluster B's label
+    def v(base: Double, i: Int) = Seq.tabulate(8)(j =>
+      (if (j == 0) base else 0.01 * (j + 1) + 0.001 * i).toFloat)
+    val emb = (
+      (0 to 2).map(i => (i.toLong, v(1.0, i), 10)) ++      // cluster A
+      (3 to 4).map(i => (i.toLong, v(1.0, i) , 10)) ++     // more A
+      Seq((5L, v(1.0, 5), 20))                             // planted: A-shaped, B-labeled
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(emb, bits = 2, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    val (lbl5, pred5, agree5) = out(5L)
+    assert(lbl5 == 20 && pred5 == 10 && agree5 == 0,
+      s"planted mislabel must be outvoted by its neighborhood: ${out(5L)}")
+    (0L to 4L).foreach { i =>
+      assert(out(i)._3 == 1, s"clean member $i flagged: ${out(i)}")
+    }
   }
 }

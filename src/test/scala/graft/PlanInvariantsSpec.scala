@@ -70,6 +70,20 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q4_priority: EXISTS plans as a LEFT SEMI equi-join, never a cartesian") {
+    val p = planOf("q4_priority")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dd_leak_apply / sim_knn_classify: id-only joins, no cartesian") {
+    Seq("dd_leak_apply", "sim_knn_classify").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n$p")
+    }
+  }
+
   test("n4b: every ACF dimension lookup broadcasts; one refs scan") {
     val p = planOf("n4b_acf_lookup")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
