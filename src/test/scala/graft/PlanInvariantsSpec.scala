@@ -74,6 +74,8 @@ class PlanInvariantsSpec extends SparkSpec {
     val p = planOf("q4_priority")
     assert(p.contains("LeftSemi"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the quarter filter reaches the orders parquet scan
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(o_orderdate"), p)
   }
 
   test("dd_leak_apply / sim_knn_classify: id-only joins, no cartesian") {

@@ -88,4 +88,40 @@ class Round6EdgeSpec extends SparkSpec {
         $"event_type")
     assert(graft.operators.Temporal.cohortRetention(events).count() == 0)
   }
+
+  test("splitLeakage / apply: empty corpus and no-eval-split corpus degrade to empty/identity") {
+    val emptySplits = Seq.empty[(Long, String)].toDF("doc_id", "split")
+    assert(Dedup.splitLeakage(emptyDocs, emptySplits).count() == 0)
+    assert(Dedup.splitLeakageApply(emptyDocs, emptySplits).count() == 0)
+    // duplicates exist but everything is train: no leaks, apply keeps all
+    val t = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val splits = Seq((1L, "train"), (2L, "train")).toDF("doc_id", "split")
+    assert(Dedup.splitLeakage(docs, splits).count() == 0)
+    assert(Dedup.splitLeakageApply(docs, splits).count() == 2)
+  }
+
+  test("knnGraph / knnClassify / hardNegatives: empty and singleton inputs never throw") {
+    val embL = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.knnGraph(embL).count() == 0)
+    assert(Similarity.knnClassify(embL).count() == 0)
+    assert(Similarity.hardNegatives(embL).count() == 0)
+    // a single vector: alone in its bucket -> graph and classify abstain;
+    // no different-label candidate -> no negatives
+    val one = Seq((0L, Array.fill(8)(1.0f), 5)).toDF("vec_id", "embedding", "label")
+    assert(Similarity.knnGraph(one).count() == 0)
+    assert(Similarity.knnClassify(one).count() == 0)
+    assert(Similarity.hardNegatives(one).count() == 0)
+  }
+
+  test("tokenizerFertility: empty corpus -> empty card; all-empty lang -> zero row") {
+    val empty3 = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(graft.operators.Bpe.tokenizerFertility(empty3).count() == 0)
+    val d = Seq((1L, "", "xx"), (2L, null.asInstanceOf[String], "xx"))
+      .toDF("doc_id", "text", "lang")
+    val r = graft.operators.Bpe.tokenizerFertility(d).collect()
+    assert(r.length == 1 && r.head.getString(0) == "xx" &&
+      r.head.getLong(1) == 0L && r.head.getLong(3) == 0L)
+  }
 }
