@@ -566,6 +566,12 @@ object Main {
           println(f"  ${r.getLong(0)}%3d: ${r.getLong(1)}%5d clusters " +
             f"${r.getLong(2)}%6d docs")
         }
+        println("compression ratio (Deflate bps; low = repetitive):")
+        val cr = graft.operators.TextAnalysis.compressionRatio(docs)
+          .where(col("n_bytes") > 0)
+          .agg(avg(col("ratio_bps")).cast("long"),
+            min("ratio_bps"), max("ratio_bps")).collect().head
+        println(s"  mean ${cr.getLong(0)} min ${cr.getLong(1)} max ${cr.getLong(2)} bps")
       }
       spark.stop()
 

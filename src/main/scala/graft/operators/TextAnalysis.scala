@@ -411,6 +411,59 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Compression-ratio quality signal — the zlib heuristic of the
+    * RefinedWeb/Gopher filter family: highly compressible text is
+    * repetitive or templated (boilerplate, keyword stuffing, generated
+    * spam), while natural prose compresses to a fairly stable band.
+    * Output per doc: raw UTF-8 bytes, Deflate(level 6) bytes, and
+    * ratio_bps = compressed·10000/raw (low = suspiciously repetitive).
+    *
+    * Spec-verified, not oracle-gated: the Deflate bitstream is
+    * engine-specific (same disclosed standing as the t-digest/HLL/
+    * Bloom/Misra–Gries sketch siblings), though deterministic for a
+    * fixed level — the spec pins reproducibility, the repetitive≪prose
+    * ordering, and the empty-doc guard. The EXACT counterpart signals
+    * are [[repetitionSignals]] / [[tokenEntropy]] (both oracle-gated).
+    *
+    * Scale posture: one row-local mapPartitions pass, Deflater reused
+    * across the partition (allocation per row is the ~2× output buffer
+    * only); zero shuffle. */
+  def compressionRatio(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val mapped = it.map { case (id, text) =>
+          val raw = (if (text == null) ""
+            else text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          if (raw.isEmpty) (id, 0L, 0L, 0L)
+          else {
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            val buf = new Array[Byte](raw.length * 2 + 64)
+            var comp = 0L
+            while (!deflater.finished())
+              comp += deflater.deflate(buf)
+            (id, raw.length.toLong, comp, comp * 10000L / raw.length)
+          }
+        }
+        // release the Deflater's native buffers when the partition drains
+        new Iterator[(Long, Long, Long, Long)] {
+          def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h) deflater.end()
+            h
+          }
+          def next(): (Long, Long, Long, Long) = mapped.next()
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_compressed", "ratio_bps")
+      .orderBy("doc_id")
+  }
+
   /** Repetition / diversity signals (the Gopher-rule family a corpus
     * filter runs on top of length heuristics): top-word dominance,
     * type-token ratio, duplicate-bigram fraction, and the resulting

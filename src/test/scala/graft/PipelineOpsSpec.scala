@@ -395,6 +395,35 @@ class PipelineOpsSpec extends SparkSpec {
       s"apply must drop only the flagged doc 2: kept $kept")
   }
 
+  // ---- compression-ratio signal ----
+
+  test("compression ratio: repetitive text compresses far below prose; empty guarded; deterministic") {
+    val prose = "the quick brown fox jumps over a lazy dog while seven " +
+      "wizards brew quartz elixirs beyond the frozen viaduct at midnight"
+    val d = Seq(
+      (1L, Seq.fill(20)("spam alert").mkString(" ")),
+      (2L, prose),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.compressionRatio(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L)._3 < r(2L)._3 / 2,
+      s"repetitive must compress far below prose: ${r(1L)} vs ${r(2L)}")
+    assert(r(3L) == ((0L, 0L, 0L)) && r(4L) == ((0L, 0L, 0L)))
+    // bytes accounting: compressed <= 2x raw (buf bound), ratio consistent
+    r.filterKeys(Set(1L, 2L)).values.foreach { case (raw, comp, bps) =>
+      assert(comp > 0 && comp <= raw * 2 && bps == comp * 10000 / raw)
+    }
+    // fixed Deflate level -> reproducible across runs
+    val again = TextAnalysis.compressionRatio(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(again == r)
+    // corpus sanity: every non-empty doc yields a positive ratio
+    val corpus = TextAnalysis.compressionRatio(docs)
+    assert(corpus.where(col("n_bytes") > 0 && col("ratio_bps") <= 0).count() == 0)
+  }
+
   // ---- kNN label-agreement audit ----
 
   test("knn classify: a planted mislabeled vector disagrees; clean cluster members agree") {
