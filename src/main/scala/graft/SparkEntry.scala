@@ -532,6 +532,11 @@ object SparkEntry {
 
     // per-doc token entropy + type-token ratio in integer micro-nats /
     // basis points: one row-local mapPartitions pass, zero shuffle
+    // per-doc feature matrix: the training table for a real quality
+    // classifier — structural + diversity + repetition + LM features
+    "ta_features" -> ((s, dir) =>
+      TextAnalysis.featureMatrix(Catalog.documents(s, dir))),
+
     "ta_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(Catalog.documents(s, dir))),
 
@@ -860,6 +865,86 @@ object SparkEntry {
        |      ORDER BY nano, cid) AS rn FROM d1)
        |  WHERE rn = 1
        |)""".stripMargin
+  /** Per-doc signal oracles shared between their standalone rows and the
+    * ta_features composition (single source of truth — the matrix can
+    * never drift from the signals it joins). */
+  private val QualityOracle: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS INTEGER) AS n_chars,
+      |  CAST(n_tokens AS INTEGER) AS n_tokens,
+      |  round(non_space / CAST(greatest(n_tokens, 1) AS DOUBLE), 4) AS avg_token_len,
+      |  round(stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE), 4) AS stop_ratio,
+      |  round(least(1.0, n_tokens / 100.0) * (1.0 - stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE)), 4) AS quality
+      |FROM (
+      |  SELECT doc_id, text,
+      |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      |    length(replace(text, ' ', '')) AS non_space,
+      |    (length(text) - length(replace(text, ' the ', ''))) / 5 AS stop_hits
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  private val RepetitionOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\S+')) AS w
+      |  FROM documents
+      |), counts AS (
+      |  SELECT doc_id, w, COUNT(*) AS n FROM tok GROUP BY doc_id, w
+      |), stats AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(n) AS INTEGER) AS n_tokens,
+      |    CAST(COUNT(*) AS INTEGER) AS n_types,
+      |    CAST(MAX(n) AS INTEGER) AS top_n
+      |  FROM counts GROUP BY doc_id
+      |), bi AS (
+      |  SELECT doc_id,
+      |    CAST(len(ts) - 1 AS INTEGER) AS n_bi,
+      |    CAST(len(list_distinct(list_transform(
+      |      generate_series(1, len(ts) - 1),
+      |      i -> ts[i] || ' ' || ts[i+1]))) AS INTEGER) AS n_bi_d
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts
+      |        FROM documents)
+      |  WHERE len(ts) >= 2
+      |)
+      |SELECT s.doc_id, n_tokens, n_types,
+      |  round(top_n / CAST(n_tokens AS DOUBLE), 4) AS top_word_ratio,
+      |  round(n_types / CAST(n_tokens AS DOUBLE), 4) AS type_token_ratio,
+      |  round(1.0 - n_bi_d / CAST(n_bi AS DOUBLE), 4) AS dup_bigram_ratio,
+      |  CAST(round(top_n / CAST(n_tokens AS DOUBLE), 4) <= 0.12
+      |    AND round(n_types / CAST(n_tokens AS DOUBLE), 4) >= 0.35 AS INTEGER) AS keep
+      |FROM stats s JOIN bi USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  private val EntropyOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t
+      |  FROM documents
+      |), tc AS (
+      |  SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS nd
+      |  FROM tc GROUP BY 1
+      |), ent AS (
+      |  SELECT tc.doc_id,
+      |    CAST(SUM(CAST(round((CAST(tc.c AS DOUBLE) / a.n)
+      |      * ln(CAST(a.n AS DOUBLE) / tc.c) * 1e6, 0) AS BIGINT)) AS BIGINT) AS e
+      |  FROM tc JOIN agg a USING (doc_id) GROUP BY 1
+      |)
+      |SELECT d.doc_id,
+      |  COALESCE(a.n, 0) AS n_tokens,
+      |  COALESCE(a.nd, 0) AS n_distinct,
+      |  CASE WHEN COALESCE(a.n, 0) = 0 THEN 0
+      |       ELSE a.nd * 10000 // a.n END AS ttr_bps,
+      |  COALESCE(e.e, 0) AS entropy_micro
+      |FROM documents d
+      |LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |LEFT JOIN ent e ON d.doc_id = e.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  private val UnigramOracle: String =
+    OracleSql.unigramScored +
+      """SELECT doc_id, n_tokens, micro_bits, micro_bpt FROM scored
+        |ORDER BY doc_id""".stripMargin
+
   private val cosSql =
     // double-precision sequential dot/norms — mirror of Functions.cosine
     (a: String, b: String) =>
@@ -2207,20 +2292,7 @@ object SparkEntry {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
-    "ta_quality" ->
-      """SELECT doc_id,
-        |  CAST(length(text) AS INTEGER) AS n_chars,
-        |  CAST(n_tokens AS INTEGER) AS n_tokens,
-        |  round(non_space / CAST(greatest(n_tokens, 1) AS DOUBLE), 4) AS avg_token_len,
-        |  round(stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE), 4) AS stop_ratio,
-        |  round(least(1.0, n_tokens / 100.0) * (1.0 - stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE)), 4) AS quality
-        |FROM (
-        |  SELECT doc_id, text,
-        |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
-        |    length(replace(text, ' ', '')) AS non_space,
-        |    (length(text) - length(replace(text, ' the ', ''))) / 5 AS stop_hits
-        |  FROM documents)
-        |ORDER BY doc_id""".stripMargin,
+    "ta_quality" -> QualityOracle,
 
     "ta_tokens" ->
       """SELECT doc_id,
@@ -2326,36 +2398,7 @@ object SparkEntry {
         |FROM tot
         |ORDER BY lang""".stripMargin,
 
-    "ta_repetition" ->
-      """WITH tok AS (
-        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\S+')) AS w
-        |  FROM documents
-        |), counts AS (
-        |  SELECT doc_id, w, COUNT(*) AS n FROM tok GROUP BY doc_id, w
-        |), stats AS (
-        |  SELECT doc_id,
-        |    CAST(SUM(n) AS INTEGER) AS n_tokens,
-        |    CAST(COUNT(*) AS INTEGER) AS n_types,
-        |    CAST(MAX(n) AS INTEGER) AS top_n
-        |  FROM counts GROUP BY doc_id
-        |), bi AS (
-        |  SELECT doc_id,
-        |    CAST(len(ts) - 1 AS INTEGER) AS n_bi,
-        |    CAST(len(list_distinct(list_transform(
-        |      generate_series(1, len(ts) - 1),
-        |      i -> ts[i] || ' ' || ts[i+1]))) AS INTEGER) AS n_bi_d
-        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts
-        |        FROM documents)
-        |  WHERE len(ts) >= 2
-        |)
-        |SELECT s.doc_id, n_tokens, n_types,
-        |  round(top_n / CAST(n_tokens AS DOUBLE), 4) AS top_word_ratio,
-        |  round(n_types / CAST(n_tokens AS DOUBLE), 4) AS type_token_ratio,
-        |  round(1.0 - n_bi_d / CAST(n_bi AS DOUBLE), 4) AS dup_bigram_ratio,
-        |  CAST(round(top_n / CAST(n_tokens AS DOUBLE), 4) <= 0.12
-        |    AND round(n_types / CAST(n_tokens AS DOUBLE), 4) >= 0.35 AS INTEGER) AS keep
-        |FROM stats s JOIN bi USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    "ta_repetition" -> RepetitionOracle,
 
     "ta_vocab" ->
       """WITH tok AS (
@@ -2527,10 +2570,7 @@ object SparkEntry {
         |SELECT doc_id, rank, token, bm25 FROM ranked WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
 
-    "ta_unigram" ->
-      (OracleSql.unigramScored +
-        """SELECT doc_id, n_tokens, micro_bits, micro_bpt FROM scored
-          |ORDER BY doc_id""".stripMargin),
+    "ta_unigram" -> UnigramOracle,
 
     "ta_bigram" ->
       """WITH toks AS (
@@ -2718,31 +2758,18 @@ object SparkEntry {
          |  COUNT(DISTINCT lang) AS n_langs
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "ta_entropy" ->
-      """WITH toks AS (
-        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t
-        |  FROM documents
-        |), tc AS (
-        |  SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY 1, 2
-        |), agg AS (
-        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS nd
-        |  FROM tc GROUP BY 1
-        |), ent AS (
-        |  SELECT tc.doc_id,
-        |    CAST(SUM(CAST(round((CAST(tc.c AS DOUBLE) / a.n)
-        |      * ln(CAST(a.n AS DOUBLE) / tc.c) * 1e6, 0) AS BIGINT)) AS BIGINT) AS e
-        |  FROM tc JOIN agg a USING (doc_id) GROUP BY 1
-        |)
-        |SELECT d.doc_id,
-        |  COALESCE(a.n, 0) AS n_tokens,
-        |  COALESCE(a.nd, 0) AS n_distinct,
-        |  CASE WHEN COALESCE(a.n, 0) = 0 THEN 0
-        |       ELSE a.nd * 10000 // a.n END AS ttr_bps,
-        |  COALESCE(e.e, 0) AS entropy_micro
-        |FROM documents d
-        |LEFT JOIN agg a ON d.doc_id = a.doc_id
-        |LEFT JOIN ent e ON d.doc_id = e.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "ta_entropy" -> EntropyOracle,
+
+    "ta_features" ->
+      s"""SELECT q.doc_id, q.n_tokens, q.quality,
+         |  e.ttr_bps, e.entropy_micro,
+         |  r.top_word_ratio, r.dup_bigram_ratio, r.keep,
+         |  u.micro_bpt
+         |FROM ($QualityOracle) q
+         |JOIN ($EntropyOracle) e ON q.doc_id = e.doc_id
+         |JOIN ($RepetitionOracle) r ON q.doc_id = r.doc_id
+         |JOIN ($UnigramOracle) u ON q.doc_id = u.doc_id
+         |ORDER BY q.doc_id""".stripMargin,
 
     "ta_classify" ->
       s"""WITH toks AS (

@@ -411,6 +411,31 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Per-document FEATURE MATRIX — the training table for a real
+    * quality classifier (the labeled-data step after
+    * [[classifyQuality]]'s hashing-trick stand-in): one row per doc
+    * joining the structural score ([[quality]]), vocabulary diversity
+    * ([[tokenEntropy]]), repetition signals ([[repetitionSignals]]) and
+    * LM surprisal ([[unigramSurprisal]]) — the feature set the
+    * CCNet/fastText-era curation classifiers actually train on.
+    * Restricted to docs with ≥ 2 tokens (the repetition signals need a
+    * bigram; mirrored by the oracle's inner join).
+    *
+    * Scale posture: each signal keeps its own scale-shaped plan (one
+    * combinable agg or row-local pass); the matrix is three narrow
+    * id-keyed equi-joins over per-doc rows — no signal's intermediate
+    * re-derives another's, and no raw text crosses a join. */
+  def featureMatrix(documents: DataFrame): DataFrame =
+    quality(documents).select(col("doc_id"), col("n_tokens"), col("quality"))
+      .join(tokenEntropy(documents)
+        .select(col("doc_id"), col("ttr_bps"), col("entropy_micro")), Seq("doc_id"))
+      .join(repetitionSignals(documents)
+        .select(col("doc_id"), col("top_word_ratio"), col("dup_bigram_ratio"),
+          col("keep")), Seq("doc_id"))
+      .join(unigramSurprisal(documents)
+        .select(col("doc_id"), col("micro_bpt")), Seq("doc_id"))
+      .orderBy("doc_id")
+
   /** Compression-ratio quality signal — the zlib heuristic of the
     * RefinedWeb/Gopher filter family: highly compressible text is
     * repetitive or templated (boilerplate, keyword stuffing, generated

@@ -395,6 +395,25 @@ class PipelineOpsSpec extends SparkSpec {
       s"apply must drop only the flagged doc 2: kept $kept")
   }
 
+  // ---- feature matrix ----
+
+  test("feature matrix: one row per >=2-token doc; columns equal the standalone signals") {
+    val fm = TextAnalysis.featureMatrix(docs).collect()
+    val nEligible = docs
+      .where(size(split(lower(col("text")), "\\s+")) >= 2).count()
+    assert(fm.length.toLong == nEligible,
+      s"${fm.length} rows vs $nEligible eligible docs")
+    // spot-check: every matrix value equals its standalone-signal source
+    val ent = TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val rep = TextAnalysis.repetitionSignals(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    fm.take(50).foreach { r =>
+      assert(r.getLong(3) == ent(r.getLong(0)), s"ttr_bps drift at ${r.getLong(0)}")
+      assert(r.getDouble(5) == rep(r.getLong(0)), s"top_word drift at ${r.getLong(0)}")
+    }
+  }
+
   // ---- compression-ratio signal ----
 
   test("compression ratio: repetitive text compresses far below prose; empty guarded; deterministic") {

@@ -78,6 +78,15 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(o_orderdate"), p)
   }
 
+  test("ta_features: id-keyed equi-joins; the only BNLJ is unigram's 1-row constants broadcast") {
+    val p = planOf("ta_features")
+    assert(!p.contains("CartesianProduct"), p)
+    // unigramSurprisal joins its 1-row corpus-constants table as a
+    // broadcast nested loop BY DESIGN; the doc-level joins must not add more
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"expected only the constants BNLJ, got $bnlj\n$p")
+  }
+
   test("dd_leak_apply / sim_knn_classify: id-only joins, no cartesian") {
     Seq("dd_leak_apply", "sim_knn_classify").foreach { q =>
       val p = planOf(q)
