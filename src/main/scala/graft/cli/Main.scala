@@ -57,11 +57,13 @@ import graft.sync.SyncEngine
   *       embedding-space curation: centroid-outlier and semantic-dedup
   *       survivor counts, and (with --leakage) the cross-split near-dup
   *       leak list + per-language tokenizer fertility
-  *   export --data DIR --out PATH [--n-shards N] [--seed S]
+  *   export --data DIR --out PATH [--n-shards N] [--seed S] [--features]
   *       write the corpus as a sha-sharded partitioned parquet dataset
   *       (partitionBy(shard)): the "ship the training corpus as N
   *       reproducible shards" sink — a re-run writes the identical
-  *       layout, and a failed shard can be rewritten alone
+  *       layout, and a failed shard can be rewritten alone; with
+  *       --features, write the per-doc quality feature matrix instead
+  *       (the classifier-training table)
   */
 object Main {
 
@@ -587,16 +589,25 @@ object Main {
       }
       val spark = session()
       val docs = graft.catalog.Catalog.documents(spark, dir)
-      // deterministic layout: the shard key is content-independent sha
-      // math over doc_id, so a re-export writes the identical assignment
-      docs.join(
-          graft.operators.TextAnalysis.shardAssign(docs, nShards, seed)
-            .select("doc_id", "shard"), Seq("doc_id"))
-        .write.mode("overwrite").partitionBy("shard").parquet(out)
-      val back = spark.read.parquet(out)
-      println(s"exported ${back.count()} docs to $out in $nShards shards (seed $seed):")
-      back.groupBy("shard").count().orderBy("shard").collect().foreach { r =>
-        println(f"  shard ${r.get(0)}: ${r.getLong(1)}%6d docs")
+      if (flag(args, "features")) {
+        // the classifier-training table instead of the raw corpus
+        graft.operators.TextAnalysis.featureMatrix(docs)
+          .write.mode("overwrite").parquet(out)
+        val back = spark.read.parquet(out)
+        println(s"exported feature matrix: ${back.count()} rows x " +
+          s"${back.columns.length} columns to $out")
+      } else {
+        // deterministic layout: the shard key is content-independent sha
+        // math over doc_id, so a re-export writes the identical assignment
+        docs.join(
+            graft.operators.TextAnalysis.shardAssign(docs, nShards, seed)
+              .select("doc_id", "shard"), Seq("doc_id"))
+          .write.mode("overwrite").partitionBy("shard").parquet(out)
+        val back = spark.read.parquet(out)
+        println(s"exported ${back.count()} docs to $out in $nShards shards (seed $seed):")
+        back.groupBy("shard").count().orderBy("shard").collect().foreach { r =>
+          println(f"  shard ${r.get(0)}: ${r.getLong(1)}%6d docs")
+        }
       }
       spark.stop()
 
