@@ -504,6 +504,10 @@ object SparkEntry {
 
     "ta_mix" -> ((s, dir) => TextAnalysis.mixPlan(Catalog.documents(s, dir))),
 
+    // T=2 temperature sampling shares (the multilingual-LM upsampling rule)
+    "ta_mix_temp" -> ((s, dir) =>
+      TextAnalysis.mixTemperature(Catalog.documents(s, dir))),
+
     // per-language token-count quantiles (exact; approx form is the
     // 100 TB path, spec-bounded against this)
     "ta_quantiles" -> ((s, dir) =>
@@ -2396,6 +2400,27 @@ object SparkEntry {
         |  round(least(4.0, (1.0 / CAST(k AS DOUBLE))
         |    / (n_docs / CAST(total AS DOUBLE))), 4) AS repeat_factor
         |FROM tot
+        |ORDER BY lang""".stripMargin,
+
+    // T=2 temperature sampling: sqrt is IEEE-exact on both engines and
+    // each sqrt quantizes to integer micros BEFORE the normalizing sum
+    "ta_mix_temp" ->
+      """WITH counts AS (
+        |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        |), q AS (
+        |  SELECT lang, n_docs,
+        |    SUM(n_docs) OVER () AS total,
+        |    CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1e6, 0) AS BIGINT) AS sqm
+        |  FROM counts
+        |), t AS (
+        |  SELECT lang, n_docs, total, sqm, SUM(sqm) OVER () AS sq_sum FROM q
+        |)
+        |SELECT lang, n_docs,
+        |  round(n_docs / CAST(total AS DOUBLE), 6) AS share,
+        |  round(sqm / CAST(sq_sum AS DOUBLE), 6) AS temp_share,
+        |  round((sqm / CAST(sq_sum AS DOUBLE))
+        |    / (n_docs / CAST(total AS DOUBLE)), 4) AS repeat_factor
+        |FROM t
         |ORDER BY lang""".stripMargin,
 
     "ta_repetition" -> RepetitionOracle,

@@ -411,6 +411,38 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Temperature-based mixture sampling at T = 2 — the multilingual-LM
+    * sampling rule (sample language l with p_l ∝ share_l^(1/T)):
+    * low-resource languages are upsampled relative to their corpus
+    * share without letting the head dominate. [[mixPlan]] is the
+    * uniform-target variant; this is the smooth exponent family's
+    * canonical point.
+    *
+    * T = 2 is chosen deliberately: share^(1/2) is a SQRT — IEEE-exact
+    * and bit-identical on both engines (an arbitrary pow(x, α) is not
+    * correctly rounded and could flip a 6-dp rounding). Each sqrt
+    * quantizes to integer micro-units before the normalizing sum, so
+    * the denominator is exact integer math — order-independent, the
+    * unigram micro-bits contract.
+    *
+    * Scale posture: one combinable per-lang count; the normalization
+    * rides a partition-less window over K ≈ a handful of language
+    * rows. */
+  def mixTemperature(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    documents.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("total", sum("n_docs").over(w))
+      .withColumn("sqm",
+        round(sqrt(col("n_docs").cast("double")) * 1e6, 0).cast("bigint"))
+      .withColumn("sq_sum", sum("sqm").over(w))
+      .select(col("lang"), col("n_docs"),
+        round(col("n_docs") / col("total").cast("double"), 6).as("share"),
+        round(col("sqm") / col("sq_sum").cast("double"), 6).as("temp_share"),
+        round((col("sqm") / col("sq_sum").cast("double")) /
+          (col("n_docs") / col("total").cast("double")), 4).as("repeat_factor"))
+      .orderBy("lang")
+  }
+
   /** Per-document FEATURE MATRIX — the training table for a real
     * quality classifier (the labeled-data step after
     * [[classifyQuality]]'s hashing-trick stand-in): one row per doc

@@ -395,6 +395,34 @@ class PipelineOpsSpec extends SparkSpec {
       s"apply must drop only the flagged doc 2: kept $kept")
   }
 
+  // ---- temperature mixing ----
+
+  test("mix temperature: T=2 shares are exact sqrt proportions; tails upsample, head downsamples") {
+    // 1 / 4 / 16 docs -> sqrt 1 : 2 : 4 -> temp shares 1/7, 2/7, 4/7
+    val d = ((1 to 1).map(i => (i.toLong, "a", "aa")) ++
+      (2 to 5).map(i => (i.toLong, "b", "bb")) ++
+      (6 to 21).map(i => (i.toLong, "c", "cc")))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.mixTemperature(d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("aa").getDouble(3) == BigDecimal(1.0 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r("bb").getDouble(3) == BigDecimal(2.0 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r("cc").getDouble(3) == BigDecimal(4.0 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // upsample below-average languages, downsample the head
+    assert(r("aa").getDouble(4) > 1.0 && r("cc").getDouble(4) < 1.0)
+    // shares and temp shares each sum to ~1
+    val s = r.values.map(_.getDouble(2)).sum
+    val ts = r.values.map(_.getDouble(3)).sum
+    assert(math.abs(s - 1.0) < 1e-4 && math.abs(ts - 1.0) < 1e-4)
+    // corpus run: every lang present, deterministic across runs
+    val c1 = TextAnalysis.mixTemperature(docs).collect()
+    val c2 = TextAnalysis.mixTemperature(docs).collect()
+    assert(c1.sameElements(c2))
+  }
+
   // ---- feature matrix ----
 
   test("feature matrix: one row per >=2-token doc; columns equal the standalone signals") {
