@@ -496,6 +496,10 @@ object SparkEntry {
 
     "ta_pack" -> ((s, dir) => TextAnalysis.packPlan(Catalog.documents(s, dir))),
 
+    // packing-efficiency card: bins, token mass, utilization bps per lang
+    "ta_pack_stats" -> ((s, dir) =>
+      TextAnalysis.packStats(Catalog.documents(s, dir))),
+
     "ta_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(Catalog.documents(s, dir))),
 
@@ -948,6 +952,22 @@ object SparkEntry {
     OracleSql.unigramScored +
       """SELECT doc_id, n_tokens, micro_bits, micro_bpt FROM scored
         |ORDER BY doc_id""".stripMargin
+
+  private val PackOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, len(regexp_extract_all(text, '\S+')) AS n_tokens
+      |  FROM documents
+      |), offs AS (
+      |  SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+      |    CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS stream_offset
+      |  FROM toks
+      |)
+      |SELECT doc_id, lang, n_tokens, stream_offset,
+      |  CAST(floor(stream_offset / 2048.0) AS BIGINT) AS pack_id
+      |FROM offs
+      |ORDER BY doc_id""".stripMargin
 
   private val cosSql =
     // double-precision sequential dot/norms — mirror of Functions.cosine
@@ -2355,21 +2375,18 @@ object SparkEntry {
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
 
-    "ta_pack" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang, len(regexp_extract_all(text, '\S+')) AS n_tokens
-        |  FROM documents
-        |), offs AS (
-        |  SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
-        |    CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |      AS stream_offset
-        |  FROM toks
-        |)
-        |SELECT doc_id, lang, n_tokens, stream_offset,
-        |  CAST(floor(stream_offset / 2048.0) AS BIGINT) AS pack_id
-        |FROM offs
-        |ORDER BY doc_id""".stripMargin,
+    "ta_pack" -> PackOracle,
+
+    // per-lang packing-efficiency card over the same shared SQL
+    "ta_pack_stats" ->
+      s"""SELECT lang,
+         |  CAST(MAX(pack_id) + 1 AS BIGINT) AS n_packs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_tokens) AS BIGINT) * 10000
+         |    // ((MAX(pack_id) + 1) * 2048) AS util_bps
+         |FROM ($PackOracle)
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin,
 
     "ta_sample" ->
       s"""SELECT doc_id,

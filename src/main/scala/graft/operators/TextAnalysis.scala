@@ -584,6 +584,24 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-language packing-efficiency card over [[packPlan]] — bins
+    * consumed (max pack id + 1: ids a long document SKIPS still
+    * represent allocated stream capacity), token mass, and utilization
+    * in basis points (tokens / bins·capacity). The number a packing
+    * config is tuned on: low utilization means the capacity or the
+    * document ordering wastes context-window space; > 10000 bps is
+    * possible only when the tail document overflows its final bin
+    * (streaming-concat semantics). One combinable per-lang fold over
+    * the plan's narrow rows. */
+  def packStats(documents: DataFrame, capacity: Int = 2048): DataFrame =
+    packPlan(documents, capacity)
+      .groupBy("lang")
+      .agg((max("pack_id") + 1).as("n_packs"),
+        sum("n_tokens").as("total_tokens"))
+      .withColumn("util_bps",
+        expr(s"total_tokens * 10000 div (n_packs * $capacity)"))
+      .orderBy("lang")
+
   /** TF-IDF keyword extraction: top-`k` terms per document by
     * `tf · ln(N/df)`, deterministic tie-break on the term — the keyword /
     * topic-signal step of a corpus-analysis pipeline. The score rounds to

@@ -395,6 +395,27 @@ class PipelineOpsSpec extends SparkSpec {
       s"apply must drop only the flagged doc 2: kept $kept")
   }
 
+  // ---- packing efficiency ----
+
+  test("pack stats: utilization matches hand computation, tail overflow included") {
+    // capacity 10; "one two three four" = 4 tokens per doc
+    val four = "one two three four"
+    val d = Seq((1L, four, "xx"), (2L, four, "xx"),
+      (3L, four, "xx"), (4L, four, "yy"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.packStats(d, capacity = 10).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // xx: offsets 0,4,8 -> all pack 0 -> 1 bin, 12 tokens, 12000 bps
+    // (tail doc overflows the bin: streaming-concat semantics)
+    assert(r("xx") == ((1L, 12L, 12000L)), r.toString)
+    // yy: one 4-token doc in one 10-token bin -> 4000 bps
+    assert(r("yy") == ((1L, 4L, 4000L)), r.toString)
+    // corpus sanity: bins and mass positive for every lang
+    TextAnalysis.packStats(docs).collect().foreach { x =>
+      assert(x.getLong(1) > 0 && x.getLong(2) > 0 && x.getLong(3) > 0)
+    }
+  }
+
   // ---- temperature mixing ----
 
   test("mix temperature: T=2 shares are exact sqrt proportions; tails upsample, head downsamples") {
