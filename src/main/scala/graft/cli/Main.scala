@@ -58,6 +58,7 @@ import graft.sync.SyncEngine
   *       survivor counts, and (with --leakage) the cross-split near-dup
   *       leak list + per-language tokenizer fertility
   *   export --data DIR --out PATH [--n-shards N] [--seed S] [--features]
+  *          [--format parquet|jsonl]
   *       write the corpus as a sha-sharded partitioned parquet dataset
   *       (partitionBy(shard)): the "ship the training corpus as N
   *       reproducible shards" sink — a re-run writes the identical
@@ -599,12 +600,26 @@ object Main {
       } else {
         // deterministic layout: the shard key is content-independent sha
         // math over doc_id, so a re-export writes the identical assignment
-        docs.join(
-            graft.operators.TextAnalysis.shardAssign(docs, nShards, seed)
-              .select("doc_id", "shard"), Seq("doc_id"))
-          .write.mode("overwrite").partitionBy("shard").parquet(out)
-        val back = spark.read.parquet(out)
-        println(s"exported ${back.count()} docs to $out in $nShards shards (seed $seed):")
+        val sharded = docs.join(
+          graft.operators.TextAnalysis.shardAssign(docs, nShards, seed)
+            .select("doc_id", "shard"), Seq("doc_id"))
+        val fmt = opt(args, "format").getOrElse("parquet")
+        val back = fmt match {
+          case "parquet" =>
+            sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
+            spark.read.parquet(out)
+          case "jsonl" =>
+            // the common corpus interchange format: gzipped JSON lines,
+            // one doc per line, still partitioned by shard
+            sharded.write.mode("overwrite").partitionBy("shard")
+              .option("compression", "gzip").json(out)
+            spark.read.json(out)
+          case other =>
+            System.err.println(s"error: unknown --format $other (parquet|jsonl)")
+            sys.exit(2); null
+        }
+        println(s"exported ${back.count()} docs to $out in $nShards shards " +
+          s"(seed $seed, format $fmt):")
         back.groupBy("shard").count().orderBy("shard").collect().foreach { r =>
           println(f"  shard ${r.get(0)}: ${r.getLong(1)}%6d docs")
         }

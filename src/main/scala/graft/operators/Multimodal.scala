@@ -570,23 +570,33 @@ object Multimodal {
     * simhashPairs shape lifted to 64-bit perceptual hashes. Only
     * successfully-decoded rows pair (corrupt/oversize/non-image rows
     * all share hash 0 and would cross-join each other). */
-  def dhashPairs(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+  def dhashPairs(hashes: DataFrame, maxHamming: Int = 7): DataFrame =
+    hammingPairs64(
+      hashes.where(col("format").isin("png", "jpeg", "gif", "bmp"))
+        .select(col("doc_id"), col("dhash").as("h")), maxHamming)
+
+  /** Pigeonhole-block hamming pairs over 64-bit perceptual hashes
+    * (shared by the image dHash and the audio fingerprint): hamming ≤
+    * maxHamming ⇒ at least one of the maxHamming+1 disjoint bit blocks
+    * matches exactly, so the candidate join is a bucket equi-join on
+    * (block, value) — never all-pairs — with an exact `bit_count(xor)`
+    * verification after. */
+  private def hammingPairs64(hashed: DataFrame, maxHamming: Int): DataFrame = {
     val nBlocks = maxHamming + 1
     require(64 % nBlocks == 0,
       s"maxHamming+1 = $nBlocks must divide 64 for full block coverage")
     val blockBits = 64 / nBlocks
-    val decoded = hashes.where(col("format").isin("png", "jpeg", "gif", "bmp"))
-    val blocks = decoded.select(col("doc_id"), col("dhash"),
+    val blocks = hashed.select(col("doc_id"), col("h"),
       explode(array((0 until nBlocks).map(b =>
         struct(lit(b).as("blk"),
-          pmod(shiftrightunsigned(col("dhash"), b * blockBits),
+          pmod(shiftrightunsigned(col("h"), b * blockBits),
             lit(1L << blockBits)).as("v"))): _*)).as("x"))
-      .select(col("doc_id"), col("dhash"),
+      .select(col("doc_id"), col("h"),
         col("x.blk").as("blk"), col("x.v").as("v"))
     val a = blocks.select(col("blk"), col("v"),
-      col("doc_id").as("d1"), col("dhash").as("h1"))
+      col("doc_id").as("d1"), col("h").as("h1"))
     val b = blocks.select(col("blk"), col("v"),
-      col("doc_id").as("d2"), col("dhash").as("h2"))
+      col("doc_id").as("d2"), col("h").as("h2"))
     a.join(b, Seq("blk", "v"))
       .where(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
@@ -595,6 +605,75 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
       .orderBy("d1", "d2")
   }
+
+  /** One audio asset's 64-bit energy-delta fingerprint (0 when
+    * undecodable or too short). */
+  case class AHashRow(doc_id: Long, format: String, ahash: Long)
+
+  /** Perceptual audio fingerprint over PCM WAV payloads — the audio
+    * modality's near-dup signature, completing the dedup matrix (text:
+    * MinHash/SimHash; embeddings: SemDeDup; pixels: dHash; samples:
+    * this). The sample stream folds into 65 equal time windows of
+    * summed energy in ONE streaming pass (O(1) extra memory per asset,
+    * the audioStats discipline), and bit i = [energy(i+1) > energy(i)]
+    * — the dHash idea in the time domain. Uniform GAIN cannot flip a
+    * strict energy comparison, so re-leveled copies collide exactly;
+    * different material lands ~32 bits apart.
+    *
+    * Same guard ladder as [[imageDHash]]: non-WAV / corrupt / sub-65-
+    * sample rows degrade to hash 0 with a labeled format, excluded
+    * from pairing. Pairs via [[audioPairs]] (the shared pigeonhole
+    * block join). */
+  def audioFingerprint(documents: DataFrame): Dataset[AHashRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id").cast("long"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, raw) =>
+          val bytes = if (raw eq null) Array.emptyByteArray else raw
+          val layout =
+            if (sniffWav(bytes))
+              parseWavLayout(bytes).filter(l => l.isPcm && l.dataAt >= 0)
+            else None
+          layout match {
+            case Some(l) =>
+              val n = l.frames * l.channels
+              if (n < 65) AHashRow(id, "short-wav", 0L)
+              else {
+                val bytesPer = l.bitsPerSample / 8
+                val wins = new Array[Double](65)
+                var i = 0
+                while (i < n) {
+                  val v = pcmSampleAt(bytes, l.bitsPerSample,
+                    l.dataAt + i * bytesPer).toDouble
+                  wins((i.toLong * 65L / n).toInt) += v * v
+                  i += 1
+                }
+                var hash = 0L
+                var b = 0
+                while (b < 64) {
+                  if (wins(b + 1) > wins(b)) hash |= (1L << b)
+                  b += 1
+                }
+                AHashRow(id, "wav", hash)
+              }
+            case None =>
+              AHashRow(id, if (sniffWav(bytes)) "corrupt-wav"
+                else decodeMedia(bytes).format, 0L)
+          }
+        }
+      }
+  }
+
+  /** Near-dup audio pairs among [[audioFingerprint]] rows — only
+    * successfully fingerprinted assets pair (guard rows share hash 0
+    * and would cross-join each other). */
+  def audioPairs(hashes: DataFrame, maxHamming: Int = 7): DataFrame =
+    hammingPairs64(
+      hashes.where(col("format") === "wav")
+        .select(col("doc_id"), col("ahash").as("h")), maxHamming)
 
   /** The batched per-partition decode path (the `mapInPandas` shape):
     * binary in, typed metadata out, decoder init amortized per partition.

@@ -378,4 +378,36 @@ class MultimodalSpec extends SparkSpec {
     }), m)
     assert((m.width, m.height) == ((txt.length % 640, txt.length % 480)))
   }
+
+  test("audio fingerprint: gain-invariant, discriminative, guard rows excluded from pairing") {
+    import spark.implicits._
+    // 65 windows x 100 frames; amplitude alternates per window so every
+    // adjacent energy comparison has a wide margin (quantization noise
+    // cannot flip a strict inequality)
+    def envelope(phase: Int, gain: Double): Array[Short] =
+      (0 until 65).flatMap { w =>
+        val amp = (if ((w + phase) % 2 == 0) 0.2 else 0.8) * gain
+        sine16(8000, 250, 100, amp).toSeq
+      }.toArray
+    val docs = Seq(
+      (1L, wavPcm16(8000, 1, envelope(0, 1.0))),
+      (2L, wavPcm16(8000, 1, envelope(0, 0.5))),  // re-leveled copy of 1
+      (3L, wavPcm16(8000, 1, envelope(1, 1.0))),  // opposite envelope
+      (4L, "not audio at all".getBytes("UTF-8")), // non-wav guard
+      (5L, wavPcm16(8000, 1, sine16(8000, 250, 10, 0.5))) // < 65 samples
+    ).toDF("doc_id", "text")
+    val fp = Multimodal.audioFingerprint(docs).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(fp(1L).format == "wav" && fp(1L).ahash != 0L)
+    assert(fp(1L).ahash == fp(2L).ahash, "uniform gain must not move the hash")
+    assert(java.lang.Long.bitCount(fp(1L).ahash ^ fp(3L).ahash) > 32,
+      "opposite envelopes must be far apart")
+    assert(fp(4L).ahash == 0L && fp(4L).format != "wav")
+    assert(fp(5L).format == "short-wav" && fp(5L).ahash == 0L)
+    val pairs = Multimodal.audioPairs(
+      Multimodal.audioFingerprint(docs).toDF()).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)),
+      s"only the re-leveled copy should pair: ${pairs.toSeq}")
+    assert(pairs.head.getInt(2) == 0)
+  }
 }
