@@ -446,6 +446,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // incremental semantic dedup: a new batch probes the existing
+    // corpus's buckets — the online-ingestion shape (corpus never
+    // re-clusters); same 80/20 split convention as dd_incremental
+    "sim_semdedup_inc" -> ((s, dir) => {
+      val emb = Catalog.embeddings(s, dir)
+      Similarity.semanticDedupIncremental(
+        emb.where(col("vec_id") % 10 >= 8),
+        emb.where(col("vec_id") % 10 < 8))
+    }),
+
     "sim_ivf" -> ((s, dir) => Similarity.ivfTopK(Catalog.embeddings(s, dir))),
 
     "sim_ivf2" -> ((s, dir) =>
@@ -1957,6 +1967,25 @@ object SparkEntry {
          |SELECT src, dst, cos, CAST(rn AS INTEGER) AS rn
          |FROM ranked WHERE rn <= 3
          |ORDER BY src, rn""".stripMargin,
+
+    "sim_semdedup_inc" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |    ${(1 to 8).map(i =>
+             s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS bucket
+         |  FROM embeddings
+         |), inc AS (
+         |  SELECT vec_id, embedding, bucket FROM b WHERE vec_id % 10 >= 8
+         |), cor AS (
+         |  SELECT vec_id AS cid, embedding AS ce, bucket FROM b WHERE vec_id % 10 < 8
+         |), j AS (
+         |  SELECT i.vec_id, round(${cosSql("i.embedding", "c.ce")}, 6) AS cos
+         |  FROM inc i LEFT JOIN cor c ON i.bucket = c.bucket
+         |)
+         |SELECT vec_id, COUNT(cos) AS n_candidates, MAX(cos) AS max_cos,
+         |  CAST(COALESCE(MAX(cos) >= 0.25, FALSE) AS INTEGER) AS is_dup
+         |FROM j GROUP BY vec_id
+         |ORDER BY vec_id""".stripMargin,
 
     "sim_knn_classify" ->
       s"""WITH b AS (

@@ -76,6 +76,37 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Incremental SEMANTIC dedup — the online-ingestion shape of
+    * [[semanticDedup]] (the embedding counterpart of
+    * [[graft.operators.Dedup.incrementalDedup]]): for each INCOMING
+    * vector, is there an EXISTING-corpus vector within the cosine
+    * near-dup threshold? The corpus never re-clusters; it reduces once
+    * to its (bucket, vector) rows and each batch pays one bucket
+    * equi-join plus per-candidate cosine math. Output per incoming
+    * vector: candidate count, best corpus cosine (NULL when its bucket
+    * has no corpus member — honest abstention, same stance as
+    * [[knnClassify]]), and the dup flag.
+    *
+    * Scale posture: candidates are sign-LSH bucket-mates only (never
+    * batch × corpus); the per-vector reduction is one combinable
+    * max/count agg. At index scale the corpus side is the snapshot a
+    * vector store maintains anyway. */
+  def semanticDedupIncremental(incoming: DataFrame, corpus: DataFrame,
+      bits: Int = 8, threshold: Double = 0.25): DataFrame = {
+    val inc = incoming.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), bits).as("bucket"))
+    val cor = corpus.select(col("vec_id").as("cid"),
+      col("embedding").as("ce"), lshBucket(col("embedding"), bits).as("bucket"))
+    inc.join(cor, Seq("bucket"), "left_outer")
+      .select(col("vec_id"),
+        round(cos(incoming)(col("embedding"), col("ce")), 6).as("cos"))
+      .groupBy("vec_id")
+      .agg(count(col("cos")).as("n_candidates"), max(col("cos")).as("max_cos"))
+      .withColumn("is_dup",
+        coalesce((col("max_cos") >= threshold).cast("int"), lit(0)))
+      .orderBy("vec_id")
+  }
+
   /** kNN label-agreement audit over [[knnGraph]] — the confident-
     * learning-style label-noise check (complementary to
     * [[centroidOutliers]]' parametric prototype test): each vector's

@@ -87,6 +87,11 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(bnlj <= 2, s"expected only the constants BNLJ, got $bnlj\n$p")
   }
 
+  test("sim_semdedup_inc: batch probes corpus buckets — a bucket equi-join, never batch x corpus") {
+    val p = planOf("sim_semdedup_inc")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dd_leak_apply / sim_knn_classify: id-only joins, no cartesian") {
     Seq("dd_leak_apply", "sim_knn_classify").foreach { q =>
       val p = planOf(q)

@@ -68,4 +68,33 @@ class SemanticDedupSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(run() == run())
   }
+
+  test("incremental: a copy of a corpus vector flags, an isolated vector abstains") {
+    val all = fixture
+    // corpus = the 3 clusters; incoming = a near-copy of vector 0 plus
+    // the well-separated singletons (ids 12-15)
+    val corpus = all.where(col("vec_id") < 12)
+    val incoming = all.where(col("vec_id") >= 12)
+      .unionByName(all.where(col("vec_id") === 0)
+        .select((col("vec_id") + 100).as("vec_id"), col("embedding")))
+    val r = Similarity.semanticDedupIncremental(incoming, corpus,
+        threshold = 0.99)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // the re-ingested copy finds its cluster at cosine ~1
+    assert(r(100L).getInt(3) == 1 && r(100L).getDouble(2) > 0.999, r(100L).toString)
+    assert(r(100L).getLong(1) >= 4L, "should see its whole cluster as candidates")
+    // singletons: no corpus member passes the threshold
+    (12L to 15L).foreach { id =>
+      assert(r(id).getInt(3) == 0, s"singleton $id misflagged: ${r(id)}")
+    }
+    // batch-splitting invariance: verdicts don't depend on batch grouping
+    val half1 = Similarity.semanticDedupIncremental(
+      incoming.where(col("vec_id") % 2 === 0), corpus, threshold = 0.99).collect()
+    val half2 = Similarity.semanticDedupIncremental(
+      incoming.where(col("vec_id") % 2 =!= 0), corpus, threshold = 0.99).collect()
+    val together = (half1 ++ half2).map(x => x.getLong(0) -> x.toString).toMap
+    r.foreach { case (id, row) =>
+      assert(together(id) == row.toString, s"batch split changed verdict for $id")
+    }
+  }
 }
