@@ -364,6 +364,11 @@ object SparkEntry {
       Dedup.splitLeakageApply(docs, TextAnalysis.split(docs))
     }),
 
+    // lexical-vs-semantic dedup disagreement card (vec_id ≡ doc_id)
+    "dd_method_overlap" -> ((s, dir) =>
+      Dedup.dedupMethodOverlap(Catalog.documents(s, dir),
+        Catalog.embeddings(s, dir))),
+
     "dd_simhash" -> ((s, dir) => Dedup.simhash(Catalog.documents(s, dir))),
 
     "dd_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Catalog.documents(s, dir))),
@@ -1731,6 +1736,33 @@ object SparkEntry {
         |WHERE se.split IN ('val', 'test') AND so.split = 'train'
         |GROUP BY e.eval_id, se.split
         |ORDER BY doc_id""".stripMargin),
+
+    "dd_method_overlap" -> (LshBandsCtes +
+      s"""
+        |, tp AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id < b.doc_id
+        |), eb AS (
+        |  SELECT vec_id, embedding,
+        |    ${(1 to 8).map(i =>
+             s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS bucket
+        |  FROM embeddings
+        |), sp AS (
+        |  SELECT d1, d2 FROM (
+        |    SELECT a.vec_id AS d1, bb.vec_id AS d2,
+        |      round(${cosSql("a.embedding", "bb.embedding")}, 6) AS cos
+        |    FROM eb a JOIN eb bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
+        |  WHERE cos >= 0.25
+        |)
+        |SELECT method, COUNT(*) AS n_pairs FROM (
+        |  SELECT CASE WHEN tp.d1 IS NOT NULL AND sp.d1 IS NOT NULL THEN 'both'
+        |              WHEN tp.d1 IS NOT NULL THEN 'text_only'
+        |              ELSE 'semantic_only' END AS method
+        |  FROM tp FULL OUTER JOIN sp ON tp.d1 = sp.d1 AND tp.d2 = sp.d2
+        |)
+        |GROUP BY method
+        |ORDER BY method""".stripMargin),
 
     "dd_leak_apply" -> (LshBandsCtes +
       s"""

@@ -249,6 +249,31 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Lexical-vs-semantic dedup DISAGREEMENT card — the "what does
+    * embedding dedup add over MinHash" question a curation review asks
+    * before paying for embeddings: near-dup pairs flagged by the text
+    * LSH chain, by the embedding-cosine chain (vec_id ≡ doc_id in the
+    * testdata), or by both. A large `semantic_only` count is the
+    * paraphrase mass lexical dedup can't see; a large `text_only`
+    * count is boilerplate whose embeddings diverge.
+    *
+    * Scale posture: both pair generators are the proven bucketed
+    * chains (band join / sign-LSH bucket join — never all-pairs); the
+    * overlap is one full-outer id-pair join + one 3-row count. */
+  def dedupMethodOverlap(documents: DataFrame, embeddings: DataFrame,
+      cosThreshold: Double = 0.25): DataFrame = {
+    val text = minhashLshPairs(documents)
+      .select(col("d1"), col("d2"), lit(1).as("t"))
+    val sem = Similarity.cosineNearDup(embeddings, threshold = cosThreshold)
+      .select(col("d1"), col("d2"), lit(1).as("s"))
+    text.join(sem, Seq("d1", "d2"), "full_outer")
+      .select(when(col("t").isNotNull && col("s").isNotNull, "both")
+        .when(col("t").isNotNull, "text_only")
+        .otherwise("semantic_only").as("method"))
+      .groupBy("method").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("method")
+  }
+
   /** SimHash (width is a parameter): per bit b, sum (2·bit−1) over
     * distinct tokens' sha32, sign → bit; simhash = Σ bit_b · 2^b.
     * Wide form: one `sum` column per bit in a single groupBy — no

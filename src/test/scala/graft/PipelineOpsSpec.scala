@@ -395,6 +395,38 @@ class PipelineOpsSpec extends SparkSpec {
       s"apply must drop only the flagged doc 2: kept $kept")
   }
 
+  // ---- dedup method overlap ----
+
+  test("method overlap: planted text-only, semantic-only and both pairs land in their bins") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight nine ten"
+    val t3 = "completely different words live here in this document today"
+    val t4 = "nothing shared with any other text at all anywhere ever"
+    val docsDf = Seq(
+      (1L, t1), (2L, t1),   // identical text -> text pair
+      (3L, t3), (4L, t4),   // different text -> no text pair
+      (5L, t2), (6L, t2)    // identical text -> text pair
+    ).toDF("doc_id", "text")
+    def v(signs: Seq[Int], eps: Float): Array[Float] =
+      signs.map(s => s * (1.0f + eps)).toArray
+    val embDf = Seq(
+      // 1,2: same bucket but orthogonal-ish? same-sign scalars are
+      // always cosine 1 — so put them in DIFFERENT buckets (no pair)
+      (1L, v(Seq(1, 1, 1, 1, 1, 1, 1, 1), 0f)),
+      (2L, v(Seq(-1, 1, 1, 1, 1, 1, 1, 1), 0f)),
+      // 3,4: same bucket, near-identical -> semantic pair
+      (3L, v(Seq(1, -1, 1, -1, 1, -1, 1, -1), 0f)),
+      (4L, v(Seq(1, -1, 1, -1, 1, -1, 1, -1), 0.01f)),
+      // 5,6: same bucket, near-identical -> semantic pair (both-bin)
+      (5L, v(Seq(-1, -1, 1, 1, -1, -1, 1, 1), 0f)),
+      (6L, v(Seq(-1, -1, 1, 1, -1, -1, 1, 1), 0.01f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.dedupMethodOverlap(docsDf, embDf, cosThreshold = 0.99)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("text_only" -> 1L, "semantic_only" -> 1L, "both" -> 1L),
+      got.toString)
+  }
+
   // ---- packing efficiency ----
 
   test("pack stats: utilization matches hand computation, tail overflow included") {

@@ -87,6 +87,11 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(bnlj <= 2, s"expected only the constants BNLJ, got $bnlj\n$p")
   }
 
+  test("dd_method_overlap: both pair chains stay bucketed; overlap is a pair-key equi-join") {
+    val p = planOf("dd_method_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("sim_semdedup_inc: batch probes corpus buckets — a bucket equi-join, never batch x corpus") {
     val p = planOf("sim_semdedup_inc")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
