@@ -501,6 +501,10 @@ object SparkEntry {
 
     "ta_langid" -> ((s, dir) => TextAnalysis.langId(Catalog.documents(s, dir))),
     "ta_quality" -> ((s, dir) => TextAnalysis.quality(Catalog.documents(s, dir))),
+
+    // quality pyramid: 10 equal-population tiers + per-tier token mass
+    "ta_tiers" -> ((s, dir) =>
+      TextAnalysis.qualityTiers(Catalog.documents(s, dir))),
     "ta_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Catalog.documents(s, dir))),
     "ta_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Catalog.documents(s, dir))),
     "ta_winnow" -> ((s, dir) => TextAnalysis.winnow(Catalog.documents(s, dir))),
@@ -2378,6 +2382,17 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "ta_quality" -> QualityOracle,
+
+    "ta_tiers" ->
+      s"""SELECT tier, COUNT(*) AS n_docs,
+         |  MIN(quality) AS min_q, MAX(quality) AS max_q,
+         |  CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
+         |FROM (
+         |  SELECT doc_id, n_tokens, quality,
+         |    CAST(NTILE(10) OVER (ORDER BY quality, doc_id) AS INTEGER) AS tier
+         |  FROM ($QualityOracle))
+         |GROUP BY tier
+         |ORDER BY tier""".stripMargin,
 
     "ta_tokens" ->
       """SELECT doc_id,

@@ -411,6 +411,32 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Quality-decile tiers — the "quality pyramid" card a curation run
+    * reads when choosing a keep cutoff: every doc lands in one of 10
+    * equal-population tiers by its structural quality score
+    * (deterministic NTILE with doc_id tiebreak), and the card reports
+    * per-tier population, score band, and token mass. Reading the
+    * tiers from the top answers "how many tokens survive a
+    * top-N-deciles policy" without re-running anything.
+    *
+    * Scale posture: the global NTILE is a single total-order window —
+    * acceptable for the card (one narrow (doc_id, quality, tokens) row
+    * per doc through one range partitioner); at extreme scale swap in
+    * approx-percentile cutpoints and a map-only bucket assign, the
+    * same exact↔approx pairing as quantiles/cardinality. */
+  def qualityTiers(documents: DataFrame, tiers: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality"), col("doc_id"))
+    quality(documents)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .withColumn("tier", ntile(tiers).over(w))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_docs"),
+        min("quality").as("min_q"), max("quality").as("max_q"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+      .orderBy("tier")
+  }
+
   /** Temperature-based mixture sampling at T = 2 — the multilingual-LM
     * sampling rule (sample language l with p_l ∝ share_l^(1/T)):
     * low-resource languages are upsampled relative to their corpus

@@ -395,6 +395,27 @@ class PipelineOpsSpec extends SparkSpec {
       s"apply must drop only the flagged doc 2: kept $kept")
   }
 
+  // ---- quality tiers ----
+
+  test("quality tiers: equal populations, monotone score bands, mass sums to corpus") {
+    val tiers = TextAnalysis.qualityTiers(docs).collect()
+    assert(tiers.length == 10)
+    val total = docs.count()
+    val sizes = tiers.map(_.getLong(1))
+    assert(sizes.sum == total)
+    assert(sizes.max - sizes.min <= 1, s"NTILE must balance: ${sizes.toSeq}")
+    // bands are non-overlapping and increasing with the tier number
+    tiers.sortBy(_.getInt(0)).sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getDouble(3) <= hi.getDouble(2) + 1e-9,
+          s"tier ${lo.getInt(0)} max_q ${lo.getDouble(3)} above tier ${hi.getInt(0)} min_q ${hi.getDouble(2)}")
+      case _ =>
+    }
+    val totalTokens = TextAnalysis.quality(docs)
+      .agg(sum(col("n_tokens").cast("long"))).head.getLong(0)
+    assert(tiers.map(_.getLong(4)).sum == totalTokens)
+  }
+
   // ---- dedup method overlap ----
 
   test("method overlap: planted text-only, semantic-only and both pairs land in their bins") {
