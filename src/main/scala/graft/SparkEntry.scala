@@ -108,6 +108,31 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Q10-style returned-revenue report: which customers returned the most
+    // value in a quarter. Returned lineitems filter in the scan, the
+    // customer/nation dims broadcast, only orders⋈lineitem shuffles;
+    // top-20 is a TakeOrdered, never a global sort.
+    "q10_returns" -> ((s, dir) => {
+      val ord = Catalog.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = Catalog.lineitem(s, dir).where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("rev"))
+      val cust = Catalog.customer(s, dir)
+        .select("c_custkey", "c_name", "c_nationkey")
+      val nat = Catalog.nation(s, dir).select("n_nationkey", "n_name")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum("rev").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // Q5-style regional revenue: 6-way join pruned by region filter; the
     // dimension chain (region⋈nation⋈supplier) stays broadcast-size at any
     // SF (dims grow slower than facts), so only orders⋈lineitem shuffles.
@@ -1202,6 +1227,20 @@ object SparkEntry {
         |GROUP BY l_orderkey, orderdate
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
 
     "q4_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders

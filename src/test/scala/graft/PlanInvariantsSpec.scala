@@ -87,6 +87,15 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(bnlj <= 2, s"expected only the constants BNLJ, got $bnlj\n$p")
   }
 
+  test("q10_returns: dims broadcast, returnflag + date filters pushed, top-20 is TakeOrdered") {
+    val p = planOf("q10_returns")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 2, s"customer+nation must broadcast, got $broadcasts\n$p")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dd_method_overlap: both pair chains stay bucketed; overlap is a pair-key equi-join") {
     val p = planOf("dd_method_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
