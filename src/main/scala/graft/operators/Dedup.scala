@@ -504,12 +504,24 @@ object Dedup {
     * shuffles). The incoming side pays one minhash pipeline over the
     * batch only. */
   def incrementalDedup(incoming: DataFrame, corpus: DataFrame,
-      k: Int = 16, r: Int = 4): DataFrame = {
-    def shaOf(df: DataFrame) =
-      df.select(col("doc_id"), sha2(norm(col("text")), 256).as("h"))
-    val corpusSha = shaOf(corpus).select("h").distinct()
-    val corpusSigs = lshBands(corpus, k, r).select("band", "sig").distinct()
-    val exactIds = shaOf(incoming)
+      k: Int = 16, r: Int = 4): DataFrame =
+    incrementalDedupAgainstKeys(incoming,
+      contentShas(corpus).select("h").distinct(),
+      lshBands(corpus, k, r).select("band", "sig").distinct(), k, r)
+
+  /** The (doc_id, sha256-of-normalized-text) projection — the exact-dup
+    * key a dedup state stores per document. */
+  def contentShas(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), sha2(norm(col("text")), 256).as("h"))
+
+  /** [[incrementalDedup]] against PRE-REDUCED corpus key sets — the form
+    * a long-lived ingestion service runs, where the corpus exists only
+    * as its maintained sha / band-signature state (see
+    * [[graft.streaming.StreamingCuration]]), never as raw documents.
+    * `corpusSha` is a (h) set; `corpusSigs` a (band, sig) set. */
+  def incrementalDedupAgainstKeys(incoming: DataFrame, corpusSha: DataFrame,
+      corpusSigs: DataFrame, k: Int = 16, r: Int = 4): DataFrame = {
+    val exactIds = contentShas(incoming)
       .join(corpusSha, Seq("h"), "left_semi")
       .select("doc_id").distinct()
     val nearIds = lshBands(incoming, k, r)
