@@ -62,6 +62,23 @@ class StreamingCurationSpec extends SparkSpec {
       "re-crawled content must not grow the sha state")
   }
 
+  test("edge: empty batch and null-text docs never throw; null text is always 'new'") {
+    val dir = Files.createTempDirectory("graft_curation4").toString
+    StreamingCuration.applyBatch(dir,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 0L)
+    assert(StreamingCuration.verdicts(spark, dir).count() == 0)
+    val nulls = Seq((1L, null.asInstanceOf[String]), (2L, t1))
+      .toDF("doc_id", "text")
+    StreamingCuration.applyBatch(dir, nulls, 1L)
+    StreamingCuration.applyBatch(dir,
+      Seq((3L, null.asInstanceOf[String])).toDF("doc_id", "text"), 2L)
+    val v = StreamingCuration.verdicts(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // NULL sha never equi-matches (SQL null semantics): null-text docs
+    // stay 'new' rather than colliding with each other
+    assert(v == Map(1L -> "new", 2L -> "new", 3L -> "new"), v.toString)
+  }
+
   test("AvailableNow stream drive records the same verdicts") {
     implicit val ctx = spark.sqlContext
     val dir = Files.createTempDirectory("graft_curation3")
