@@ -108,6 +108,43 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Q14-style promo revenue share: what fraction of a window's revenue
+    // came from one part type. Part dim broadcasts; the share is exact
+    // DECIMAL sums cast to double in one mirrored expression -> integer
+    // basis points.
+    "q14_promo" -> ((s, dir) => {
+      val li = Catalog.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          (dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("rev"))
+      val part = Catalog.part(s, dir).select("p_partkey", "p_type")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(when(col("p_type") === "ECONOMY", col("rev"))
+              .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") * 10000 /
+            sum(col("rev")).cast("double"), 0).cast("bigint").as("promo_bps"))
+    }),
+
+    // Q15-style top suppliers: revenue per supplier in a window, top 10.
+    // Supplier dim broadcasts; top-10 is TakeOrdered.
+    "q15_top_supplier" -> ((s, dir) => {
+      val li = Catalog.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .select(col("l_suppkey"),
+          (dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("rev"))
+      val supp = Catalog.supplier(s, dir).select("s_suppkey", "s_name")
+      li.groupBy("l_suppkey").agg(sum("rev").as("revenue"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("revenue"))
+        .orderBy(col("revenue").desc, col("s_suppkey"))
+        .limit(10)
+    }),
+
     // Q10-style returned-revenue report: which customers returned the most
     // value in a quarter. Returned lineitems filter in the scan, the
     // customer/nation dims broadcast, only orders⋈lineitem shuffles;
@@ -1226,6 +1263,28 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY l_orderkey, orderdate
         |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT COUNT(*) AS n_items,
+        |  CAST(round(CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+        |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 10000
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 0) AS BIGINT) AS promo_bps
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-07-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+
+    "q15_top_supplier" ->
+      """SELECT s_suppkey, s_name, revenue FROM (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-07-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+        |  GROUP BY l_suppkey) r
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY revenue DESC, s_suppkey
         |LIMIT 10""".stripMargin,
 
     "q10_returns" ->

@@ -87,6 +87,16 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(bnlj <= 2, s"expected only the constants BNLJ, got $bnlj\n$p")
   }
 
+  test("q14/q15: part/supplier dims broadcast; shipdate filter pushed; no cartesian") {
+    Seq("q14_promo", "q15_top_supplier").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(p.contains("PushedFilters") &&
+        p.contains("GreaterThanOrEqual(l_shipdate"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
   test("q10_returns: dims broadcast, returnflag + date filters pushed, top-20 is TakeOrdered") {
     val p = planOf("q10_returns")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
