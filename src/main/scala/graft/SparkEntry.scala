@@ -108,6 +108,39 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Q7-style cross-nation volume: revenue shipped between two nations,
+    // by supplier nation / customer nation / year. BOTH dimension chains
+    // (supplier⋈nation, customer⋈nation via orders) broadcast; only
+    // lineitem⋈orders shuffles; the nation-pair predicate prunes rows at
+    // the broadcast joins, never a cartesian.
+    "q7_volume" -> ((s, dir) => {
+      val nat = Catalog.nation(s, dir).select("n_nationkey", "n_name")
+      val pair = Seq("NATION_1", "NATION_2")
+      val supp = Catalog.supplier(s, dir)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .where(col("n_name").isin(pair: _*))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Catalog.customer(s, dir)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .where(col("n_name").isin(pair: _*))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ord = Catalog.orders(s, dir).select("o_orderkey", "o_custkey")
+      val li = Catalog.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          (dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("rev"))
+      li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum("rev").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
     // Q14-style promo revenue share: what fraction of a window's revenue
     // came from one part type. Part dim broadcasts; the share is exact
     // DECIMAL sums cast to double in one mirrored expression -> integer
@@ -1264,6 +1297,27 @@ object SparkEntry {
         |GROUP BY l_orderkey, orderdate
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q7_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  SUM(rev) AS revenue
+        |FROM (
+        |  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        |    AND cn.n_name IN ('NATION_1', 'NATION_2')
+        |    AND sn.n_name <> cn.n_name
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "q14_promo" ->
       """SELECT COUNT(*) AS n_items,

@@ -87,6 +87,14 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(bnlj <= 2, s"expected only the constants BNLJ, got $bnlj\n$p")
   }
 
+  test("q7_volume: both dimension chains broadcast; only lineitem x orders shuffles") {
+    val p = planOf("q7_volume")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3, s"supp+cust+nation chains must broadcast, got $broadcasts\n$p")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q14/q15: part/supplier dims broadcast; shipdate filter pushed; no cartesian") {
     Seq("q14_promo", "q15_top_supplier").foreach { q =>
       val p = planOf(q)
