@@ -28,6 +28,17 @@ object SparkEntry {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
+  // Per-row revenue in exact 1e-4 units: cents(extendedprice) ×
+  // (100 − basis-points(discount)/100-scaled) — pure BIGINT arithmetic after
+  // one per-row rounding, so sums are exact and order-independent. This is
+  // the ONLY output family with a perfect driver-hash record (COVERAGE.md
+  // "driver-hash decimal contract"); every gated aggregate money column in
+  // the catalog uses it, and DriverContractSpec lints that none regress to
+  // DecimalType.
+  private def revE4 =
+    floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+      (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ================= TPC-H-ish headline queries =================
@@ -83,9 +94,8 @@ object SparkEntry {
         .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
         .groupBy(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
-        .agg(sum(dec(col("l_extendedprice")) *
-          (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .agg(sum(revE4).as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("l_orderkey"))
         .limit(10)
     }),
 
@@ -130,14 +140,13 @@ object SparkEntry {
           col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
         .select(col("l_orderkey"), col("l_suppkey"),
           year(col("l_shipdate")).as("l_year"),
-          (dec(col("l_extendedprice")) *
-            (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("rev"))
+          revE4.as("rev_e4"))
       li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
         .join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
         .where(col("supp_nation") =!= col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(sum("rev").as("revenue"))
+        .agg(sum("rev_e4").as("revenue_e4"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
@@ -167,14 +176,12 @@ object SparkEntry {
       val li = Catalog.lineitem(s, dir)
         .where(col("l_shipdate") >= lit("1997-07-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
-        .select(col("l_suppkey"),
-          (dec(col("l_extendedprice")) *
-            (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("rev"))
+        .select(col("l_suppkey"), revE4.as("rev_e4"))
       val supp = Catalog.supplier(s, dir).select("s_suppkey", "s_name")
-      li.groupBy("l_suppkey").agg(sum("rev").as("revenue"))
+      li.groupBy("l_suppkey").agg(sum("rev_e4").as("revenue_e4"))
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_suppkey"), col("s_name"), col("revenue"))
-        .orderBy(col("revenue").desc, col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("s_suppkey"))
         .limit(10)
     }),
 
@@ -188,9 +195,7 @@ object SparkEntry {
           col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
         .select("o_orderkey", "o_custkey")
       val li = Catalog.lineitem(s, dir).where(col("l_returnflag") === "R")
-        .select(col("l_orderkey"),
-          (dec(col("l_extendedprice")) *
-            (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("rev"))
+        .select(col("l_orderkey"), revE4.as("rev_e4"))
       val cust = Catalog.customer(s, dir)
         .select("c_custkey", "c_name", "c_nationkey")
       val nat = Catalog.nation(s, dir).select("n_nationkey", "n_name")
@@ -198,8 +203,8 @@ object SparkEntry {
         .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
         .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(sum("rev").as("revenue"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
+        .agg(sum("rev_e4").as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("c_custkey"))
         .limit(20)
     }),
 
@@ -222,9 +227,8 @@ object SparkEntry {
         .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(dec(col("l_extendedprice")) *
-          (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
+        .agg(sum(revE4).as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("n_name"))
     }),
 
     // Top-3 customers per market segment by order value: partial agg on
@@ -234,13 +238,13 @@ object SparkEntry {
       val cust = Catalog.customer(s, dir).select("c_custkey", "c_mktsegment")
       val totals = Catalog.orders(s, dir)
         .groupBy("o_custkey")
-        .agg(sum(dec(col("o_totalprice"))).as("total"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("total_cents"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("c_mktsegment").orderBy(col("total").desc, col("c_custkey"))
+        .partitionBy("c_mktsegment").orderBy(col("total_cents").desc, col("c_custkey"))
       totals.join(cust, totals("o_custkey") === cust("c_custkey"))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)
-        .select(col("c_mktsegment"), col("c_custkey"), col("total"), col("rn"))
+        .select(col("c_mktsegment"), col("c_custkey"), col("total_cents"), col("rn"))
         .orderBy("c_mktsegment", "rn")
     }),
 
