@@ -30,11 +30,18 @@ object SparkEntry {
 
   // Per-row revenue in exact 1e-4 units: cents(extendedprice) ×
   // (100 − basis-points(discount)/100-scaled) — pure BIGINT arithmetic after
-  // one per-row rounding, so sums are exact and order-independent. This is
-  // the ONLY output family with a perfect driver-hash record (COVERAGE.md
-  // "driver-hash decimal contract"); every gated aggregate money column in
-  // the catalog uses it, and DriverContractSpec lints that none regress to
-  // DecimalType.
+  // one per-row rounding, so sums are exact and order-independent.
+  // Evidence: BIGINT outputs have a perfect driver-hash record on direct
+  // aggregates (COVERAGE.md "driver-hash decimal contract"); decimal
+  // join-fed outputs (q3/q5/q8) also passed through r06, but r07 unified
+  // everything on BIGINT e4 *with matching oracle mirrors* so there is one
+  // money representation to reason about. DriverContractSpec lints that no
+  // gated money column regresses to DecimalType.
+  // Overflow headroom: 1e-4 units put a 100 TB per-nation sum (q5's worst
+  // group) near 1e18 of Long.MaxValue 9.2e18 — ~9× headroom. Spark's
+  // non-ANSI LongType sum wraps silently past that, so beyond ~1 PB per
+  // group re-base to cents (×100 headroom) or make the final reduce
+  // DECIMAL(38,0).
   private def revE4 =
     floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
       (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
@@ -1291,7 +1298,7 @@ object SparkEntry {
 
     "q3_top_orders" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_e4
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1299,16 +1306,16 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY l_orderkey, orderdate
-        |ORDER BY revenue DESC, l_orderkey
+        |ORDER BY revenue_e4 DESC, l_orderkey
         |LIMIT 10""".stripMargin,
 
     "q7_volume" ->
       """SELECT supp_nation, cust_nation, l_year,
-        |  SUM(rev) AS revenue
+        |  CAST(SUM(rev_e4) AS BIGINT) AS revenue_e4
         |FROM (
         |  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |    CAST(year(l_shipdate) AS INTEGER) AS l_year,
-        |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev_e4
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation sn ON s_nationkey = sn.n_nationkey
@@ -1334,20 +1341,20 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
 
     "q15_top_supplier" ->
-      """SELECT s_suppkey, s_name, revenue FROM (
+      """SELECT s_suppkey, s_name, revenue_e4 FROM (
         |  SELECT l_suppkey,
-        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_e4
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1997-07-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
         |  GROUP BY l_suppkey) r
         |JOIN supplier ON l_suppkey = s_suppkey
-        |ORDER BY revenue DESC, s_suppkey
+        |ORDER BY revenue_e4 DESC, s_suppkey
         |LIMIT 10""".stripMargin,
 
     "q10_returns" ->
       """SELECT c_custkey, c_name, n_name,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_e4
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1356,7 +1363,7 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
         |GROUP BY c_custkey, c_name, n_name
-        |ORDER BY revenue DESC, c_custkey
+        |ORDER BY revenue_e4 DESC, c_custkey
         |LIMIT 20""".stripMargin,
 
     "q4_priority" ->
@@ -1372,7 +1379,7 @@ object SparkEntry {
 
     "q5_regional" ->
       """SELECT n_name,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_e4
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1383,19 +1390,20 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name""".stripMargin,
+        |ORDER BY revenue_e4 DESC, n_name""".stripMargin,
 
     "q8_topn_per_group" ->
       """WITH totals AS (
-        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         |  FROM orders GROUP BY o_custkey
         |), ranked AS (
-        |  SELECT c_mktsegment, c_custkey, CAST(total AS DECIMAL(28,2)) AS total,
+        |  SELECT c_mktsegment, c_custkey, total_cents,
         |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
-        |      ORDER BY total DESC, c_custkey) AS rn
+        |      ORDER BY total_cents DESC, c_custkey) AS rn
         |  FROM totals JOIN customer ON o_custkey = c_custkey
         |)
-        |SELECT c_mktsegment, c_custkey, total, CAST(rn AS INTEGER) AS rn
+        |SELECT c_mktsegment, c_custkey, total_cents, CAST(rn AS INTEGER) AS rn
         |FROM ranked WHERE rn <= 3
         |ORDER BY c_mktsegment, rn""".stripMargin,
 

@@ -36,15 +36,27 @@ object Catalog {
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** The events parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as a long (legacy conf) and
-    * convert to a microsecond timestamp with integer division — a double
-    * round-trip would lose precision above 2^53 ns.
+  /** The events parquet's `ts` physical type has varied across driver
+    * regenerations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read as long via the legacy conf, then integer-divide to
+    * micros; a double round-trip would lose precision above 2^53 ns) and
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false (which Spark 4 infers
+    * as TIMESTAMP_NTZ — cast to TIMESTAMP; exact under the project-wide
+    * UTC session timezone, and required because the temporal operators'
+    * `unix_micros` rejects NTZ). Branch on the read schema so any
+    * vintage of the file works unchanged.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // already a session-zoned timestamp
+    }
   }
 
   /** Event-log VIEW over the synthetic events stream in the reference's

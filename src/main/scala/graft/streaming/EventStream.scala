@@ -31,6 +31,20 @@ object EventStream {
     }
   }
 
+  /** Normalize `ts` to a session-zoned timestamp whatever the parquet's
+    * physical type (TIMESTAMP(NANOS) read as long nanos via the legacy
+    * conf, or TIMESTAMP(MICROS) inferred as NTZ) — same branch as
+    * `Catalog.events`; exact under the project-wide UTC session tz. */
+  private def tsToTimestamp(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   /** Hourly event counts + value sums, computed through a real streaming
     * query (memory sink, complete mode), returned as a batch DataFrame.
     *
@@ -42,14 +56,12 @@ object EventStream {
     * The watermarked, state-bounded form is [[hourlyAppend]]. */
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = withNanosAsLong(spark) {
     val path = s"$dir/events.parquet"
-    // ts is TIMESTAMP(NANOS) in the parquet — read as long nanos (legacy
-    // conf) and convert with integer division, same as Catalog.events.
     val schema = spark.read.parquet(path).schema
     // FileStreamSource force-sets basePath to the path itself for non-glob
     // paths, and basePath must be a directory — so address the single file
     // through a glob, which leaves basePath inference to the parent dir.
-    val stream = spark.readStream.schema(schema).parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    val stream = tsToTimestamp(
+      spark.readStream.schema(schema).parquet(s"$dir/events*.parquet"))
     val agg = stream
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -245,8 +257,8 @@ object EventStream {
     import spark.implicits._
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema).parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    val stream = tsToTimestamp(
+      spark.readStream.schema(schema).parquet(s"$dir/events*.parquet"))
       .select(col("user_id").cast("long"), col("value").cast("double"),
         col("ts").cast("long").as("ts_s"))
       .as[(Long, Double, Long)]
