@@ -2180,7 +2180,7 @@ object SparkEntry {
          |  SELECT vec_id AS cid, embedding AS ce, bucket FROM b WHERE vec_id % 10 < 8
          |), j AS (
          |  SELECT i.vec_id, round(${cosSql("i.embedding", "c.ce")}, 6) AS cos
-         |  FROM inc i LEFT JOIN cor c ON i.bucket = c.bucket
+         |  FROM inc i LEFT JOIN cor c ON i.bucket = c.bucket AND i.vec_id <> c.cid
          |)
          |SELECT vec_id, COUNT(cos) AS n_candidates, MAX(cos) AS max_cos,
          |  CAST(COALESCE(MAX(cos) >= 0.25, FALSE) AS INTEGER) AS is_dup

@@ -96,8 +96,13 @@ object Similarity {
     val inc = incoming.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), bits).as("bucket"))
     val cor = corpus.select(col("vec_id").as("cid"),
-      col("embedding").as("ce"), lshBucket(col("embedding"), bits).as("bucket"))
-    inc.join(cor, Seq("bucket"), "left_outer")
+      col("embedding").as("ce"), lshBucket(col("embedding"), bits).as("cbucket"))
+    // vec_id =!= cid: an at-least-once replay puts the batch's own rows
+    // in the corpus snapshot — without the exclusion each replayed
+    // vector self-matches at cos 1.0 and flags itself duplicate
+    inc.join(cor,
+        col("bucket") === col("cbucket") && col("vec_id") =!= col("cid"),
+        "left_outer")
       .select(col("vec_id"),
         round(cos(incoming)(col("embedding"), col("ce")), 6).as("cos"))
       .groupBy("vec_id")

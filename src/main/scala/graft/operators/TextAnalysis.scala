@@ -518,6 +518,12 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6)
+        // release the native buffers when the TASK ends, drained or not —
+        // a limit/take stops consuming mid-partition and a drain-time-only
+        // end() would leak native memory (end() is idempotent, so the
+        // eager drain-time release below can stay as the fast path)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val mapped = it.map { case (id, text) =>
           val raw = (if (text == null) ""
             else text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -533,7 +539,6 @@ object TextAnalysis {
             (id, raw.length.toLong, comp, comp * 10000L / raw.length)
           }
         }
-        // release the Deflater's native buffers when the partition drains
         new Iterator[(Long, Long, Long, Long)] {
           def hasNext: Boolean = {
             val h = mapped.hasNext

@@ -20,10 +20,13 @@ import graft.operators.Dedup
   * not flagged against each other (they fold into state together; the
   * batch-local pass is [[Dedup.exact]]'s job at release time).
   *
-  * Replay safety: `foreachBatch` is at-least-once, so the state records
-  * the last applied batch id and a replayed batch is a no-op; verdicts
-  * write to a per-batch-id directory with overwrite, so a replayed
-  * partial write converges instead of duplicating (the
+  * Replay safety: `foreachBatch` is at-least-once, so the two key
+  * tables and the batch-id record must move together — batch B's sha +
+  * signature sets are written to a fresh [[StateCommit]] snapshot dir
+  * and published by one atomic pointer swap, so a crash anywhere
+  * mid-batch leaves the prior state intact and the replay re-applies
+  * cleanly; verdicts write to a per-batch-id directory with overwrite,
+  * so a replayed partial write converges instead of duplicating (the
   * [[StreamingMonitor]] / [[StreamingSync]] design).
   *
   * Scale posture: state is the distinct key sets — bounded by corpus
@@ -33,51 +36,47 @@ import graft.operators.Dedup
   */
 object StreamingCuration {
 
-  private def shasPath(p: String) = s"$p/shas"
-  private def sigsPath(p: String) = s"$p/sigs"
   private def verdictsPath(p: String) = s"$p/verdicts"
-  private def metaPath(p: String) = s"$p/meta"
 
-  private def lastApplied(spark: SparkSession, statePath: String): Long =
-    try spark.read.parquet(metaPath(statePath))
-      .agg(max("batch_id")).head.getLong(0)
-    catch { case _: Throwable => -1L }
-
-  private def readOr(spark: SparkSession, path: String,
-      schema: StructType): DataFrame =
-    try spark.read.parquet(path)
-    catch {
-      case _: Throwable =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], schema)
-    }
+  private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
   private val ShaSchema = StructType(Seq(StructField("h", StringType)))
   private val SigSchema = StructType(Seq(
     StructField("band", LongType), StructField("sig", StringType)))
 
+  /** The committed sha key set — (h). Empty before the first commit. */
+  def shaState(spark: SparkSession, statePath: String): DataFrame =
+    StateCommit.readTable(spark, statePath, "shas")
+      .getOrElse(emptyOf(spark, ShaSchema))
+
+  /** The committed band-signature set — (band, sig). */
+  def sigState(spark: SparkSession, statePath: String): DataFrame =
+    StateCommit.readTable(spark, statePath, "sigs")
+      .getOrElse(emptyOf(spark, SigSchema))
+
   /** Judge one micro-batch against the accumulated state, record its
-    * verdicts, fold its keys in. Idempotent per `batchId`. */
+    * verdicts, fold its keys in. Idempotent per `batchId`: an applied id
+    * is a no-op; a batch that crashed before its pointer swap replays
+    * cleanly (its partial snapshot dir was never referenced). */
   def applyBatch(statePath: String, batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    if (batchId <= lastApplied(spark, statePath)) return
-    val curSha = readOr(spark, shasPath(statePath), ShaSchema)
-    val curSigs = readOr(spark, sigsPath(statePath), SigSchema)
+    if (StateCommit.currentVersion(spark, statePath).exists(batchId <= _)) return
+    val curSha = shaState(spark, statePath)
+    val curSigs = sigState(spark, statePath)
     Dedup.incrementalDedupAgainstKeys(batch, curSha, curSigs)
       .write.mode("overwrite")
       .parquet(s"${verdictsPath(statePath)}/batch_id=$batchId")
-    // materialize the merged key sets BEFORE overwriting the dirs the
-    // merge plan reads from (the StreamingMonitor lesson)
-    val newSha = graft.operators.Stage.snap(
-      curSha.unionByName(Dedup.contentShas(batch).select("h")).distinct(),
-      materialize = true)
-    val newSigs = graft.operators.Stage.snap(
-      curSigs.unionByName(Dedup.lshBands(batch).select("band", "sig"))
-        .distinct(), materialize = true)
-    newSha.write.mode("overwrite").parquet(shasPath(statePath))
-    newSigs.write.mode("overwrite").parquet(sigsPath(statePath))
-    spark.range(1).select(lit(batchId).as("batch_id"))
-      .write.mode("overwrite").parquet(metaPath(statePath))
+    // both tables land in the unreferenced snap-<batchId> dir (reading
+    // snap-<prev>, never their own output), then ONE pointer swap
+    // publishes them together
+    curSha.unionByName(Dedup.contentShas(batch).select("h")).distinct()
+      .write.mode("overwrite")
+      .parquet(StateCommit.tableDir(statePath, batchId, "shas"))
+    curSigs.unionByName(Dedup.lshBands(batch).select("band", "sig")).distinct()
+      .write.mode("overwrite")
+      .parquet(StateCommit.tableDir(statePath, batchId, "sigs"))
+    StateCommit.commit(spark, statePath, batchId)
   }
 
   /** All recorded verdicts (doc_id, status, batch_id). */

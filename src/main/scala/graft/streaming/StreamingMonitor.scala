@@ -17,10 +17,13 @@ import graft.operators.Temporal
   * so the scores equal the batch operator's output over the union.
   *
   * Replay safety: `foreachBatch` is at-least-once after a crash, so the
-  * state records the last applied batch id and a replayed batch is a
-  * no-op (the same idempotence-over-transport design as
-  * [[StreamingSync]]: effects converge because the SINK dedupes, not
-  * because the transport promises exactly-once).
+  * state commit must be atomic WITH its batch-id record — batch B's
+  * hourly table is written to a fresh [[StateCommit]] snapshot dir and
+  * published by one pointer swap, so a crash anywhere mid-batch leaves
+  * the previous state intact and the replay re-applies cleanly (the
+  * same idempotence-over-transport design as [[StreamingSync]]: effects
+  * converge because the SINK dedupes, not because the transport
+  * promises exactly-once).
   *
   * Scale posture: the ONLY state is the hourly table — bounded by
   * types × hours, independent of event volume; each batch's fold is one
@@ -29,39 +32,36 @@ import graft.operators.Temporal
   */
 object StreamingMonitor {
 
-  private def countsPath(statePath: String) = s"$statePath/hourly"
-  private def metaPath(statePath: String) = s"$statePath/meta"
-
-  private def lastApplied(spark: SparkSession, statePath: String): Long =
-    try spark.read.parquet(metaPath(statePath))
-      .agg(max("batch_id")).head.getLong(0)
-    catch { case _: Throwable => -1L }
-
   /** Fold one micro-batch of raw events into the hourly state.
     * Idempotent per `batchId`: a replay of an already-applied batch id
-    * leaves the state untouched. */
+    * leaves the state untouched, and a replay of a batch that crashed
+    * before its pointer swap converges (the partial snapshot dir is
+    * unreferenced and gets overwritten). */
   def applyBatch(statePath: String, batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    if (batchId <= lastApplied(spark, statePath)) return
+    if (StateCommit.currentVersion(spark, statePath).exists(batchId <= _)) return
     val inc = Temporal.hourlyOf(batch)
-    val merged =
-      try spark.read.parquet(countsPath(statePath)).unionByName(inc)
+    // reads snap-<prev>, writes snap-<batchId> — never its own input
+    val merged = StateCommit.readTable(spark, statePath, "hourly") match {
+      case Some(prev) => prev.unionByName(inc)
         .groupBy("event_type", "hour").agg(sum("n").as("n"))
-      catch { case _: Throwable => inc }
-    // materialize BEFORE the overwrite: the merged plan reads the same
-    // parquet dir it is about to replace
-    val snap = graft.operators.Stage.snap(merged, materialize = true)
-    snap.write.mode("overwrite").parquet(countsPath(statePath))
-    spark.range(1).select(lit(batchId).as("batch_id"))
-      .write.mode("overwrite").parquet(metaPath(statePath))
+      case None => inc
+    }
+    merged.write.mode("overwrite")
+      .parquet(StateCommit.tableDir(statePath, batchId, "hourly"))
+    StateCommit.commit(spark, statePath, batchId)
   }
+
+  /** The committed hourly state — (event_type, hour, n). */
+  def hourlyState(spark: SparkSession, statePath: String): DataFrame =
+    StateCommit.readTable(spark, statePath, "hourly").getOrElse(
+      sys.error(s"no committed monitor state at $statePath"))
 
   /** Current anomaly scores over the maintained state — identical output
     * contract to [[Temporal.rateAnomaly]]. */
   def scores(spark: SparkSession, statePath: String,
       trailing: Int = 24): DataFrame =
-    Temporal.rateAnomalyFromHourly(
-      spark.read.parquet(countsPath(statePath)), trailing)
+    Temporal.rateAnomalyFromHourly(hourlyState(spark, statePath), trailing)
 
   /** Start an AvailableNow monitoring pass of `events` (raw event rows
     * with ts + event_type) into the state at `statePath`. */

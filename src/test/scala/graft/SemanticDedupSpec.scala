@@ -97,4 +97,24 @@ class SemanticDedupSpec extends SparkSpec {
       assert(together(id) == row.toString, s"batch split changed verdict for $id")
     }
   }
+
+  test("replay safety: a batch already folded into the corpus never self-matches") {
+    val all = fixture
+    // at-least-once replay shape: the corpus snapshot already contains
+    // the batch's own rows (same vec_ids)
+    val r = Similarity.semanticDedupIncremental(all, all, threshold = 0.99)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // singletons are alone in their buckets once self is excluded: they
+    // must abstain, not flag themselves at cos 1.0
+    (12L to 15L).foreach { id =>
+      assert(r(id).getInt(3) == 0, s"replayed singleton $id self-matched: ${r(id)}")
+    }
+    // cluster members still flag -- via their OTHER cluster-mates (>= 3
+    // candidates; bucket cohabitants from another cluster may add more)
+    (0L to 11L).foreach { id =>
+      assert(r(id).getInt(3) == 1 && r(id).getDouble(2) > 0.999,
+        s"cluster member $id lost its mates: ${r(id)}")
+      assert(r(id).getLong(1) >= 3L, s"$id should see its 3 mates: ${r(id)}")
+    }
+  }
 }

@@ -47,18 +47,18 @@ class StreamingCurationSpec extends SparkSpec {
   test("replayed batch id is a no-op; re-crawl grows no state") {
     val dir = Files.createTempDirectory("graft_curation2").toString
     StreamingCuration.applyBatch(dir, docsDf(Seq((1L, t1), (2L, t2))), 0L)
-    val shaCount = spark.read.parquet(s"$dir/shas").count()
+    val shaCount = StreamingCuration.shaState(spark, dir).count()
     val before = StreamingCuration.verdicts(spark, dir).collect().toSet
     // replay the same batch id — nothing may change
     StreamingCuration.applyBatch(dir, docsDf(Seq((1L, t1), (2L, t2))), 0L)
     assert(StreamingCuration.verdicts(spark, dir).collect().toSet == before)
-    assert(spark.read.parquet(s"$dir/shas").count() == shaCount)
+    assert(StreamingCuration.shaState(spark, dir).count() == shaCount)
     // a NEW batch re-ingesting the same content: flagged, state unchanged
     StreamingCuration.applyBatch(dir, docsDf(Seq((10L, t1), (11L, t2))), 1L)
     val v = StreamingCuration.verdicts(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(v(10L) == "exact_dup" && v(11L) == "exact_dup")
-    assert(spark.read.parquet(s"$dir/shas").count() == shaCount,
+    assert(StreamingCuration.shaState(spark, dir).count() == shaCount,
       "re-crawled content must not grow the sha state")
   }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.operators.Temporal
-import graft.streaming.StreamingMonitor
+import graft.streaming.{StateCommit, StreamingMonitor}
 
 /** Streaming anomaly monitor: the maintained hourly state converges to
   * the batch operator's pre-aggregation regardless of how the feed is
@@ -55,11 +55,11 @@ class StreamingMonitorSpec extends SparkSpec {
     val state = dir.resolve("state").toString
     val ev = toEvents(feed)
     StreamingMonitor.applyBatch(state, ev, batchId = 0L)
-    val before = spark.read.parquet(s"$state/hourly")
+    val before = StreamingMonitor.hourlyState(spark, state)
       .orderBy("event_type", "hour").collect()
     // at-least-once replay of the SAME batch id must not double-count
     StreamingMonitor.applyBatch(state, ev, batchId = 0L)
-    val after = spark.read.parquet(s"$state/hourly")
+    val after = StreamingMonitor.hourlyState(spark, state)
       .orderBy("event_type", "hour").collect()
     assert(after.sameElements(before))
     // the state equals the batch pre-aggregation exactly
@@ -68,7 +68,29 @@ class StreamingMonitorSpec extends SparkSpec {
     // a NEW batch id still applies
     StreamingMonitor.applyBatch(state,
       toEvents(Seq((25L * 3600, "t"))), batchId = 1L)
-    val n = spark.read.parquet(s"$state/hourly")
+    val n = StreamingMonitor.hourlyState(spark, state)
+      .agg(sum("n")).head.getLong(0)
+    assert(n == feed.length + 1)
+  }
+
+  test("crash before the pointer swap leaves state intact; replay converges") {
+    val dir = Files.createTempDirectory("graft_monitor3")
+    val state = dir.resolve("state").toString
+    StreamingMonitor.applyBatch(state, toEvents(feed), batchId = 0L)
+    val committed = StreamingMonitor.hourlyState(spark, state)
+      .orderBy("event_type", "hour").collect()
+    // simulate a crash mid-batch-1: the snapshot dir was written (here,
+    // even with WRONG un-merged content) but the pointer swap never ran
+    val extra = toEvents(Seq((25L * 3600, "t")))
+    graft.operators.Temporal.hourlyOf(extra).write.mode("overwrite")
+      .parquet(StateCommit.tableDir(state, 1L, "hourly"))
+    // readers still see batch 0's state in full
+    val seen = StreamingMonitor.hourlyState(spark, state)
+      .orderBy("event_type", "hour").collect()
+    assert(seen.sameElements(committed), "uncommitted snapshot leaked")
+    // the at-least-once replay of batch 1 overwrites the orphan and commits
+    StreamingMonitor.applyBatch(state, extra, batchId = 1L)
+    val n = StreamingMonitor.hourlyState(spark, state)
       .agg(sum("n")).head.getLong(0)
     assert(n == feed.length + 1)
   }
