@@ -255,6 +255,87 @@ object SparkEntry {
         .orderBy("c_mktsegment", "rn")
     }),
 
+    // Q18-style large-volume orders (HAVING join-back): the fact
+    // aggregates FIRST — one combinable sum per order — and only the
+    // handful of orders over the threshold joins back to the dims, so at
+    // 100 TB the join input is the filtered agg, never the raw fact.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = Catalog.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .where(col("sum_qty") > 300)
+      val ord = Catalog.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val cust = Catalog.customer(s, dir).select("c_custkey", "c_name")
+      big.join(ord, big("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("total_cents"),
+          col("sum_qty"))
+        .orderBy(col("total_cents").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // Q11-style share-of-total (scalar subquery): per-nation revenue vs
+    // the global total — the total is a 1-row aggregate broadcast into
+    // every row, never a second pass over the fact. Share is pure BIGINT
+    // `rev div (total div 10000)` (dividing the TOTAL first keeps the
+    // numerator inside Long at any corpus size; all-positive, so DuckDB
+    // floor-div ≡ Spark truncating div).
+    "q11_nation_share" -> ((s, dir) => {
+      val supp = Catalog.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val nat = Catalog.nation(s, dir).select("n_nationkey", "n_name")
+      val byNation = Catalog.lineitem(s, dir)
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(sum(revE4).as("revenue_e4"))
+      val total = byNation.agg(sum("revenue_e4").as("total_e4"))
+      byNation.crossJoin(broadcast(total))
+        .withColumn("share_bps",
+          expr("revenue_e4 div (total_e4 div 10000)"))
+        .where(col("share_bps") >= 400)
+        .select("n_name", "revenue_e4", "share_bps")
+        .orderBy(col("revenue_e4").desc, col("n_name"))
+    }),
+
+    // Q22-style dormant high-balance customers (anti-join + scalar
+    // subquery): above-average balance AND no order since the cutoff.
+    // The average gate is the division-free `cents·cnt > total` (exact
+    // BIGINT, no float threshold drift); the dormancy test is a
+    // left-anti join against the date-filtered orders scan.
+    "q22_dormant" -> ((s, dir) => {
+      val cust = Catalog.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("balance_cents"))
+      val stats = cust.where(col("balance_cents") > 0)
+        .agg(sum("balance_cents").as("total"), count(lit(1)).as("cnt"))
+      val recent = Catalog.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1998-05-01").cast("timestamp"))
+        .select("o_custkey")
+      cust.crossJoin(broadcast(stats))
+        .where(col("balance_cents") * col("cnt") > col("total"))
+        .join(recent, cust("c_custkey") === recent("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "balance_cents")
+        .orderBy("c_custkey")
+    }),
+
+    // Q16-style supplier diversity per part group (distinct-count with
+    // an exclusion set): suppliers on a denylist drop via a broadcast
+    // left-anti join BEFORE the fact joins the part dim; the distinct
+    // count shuffles narrow (brand, size, suppkey) rows only.
+    "q16_part_suppliers" -> ((s, dir) => {
+      val excl = Catalog.supplier(s, dir)
+        .where(col("s_name").like("%7%")).select(col("s_suppkey"))
+      val part = Catalog.part(s, dir).select("p_partkey", "p_brand", "p_size")
+      Catalog.lineitem(s, dir).select("l_partkey", "l_suppkey")
+        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+        .orderBy(col("n_supp").desc, col("p_brand"), col("p_size"))
+    }),
+
     // ================= SURVEY §2.1/§2.6 scans & set-ops =================
 
     "s1_initial_scan" -> ((s, dir) =>
@@ -1406,6 +1487,64 @@ object SparkEntry {
         |SELECT c_mktsegment, c_custkey, total_cents, CAST(rn AS INTEGER) AS rn
         |FROM ranked WHERE rn <= 3
         |ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+        |)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+        |  sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_cents DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "q11_nation_share" ->
+      """WITH r AS (
+        |  SELECT n_name,
+        |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_e4
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY n_name
+        |), t AS (SELECT CAST(SUM(revenue_e4) AS BIGINT) AS total_e4 FROM r)
+        |SELECT n_name, revenue_e4,
+        |  revenue_e4 // (total_e4 // 10000) AS share_bps
+        |FROM r, t
+        |WHERE revenue_e4 // (total_e4 // 10000) >= 400
+        |ORDER BY revenue_e4 DESC, n_name""".stripMargin,
+
+    "q22_dormant" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS balance_cents
+        |  FROM customer
+        |), s AS (
+        |  SELECT CAST(SUM(balance_cents) AS BIGINT) AS total, COUNT(*) AS cnt
+        |  FROM c WHERE balance_cents > 0
+        |)
+        |SELECT c_custkey, c_name, balance_cents
+        |FROM c, s
+        |WHERE balance_cents * cnt > total
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '1998-05-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q16_part_suppliers" ->
+      """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS n_supp
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (
+        |  SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+        |GROUP BY p_brand, p_size
+        |ORDER BY n_supp DESC, p_brand, p_size""".stripMargin,
 
     "s1_initial_scan" -> (P +
       s"""SELECT product_id, strftime(post_modified_gmt, '%Y-%m-%d %H:%M:%S') AS modified

@@ -46,4 +46,25 @@ class DriverContractSpec extends SparkSpec {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracleSql keys without a query: $orphans")
   }
+
+  // The round-7 lesson, made a lint: the driver sorts columns BY NAME
+  // before hashing, so an engine column the oracle doesn't name (e.g.
+  // `revenue_e4` vs a stale `revenue`) hash-fails even with identical
+  // values. Requiring every output column name to appear as a word in
+  // the oracle SQL catches that drift at test time instead of gate time.
+  test("every gated output column is named in its oracle SQL") {
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => eager(name) }
+      .flatMap { case (name, sql) =>
+        SparkEntry.queries(name)(spark, sfDir).schema.fieldNames
+          .filterNot { c =>
+            ("(?i)(?<![A-Za-z0-9_])" +
+              java.util.regex.Pattern.quote(c) + "(?![A-Za-z0-9_])").r
+              .findFirstIn(sql).isDefined
+          }
+          .map(c => s"$name.$c")
+      }
+    assert(offenders.isEmpty,
+      s"output columns the oracle never names: ${offenders.mkString(", ")}")
+  }
 }

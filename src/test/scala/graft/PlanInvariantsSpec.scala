@@ -401,4 +401,41 @@ class PlanInvariantsSpec extends SparkSpec {
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("Generate"), p)
   }
+
+  test("q18: HAVING filters the agg BEFORE the join-back; customer dim broadcasts") {
+    val p = planOf("q18_large_orders")
+    // the sum_qty > 300 filter must sit on the aggregate side, not after
+    // the join — at 100 TB the join input is the filtered agg
+    assert(p.contains("HashAggregate"), p)
+    assert("(?s)Filter.*sum_qty".r.findFirstIn(p).isDefined ||
+      p.contains("(sum_qty"), s"HAVING filter not found on agg output\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q11: ONE fact pass — the global total is a broadcast 1-row agg, not a rescan") {
+    val p = planOf("q11_nation_share")
+    val factScans = "Scan parquet .*lineitem".r.findAllIn(p).size
+    assert(factScans <= 2,
+      s"fact rescans beyond exchange reuse: $factScans\n$p")
+    // the total side must reach the rows as a broadcast (1-row cross
+    // joins plan as BroadcastNestedLoopJoin — acceptable ONLY because
+    // the build side is a single-row aggregate)
+    assert(p.contains("BroadcastExchange") || p.contains("ReusedExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q22: dormancy is a LEFT ANTI equi-join; date filter reaches the orders scan") {
+    val p = planOf("q22_dormant")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("q16: denylist excludes via broadcast LEFT ANTI before the part join") {
+    val p = planOf("q16_part_suppliers")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // only 2 columns of lineitem leave the scan
+    assert(!p.contains("l_extendedprice") && !p.contains("l_quantity"), p)
+  }
 }
