@@ -656,6 +656,21 @@ object SparkEntry {
     "sim_ivf_kmeans" -> ((s, dir) =>
       Similarity.ivfKmeansTopK(Catalog.embeddings(s, dir))),
 
+    // persisted IVF index: build-once/query-many — the index is a
+    // cell-PARTITIONED parquet table and the probe set prunes at the
+    // partition (file) level; with nProbes=1 the result contract is
+    // exactly ivfKmeansTopK's, so it shares that oracle (and AnnIndexSpec
+    // pins the row-for-row equality + the PartitionFilters plan gate)
+    "sim_ann_store" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ann_q").toString
+      val emb = Catalog.embeddings(s, dir)
+      graft.operators.AnnIndex.build(emb, root, nCells = 8)
+      graft.operators.AnnIndex.search(s, root,
+        emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        nProbes = 1, k = 5)
+    }),
+
     "sim_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Catalog.embeddings(s, dir))),
 
@@ -1346,7 +1361,14 @@ object SparkEntry {
         |  WHERE field_type IN ('wysiwyg', 'select', 'repeater', 'flexible_content')
         |)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  /** sim_ann_store is the persisted-index form of sim_ivf_kmeans with
+    * nProbes=1 — same trained quantizer, same output contract — so it
+    * shares that oracle verbatim (AnnIndexSpec pins the row-for-row
+    * equality of the two paths). */
+  def oracleSql: Map[String, String] =
+    baseOracleSql + ("sim_ann_store" -> baseOracleSql("sim_ivf_kmeans"))
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
 
     // BIGINT fixed-point sums (cents / 1e-4 units) on BOTH sides — the
     // st_debounce/st_sessions total_cents pattern, the only output family

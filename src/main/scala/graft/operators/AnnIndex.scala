@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index — the build-once / query-many form of
+  * [[Similarity.ivfKmeansTopK]], which trains and scans in the same
+  * query. A real corpus builds its index once and serves many query
+  * batches, and the index layout is what makes that cheap at 100 TB:
+  *
+  *   root/centroids/  — the trained coarse quantizer (tiny: nCells rows)
+  *   root/vectors/    — every (vec_id, embedding) PARTITIONED BY cell
+  *
+  * The query path reads the centroid table (broadcast-size), ranks each
+  * query's probe cells against it map-only, and then reads ONLY the
+  * probed cells' partitions — the `cell IN (…)` predicate is a parquet
+  * PARTITION filter (plan-gated), so a 1000-executor scan touches
+  * nProbes/nCells of the corpus directories and no more. That is the
+  * IVF contract made physical: pruning happens at the FILE level before
+  * any task is scheduled, not per-row.
+  *
+  * The probe-cell list collects to the driver to form the pushable IN
+  * filter — bounded by nQueries × nProbes ints, the standard
+  * query-time partition-pruning shape (not a data collect).
+  *
+  * Training is [[Similarity.trainCentroids]] — the SAME quantizer as
+  * the in-query operator, so `search(nProbes = 1)` over an index built
+  * from a corpus must equal `ivfKmeansTopK` over that corpus
+  * row-for-row (spec-gated, and the driver gate runs it as
+  * sim_ann_store against the ivf-kmeans oracle).
+  */
+object AnnIndex {
+
+  private def centroidsPath(root: String) = s"$root/centroids"
+  private def vectorsPath(root: String) = s"$root/vectors"
+
+  /** Train the coarse quantizer and persist the cell-partitioned
+    * vector table. The assignment pass reads the PERSISTED centroids,
+    * so build and search rank against bit-identical values. */
+  def build(embeddings: DataFrame, root: String, nCells: Int = 8): Unit = {
+    val spark = embeddings.sparkSession
+    Similarity.trainCentroids(embeddings, nCells)
+      .write.mode("overwrite").parquet(centroidsPath(root))
+    val cents = spark.read.parquet(centroidsPath(root))
+    Similarity.assignCells(embeddings, cents)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(vectorsPath(root))
+  }
+
+  /** Top-k bucket search over a built index. `queries` is (qid, qe);
+    * each query probes its `nProbes` nearest cells. Output contract is
+    * [[Similarity.ivfKmeansTopK]]'s: (qid, cid, cos, rn), 6-dp-rounded
+    * cosine, cid tie-break, self-matches excluded. */
+  def search(spark: SparkSession, root: String, queries: DataFrame,
+      nProbes: Int = 1, k: Int = 5): DataFrame = {
+    val cents = spark.read.parquet(centroidsPath(root))
+    val raw = spark.read.parquet(vectorsPath(root))
+    // partition-column type is inferred from the directory names — cast
+    // the probe side to the READ type so the IN list prunes partitions
+    // instead of planning a cast-wrapped row filter
+    val cellType = raw.schema("cell").dataType
+    val probes = Similarity.rankAgainst(
+        queries.select(col("qid").as("vec_id"), col("qe").as("embedding")),
+        cents)
+      .where(col("arn") <= nProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("centroid_id").cast(cellType).as("cell"))
+    val cellVals = probes.select("cell").distinct().collect().map(_.get(0))
+    val vecs = raw.where(col("cell").isin(cellVals.toIndexedSeq: _*))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce2"), col("cell"))
+    Similarity.cellTopK(probes, vecs, k, raw)
+  }
+
+  /** The pruned candidate scan for a probe-cell set — exposed for the
+    * plan gate (asserts `cell IN (…)` lands in PartitionFilters). */
+  def prunedVectors(spark: SparkSession, root: String,
+      cells: Seq[Any]): DataFrame =
+    spark.read.parquet(vectorsPath(root))
+      .where(col("cell").isin(cells: _*))
+}

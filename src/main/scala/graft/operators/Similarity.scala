@@ -18,7 +18,7 @@ object Similarity {
 
   /** Native codegen'd cosine (graft.expressions.CosineSimilarity) — the
     * hot-loop primitive of every operator below. */
-  private def cos(df: DataFrame)(a: Column, b: Column): Column = {
+  private[operators] def cos(df: DataFrame)(a: Column, b: Column): Column = {
     GraftFunctions.ensureRegistered(df.sparkSession)
     GraftFunctions.cosineSim(a, b)
   }
@@ -213,7 +213,7 @@ object Similarity {
     * ce): per-vector cosine + rank `arn` (1 = nearest cell). ONE
     * definition of the assignment tie-break shared by the seed and
     * k-means-refined quantizers. */
-  private def rankAgainst(embeddings: DataFrame, cents: DataFrame): DataFrame = {
+  private[operators] def rankAgainst(embeddings: DataFrame, cents: DataFrame): DataFrame = {
     val scored = embeddings.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
@@ -233,7 +233,7 @@ object Similarity {
   /** Per-cell top-k ranking shared by the IVF variants: q = (qid, qe,
     * cell), c = (cid, ce2, cell); broadcast query side, rounded-cosine
     * rank with cid tie-break. */
-  private def cellTopK(q: DataFrame, c: DataFrame, k: Int,
+  private[operators] def cellTopK(q: DataFrame, c: DataFrame, k: Int,
       session: DataFrame): DataFrame = {
     val scored = q.hint("broadcast").join(c, Seq("cell"))
       .where(col("qid") =!= col("cid"))
@@ -256,6 +256,30 @@ object Similarity {
       .where(col("arn") === 1)
       .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
 
+  /** Lloyd-refined coarse centroids (seed-assign → element-wise cell
+    * mean, 9-dp rounded for cross-engine reproducibility):
+    * (centroid_id, ce). Shared by [[ivfKmeansTopK]] and the persisted
+    * [[AnnIndex]] so the in-query and build-once paths train the SAME
+    * quantizer — their results must agree row-for-row (spec-gated). */
+  def trainCentroids(embeddings: DataFrame, nCentroids: Int = 8): DataFrame =
+    ivfAssign(embeddings, nCentroids)
+      .select(col("cell"), posexplode(col("embedding")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 9).as("m"))
+      .groupBy("cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos").as("p"), col("m").as("m")))),
+        s => s.getField("m")).as("ce"))
+      .select(col("cell").as("centroid_id"), col("ce"))
+
+  /** Every vector assigned to its nearest centroid:
+    * (vec_id, embedding, cell). Assignment is map-only against the
+    * broadcast centroid table. */
+  def assignCells(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    rankAgainst(embeddings, cents)
+      .where(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
+
   /** IVF with one Lloyd (k-means) refinement: seed-assign (first-N
     * centroids, as [[ivfAssign]]), recompute each cell's centroid as the
     * element-wise mean, re-assign against the refined centroids, then
@@ -269,18 +293,7 @@ object Similarity {
     * oracle's float sums agree bit-for-bit after the 6-dp cosine round. */
   def ivfKmeansTopK(embeddings: DataFrame, nCentroids: Int = 8,
       nQueries: Int = 8, k: Int = 5): DataFrame = {
-    val cents1 = ivfAssign(embeddings, nCentroids)
-      .select(col("cell"), posexplode(col("embedding")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(round(avg(col("col").cast("double")), 9).as("m"))
-      .groupBy("cell")
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos").as("p"), col("m").as("m")))),
-        s => s.getField("m")).as("ce"))
-      .select(col("cell").as("centroid_id"), col("ce"))
-    val assigned = rankAgainst(embeddings, cents1)
-      .where(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
+    val assigned = assignCells(embeddings, trainCentroids(embeddings, nCentroids))
     val q = assigned.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
     val c = assigned

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+import graft.operators.{AnnIndex, Similarity}
+
+/** Persisted IVF index: build-once/query-many must agree row-for-row
+  * with the in-query operator (same trained quantizer), probing more
+  * cells must not lose recall, and — the point of persisting — the
+  * probe-cell predicate must prune at the PARTITION level, not per-row.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  private lazy val emb = Catalog.embeddings(spark, sfDir)
+  private lazy val root = {
+    val dir = Files.createTempDirectory("graft_ann").toString
+    AnnIndex.build(emb, dir, nCells = 8)
+    dir
+  }
+
+  private def queries(n: Int) = emb.where(col("vec_id") < n)
+    .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+
+  test("search(nProbes=1) equals the in-query ivfKmeansTopK row-for-row") {
+    val got = AnnIndex.search(spark, root, queries(8), nProbes = 1, k = 5)
+      .collect().map(_.toString).toSeq
+    val want = Similarity.ivfKmeansTopK(emb, nCentroids = 8, nQueries = 8, k = 5)
+      .collect().map(_.toString).toSeq
+    assert(got == want,
+      s"persisted path diverged from in-query path:\n${got.take(5)}\nvs\n${want.take(5)}")
+  }
+
+  test("more probes never lose recall vs brute force") {
+    val truth = Similarity.bruteForceTopK(emb, nQueries = 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nProbes: Int): Double = {
+      val got = AnnIndex.search(spark, root, queries(8), nProbes, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val r1 = recall(1); val r2 = recall(2)
+    assert(r2 >= r1, s"recall dropped with more probes: $r1 -> $r2")
+    assert(r2 > 0.3, s"2-probe recall implausibly low: $r2")
+  }
+
+  test("probe cells prune at the partition level (PartitionFilters, not a row filter)") {
+    val cells = spark.read.parquet(s"$root/vectors")
+      .select("cell").distinct().limit(2).collect().map(_.get(0)).toSeq
+    val p = AnnIndex.prunedVectors(spark, root, cells)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("cell"), s"cell predicate missing from PartitionFilters\n$p")
+    // and it must NOT degrade to a post-scan data filter on cell
+    val dataFilters = p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(!dataFilters.contains("cell"), s"cell leaked into data filters\n$p")
+    // the full search plan keeps the same pruning
+    val sp = AnnIndex.search(spark, root, queries(4), nProbes = 1, k = 3)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(sp.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell")), sp)
+  }
+
+  test("an index rebuilt over the same corpus is byte-stable (deterministic build)") {
+    val dir2 = Files.createTempDirectory("graft_ann2").toString
+    AnnIndex.build(emb, dir2, nCells = 8)
+    val a = AnnIndex.search(spark, root, queries(8), nProbes = 2, k = 5)
+      .collect().map(_.toString).toSeq
+    val b = AnnIndex.search(spark, dir2, queries(8), nProbes = 2, k = 5)
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+}
