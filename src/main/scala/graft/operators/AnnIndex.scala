@@ -77,4 +77,43 @@ object AnnIndex {
       cells: Seq[Any]): DataFrame =
     spark.read.parquet(vectorsPath(root))
       .where(col("cell").isin(cells: _*))
+
+  /** Incremental maintenance between rebuilds: assign `batch` (vec_id,
+    * embedding) against the PERSISTED centroids — no retraining, so
+    * existing cells stay valid — and rewrite ONLY the touched cell
+    * partitions, replacing same-id rows (id-keyed upsert, the
+    * [[graft.store.VectorStore]] merge discipline at index level).
+    *
+    * Scale posture: the batch's cells bound the rewrite — untouched
+    * partitions are never read or written (dynamic partition
+    * overwrite); the kept-rows read is partition-pruned to the touched
+    * cells. Centroid drift is the rebuild trigger, not this path's
+    * job: a corpus that shifts distribution re-runs [[build]] (the
+    * FAISS retrain-vs-add split). Durability here is per-partition
+    * (dynamic overwrite is not a single atomic commit) — an
+    * interrupted upsert re-applies cleanly because the write is
+    * id-keyed and deterministic, the [[graft.streaming.StateCommit]]
+    * replay-convergence stance. */
+  def upsert(spark: SparkSession, root: String, batch: DataFrame): Unit = {
+    val cents = spark.read.parquet(centroidsPath(root))
+    val raw = spark.read.parquet(vectorsPath(root))
+    val cellType = raw.schema("cell").dataType
+    val incoming = Similarity.assignCells(batch, cents)
+      .withColumn("cell", col("cell").cast(cellType))
+      .localCheckpoint() // the touched-cell collect and the write below
+                         // must not re-run the caller's plan twice
+    val touched = incoming.select("cell").distinct().collect().map(_.get(0))
+    val kept = raw.where(col("cell").isin(touched.toIndexedSeq: _*))
+      .join(incoming.select("vec_id"), Seq("vec_id"), "left_anti")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try kept.unionByName(incoming)
+      // materialize before overwriting the partitions the plan reads
+      .localCheckpoint()
+      .write.mode("overwrite").partitionBy("cell").parquet(vectorsPath(root))
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }

@@ -74,4 +74,35 @@ class AnnIndexSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(a == b)
   }
+
+  test("upsert: new vectors become searchable; same-id re-upsert replaces, never duplicates") {
+    val dir = Files.createTempDirectory("graft_ann_up").toString
+    val base = emb.where(col("vec_id") < 40)
+    AnnIndex.build(base, dir, nCells = 8)
+    val batch = emb.where(col("vec_id") >= 40 && col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"))
+    AnnIndex.upsert(spark, dir, batch)
+    // contents = base ∪ batch, assigned against the SAME persisted centroids
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val want = Similarity.assignCells(base.unionByName(emb.where(col("vec_id") >= 40 && col("vec_id") < 50)), cents)
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = spark.read.parquet(s"$dir/vectors")
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"index contents diverged after upsert")
+    // replay the same batch: byte-identical state (id-keyed replace)
+    AnnIndex.upsert(spark, dir, batch)
+    val got2 = spark.read.parquet(s"$dir/vectors")
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == got, "re-applied upsert changed the index")
+    // and the upserted vectors are actually searchable
+    val hits = AnnIndex.search(spark, dir,
+        emb.where(col("vec_id") >= 40 && col("vec_id") < 42)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        nProbes = 2, k = 3)
+      .collect()
+    assert(hits.nonEmpty, "upserted vectors found no neighbors")
+  }
 }
