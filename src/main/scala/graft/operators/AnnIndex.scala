@@ -94,6 +94,44 @@ object AnnIndex {
     * interrupted upsert re-applies cleanly because the write is
     * id-keyed and deterministic, the [[graft.streaming.StateCommit]]
     * replay-convergence stance. */
+  /** Delete by id — the index-side mirror of the vector store's K4:
+    * locate the victims' cells with one id semi-join (ids are not the
+    * partition key, so this pass scans the id column of all cells —
+    * a metadata-sized read), then rewrite ONLY those cells without the
+    * victim rows. Ids absent from the index are no-ops; replays
+    * converge. */
+  def delete(spark: SparkSession, root: String, ids: DataFrame): Unit = {
+    val raw = spark.read.parquet(vectorsPath(root))
+    val victims = ids.select(col("vec_id"))
+    val touched = raw.join(victims, Seq("vec_id"), "left_semi")
+      .select("cell").distinct().collect().map(_.get(0))
+    if (touched.isEmpty) return
+    val kept = raw.where(col("cell").isin(touched.toIndexedSeq: _*))
+      .join(victims, Seq("vec_id"), "left_anti")
+      .localCheckpoint() // materialize before overwriting its own input
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try kept.write.mode("overwrite").partitionBy("cell")
+      .parquet(vectorsPath(root))
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // a fully-emptied cell produces no output partition, so dynamic
+    // overwrite leaves its old directory (victims included) in place —
+    // drop those directories explicitly
+    val keptCells = kept.select("cell").distinct().collect().map(_.get(0)).toSet
+    val emptied = touched.filterNot(keptCells)
+    if (emptied.nonEmpty) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val base = new org.apache.hadoop.fs.Path(vectorsPath(root))
+      val fs = base.getFileSystem(conf)
+      emptied.foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(base, s"cell=$c"), true)
+      }
+    }
+  }
+
   def upsert(spark: SparkSession, root: String, batch: DataFrame): Unit = {
     val cents = spark.read.parquet(centroidsPath(root))
     val raw = spark.read.parquet(vectorsPath(root))

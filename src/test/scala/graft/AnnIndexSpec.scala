@@ -105,4 +105,31 @@ class AnnIndexSpec extends SparkSpec {
       .collect()
     assert(hits.nonEmpty, "upserted vectors found no neighbors")
   }
+
+  test("delete: victims vanish (including a fully-emptied cell); absent ids are no-ops") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ann_del").toString
+    AnnIndex.build(emb.where(col("vec_id") < 60), dir, nCells = 8)
+    val before = spark.read.parquet(s"$dir/vectors")
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // pick one whole cell to empty + a couple of ids from another cell
+    val byCell = before.groupBy(_._2)
+    val (cellToEmpty, emptyMembers) = byCell.minBy(_._2.length)
+    val otherIds = before.filter(_._2 != cellToEmpty).take(2).map(_._1)
+    val victims = (emptyMembers.map(_._1) ++ otherIds).distinct
+    AnnIndex.delete(spark, dir, victims.toSeq.toDF("vec_id"))
+    val after = spark.read.parquet(s"$dir/vectors")
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before.toSet -- before.filter(r => victims.contains(r._1)),
+      "delete left or lost the wrong rows")
+    assert(!after.exists(_._2 == cellToEmpty), "emptied cell still has rows")
+    // replay + unknown ids: both no-ops
+    AnnIndex.delete(spark, dir, (victims ++ Seq(999999L)).toSeq.toDF("vec_id"))
+    val after2 = spark.read.parquet(s"$dir/vectors")
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after2 == after)
+  }
 }
