@@ -636,8 +636,45 @@ object Main {
       else println(s"uninstalled $work: removed ${removed.mkString(", ")}")
       spark.stop()
 
+    // index-build --data <sfdir> --root <dir> [--cells N]: train the
+    // coarse quantizer over the embeddings table and persist the
+    // cell-partitioned vector index (AnnIndex.build).
+    case Some("index-build") =>
+      val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
+      val root = opt(args, "root").getOrElse { System.err.println("error: --root required"); sys.exit(2); "" }
+      val cells = opt(args, "cells").getOrElse("8").toInt
+      val spark = session()
+      val emb = graft.catalog.Catalog.embeddings(spark, data)
+      val t0 = System.nanoTime()
+      graft.operators.AnnIndex.build(emb, root, cells)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val n = spark.read.parquet(s"$root/vectors").count()
+      val nc = spark.read.parquet(s"$root/vectors")
+        .select("cell").distinct().count()
+      println(f"index built in $dt%.1fs: $n vectors across $nc cells at $root")
+      spark.stop()
+
+    // index-search --root <dir> --query <vec_id> [--data <sfdir>]
+    // [--probes N] [--k N]: probe the persisted index with one corpus
+    // vector and print its neighbors.
+    case Some("index-search") =>
+      val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
+      val root = opt(args, "root").getOrElse { System.err.println("error: --root required"); sys.exit(2); "" }
+      val qid = opt(args, "query").getOrElse("0").toLong
+      val probes = opt(args, "probes").getOrElse("1").toInt
+      val k = opt(args, "k").getOrElse("5").toInt
+      val spark = session()
+      val q = graft.catalog.Catalog.embeddings(spark, data)
+        .where(col("vec_id") === qid)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      if (q.isEmpty) { System.err.println(s"error: vec_id $qid not found in $data"); sys.exit(1) }
+      val hits = graft.operators.AnnIndex.search(spark, root, q, probes, k).collect()
+      println(s"query=$qid probes=$probes k=$k -> ${hits.length} neighbors:")
+      hits.foreach(r => println(f"  rank ${r.getInt(3)}%2d  vec ${r.getLong(1)}%6d  cos ${r.getDouble(2)}%.6f"))
+      spark.stop()
+
     case other =>
-      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export")
+      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export|index-build|index-search")
       sys.exit(2)
   }
 }

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.AnnIndex
+
+/** Streaming ingest into the persisted ANN index — the online form of
+  * [[graft.operators.AnnIndex.upsert]]: each micro-batch of (vec_id,
+  * embedding) rows assigns against the index's FIXED persisted
+  * centroids and rewrites only its touched cell partitions.
+  *
+  * Replay safety: upsert is id-keyed and assignment is deterministic
+  * against fixed centroids, so an at-least-once replay of any batch
+  * converges to the same index — no batch-id bookkeeping needed (the
+  * [[StreamingSync]] stance: idempotent effects beat transactional
+  * transport). The checkpoint bounds replay after restarts.
+  *
+  * Scale posture: per batch, one broadcast assignment pass plus a
+  * rewrite of at most the batch's cells; the index never re-trains on
+  * this path — centroid drift is a scheduled [[AnnIndex.build]], the
+  * standard retrain-vs-add split.
+  */
+object StreamingIndex {
+
+  /** Start an AvailableNow ingest of `vectors` (vec_id, embedding)
+    * into the index at `root` (which must already be built). */
+  def start(vectors: DataFrame, root: String,
+      checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty)
+          AnnIndex.upsert(batch.sparkSession, root, batch.toDF())
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -132,4 +132,39 @@ class AnnIndexSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(after2 == after)
   }
+
+  test("streaming ingest converges to the batch upsert, replay included") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ann_stream").toString
+    val ckpt = Files.createTempDirectory("graft_ann_ck").toString
+    AnnIndex.build(emb.where(col("vec_id") < 40), dir, nCells = 8)
+    val rows = emb.where(col("vec_id") >= 40 && col("vec_id") < 56)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val vectors = input.toDF()
+      .select(col("_1").as("vec_id"), col("_2").cast("array<float>").as("embedding"))
+    // two uneven micro-batches
+    input.addData(rows.take(5).toIndexedSeq)
+    graft.streaming.StreamingIndex.start(vectors, dir, ckpt).awaitTermination()
+    input.addData(rows.drop(5).toIndexedSeq)
+    graft.streaming.StreamingIndex.start(vectors, dir, ckpt).awaitTermination()
+    // converged contents = one-shot batch upsert over a fresh copy
+    val dir2 = Files.createTempDirectory("graft_ann_batch").toString
+    AnnIndex.build(emb.where(col("vec_id") < 40), dir2, nCells = 8)
+    AnnIndex.upsert(spark, dir2,
+      emb.where(col("vec_id") >= 40 && col("vec_id") < 56)
+        .select(col("vec_id"), col("embedding")))
+    def contents(d: String) = spark.read.parquet(s"$d/vectors")
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(contents(dir) == contents(dir2),
+      "streamed index diverged from batch upsert")
+    // replaying batch 1's rows (at-least-once) is a no-op
+    AnnIndex.upsert(spark, dir, emb.where(col("vec_id") >= 40 && col("vec_id") < 45)
+      .select(col("vec_id"), col("embedding")))
+    assert(contents(dir) == contents(dir2))
+  }
 }
