@@ -336,6 +336,50 @@ object SparkEntry {
         .orderBy(col("n_supp").desc, col("p_brand"), col("p_size"))
     }),
 
+    // Q21-style sole-blame report, WITHOUT correlated subqueries: the
+    // classic EXISTS/NOT-EXISTS pair over the same fact collapses into
+    // ONE conditional aggregation per order (distinct suppliers,
+    // distinct LATE suppliers, the sole late supplier) — one fact
+    // shuffle where the textbook plan pays three, and no correlated
+    // rewrite for the optimizer to get wrong at scale.
+    "q21_sole_blame" -> ((s, dir) => {
+      val ord = Catalog.orders(s, dir).select("o_orderkey", "o_orderdate")
+      val li = Catalog.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val perOrder = li
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 120 DAYS"))
+        .groupBy("l_orderkey")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+          max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+        .where(col("n_supp") > 1 && col("n_late") === 1)
+      val supp = Catalog.supplier(s, dir).select("s_suppkey", "s_name")
+      perOrder.groupBy("late_supp").agg(count(lit(1)).as("numwait"))
+        .join(broadcast(supp), col("late_supp") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(20)
+    }),
+
+    // Q17-style below-group-average filter: the per-part average is a
+    // join-back of the part-level aggregate, and the 20%-of-average
+    // threshold is EXACT integer arithmetic (qty·5·cnt < sum_qty), so
+    // no float boundary can disagree across engines.
+    "q17_small_qty" -> ((s, dir) => {
+      val li = Catalog.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      val pa = li.groupBy("l_partkey")
+        .agg(sum("qty").as("sum_qty"), count(lit(1)).as("cnt"))
+      li.join(pa, Seq("l_partkey"))
+        .where(col("qty") * lit(5L) * col("cnt") < col("sum_qty"))
+        .agg(count(lit(1)).as("n_items"),
+          sum("cents").as("total_cents"))
+    }),
+
     // ================= SURVEY §2.1/§2.6 scans & set-ops =================
 
     "s1_initial_scan" -> ((s, dir) =>
@@ -1567,6 +1611,38 @@ object SparkEntry {
         |  SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
         |GROUP BY p_brand, p_size
         |ORDER BY n_supp DESC, p_brand, p_size""".stripMargin,
+
+    "q21_sole_blame" ->
+      """WITH f AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    (l_shipdate > o_orderdate + INTERVAL 120 DAY) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), po AS (
+        |  SELECT l_orderkey,
+        |    COUNT(DISTINCT l_suppkey) AS n_supp,
+        |    COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+        |    MAX(CASE WHEN late THEN l_suppkey END) AS late_supp
+        |  FROM f GROUP BY l_orderkey
+        |)
+        |SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        |FROM po JOIN supplier ON late_supp = s_suppkey
+        |WHERE n_supp > 1 AND n_late = 1
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey
+        |LIMIT 20""".stripMargin,
+
+    "q17_small_qty" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem
+        |), pa AS (
+        |  SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty, COUNT(*) AS cnt
+        |  FROM li GROUP BY l_partkey
+        |)
+        |SELECT COUNT(*) AS n_items, CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM li JOIN pa USING (l_partkey)
+        |WHERE qty * 5 * cnt < sum_qty""".stripMargin,
 
     "s1_initial_scan" -> (P +
       s"""SELECT product_id, strftime(post_modified_gmt, '%Y-%m-%d %H:%M:%S') AS modified
