@@ -380,6 +380,24 @@ object SparkEntry {
           sum("cents").as("total_cents"))
     }),
 
+    // Bloom-pruned shuffle join (the mid-size-dimension trick): the
+    // sparse flagged-order set folds into a Bloom sketch, the fact
+    // semi-filters map-side BEFORE the shuffle, and the equi-join kills
+    // the false positives — so the oracle is simply the PLAIN join (no
+    // false negatives is the gated contract).
+    "j11_bloom_join" -> ((s, dir) => {
+      val fact = Catalog.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val dim = Catalog.orders(s, dir)
+        .where(col("o_orderkey") % 16 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.BloomJoin.pruned(fact, "l_orderkey", dim, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ================= SURVEY §2.1/§2.6 scans & set-ops =================
 
     "s1_initial_scan" -> ((s, dir) =>
@@ -1630,6 +1648,15 @@ object SparkEntry {
         |GROUP BY s_suppkey, s_name
         |ORDER BY numwait DESC, s_suppkey
         |LIMIT 20""".stripMargin,
+
+    "j11_bloom_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey % 16 = 0
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q17_small_qty" ->
       """WITH li AS (
