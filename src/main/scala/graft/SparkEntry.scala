@@ -398,6 +398,29 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Q19-style disjunctive predicate (OR-of-ANDs across both join
+    // sides): the quantity bounds push to the lineitem scan as one OR
+    // range (1..30 — the union of the branches), the part dim
+    // broadcasts with its brand disjunction pushed, and the residual
+    // brand×quantity pairing evaluates post-join — revenue in exact e4.
+    "q19_disjunctive" -> ((s, dir) => {
+      val li = Catalog.lineitem(s, dir)
+        .where(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+        .select(col("l_partkey"), col("l_quantity"), revE4.as("rev_e4"))
+      val part = Catalog.part(s, dir)
+        .where(col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+        .select("p_partkey", "p_brand")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#11" && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#22" && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#33" && col("l_quantity").between(20, 30)))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum("rev_e4").as("revenue_e4"))
+        .orderBy("p_brand")
+    }),
+
     // ================= SURVEY §2.1/§2.6 scans & set-ops =================
 
     "s1_initial_scan" -> ((s, dir) =>
@@ -1629,6 +1652,17 @@ object SparkEntry {
         |  SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
         |GROUP BY p_brand, p_size
         |ORDER BY n_supp DESC, p_brand, p_size""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT p_brand, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#22' AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#33' AND l_quantity BETWEEN 20 AND 30)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
 
     "q21_sole_blame" ->
       """WITH f AS (

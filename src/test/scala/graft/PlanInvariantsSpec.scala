@@ -457,4 +457,12 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("l_shipdate") && !p.contains("l_returnflag"),
       s"unpruned lineitem columns\n$p")
   }
+
+  test("q19: the quantity range pushes to the scan; brand dim broadcasts; residual OR post-join") {
+    val p = planOf("q19_disjunctive")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the union-of-branches quantity bound reaches the parquet scan
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_quantity"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
