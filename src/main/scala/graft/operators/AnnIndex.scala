@@ -94,6 +94,51 @@ object AnnIndex {
     * interrupted upsert re-applies cleanly because the write is
     * id-keyed and deterministic, the [[graft.streaming.StateCommit]]
     * replay-convergence stance. */
+  /** Small-file compaction: every [[upsert]]/[[delete]] rewrite leaves
+    * one task's worth of files per touched cell, so a long-lived index
+    * accumulates small files — the classic object-store operational
+    * tax (listing cost, task-per-file scheduling, row-group overhead).
+    * Compact rewrites each cell whose file count exceeds
+    * `maxFilesPerCell` into ONE file (a cell is one coarse quantizer
+    * region — single-file is the right target until a cell outgrows a
+    * task, which is the signal to re-train with more cells).
+    * Content-neutral by construction (same rows, new layout);
+    * untouched cells are never read. */
+  def compact(spark: SparkSession, root: String,
+      maxFilesPerCell: Int = 1): Unit = {
+    val base = new org.apache.hadoop.fs.Path(vectorsPath(root))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val crowded = fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .filter { st =>
+        fs.listStatus(st.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) >
+          maxFilesPerCell
+      }
+      .map(_.getPath.getName.stripPrefix("cell="))
+    if (crowded.isEmpty) return
+    val raw = spark.read.parquet(vectorsPath(root))
+    // type the pruning literals to the read partition-column type so the
+    // IN list prunes partitions (a string-vs-int comparison would not)
+    val vals: Seq[Any] = raw.schema("cell").dataType match {
+      case org.apache.spark.sql.types.LongType => crowded.map(_.toLong)
+      case org.apache.spark.sql.types.IntegerType => crowded.map(_.toInt)
+      case _ => crowded
+    }
+    val rewritten = raw
+      .where(col("cell").isin(vals: _*))
+      .repartition(col("cell")) // one task -> one file per cell
+      .localCheckpoint()        // materialize before overwriting its input
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rewritten.write.mode("overwrite").partitionBy("cell")
+      .parquet(vectorsPath(root))
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Delete by id — the index-side mirror of the vector store's K4:
     * locate the victims' cells with one id semi-join (ids are not the
     * partition key, so this pass scans the id column of all cells —

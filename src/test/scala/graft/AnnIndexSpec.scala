@@ -167,4 +167,39 @@ class AnnIndexSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding")))
     assert(contents(dir) == contents(dir2))
   }
+
+  test("compact: crowded cells collapse to one file each; contents unchanged") {
+    val dir = Files.createTempDirectory("graft_ann_cmp").toString
+    AnnIndex.build(emb.where(col("vec_id") < 40), dir, nCells = 8)
+    // three upserts -> touched cells accumulate files
+    (0 until 3).foreach { i =>
+      AnnIndex.upsert(spark, dir,
+        emb.where(col("vec_id") >= 40 + i * 5 && col("vec_id") < 45 + i * 5)
+          .select(col("vec_id"), col("embedding")))
+    }
+    def filesPerCell: Map[String, Int] = {
+      val base = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(base).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("cell="))
+        .map(st => st.getPath.getName ->
+          fs.listStatus(st.getPath)
+            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+        .toMap
+    }
+    assert(filesPerCell.values.exists(_ > 1), "fixture never fragmented — test is vacuous")
+    val before = spark.read.parquet(s"$dir/vectors")
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    AnnIndex.compact(spark, dir)
+    assert(filesPerCell.values.forall(_ == 1),
+      s"cells still fragmented: $filesPerCell")
+    val after = spark.read.parquet(s"$dir/vectors")
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before, "compaction changed index contents")
+    // idempotent: nothing crowded -> no-op
+    AnnIndex.compact(spark, dir)
+    assert(filesPerCell.values.forall(_ == 1))
+  }
 }
