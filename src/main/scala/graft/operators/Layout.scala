@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton curve) file layout — multi-column data skipping for
+  * the scan-bound queries this engine lives on: parquet keeps per-file
+  * and per-row-group min/max stats, and the reader skips a file whose
+  * [min,max] box misses the predicate. A single-column sort makes that
+  * box tight on ONE column and full-range on every other; interleaving
+  * the bits of two key columns into one sort key tiles the 2-D key
+  * space instead, so per-file bounding boxes are tight on BOTH columns
+  * and a 2-D range predicate prunes files no linear sort could.
+  *
+  * At 100 TB this is a LAYOUT decision, paid once at write time (one
+  * range shuffle on the z-key) and collected on every subsequent scan —
+  * same amortization argument as [[Bucketing]] (co-located joins) and
+  * [[AnnIndex]] (partitioned cells); z-order covers the range-predicate
+  * family those two don't.
+  *
+  * The z-key is pure codegen'd bit arithmetic (shift/mask/or folds —
+  * no UDF); keys normalize to 2^bits tiles via min/max scaling (one
+  * 4-value aggregate, then map-only keying — NOT a global rank window,
+  * which would funnel every row through one task). Min/max tiling
+  * assumes roughly uniform keys (true of id spaces); a heavily skewed
+  * column wants quantile cut points instead — swap the normalizer,
+  * the interleave and write path are unchanged.
+  */
+object Layout {
+
+  /** Morton interleave of the low `bits` bits of `a` (even positions)
+    * and `b` (odd positions). Inputs must be non-negative longs. */
+  def zkey(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Write `df` z-ordered on (`c1`, `c2`) into `nFiles` files at
+    * `path`: rank-normalize both keys, range-partition on the
+    * interleaved key, sort within partitions, write. One shuffle. */
+  def zorderWrite(df: DataFrame, c1: String, c2: String, path: String,
+      nFiles: Int = 8, bits: Int = 16): Unit = {
+    val Array(lo1, hi1, lo2, hi2) = df
+      .agg(min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+        min(col(c2)).cast("double"), max(col(c2)).cast("double"))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    val n = (1L << bits).toDouble
+    def tile(c: Column, lo: Double, hi: Double): Column =
+      least(lit((1L << bits) - 1),
+        floor((c.cast("double") - lo) * n / (hi - lo + 1.0)).cast("long"))
+    val keyed = df.withColumn("_zkey",
+      zkey(tile(col(c1), lo1, hi1), tile(col(c2), lo2, hi2), bits))
+    keyed
+      .repartitionByRange(nFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-file min/max bounding boxes of (`c1`, `c2`) for a written
+    * layout — the stats a reader's skipping logic consults, surfaced
+    * as a DataFrame so layouts are COMPARABLE (spec-gated: z-order
+    * prunes more files than a linear sort for 2-D boxes). */
+  def fileStats(spark: SparkSession, path: String, c1: String,
+      c2: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(c1)).as("min1"), max(col(c1)).as("max1"),
+        min(col(c2)).as("min2"), max(col(c2)).as("max2"))
+
+  /** Files whose bounding box intersects the 2-D range predicate —
+    * the files a skipping reader must open. */
+  def candidateFiles(stats: DataFrame, lo1: Long, hi1: Long, lo2: Long,
+      hi2: Long): Long =
+    stats.where(
+      col("max1") >= lo1 && col("min1") <= hi1 &&
+      col("max2") >= lo2 && col("min2") <= hi2).count()
+}
