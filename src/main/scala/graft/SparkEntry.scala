@@ -421,6 +421,46 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
+    // Bucketed co-located join, gated through the driver: both facts
+    // rewrite into same-bucketed catalog tables (shuffle paid at layout
+    // time), the join runs exchange-free (BucketingSpec pins the plan),
+    // and the oracle is the PLAIN join — layout must never change rows.
+    "j12_bucketed_join" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_bkt_q").toString
+      graft.operators.Bucketing.writeBucketed(
+        Catalog.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        "gq_b_orders", "o_orderkey", 8, s"$base/orders")
+      graft.operators.Bucketing.writeBucketed(
+        Catalog.lineitem(s, dir).select("l_orderkey", "l_quantity"),
+        "gq_b_lineitem", "l_orderkey", 8, s"$base/lineitem")
+      graft.operators.Bucketing
+        .cogroupJoin(s, "gq_b_lineitem", "gq_b_orders",
+          "l_orderkey", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Z-order layout, gated through the driver: lineitem rewrites
+    // z-ordered on (orderkey, partkey), then a second-key range scan
+    // reads it back — the oracle is the same scan of the ORIGINAL
+    // table, so the layout's content-neutrality is hash-gated (the
+    // file-pruning win itself is LayoutSpec's measured claim).
+    "j13_zorder_scan" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_z_q").toString
+      graft.operators.Layout.zorderWrite(
+        Catalog.lineitem(s, dir)
+          .select("l_orderkey", "l_partkey", "l_quantity"),
+        "l_orderkey", "l_partkey", s"$base/z", nFiles = 8)
+      s.read.parquet(s"$base/z")
+        .where(col("l_partkey") <= 200)
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_partkey")
+    }),
+
     // ================= SURVEY §2.1/§2.6 scans & set-ops =================
 
     "s1_initial_scan" -> ((s, dir) =>
@@ -1652,6 +1692,22 @@ object SparkEntry {
         |  SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
         |GROUP BY p_brand, p_size
         |ORDER BY n_supp DESC, p_brand, p_size""".stripMargin,
+
+    "j12_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "j13_zorder_scan" ->
+      """SELECT l_partkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey <= 200
+        |GROUP BY l_partkey
+        |ORDER BY l_partkey""".stripMargin,
 
     "q19_disjunctive" ->
       """SELECT p_brand, COUNT(*) AS n_items,
