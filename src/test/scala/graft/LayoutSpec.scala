@@ -73,4 +73,14 @@ class LayoutSpec extends SparkSpec {
       s"z-order opened ${zOpened.sum} files vs linear ${lOpened.sum} " +
         s"(z=$zOpened vs linear=$lOpened)")
   }
+
+  test("zkey is a bijection onto [0, 4^bits) for tile pairs") {
+    val pairs = for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong)
+    val keys = pairs.toDF("a", "b")
+      .select(Layout.zkey(col("a"), col("b"), 6).as("z"))
+      .as[Long].collect().toSeq
+    assert(keys.distinct.length == pairs.length, "zkey collided")
+    assert(keys.min == 0L && keys.max == 4095L,
+      s"zkey range is [${keys.min}, ${keys.max}], want [0, 4095]")
+  }
 }
