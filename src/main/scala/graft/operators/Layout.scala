@@ -31,11 +31,23 @@ object Layout {
   /** Morton interleave of the low `bits` bits of `a` (even positions)
     * and `b` (odd positions). Inputs must be non-negative longs. */
   def zkey(a: Column, b: Column, bits: Int = 16): Column =
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    zkeyN(Seq(a, b), bits)
+
+  /** N-column Morton interleave (round-robin: column j's bit i lands
+    * at position i·d + j). `bits × cols.length` must fit in 63 bits —
+    * in practice more than 3-4 layout dimensions dilutes every
+    * per-column bounding box past usefulness anyway (the curse that
+    * makes wide z-order a smell, not a feature). */
+  def zkeyN(cols: Seq[Column], bits: Int = 16): Column = {
+    val d = cols.length
+    require(d >= 1 && bits * d <= 63,
+      s"zkeyN needs bits*cols <= 63, got $bits x $d")
+    cols.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, j)) =>
+      (0 until bits).foldLeft(acc) { (a, i) =>
+        a.bitwiseOR(shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * d + j))
+      }
     }
+  }
 
   /** Write `df` z-ordered on (`c1`, `c2`) into `nFiles` files at
     * `path`: rank-normalize both keys, range-partition on the

@@ -83,4 +83,22 @@ class LayoutSpec extends SparkSpec {
     assert(keys.min == 0L && keys.max == 4095L,
       s"zkey range is [${keys.min}, ${keys.max}], want [0, 4095]")
   }
+
+  test("zkeyN generalizes: 3-column interleave is bijective on the tile grid") {
+    val triples = for (a <- 0 until 16; b <- 0 until 16; c <- 0 until 16)
+      yield (a.toLong, b.toLong, c.toLong)
+    val keys = triples.toDF("a", "b", "c")
+      .select(Layout.zkeyN(Seq(col("a"), col("b"), col("c")), 4).as("z"))
+      .as[Long].collect().toSeq
+    assert(keys.distinct.length == triples.length, "3-d zkey collided")
+    assert(keys.min == 0L && keys.max == 4095L)
+    // 2-col zkey is the N=2 case
+    val two = Seq((3L, 5L)).toDF("a", "b")
+      .select(Layout.zkeyN(Seq(col("a"), col("b")), 16).as("z"))
+      .as[Long].head()
+    assert(two == 39L)
+    intercept[IllegalArgumentException] {
+      Layout.zkeyN(Seq(col("a"), col("b")), 32)
+    }
+  }
 }
