@@ -71,6 +71,40 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Quantile tile index: the number of cut points ≤ the value — an
+    * equi-DEPTH tiling, vs [[zorderWrite]]'s equi-width min/max
+    * scaling. One codegen'd fold over a literal cut array per row;
+    * no shuffle, no window. */
+  private def quantileTile(c: Column, cuts: Array[Double]): Column =
+    aggregate(
+      array(cuts.map(v => lit(v)): _*),
+      lit(0L),
+      (acc, cut) => acc + when(c.cast("double") >= cut, 1L).otherwise(0L))
+
+  /** Skew-resistant z-order: tile boundaries are per-column QUANTILE
+    * cut points (distributed sketch via `approxQuantile`, driver gets
+    * only the 2^bits-1 cuts), so every tile holds ~equal row mass
+    * whatever the key distribution. Min/max tiling collapses a skewed
+    * column into a handful of occupied tiles — the interleave then
+    * degenerates toward a linear sort on the other column and range
+    * partitioning piles equal z-keys into oversized files (equal keys
+    * cannot split across range partitions). Same write path; `bits`
+    * defaults lower because the per-row fold is 2^bits-1 comparisons
+    * per column (256 tiles/dim is ample for FILE-level skipping). */
+  def zorderWriteQuantiled(df: DataFrame, c1: String, c2: String,
+      path: String, nFiles: Int = 8, bits: Int = 8): Unit = {
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    val Array(cuts1, cuts2) =
+      df.stat.approxQuantile(Array(c1, c2), probs, 0.001)
+    val keyed = df.withColumn("_zkey",
+      zkey(quantileTile(col(c1), cuts1), quantileTile(col(c2), cuts2), bits))
+    keyed
+      .repartitionByRange(nFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Per-file min/max bounding boxes of (`c1`, `c2`) for a written
     * layout — the stats a reader's skipping logic consults, surfaced
     * as a DataFrame so layouts are COMPARABLE (spec-gated: z-order
