@@ -461,6 +461,22 @@ object SparkEntry {
         .orderBy("l_partkey")
     }),
 
+    // Q13-style order-count distribution: LEFT OUTER preserves
+    // zero-order customers, COUNT(col) skips their NULL orderkeys (the
+    // null-semantics trap COUNT(*) would fall into), and the histogram
+    // is a second tiny aggregation over the per-customer counts.
+    "q13_custdist" -> ((s, dir) => {
+      val cust = Catalog.customer(s, dir).select("c_custkey")
+      val ord = Catalog.orders(s, dir).select("o_custkey", "o_orderkey")
+      val perCust = cust
+        .join(ord, cust("c_custkey") === ord("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
     // ================= SURVEY §2.1/§2.6 scans & set-ops =================
 
     "s1_initial_scan" -> ((s, dir) =>
@@ -1692,6 +1708,15 @@ object SparkEntry {
         |  SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
         |GROUP BY p_brand, p_size
         |ORDER BY n_supp DESC, p_brand, p_size""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "j12_bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
