@@ -477,6 +477,27 @@ object SparkEntry {
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),
 
+    // Q23 (engine extension): trailing-window revenue — the ordered
+    // ROWS-frame window shape (running/moving aggregates) the catalog
+    // lacked: per-supplier monthly revenue with a 3-month trailing sum.
+    // Pre-aggregating to (supplier, month) BEFORE the window keeps the
+    // frame scan over one row per month, not one per lineitem; sums
+    // stay BIGINT e4 so the frame arithmetic is exact in both engines.
+    "q23_trailing" -> ((s, dir) => {
+      val monthly = Catalog.lineitem(s, dir)
+        .where(col("l_suppkey") < 10)
+        .groupBy(col("l_suppkey"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+        .agg(sum(revE4).as("rev_e4"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_suppkey").orderBy("month")
+        .rowsBetween(-2, 0)
+      monthly
+        .withColumn("trail3_e4", sum("rev_e4").over(w))
+        .select("l_suppkey", "month", "rev_e4", "trail3_e4")
+        .orderBy("l_suppkey", "month")
+    }),
+
     // ================= SURVEY §2.1/§2.6 scans & set-ops =================
 
     "s1_initial_scan" -> ((s, dir) =>
@@ -1708,6 +1729,20 @@ object SparkEntry {
         |  SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
         |GROUP BY p_brand, p_size
         |ORDER BY n_supp DESC, p_brand, p_size""".stripMargin,
+
+    "q23_trailing" ->
+      """WITH monthly AS (
+        |  SELECT l_suppkey, strftime(l_shipdate, '%Y-%m') AS month,
+        |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS rev_e4
+        |  FROM lineitem
+        |  WHERE l_suppkey < 10
+        |  GROUP BY l_suppkey, month
+        |)
+        |SELECT l_suppkey, month, rev_e4,
+        |  CAST(SUM(rev_e4) OVER (PARTITION BY l_suppkey ORDER BY month
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail3_e4
+        |FROM monthly
+        |ORDER BY l_suppkey, month""".stripMargin,
 
     "q13_custdist" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
