@@ -498,6 +498,28 @@ object SparkEntry {
         .orderBy("l_suppkey", "month")
     }),
 
+    // Q24 (engine extension): static PIVOT — nation revenue spread to
+    // one column per year. Pivot values are DECLARED (1995-1998), not
+    // discovered, so the schema is static and the plan is one
+    // conditional aggregation — the two-pass value-discovery pivot is
+    // exactly what a 100 TB pipeline avoids.
+    "q24_pivot" -> ((s, dir) => {
+      val supp = Catalog.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val nat = Catalog.nation(s, dir).select("n_nationkey", "n_name")
+      Catalog.lineitem(s, dir)
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"),
+          year(col("l_shipdate")).as("l_year"), revE4.as("rev_e4"))
+        .groupBy("n_name")
+        .pivot("l_year", Seq(1995, 1996, 1997, 1998))
+        .agg(sum("rev_e4"))
+        .select(col("n_name"),
+          col("1995").as("y1995_e4"), col("1996").as("y1996_e4"),
+          col("1997").as("y1997_e4"), col("1998").as("y1998_e4"))
+        .orderBy("n_name")
+    }),
+
     // ================= SURVEY §2.1/§2.6 scans & set-ops =================
 
     "s1_initial_scan" -> ((s, dir) =>
@@ -1729,6 +1751,18 @@ object SparkEntry {
         |  SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
         |GROUP BY p_brand, p_size
         |ORDER BY n_supp DESC, p_brand, p_size""".stripMargin,
+
+    "q24_pivot" ->
+      """SELECT n_name,
+        |  CAST(SUM(CASE WHEN year(l_shipdate) = 1995 THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) END) AS BIGINT) AS y1995_e4,
+        |  CAST(SUM(CASE WHEN year(l_shipdate) = 1996 THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) END) AS BIGINT) AS y1996_e4,
+        |  CAST(SUM(CASE WHEN year(l_shipdate) = 1997 THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) END) AS BIGINT) AS y1997_e4,
+        |  CAST(SUM(CASE WHEN year(l_shipdate) = 1998 THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) END) AS BIGINT) AS y1998_e4
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
 
     "q23_trailing" ->
       """WITH monthly AS (
