@@ -520,6 +520,43 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // Q25 (engine extension): UNPIVOT/melt — wide per-flag measures
+    // stack into (measure, value) rows via the codegen'd stack()
+    // generator; all measures pre-scale to BIGINT so the melted value
+    // column is one exact type.
+    "q25_unpivot" -> ((s, dir) => {
+      Catalog.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("l_quantity").cast("long")).as("qty"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .as("price_cents"),
+          sum(floor(col("l_discount") * 10000 + 0.5).cast("long"))
+            .as("disc_bps"))
+        .selectExpr("l_returnflag",
+          "stack(3, 'disc_bps', disc_bps, 'price_cents', price_cents, " +
+            "'qty', qty) AS (measure, value)")
+        .orderBy("l_returnflag", "measure")
+    }),
+
+    // Q26 (engine extension): INTERSECT / EXCEPT — the set-op plan
+    // shapes (both reduce to hash-dedup + semi/anti join but carry
+    // their own operators): customers active in both 1997 halves vs
+    // only the first, tagged into one output.
+    "q26_setops" -> ((s, dir) => {
+      val ord = Catalog.orders(s, dir)
+      def active(lo: String, hi: String) = ord
+        .where(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+          col("o_orderdate") < lit(hi).cast("timestamp"))
+        .select("o_custkey")
+      val h1 = active("1997-01-01", "1997-07-01")
+      val h2 = active("1997-07-01", "1998-01-01")
+      h1.intersect(h2).withColumn("grp", lit("both"))
+        .unionByName(h1.except(h2).withColumn("grp", lit("only_h1")))
+        .select("grp", "o_custkey")
+        .orderBy("grp", "o_custkey")
+    }),
+
     // ================= SURVEY §2.1/§2.6 scans & set-ops =================
 
     "s1_initial_scan" -> ((s, dir) =>
@@ -1751,6 +1788,38 @@ object SparkEntry {
         |  SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
         |GROUP BY p_brand, p_size
         |ORDER BY n_supp DESC, p_brand, p_size""".stripMargin,
+
+    "q25_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents,
+        |    CAST(SUM(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS disc_bps
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'disc_bps' AS measure, disc_bps AS value FROM a
+        |  UNION ALL
+        |  SELECT l_returnflag, 'price_cents', price_cents FROM a
+        |  UNION ALL
+        |  SELECT l_returnflag, 'qty', qty FROM a)
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q26_setops" ->
+      """WITH h1 AS (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |), h2 AS (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |)
+        |SELECT grp, o_custkey FROM (
+        |  SELECT 'both' AS grp, o_custkey FROM (SELECT o_custkey FROM h1 INTERSECT SELECT o_custkey FROM h2)
+        |  UNION ALL
+        |  SELECT 'only_h1', o_custkey FROM (SELECT o_custkey FROM h1 EXCEPT SELECT o_custkey FROM h2))
+        |ORDER BY grp, o_custkey""".stripMargin,
 
     "q24_pivot" ->
       """SELECT n_name,
