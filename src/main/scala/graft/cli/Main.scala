@@ -648,10 +648,11 @@ object Main {
       val t0 = System.nanoTime()
       graft.operators.AnnIndex.build(emb, root, cells)
       val dt = (System.nanoTime() - t0) / 1e9
-      val n = spark.read.parquet(s"$root/vectors").count()
-      val nc = spark.read.parquet(s"$root/vectors")
-        .select("cell").distinct().count()
-      println(f"index built in $dt%.1fs: $n vectors across $nc cells at $root")
+      val live = graft.operators.AnnIndex.vectors(spark, root)
+      val n = live.count()
+      val nc = live.select("cell").distinct().count()
+      val v = graft.operators.AnnIndex.version(spark, root)
+      println(f"index built in $dt%.1fs: $n vectors across $nc cells at $root (snapshot $v)")
       spark.stop()
 
     // index-search --root <dir> --query <vec_id> [--data <sfdir>]

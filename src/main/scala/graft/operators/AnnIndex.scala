@@ -1,27 +1,52 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.util.Try
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.StateCommit
 
 /** Persisted IVF index — the build-once / query-many form of
   * [[Similarity.ivfKmeansTopK]], which trains and scans in the same
   * query. A real corpus builds its index once and serves many query
-  * batches, and the index layout is what makes that cheap at 100 TB:
+  * batches, and the index layout is what makes that cheap at 100 TB.
   *
-  *   root/centroids/  — the trained coarse quantizer (tiny: nCells rows)
-  *   root/vectors/    — every (vec_id, embedding) PARTITIONED BY cell
+  * == Layout: versioned snapshots over immutable generations ==
   *
-  * The query path reads the centroid table (broadcast-size), ranks each
-  * query's probe cells against it map-only, and then reads ONLY the
-  * probed cells' partitions — the `cell IN (…)` predicate is a parquet
-  * PARTITION filter (plan-gated), so a 1000-executor scan touches
-  * nProbes/nCells of the corpus directories and no more. That is the
-  * IVF contract made physical: pruning happens at the FILE level before
-  * any task is scheduled, not per-row.
+  * {{{
+  *   root/CURRENT              — StateCommit pointer: the committed version
+  *   root/snap-v/centroids/    — snapshot v's coarse quantizer (nCells rows)
+  *   root/snap-v/manifest/     — snapshot v's live-cell map: (cell, gen)
+  *   root/gen-v/cell=C/        — IMMUTABLE data files written by mutation v
+  * }}}
   *
-  * The probe-cell list collects to the driver to form the pushable IN
-  * filter — bounded by nQueries × nProbes ints, the standard
-  * query-time partition-pruning shape (not a data collect).
+  * Every mutation ([[build]]/[[upsert]]/[[delete]]/[[compact]]) writes
+  * its touched cells as a fresh `gen-v` directory that nothing
+  * references yet, writes snapshot v's centroids + manifest (the
+  * manifest maps each live cell to the generation holding its current
+  * rows — touched cells point at the new generation, untouched cells
+  * keep their old entries), and then publishes with ONE atomic
+  * [[StateCommit.commit]] pointer swap. Readers resolve `CURRENT`
+  * first, so they see a mutation in full or not at all — a crash at
+  * any earlier point leaves only unreferenced directories that the
+  * deterministic replay overwrites (and generation GC removes once
+  * superseded). This closes the round-8 advisory: the old
+  * dynamic-partition-overwrite design published per-partition, so a
+  * crash mid-upsert exposed mixed generations until the replay.
+  *
+  * The same structure is why the index scales: data files are
+  * immutable (no read-own-overwrite hazard, no eager materialization
+  * barriers), untouched cells are never read OR re-written by a
+  * mutation, and the manifest — nCells rows, read on the driver — is
+  * the FILE-level pruning index: a probe set resolves to exactly its
+  * cells' directories before any task is scheduled, so a
+  * 1000-executor search touches nProbes/nCells of the corpus and no
+  * more. That is the IVF contract made physical, and it is the same
+  * snapshot/manifest discipline the table formats (Iceberg/Delta) use
+  * for exactly this problem.
   *
   * Training is [[Similarity.trainCentroids]] — the SAME quantizer as
   * the in-query operator, so `search(nProbes = 1)` over an index built
@@ -31,30 +56,164 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  private def centroidsPath(root: String) = s"$root/centroids"
-  private def vectorsPath(root: String) = s"$root/vectors"
+  private val Centroids = "centroids"
+  private val Manifest = "manifest"
 
-  /** Train the coarse quantizer and persist the cell-partitioned
-    * vector table. The assignment pass reads the PERSISTED centroids,
-    * so build and search rank against bit-identical values. */
+  private def genPath(root: String, gen: Long) = s"$root/gen-$gen"
+  private def cellDir(root: String, gen: Long, cell: String) =
+    s"${genPath(root, gen)}/cell=$cell"
+
+  /** The committed snapshot version; mutations bump it by one. */
+  def version(spark: SparkSession, root: String): Long =
+    StateCommit.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no committed ANN index at $root (run AnnIndex.build first)"))
+
+  /** The committed coarse quantizer (broadcast-sized). */
+  def centroids(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(
+      StateCommit.tableDir(root, version(spark, root), Centroids))
+
+  /** Snapshot v's live-cell map: cell (as the partition-directory
+    * string) -> generation holding its current rows. nCells rows. */
+  private def entriesOf(spark: SparkSession, root: String,
+      v: Long): Seq[(String, Long)] =
+    spark.read.parquet(StateCommit.tableDir(root, v, Manifest))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+
+  private def writeManifest(spark: SparkSession, root: String, v: Long,
+      entries: Seq[(String, Long)]): Unit = {
+    val s = spark; import s.implicits._
+    entries.toDF("cell", "gen").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(StateCommit.tableDir(root, v, Manifest))
+  }
+
+  /** Centroids are immutable between rebuilds, but every snapshot
+    * carries its own copy (nCells rows — metadata-sized) so the
+    * pointer swap publishes quantizer + contents together. */
+  private def carryCentroids(spark: SparkSession, root: String,
+      from: Long, to: Long): Unit =
+    spark.read.parquet(StateCommit.tableDir(root, from, Centroids))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(StateCommit.tableDir(root, to, Centroids))
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Cell values (partition-directory suffixes) present in a written
+    * generation — a mutation's touched cells that produced output. */
+  private def listCellDirs(spark: SparkSession, path: String): Seq[String] = {
+    val (fs, p) = fsOf(spark, path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map(_.getPath.getName.stripPrefix("cell="))
+      .sorted
+  }
+
+  /** Drop generation directories no longer referenced by any surviving
+    * snapshot manifest. [[StateCommit.commit]] GCs snapshots older than
+    * the one just superseded (the previous survives one round for
+    * in-flight readers), so a generation dies one commit after its last
+    * reference does. */
+  private def gcGenerations(spark: SparkSession, root: String): Unit = {
+    val (fs, rootP) = fsOf(spark, root)
+    val listed = Try(fs.listStatus(rootP).toSeq).getOrElse(Seq.empty)
+    val referenced: Set[Long] = listed
+      .filter(_.getPath.getName.startsWith("snap-"))
+      .flatMap { s =>
+        Try(spark.read.parquet(s"${s.getPath}/$Manifest")
+          .collect().map(_.getLong(1)).toSeq).getOrElse(Seq.empty)
+      }.toSet
+    val cur = StateCommit.currentVersion(spark, root).getOrElse(0L)
+    listed.filter(_.getPath.getName.startsWith("gen-")).foreach { g =>
+      Try(g.getPath.getName.stripPrefix("gen-").toLong).toOption.foreach {
+        gv => if (gv < cur && !referenced(gv)) fs.delete(g.getPath, true)
+      }
+    }
+  }
+
+  private def emptyVectors(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("cell", IntegerType))))
+
+  /** Read exactly `entries`' cell directories — path-level pruning:
+    * unreferenced cells are never listed, let alone scanned. Each
+    * generation is read with its own basePath so the `cell` partition
+    * column is recovered; cross-generation unions align the inferred
+    * partition type. */
+  private def readCells(spark: SparkSession, root: String,
+      entries: Seq[(String, Long)]): DataFrame = {
+    if (entries.isEmpty) return emptyVectors(spark)
+    val parts = entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (g, es) =>
+      spark.read.option("basePath", genPath(root, g))
+        .parquet(es.map(e => cellDir(root, g, e._1)).sorted: _*)
+    }
+    val cellT = parts.head.schema("cell").dataType
+    parts.map(_.withColumn("cell", col("cell").cast(cellT)))
+      .reduce(_.unionByName(_))
+  }
+
+  /** All live rows of the committed snapshot: (vec_id, embedding, cell). */
+  def vectors(spark: SparkSession, root: String): DataFrame = {
+    val v = version(spark, root)
+    readCells(spark, root, entriesOf(spark, root, v))
+  }
+
+  /** The pruned candidate scan for a probe-cell set — exposed for the
+    * plan gate (asserts `cell IN (…)` lands in PartitionFilters; the
+    * manifest additionally prunes at the PATH level, so unprobed cells'
+    * directories are never even listed). */
+  def prunedVectors(spark: SparkSession, root: String,
+      cells: Seq[Any]): DataFrame = {
+    val want = cells.map(_.toString).toSet
+    val v = version(spark, root)
+    val live = entriesOf(spark, root, v)
+    readCells(spark, root, live.filter(e => want(e._1)))
+      .where(col("cell").isin(cells: _*))
+  }
+
+  /** Train the coarse quantizer and persist the cell-partitioned vector
+    * table as snapshot v+1 (v=0 for a fresh root). The assignment pass
+    * reads the PERSISTED centroids, so build and search rank against
+    * bit-identical values. A rebuild over a live index retrains and
+    * re-lays-out everything — the FAISS retrain-vs-add split's retrain
+    * side — and replaces the whole manifest in one commit. */
   def build(embeddings: DataFrame, root: String, nCells: Int = 8): Unit = {
     val spark = embeddings.sparkSession
+    val v = StateCommit.currentVersion(spark, root).getOrElse(0L) + 1
     Similarity.trainCentroids(embeddings, nCells)
-      .write.mode("overwrite").parquet(centroidsPath(root))
-    val cents = spark.read.parquet(centroidsPath(root))
+      .write.mode("overwrite")
+      .parquet(StateCommit.tableDir(root, v, Centroids))
+    val cents = spark.read.parquet(StateCommit.tableDir(root, v, Centroids))
     Similarity.assignCells(embeddings, cents)
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(vectorsPath(root))
+      .parquet(genPath(root, v))
+    writeManifest(spark, root, v,
+      listCellDirs(spark, genPath(root, v)).map(_ -> v))
+    StateCommit.commit(spark, root, v)
+    gcGenerations(spark, root)
   }
 
   /** Top-k bucket search over a built index. `queries` is (qid, qe);
     * each query probes its `nProbes` nearest cells. Output contract is
     * [[Similarity.ivfKmeansTopK]]'s: (qid, cid, cos, rn), 6-dp-rounded
-    * cosine, cid tie-break, self-matches excluded. */
+    * cosine, cid tie-break, self-matches excluded.
+    *
+    * The probe-cell list collects to the driver to prune the manifest —
+    * bounded by nQueries × nProbes ints, the standard query-time
+    * partition-pruning shape (not a data collect). */
   def search(spark: SparkSession, root: String, queries: DataFrame,
       nProbes: Int = 1, k: Int = 5): DataFrame = {
-    val cents = spark.read.parquet(centroidsPath(root))
-    val raw = spark.read.parquet(vectorsPath(root))
+    val v = version(spark, root)
+    val cents = spark.read.parquet(StateCommit.tableDir(root, v, Centroids))
+    val live = entriesOf(spark, root, v)
+    val raw = readCells(spark, root, live)
     // partition-column type is inferred from the directory names — cast
     // the probe side to the READ type so the IN list prunes partitions
     // instead of planning a cast-wrapped row filter
@@ -66,137 +225,130 @@ object AnnIndex {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("centroid_id").cast(cellType).as("cell"))
     val cellVals = probes.select("cell").distinct().collect().map(_.get(0))
-    val vecs = raw.where(col("cell").isin(cellVals.toIndexedSeq: _*))
+    val want = cellVals.map(_.toString).toSet
+    val vecs = readCells(spark, root, live.filter(e => want(e._1)))
+      .where(col("cell").isin(cellVals.toIndexedSeq: _*))
       .select(col("vec_id").as("cid"), col("embedding").as("ce2"), col("cell"))
     Similarity.cellTopK(probes, vecs, k, raw)
   }
 
-  /** The pruned candidate scan for a probe-cell set — exposed for the
-    * plan gate (asserts `cell IN (…)` lands in PartitionFilters). */
-  def prunedVectors(spark: SparkSession, root: String,
-      cells: Seq[Any]): DataFrame =
-    spark.read.parquet(vectorsPath(root))
-      .where(col("cell").isin(cells: _*))
-
   /** Incremental maintenance between rebuilds: assign `batch` (vec_id,
     * embedding) against the PERSISTED centroids — no retraining, so
-    * existing cells stay valid — and rewrite ONLY the touched cell
-    * partitions, replacing same-id rows (id-keyed upsert, the
-    * [[graft.store.VectorStore]] merge discipline at index level).
+    * existing cells stay valid — and write the touched cells' new
+    * contents (kept rows + incoming, same-id rows replaced: id-keyed
+    * upsert, the [[graft.store.VectorStore]] merge discipline at index
+    * level) as one fresh generation, published atomically.
     *
-    * Scale posture: the batch's cells bound the rewrite — untouched
-    * partitions are never read or written (dynamic partition
-    * overwrite); the kept-rows read is partition-pruned to the touched
-    * cells. Centroid drift is the rebuild trigger, not this path's
-    * job: a corpus that shifts distribution re-runs [[build]] (the
-    * FAISS retrain-vs-add split). Durability here is per-partition
-    * (dynamic overwrite is not a single atomic commit) — an
-    * interrupted upsert re-applies cleanly because the write is
-    * id-keyed and deterministic, the [[graft.streaming.StateCommit]]
-    * replay-convergence stance. */
-  /** Small-file compaction: every [[upsert]]/[[delete]] rewrite leaves
-    * one task's worth of files per touched cell, so a long-lived index
-    * accumulates small files — the classic object-store operational
-    * tax (listing cost, task-per-file scheduling, row-group overhead).
-    * Compact rewrites each cell whose file count exceeds
-    * `maxFilesPerCell` into ONE file (a cell is one coarse quantizer
-    * region — single-file is the right target until a cell outgrows a
-    * task, which is the signal to re-train with more cells).
-    * Content-neutral by construction (same rows, new layout);
-    * untouched cells are never read. */
-  def compact(spark: SparkSession, root: String,
-      maxFilesPerCell: Int = 1): Unit = {
-    val base = new org.apache.hadoop.fs.Path(vectorsPath(root))
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val crowded = fs.listStatus(base).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-      .filter { st =>
-        fs.listStatus(st.getPath)
-          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) >
-          maxFilesPerCell
+    * Scale posture: the batch's cells bound the work — untouched cells
+    * are never read or written; the kept-rows read is manifest-pruned
+    * to the touched cells. Centroid drift is the rebuild trigger, not
+    * this path's job ([[build]], the FAISS retrain-vs-add split). An
+    * interrupted upsert is invisible (nothing references the partial
+    * generation) and the replay overwrites it — id-keyed and
+    * deterministic, the [[graft.streaming.StateCommit]] stance, now
+    * with the atomic publication to match. */
+  def upsert(spark: SparkSession, root: String, batch: DataFrame): Unit = {
+    val v0 = version(spark, root)
+    val v = v0 + 1
+    val cents = spark.read.parquet(StateCommit.tableDir(root, v0, Centroids))
+    val incoming = Similarity.assignCells(batch, cents)
+      .localCheckpoint() // the touched-cell collect and the write below
+                         // must not run the caller's batch plan twice
+    val touched = incoming.select("cell").distinct()
+      .collect().map(_.get(0).toString).toSet
+    val live = entriesOf(spark, root, v0)
+    val existing = live.filter(e => touched(e._1))
+    val newGen =
+      if (existing.isEmpty) incoming
+      else {
+        val kept = readCells(spark, root, existing)
+          .join(incoming.select("vec_id"), Seq("vec_id"), "left_anti")
+        kept.unionByName(incoming.withColumn("cell",
+          col("cell").cast(kept.schema("cell").dataType)))
       }
-      .map(_.getPath.getName.stripPrefix("cell="))
-    if (crowded.isEmpty) return
-    val raw = spark.read.parquet(vectorsPath(root))
-    // type the pruning literals to the read partition-column type so the
-    // IN list prunes partitions (a string-vs-int comparison would not)
-    val vals: Seq[Any] = raw.schema("cell").dataType match {
-      case org.apache.spark.sql.types.LongType => crowded.map(_.toLong)
-      case org.apache.spark.sql.types.IntegerType => crowded.map(_.toInt)
-      case _ => crowded
-    }
-    val rewritten = raw
-      .where(col("cell").isin(vals: _*))
-      .repartition(col("cell")) // one task -> one file per cell
-      .localCheckpoint()        // materialize before overwriting its input
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try rewritten.write.mode("overwrite").partitionBy("cell")
-      .parquet(vectorsPath(root))
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    newGen.write.mode("overwrite").partitionBy("cell")
+      .parquet(genPath(root, v))
+    carryCentroids(spark, root, v0, v)
+    writeManifest(spark, root, v,
+      listCellDirs(spark, genPath(root, v)).map(_ -> v) ++
+        live.filterNot(e => touched(e._1)))
+    StateCommit.commit(spark, root, v)
+    gcGenerations(spark, root)
   }
 
   /** Delete by id — the index-side mirror of the vector store's K4:
-    * locate the victims' cells with one id semi-join (ids are not the
-    * partition key, so this pass scans the id column of all cells —
-    * a metadata-sized read), then rewrite ONLY those cells without the
-    * victim rows. Ids absent from the index are no-ops; replays
-    * converge. */
+    * locate the victims' cells with one id semi-join over the live
+    * rows (ids are not the partition key, so this pass scans the id
+    * column of all cells — a metadata-sized read), then write the
+    * survivors of ONLY those cells as a fresh generation. A cell
+    * emptied by the delete simply drops out of the manifest — no
+    * directory deletion on the data path (the round-8 advisory's
+    * second non-atomic step, gone structurally). Ids absent from the
+    * index are no-ops; replays converge. */
   def delete(spark: SparkSession, root: String, ids: DataFrame): Unit = {
-    val raw = spark.read.parquet(vectorsPath(root))
+    val v0 = version(spark, root)
+    val live = entriesOf(spark, root, v0)
+    val raw = readCells(spark, root, live)
     val victims = ids.select(col("vec_id"))
     val touched = raw.join(victims, Seq("vec_id"), "left_semi")
-      .select("cell").distinct().collect().map(_.get(0))
+      .select("cell").distinct().collect().map(_.get(0).toString).toSet
     if (touched.isEmpty) return
-    val kept = raw.where(col("cell").isin(touched.toIndexedSeq: _*))
+    val v = v0 + 1
+    val kept = readCells(spark, root, live.filter(e => touched(e._1)))
       .join(victims, Seq("vec_id"), "left_anti")
-      .localCheckpoint() // materialize before overwriting its own input
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try kept.write.mode("overwrite").partitionBy("cell")
-      .parquet(vectorsPath(root))
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-    // a fully-emptied cell produces no output partition, so dynamic
-    // overwrite leaves its old directory (victims included) in place —
-    // drop those directories explicitly
-    val keptCells = kept.select("cell").distinct().collect().map(_.get(0)).toSet
-    val emptied = touched.filterNot(keptCells)
-    if (emptied.nonEmpty) {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val base = new org.apache.hadoop.fs.Path(vectorsPath(root))
-      val fs = base.getFileSystem(conf)
-      emptied.foreach { c =>
-        fs.delete(new org.apache.hadoop.fs.Path(base, s"cell=$c"), true)
-      }
-    }
+    kept.write.mode("overwrite").partitionBy("cell")
+      .parquet(genPath(root, v))
+    carryCentroids(spark, root, v0, v)
+    writeManifest(spark, root, v,
+      listCellDirs(spark, genPath(root, v)).map(_ -> v) ++
+        live.filterNot(e => touched(e._1)))
+    StateCommit.commit(spark, root, v)
+    gcGenerations(spark, root)
   }
 
-  def upsert(spark: SparkSession, root: String, batch: DataFrame): Unit = {
-    val cents = spark.read.parquet(centroidsPath(root))
-    val raw = spark.read.parquet(vectorsPath(root))
-    val cellType = raw.schema("cell").dataType
-    val incoming = Similarity.assignCells(batch, cents)
-      .withColumn("cell", col("cell").cast(cellType))
-      .localCheckpoint() // the touched-cell collect and the write below
-                         // must not re-run the caller's plan twice
-    val touched = incoming.select("cell").distinct().collect().map(_.get(0))
-    val kept = raw.where(col("cell").isin(touched.toIndexedSeq: _*))
-      .join(incoming.select("vec_id"), Seq("vec_id"), "left_anti")
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try kept.unionByName(incoming)
-      // materialize before overwriting the partitions the plan reads
-      .localCheckpoint()
-      .write.mode("overwrite").partitionBy("cell").parquet(vectorsPath(root))
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  /** Small-file compaction: every [[upsert]]/[[delete]] generation
+    * leaves one task's worth of files per touched cell, so a long-lived
+    * index accumulates small files — the classic object-store
+    * operational tax (listing cost, task-per-file scheduling, row-group
+    * overhead). Compact rewrites each cell whose file count exceeds
+    * `maxFilesPerCell` into ONE file (a cell is one coarse-quantizer
+    * region — single-file is the right target until a cell outgrows a
+    * task, which is the signal to re-train with more cells).
+    * Content-neutral by construction (same rows, new layout);
+    * untouched cells keep their manifest entries and are never read. */
+  def compact(spark: SparkSession, root: String,
+      maxFilesPerCell: Int = 1): Unit = {
+    val v0 = version(spark, root)
+    val live = entriesOf(spark, root, v0)
+    val crowded = live.filter { case (cell, g) =>
+      val (fs, p) = fsOf(spark, cellDir(root, g, cell))
+      Try(fs.listStatus(p)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+        .getOrElse(0) > maxFilesPerCell
     }
+    if (crowded.isEmpty) return
+    val v = v0 + 1
+    readCells(spark, root, crowded)
+      .repartition(col("cell")) // one task -> one file per cell
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(genPath(root, v))
+    carryCentroids(spark, root, v0, v)
+    writeManifest(spark, root, v,
+      listCellDirs(spark, genPath(root, v)).map(_ -> v) ++
+        live.filterNot(e => crowded.exists(_._1 == e._1)))
+    StateCommit.commit(spark, root, v)
+    gcGenerations(spark, root)
+  }
+
+  /** Per-cell parquet file counts of the committed snapshot — the
+    * [[compact]] trigger's input, exposed for ops/specs. */
+  def filesPerCell(spark: SparkSession, root: String): Map[String, Int] = {
+    val v = version(spark, root)
+    entriesOf(spark, root, v).map { case (cell, g) =>
+      val (fs, p) = fsOf(spark, cellDir(root, g, cell))
+      cell -> Try(fs.listStatus(p)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+        .getOrElse(0)
+    }.toMap
   }
 }

@@ -61,9 +61,14 @@ object StateCommit {
     Try {
       val in = fc(spark, root).open(new Path(root, Pointer))
       try {
-        val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0), StandardCharsets.UTF_8).trim.toLong
+        // read to EOF — a single read() may legally return a short count,
+        // which would mis-parse the version and silently treat prior
+        // state as absent (round-8 advisory)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray, StandardCharsets.UTF_8).trim.toLong
       } finally in.close()
     }.toOption
   }

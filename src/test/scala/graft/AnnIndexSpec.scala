@@ -48,7 +48,7 @@ class AnnIndexSpec extends SparkSpec {
   }
 
   test("probe cells prune at the partition level (PartitionFilters, not a row filter)") {
-    val cells = spark.read.parquet(s"$root/vectors")
+    val cells = AnnIndex.vectors(spark, root)
       .select("cell").distinct().limit(2).collect().map(_.get(0)).toSeq
     val p = AnnIndex.prunedVectors(spark, root, cells)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
@@ -83,17 +83,17 @@ class AnnIndexSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding"))
     AnnIndex.upsert(spark, dir, batch)
     // contents = base ∪ batch, assigned against the SAME persisted centroids
-    val cents = spark.read.parquet(s"$dir/centroids")
+    val cents = AnnIndex.centroids(spark, dir)
     val want = Similarity.assignCells(base.unionByName(emb.where(col("vec_id") >= 40 && col("vec_id") < 50)), cents)
       .select(col("vec_id"), col("cell").cast("long")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val got = spark.read.parquet(s"$dir/vectors")
+    val got = AnnIndex.vectors(spark, dir)
       .select(col("vec_id"), col("cell").cast("long")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want, s"index contents diverged after upsert")
     // replay the same batch: byte-identical state (id-keyed replace)
     AnnIndex.upsert(spark, dir, batch)
-    val got2 = spark.read.parquet(s"$dir/vectors")
+    val got2 = AnnIndex.vectors(spark, dir)
       .select(col("vec_id"), col("cell").cast("long")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got2 == got, "re-applied upsert changed the index")
@@ -110,7 +110,7 @@ class AnnIndexSpec extends SparkSpec {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ann_del").toString
     AnnIndex.build(emb.where(col("vec_id") < 60), dir, nCells = 8)
-    val before = spark.read.parquet(s"$dir/vectors")
+    val before = AnnIndex.vectors(spark, dir)
       .select(col("vec_id"), col("cell").cast("long")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     // pick one whole cell to empty + a couple of ids from another cell
@@ -119,7 +119,7 @@ class AnnIndexSpec extends SparkSpec {
     val otherIds = before.filter(_._2 != cellToEmpty).take(2).map(_._1)
     val victims = (emptyMembers.map(_._1) ++ otherIds).distinct
     AnnIndex.delete(spark, dir, victims.toSeq.toDF("vec_id"))
-    val after = spark.read.parquet(s"$dir/vectors")
+    val after = AnnIndex.vectors(spark, dir)
       .select(col("vec_id"), col("cell").cast("long")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(after == before.toSet -- before.filter(r => victims.contains(r._1)),
@@ -127,7 +127,7 @@ class AnnIndexSpec extends SparkSpec {
     assert(!after.exists(_._2 == cellToEmpty), "emptied cell still has rows")
     // replay + unknown ids: both no-ops
     AnnIndex.delete(spark, dir, (victims ++ Seq(999999L)).toSeq.toDF("vec_id"))
-    val after2 = spark.read.parquet(s"$dir/vectors")
+    val after2 = AnnIndex.vectors(spark, dir)
       .select(col("vec_id"), col("cell").cast("long")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(after2 == after)
@@ -157,7 +157,7 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.upsert(spark, dir2,
       emb.where(col("vec_id") >= 40 && col("vec_id") < 56)
         .select(col("vec_id"), col("embedding")))
-    def contents(d: String) = spark.read.parquet(s"$d/vectors")
+    def contents(d: String) = AnnIndex.vectors(spark, d)
       .select(col("vec_id"), col("cell").cast("long")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(contents(dir) == contents(dir2),
@@ -177,29 +177,83 @@ class AnnIndexSpec extends SparkSpec {
         emb.where(col("vec_id") >= 40 + i * 5 && col("vec_id") < 45 + i * 5)
           .select(col("vec_id"), col("embedding")))
     }
-    def filesPerCell: Map[String, Int] = {
-      val base = new org.apache.hadoop.fs.Path(s"$dir/vectors")
-      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(base).filter(_.isDirectory)
-        .filter(_.getPath.getName.startsWith("cell="))
-        .map(st => st.getPath.getName ->
-          fs.listStatus(st.getPath)
-            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
-        .toMap
-    }
+    def filesPerCell: Map[String, Int] = AnnIndex.filesPerCell(spark, dir)
     assert(filesPerCell.values.exists(_ > 1), "fixture never fragmented — test is vacuous")
-    val before = spark.read.parquet(s"$dir/vectors")
+    val before = AnnIndex.vectors(spark, dir)
       .select(col("vec_id"), col("cell").cast("long")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     AnnIndex.compact(spark, dir)
     assert(filesPerCell.values.forall(_ == 1),
       s"cells still fragmented: $filesPerCell")
-    val after = spark.read.parquet(s"$dir/vectors")
+    val after = AnnIndex.vectors(spark, dir)
       .select(col("vec_id"), col("cell").cast("long")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(after == before, "compaction changed index contents")
     // idempotent: nothing crowded -> no-op
     AnnIndex.compact(spark, dir)
     assert(filesPerCell.values.forall(_ == 1))
+  }
+
+  test("a crashed mutation is invisible until its pointer swap (atomic publication)") {
+    val dir = Files.createTempDirectory("graft_ann_torn").toString
+    AnnIndex.build(emb.where(col("vec_id") < 40), dir, nCells = 8)
+    def contents = AnnIndex.vectors(spark, dir)
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val before = contents
+    val beforeSearch = AnnIndex.search(spark, dir, q, nProbes = 2, k = 3)
+      .collect().map(_.toString).toSeq
+    assert(AnnIndex.version(spark, dir) == 1L)
+    // simulate a writer that crashed AFTER its data-generation and
+    // snapshot writes but BEFORE the pointer swap: a half-written
+    // gen-2 (3 rows only) plus snap-2 tables referencing it
+    val batch = emb.where(col("vec_id") >= 40 && col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"))
+    val partial = Similarity.assignCells(batch, AnnIndex.centroids(spark, dir))
+      .limit(3)
+    partial.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/gen-2")
+    AnnIndex.centroids(spark, dir).write.mode("overwrite")
+      .parquet(s"$dir/snap-2/centroids")
+    // readers still resolve CURRENT -> snapshot 1: nothing torn
+    assert(AnnIndex.version(spark, dir) == 1L, "uncommitted snapshot became visible")
+    assert(contents == before, "reader saw rows from an uncommitted generation")
+    val midSearch = AnnIndex.search(spark, dir, q, nProbes = 2, k = 3)
+      .collect().map(_.toString).toSeq
+    assert(midSearch == beforeSearch, "search saw a torn index")
+    // the replay overwrites the partial generation and commits atomically
+    AnnIndex.upsert(spark, dir, batch)
+    assert(AnnIndex.version(spark, dir) == 2L)
+    val wantAfter = Similarity.assignCells(
+        emb.where(col("vec_id") < 50).select(col("vec_id"), col("embedding")),
+        AnnIndex.centroids(spark, dir))
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(contents == wantAfter, "replay after torn write did not converge")
+  }
+
+  test("multi-probe recall vs brute force is high and monotone (nProbes 2..4)") {
+    val truth = Similarity.bruteForceTopK(emb, nQueries = 16, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nProbes: Int): Double = {
+      val got = AnnIndex.search(spark, root, queries(16), nProbes, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val rs = (1 to 4).map(p => p -> recall(p))
+    rs.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+      assert(rb >= ra, s"recall dropped: nProbes=$pa:$ra -> nProbes=$pb:$rb")
+    }
+    // quality contract for the multi-probe path, not just
+    // correctness-by-construction: half the probe budget must already
+    // recover most of the exact top-k on this corpus
+    assert(rs.toMap.apply(4) >= 0.8,
+      s"4-probe recall too low: ${rs.toMap.apply(4)} (full curve: $rs)")
+    // probing every cell IS brute force (sanity ceiling)
+    val all = AnnIndex.search(spark, root, queries(16), nProbes = 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == truth, "probing all cells diverged from brute force")
   }
 }
