@@ -46,6 +46,33 @@ object SparkEntry {
     floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
       (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
 
+  /** Scratch space for the layout-writing queries (j12/j13/
+    * sim_ann_store), which intentionally time the layout write inside
+    * the gated query. Each construction gets a fresh unique dir (and a
+    * nonce for catalog table names, so two concurrent sessions never
+    * share a name), and the PREVIOUS construction's artifacts for the
+    * same query are dropped first — bench loops and lint passes in one
+    * session hold at most one live scratch per query instead of
+    * accumulating orphans. The final scratch of a session is reaped by
+    * the next session's temp-dir hygiene (bounded: one dir per tag). */
+  private val layoutScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, () => Unit]()
+  private def freshScratch(s: SparkSession, tag: String,
+      tablesFor: String => Seq[String] = _ => Nil): (String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_").toString
+    val nonce = dir.substring(dir.lastIndexOf('_') + 1)
+    val tables = tablesFor(nonce)
+    val cleanup: () => Unit = () => {
+      tables.foreach(t => scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $t")))
+      scala.util.Try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }
+    Option(layoutScratch.put(tag, cleanup)).foreach(_.apply())
+    (dir, nonce)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ================= TPC-H-ish headline queries =================
@@ -426,15 +453,16 @@ object SparkEntry {
     // time), the join runs exchange-free (BucketingSpec pins the plan),
     // and the oracle is the PLAIN join — layout must never change rows.
     "j12_bucketed_join" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_bkt_q").toString
+      val (base, nonce) = freshScratch(s, "bkt_q",
+        n => Seq(s"gq_b_orders_$n", s"gq_b_lineitem_$n"))
       graft.operators.Bucketing.writeBucketed(
         Catalog.orders(s, dir).select("o_orderkey", "o_orderpriority"),
-        "gq_b_orders", "o_orderkey", 8, s"$base/orders")
+        s"gq_b_orders_$nonce", "o_orderkey", 8, s"$base/orders")
       graft.operators.Bucketing.writeBucketed(
         Catalog.lineitem(s, dir).select("l_orderkey", "l_quantity"),
-        "gq_b_lineitem", "l_orderkey", 8, s"$base/lineitem")
+        s"gq_b_lineitem_$nonce", "l_orderkey", 8, s"$base/lineitem")
       graft.operators.Bucketing
-        .cogroupJoin(s, "gq_b_lineitem", "gq_b_orders",
+        .cogroupJoin(s, s"gq_b_lineitem_$nonce", s"gq_b_orders_$nonce",
           "l_orderkey", "o_orderkey")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),
@@ -448,7 +476,7 @@ object SparkEntry {
     // table, so the layout's content-neutrality is hash-gated (the
     // file-pruning win itself is LayoutSpec's measured claim).
     "j13_zorder_scan" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_z_q").toString
+      val (base, _) = freshScratch(s, "z_q")
       graft.operators.Layout.zorderWrite(
         Catalog.lineitem(s, dir)
           .select("l_orderkey", "l_partkey", "l_quantity"),
@@ -883,7 +911,7 @@ object SparkEntry {
     // exactly ivfKmeansTopK's, so it shares that oracle (and AnnIndexSpec
     // pins the row-for-row equality + the PartitionFilters plan gate)
     "sim_ann_store" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_ann_q").toString
+      val (root, _) = freshScratch(s, "ann_q")
       val emb = Catalog.embeddings(s, dir)
       graft.operators.AnnIndex.build(emb, root, nCells = 8)
       graft.operators.AnnIndex.search(s, root,
