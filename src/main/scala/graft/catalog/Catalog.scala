@@ -23,8 +23,71 @@ object Catalog {
   /** Fixed epoch for all derived timestamps (injected clock — SURVEY §7.5.4). */
   val Base = "2024-01-01 00:00:00"
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Expected shapes of the DRIVER-OWNED testdata tables — the
+    * schema-drift guard the round-7 events breakage taught (the driver
+    * regenerated `events.ts` with a new physical type and fourteen
+    * queries failed with scattered analysis errors). Each reader now
+    * checks its table against this map at read time, so the next silent
+    * regeneration becomes ONE clear message naming the table and the
+    * drift instead. Acceptance sets are deliberately tolerant of
+    * harmless re-typings (integer widths, float widths, the known
+    * timestamp vintages [[events]] already branches on); only a type
+    * outside the set — the kind that breaks readers or oracles — trips
+    * the guard. Extra columns are allowed. */
+  private val ints = Set("int", "bigint", "smallint")
+  private val floats = Set("float", "double")
+  private val text = Set("string")
+  // the three events.ts vintages the reader branches on: micros
+  // (timestamp), micros-NTZ (timestamp_ntz), nanos-as-long (bigint)
+  private val tsVintages = Set("timestamp", "timestamp_ntz", "bigint")
+  private val expectedColumns: Map[String, Seq[(String, Set[String])]] = Map(
+    "region" -> Seq("r_regionkey" -> ints, "r_name" -> text),
+    "nation" -> Seq("n_nationkey" -> ints, "n_name" -> text,
+      "n_regionkey" -> ints),
+    "customer" -> Seq("c_custkey" -> ints, "c_name" -> text,
+      "c_nationkey" -> ints, "c_acctbal" -> floats, "c_mktsegment" -> text),
+    "supplier" -> Seq("s_suppkey" -> ints, "s_name" -> text,
+      "s_nationkey" -> ints, "s_acctbal" -> floats),
+    "part" -> Seq("p_partkey" -> ints, "p_name" -> text, "p_brand" -> text,
+      "p_type" -> text, "p_size" -> ints, "p_retailprice" -> floats),
+    "orders" -> Seq("o_orderkey" -> ints, "o_custkey" -> ints,
+      "o_orderstatus" -> text, "o_totalprice" -> floats,
+      "o_orderdate" -> tsVintages, "o_orderpriority" -> text),
+    "lineitem" -> Seq("l_orderkey" -> ints, "l_partkey" -> ints,
+      "l_suppkey" -> ints, "l_linenumber" -> ints, "l_quantity" -> floats,
+      "l_extendedprice" -> floats, "l_discount" -> floats, "l_tax" -> floats,
+      "l_returnflag" -> text, "l_linestatus" -> text,
+      "l_shipdate" -> tsVintages),
+    "events" -> Seq("event_id" -> ints, "ts" -> tsVintages,
+      "user_id" -> ints, "event_type" -> text, "value" -> floats,
+      "props" -> text),
+    "documents" -> Seq("doc_id" -> ints, "text" -> text, "lang" -> text,
+      "source" -> text, "n_chars" -> ints),
+    "embeddings" -> Seq("vec_id" -> ints,
+      "embedding" -> Set("array<float>", "array<double>"), "label" -> ints))
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    for (expected <- expectedColumns.get(name)) {
+      val actual = df.schema.fields
+        .map(f => f.name -> f.dataType.simpleString).toMap
+      val drifts = expected.flatMap { case (c, ok) =>
+        actual.get(c) match {
+          case None => Some(s"missing column: $c")
+          case Some(t) if !ok(t) =>
+            Some(s"$c: expected one of ${ok.toSeq.sorted.mkString("{", ", ", "}")}, found $t")
+          case _ => None
+        }
+      }
+      if (drifts.nonEmpty) throw new IllegalStateException(
+        s"testdata table '$name' at $dir drifted from its expected schema:\n  " +
+          drifts.mkString("\n  ") +
+          "\n(the driver likely regenerated this parquet with a new physical " +
+          "type — extend Catalog.expectedColumns / the reader branch; see " +
+          "Catalog.events for the ts-vintage pattern)")
+    }
+    df
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
