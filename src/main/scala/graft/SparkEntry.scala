@@ -418,7 +418,14 @@ object SparkEntry {
       val dim = Catalog.orders(s, dir)
         .where(col("o_orderkey") % 16 === 0)
         .select(col("o_orderkey"), col("o_orderpriority"))
-      graft.operators.BloomJoin.pruned(fact, "l_orderkey", dim, "o_orderkey")
+      val (joined, release) = graft.operators.BloomJoin
+        .prunedReleasable(fact, "l_orderkey", dim, "o_orderkey")
+      // bench loops rebuild this query many times per session: destroy
+      // the PREVIOUS construction's sketch broadcast (its executions
+      // are done by then) so blocks don't accumulate — same discipline
+      // as the layout scratch above
+      Option(layoutScratch.put("bloom_q", () => release())).foreach(_.apply())
+      joined
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast("long")).as("sum_qty"))

@@ -22,18 +22,30 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *
   * The probe is a broadcast-variable UDF (off codegen but row-local
   * and branch-free); the sketch build pays one pass over the DISTINCT
-  * keys. The broadcast is NOT destroyed here — the returned plan is
-  * lazy and may execute many times; callers with session-long
-  * lifetimes should build, consume, and release per batch (the
-  * [[Dedup.decontaminateBloom]] discipline).
+  * keys. The returned plan is lazy and may execute many times, so the
+  * broadcast cannot be destroyed here — [[prunedReleasable]] hands the
+  * caller a release hook instead; session-long callers should build,
+  * consume, and release per batch (the [[Dedup.decontaminateBloom]]
+  * discipline; the round-8 advisory's accumulating-broadcast fix).
   */
 object BloomJoin {
 
   /** `fact ⋈ keys` (inner, `factKey === dimKey`) with the fact
     * pre-filtered through a Bloom sketch of the key side. Long and
-    * string keys supported (the two id shapes in this engine). */
+    * string keys supported (the two id shapes in this engine).
+    * One-shot convenience over [[prunedReleasable]] — the sketch
+    * broadcast lives until session end; repeated callers should use
+    * the releasable form. */
   def pruned(fact: DataFrame, factKey: String, dim: DataFrame,
-      dimKey: String, fpp: Double = 0.01): DataFrame = {
+      dimKey: String, fpp: Double = 0.01): DataFrame =
+    prunedReleasable(fact, factKey, dim, dimKey, fpp)._1
+
+  /** [[pruned]] plus a release hook that destroys the broadcast
+    * sketch's driver+executor blocks. Call it only after every
+    * execution of the returned plan has finished — the plan is lazy
+    * and re-executes the probe on each action. */
+  def prunedReleasable(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, fpp: Double = 0.01): (DataFrame, () => Unit) = {
     val spark = fact.sparkSession
     val keyType = fact.schema(factKey).dataType
     if (keyType != LongType && keyType != StringType)
@@ -53,6 +65,7 @@ object BloomJoin {
         val f = udf((k: String) => k != null && bfB.value.mightContainString(k))
         f(col(factKey))
     }
-    fact.where(probe).join(dim, col(factKey) === col(dimKey))
+    (fact.where(probe).join(dim, col(factKey) === col(dimKey)),
+      () => bfB.destroy())
   }
 }

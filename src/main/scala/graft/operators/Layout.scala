@@ -37,12 +37,18 @@ object Layout {
     * at position i·d + j). `bits × cols.length` must fit in 63 bits —
     * in practice more than 3-4 layout dimensions dilutes every
     * per-column bounding box past usefulness anyway (the curse that
-    * makes wide z-order a smell, not a feature). */
+    * makes wide z-order a smell, not a feature).
+    *
+    * Inputs are cast to long BEFORE the shifts: Spark's `shiftleft`
+    * returns int for int input, so an IntegerType key would overflow
+    * into the sign bit at positions ≥ 31 and silently produce
+    * negative/colliding z-keys (round-8 advisory). */
   def zkeyN(cols: Seq[Column], bits: Int = 16): Column = {
     val d = cols.length
     require(d >= 1 && bits * d <= 63,
       s"zkeyN needs bits*cols <= 63, got $bits x $d")
-    cols.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, j)) =>
+    cols.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c0, j)) =>
+      val c = c0.cast("long")
       (0 until bits).foldLeft(acc) { (a, i) =>
         a.bitwiseOR(shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * d + j))
       }

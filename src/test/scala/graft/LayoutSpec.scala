@@ -84,6 +84,26 @@ class LayoutSpec extends SparkSpec {
       s"zkey range is [${keys.min}, ${keys.max}], want [0, 4095]")
   }
 
+  test("zkeyN is int-input safe: IntegerType keys interleave identically to long keys") {
+    // the round-8 advisory: shiftleft returns int for int input, so an
+    // IntegerType column at bit positions >= 31 overflowed into the
+    // sign bit — zkeyN now casts to long internally. Pin: int and long
+    // inputs produce the same keys, all non-negative, at bits=16 x 2
+    // cols (positions up to 31, the exact overflow point).
+    val vals = Seq(0, 1, 12345, 40000, 65535)
+    val pairs = for (a <- vals; b <- vals) yield (a, b)
+    val asInt = pairs.toDF("a", "b")
+      .select(Layout.zkey(col("a"), col("b"), 16).as("z"))
+      .as[Long].collect().toSeq
+    val asLong = pairs.map { case (a, b) => (a.toLong, b.toLong) }
+      .toDF("a", "b")
+      .select(Layout.zkey(col("a"), col("b"), 16).as("z"))
+      .as[Long].collect().toSeq
+    assert(asInt == asLong, "int-typed keys diverged from long-typed keys")
+    assert(asInt.forall(_ >= 0L), s"sign-bit overflow: ${asInt.filter(_ < 0)}")
+    assert(asInt.distinct.length == pairs.length, "int-typed keys collided")
+  }
+
   test("zkeyN generalizes: 3-column interleave is bijective on the tile grid") {
     val triples = for (a <- 0 until 16; b <- 0 until 16; c <- 0 until 16)
       yield (a.toLong, b.toLong, c.toLong)
