@@ -54,10 +54,18 @@ import graft.streaming.StateCommit
   * row-for-row (spec-gated, and the driver gate runs it as
   * sim_ann_store against the ivf-kmeans oracle).
   */
+/** Centroid-drift advisory (see [[AnnIndex.driftReport]]): build-time
+  * vs recent-upsert mean assignment cosine; `drifted` recommends a
+  * [[AnnIndex.build]] retrain. */
+case class DriftReport(buildMeanCos: Double, recentMeanCos: Double,
+    nRecent: Long, drifted: Boolean)
+
 object AnnIndex {
 
   private val Centroids = "centroids"
   private val Manifest = "manifest"
+  private val Stats = "stats"
+  private val Drift = "drift"
 
   private def genPath(root: String, gen: Long) = s"$root/gen-$gen"
   private def cellDir(root: String, gen: Long, cell: String) =
@@ -97,6 +105,56 @@ object AnnIndex {
     spark.read.parquet(StateCommit.tableDir(root, from, Centroids))
       .coalesce(1).write.mode("overwrite")
       .parquet(StateCommit.tableDir(root, to, Centroids))
+
+  /** Build-time assignment quality (one row: mean cosine of every
+    * vector to its assigned centroid, and the corpus size) — the
+    * reference point the drift monitor compares upsert batches to. */
+  private def writeStats(spark: SparkSession, root: String, v: Long,
+      meanCos: Double, n: Long): Unit = {
+    val s = spark; import s.implicits._
+    Seq((meanCos, n)).toDF("build_mean_cos", "n").coalesce(1)
+      .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Stats))
+  }
+
+  /** One row per upsert since the last build (seq, n, mean_cos) —
+    * reset by [[build]], carried forward by every other mutation;
+    * metadata-sized always. */
+  private def writeDrift(spark: SparkSession, root: String, v: Long,
+      rows: Seq[(Long, Long, Double)]): Unit = {
+    val s = spark; import s.implicits._
+    rows.toDF("seq", "n", "mean_cos").coalesce(1)
+      .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Drift))
+  }
+
+  private def readDrift(spark: SparkSession, root: String,
+      v: Long): Seq[(Long, Long, Double)] =
+    scala.util.Try(
+        spark.read.parquet(StateCommit.tableDir(root, v, Drift))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSeq.sortBy(_._1))
+      .getOrElse(Seq.empty)
+
+  /** Carry the stats row and the drift log from snapshot `from` into
+    * snapshot `to`, optionally appending one drift row for the
+    * mutation creating `to`. */
+  private def carryMonitor(spark: SparkSession, root: String,
+      from: Long, to: Long,
+      appendDrift: Option[(Long, Double)] = None): Unit = {
+    scala.util.Try {
+      spark.read.parquet(StateCommit.tableDir(root, from, Stats))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(StateCommit.tableDir(root, to, Stats))
+    }
+    writeDrift(spark, root, to,
+      readDrift(spark, root, from) ++
+        appendDrift.map { case (n, m) => (to, n, m) })
+  }
+
+  /** Mean assignment cosine + row count of a scored assignment. */
+  private def meanCosOf(scored: DataFrame): (Double, Long) = {
+    val r = scored.agg(avg(col("ccos")), count(lit(1))).head()
+    (Option(r.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0), r.getLong(1))
+  }
 
   private def fsOf(spark: SparkSession, path: String) = {
     val p = new Path(path)
@@ -191,9 +249,15 @@ object AnnIndex {
       .write.mode("overwrite")
       .parquet(StateCommit.tableDir(root, v, Centroids))
     val cents = spark.read.parquet(StateCommit.tableDir(root, v, Centroids))
-    Similarity.assignCells(embeddings, cents)
+    val scored = Similarity.assignCellsScored(embeddings, cents)
+    scored.drop("ccos")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(genPath(root, v))
+    // build-time assignment quality: the drift monitor's reference point
+    // (one extra broadcast-assignment pass — metadata-cheap vs the write)
+    val (buildMean, n) = meanCosOf(scored)
+    writeStats(spark, root, v, buildMean, n)
+    writeDrift(spark, root, v, Seq.empty) // a rebuild resets the log
     writeManifest(spark, root, v,
       listCellDirs(spark, genPath(root, v)).map(_ -> v))
     StateCommit.commit(spark, root, v)
@@ -251,9 +315,13 @@ object AnnIndex {
     val v0 = version(spark, root)
     val v = v0 + 1
     val cents = spark.read.parquet(StateCommit.tableDir(root, v0, Centroids))
-    val incoming = Similarity.assignCells(batch, cents)
-      .localCheckpoint() // the touched-cell collect and the write below
-                         // must not run the caller's batch plan twice
+    val scored = Similarity.assignCellsScored(batch, cents)
+      .localCheckpoint() // the touched-cell collect, the drift stat and
+                         // the write below must not run the caller's
+                         // batch plan three times
+    // drift signal: this batch's assignment quality vs build time
+    val (batchMean, batchN) = meanCosOf(scored)
+    val incoming = scored.drop("ccos")
     val touched = incoming.select("cell").distinct()
       .collect().map(_.get(0).toString).toSet
     val live = entriesOf(spark, root, v0)
@@ -269,11 +337,52 @@ object AnnIndex {
     newGen.write.mode("overwrite").partitionBy("cell")
       .parquet(genPath(root, v))
     carryCentroids(spark, root, v0, v)
+    carryMonitor(spark, root, v0, v, appendDrift = Some((batchN, batchMean)))
     writeManifest(spark, root, v,
       listCellDirs(spark, genPath(root, v)).map(_ -> v) ++
         live.filterNot(e => touched(e._1)))
     StateCommit.commit(spark, root, v)
     gcGenerations(spark, root)
+  }
+
+  /** Drift advisory for the streaming/incremental ingest path — closes
+    * the "centroid drift is a scheduled rebuild" hand-wave with an
+    * actual trigger: if the recent upsert batches assign to the FIXED
+    * centroids materially worse than the build-time corpus did (mean
+    * assignment cosine down by more than `margin`), the quantizer no
+    * longer fits the data and [[build]] should re-run (the FAISS
+    * retrain side). The stat costs one tiny agg per upsert, already
+    * paid; the advisory reads two metadata tables.
+    *
+    * Returns None before the first post-build upsert (nothing to judge
+    * — a fresh build is by definition un-drifted). `lastK` bounds the
+    * window to the most recent batches (row-weighted), so one early
+    * clean batch can't mask a later shift.
+    *
+    * Calibrating `margin`: the build-time mean is an IN-SAMPLE fit
+    * (the centroids were trained on those exact vectors), so even a
+    * perfectly stationary feed sits a generalization gap below it —
+    * the margin must exceed that gap. Measure the gap once with a
+    * stationary holdout batch right after a build (on this repo's
+    * synthetic random embeddings it is ~0.10; tightly clustered real
+    * corpora sit much lower), and set the margin above it; a true
+    * distribution shift lands far outside (the spec's mirrored feed
+    * drops ~0.5). */
+  def driftReport(spark: SparkSession, root: String,
+      margin: Double = 0.15, lastK: Int = 5): Option[DriftReport] = {
+    val v = version(spark, root)
+    val stats = scala.util.Try(
+        spark.read.parquet(StateCommit.tableDir(root, v, Stats)).head())
+      .toOption
+    val drift = readDrift(spark, root, v).takeRight(lastK)
+    for (s <- stats if drift.nonEmpty) yield {
+      val buildMean = s.getDouble(0)
+      val n = drift.map(_._2).sum
+      val recent =
+        if (n == 0L) buildMean
+        else drift.map(d => d._3 * d._2).sum / n
+      DriftReport(buildMean, recent, n, recent < buildMean - margin)
+    }
   }
 
   /** Delete by id — the index-side mirror of the vector store's K4:
@@ -299,6 +408,7 @@ object AnnIndex {
     kept.write.mode("overwrite").partitionBy("cell")
       .parquet(genPath(root, v))
     carryCentroids(spark, root, v0, v)
+    carryMonitor(spark, root, v0, v)
     writeManifest(spark, root, v,
       listCellDirs(spark, genPath(root, v)).map(_ -> v) ++
         live.filterNot(e => touched(e._1)))
@@ -333,6 +443,7 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(genPath(root, v))
     carryCentroids(spark, root, v0, v)
+    carryMonitor(spark, root, v0, v)
     writeManifest(spark, root, v,
       listCellDirs(spark, genPath(root, v)).map(_ -> v) ++
         live.filterNot(e => crowded.exists(_._1 == e._1)))

@@ -280,6 +280,15 @@ object Similarity {
       .where(col("arn") === 1)
       .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
 
+  /** [[assignCells]] keeping the winning cosine (`ccos`) — the
+    * assignment-quality signal the [[AnnIndex]] drift monitor folds. */
+  private[operators] def assignCellsScored(embeddings: DataFrame,
+      cents: DataFrame): DataFrame =
+    rankAgainst(embeddings, cents)
+      .where(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"),
+        col("centroid_id").as("cell"), col("ccos"))
+
   /** IVF with one Lloyd (k-means) refinement: seed-assign (first-N
     * centroids, as [[ivfAssign]]), recompute each cell's centroid as the
     * element-wise mean, re-assign against the refined centroids, then

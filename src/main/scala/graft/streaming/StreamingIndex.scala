@@ -18,8 +18,12 @@ import graft.operators.AnnIndex
   *
   * Scale posture: per batch, one broadcast assignment pass plus a
   * rewrite of at most the batch's cells; the index never re-trains on
-  * this path — centroid drift is a scheduled [[AnnIndex.build]], the
-  * standard retrain-vs-add split.
+  * this path — the retrain side is [[AnnIndex.build]], and it now has
+  * an actual trigger instead of a schedule: every upsert logs its
+  * batch's mean assignment cosine into the snapshot, and
+  * [[AnnIndex.driftReport]] recommends a rebuild when recent batches
+  * assign materially worse than the build-time corpus did
+  * (StreamingIndexSpec pins fires-on-shift / quiet-when-stationary).
   */
 object StreamingIndex {
 
