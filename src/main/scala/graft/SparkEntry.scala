@@ -496,6 +496,27 @@ object SparkEntry {
         .orderBy("l_partkey")
     }),
 
+    // Quantile-tiled z-order (the skew-resistant tiling), gated the
+    // same way as j13: lineitem rewrites with equi-DEPTH tile cuts on
+    // (suppkey, partkey), a 2-D range scan reads it back, and the
+    // oracle is the identical scan of the ORIGINAL table — both tiling
+    // strategies are now hash-gated content-neutral (the pruning-win
+    // comparison, quantile vs min/max on skewed keys, stays
+    // LayoutSpec's measured claim).
+    "j14_zorder_quantiled" -> ((s, dir) => {
+      val (base, _) = freshScratch(s, "zq_q")
+      graft.operators.Layout.zorderWriteQuantiled(
+        Catalog.lineitem(s, dir)
+          .select("l_suppkey", "l_partkey", "l_quantity"),
+        "l_suppkey", "l_partkey", s"$base/zq", nFiles = 8)
+      s.read.parquet(s"$base/zq")
+        .where(col("l_suppkey") <= 40 && col("l_partkey") <= 400)
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_suppkey")
+    }),
+
     // Q13-style order-count distribution: LEFT OUTER preserves
     // zero-order customers, COUNT(col) skips their NULL orderkeys (the
     // null-semantics trap COUNT(*) would fall into), and the histogram
@@ -1906,6 +1927,14 @@ object SparkEntry {
         |WHERE l_partkey <= 200
         |GROUP BY l_partkey
         |ORDER BY l_partkey""".stripMargin,
+
+    "j14_zorder_quantiled" ->
+      """SELECT l_suppkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_suppkey <= 40 AND l_partkey <= 400
+        |GROUP BY l_suppkey
+        |ORDER BY l_suppkey""".stripMargin,
 
     "q19_disjunctive" ->
       """SELECT p_brand, COUNT(*) AS n_items,

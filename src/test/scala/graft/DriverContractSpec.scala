@@ -46,7 +46,8 @@ class DriverContractSpec extends SparkSpec {
   // their own lint test below instead of hiding full table rewrites
   // inside the batch pass.
   private val layoutEager =
-    Set("j12_bucketed_join", "j13_zorder_scan", "sim_ann_store")
+    Set("j12_bucketed_join", "j13_zorder_scan", "j14_zorder_quantiled",
+      "sim_ann_store")
 
   private val eager = streamingEager ++ layoutEager
 
