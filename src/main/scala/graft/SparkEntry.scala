@@ -432,6 +432,26 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // j11's probe moved INSIDE whole-stage codegen: the sketch rides
+    // the plan as a binary literal probed through Spark's native
+    // BloomFilterMightContain (the InjectRuntimeFilter expression, with
+    // doGenCode), so there is no per-row UDF boxing and no broadcast to
+    // release. Same contract as j11 — no false negatives, false
+    // positives die in the equi-join — so the oracle is the plain join.
+    "j15_bloom_codegen" -> ((s, dir) => {
+      val fact = Catalog.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val dim = Catalog.orders(s, dir)
+        .where(col("o_orderkey") % 8 === 3)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.BloomJoin
+        .prunedCodegen(fact, "l_orderkey", dim, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Q19-style disjunctive predicate (OR-of-ANDs across both join
     // sides): the quantity bounds push to the lineitem scan as one OR
     // range (1..30 — the union of the branches), the part dim
@@ -857,6 +877,21 @@ object SparkEntry {
       Dedup.incrementalDedup(
         docs.where(col("doc_id") % 10 >= 8),
         docs.where(col("doc_id") % 10 < 8))
+    }),
+
+    // persisted dedup index: build-once/probe-many — the corpus's LSH
+    // band signatures persist as an immutable-generation index
+    // (StateCommit snapshots, tombstone deletes), and each incoming
+    // batch pays one signature pass + a broadcast probe instead of a
+    // corpus rescan. Band semantics are dd_lsh_pairs'; the oracle runs
+    // the same band chain once over the full corpus (signatures are
+    // row-local per doc) and splits batch/corpus in the final join.
+    "dd_index_query" -> ((s, dir) => {
+      val (root, _) = freshScratch(s, "ddidx_q")
+      val docs = Catalog.documents(s, dir)
+      graft.operators.DedupIndex.build(docs.where(col("doc_id") % 10 < 8), root)
+      graft.operators.DedupIndex.queryNearDups(s, root,
+        docs.where(col("doc_id") % 10 >= 8))
     }),
 
     // eval-leakage check: docs 0-4 act as the benchmark set
@@ -1975,6 +2010,15 @@ object SparkEntry {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    "j15_bloom_codegen" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey % 8 = 3
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q17_small_qty" ->
       """WITH li AS (
         |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
@@ -2461,6 +2505,26 @@ object SparkEntry {
         |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
         |WHERE a.doc_id < b.doc_id
         |ORDER BY d1, d2""".stripMargin),
+
+    // the persisted-index probe: same band chain (signatures are
+    // row-local, so one full-corpus pass splits exactly like the
+    // engine's separate batch/corpus passes), batch side = doc_id%10>=8,
+    // index side = doc_id%10<8; n_sig_match counts agreeing minhashes
+    "dd_index_query" -> (LshBandsCtes +
+      """
+        |, cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_id
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8
+        |)
+        |SELECT c.doc_id, c.dup_id,
+        |  CAST(SUM(CASE WHEN am.mh = bm.mh THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sig_match
+        |FROM cand c
+        |JOIN mh am ON am.doc_id = c.doc_id
+        |JOIN mh bm ON bm.doc_id = c.dup_id AND bm.j = am.j
+        |GROUP BY c.doc_id, c.dup_id
+        |ORDER BY c.doc_id, c.dup_id""".stripMargin),
 
     "dd_split_leak" -> (LshBandsCtes +
       s"""

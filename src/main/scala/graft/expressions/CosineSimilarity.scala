@@ -94,8 +94,27 @@ object GraftFunctions {
         ChunkGenerator(children(0), intOf(children(1)), intOf(children(2)))
       })
 
+  // Spark's own runtime-filter probe expression, exposed as a callable
+  // function: bloom_might_contain(<serialized sketch: binary literal>,
+  // <xxhash64'd key: long>). This is the codegen'd upgrade over a
+  // boxed mightContainLong UDF — BloomFilterMightContain carries
+  // doGenCode, deserializes the sketch once per task, and stays inside
+  // whole-stage codegen (the same plan shape InjectRuntimeFilter
+  // produces after its subquery executes). Used by
+  // [[graft.operators.BloomJoin.prunedCodegen]].
+  private val bloomMightContainDescriptor: Descriptor =
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "bloom_might_contain(sketch, value)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))
+      })
+
   private[expressions] val descriptors: Seq[Descriptor] =
-    Seq(cosineSimDescriptor, chunkGenDescriptor)
+    Seq(cosineSimDescriptor, chunkGenDescriptor, bloomMightContainDescriptor)
 
   /** Idempotently register graft's functions into an existing session. */
   def ensureRegistered(spark: SparkSession): Unit =

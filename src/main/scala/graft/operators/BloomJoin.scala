@@ -68,4 +68,40 @@ object BloomJoin {
     (fact.where(probe).join(dim, col(factKey) === col(dimKey)),
       () => bfB.destroy())
   }
+
+  /** [[pruned]] with the probe inside whole-stage codegen: both sides
+    * hash their key through `xxhash64` (one codegen'd expression, any
+    * key type), the sketch is built over the hashed longs, and the
+    * fact probes through Spark's native `BloomFilterMightContain` —
+    * the exact expression `InjectRuntimeFilter` plants, which carries
+    * `doGenCode` and deserializes the sketch once per task instead of
+    * boxing a UDF call per row.
+    *
+    * The serialized sketch rides in the plan as a binary literal
+    * (~1.2 MB per million keys at fpp=1%) — the same post-subquery
+    * shape Spark's own runtime filter executes, so there is no
+    * broadcast to release; the sketch's lifetime is the plan's. For
+    * dims big enough that a plan-embedded literal hurts (tens of MB),
+    * use [[prunedReleasable]] and pay the boxed probe.
+    *
+    * xxhash64(null) folds to the seed hash, so a null fact key can
+    * survive the probe as a false positive — and then dies in the
+    * inner equi-join like every other false positive. Row parity with
+    * the plain join is spec-gated (BloomJoinSpec). */
+  def prunedCodegen(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, fpp: Double = 0.01): DataFrame = {
+    val spark = fact.sparkSession
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
+    // snapshot: count + sketch build would each re-run the dim plan
+    val keys = Stage.snap(
+      dim.select(xxhash64(col(dimKey)).as("h")).distinct(),
+      materialize = true)
+    val n = math.max(1L, keys.count())
+    val bf = keys.stat.bloomFilter("h", n, fpp)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    val probe = call_function("bloom_might_contain",
+      lit(out.toByteArray), xxhash64(col(factKey)))
+    fact.where(probe).join(dim, col(factKey) === col(dimKey))
+  }
 }

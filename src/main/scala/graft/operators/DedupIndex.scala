@@ -1,0 +1,286 @@
+package graft.operators
+
+import scala.util.Try
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StateCommit
+
+/** Persisted MinHash-LSH dedup index — the build-once / probe-many
+  * form of [[Dedup.incrementalDedup]]: a real curation pipeline dedups
+  * every INCOMING batch against the accumulated corpus, and recomputing
+  * the corpus's band signatures per batch is a full corpus scan each
+  * time. This index persists the signatures once and lets each batch
+  * pay only its own signature pass plus a broadcast probe.
+  *
+  * == Layout: the [[AnnIndex]] snapshot discipline ==
+  *
+  * {{{
+  *   root/CURRENT            — StateCommit pointer: committed version
+  *   root/snap-v/meta/       — (k, r): the signature scheme, locked at build
+  *   root/snap-v/manifest/   — live generations: (gen, n_docs)
+  *   root/snap-v/tombstones/ — (doc_id, before_gen): doc rows in
+  *                             generations < before_gen are dead
+  *   root/gen-v/bands/       — IMMUTABLE (doc_id, band, sig) rows of mutation v
+  *   root/gen-v/sigs/        — IMMUTABLE (doc_id, mh0..mh{k-1}) of mutation v
+  * }}}
+  *
+  * Generations are append-only and immutable; replacement and deletion
+  * are TOMBSTONES (the Iceberg/Delta delete-file move): an upsert of an
+  * existing id writes the new rows into its own generation and marks
+  * the old ones dead with `before_gen = v`; a delete marks
+  * `before_gen = Long.MaxValue`; a later upsert of a deleted id
+  * replaces the tombstone, resurrecting the doc. Every mutation
+  * publishes manifest + tombstones (+ carried meta) with ONE atomic
+  * [[StateCommit.commit]] pointer swap, so readers see a mutation in
+  * full or not at all, and a crash leaves only unreferenced directories
+  * the deterministic replay overwrites. [[compact]] folds the live rows
+  * into a single generation and clears the tombstones — run it when the
+  * tombstone table (bounded by churn, not corpus size) stops being
+  * metadata-sized.
+  *
+  * Scale posture: the index never shuffles at query time — the incoming
+  * batch's band table (batch-sized) BROADCASTS into a map-side hash
+  * join against the index scan, so probing a 100 TB corpus with a
+  * 1 GB batch reads the index once and shuffles nothing but candidate
+  * pairs. Mutations cost one signature pass over their own rows plus a
+  * metadata-sized snapshot write; nothing ever rewrites the corpus.
+  * Signature semantics are exactly [[Dedup.lshBands]] /
+  * [[Dedup.minhashWide]] — the driver gate runs the probe against the
+  * same DuckDB band-chain oracle as dd_lsh_pairs.
+  */
+object DedupIndex {
+
+  private val Meta = "meta"
+  private val Manifest = "manifest"
+  private val Tombstones = "tombstones"
+  private val DeleteAll = Long.MaxValue
+
+  private def genPath(root: String, gen: Long) = s"$root/gen-$gen"
+  private def bandsDir(root: String, gen: Long) = s"${genPath(root, gen)}/bands"
+  private def sigsDir(root: String, gen: Long) = s"${genPath(root, gen)}/sigs"
+
+  /** The committed snapshot version; mutations bump it by one. */
+  def version(spark: SparkSession, root: String): Long =
+    StateCommit.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no committed dedup index at $root (run DedupIndex.build first)"))
+
+  /** The signature scheme locked at build time. */
+  def scheme(spark: SparkSession, root: String): (Int, Int) = {
+    val r = spark.read.parquet(
+      StateCommit.tableDir(root, version(spark, root), Meta)).head()
+    (r.getInt(0), r.getInt(1))
+  }
+
+  private def writeMeta(spark: SparkSession, root: String, v: Long,
+      k: Int, r: Int): Unit = {
+    val s = spark; import s.implicits._
+    Seq((k, r)).toDF("k", "r").coalesce(1)
+      .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Meta))
+  }
+
+  private def manifestOf(spark: SparkSession, root: String,
+      v: Long): Seq[(Long, Long)] =
+    spark.read.parquet(StateCommit.tableDir(root, v, Manifest))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+
+  private def writeManifest(spark: SparkSession, root: String, v: Long,
+      entries: Seq[(Long, Long)]): Unit = {
+    val s = spark; import s.implicits._
+    entries.toDF("gen", "n_docs").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(StateCommit.tableDir(root, v, Manifest))
+  }
+
+  private def tombstonesOf(spark: SparkSession, root: String,
+      v: Long): DataFrame =
+    spark.read.parquet(StateCommit.tableDir(root, v, Tombstones))
+
+  private def writeTombstones(spark: SparkSession, root: String, v: Long,
+      rows: DataFrame): Unit =
+    rows.select(col("doc_id").cast("long"), col("before_gen").cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(StateCommit.tableDir(root, v, Tombstones))
+
+  private def emptyTombstones(spark: SparkSession): DataFrame = {
+    val s = spark; import s.implicits._
+    Seq.empty[(Long, Long)].toDF("doc_id", "before_gen")
+  }
+
+  /** Tombstones for snapshot v: prior entries for ids NOT touched by
+    * this mutation, plus one fresh entry per touched id. Replacing (not
+    * max-merging) makes the LAST mutation win — delete-then-upsert
+    * resurrects, upsert-then-delete stays dead. */
+  private def mergedTombstones(prior: DataFrame, touchedIds: DataFrame,
+      beforeGen: Long): DataFrame =
+    prior.join(touchedIds, Seq("doc_id"), "left_anti")
+      .unionByName(touchedIds.select(col("doc_id"),
+        lit(beforeGen).as("before_gen")))
+
+  /** One signature pass over `documents`: (bands, sigs) with a `gen`
+    * column to write. Signature semantics are the dedup suite's. */
+  private def signatures(documents: DataFrame, k: Int,
+      r: Int): (DataFrame, DataFrame) =
+    (Dedup.lshBands(documents, k, r), Dedup.minhashWide(documents, k))
+
+  private def writeGen(spark: SparkSession, root: String, v: Long,
+      documents: DataFrame, k: Int, r: Int): Long = {
+    val (bands, sigs) = signatures(documents, k, r)
+    bands.write.mode("overwrite").parquet(bandsDir(root, v))
+    sigs.write.mode("overwrite").parquet(sigsDir(root, v))
+    spark.read.parquet(sigsDir(root, v)).count()
+  }
+
+  /** Union of the live generations' `sub` tables with a `gen` column,
+    * tombstone filter applied. The tombstone table broadcasts —
+    * bounded by churn since the last compaction, never corpus-sized. */
+  private def liveRows(spark: SparkSession, root: String, v: Long,
+      sub: String => String): DataFrame = {
+    val gens = manifestOf(spark, root, v)
+    require(gens.nonEmpty, s"empty manifest for $root snap-$v")
+    val unioned = gens.map { case (g, _) =>
+      spark.read.parquet(sub(s"${genPath(root, g)}"))
+        .withColumn("gen", lit(g))
+    }.reduce(_.unionByName(_))
+    val dead = tombstonesOf(spark, root, v)
+    unioned.join(broadcast(dead), Seq("doc_id"), "left_outer")
+      .where(col("before_gen").isNull || col("gen") >= col("before_gen"))
+      .drop("before_gen")
+  }
+
+  /** All live band rows: (doc_id, band, sig, gen). */
+  def bands(spark: SparkSession, root: String): DataFrame =
+    liveRows(spark, root, version(spark, root), p => s"$p/bands")
+
+  /** All live wide signatures: (doc_id, mh0..mh{k-1}, gen). */
+  def sigs(spark: SparkSession, root: String): DataFrame =
+    liveRows(spark, root, version(spark, root), p => s"$p/sigs")
+
+  /** Index the corpus from scratch: one signature pass, one generation,
+    * empty tombstones, atomic publish. Re-building over a live root
+    * replaces everything in one commit. */
+  def build(documents: DataFrame, root: String, k: Int = 16,
+      r: Int = 4): Unit = {
+    val spark = documents.sparkSession
+    val v = StateCommit.currentVersion(spark, root).getOrElse(0L) + 1
+    val n = writeGen(spark, root, v, documents, k, r)
+    writeMeta(spark, root, v, k, r)
+    writeManifest(spark, root, v, Seq(v -> n))
+    writeTombstones(spark, root, v, emptyTombstones(spark))
+    StateCommit.commit(spark, root, v)
+    gcGenerations(spark, root)
+  }
+
+  /** Add (or replace) a batch: one signature pass over the BATCH only,
+    * appended as its own generation; prior rows of the batch's ids die
+    * by tombstone. The corpus is never rescanned or rewritten. */
+  def upsert(spark: SparkSession, root: String, batch: DataFrame): Unit = {
+    val v0 = version(spark, root)
+    val v = v0 + 1
+    val (k, r) = scheme(spark, root)
+    writeGen(spark, root, v, batch, k, r)
+    // tombstone EVERY incoming id, not just signature-bearing ones: a
+    // doc shrunk below the 3-token shingle floor must still shed its
+    // old signatures
+    val ids = batch.select(col("doc_id").cast("long")).distinct()
+    writeTombstones(spark, root, v,
+      mergedTombstones(tombstonesOf(spark, root, v0), ids, beforeGen = v))
+    writeMeta(spark, root, v, k, r)
+    writeManifest(spark, root, v,
+      manifestOf(spark, root, v0) :+
+        (v -> spark.read.parquet(sigsDir(root, v)).count()))
+    StateCommit.commit(spark, root, v)
+    gcGenerations(spark, root)
+  }
+
+  /** Drop documents from the index (metadata-only: one tombstone row
+    * per id, no data rewrite). */
+  def delete(spark: SparkSession, root: String, ids: DataFrame): Unit = {
+    val v0 = version(spark, root)
+    val v = v0 + 1
+    val idRows = ids.select(col("doc_id").cast("long")).distinct()
+    writeTombstones(spark, root, v,
+      mergedTombstones(tombstonesOf(spark, root, v0), idRows, DeleteAll))
+    val (k, r) = scheme(spark, root)
+    writeMeta(spark, root, v, k, r)
+    writeManifest(spark, root, v, manifestOf(spark, root, v0))
+    StateCommit.commit(spark, root, v)
+    gcGenerations(spark, root)
+  }
+
+  /** Fold the live rows into ONE generation and clear the tombstones —
+    * run when churn has made the generation list or tombstone table
+    * worth collapsing. Superseded generations die at the next commit's
+    * GC (the previous snapshot survives one round for in-flight
+    * readers, the [[StateCommit]] stance). */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val v0 = version(spark, root)
+    val v = v0 + 1
+    liveRows(spark, root, v0, p => s"$p/bands").drop("gen")
+      .write.mode("overwrite").parquet(bandsDir(root, v))
+    liveRows(spark, root, v0, p => s"$p/sigs").drop("gen")
+      .write.mode("overwrite").parquet(sigsDir(root, v))
+    val (k, r) = scheme(spark, root)
+    writeMeta(spark, root, v, k, r)
+    writeManifest(spark, root, v,
+      Seq(v -> spark.read.parquet(sigsDir(root, v)).count()))
+    writeTombstones(spark, root, v, emptyTombstones(spark))
+    StateCommit.commit(spark, root, v)
+    gcGenerations(spark, root)
+  }
+
+  /** Near-dup candidates of an INCOMING batch against the index:
+    * (doc_id [incoming], dup_id [indexed], n_sig_match) — candidates
+    * from the band equi-join (never all-pairs), n_sig_match = how many
+    * of the k minhashes agree (k·J/(2−J) expected under Jaccard J; the
+    * verification signal a curation pipeline thresholds on).
+    *
+    * The batch side computes its own signatures in-flight and
+    * BROADCASTS them — the index scan joins map-side, so the corpus
+    * never shuffles. Self-matches (same id on both sides) are excluded:
+    * a re-probed doc is its own trivial dup. */
+  def queryNearDups(spark: SparkSession, root: String,
+      incoming: DataFrame): DataFrame = {
+    val (k, r) = scheme(spark, root)
+    val (qBands, qSigs) = signatures(incoming, k, r)
+    val cand = bands(spark, root)
+      .select(col("doc_id").as("dup_id"), col("band"), col("sig"))
+      .join(broadcast(qBands), Seq("band", "sig"))
+      .where(col("doc_id") =!= col("dup_id"))
+      .select("doc_id", "dup_id").distinct()
+    val matchCount = (0 until k).map(j =>
+      when(col(s"mh$j") === col(s"q$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val qWide = qSigs.select(col("doc_id") +:
+      (0 until k).map(j => col(s"mh$j").as(s"q$j")): _*)
+    cand
+      .join(broadcast(qWide), Seq("doc_id"))
+      .join(sigs(spark, root).withColumnRenamed("doc_id", "dup_id")
+        .drop("gen"), Seq("dup_id"))
+      .select(col("doc_id"), col("dup_id"),
+        matchCount.as("n_sig_match"))
+      .orderBy("doc_id", "dup_id")
+  }
+
+  private def gcGenerations(spark: SparkSession, root: String): Unit = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed = Try(fs.listStatus(p).toSeq).getOrElse(Seq.empty)
+    val referenced: Set[Long] = listed
+      .filter(_.getPath.getName.startsWith("snap-"))
+      .flatMap { s =>
+        Try(spark.read.parquet(s"${s.getPath}/$Manifest")
+          .collect().map(_.getLong(0)).toSeq).getOrElse(Seq.empty)
+      }.toSet
+    val cur = StateCommit.currentVersion(spark, root).getOrElse(0L)
+    listed.filter(_.getPath.getName.startsWith("gen-")).foreach { g =>
+      Try(g.getPath.getName.stripPrefix("gen-").toLong).toOption.foreach {
+        gv => if (gv < cur && !referenced(gv)) fs.delete(g.getPath, true)
+      }
+    }
+  }
+}

@@ -47,7 +47,7 @@ class DriverContractSpec extends SparkSpec {
   // inside the batch pass.
   private val layoutEager =
     Set("j12_bucketed_join", "j13_zorder_scan", "j14_zorder_quantiled",
-      "sim_ann_store")
+      "sim_ann_store", "dd_index_query")
 
   private val eager = streamingEager ++ layoutEager
 
