@@ -879,6 +879,26 @@ object SparkEntry {
         docs.where(col("doc_id") % 10 < 8))
     }),
 
+    // incrementally-maintained GROUP BY view: the orders fact arrives
+    // as three append-only batches, each folded into the persisted
+    // per-priority aggregate by a keyed partial-merge — history is
+    // never rescanned, so the oracle (one full-scan GROUP BY) passing
+    // proves the merge algebra, the replay guard and the snapshot
+    // publication all compose to the exact batch answer.
+    "ia_priority_rollup" -> ((s, dir) => {
+      val (root, _) = freshScratch(s, "iagg_q")
+      val ord = Catalog.orders(s, dir).select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("total_cents"))
+      (0 until 3).foreach { b =>
+        graft.operators.IncrementalAgg.ingest(s, root,
+          ord.where(pmod(col("total_cents"), lit(3)) === b),
+          keys = Seq("o_orderpriority"), values = Seq("total_cents"),
+          batchId = b + 1L)
+      }
+      graft.operators.IncrementalAgg.view(s, root, Seq("total_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // persisted dedup index: build-once/probe-many — the corpus's LSH
     // band signatures persist as an immutable-generation index
     // (StateCommit snapshots, tombstone deletes), and each incoming
@@ -2007,6 +2027,21 @@ object SparkEntry {
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderkey % 16 = 0
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "ia_priority_rollup" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS tc
+        |  FROM orders
+        |)
+        |SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(tc) AS BIGINT) AS sum_total_cents,
+        |  MIN(tc) AS min_total_cents,
+        |  MAX(tc) AS max_total_cents,
+        |  CAST(SUM(tc) AS BIGINT) // COUNT(*) AS avg_total_cents
+        |FROM o
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+import graft.operators.IncrementalAgg
+import graft.streaming.StateCommit
+
+/** Incrementally-maintained aggregates: batch-merge equivalence with
+  * the full-scan GROUP BY, replay idempotence, batch-order
+  * independence, and atomic publication.
+  */
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys = Seq("o_orderpriority")
+  private val values = Seq("total_cents")
+
+  private def freshRoot() =
+    Files.createTempDirectory("graft_iagg_spec_").toString
+
+  private def fact: DataFrame =
+    Catalog.orders(spark, sfDir).select(col("o_orderkey"),
+      col("o_orderpriority"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("total_cents"))
+
+  private def batches: Seq[DataFrame] =
+    (0 until 3).map(b => fact.where(col("o_orderkey") % 3 === b))
+
+  private def fullScan: Seq[String] =
+    fact.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        sum("total_cents").as("sum_total_cents"),
+        min("total_cents").as("min_total_cents"),
+        max("total_cents").as("max_total_cents"))
+      .select("o_orderpriority", "cnt", "sum_total_cents",
+        "min_total_cents", "max_total_cents")
+      .collect().map(_.toString).sorted.toSeq
+
+  private def stateOf(root: String): Seq[String] =
+    IncrementalAgg.read(spark, root).get
+      .select("o_orderpriority", "cnt", "sum_total_cents",
+        "min_total_cents", "max_total_cents")
+      .collect().map(_.toString).sorted.toSeq
+
+  test("three-batch maintenance equals the full-scan GROUP BY") {
+    val root = freshRoot()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      assert(IncrementalAgg.ingest(spark, root, b.drop("o_orderkey"),
+        keys, values, batchId = i + 1L))
+    }
+    assert(stateOf(root) == fullScan, "maintained state diverged from full scan")
+  }
+
+  test("batch order does not matter (long merge algebra is commutative)") {
+    val fwd = freshRoot(); val rev = freshRoot()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IncrementalAgg.ingest(spark, fwd, b, keys, values, i + 1L)
+    }
+    batches.reverse.zipWithIndex.foreach { case (b, i) =>
+      IncrementalAgg.ingest(spark, rev, b, keys, values, i + 1L)
+    }
+    assert(stateOf(fwd) == stateOf(rev), "merge result depends on batch order")
+  }
+
+  test("replayed batch id is a guarded no-op — never double-counts") {
+    val root = freshRoot()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IncrementalAgg.ingest(spark, root, b, keys, values, i + 1L)
+    }
+    val before = stateOf(root)
+    assert(!IncrementalAgg.ingest(spark, root, batches(1), keys, values, 2L),
+      "replay of an applied batch id was not refused")
+    assert(stateOf(root) == before, "replay mutated the state")
+    assert(IncrementalAgg.lastBatch(spark, root) == 3L)
+  }
+
+  test("a key first seen in a later batch merges from null state correctly") {
+    val root = freshRoot()
+    val b1 = Seq(("A", 10L), ("A", 20L)).toDF("k", "v")
+    val b2 = Seq(("B", 5L), ("A", 1L)).toDF("k", "v")
+    IncrementalAgg.ingest(spark, root, b1, Seq("k"), Seq("v"), 1L)
+    IncrementalAgg.ingest(spark, root, b2, Seq("k"), Seq("v"), 2L)
+    val got = IncrementalAgg.read(spark, root).get
+      .select("k", "cnt", "sum_v", "min_v", "max_v")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("A", 3L, 31L, 1L, 20L), ("B", 1L, 5L, 5L, 5L)), got.toString)
+  }
+
+  test("publication is atomic: an unreferenced snapshot is invisible") {
+    val root = freshRoot()
+    IncrementalAgg.ingest(spark, root, batches(0), keys, values, 1L)
+    val before = stateOf(root)
+    // simulate a crash mid-ingest: the snapshot data lands, but the
+    // pointer never swings
+    batches(1).groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+      .write.parquet(StateCommit.tableDir(root, 2L, "aggs"))
+    assert(IncrementalAgg.lastBatch(spark, root) == 1L,
+      "uncommitted snapshot changed the visible batch id")
+    assert(stateOf(root) == before, "reader saw uncommitted state")
+    // the deterministic replay overwrites the orphan and publishes
+    assert(IncrementalAgg.ingest(spark, root, batches(1), keys, values, 2L))
+    assert(IncrementalAgg.lastBatch(spark, root) == 2L)
+  }
+
+  test("view derives exact integer averages (sum div cnt)") {
+    val root = freshRoot()
+    val b = Seq(("A", 10L), ("A", 11L)).toDF("k", "v")
+    IncrementalAgg.ingest(spark, root, b, Seq("k"), Seq("v"), 1L)
+    val avg = IncrementalAgg.view(spark, root, Seq("v"))
+      .select("avg_v").as[Long].head()
+    assert(avg == 10L, s"expected truncating 21 div 2 = 10, got $avg")
+  }
+}
