@@ -347,6 +347,51 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // Q2-style min-cost supplier per part: the textbook correlated
+    // scalar subquery (cost = MIN(cost) among the part's suppliers)
+    // collapses into ONE argmin aggregation — min(struct(cost, supp))
+    // is lexicographic, so a single map-side-combinable fact shuffle
+    // yields the min cost AND its smallest-suppkey witness with no
+    // window sort and no second fact pass; the oracle mirrors the tie
+    // break with a min-cost join-back + MIN(suppkey).
+    "q2_min_cost_supp" -> ((s, dir) => {
+      val part = Catalog.part(s, dir).where(col("p_size") === 15)
+        .select("p_partkey", "p_name")
+      val li = Catalog.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cost_cents"))
+      val best = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_partkey", "p_name")
+        .agg(min(struct(col("cost_cents"), col("l_suppkey"))).as("m"))
+        .select(col("p_partkey"), col("p_name"),
+          col("m.cost_cents").as("min_cost_cents"),
+          col("m.l_suppkey").as("s_suppkey"))
+      best
+        .join(broadcast(Catalog.supplier(s, dir).select("s_suppkey", "s_name")),
+          Seq("s_suppkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "min_cost_cents")
+        .orderBy("p_partkey")
+    }),
+
+    // Q20-style excess-shipment chain: name-filtered parts (broadcast)
+    // gate the fact scan, the per-supplier shipped total derives the
+    // admission filter, and the supplier dim joins the RESULT — the
+    // nested-IN chain as two narrowing broadcast semi-joins around one
+    // aggregation, so the fact shuffles once and only filtered rows.
+    "q20_excess_supp" -> ((s, dir) => {
+      val red = Catalog.part(s, dir).where(col("p_name").like("red %"))
+        .select("p_partkey")
+      Catalog.lineitem(s, dir).select("l_partkey", "l_suppkey", "l_quantity")
+        .join(broadcast(red), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .where(col("sum_qty") > 2000)
+        .join(broadcast(Catalog.supplier(s, dir).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "sum_qty")
+        .orderBy("s_suppkey")
+    }),
+
     // Q16-style supplier diversity per part group (distinct-count with
     // an exclusion set): suppliers on a denylist drop via a broadcast
     // left-anti join BEFORE the fact joins the part dim; the distinct
@@ -2029,6 +2074,39 @@ object SparkEntry {
         |WHERE o_orderkey % 16 = 0
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q2_min_cost_supp" ->
+      """WITH c AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cost_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size = 15
+        |), m AS (
+        |  SELECT l_partkey, MIN(cost_cents) AS min_cost_cents
+        |  FROM c GROUP BY l_partkey
+        |), w AS (
+        |  SELECT c.l_partkey, MIN(c.l_suppkey) AS s_suppkey, m.min_cost_cents
+        |  FROM c JOIN m ON c.l_partkey = m.l_partkey
+        |              AND c.cost_cents = m.min_cost_cents
+        |  GROUP BY c.l_partkey, m.min_cost_cents
+        |)
+        |SELECT p_partkey, p_name, s.s_suppkey, s.s_name, w.min_cost_cents
+        |FROM w JOIN part ON w.l_partkey = p_partkey
+        |       JOIN supplier s ON w.s_suppkey = s.s_suppkey
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q20_excess_supp" ->
+      """WITH shipped AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red %'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name, sum_qty
+        |FROM shipped JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE sum_qty > 2000
+        |ORDER BY s_suppkey""".stripMargin,
 
     "ia_priority_rollup" ->
       """WITH o AS (

@@ -458,6 +458,40 @@ class PlanInvariantsSpec extends SparkSpec {
       s"unpruned lineitem columns\n$p")
   }
 
+  test("q2: argmin is ONE partial-agged fact shuffle — no window sort, no fact rescan") {
+    val p = planOf("q2_min_cost_supp")
+    assert(!p.contains("Window"), s"argmin fell back to a window sort\n$p")
+    val factScans = p.linesIterator
+      .count(l => l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(factScans == 1, s"lineitem scanned $factScans times\n$p")
+    // struct-min aggregates via SortAggregate, but the partial side must
+    // still combine BEFORE the exchange (the shuffle carries one row per
+    // group, not the fact)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 1, s"expected <=1 hash shuffle, got $hashExchanges\n$p")
+    assert("(?s)SortAggregate.*Exchange.*SortAggregate".r.findFirstIn(p).isDefined ||
+      p.contains("HashAggregate"), s"no partial aggregation before the shuffle\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q20: the name filter pushes to the part scan; both dims broadcast around one agg") {
+    val p = planOf("q20_excess_supp")
+    assert(p.contains("PushedFilters") && p.contains("StringStartsWith(p_name,red"),
+      s"LIKE 'red %' did not push as a prefix filter\n$p")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 2, s"expected both dims broadcast, got $broadcasts\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 1, s"expected <=1 hash shuffle, got $hashExchanges\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("j15: the codegen bloom probe filters the fact BEFORE its shuffle, natively") {
+    val p = planOf("j15_bloom_codegen")
+    assert(p.contains("bloom_might_contain") || p.contains("might_contain"),
+      s"native probe missing\n$p")
+    assert(!p.contains("UDF"), s"probe fell back to a boxed UDF\n$p")
+  }
+
   test("q19: the quantity range pushes to the scan; brand dim broadcasts; residual OR post-join") {
     val p = planOf("q19_disjunctive")
     assert(p.contains("BroadcastHashJoin"), p)
