@@ -959,6 +959,18 @@ object SparkEntry {
         docs.where(col("doc_id") % 10 >= 8))
     }),
 
+    // the index probe aggregated to per-doc curation verdicts: one row
+    // per incoming doc (new / near_dup / likely_exact), best candidate
+    // by (sig matches, smallest id) — the drop/keep list dedup-at-
+    // ingest applies ([[StreamingDedup]] writes exactly this per batch)
+    "dd_index_classify" -> ((s, dir) => {
+      val (root, _) = freshScratch(s, "ddcls_q")
+      val docs = Catalog.documents(s, dir)
+      graft.operators.DedupIndex.build(docs.where(col("doc_id") % 10 < 8), root)
+      graft.operators.DedupIndex.classifyBatch(s, root,
+        docs.where(col("doc_id") % 10 >= 8))
+    }),
+
     // eval-leakage check: docs 0-4 act as the benchmark set
     "dd_decontaminate" -> ((s, dir) => {
       val docs = Catalog.documents(s, dir)
@@ -2638,6 +2650,46 @@ object SparkEntry {
         |JOIN mh bm ON bm.doc_id = c.dup_id AND bm.j = am.j
         |GROUP BY c.doc_id, c.dup_id
         |ORDER BY c.doc_id, c.dup_id""".stripMargin),
+
+    // verdict aggregation of the index probe: per incoming doc, the
+    // candidate count, the best candidate by (sig matches, smallest
+    // id) — mirrored via max-match join-back + MIN(dup_id) — and the
+    // new/near_dup/likely_exact verdict at k=16
+    "dd_index_classify" -> (LshBandsCtes +
+      """
+        |, cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_id
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8
+        |), pm AS (
+        |  SELECT c.doc_id, c.dup_id,
+        |    CAST(SUM(CASE WHEN am.mh = bm.mh THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_sig_match
+        |  FROM cand c
+        |  JOIN mh am ON am.doc_id = c.doc_id
+        |  JOIN mh bm ON bm.doc_id = c.dup_id AND bm.j = am.j
+        |  GROUP BY c.doc_id, c.dup_id
+        |), agg AS (
+        |  SELECT doc_id, COUNT(DISTINCT dup_id) AS n_candidates,
+        |    MAX(n_sig_match) AS best_sig_match
+        |  FROM pm GROUP BY doc_id
+        |), best AS (
+        |  SELECT a.doc_id, a.n_candidates, a.best_sig_match,
+        |    MIN(p.dup_id) AS best_dup_id
+        |  FROM agg a JOIN pm p ON p.doc_id = a.doc_id
+        |                      AND p.n_sig_match = a.best_sig_match
+        |  GROUP BY a.doc_id, a.n_candidates, a.best_sig_match
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(b.n_candidates, 0) AS n_candidates,
+        |  b.best_dup_id,
+        |  COALESCE(b.best_sig_match, 0) AS best_sig_match,
+        |  CASE WHEN b.doc_id IS NULL THEN 'new'
+        |       WHEN b.best_sig_match = 16 THEN 'likely_exact'
+        |       ELSE 'near_dup' END AS verdict
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+        |LEFT JOIN best b ON b.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
 
     "dd_split_leak" -> (LshBandsCtes +
       s"""

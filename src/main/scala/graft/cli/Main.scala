@@ -674,8 +674,53 @@ object Main {
       hits.foreach(r => println(f"  rank ${r.getInt(3)}%2d  vec ${r.getLong(1)}%6d  cos ${r.getDouble(2)}%.6f"))
       spark.stop()
 
+    // dedup-build --data <sfdir> --root <dir> [--split N] [--k N] [--r N]:
+    // persist the LSH band-signature index over the documents table
+    // (doc_id % 10 < split; split=10 indexes everything).
+    case Some("dedup-build") =>
+      val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
+      val root = opt(args, "root").getOrElse { System.err.println("error: --root required"); sys.exit(2); "" }
+      val split = opt(args, "split").getOrElse("8").toInt
+      val k = opt(args, "k").getOrElse("16").toInt
+      val r = opt(args, "r").getOrElse("4").toInt
+      val spark = session()
+      val docs = graft.catalog.Catalog.documents(spark, data)
+        .where(col("doc_id") % 10 < split)
+      val t0 = System.nanoTime()
+      graft.operators.DedupIndex.build(docs, root, k, r)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val n = graft.operators.DedupIndex.sigs(spark, root).count()
+      val v = graft.operators.DedupIndex.version(spark, root)
+      println(f"dedup index built in $dt%.1fs: $n docs, scheme k=$k r=$r at $root (snapshot $v)")
+      spark.stop()
+
+    // dedup-classify --data <sfdir> --root <dir> [--split N]: classify
+    // the held-out tail (doc_id % 10 >= split) against the index and
+    // print the verdict histogram + the flagged docs.
+    case Some("dedup-classify") =>
+      val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
+      val root = opt(args, "root").getOrElse { System.err.println("error: --root required"); sys.exit(2); "" }
+      val split = opt(args, "split").getOrElse("8").toInt
+      val spark = session()
+      val batch = graft.catalog.Catalog.documents(spark, data)
+        .where(col("doc_id") % 10 >= split)
+      val (schemeK, _) = graft.operators.DedupIndex.scheme(spark, root)
+      val verdicts = graft.operators.DedupIndex.classifyBatch(spark, root, batch)
+        .localCheckpoint() // histogram + detail rows: one probe, two reads
+      verdicts.groupBy("verdict").count().orderBy("verdict").collect()
+        .foreach(row => println(f"  ${row.getString(0)}%-14s ${row.getLong(1)}%6d"))
+      val flagged = verdicts.where(col("verdict") =!= "new")
+        .orderBy(col("best_sig_match").desc, col("doc_id")).limit(10).collect()
+      if (flagged.nonEmpty) {
+        println("top duplicate candidates:")
+        flagged.foreach(r => println(
+          f"  doc ${r.getLong(0)}%6d -> ${r.getLong(2)}%6d  " +
+            f"sig ${r.getLong(3)}%2d/$schemeK%d  ${r.getString(4)}"))
+      }
+      spark.stop()
+
     case other =>
-      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export|index-build|index-search")
+      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export|index-build|index-search|dedup-build|dedup-classify")
       sys.exit(2)
   }
 }

@@ -266,6 +266,49 @@ object DedupIndex {
       .orderBy("doc_id", "dup_id")
   }
 
+  /** Per-document curation verdicts for an incoming batch against the
+    * index: (doc_id, n_candidates, best_dup_id, best_sig_match,
+    * verdict) with verdict ∈ new / near_dup / likely_exact
+    * (likely_exact = some indexed doc agrees on ALL k minhashes — the
+    * signature-level "same content" signal; byte-level certainty is
+    * [[Dedup.exact]]'s job). best_dup_id breaks sig-match ties to the
+    * smallest id, deterministically. One row per incoming doc, docs
+    * below the shingle floor included as `new` — the drop/keep list a
+    * streaming curation pass applies.
+    *
+    * Same scale posture as [[queryNearDups]] (which this aggregates):
+    * batch-side broadcast probe, no corpus shuffle. */
+  def classifyBatch(spark: SparkSession, root: String,
+      incoming: DataFrame): DataFrame = {
+    val (k, _) = scheme(spark, root)
+    // "seen BEFORE this batch": exclude the batch's own ids from the
+    // candidate side — without this, an at-least-once replay (whose
+    // first delivery already upserted the batch) would suddenly see
+    // intra-batch twins as dups and flip their verdicts, breaking
+    // replay convergence (StreamingDedupSpec pins the twin case)
+    val ownIds = incoming.select(col("doc_id").cast("long").as("dup_id"))
+      .distinct()
+    val cand = queryNearDups(spark, root, incoming)
+      .join(broadcast(ownIds), Seq("dup_id"), "left_anti")
+    val best = cand.groupBy("doc_id")
+      .agg(countDistinct("dup_id").as("n_candidates"),
+        max(struct(col("n_sig_match"), (-col("dup_id")).as("nd"))).as("m"))
+      .select(col("doc_id"), col("n_candidates"),
+        (-col("m.nd")).as("best_dup_id"),
+        col("m.n_sig_match").as("best_sig_match"))
+    incoming.select(col("doc_id").cast("long")).distinct()
+      .join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_dup_id"),
+        coalesce(col("best_sig_match"), lit(0L)).as("best_sig_match"))
+      .withColumn("verdict",
+        when(col("n_candidates") === 0, "new")
+          .when(col("best_sig_match") === k, "likely_exact")
+          .otherwise("near_dup"))
+      .orderBy("doc_id")
+  }
+
   private def gcGenerations(spark: SparkSession, root: String): Unit = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -47,7 +47,8 @@ class DriverContractSpec extends SparkSpec {
   // inside the batch pass.
   private val layoutEager =
     Set("j12_bucketed_join", "j13_zorder_scan", "j14_zorder_quantiled",
-      "sim_ann_store", "dd_index_query", "ia_priority_rollup")
+      "sim_ann_store", "dd_index_query", "dd_index_classify",
+      "ia_priority_rollup")
 
   private val eager = streamingEager ++ layoutEager
 
