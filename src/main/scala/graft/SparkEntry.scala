@@ -944,6 +944,27 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // incrementally-maintained HISTOGRAM (mergeable quantile summary):
+    // per-priority bin counts of the order total over deterministic
+    // BIGINT buckets, maintained across three batches by vector
+    // addition — the rescan-free quantile path whose exact bucket
+    // arithmetic the oracle mirrors (unlike a t-digest, whose layout
+    // is engine-specific). Exploded to (key, bin, n) rows for hashing.
+    "ia_priority_hist" -> ((s, dir) => {
+      val (root, _) = freshScratch(s, "iahist_q")
+      val spec = graft.operators.HistSpec("total_cents", 0L, 60000000L, 10)
+      val ord = Catalog.orders(s, dir).select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("total_cents"))
+      (0 until 3).foreach { b =>
+        graft.operators.IncrementalAgg.ingest(s, root,
+          ord.where(pmod(col("total_cents"), lit(3)) === b),
+          keys = Seq("o_orderpriority"), values = Seq.empty,
+          batchId = b + 1L, hists = Seq(spec))
+      }
+      graft.operators.IncrementalAgg.viewHist(s, root, spec)
+        .orderBy("o_orderpriority", "bin")
+    }),
+
     // persisted dedup index: build-once/probe-many — the corpus's LSH
     // band signatures persist as an immutable-generation index
     // (StateCommit snapshots, tombstone deletes), and each incoming
@@ -2119,6 +2140,34 @@ object SparkEntry {
         |FROM shipped JOIN supplier ON l_suppkey = s_suppkey
         |WHERE sum_qty > 2000
         |ORDER BY s_suppkey""".stripMargin,
+
+    // mirrors HistSpec("total_cents", 0, 60000000, 10).bucketSql:
+    // truncating BIGINT division, all-nonnegative in the in-range
+    // branch, plus every (priority, bin) cell including empty ones
+    "ia_priority_hist" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS tc
+        |  FROM orders
+        |), b AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN tc < 0 THEN 0
+        |         WHEN tc >= 60000000 THEN 11
+        |         ELSE CAST(1 + (tc * 10) // 60000000 AS INT) END AS bin
+        |  FROM o
+        |), g AS (
+        |  SELECT o_orderpriority, CAST(bin AS BIGINT) AS bin,
+        |    COUNT(*) AS n_in_bin
+        |  FROM b GROUP BY 1, 2
+        |), p AS (SELECT DISTINCT o_orderpriority FROM o),
+        |bins AS (SELECT CAST(i AS BIGINT) AS bin
+        |         FROM UNNEST(generate_series(0, 11)) t(i))
+        |SELECT p.o_orderpriority, bins.bin,
+        |  COALESCE(g.n_in_bin, 0) AS n_in_bin
+        |FROM p CROSS JOIN bins
+        |LEFT JOIN g ON g.o_orderpriority = p.o_orderpriority
+        |           AND g.bin = bins.bin
+        |ORDER BY p.o_orderpriority, bins.bin""".stripMargin,
 
     "ia_priority_rollup" ->
       """WITH o AS (

@@ -37,12 +37,39 @@ import graft.streaming.StateCommit
   * merge order cannot drift a float sum — batch-order independence is
   * spec-gated.
   */
+/** Deterministic fixed-range histogram spec for [[IncrementalAgg]]:
+  * `nBins` equal integer buckets over [lo, hi), plus underflow bin 0
+  * and overflow bin nBins+1 — pure BIGINT bucket arithmetic, so the
+  * maintained counts are exactly mirrorable in the oracle (unlike a
+  * t-digest, whose internal layout is engine-specific). The histogram
+  * merges by vector addition, making quantile estimates maintainable
+  * without rescans; resolution is a design-time choice (bin width),
+  * the classic mergeable-summary trade. */
+case class HistSpec(column: String, lo: Long, hi: Long, nBins: Int) {
+  require(hi > lo && nBins > 0, s"bad histogram spec [$lo,$hi)/$nBins")
+  def name: String = s"hist_$column"
+  /** Bucket index 0..nBins+1 as a SQL expression (truncating BIGINT
+    * division — all-nonnegative in the in-range branch, so Spark `div`
+    * and DuckDB `//` agree). */
+  def bucketSql: String =
+    s"""CASE WHEN $column < $lo THEN 0
+       |     WHEN $column >= $hi THEN ${nBins + 1}
+       |     ELSE CAST(1 + ((CAST($column AS BIGINT) - $lo) * $nBins)
+       |                   div ($hi - $lo) AS INT) END""".stripMargin
+}
+
 object IncrementalAgg {
 
   private val Aggs = "aggs"
 
   /** Per-value-column metric names in the state schema. */
   private def cols(v: String) = (s"sum_$v", s"min_$v", s"max_$v")
+
+  /** Null-transparent merge: a key present in only one side keeps that
+    * side's summary unchanged. */
+  private def mrg(a: Column, b: Column,
+      f: (Column, Column) => Column): Column =
+    when(a.isNull, b).when(b.isNull, a).otherwise(f(a, b))
 
   /** The committed state: (keys..., cnt, sum_/min_/max_ per value col).
     * None before the first ingest. */
@@ -55,40 +82,59 @@ object IncrementalAgg {
   def lastBatch(spark: SparkSession, root: String): Long =
     StateCommit.currentVersion(spark, root).getOrElse(0L)
 
+  /** The non-key state columns and their merge rules, in schema order:
+    * cnt, (sum/min/max per value), (hll sketch per distinct col),
+    * (bin-count array per histogram). */
+  private def metricMerges(values: Seq[String], distincts: Seq[String],
+      hists: Seq[HistSpec]): Seq[(String, (Column, Column) => Column)] =
+    ("cnt", (a: Column, b: Column) => mrg(a, b, _ + _)) +:
+      (values.flatMap { v =>
+        val (su, mn, mx) = cols(v)
+        Seq[(String, (Column, Column) => Column)](
+          (su, (a, b) => mrg(a, b, _ + _)),
+          (mn, (a, b) => least(a, b)), // least/greatest skip nulls
+          (mx, (a, b) => greatest(a, b)))
+      } ++
+      distincts.map { d =>
+        (s"hll_$d",
+          (a: Column, b: Column) => mrg(a, b, hll_union(_, _)))
+      } ++
+      hists.map { h =>
+        (h.name, (a: Column, b: Column) =>
+          mrg(a, b, (x, y) => zip_with(x, y, _ + _)))
+      })
+
   private def partialOf(batch: DataFrame, keys: Seq[String],
-      values: Seq[String]): DataFrame = {
-    val aggs: Seq[Column] = count(lit(1)).as("cnt") +:
+      values: Seq[String], distincts: Seq[String],
+      hists: Seq[HistSpec]): DataFrame = {
+    val aggs: Seq[Column] = (count(lit(1)).as("cnt") +:
       values.flatMap { v =>
         val (s, mn, mx) = cols(v)
         Seq(sum(col(v).cast("long")).as(s),
           min(col(v).cast("long")).as(mn),
           max(col(v).cast("long")).as(mx))
+      }) ++
+      distincts.map(d => hll_sketch_agg(col(d)).as(s"hll_$d")) ++
+      hists.map { h =>
+        val bucket = expr(h.bucketSql)
+        array((0 to h.nBins + 1).map(b =>
+          sum(when(bucket === b, 1L).otherwise(0L))): _*).as(h.name)
       }
     batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   private def merged(state: DataFrame, partial: DataFrame,
-      keys: Seq[String], values: Seq[String]): DataFrame = {
-    val s = state.select(col("cnt").as("a_cnt") +: (keys.map(col) ++
-      values.flatMap { v =>
-        val (su, mn, mx) = cols(v)
-        Seq(col(su).as(s"a_$su"), col(mn).as(s"a_$mn"), col(mx).as(s"a_$mx"))
-      }): _*)
-    val p = partial.select(col("cnt").as("b_cnt") +: (keys.map(col) ++
-      values.flatMap { v =>
-        val (su, mn, mx) = cols(v)
-        Seq(col(su).as(s"b_$su"), col(mn).as(s"b_$mn"), col(mx).as(s"b_$mx"))
-      }): _*)
-    def zsum(a: String, b: String) =
-      coalesce(col(a), lit(0L)) + coalesce(col(b), lit(0L))
+      keys: Seq[String], values: Seq[String], distincts: Seq[String],
+      hists: Seq[HistSpec]): DataFrame = {
+    val metrics = metricMerges(values, distincts, hists)
+    val s = state.select(keys.map(col) ++
+      metrics.map { case (m, _) => col(m).as(s"a_$m") }: _*)
+    val p = partial.select(keys.map(col) ++
+      metrics.map { case (m, _) => col(m).as(s"b_$m") }: _*)
     s.join(p, keys, "full_outer")
-      .select(keys.map(col) ++ (zsum("a_cnt", "b_cnt").as("cnt") +:
-        values.flatMap { v =>
-          val (su, mn, mx) = cols(v)
-          Seq(zsum(s"a_$su", s"b_$su").as(su),
-            least(col(s"a_$mn"), col(s"b_$mn")).as(mn),
-            greatest(col(s"a_$mx"), col(s"b_$mx")).as(mx))
-        }): _*)
+      .select(keys.map(col) ++ metrics.map { case (m, f) =>
+        f(col(s"a_$m"), col(s"b_$m")).as(m)
+      }: _*)
   }
 
   /** Fold `batch` (the NEW rows only — batches are append-only slices
@@ -97,18 +143,79 @@ object IncrementalAgg {
     * re-delivery of an applied id is a guarded no-op. Returns true when
     * the batch was applied. */
   def ingest(spark: SparkSession, root: String, batch: DataFrame,
-      keys: Seq[String], values: Seq[String], batchId: Long): Boolean = {
+      keys: Seq[String], values: Seq[String], batchId: Long,
+      distincts: Seq[String] = Nil, hists: Seq[HistSpec] = Nil): Boolean = {
     val cur = lastBatch(spark, root)
     if (batchId <= cur) return false // replay — already folded in
-    val partial = partialOf(batch, keys, values)
+    val partial = partialOf(batch, keys, values, distincts, hists)
     val next = read(spark, root) match {
-      case Some(state) => merged(state, partial, keys, values)
+      case Some(state) => merged(state, partial, keys, values, distincts, hists)
       case None => partial
     }
     next.write.mode("overwrite")
       .parquet(StateCommit.tableDir(root, batchId, Aggs))
     StateCommit.commit(spark, root, batchId)
     true
+  }
+
+  /** Approximate distinct counts from the maintained sketches:
+    * `approx_distinct_<col>` per requested column. Sketches are
+    * Datasketches HLL (exact while the sketch is still in sparse mode,
+    * ~2% beyond), merged losslessly across batches — the maintainable
+    * form of COUNT(DISTINCT), whose exact version cannot merge without
+    * keeping every key. Estimates are engine-specific, so this surface
+    * is spec-gated rather than oracle-gated. */
+  def viewDistinct(spark: SparkSession, root: String,
+      distincts: Seq[String]): DataFrame = {
+    val state = read(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed aggregate at $root"))
+    distincts.foldLeft(state) { (df, d) =>
+      df.withColumn(s"approx_distinct_$d",
+        hll_sketch_estimate(col(s"hll_$d")))
+    }
+  }
+
+  /** The maintained histogram exploded to (keys..., bin, n_in_bin)
+    * rows — bin 0 = underflow, nBins+1 = overflow. Deterministic
+    * integer bucketing, so this IS oracle-gateable. */
+  def viewHist(spark: SparkSession, root: String,
+      hist: HistSpec): DataFrame = {
+    val state = read(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed aggregate at $root"))
+    val keyCols = state.columns.filterNot(c =>
+      c == "cnt" || c.startsWith("sum_") || c.startsWith("min_") ||
+        c.startsWith("max_") || c.startsWith("hll_") ||
+        c.startsWith("hist_"))
+    state.select(keyCols.map(col) :+ posexplode(col(hist.name)): _*)
+      .select(keyCols.map(col) :+ col("pos").cast("long").as("bin") :+
+        col("col").as("n_in_bin"): _*)
+  }
+
+  /** Per-key quantile ESTIMATE from the maintained histogram: the
+    * lower edge of the first bin whose cumulative count reaches
+    * p·(in-range total) — error bounded by one bin width, the
+    * resolution the spec bought. Under/overflow bins are excluded from
+    * the mass (their edges are unbounded). */
+  def histQuantile(spark: SparkSession, root: String, hist: HistSpec,
+      p: Double): DataFrame = {
+    val binned = viewHist(spark, root, hist)
+      .where(col("bin") >= 1 && col("bin") <= hist.nBins)
+    val keyCols = binned.columns.filterNot(c => c == "bin" || c == "n_in_bin")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy("bin")
+    val width = (hist.hi - hist.lo) / hist.nBins
+    binned
+      .withColumn("cum", sum("n_in_bin").over(w))
+      .withColumn("total",
+        sum("n_in_bin").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCols.map(col): _*)))
+      .where(col("cum") >= lit(p) * col("total"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(min("bin").as("qbin"))
+      .withColumn(s"q_${hist.column}",
+        lit(hist.lo) + (col("qbin") - 1) * lit(width))
   }
 
   /** The maintained view with derived averages (sum div cnt, exact

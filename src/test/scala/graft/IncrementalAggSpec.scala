@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.catalog.Catalog
-import graft.operators.IncrementalAgg
+import graft.operators.{HistSpec, IncrementalAgg}
 import graft.streaming.StateCommit
 
 /** Incrementally-maintained aggregates: batch-merge equivalence with
@@ -104,6 +104,78 @@ class IncrementalAggSpec extends SparkSpec {
     // the deterministic replay overwrites the orphan and publishes
     assert(IncrementalAgg.ingest(spark, root, batches(1), keys, values, 2L))
     assert(IncrementalAgg.lastBatch(spark, root) == 2L)
+  }
+
+  private val spec = HistSpec("total_cents", 0L, 60000000L, 10)
+
+  test("maintained histogram equals the one-shot bucket counts") {
+    val root = freshRoot()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IncrementalAgg.ingest(spark, root, b, keys, Seq.empty, i + 1L,
+        hists = Seq(spec))
+    }
+    val got = IncrementalAgg.viewHist(spark, root, spec)
+      .collect().map(_.toString).sorted.toSeq
+    val want = fact.select(col("o_orderpriority"),
+        expr(spec.bucketSql).cast("long").as("bin"))
+      .groupBy("o_orderpriority", "bin")
+      .agg(count(lit(1)).as("n_in_bin"))
+      .collect().map(_.toString).sorted.toSeq
+    // the maintained view also carries empty bins — compare on the
+    // non-empty cells, then check the empties really are zero
+    val gotNonEmpty = IncrementalAgg.viewHist(spark, root, spec)
+      .where(col("n_in_bin") > 0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotNonEmpty == want, "maintained histogram diverged from one-shot buckets")
+    val total = IncrementalAgg.viewHist(spark, root, spec)
+      .agg(sum("n_in_bin")).as[Long].head()
+    assert(total == fact.count(), s"histogram mass $total != fact rows")
+    assert(got.size == 5 * 12, s"expected 5 priorities x 12 bins, got ${got.size}")
+  }
+
+  test("maintained HLL distinct estimate: exact in sparse mode, merge-lossless") {
+    val root = freshRoot(); val oneShot = freshRoot()
+    val keyed = Catalog.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("total_cents"),
+        col("o_orderkey"))
+    val bs = (0 until 3).map(b => keyed.where(col("o_orderkey") % 3 === b))
+    bs.zipWithIndex.foreach { case (b, i) =>
+      IncrementalAgg.ingest(spark, root, b.drop("o_orderkey"), keys,
+        Seq.empty, i + 1L, distincts = Seq("o_custkey"))
+    }
+    IncrementalAgg.ingest(spark, oneShot, keyed.drop("o_orderkey"), keys,
+      Seq.empty, 1L, distincts = Seq("o_custkey"))
+    def est(r: String) = IncrementalAgg.viewDistinct(spark, r, Seq("o_custkey"))
+      .select(col("o_orderpriority"), col("approx_distinct_o_custkey"))
+      .as[(String, Long)].collect().toMap
+    val inc = est(root); val one = est(oneShot)
+    assert(inc == one, s"union of batch sketches != one-shot sketch: $inc vs $one")
+    val exact = keyed.groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("d"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, d) =>
+      val e = inc(k)
+      assert(math.abs(e - d) <= math.max(1L, (d * 0.05).toLong),
+        s"estimate $e too far from exact $d for $k")
+    }
+  }
+
+  test("histogram quantile estimate lands within one bin of the exact percentile") {
+    val root = freshRoot()
+    IncrementalAgg.ingest(spark, root, fact.drop("o_orderkey"), keys,
+      Seq.empty, 1L, hists = Seq(spec))
+    val got = IncrementalAgg.histQuantile(spark, root, spec, 0.5)
+      .select(col("o_orderpriority"), col("q_total_cents"))
+      .as[(String, Long)].collect().toMap
+    val exact = fact.groupBy("o_orderpriority")
+      .agg(expr("percentile_approx(total_cents, 0.5, 100000)").as("m"))
+      .as[(String, Long)].collect().toMap
+    val width = (spec.hi - spec.lo) / spec.nBins
+    exact.foreach { case (k, m) =>
+      assert(math.abs(got(k) - m) <= width,
+        s"median estimate ${got(k)} more than one bin from exact $m for $k")
+    }
   }
 
   test("view derives exact integer averages (sum div cnt)") {
