@@ -144,7 +144,8 @@ object IncrementalAgg {
     * the batch was applied. */
   def ingest(spark: SparkSession, root: String, batch: DataFrame,
       keys: Seq[String], values: Seq[String], batchId: Long,
-      distincts: Seq[String] = Nil, hists: Seq[HistSpec] = Nil): Boolean = {
+      distincts: Seq[String] = Nil, hists: Seq[HistSpec] = Nil,
+      retain: Int = 2): Boolean = {
     val cur = lastBatch(spark, root)
     if (batchId <= cur) return false // replay — already folded in
     val partial = partialOf(batch, keys, values, distincts, hists)
@@ -154,9 +155,19 @@ object IncrementalAgg {
     }
     next.write.mode("overwrite")
       .parquet(StateCommit.tableDir(root, batchId, Aggs))
-    StateCommit.commit(spark, root, batchId)
+    StateCommit.commit(spark, root, batchId, retain)
     true
   }
+
+  /** Time travel: the maintained aggregate AS OF batch `v` — every
+    * batch ≤ v folded in, nothing after. Requires `v` within the
+    * retention horizon the ingests were run with ([[StateCommit
+    * .versions]] lists what survives); each retained snapshot is one
+    * keyed state table, so the horizon costs retain × |keys| rows, not
+    * history. The reproducibility surface: re-running yesterday's
+    * report against yesterday's state, exactly. */
+  def readAt(spark: SparkSession, root: String, v: Long): DataFrame =
+    StateCommit.readTableAt(spark, root, Aggs, v)
 
   /** Approximate distinct counts from the maintained sketches:
     * `approx_distinct_<col>` per requested column. Sketches are

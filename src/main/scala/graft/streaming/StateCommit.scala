@@ -84,10 +84,21 @@ object StateCommit {
   /** Atomically publish batch `v`'s snapshot (all its tables must
     * already be written under [[tableDir]]) and GC snapshots older than
     * the one being replaced. */
-  def commit(spark: SparkSession, statePath: String, v: Long): Unit = {
+  def commit(spark: SparkSession, statePath: String, v: Long): Unit =
+    commit(spark, statePath, v, retain = 2)
+
+  /** [[commit]] with an explicit retention horizon: the `retain` newest
+    * committed snapshots survive (the default 2 = the new one plus its
+    * predecessor, which lives one round for in-flight readers holding
+    * its paths in lazy plans); older ones GC. A larger horizon buys
+    * TIME TRAVEL — [[readTableAt]] serves any retained version — at
+    * the cost of `retain` copies of the (keyed, metadata-sized) state,
+    * the Iceberg/Delta snapshot-expiry trade. */
+  def commit(spark: SparkSession, statePath: String, v: Long,
+      retain: Int): Unit = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
     val root = new Path(statePath)
     val ctx = fc(spark, root)
-    val prev = currentVersion(spark, statePath)
     val tmp = new Path(root, s"$Pointer.tmp")
     val out = ctx.create(tmp,
       EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
@@ -95,15 +106,40 @@ object StateCommit {
     try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     ctx.rename(tmp, new Path(root, Pointer), Rename.OVERWRITE)
-    // GC: anything older than the snapshot just superseded. `prev`
-    // itself survives one round for readers still holding its paths.
-    for (p <- prev; st <- Try(ctx.util.listStatus(root)).toOption; s <- st) {
-      val name = s.getPath.getName
-      if (name.startsWith(SnapPrefix))
-        Try(name.stripPrefix(SnapPrefix).toLong).toOption match {
-          case Some(old) if old < p => ctx.delete(s.getPath, true)
-          case _ => ()
-        }
+    // GC: keep the `retain` newest committed (≤ v) snapshots. Anything
+    // newer than v is some other writer's in-flight build — not ours to
+    // judge, never deleted here.
+    val committed = versions(spark, statePath)
+    committed.sorted.reverse.drop(retain).foreach { old =>
+      ctx.delete(new Path(root, s"$SnapPrefix$old"), true)
     }
+  }
+
+  /** Committed snapshot versions still on disk, ascending — the
+    * time-travel horizon. Versions above CURRENT are in-flight builds,
+    * not commits, and are excluded. */
+  def versions(spark: SparkSession, statePath: String): Seq[Long] =
+    currentVersion(spark, statePath) match {
+      case None => Seq.empty
+      case Some(cur) =>
+        val root = new Path(statePath)
+        Try(fc(spark, root).util.listStatus(root)).toOption.toSeq.flatten
+          .map(_.getPath.getName)
+          .filter(_.startsWith(SnapPrefix))
+          .flatMap(n => Try(n.stripPrefix(SnapPrefix).toLong).toOption)
+          .filter(_ <= cur)
+          .sorted
+    }
+
+  /** Time travel: read `table` as of snapshot `v`. Fails loudly when
+    * `v` was never committed or has been retention-GC'd — a silent
+    * fallback to another version would be a correctness bug in any
+    * downstream reproduction run. */
+  def readTableAt(spark: SparkSession, statePath: String, table: String,
+      v: Long): DataFrame = {
+    val have = versions(spark, statePath)
+    require(have.contains(v),
+      s"snapshot $v not available at $statePath (retained: ${have.mkString(", ")})")
+    spark.read.parquet(tableDir(statePath, v, table))
   }
 }

@@ -178,6 +178,44 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("time travel: readAt(v) is the prefix aggregate as of batch v") {
+    val root = freshRoot()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IncrementalAgg.ingest(spark, root, b, keys, values, i + 1L, retain = 3)
+    }
+    assert(StateCommit.versions(spark, root) == Seq(1L, 2L, 3L))
+    (1 to 3).foreach { v =>
+      val got = IncrementalAgg.readAt(spark, root, v)
+        .select("o_orderpriority", "cnt", "sum_total_cents",
+          "min_total_cents", "max_total_cents")
+        .collect().map(_.toString).sorted.toSeq
+      val want = fact.where(col("o_orderkey") % 3 < v)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum("total_cents").as("sum_total_cents"),
+          min("total_cents").as("min_total_cents"),
+          max("total_cents").as("max_total_cents"))
+        .select("o_orderpriority", "cnt", "sum_total_cents",
+          "min_total_cents", "max_total_cents")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want, s"snapshot $v is not the prefix aggregate")
+    }
+  }
+
+  test("retention: default horizon keeps two snapshots; GC'd versions fail loudly") {
+    val root = freshRoot()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IncrementalAgg.ingest(spark, root, b, keys, values, i + 1L)
+    }
+    assert(StateCommit.versions(spark, root) == Seq(2L, 3L),
+      "default retain=2 should keep exactly the newest two snapshots")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.readAt(spark, root, 1L)
+    }
+    assert(e.getMessage.contains("retained"),
+      s"GC'd-version error should list what survives: ${e.getMessage}")
+  }
+
   test("view derives exact integer averages (sum div cnt)") {
     val root = freshRoot()
     val b = Seq(("A", 10L), ("A", 11L)).toDF("k", "v")
