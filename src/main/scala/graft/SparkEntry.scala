@@ -1081,6 +1081,21 @@ object SparkEntry {
         nProbes = 1, k = 5)
     }),
 
+    // persisted IVF-PQ index: codes-not-vectors in the cells — the
+    // billion-vector production layout. Built and searched with the
+    // same training as the in-query operator, so it shares
+    // sim_ivfpq_topk's oracle (AnnIndexPqSpec pins the row-for-row
+    // equality and the file-level pruning)
+    "sim_annpq_store" -> ((s, dir) => {
+      val (root, _) = freshScratch(s, "pqidx_q")
+      val emb = Catalog.embeddings(s, dir)
+      graft.operators.AnnIndexPq.build(emb, root)
+      graft.operators.AnnIndexPq.search(s, root,
+        emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        nProbes = 2, k = 5)
+    }),
+
     "sim_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Catalog.embeddings(s, dir))),
 
@@ -1776,7 +1791,12 @@ object SparkEntry {
     * shares that oracle verbatim (AnnIndexSpec pins the row-for-row
     * equality of the two paths). */
   def oracleSql: Map[String, String] =
-    baseOracleSql + ("sim_ann_store" -> baseOracleSql("sim_ivf_kmeans"))
+    baseOracleSql +
+      ("sim_ann_store" -> baseOracleSql("sim_ivf_kmeans")) +
+      // the persisted IVF-PQ index shares the in-query operator's oracle
+      // for the same reason (same training, same output contract;
+      // AnnIndexPqSpec pins the row-for-row equality of the two paths)
+      ("sim_annpq_store" -> baseOracleSql("sim_ivfpq_topk"))
 
   private lazy val baseOracleSql: Map[String, String] = Map(
 

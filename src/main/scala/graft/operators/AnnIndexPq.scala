@@ -1,0 +1,255 @@
+package graft.operators
+
+import scala.util.Try
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StateCommit
+
+/** Persisted IVF-PQ index — [[AnnIndex]] with PQ codes instead of raw
+  * vectors in the cells: the production billion-vector layout, where
+  * the searchable artifact is m small integers per vector (the codes)
+  * plus two metadata-sized tables (coarse centroids, residual
+  * codebooks), and raw embeddings are never read at query time.
+  * [[Similarity.ivfPqTopK]] trains and searches in one query; this is
+  * its build-once / query-many form, sharing the same training
+  * ([[Similarity.ivfPqParts]]) so a search over a freshly built index
+  * equals the in-query operator row-for-row (spec-pinned, and the
+  * driver gates it against the same oracle).
+  *
+  * Layout — the [[AnnIndex]] snapshot discipline:
+  * {{{
+  *   root/CURRENT             — StateCommit pointer
+  *   root/snap-v/coarse/      — (ccell, cce): coarse quantizer
+  *   root/snap-v/codebook/    — (blk, cid, ce): residual PQ codebooks
+  *   root/snap-v/params/      — (n_coarse, m, sub_dim, n_centroids)
+  *   root/snap-v/manifest/    — live-cell map: (cell, gen)
+  *   root/gen-v/cell=C/       — IMMUTABLE (vec_id, blk, code) rows
+  * }}}
+  *
+  * Scale posture: the probe set prunes at the FILE level (manifest →
+  * probed cells' directories only), the per-query LUT broadcasts, and
+  * candidates contribute only code rows to one combinable sum — at
+  * 100 TB the scan is ~m·4 bytes per posted vector in nProbes/nCoarse
+  * of the corpus. `upsert` assigns a batch against the PERSISTED
+  * quantizer and codebooks (no retrain — the FAISS add path) and
+  * rewrites only its touched cells, published atomically; retrain =
+  * [[build]], the drift-triggered path.
+  */
+object AnnIndexPq {
+
+  private val Coarse = "coarse"
+  private val Codebook = "codebook"
+  private val Params = "params"
+  private val Manifest = "manifest"
+
+  private def genPath(root: String, gen: Long) = s"$root/gen-$gen"
+  private def cellDir(root: String, gen: Long, cell: String) =
+    s"${genPath(root, gen)}/cell=$cell"
+
+  def version(spark: SparkSession, root: String): Long =
+    StateCommit.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no committed IVF-PQ index at $root (run AnnIndexPq.build first)"))
+
+  /** (nCoarse, m, subDim, nCentroids) locked at build time. */
+  def params(spark: SparkSession, root: String): (Int, Int, Int, Int) = {
+    val r = spark.read.parquet(
+      StateCommit.tableDir(root, version(spark, root), Params)).head()
+    (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+  }
+
+  private def manifestOf(spark: SparkSession, root: String,
+      v: Long): Seq[(String, Long)] =
+    spark.read.parquet(StateCommit.tableDir(root, v, Manifest))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+
+  private def writeManifest(spark: SparkSession, root: String, v: Long,
+      entries: Seq[(String, Long)]): Unit = {
+    val s = spark; import s.implicits._
+    entries.toDF("cell", "gen").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(StateCommit.tableDir(root, v, Manifest))
+  }
+
+  private def listCellDirs(spark: SparkSession, path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map(_.getPath.getName.stripPrefix("cell="))
+      .sorted
+  }
+
+  /** Read exactly `entries`' cell directories — path-level pruning,
+    * with each generation read under its own basePath so the `cell`
+    * partition column recovers. */
+  private def readCells(spark: SparkSession, root: String,
+      entries: Seq[(String, Long)]): Option[DataFrame] =
+    if (entries.isEmpty) None
+    else {
+      val parts = entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (g, es) =>
+        spark.read.option("basePath", genPath(root, g))
+          .parquet(es.map(e => cellDir(root, g, e._1)).sorted: _*)
+      }
+      val cellT = parts.head.schema("cell").dataType
+      Some(parts.map(_.withColumn("cell", col("cell").cast(cellT)))
+        .reduce(_.unionByName(_)))
+    }
+
+  /** Train coarse quantizer + residual codebooks and persist the
+    * cell-partitioned code table as one atomic snapshot. */
+  def build(embeddings: DataFrame, root: String, nCoarse: Int = 8,
+      m: Int = 8, subDim: Int = 8, nCentroids: Int = 16): Unit = {
+    val spark = embeddings.sparkSession
+    val s = spark; import s.implicits._
+    val v = StateCommit.currentVersion(spark, root).getOrElse(0L) + 1
+    val parts = Similarity.ivfPqParts(embeddings, nCoarse, m, subDim,
+      nCentroids, materialize = true)
+    parts.coarse.coalesce(1).write.mode("overwrite")
+      .parquet(StateCommit.tableDir(root, v, Coarse))
+    parts.cents.coalesce(1).write.mode("overwrite")
+      .parquet(StateCommit.tableDir(root, v, Codebook))
+    Seq((nCoarse, m, subDim, nCentroids))
+      .toDF("n_coarse", "m", "sub_dim", "n_centroids").coalesce(1)
+      .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Params))
+    // the code rows: PQ code per (vector, block), partitioned by the
+    // vector's COARSE cell — `cell` is the partition (pruning) column,
+    // `code` the payload
+    parts.assign.select(col("vec_id"), col("blk"), col("cell").as("code"))
+      .join(parts.residuals.select(col("vec_id"), col("ccell").as("cell")),
+        Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(genPath(root, v))
+    writeManifest(spark, root, v,
+      listCellDirs(spark, genPath(root, v)).map(_ -> v))
+    StateCommit.commit(spark, root, v)
+    gcGenerations(spark, root)
+  }
+
+  /** ADC top-k over the persisted codes. `queries` is (qid, qe); the
+    * output contract is [[Similarity.ivfPqTopK]]'s exactly:
+    * (qid, cid, adist_nano, rn), nano-BIGINT distances, cid tie-break,
+    * self-matches excluded. */
+  def search(spark: SparkSession, root: String, queries: DataFrame,
+      nProbes: Int = 2, k: Int = 5): DataFrame = {
+    val v = version(spark, root)
+    val (_, m, subDim, _) = params(spark, root)
+    val coarse = spark.read.parquet(StateCommit.tableDir(root, v, Coarse))
+    val cents = spark.read.parquet(StateCommit.tableDir(root, v, Codebook))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cnano"), col("ccell"))
+    val qprobe = queries.select(col("qid"), col("qe"))
+      .crossJoin(broadcast(coarse))
+      .select(col("qid"), col("qe"), col("ccell"), col("cce"),
+        Similarity.nanoL2(col("qe"), col("cce")).as("cnano"))
+      .withColumn("prn", row_number().over(wq)).where(col("prn") <= nProbes)
+      .select(col("qid"), col("ccell").as("pcell"),
+        zip_with(col("qe"), col("cce"),
+          (x, c) => x.cast("double") - c.cast("double")).as("rq"))
+      .localCheckpoint() // the probe-cell collect below must not re-run
+                         // the caller's query plan
+    val rqBlocks = qprobe.select(col("qid"), col("pcell"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        b => slice(col("rq"), b * subDim + 1, lit(subDim)))))
+      .select(col("qid"), col("pcell"), col("pos").as("blk"), col("col").as("sub"))
+    val lut = rqBlocks.join(broadcast(cents), Seq("blk"))
+      .select(col("qid"), col("pcell"), col("blk"), col("cid"),
+        Similarity.nanoL2(col("sub"), col("ce")).as("dq"))
+    // file-level pruning: only the probed cells' directories are read
+    val probed = qprobe.select("pcell").distinct()
+      .collect().map(_.get(0).toString).toSet
+    val live = manifestOf(spark, root, v).filter(e => probed(e._1))
+    readCells(spark, root, live) match {
+      case None =>
+        spark.range(0).select(col("id").as("qid"), col("id").as("cid"),
+          col("id").as("adist_nano"), col("id").cast("int").as("rn"))
+      case Some(codes) =>
+        val codeRows = codes.select(col("vec_id").as("cid2"),
+          col("blk").as("cblk"), col("code"), col("cell").as("vcell"))
+        val scored = codeRows
+          .join(broadcast(lut),
+            col("vcell") === col("pcell") && col("cblk") === col("blk") &&
+              col("code") === col("cid"))
+          .groupBy(col("qid"), col("cid2").as("cid"))
+          .agg(sum("dq").as("adist_nano"))
+          .where(col("qid") =!= col("cid"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("adist_nano"), col("cid"))
+        scored.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= k)
+          .select("qid", "cid", "adist_nano", "rn")
+          .orderBy("qid", "rn")
+    }
+  }
+
+  /** Incremental add between retrains: encode `batch` against the
+    * PERSISTED quantizer and codebooks and rewrite only its touched
+    * cells (kept rows + incoming, id-keyed replace), published
+    * atomically. No retraining — drift is [[build]]'s trigger. */
+  def upsert(spark: SparkSession, root: String, batch: DataFrame): Unit = {
+    val v0 = version(spark, root)
+    val v = v0 + 1
+    val (_, m, subDim, _) = params(spark, root)
+    val coarse = spark.read.parquet(StateCommit.tableDir(root, v0, Coarse))
+    val cents = spark.read.parquet(StateCommit.tableDir(root, v0, Codebook))
+    val residuals = Similarity.assignCoarse(batch, coarse)
+      .select(col("vec_id"), col("ccell"),
+        zip_with(col("embedding"), col("cce"),
+          (x, c) => x.cast("double") - c.cast("double")).as("embedding"))
+      .localCheckpoint() // touched-cell collect + code write share it
+    val incoming = Similarity
+      .pqNearest(Similarity.pqBlocks(
+        residuals.select("vec_id", "embedding"), m, subDim), cents)
+      .select(col("vec_id"), col("blk"), col("cell").as("code"))
+      .join(residuals.select(col("vec_id"), col("ccell").as("cell")),
+        Seq("vec_id"))
+    val touched = residuals.select(col("ccell").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val live = manifestOf(spark, root, v0)
+    val existing = live.filter(e => touched(e._1))
+    val newGen = readCells(spark, root, existing) match {
+      case None => incoming
+      case Some(kept) =>
+        val incomingIds = residuals.select(col("vec_id")).distinct()
+        kept.select(col("vec_id"), col("blk"), col("code"), col("cell"))
+          .join(incomingIds, Seq("vec_id"), "left_anti")
+          .unionByName(incoming)
+    }
+    newGen.write.mode("overwrite").partitionBy("cell")
+      .parquet(genPath(root, v))
+    // carry the immutable tables into the new snapshot so the pointer
+    // swap publishes quantizer + codes together
+    Seq(Coarse, Codebook, Params).foreach { t =>
+      spark.read.parquet(StateCommit.tableDir(root, v0, t))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(StateCommit.tableDir(root, v, t))
+    }
+    val written = listCellDirs(spark, genPath(root, v))
+    writeManifest(spark, root, v,
+      live.filterNot(e => touched(e._1)) ++ written.map(_ -> v))
+    StateCommit.commit(spark, root, v)
+    gcGenerations(spark, root)
+  }
+
+  private def gcGenerations(spark: SparkSession, root: String): Unit = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed = Try(fs.listStatus(p).toSeq).getOrElse(Seq.empty)
+    val referenced: Set[Long] = listed
+      .filter(_.getPath.getName.startsWith("snap-"))
+      .flatMap { s =>
+        Try(spark.read.parquet(s"${s.getPath}/$Manifest")
+          .collect().map(_.getLong(1)).toSeq).getOrElse(Seq.empty)
+      }.toSet
+    val cur = StateCommit.currentVersion(spark, root).getOrElse(0L)
+    listed.filter(_.getPath.getName.startsWith("gen-")).foreach { g =>
+      Try(g.getPath.getName.stripPrefix("gen-").toLong).toOption.foreach {
+        gv => if (gv < cur && !referenced(gv)) fs.delete(g.getPath, true)
+      }
+    }
+  }
+}

@@ -478,7 +478,7 @@ object Similarity {
       .orderBy("vec_id")
 
   /** Sub-block view of the embedding column: (vec_id, blk, sub). */
-  private def pqBlocks(embeddings: DataFrame, m: Int, subDim: Int): DataFrame =
+  private[operators] def pqBlocks(embeddings: DataFrame, m: Int, subDim: Int): DataFrame =
     embeddings.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(m - 1)),
         b => slice(col("embedding"), b * subDim + 1, lit(subDim)))))
@@ -486,7 +486,7 @@ object Similarity {
 
   /** Nano-scaled squared L2 — the integer ranking/error primitive shared
     * by PQ training, encode and ADC search. */
-  private def nanoL2(a: Column, b: Column): Column =
+  private[operators] def nanoL2(a: Column, b: Column): Column =
     round(aggregate(zip_with(a, b, (x, c) =>
       (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
       lit(0.0), (acc, x) => acc + x) * 1e9, 0).cast("bigint")
@@ -501,7 +501,7 @@ object Similarity {
     * key is unique (cid is), so the argmin is deterministic — the same
     * tie-break the window encoded. `sub` is group-constant (it depends
     * only on the group key), so first() is deterministic too. */
-  private def pqNearest(blocks: DataFrame, cents: DataFrame): DataFrame =
+  private[operators] def pqNearest(blocks: DataFrame, cents: DataFrame): DataFrame =
     blocks.join(broadcast(cents), Seq("blk"))
       .select(col("vec_id"), col("blk"), col("sub"), col("cid"),
         nanoL2(col("sub"), col("ce")).as("nano"))
@@ -622,25 +622,30 @@ object Similarity {
   /** Shared IVF-PQ internals: coarse table, residual table (with each
     * vector's coarse cell), the trained residual codebook and the
     * per-(vector, block) residual code assignment. */
-  private case class IvfPqParts(coarse: DataFrame, residuals: DataFrame,
+  private[operators] case class IvfPqParts(coarse: DataFrame, residuals: DataFrame,
       cents: DataFrame, assign: DataFrame)
 
-  private def ivfPqParts(embeddings: DataFrame, nCoarse: Int, m: Int,
+  /** Nearest-coarse-cell assignment of (vec_id, embedding) rows against
+    * a broadcast (ccell, cce) centroid table — min_by argmin (map-side
+    * combine, no sort; embedding is group-constant so first() is
+    * deterministic). Shared by the in-query IVF-PQ path and the
+    * persisted index's incremental upsert ([[AnnIndexPq]]). */
+  private[operators] def assignCoarse(vectors: DataFrame,
+      cents: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("ccell"), col("cce"),
+        nanoL2(col("embedding"), col("cce")).as("cnano"))
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        min_by(struct(col("ccell"), col("cce")),
+          struct(col("cnano"), col("ccell"))).as("best"))
+      .select(col("vec_id"), col("embedding"),
+        col("best.ccell").as("ccell"), col("best.cce").as("cce"))
+
+  private[operators] def ivfPqParts(embeddings: DataFrame, nCoarse: Int, m: Int,
       subDim: Int, nCentroids: Int, materialize: Boolean): IvfPqParts = {
-    // nearest-coarse-cell assignment against a broadcast centroid table
-    // (min_by argmin, same map-side-combine rationale as pqNearest;
-    // embedding is group-constant so first() is deterministic)
-    def assignTo(cents: DataFrame): DataFrame =
-      embeddings.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("ccell"), col("cce"),
-          nanoL2(col("embedding"), col("cce")).as("cnano"))
-        .groupBy("vec_id")
-        .agg(first(col("embedding")).as("embedding"),
-          min_by(struct(col("ccell"), col("cce")),
-            struct(col("cnano"), col("ccell"))).as("best"))
-        .select(col("vec_id"), col("embedding"),
-          col("best.ccell").as("ccell"), col("best.cce").as("cce"))
+    def assignTo(cents: DataFrame): DataFrame = assignCoarse(embeddings, cents)
     // coarse quantizer: rank-based seeds + ONE Lloyd round (assign all,
     // re-center each cell on its members' mean — one narrow combinable
     // (ccell, pos, x) aggregation, same shape as the PQ codebooks).
