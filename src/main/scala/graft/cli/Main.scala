@@ -674,6 +674,40 @@ object Main {
       hits.foreach(r => println(f"  rank ${r.getInt(3)}%2d  vec ${r.getLong(1)}%6d  cos ${r.getDouble(2)}%.6f"))
       spark.stop()
 
+    // pq-build --data <sfdir> --root <dir> [--coarse N] [--m N]: train
+    // and persist the IVF-PQ index (codes-not-vectors cells).
+    case Some("pq-build") =>
+      val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
+      val root = opt(args, "root").getOrElse { System.err.println("error: --root required"); sys.exit(2); "" }
+      val nCoarse = opt(args, "coarse").getOrElse("8").toInt
+      val m = opt(args, "m").getOrElse("8").toInt
+      val spark = session()
+      val emb = graft.catalog.Catalog.embeddings(spark, data)
+      val t0 = System.nanoTime()
+      graft.operators.AnnIndexPq.build(emb, root, nCoarse, m)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val v = graft.operators.AnnIndexPq.version(spark, root)
+      println(f"IVF-PQ index built in $dt%.1fs: $nCoarse cells x m=$m codes at $root (snapshot $v)")
+      spark.stop()
+
+    // pq-search --root <dir> --query <vec_id> [--data <sfdir>]
+    // [--probes N] [--k N]: ADC search over the persisted codes.
+    case Some("pq-search") =>
+      val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
+      val root = opt(args, "root").getOrElse { System.err.println("error: --root required"); sys.exit(2); "" }
+      val qid = opt(args, "query").getOrElse("0").toLong
+      val probes = opt(args, "probes").getOrElse("2").toInt
+      val k = opt(args, "k").getOrElse("5").toInt
+      val spark = session()
+      val q = graft.catalog.Catalog.embeddings(spark, data)
+        .where(col("vec_id") === qid)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      if (q.isEmpty) { System.err.println(s"error: vec_id $qid not found in $data"); sys.exit(1) }
+      val hits = graft.operators.AnnIndexPq.search(spark, root, q, probes, k).collect()
+      println(s"query=$qid probes=$probes k=$k -> ${hits.length} ADC neighbors:")
+      hits.foreach(r => println(f"  rank ${r.getInt(3)}%2d  vec ${r.getLong(1)}%6d  adist ${r.getLong(2)}%12d"))
+      spark.stop()
+
     // dedup-build --data <sfdir> --root <dir> [--split N] [--k N] [--r N]:
     // persist the LSH band-signature index over the documents table
     // (doc_id % 10 < split; split=10 indexes everything).
@@ -720,7 +754,7 @@ object Main {
       spark.stop()
 
     case other =>
-      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export|index-build|index-search|dedup-build|dedup-classify")
+      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export|index-build|index-search|pq-build|pq-search|dedup-build|dedup-classify")
       sys.exit(2)
   }
 }

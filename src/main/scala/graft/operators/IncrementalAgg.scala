@@ -193,7 +193,7 @@ object IncrementalAgg {
       hist: HistSpec): DataFrame = {
     val state = read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed aggregate at $root"))
-    val keyCols = state.columns.filterNot(c =>
+    val keyCols = state.columns.toSeq.filterNot(c =>
       c == "cnt" || c.startsWith("sum_") || c.startsWith("min_") ||
         c.startsWith("max_") || c.startsWith("hll_") ||
         c.startsWith("hist_"))
@@ -211,7 +211,7 @@ object IncrementalAgg {
       p: Double): DataFrame = {
     val binned = viewHist(spark, root, hist)
       .where(col("bin") >= 1 && col("bin") <= hist.nBins)
-    val keyCols = binned.columns.filterNot(c => c == "bin" || c == "n_in_bin")
+    val keyCols = binned.columns.toSeq.filterNot(c => c == "bin" || c == "n_in_bin")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy("bin")

@@ -41,4 +41,22 @@ object StreamingIndex {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Same ingest against the persisted IVF-PQ index
+    * ([[graft.operators.AnnIndexPq]]): each batch encodes against the
+    * persisted quantizer + codebooks and rewrites only its touched
+    * cells — same replay-convergence argument (id-keyed, deterministic
+    * against fixed tables). */
+  def startPq(vectors: DataFrame, root: String,
+      checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.AnnIndexPq.upsert(batch.sparkSession, root, batch.toDF())
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
 }
