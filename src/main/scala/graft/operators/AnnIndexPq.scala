@@ -235,6 +235,63 @@ object AnnIndexPq {
     gcGenerations(spark, root)
   }
 
+  /** Delete by id — locate the victims' cells with one id semi-join
+    * over the live code rows (ids are not the partition key, so this
+    * scans the id column — m small rows per vector), then write ONLY
+    * those cells' survivors as a fresh generation. A cell emptied by
+    * the delete drops out of the manifest; absent ids are no-ops;
+    * replays converge (the [[AnnIndex.delete]] shape over codes). */
+  def delete(spark: SparkSession, root: String, ids: DataFrame): Unit = {
+    val v0 = version(spark, root)
+    val live = manifestOf(spark, root, v0)
+    val victims = ids.select(col("vec_id"))
+    val touched = readCells(spark, root, live) match {
+      case None => Set.empty[String]
+      case Some(raw) => raw.join(victims, Seq("vec_id"), "left_semi")
+        .select("cell").distinct().collect().map(_.get(0).toString).toSet
+    }
+    if (touched.isEmpty) return
+    val v = v0 + 1
+    readCells(spark, root, live.filter(e => touched(e._1))).foreach { t =>
+      t.join(victims, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(genPath(root, v))
+    }
+    Seq(Coarse, Codebook, Params).foreach { t =>
+      spark.read.parquet(StateCommit.tableDir(root, v0, t))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(StateCommit.tableDir(root, v, t))
+    }
+    writeManifest(spark, root, v,
+      listCellDirs(spark, genPath(root, v)).map(_ -> v) ++
+        live.filterNot(e => touched(e._1)))
+    StateCommit.commit(spark, root, v)
+    gcGenerations(spark, root)
+  }
+
+  /** Small-file compaction: rewrite every live cell as one file in a
+    * single fresh generation (content-neutral — spec checks probes are
+    * unchanged). Run when upsert/delete churn has fragmented cells. */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val v0 = version(spark, root)
+    val live = manifestOf(spark, root, v0)
+    readCells(spark, root, live).foreach { raw =>
+      val v = v0 + 1
+      raw.repartition(col("cell")).sortWithinPartitions("cell", "vec_id", "blk")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(genPath(root, v))
+      Seq(Coarse, Codebook, Params).foreach { t =>
+        spark.read.parquet(StateCommit.tableDir(root, v0, t))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(StateCommit.tableDir(root, v, t))
+      }
+      writeManifest(spark, root, v,
+        listCellDirs(spark, genPath(root, v)).map(_ -> v))
+      StateCommit.commit(spark, root, v)
+      gcGenerations(spark, root)
+    }
+  }
+
   private def gcGenerations(spark: SparkSession, root: String): Unit = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

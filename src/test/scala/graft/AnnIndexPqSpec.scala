@@ -135,6 +135,34 @@ class AnnIndexPqSpec extends SparkSpec {
       "streamed index diverged from batch upsert")
   }
 
+  test("delete removes victims from search; compact preserves probes on one generation") {
+    val root = freshRoot()
+    AnnIndexPq.build(emb, root)
+    val q = queries(4)
+    val hitsBefore = AnnIndexPq.search(spark, root, q, nProbes = 2, k = 5)
+      .select("cid").as[Long].collect().toSet
+    assert(hitsBefore.nonEmpty, "no hits before delete — test is vacuous")
+    val victim = hitsBefore.head
+    AnnIndexPq.delete(spark, root, Seq(victim).toDF("vec_id"))
+    val hitsAfter = AnnIndexPq.search(spark, root, q, nProbes = 2, k = 5)
+      .select("cid").as[Long].collect().toSet
+    assert(!hitsAfter.contains(victim), s"deleted vector $victim still surfaced")
+    // absent-id delete is a no-op
+    val vBefore = AnnIndexPq.version(spark, root)
+    AnnIndexPq.delete(spark, root, Seq(999999L).toDF("vec_id"))
+    assert(AnnIndexPq.version(spark, root) == vBefore, "absent-id delete bumped the version")
+    val resBefore = AnnIndexPq.search(spark, root, q, nProbes = 2, k = 5)
+      .collect().map(_.toString).toSeq
+    AnnIndexPq.compact(spark, root)
+    val resAfter = AnnIndexPq.search(spark, root, q, nProbes = 2, k = 5)
+      .collect().map(_.toString).toSeq
+    assert(resAfter == resBefore, "compaction changed probe results")
+    val v = AnnIndexPq.version(spark, root)
+    val gens = spark.read.parquet(s"$root/snap-$v/manifest")
+      .collect().map(_.getLong(1)).toSet
+    assert(gens == Set(v), s"compaction left multiple live generations: $gens")
+  }
+
   test("publication is atomic: an unreferenced generation is invisible") {
     val root = freshRoot()
     AnnIndexPq.build(emb, root)
