@@ -282,6 +282,32 @@ object SparkEntry {
         .orderBy("c_mktsegment", "rn")
     }),
 
+    // The same top-3-per-segment answer via the bounded top-k AGGREGATE
+    // ([[graft.functions.TopKByScore]]) instead of a window rank: the
+    // window form shuffles every customer row to its segment's reducer
+    // and sorts the whole segment; the aggregate form keeps a 3-row
+    // buffer per segment in each map task (partial aggregation), so the
+    // shuffle carries ≤ 3 × segments × partitions rows — the
+    // billion-rows-per-group survivor. Same oracle semantics as q8
+    // (score DESC, key ASC), proven by the hash gate; TopKAggSpec pins
+    // the partial/final two-phase plan and partition-independence.
+    "q8b_topk_agg" -> ((s, dir) => {
+      val cust = Catalog.customer(s, dir).select("c_custkey", "c_mktsegment")
+      val totals = Catalog.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("total_cents"))
+      val top3 = graft.functions.TopK.byScore(3)
+      totals.join(cust, totals("o_custkey") === cust("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(top3(col("total_cents"), col("c_custkey").cast("long")).as("top"))
+        .select(col("c_mktsegment"), posexplode(col("top")))
+        .select(col("c_mktsegment"),
+          col("col.id").as("c_custkey"),
+          col("col.score").as("total_cents"),
+          (col("pos") + 1).cast("int").as("rn"))
+        .orderBy("c_mktsegment", "rn")
+    }),
+
     // Q18-style large-volume orders (HAVING join-back): the fact
     // aggregates FIRST — one combinable sum per order — and only the
     // handful of orders over the threshold joins back to the dims, so at
@@ -965,6 +991,35 @@ object SparkEntry {
         .orderBy("o_orderpriority", "bin")
     }),
 
+    // transparent materialized-view rewrite: the documents fact is
+    // maintained as a (lang, source) aggregate across four append-only
+    // batches, then REGISTERED as a view — and the returned query is
+    // written against the RAW FACT (`documents.groupBy(lang)...`). The
+    // optimizer rule ([[graft.plans.GraftViewRewrite]]) rewrites it to
+    // re-aggregate the key-cardinality view (count→Σcnt, sum→Σsum,
+    // min/max→min/max), exercising the SUBSET-of-keys path. The oracle
+    // is the base-table SQL, so the hash match proves the rewrite is an
+    // identity on results; ViewRewriteSpec pins that the optimized plan
+    // really scans the view, not the fact.
+    "ia_rewrite" -> ((s, dir) => {
+      val (root, _) = freshScratch(s, "iarw_q")
+      val docs = Catalog.documents(s, dir)
+      (0 until 4).foreach { b =>
+        graft.operators.IncrementalAgg.ingest(s, root,
+          docs.where(pmod(col("doc_id"), lit(4)) === b),
+          keys = Seq("lang", "source"), values = Seq("n_chars"),
+          batchId = b + 1L)
+      }
+      graft.operators.IncrementalAgg.registerView(s, root, "iarw_docs",
+        s"$dir/documents.parquet", Seq("lang", "source"), Seq("n_chars"))
+      docs.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        min(col("n_chars").cast("long")).as("min_chars"),
+        max(col("n_chars").cast("long")).as("max_chars"))
+        .orderBy("lang")
+    }),
+
     // persisted dedup index: build-once/probe-many — the corpus's LSH
     // band signatures persist as an immutable-generation index
     // (StateCommit snapshots, tombstone deletes), and each incoming
@@ -1348,6 +1403,21 @@ object SparkEntry {
           count(lit(1)).as("n"),
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy("l_returnflag", "l_linestatus")),
+
+    // full CUBE with an explicit grouping_id: all four aggregation
+    // levels (flag×status, per-flag, per-status, grand total) in ONE
+    // pass — Spark expands the cube map-side and partial-aggregates
+    // each level before the single shuffle, the plan a 100 TB OLAP
+    // rollup wants (vs four scans + union). gid disambiguates subtotal
+    // NULLs from data NULLs, cast INT on both sides.
+    "q27_cube" -> ((s, dir) =>
+      Catalog.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")),
 
     // NOTE: rounds 2–4 carried diag_dec_* driver-hash probes here. They
     // are retired — both shapes (natural (28,2) and post-agg (38,2) cast)
@@ -1940,6 +2010,25 @@ object SparkEntry {
         |FROM ranked WHERE rn <= 3
         |ORDER BY c_mktsegment, rn""".stripMargin,
 
+    // same ranking semantics as q8 — the Spark side computes it with
+    // the bounded top-k aggregate instead of a window, so the hash
+    // match proves the two plans are row-for-row interchangeable
+    "q8b_topk_agg" ->
+      """WITH totals AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM orders GROUP BY o_custkey
+        |), ranked AS (
+        |  SELECT c_mktsegment, CAST(c_custkey AS BIGINT) AS c_custkey,
+        |    total_cents,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY total_cents DESC, c_custkey) AS rn
+        |  FROM totals JOIN customer ON o_custkey = c_custkey
+        |)
+        |SELECT c_mktsegment, c_custkey, total_cents, CAST(rn AS INTEGER) AS rn
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY c_mktsegment, rn""".stripMargin,
+
     "q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
@@ -2188,6 +2277,19 @@ object SparkEntry {
         |LEFT JOIN g ON g.o_orderpriority = p.o_orderpriority
         |           AND g.bin = bins.bin
         |ORDER BY p.o_orderpriority, bins.bin""".stripMargin,
+
+    // the BASE-TABLE aggregate — the Spark side is optimizer-rewritten
+    // to serve this from the maintained (lang, source) view, so the
+    // hash match proves view-rewrite result-identity
+    "ia_rewrite" ->
+      """SELECT lang,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
+        |  MIN(CAST(n_chars AS BIGINT)) AS min_chars,
+        |  MAX(CAST(n_chars AS BIGINT)) AS max_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     "ia_priority_rollup" ->
       """WITH o AS (
@@ -4280,6 +4382,16 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    // GROUPING(a, b) in DuckDB and grouping_id() in Spark share the
+    // bitmask convention (a = high bit) — pinned by this gate
+    "q27_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "st_debounce" ->
       """SELECT user_id, COUNT(*) AS n_events,

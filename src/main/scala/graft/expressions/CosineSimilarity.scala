@@ -63,8 +63,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * GraftExtensions`) plus a runtime registrar for sessions built without it.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
+    // materialized-view rewrite (no-op until a view is registered via
+    // [[graft.plans.ViewRewrite.register]])
+    ext.injectOptimizerRule(s => graft.plans.GraftViewRewrite(s))
+  }
 }
 
 object GraftFunctions {

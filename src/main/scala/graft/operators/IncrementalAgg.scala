@@ -229,6 +229,25 @@ object IncrementalAgg {
         lit(hist.lo) + (col("qbin") - 1) * lit(width))
   }
 
+  /** Register this maintained aggregate as a transparent materialized
+    * view over the fact at `basePath`: once [[graft.plans.ViewRewrite
+    * .ensureInstalled]] has run on the session, matching `GROUP BY
+    * subset-of-keys` count/sum/min/max queries against the fact scan
+    * are optimizer-rewritten to re-aggregate the view's key-cardinality
+    * state instead. The caller asserts currency: every fact row at
+    * `basePath` has been ingested exactly once (the staleness contract
+    * all view-rewrite systems carry). The view plan is resolved per
+    * rewrite, so later ingests are picked up automatically. */
+  def registerView(spark: SparkSession, root: String, name: String,
+      basePath: String, keys: Seq[String], values: Seq[String]): Unit = {
+    graft.plans.ViewRewrite.ensureInstalled(spark)
+    graft.plans.ViewRewrite.register(spark, graft.plans.MaterializedViewDef(
+      name, basePath, keys, values,
+      () => read(spark, root).getOrElse(throw new IllegalStateException(
+        s"view '$name' registered but no committed aggregate at $root"))
+        .queryExecution.analyzed))
+  }
+
   /** The maintained view with derived averages (sum div cnt, exact
     * BIGINT) — what a reader queries instead of the 100 TB fact. */
   def view(spark: SparkSession, root: String,

@@ -1,0 +1,221 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
+
+/** A registered materialized aggregate view: queries that group the fact
+  * at `basePath` by a subset of `keys` and compute distributive
+  * aggregates over `values` can be answered from the maintained state
+  * table instead of the fact.
+  *
+  * `viewPlan` is a thunk so every rewrite sees the CURRENT committed
+  * snapshot (an [[graft.operators.IncrementalAgg]] root advances with
+  * each ingest) and gets fresh expression ids (each call builds a new
+  * scan, so one query using the view twice cannot alias attributes).
+  *
+  * Registering a view is the staleness contract: the caller asserts the
+  * maintained state covers every fact row at `basePath` exactly once.
+  * Under that contract the rewrite is an identity on RESULTS — only the
+  * plan changes, from a full fact scan to a key-cardinality view scan.
+  */
+final case class MaterializedViewDef(
+    name: String,
+    basePath: String,
+    keys: Seq[String],
+    values: Seq[String],
+    viewPlan: () => LogicalPlan) {
+  /** Normalized path for scan matching. */
+  def pathKey: String = ViewRewrite.normalize(basePath)
+}
+
+/** Catalyst optimizer rule that rewrites matching aggregates over a
+  * registered fact scan to re-aggregate the incrementally-maintained
+  * view instead (classic materialized-view rewrite — Goldstein &
+  * Larson, SIGMOD'01 "Optimizing queries using materialized views").
+  *
+  * The 100 TB story: the maintained state is |keys| rows, kept current
+  * by [[graft.operators.IncrementalAgg.ingest]] paying one scan of each
+  * NEW batch. With this rule installed, every dashboard-style rollup
+  * over the fact — `GROUP BY subset-of-keys` with count/sum/min/max —
+  * silently pays the view's key-cardinality scan instead of the
+  * 100 TB fact scan. The re-aggregation form (count→sum of cnt, sum→sum
+  * of sums, min→min of mins, max→max of maxes) makes any SUBSET of the
+  * view keys servable, not just exact key matches.
+  *
+  * Soundness guards — the rewrite bails (leaving the plan untouched)
+  * unless ALL hold:
+  *   - the scan is the registered fact path (V1 parquet relation);
+  *   - between aggregate and scan there are only attribute-projections
+  *     and filters whose references are all view KEY columns (a filter
+  *     on a key partitions groups whole, so it commutes with the view);
+  *   - every grouping expression is a bare key column;
+  *   - every aggregate is non-distinct, unfiltered count(literal) /
+  *     sum / min / max whose child is a value column (bare integral
+  *     attribute, or `CAST(value AS BIGINT)` — the view stores exact
+  *     BIGINT summaries, so both re-aggregate losslessly);
+  *   - the mapped expression's data type equals the original's (so an
+  *     `INT`-typed `min(v)` over an `INT` column is NOT served by the
+  *     view's BIGINT `min_v` — the caller must cast, keeping the
+  *     rewrite bit-exact rather than silently widening).
+  *
+  * Replacement output reuses the original names AND expression ids, so
+  * operators above the aggregate (sorts, havings, joins) are untouched.
+  * The rule converges: a rewritten aggregate scans the view's path,
+  * which is never a registered base path, so it cannot match again.
+  */
+case class GraftViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val views = ViewRewrite.viewsFor(spark)
+    if (views.isEmpty) plan
+    else plan.transformDown {
+      case agg: Aggregate =>
+        views.view.flatMap(d => tryRewrite(agg, d)).headOption.getOrElse(agg)
+    }
+  }
+
+  private object Bail extends Exception { override def fillInStackTrace(): Throwable = this }
+  @inline private def need(cond: Boolean): Unit = if (!cond) throw Bail
+
+  /** Unwraps attribute-only projections and filters down to a V1 file
+    * scan; returns the filter conditions met on the way. */
+  private def stripToScan(plan: LogicalPlan): Option[(Seq[Expression], LogicalRelation)] = {
+    var filters = List.empty[Expression]
+    var cur = plan
+    while (true) cur match {
+      case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        cur = child
+      case Filter(cond, child) =>
+        filters ::= cond; cur = child
+      case lr: LogicalRelation =>
+        return Some((filters, lr))
+      case _ =>
+        return None
+    }
+    None // unreachable
+  }
+
+  private def scanPaths(lr: LogicalRelation): Seq[String] = lr.relation match {
+    case fs: HadoopFsRelation =>
+      fs.location.rootPaths.map(p => ViewRewrite.normalize(p.toString))
+    case _ => Nil
+  }
+
+  /** The registered value column a sum/min/max child reads, if the
+    * child is a form the BIGINT view summaries reproduce exactly. */
+  private def valueOf(child: Expression, d: MaterializedViewDef): String = child match {
+    case a: AttributeReference if d.values.contains(a.name) &&
+        (a.dataType == LongType || a.dataType == IntegerType || a.dataType == ShortType) =>
+      a.name
+    case Cast(a: AttributeReference, LongType, _, _) if d.values.contains(a.name) &&
+        (a.dataType == IntegerType || a.dataType == ShortType || a.dataType == LongType) =>
+      a.name
+    case _ => throw Bail
+  }
+
+  private def tryRewrite(agg: Aggregate, d: MaterializedViewDef): Option[Aggregate] =
+    try {
+      val (filters, scan) = stripToScan(agg.child).getOrElse(throw Bail)
+      need(scanPaths(scan).contains(d.pathKey))
+
+      // Any metric must actually use the view (not count-only): a
+      // count-only match is more likely an unrelated rollup the user
+      // never meant to serve from this view.
+      var usesValue = false
+
+      val vplan = d.viewPlan()
+      val vAttr: Map[String, Attribute] = vplan.output.map(a => a.name -> a).toMap
+      need(d.keys.forall(vAttr.contains) && vAttr.contains("cnt") &&
+        d.values.forall(v => vAttr.contains(s"sum_$v")))
+
+      val gKeys: Seq[AttributeReference] = agg.groupingExpressions.map {
+        case a: AttributeReference if d.keys.contains(a.name) &&
+            vAttr(a.name).dataType == a.dataType => a
+        case _ => throw Bail
+      }
+
+      val newFilters = filters.map(_.transform {
+        case a: AttributeReference =>
+          need(d.keys.contains(a.name) && vAttr(a.name).dataType == a.dataType)
+          vAttr(a.name)
+      })
+
+      val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+        case a: AttributeReference if gKeys.exists(_.exprId == a.exprId) =>
+          Alias(vAttr(a.name), a.name)(exprId = a.exprId)
+        case al @ Alias(ae: AggregateExpression, name) =>
+          need(!ae.isDistinct && ae.filter.isEmpty)
+          val newFn = ae.aggregateFunction match {
+            case c: Count =>
+              need(c.children.forall {
+                case l: Literal => l.value != null
+                case _ => false
+              })
+              new Sum(vAttr("cnt"))
+            case s: Sum =>
+              usesValue = true
+              s.withNewChildren(Seq(vAttr(s"sum_${valueOf(s.child, d)}")))
+            case m: Min =>
+              usesValue = true
+              m.withNewChildren(Seq(vAttr(s"min_${valueOf(m.child, d)}")))
+            case m: Max =>
+              usesValue = true
+              m.withNewChildren(Seq(vAttr(s"max_${valueOf(m.child, d)}")))
+            case _ => throw Bail
+          }
+          val newAe = ae.copy(aggregateFunction =
+            newFn.asInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction])
+          need(newAe.dataType == ae.dataType)
+          Alias(newAe, name)(exprId = al.exprId)
+        case _ => throw Bail
+      }
+      need(usesValue)
+
+      val newChild = newFilters.foldLeft(vplan)((p, c) => Filter(c, p))
+      logInfo(s"graft view rewrite: aggregate over ${d.pathKey} served by view '${d.name}'")
+      Some(Aggregate(gKeys.map(a => vAttr(a.name)), newAggExprs, newChild))
+    } catch { case Bail => None }
+}
+
+object ViewRewrite {
+
+  private val registry =
+    new ConcurrentHashMap[SparkSession, Map[String, MaterializedViewDef]]()
+
+  private[plans] def normalize(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  def viewsFor(spark: SparkSession): Seq[MaterializedViewDef] =
+    Option(registry.get(spark)).map(_.values.toSeq).getOrElse(Nil)
+
+  /** Register (or replace, by name) a view for this session. The rule
+    * must also be installed ([[ensureInstalled]] or the
+    * `spark.sql.extensions=graft.expressions.GraftExtensions` route). */
+  def register(spark: SparkSession, d: MaterializedViewDef): Unit =
+    registry.compute(spark, (_, m) =>
+      (if (m == null) Map.empty[String, MaterializedViewDef] else m) + (d.name -> d))
+
+  def deregister(spark: SparkSession, name: String): Unit =
+    registry.computeIfPresent(spark, (_, m) => m - name)
+
+  def clear(spark: SparkSession): Unit = registry.remove(spark)
+
+  /** Runtime installation for sessions built without the extensions
+    * config: appends the rule to the session's experimental optimizer
+    * batch ("User Provided Optimizers", which runs after the main
+    * operator-optimization batches — by then the plan above the scan is
+    * exactly the project/filter/aggregate residue the matcher strips).
+    * Idempotent per session. */
+  def ensureInstalled(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[GraftViewRewrite]))
+      spark.experimental.extraOptimizations = cur :+ GraftViewRewrite(spark)
+  }
+}

@@ -48,7 +48,8 @@ class DriverContractSpec extends SparkSpec {
   private val layoutEager =
     Set("j12_bucketed_join", "j13_zorder_scan", "j14_zorder_quantiled",
       "sim_ann_store", "sim_annpq_store", "dd_index_query",
-      "dd_index_classify", "ia_priority_rollup", "ia_priority_hist")
+      "dd_index_classify", "ia_priority_rollup", "ia_priority_hist",
+      "ia_rewrite")
 
   private val eager = streamingEager ++ layoutEager
 

@@ -1,0 +1,194 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.operators.IncrementalAgg
+import graft.plans.ViewRewrite
+
+/** The materialized-view rewrite's two contracts:
+  *
+  *   - WHEN it fires, it is an identity on results and the optimized
+  *     plan scans ONLY the maintained view (key-cardinality), never the
+  *     fact — the whole point at 100 TB;
+  *   - WHEN any soundness guard fails (non-key grouping or filter,
+  *     distinct aggregate, un-cast narrow min/max, unregistered path),
+  *     the plan is left byte-identical to the un-rewritten one.
+  *
+  * The driver-gated `ia_rewrite` query then hash-proves result identity
+  * against the DuckDB base-table oracle at sf0.01.
+  *
+  * NOTE the registry is session-scoped and the spec session is shared
+  * across suites, so every test deregisters in `finally` — a leaked
+  * registration would (soundly, but surprisingly) serve other suites'
+  * aggregates from this spec's tiny fact.
+  */
+class ViewRewriteSpec extends SparkSpec {
+
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
+        case _ => Nil
+      }
+    }.flatten
+
+  /** A tiny fact parquet + a maintained (k1, k2) aggregate over it,
+    * ingested in `nBatches` disjoint batches. */
+  private def fixture(nBatches: Int = 3): (String, String, DataFrame) = {
+    import spark.implicits._
+    val factDir = Files.createTempDirectory("vr_fact_").toString
+    val root = Files.createTempDirectory("vr_view_").toString
+    (1 to 60).map(i => (i.toLong, s"k${i % 3}", s"s${i % 2}", i * 7 % 19))
+      .toDF("id", "k1", "k2", "v")
+      .write.mode("overwrite").parquet(factDir)
+    val fact = spark.read.parquet(factDir)
+    (0 until nBatches).foreach { b =>
+      IncrementalAgg.ingest(spark, root,
+        fact.where(pmod(col("id"), lit(nBatches)) === b),
+        keys = Seq("k1", "k2"), values = Seq("v"), batchId = b + 1L)
+    }
+    IncrementalAgg.registerView(spark, root, "vr_test", factDir,
+      Seq("k1", "k2"), Seq("v"))
+    (factDir, root, fact)
+  }
+
+  private def cleanup(): Unit = ViewRewrite.deregister(spark, "vr_test")
+
+  test("rewritten aggregate scans only the view and matches the fact-computed answer") {
+    val (factDir, root, fact) = fixture()
+    try {
+      val q = fact.groupBy("k1").agg(
+        count(lit(1)).as("n"),
+        sum(col("v").cast("long")).as("sv"),
+        min(col("v").cast("long")).as("mn"),
+        max(col("v").cast("long")).as("mx"))
+      val paths = scanPaths(q)
+      assert(!paths.exists(_.contains(factDir)),
+        s"rewrite did not fire — plan still scans the fact: $paths")
+      assert(paths.exists(_.contains(root)),
+        s"plan scans neither fact nor view: $paths")
+
+      ViewRewrite.deregister(spark, "vr_test")
+      val expected = fact.groupBy("k1").agg(
+        count(lit(1)).as("n"),
+        sum(col("v").cast("long")).as("sv"),
+        min(col("v").cast("long")).as("mn"),
+        max(col("v").cast("long")).as("mx")).collect().toSet
+      IncrementalAgg.registerView(spark, root, "vr_test", factDir,
+        Seq("k1", "k2"), Seq("v"))
+      assert(q.collect().toSet == expected)
+    } finally cleanup()
+  }
+
+  test("subset-of-keys grouping and key-only filters are served by the view") {
+    val (factDir, root, fact) = fixture()
+    try {
+      // group by k2 only (strict subset) with a filter on k1 (a key)
+      val q = fact.where(col("k1") =!= "k1").groupBy("k2")
+        .agg(sum(col("v").cast("long")).as("sv"), count(lit(1)).as("n"))
+      val paths = scanPaths(q)
+      assert(!paths.exists(_.contains(factDir)) && paths.exists(_.contains(root)),
+        s"subset rewrite did not fire: $paths")
+      ViewRewrite.deregister(spark, "vr_test")
+      val expected = fact.where(col("k1") =!= "k1").groupBy("k2")
+        .agg(sum(col("v").cast("long")).as("sv"), count(lit(1)).as("n"))
+        .collect().toSet
+      IncrementalAgg.registerView(spark, root, "vr_test", factDir,
+        Seq("k1", "k2"), Seq("v"))
+      assert(q.collect().toSet == expected)
+
+      // global aggregate (empty grouping) also re-aggregates the view
+      val g = fact.agg(sum(col("v").cast("long")).as("sv"))
+      assert(!scanPaths(g).exists(_.contains(factDir)))
+      ViewRewrite.deregister(spark, "vr_test")
+      val total = fact.agg(sum(col("v").cast("long"))).head.getLong(0)
+      IncrementalAgg.registerView(spark, root, "vr_test", factDir,
+        Seq("k1", "k2"), Seq("v"))
+      assert(g.head.getLong(0) == total)
+    } finally cleanup()
+  }
+
+  test("soundness guards: non-key filter, distinct, un-cast min, foreign scan all bail") {
+    val (factDir, _, fact) = fixture()
+    try {
+      // filter references a non-key column
+      val f = fact.where(col("v") > 3).groupBy("k1")
+        .agg(sum(col("v").cast("long")).as("sv"))
+      assert(scanPaths(f).exists(_.contains(factDir)), "non-key filter must bail")
+
+      // distinct aggregate
+      val d = fact.groupBy("k1").agg(countDistinct("v").as("nd"),
+        sum(col("v").cast("long")).as("sv"))
+      assert(scanPaths(d).exists(_.contains(factDir)), "distinct must bail")
+
+      // min over the raw INT column — serving it from the BIGINT view
+      // would silently widen the output type, so the type guard bails
+      val m = fact.groupBy("k1").agg(min("v").as("mn"),
+        sum(col("v").cast("long")).as("sv"))
+      assert(scanPaths(m).exists(_.contains(factDir)), "narrow min must bail")
+
+      // count-only rollups are deliberately NOT served (usesValue guard)
+      val c = fact.groupBy("k1").agg(count(lit(1)).as("n"))
+      assert(scanPaths(c).exists(_.contains(factDir)), "count-only must bail")
+
+      // grouping by a non-key column
+      val g = fact.groupBy("id").agg(sum(col("v").cast("long")).as("sv"))
+      assert(scanPaths(g).exists(_.contains(factDir)), "non-key grouping must bail")
+
+      // an unregistered table with the same column names is untouched
+      import spark.implicits._
+      val otherDir = Files.createTempDirectory("vr_other_").toString
+      Seq((1L, "k0", "s0", 5)).toDF("id", "k1", "k2", "v")
+        .write.mode("overwrite").parquet(otherDir)
+      val o = spark.read.parquet(otherDir).groupBy("k1")
+        .agg(sum(col("v").cast("long")).as("sv"))
+      assert(scanPaths(o).exists(_.contains(otherDir)), "foreign path must bail")
+    } finally cleanup()
+  }
+
+  test("the view plan is resolved per query: a later ingest is visible without re-registering") {
+    val (factDir, root, fact) = fixture()
+    try {
+      import spark.implicits._
+      // append a 4th batch to the fact AND the view
+      val extra = Seq((1000L, "k0", "s1", 17), (1001L, "k2", "s0", 3))
+        .toDF("id", "k1", "k2", "v")
+      extra.write.mode("append").parquet(factDir)
+      IncrementalAgg.ingest(spark, root, extra,
+        keys = Seq("k1", "k2"), values = Seq("v"), batchId = 4L)
+
+      val q = fact.groupBy("k1").agg(sum(col("v").cast("long")).as("sv"))
+      assert(!scanPaths(q).exists(_.contains(factDir)))
+      val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      ViewRewrite.deregister(spark, "vr_test")
+      val expected = spark.read.parquet(factDir).groupBy("k1")
+        .agg(sum(col("v").cast("long")).as("sv"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"stale view served: $got vs $expected")
+    } finally cleanup()
+  }
+
+  test("operators above the rewritten aggregate keep resolving (order by, having)") {
+    val (factDir, root, fact) = fixture()
+    try {
+      val q = fact.groupBy("k1")
+        .agg(sum(col("v").cast("long")).as("sv"), count(lit(1)).as("n"))
+        .where(col("n") > 1)
+        .orderBy(col("sv").desc)
+      assert(!scanPaths(q).exists(_.contains(factDir)))
+      ViewRewrite.deregister(spark, "vr_test")
+      val expected = fact.groupBy("k1")
+        .agg(sum(col("v").cast("long")).as("sv"), count(lit(1)).as("n"))
+        .where(col("n") > 1)
+        .orderBy(col("sv").desc).collect().toSeq
+      IncrementalAgg.registerView(spark, root, "vr_test", factDir,
+        Seq("k1", "k2"), Seq("v"))
+      assert(q.collect().toSeq == expected)
+    } finally cleanup()
+  }
+}
