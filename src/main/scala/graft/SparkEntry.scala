@@ -57,6 +57,19 @@ object SparkEntry {
     * the next session's temp-dir hygiene (bounded: one dir per tag). */
   private val layoutScratch =
     new java.util.concurrent.ConcurrentHashMap[String, () => Unit]()
+  /** The deterministic "next release" of the documents table both the
+    * dt_diff queries and their oracles derive: drop doc_id % 17 == 0,
+    * append "!" to the text of % 13 == 0 survivors, and add re-keyed
+    * (+1,000,000) copies of % 19 == 0. */
+  private def docsAfterVariant(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val kept = docs.where(col("doc_id") % 17 =!= 0)
+    kept.where(col("doc_id") % 13 =!= 0)
+      .unionByName(kept.where(col("doc_id") % 13 === 0)
+        .withColumn("text", concat(col("text"), lit("!"))))
+      .unionByName(docs.where(col("doc_id") % 19 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+  }
+
   private def freshScratch(s: SparkSession, tag: String,
       tablesFor: String => Seq[String] = _ => Nil): (String, String) = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_").toString
@@ -1059,6 +1072,30 @@ object SparkEntry {
     // span-cut APPLY: the cleaned text with every duplicated span removed
     "dd_spans_apply" -> ((s, dir) =>
       Dedup.duplicateSpansApply(Catalog.documents(s, dir))),
+
+    // snapshot diff between two dataset releases: the "after" cut is a
+    // deterministic variant of documents (drop %17, edit text on %13,
+    // add re-keyed copies of %19), so both engines derive both sides
+    // and the full per-key delta — added/removed/changed with content
+    // hashes — must match byte-for-byte. Payload never shuffles: each
+    // side reduces to (key, sha256) in the scan stage (TableDiffSpec
+    // pins the exchange schema).
+    "dt_diff" -> ((s, dir) => {
+      val docs = Catalog.documents(s, dir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      graft.operators.TableDiff.diff(docs, docsAfterVariant(docs),
+        "doc_id", Seq("text", "lang", "source", "n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // the release-note card over the same delta: counts per status,
+    // unchanged included
+    "dt_diff_summary" -> ((s, dir) => {
+      val docs = Catalog.documents(s, dir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      graft.operators.TableDiff.diffSummary(docs, docsAfterVariant(docs),
+        "doc_id", Seq("text", "lang", "source", "n_chars"))
+    }),
 
     // ================= similarity extensions =================
 
@@ -2767,6 +2804,81 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY h
         |ORDER BY h""".stripMargin,
+
+    // mirrors TableDiff.hashed: sha256 over chr(1)-joined columns with
+    // chr(0) null sentinels, then a full-outer join on the key
+    "dt_diff" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |), a AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, text || '!' AS text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 17 <> 0 AND doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 19 = 0
+        |), hb AS (
+        |  SELECT doc_id, sha256(concat_ws(chr(1),
+        |    coalesce(CAST(text AS VARCHAR), chr(0)),
+        |    coalesce(CAST(lang AS VARCHAR), chr(0)),
+        |    coalesce(CAST(source AS VARCHAR), chr(0)),
+        |    coalesce(CAST(n_chars AS VARCHAR), chr(0)))) AS before_hash
+        |  FROM b
+        |), ha AS (
+        |  SELECT doc_id, sha256(concat_ws(chr(1),
+        |    coalesce(CAST(text AS VARCHAR), chr(0)),
+        |    coalesce(CAST(lang AS VARCHAR), chr(0)),
+        |    coalesce(CAST(source AS VARCHAR), chr(0)),
+        |    coalesce(CAST(n_chars AS VARCHAR), chr(0)))) AS after_hash
+        |  FROM a
+        |)
+        |SELECT COALESCE(hb.doc_id, ha.doc_id) AS doc_id,
+        |  CASE WHEN hb.doc_id IS NULL THEN 'added'
+        |       WHEN ha.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status,
+        |  before_hash, after_hash
+        |FROM hb FULL OUTER JOIN ha ON hb.doc_id = ha.doc_id
+        |WHERE hb.doc_id IS NULL OR ha.doc_id IS NULL
+        |   OR before_hash <> after_hash
+        |ORDER BY doc_id""".stripMargin,
+
+    "dt_diff_summary" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |), a AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, text || '!' AS text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 17 <> 0 AND doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 19 = 0
+        |), hb AS (
+        |  SELECT doc_id, sha256(concat_ws(chr(1),
+        |    coalesce(CAST(text AS VARCHAR), chr(0)),
+        |    coalesce(CAST(lang AS VARCHAR), chr(0)),
+        |    coalesce(CAST(source AS VARCHAR), chr(0)),
+        |    coalesce(CAST(n_chars AS VARCHAR), chr(0)))) AS before_hash
+        |  FROM b
+        |), ha AS (
+        |  SELECT doc_id, sha256(concat_ws(chr(1),
+        |    coalesce(CAST(text AS VARCHAR), chr(0)),
+        |    coalesce(CAST(lang AS VARCHAR), chr(0)),
+        |    coalesce(CAST(source AS VARCHAR), chr(0)),
+        |    coalesce(CAST(n_chars AS VARCHAR), chr(0)))) AS after_hash
+        |  FROM a
+        |), d AS (
+        |  SELECT CASE WHEN hb.doc_id IS NULL THEN 'added'
+        |              WHEN ha.doc_id IS NULL THEN 'removed'
+        |              WHEN before_hash <> after_hash THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM hb FULL OUTER JOIN ha ON hb.doc_id = ha.doc_id
+        |)
+        |SELECT status, COUNT(*) AS n FROM d
+        |GROUP BY status ORDER BY status""".stripMargin,
 
     "dd_src_stats" ->
       """SELECT source, COUNT(*) AS n_docs,
