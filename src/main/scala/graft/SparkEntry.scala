@@ -1073,6 +1073,35 @@ object SparkEntry {
     "dd_spans_apply" -> ((s, dir) =>
       Dedup.duplicateSpansApply(Catalog.documents(s, dir))),
 
+    // blocked edit-distance entity resolution: a dirty probe batch
+    // (every 10th part name with its 6th character dropped) resolves
+    // against the master part table — candidates share a 4-char prefix
+    // block (equi-join, probe side broadcast, master never shuffles),
+    // and only within-block pairs pay the exact levenshtein verify.
+    // Both engines derive the same corruption, so the pair set and
+    // distances must match exactly.
+    "dd_fuzzy" -> ((s, dir) => {
+      val part = Catalog.part(s, dir).select(col("p_partkey"), col("p_name"))
+      val probe = part.where(col("p_partkey") % 10 === 0)
+        .withColumn("p_name",
+          concat(substring(col("p_name"), 1, 5), expr("substring(p_name, 7)")))
+      graft.operators.FuzzyJoin.resolve(part, probe, "p_partkey", "p_name",
+        prefixLen = 4, maxDist = 2)
+        .orderBy("probe_key", "match_key")
+    }),
+
+    // the assignment form: best (lowest-distance, then lowest-key)
+    // master match per dirty record
+    "dd_fuzzy_best" -> ((s, dir) => {
+      val part = Catalog.part(s, dir).select(col("p_partkey"), col("p_name"))
+      val probe = part.where(col("p_partkey") % 10 === 0)
+        .withColumn("p_name",
+          concat(substring(col("p_name"), 1, 5), expr("substring(p_name, 7)")))
+      graft.operators.FuzzyJoin.resolveBest(part, probe, "p_partkey", "p_name",
+        prefixLen = 4, maxDist = 2)
+        .orderBy("probe_key")
+    }),
+
     // snapshot diff between two dataset releases: the "after" cut is a
     // deterministic variant of documents (drop %17, edit text on %13,
     // add re-keyed copies of %19), so both engines derive both sides
@@ -2804,6 +2833,42 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY h
         |ORDER BY h""".stripMargin,
+
+    // mirrors FuzzyJoin.resolve: same corruption, same prefix-4 block,
+    // same levenshtein threshold
+    "dd_fuzzy" ->
+      """WITH probe AS (
+        |  SELECT p_partkey AS probe_key,
+        |    substring(p_name, 1, 5) || substring(p_name, 7) AS p_text
+        |  FROM part WHERE p_partkey % 10 = 0
+        |), master AS (
+        |  SELECT p_partkey AS match_key, p_name AS m_text FROM part
+        |)
+        |SELECT probe_key, match_key,
+        |  CAST(levenshtein(p_text, m_text) AS INTEGER) AS dist
+        |FROM probe JOIN master
+        |  ON substring(p_text, 1, 4) = substring(m_text, 1, 4)
+        |WHERE levenshtein(p_text, m_text) <= 2
+        |ORDER BY probe_key, match_key""".stripMargin,
+
+    "dd_fuzzy_best" ->
+      """WITH probe AS (
+        |  SELECT p_partkey AS probe_key,
+        |    substring(p_name, 1, 5) || substring(p_name, 7) AS p_text
+        |  FROM part WHERE p_partkey % 10 = 0
+        |), master AS (
+        |  SELECT p_partkey AS match_key, p_name AS m_text FROM part
+        |), pairs AS (
+        |  SELECT probe_key, match_key,
+        |    CAST(levenshtein(p_text, m_text) AS INTEGER) AS dist,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_key
+        |      ORDER BY levenshtein(p_text, m_text), match_key) AS rn
+        |  FROM probe JOIN master
+        |    ON substring(p_text, 1, 4) = substring(m_text, 1, 4)
+        |  WHERE levenshtein(p_text, m_text) <= 2
+        |)
+        |SELECT probe_key, match_key, dist FROM pairs WHERE rn = 1
+        |ORDER BY probe_key""".stripMargin,
 
     // mirrors TableDiff.hashed: sha256 over chr(1)-joined columns with
     // chr(0) null sentinels, then a full-outer join on the key

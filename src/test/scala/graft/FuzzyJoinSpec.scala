@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.operators.FuzzyJoin
+
+/** Blocked Levenshtein-join contracts: exact within-block recall,
+  * the documented blocking miss, best-match tie-breaking, and the plan
+  * shape (broadcast probe, no cartesian — the master never shuffles). */
+class FuzzyJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def master = Seq(
+    (1L, "alpha cluster node"),
+    (2L, "alpha cluster mode"), // dist 1 from key 1
+    (3L, "alpha crust node"),   // dist 2+ from key 1
+    (4L, "beta cluster node"),
+    (5L, "alph different tail entirely")
+  ).toDF("k", "name")
+
+  test("a corrupted copy resolves to its original; best match breaks ties deterministically") {
+    // drop one mid-string char from key 1's name → dist 1 to key 1,
+    // dist 2 to key 2 (both within maxDist, same block "alph")
+    val probe = Seq((100L, "alpha clustr node")).toDF("k", "name")
+    val got = FuzzyJoin.resolve(master, probe, "k", "name", 4, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.contains((100L, 1L, 1)), s"original not recovered: $got")
+
+    val best = FuzzyJoin.resolveBest(master, probe, "k", "name", 4, 2).collect()
+    assert(best.length == 1 && best.head.getLong(1) == 1L &&
+      best.head.getInt(2) == 1)
+
+    // tie in distance → smaller master key wins
+    val probeTie = Seq((200L, "alpha cluster Xode")).toDF("k", "name")
+    val bestTie = FuzzyJoin.resolveBest(master, probeTie, "k", "name", 4, 2)
+      .collect()
+    assert(bestTie.head.getLong(1) == 1L, // dist 1 to both keys 1 and 2
+      s"tie not broken by smallest key: ${bestTie.mkString}")
+  }
+
+  test("within a shared block, results equal the unblocked brute force") {
+    val probe = Seq((100L, "alpha clustr node"), (101L, "alpha cluster")).toDF("k", "name")
+    val blocked = FuzzyJoin.resolve(master, probe, "k", "name", 4, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = probe.select(col("k").as("probe_key"), col("name").as("p"))
+      .crossJoin(master.select(col("k").as("match_key"), col("name").as("m")))
+      .withColumn("dist", levenshtein(col("p"), col("m")))
+      .where(col("dist") <= 2 &&
+        substring(col("p"), 1, 4) === substring(col("m"), 1, 4))
+      .select("probe_key", "match_key", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked == brute)
+  }
+
+  test("the blocking contract: an edit inside the prefix is missed by construction") {
+    // "Alpha..." vs "alpha...": dist 1, but block "Alph" != "alph"
+    val probe = Seq((300L, "Alpha cluster node")).toDF("k", "name")
+    assert(FuzzyJoin.resolve(master, probe, "k", "name", 4, 2).count() == 0)
+    // with blocking disabled down to 0-char... prefixLen=1 still splits
+    // A/a; a caller who needs case-robust blocking lowercases first
+    val fixed = FuzzyJoin.resolve(master,
+      probe.withColumn("name", lower(col("name"))), "k", "name", 4, 2)
+    assert(fixed.where(col("match_key") === 1L).count() == 1)
+  }
+
+  test("plan: probe broadcasts, no cartesian, master side never exchanges") {
+    val probe = Seq((100L, "alpha clustr node")).toDF("k", "name")
+    val p = FuzzyJoin.resolve(master, probe, "k", "name", 4, 2)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+}
