@@ -1073,6 +1073,30 @@ object SparkEntry {
     "dd_spans_apply" -> ((s, dir) =>
       Dedup.duplicateSpansApply(Catalog.documents(s, dir))),
 
+    // small-file compaction, gated content-neutral the j13 way: the
+    // events fact lands partitioned by event_type as ~16 files per
+    // partition (a simulated micro-batch ingest history), Compact
+    // bin-packs every partition to ≤2 files via a pruned rewrite +
+    // per-partition rename swap, and the aggregate read back must
+    // equal the oracle's aggregate of the ORIGINAL table — compaction
+    // changed the file layout, provably not the data.
+    "cp_compact_scan" -> ((s, dir) => {
+      val (base, _) = freshScratch(s, "cp_q")
+      Catalog.events(s, dir).select(
+          col("user_id"), col("event_type"),
+          floor(col("value").cast("double") * 100 + 0.5).cast("long").as("cents"))
+        .repartition(16).write.mode("overwrite")
+        .partitionBy("event_type").parquet(s"$base/ev")
+      graft.operators.Compact.compact(s, s"$base/ev", "event_type",
+        maxFiles = 4, targetFiles = 2)
+      s.read.parquet(s"$base/ev")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("total_cents"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
+
     // blocked edit-distance entity resolution: a dirty probe batch
     // (every 10th part name with its 6th character dropped) resolves
     // against the master part table — candidates share a 4-char prefix
@@ -2833,6 +2857,16 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY h
         |ORDER BY h""".stripMargin,
+
+    // the ORIGINAL events table — the Spark side aggregates the
+    // compacted layout, so matching proves compaction content-neutral
+    "cp_compact_scan" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // mirrors FuzzyJoin.resolve: same corruption, same prefix-4 block,
     // same levenshtein threshold
