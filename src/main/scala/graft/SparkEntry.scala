@@ -1509,6 +1509,31 @@ object SparkEntry {
           grouping_id().cast("int").as("gid"))
         .orderBy("gid", "l_returnflag", "l_linestatus")),
 
+    // customer value ladder: the remaining window-function family in
+    // one deterministic exact-integer query — ntile quartiles over the
+    // FULL segment (computed before the top-50 cut), lag gap to the
+    // next-bigger spender in cents, row_number for the cut. The window
+    // runs over the partial-agged per-customer totals (one row per
+    // customer crosses the window shuffle, never per order).
+    "q28_value_ladder" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment")
+        .orderBy(col("total_cents").desc, col("c_custkey"))
+      val totals = Catalog.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("total_cents"))
+      val cust = Catalog.customer(s, dir).select("c_custkey", "c_mktsegment")
+      totals.join(cust, totals("o_custkey") === cust("c_custkey"))
+        .select(col("c_mktsegment"), col("c_custkey").cast("long").as("c_custkey"),
+          col("total_cents"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("gap_cents",
+          coalesce(lag(col("total_cents"), 1).over(w) - col("total_cents"), lit(0L)))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 50)
+        .orderBy("c_mktsegment", "rn")
+    }),
+
     // NOTE: rounds 2–4 carried diag_dec_* driver-hash probes here. They
     // are retired — both shapes (natural (28,2) and post-agg (38,2) cast)
     // failed the driver hash while q3/q5/q8's decimals pass, confirming
@@ -4593,6 +4618,28 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q28_value_ladder" ->
+      """WITH totals AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM orders GROUP BY o_custkey
+        |), ladder AS (
+        |  SELECT c_mktsegment, CAST(c_custkey AS BIGINT) AS c_custkey,
+        |    total_cents,
+        |    NTILE(4) OVER w AS quartile,
+        |    COALESCE(LAG(total_cents, 1) OVER w - total_cents, 0) AS gap_cents,
+        |    ROW_NUMBER() OVER w AS rn
+        |  FROM totals JOIN customer ON o_custkey = c_custkey
+        |  WINDOW w AS (PARTITION BY c_mktsegment
+        |               ORDER BY total_cents DESC, c_custkey)
+        |)
+        |SELECT c_mktsegment, c_custkey, total_cents,
+        |  CAST(quartile AS INTEGER) AS quartile,
+        |  CAST(gap_cents AS BIGINT) AS gap_cents,
+        |  CAST(rn AS INTEGER) AS rn
+        |FROM ladder WHERE rn <= 50
+        |ORDER BY c_mktsegment, rn""".stripMargin,
 
     // GROUPING(a, b) in DuckDB and grouping_id() in Spark share the
     // bitmask convention (a = high bit) — pinned by this gate
