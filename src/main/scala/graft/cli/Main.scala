@@ -753,8 +753,60 @@ object Main {
       }
       spark.stop()
 
+    // table-maintenance drive: recover any crash-stranded partitions,
+    // then bin-pack the offenders; prints the per-partition report
+    case Some("compact") =>
+      val path = opt(args, "path").getOrElse { System.err.println("error: --path required"); sys.exit(2); "" }
+      val pcol = opt(args, "pcol").getOrElse { System.err.println("error: --pcol required"); sys.exit(2); "" }
+      val maxFiles = opt(args, "max-files").getOrElse("8").toInt
+      val target = opt(args, "target-files").getOrElse("1").toInt
+      val spark = session()
+      val recovered = graft.operators.Compact.recover(spark, path, pcol)
+      if (recovered.nonEmpty)
+        println(s"recovered ${recovered.size} held partition(s): ${recovered.mkString(", ")}")
+      val report = graft.operators.Compact
+        .compact(spark, path, pcol, maxFiles, target).collect()
+      if (report.isEmpty) println(s"nothing over $maxFiles files — layout already compact")
+      else report.foreach(r => println(
+        f"  $pcol=${r.getString(0)}%-12s ${r.getInt(1)}%3d -> ${r.getInt(2)}%2d files"))
+      spark.stop()
+
+    case Some("diff") =>
+      val before = opt(args, "before").getOrElse { System.err.println("error: --before required"); sys.exit(2); "" }
+      val after = opt(args, "after").getOrElse { System.err.println("error: --after required"); sys.exit(2); "" }
+      val key = opt(args, "key").getOrElse { System.err.println("error: --key required"); sys.exit(2); "" }
+      val spark = session()
+      val b = spark.read.parquet(before)
+      val a = spark.read.parquet(after)
+      val cols = opt(args, "cols").map(_.split(",").toSeq)
+        .getOrElse(b.columns.toSeq.filterNot(_ == key))
+      graft.operators.TableDiff.diffSummary(b, a, key, cols).collect()
+        .foreach(r => println(f"  ${r.getString(0)}%-10s ${r.getLong(1)}%8d"))
+      val delta = graft.operators.TableDiff.diff(b, a, key, cols)
+        .orderBy("status", key).limit(opt(args, "limit").getOrElse("10").toInt)
+      delta.collect().foreach(r =>
+        println(s"  ${r.get(0)}  ${r.getString(1)}"))
+      spark.stop()
+
+    case Some("fuzzy") =>
+      val master = opt(args, "master").getOrElse { System.err.println("error: --master required"); sys.exit(2); "" }
+      val probe = opt(args, "probe").getOrElse { System.err.println("error: --probe required"); sys.exit(2); "" }
+      val key = opt(args, "key").getOrElse { System.err.println("error: --key required"); sys.exit(2); "" }
+      val text = opt(args, "text").getOrElse { System.err.println("error: --text required"); sys.exit(2); "" }
+      val prefix = opt(args, "prefix").getOrElse("4").toInt
+      val maxDist = opt(args, "max-dist").getOrElse("2").toInt
+      val spark = session()
+      val best = graft.operators.FuzzyJoin.resolveBest(
+        spark.read.parquet(master), spark.read.parquet(probe),
+        key, text, prefix, maxDist).localCheckpoint()
+      println(s"resolved ${best.count()} probe row(s):")
+      best.orderBy("probe_key").limit(opt(args, "limit").getOrElse("10").toInt)
+        .collect().foreach(r =>
+          println(s"  ${r.get(0)} -> ${r.get(1)} (dist ${r.getInt(2)})"))
+      spark.stop()
+
     case other =>
-      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export|index-build|index-search|pq-build|pq-search|dedup-build|dedup-classify")
+      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export|index-build|index-search|pq-build|pq-search|dedup-build|dedup-classify|compact|diff|fuzzy")
       sys.exit(2)
   }
 }

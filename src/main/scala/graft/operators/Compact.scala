@@ -77,7 +77,12 @@ object Compact {
       val df = spark.read.parquet(path).where(col(pcol).isin(victims: _*))
       val salt = pmod(xxhash64(struct(df.columns.map(col): _*)),
         lit(targetFiles.toLong))
-      df.repartition(col(pcol), salt)
+      // explicit partition count: AQE's partition coalescing would
+      // otherwise merge the salted buckets back into one task and
+      // defeat targetFiles > 1. A hash collision between two
+      // (partition, salt) buckets can still under-shoot (≤ targetFiles
+      // files, one up to 2× target size) — never over.
+      df.repartition(victims.size * targetFiles, col(pcol), salt)
         .write.mode("overwrite").partitionBy(pcol).parquet(tmp.toString)
 
       victims.foreach { v =>
