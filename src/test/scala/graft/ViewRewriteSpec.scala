@@ -173,6 +173,50 @@ class ViewRewriteSpec extends SparkSpec {
     } finally cleanup()
   }
 
+  test("the full loop: a STREAM maintains the view, the optimizer serves the fact query from it") {
+    import spark.implicits._
+    val factDir = Files.createTempDirectory("vr_sfact_").toString
+    val root = Files.createTempDirectory("vr_sview_").toString
+    val ckpt = Files.createTempDirectory("vr_sckpt_").toString
+    try {
+      Seq((1L, "k0", 5), (2L, "k1", 7), (3L, "k0", 11))
+        .toDF("id", "k1", "v").write.mode("append").parquet(factDir)
+      val schema = spark.read.parquet(factDir).schema
+
+      def maintain(): Unit =
+        graft.streaming.StreamingAgg.start(
+          spark.readStream.schema(schema).parquet(factDir),
+          root, ckpt, keys = Seq("k1"), values = Seq("v"))
+          .awaitTermination()
+
+      maintain()
+      IncrementalAgg.registerView(spark, root, "vr_test", factDir,
+        Seq("k1"), Seq("v"))
+
+      val q = spark.read.parquet(factDir).groupBy("k1")
+        .agg(sum(col("v").cast("long")).as("sv"))
+      assert(!scanPaths(q).exists(_.contains(factDir)) &&
+        scanPaths(q).exists(_.contains(root)),
+        "stream-maintained view did not serve the fact query")
+      assert(q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("k0" -> 16L, "k1" -> 7L))
+
+      // late-arriving data: one more file + one more maintenance pass —
+      // the SAME registration serves the new state (per-query thunk)
+      Seq((4L, "k1", 100)).toDF("id", "k1", "v")
+        .write.mode("append").parquet(factDir)
+      maintain()
+      // a FRESH query sees the new snapshot through the same
+      // registration (an already-optimized DataFrame keeps its plan —
+      // Spark semantics, not a staleness bug)
+      val q2 = spark.read.parquet(factDir).groupBy("k1")
+        .agg(sum(col("v").cast("long")).as("sv"))
+      assert(!scanPaths(q2).exists(_.contains(factDir)))
+      assert(q2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("k0" -> 16L, "k1" -> 107L))
+    } finally cleanup()
+  }
+
   test("operators above the rewritten aggregate keep resolving (order by, having)") {
     val (factDir, root, fact) = fixture()
     try {
