@@ -1163,6 +1163,18 @@ object SparkEntry {
     "sim_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDup(Catalog.embeddings(s, dir), threshold = 0.25)),
 
+    // embedding-level benchmark decontamination: every 20th vector acts
+    // as the held-out eval set (broadcast), and train vectors cosine-
+    // close to any bucket-mate benchmark vector are flagged with their
+    // best score and the offending benchmark id — the semantic
+    // companion to dd_decontaminate's shingle matching
+    "sim_decon" -> ((s, dir) => {
+      val emb = Catalog.embeddings(s, dir)
+      Similarity.semanticDecontaminate(
+        emb.where(col("vec_id") % 20 =!= 0),
+        emb.where(col("vec_id") % 20 === 0))
+    }),
+
     // bucketed kNN graph: every vector's top-k among its sign-LSH
     // bucket-mates — the every-vector scale path next to sim_topk's
     // brute-force few-query baseline
@@ -1474,6 +1486,18 @@ object SparkEntry {
     // 24 observed hourly buckets, from exact integer window sums
     "a5_rate_anomaly" -> ((s, dir) =>
       Temporal.rateAnomaly(Catalog.events(s, dir))),
+
+    // dense hourly resample with explicit zero-filled gaps: the grid
+    // generates row-locally from each event_type's aggregated span
+    // (sequence/explode over key-cardinality rows — no global-calendar
+    // cross join), so sparse hours appear as (0, 0) rows downstream
+    // rate math can trust
+    "t2_resample" -> ((s, dir) => {
+      val ev = Catalog.events(s, dir).select(col("event_type"), col("ts"),
+        floor(col("value").cast("double") * 100 + 0.5).cast("long").as("cents"))
+      Temporal.resample(ev, "event_type", "ts", "cents", 3600000000L)
+        .orderBy("event_type", "bucket_us")
+    }),
 
     // near-dup cluster-size histogram over the shared components chain
     "dd_cluster_hist" -> ((s, dir) =>
@@ -3366,6 +3390,28 @@ object SparkEntry {
          |WHERE cos >= 0.25
          |ORDER BY d1, d2""".stripMargin,
 
+    "sim_decon" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |    ${(1 to 8).map(i =>
+             s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS bucket
+         |  FROM embeddings
+         |), t AS (
+         |  SELECT vec_id, embedding, bucket FROM b WHERE vec_id % 20 <> 0
+         |), bm AS (
+         |  SELECT vec_id AS bench_id, embedding AS be, bucket FROM b
+         |  WHERE vec_id % 20 = 0
+         |), hits AS (
+         |  SELECT t.vec_id, bm.bench_id,
+         |    round(${cosSql("t.embedding", "bm.be")}, 6) AS cos
+         |  FROM t JOIN bm ON t.bucket = bm.bucket
+         |)
+         |SELECT vec_id, COUNT(*) AS n_hits, MAX(cos) AS max_cos,
+         |  MIN(bench_id) AS bench_id
+         |FROM hits WHERE cos >= 0.25
+         |GROUP BY vec_id
+         |ORDER BY vec_id""".stripMargin,
+
     "sim_knn" ->
       s"""WITH b AS (
          |  SELECT vec_id, embedding,
@@ -4182,6 +4228,30 @@ object SparkEntry {
         |FROM act a JOIN sz s USING (cohort_week)
         |GROUP BY 1, 2, s.cohort_users
         |ORDER BY 1, 2""".stripMargin,
+
+    // mirrors Temporal.resample: truncating-div hourly buckets in
+    // epoch micros, per-key dense grid via generate_series
+    "t2_resample" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+        |    CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |), agg AS (
+        |  SELECT event_type, bucket_us, COUNT(*) AS n_events,
+        |    CAST(SUM(cents) AS BIGINT) AS total
+        |  FROM b GROUP BY 1, 2
+        |), spans AS (
+        |  SELECT event_type, MIN(bucket_us) AS mn, MAX(bucket_us) AS mx
+        |  FROM agg GROUP BY 1
+        |), grid AS (
+        |  SELECT event_type, CAST(g AS BIGINT) AS bucket_us
+        |  FROM spans, UNNEST(generate_series(mn, mx, 3600000000)) t(g)
+        |)
+        |SELECT grid.event_type, grid.bucket_us,
+        |  COALESCE(n_events, 0) AS n_events, COALESCE(total, 0) AS total
+        |FROM grid LEFT JOIN agg USING (event_type, bucket_us)
+        |ORDER BY event_type, bucket_us""".stripMargin,
 
     "a5_rate_anomaly" ->
       """WITH hourly AS (

@@ -153,6 +153,38 @@ object Similarity {
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .orderBy("bucket")
 
+  /** Embedding-level benchmark decontamination — the SEMANTIC form of
+    * [[graft.operators.Dedup.decontaminate]] (which matches shingle
+    * text): flag every TRAIN vector whose 6-dp-rounded cosine to ANY
+    * benchmark vector in its sign-LSH bucket clears the threshold —
+    * paraphrased eval questions share no shingles but sit next to each
+    * other in embedding space. Per flagged vector: hit count, best
+    * cosine, and the smallest offending benchmark id (the audit
+    * pointer a contamination report links to).
+    *
+    * Scale posture: the benchmark side is eval-set-sized and is
+    * BROADCAST, so the 100 TB train corpus is scanned once map-side;
+    * candidates are bucket-mates only (never all-pairs); the rollup
+    * shuffles flagged hits, not the corpus. Recall is bucket-bounded
+    * (the documented LSH trade): raise `bits` for smaller buckets,
+    * lower for higher recall. */
+  def semanticDecontaminate(train: DataFrame, benchmark: DataFrame,
+      bits: Int = 8, threshold: Double = 0.25): DataFrame = {
+    val t = train.select(lshBucket(col("embedding"), bits).as("bucket"),
+      col("vec_id"), col("embedding").as("te"))
+    val bm = benchmark.select(lshBucket(col("embedding"), bits).as("bucket"),
+      col("vec_id").as("bench_id"), col("embedding").as("be"))
+    t.join(broadcast(bm), Seq("bucket"))
+      .select(col("vec_id"), col("bench_id"),
+        round(cos(train)(col("te"), col("be")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_hits"),
+        max(col("cos")).as("max_cos"),
+        min(col("bench_id")).as("bench_id"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding-cosine near-dup: pairs in the same sign-LSH bucket with
     * rounded cosine ≥ threshold. */
   def cosineNearDup(embeddings: DataFrame, bits: Int = 8,

@@ -214,4 +214,37 @@ object Temporal {
         when(variance > 0, z).as("z_milli"))
       .orderBy("event_type", "hour")
   }
+
+  /** Dense resample: bucket `tsCol` into fixed `stepMicros` bins per
+    * `key` and FILL EVERY EMPTY BIN with explicit zeros across each
+    * key's observed span — rate, anomaly and windowed-trend math needs
+    * gaps as zeros, not missing rows ([[rateAnomalyFromHourly]]'s
+    * trailing mean, for one, under-counts silently on sparse input).
+    *
+    * The grid generates from the AGGREGATED spans (key-cardinality
+    * rows), row-locally via `sequence`/`explode` — never a cross join
+    * against a global calendar, so span length bounds fan-out per key
+    * and a 100 TB fact contributes one combinable aggregation. The agg
+    * subtree feeds both the spans and the final join; Spark's exchange
+    * reuse materializes it once. Buckets are epoch-micros BIGINTs (the
+    * fixed-point contract), truncating division — exact on both
+    * engines for the post-1970 domain.
+    */
+  def resample(events: DataFrame, key: String, tsCol: String,
+      valueCol: String, stepMicros: Long = 3600000000L): DataFrame = {
+    val bucketed = events.select(col(key),
+      (expr(s"unix_micros($tsCol) div ${stepMicros}L") * stepMicros)
+        .as("bucket_us"),
+      col(valueCol))
+    val agg = bucketed.groupBy(key, "bucket_us")
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("total"))
+    val spans = agg.groupBy(key)
+      .agg(min("bucket_us").as("mn"), max("bucket_us").as("mx"))
+    val grid = spans.select(col(key),
+      explode(sequence(col("mn"), col("mx"), lit(stepMicros))).as("bucket_us"))
+    grid.join(agg, Seq(key, "bucket_us"), "left")
+      .select(col(key), col("bucket_us"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("total"), lit(0L)).as("total"))
+  }
 }

@@ -270,4 +270,29 @@ class SimilarityQualitySpec extends SparkSpec {
         s"duplicate $i codes differ from original ${i % 4}")
     }
   }
+
+  test("semanticDecontaminate: a planted benchmark copy is flagged; a strict threshold flags nothing else") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // benchmark = every 20th vector; train contains vec 1 PLUS an exact
+    // copy of benchmark vec 0 re-keyed as 9999
+    val bench = embeddings.where(col("vec_id") % 20 === 0)
+    val copy = bench.where(col("vec_id") === 0)
+      .withColumn("vec_id", lit(9999L))
+    val train = embeddings.where(col("vec_id") % 20 =!= 0).unionByName(copy)
+
+    val strict = Similarity.semanticDecontaminate(train, bench, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(strict.exists { case (v, _, c, b) => v == 9999L && c >= 0.999 && b == 0L },
+      s"planted copy not flagged: ${strict.mkString(", ")}")
+    // at cosine >= 0.999 only genuine copies flag on this corpus
+    assert(strict.forall(_._1 == 9999L), s"false flags: ${strict.mkString(", ")}")
+
+    // disjoint-bucket guard: flags only ever name bucket-mate pairs,
+    // and every flagged id is a train id (never a benchmark id)
+    val loose = Similarity.semanticDecontaminate(train, bench, threshold = 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose.contains(9999L))
+    assert(loose.forall(v => v == 9999L || v % 20 != 0))
+  }
 }

@@ -162,4 +162,30 @@ class TemporalSpec extends SparkSpec {
     assert(got.length == 1)
     assert(got.head.getLong(2) == 7 && got.head.isNullAt(5), got.head.toString)
   }
+
+  test("resample: gaps zero-fill, spans are per-key, mass is conserved") {
+    val sparse = Seq(
+      ("a", "2024-01-01 10:10:00", 5L),
+      ("a", "2024-01-01 13:50:00", 7L),  // 2-hour gap at 11:00 and 12:00
+      ("b", "2024-01-01 00:30:00", 1L),
+      ("b", "2024-01-01 00:45:00", 2L)   // single bucket, no gap
+    ).toDF("k", "t", "v").withColumn("ts", col("t").cast("timestamp"))
+    val got = Temporal.resample(sparse, "k", "ts", "v")
+      .orderBy("k", "bucket_us").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    val hour = 3600000000L
+    val a = got.filter(_._1 == "a")
+    assert(a.length == 4, s"a span should cover 10:00..13:00: ${a.mkString(", ")}")
+    assert(a.map(_._3).toSeq == Seq(1L, 0L, 0L, 1L), "gap hours must be explicit zeros")
+    assert(a.map(_._4).toSeq == Seq(5L, 0L, 0L, 7L))
+    assert(a.sliding(2).forall(p => p(1)._2 - p(0)._2 == hour), "grid must be contiguous")
+
+    val b = got.filter(_._1 == "b")
+    assert(b.length == 1 && b.head._3 == 2 && b.head._4 == 3,
+      s"b collapses to one bucket: ${b.mkString(", ")}")
+
+    // mass conservation: resampled totals equal the raw totals
+    assert(got.map(_._4).sum == 15L && got.map(_._3).sum == 4L)
+  }
 }
