@@ -1073,6 +1073,29 @@ object SparkEntry {
     "dd_spans_apply" -> ((s, dir) =>
       Dedup.duplicateSpansApply(Catalog.documents(s, dir))),
 
+    // persisted inverted index + BM25 search: build-once/query-many
+    // lexical retrieval — a query reads ONLY its terms' posting rows
+    // (token IN pushes to the scan), scores Okapi BM25 in exact
+    // micro-point BIGINTs, and the oracle recomputes the same math
+    // from the raw corpus, proving the index IS the corpus statistics
+    "lx_search" -> ((s, dir) => {
+      val (root, _) = freshScratch(s, "lx_q")
+      graft.operators.LexIndex.build(s, Catalog.documents(s, dir), root)
+      graft.operators.LexIndex.search(s, root,
+        Seq("vector", "merge", "spark"), k = 10)
+    }),
+
+    // hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+    // ranking with a brute-force cosine ranking of embedding 0
+    // (vec_id ≡ doc_id) — integer-division RRF, so fusion is exact
+    "lx_hybrid" -> ((s, dir) => {
+      val (root, _) = freshScratch(s, "lxh_q")
+      graft.operators.LexIndex.build(s, Catalog.documents(s, dir), root)
+      graft.operators.LexIndex.hybrid(s, root,
+        Seq("vector", "merge", "spark"), Catalog.embeddings(s, dir),
+        queryVecId = 0L, k = 10, poolK = 50)
+    }),
+
     // small-file compaction, gated content-neutral the j13 way: the
     // events fact lands partitioned by event_type as ~16 files per
     // partition (a simulated micro-batch ingest history), Compact
@@ -2906,6 +2929,101 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY h
         |ORDER BY h""".stripMargin,
+
+    // recomputes the index's BM25 from the raw corpus — exact
+    // micro-point integer sums, the ta_bm25 math restricted to the
+    // query terms
+    "lx_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
+        |), dfreq AS (
+        |  SELECT token, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1
+        |), consts AS (
+        |  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS sum_dl, COUNT(*) AS n_dl FROM dl
+        |), scored AS (
+        |  SELECT CAST(tf.doc_id AS BIGINT) AS doc_id,
+        |    CAST(round(
+        |      ln(1.0 + CAST(n_docs - df + 0.5 AS DOUBLE)
+        |               / CAST(df + 0.5 AS DOUBLE))
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (tf + 1.2 * (0.25 + 0.75 *
+        |          (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_dl))))
+        |      * 1e6, 0) AS BIGINT) AS micro
+        |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), consts
+        |  WHERE tf.token IN ('vector', 'merge', 'spark')
+        |), agg AS (
+        |  SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS score_micro
+        |  FROM scored GROUP BY 1
+        |), ranked AS (
+        |  SELECT doc_id, score_micro,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
+        |  FROM agg
+        |)
+        |SELECT doc_id, score_micro, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "lx_hybrid" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS token
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
+         |), dfreq AS (
+         |  SELECT token, COUNT(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1
+         |), consts AS (
+         |  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         |    CAST(SUM(dl) AS BIGINT) AS sum_dl, COUNT(*) AS n_dl FROM dl
+         |), scored AS (
+         |  SELECT CAST(tf.doc_id AS BIGINT) AS doc_id,
+         |    CAST(round(
+         |      ln(1.0 + CAST(n_docs - df + 0.5 AS DOUBLE)
+         |               / CAST(df + 0.5 AS DOUBLE))
+         |      * (CAST(tf AS DOUBLE) * 2.2)
+         |      / (tf + 1.2 * (0.25 + 0.75 *
+         |          (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_dl))))
+         |      * 1e6, 0) AS BIGINT) AS micro
+         |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), consts
+         |  WHERE tf.token IN ('vector', 'merge', 'spark')
+         |), agg AS (
+         |  SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS score_micro
+         |  FROM scored GROUP BY 1
+         |), lexpool AS (
+         |  SELECT doc_id, rank_lex FROM (
+         |    SELECT doc_id,
+         |      CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank_lex
+         |    FROM agg)
+         |  WHERE rank_lex <= 50
+         |), vq AS (
+         |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+         |), vscored AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS doc_id,
+         |    round(${cosSql("embedding", "qe")}, 6) AS cos
+         |  FROM embeddings, vq WHERE vec_id <> 0
+         |), vecpool AS (
+         |  SELECT doc_id, rank_vec FROM (
+         |    SELECT doc_id,
+         |      CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INTEGER) AS rank_vec
+         |    FROM vscored)
+         |  WHERE rank_vec <= 50
+         |), fused AS (
+         |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, rank_lex, rank_vec,
+         |    COALESCE(1000000 // (60 + rank_lex), 0)
+         |      + COALESCE(1000000 // (60 + rank_vec), 0) AS rrf_micro
+         |  FROM lexpool l FULL OUTER JOIN vecpool v ON l.doc_id = v.doc_id
+         |)
+         |SELECT doc_id, rank_lex, rank_vec, CAST(rrf_micro AS BIGINT) AS rrf_micro
+         |FROM fused
+         |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
 
     // the ORIGINAL events table — the Spark side aggregates the
     // compacted layout, so matching proves compaction content-neutral

@@ -753,6 +753,38 @@ object Main {
       }
       spark.stop()
 
+    case Some("lex-build") =>
+      val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
+      val root = opt(args, "root").getOrElse { System.err.println("error: --root required"); sys.exit(2); "" }
+      val spark = session()
+      val v = graft.operators.LexIndex.build(spark,
+        graft.catalog.Catalog.documents(spark, data), root)
+      println(s"lexical index built at $root (snapshot $v)")
+      spark.stop()
+
+    case Some("lex-search") =>
+      val root = opt(args, "root").getOrElse { System.err.println("error: --root required"); sys.exit(2); "" }
+      val terms = opt(args, "terms").getOrElse { System.err.println("error: --terms required (comma-separated)"); sys.exit(2); "" }
+        .split(",").toSeq
+      val k = opt(args, "k").getOrElse("10").toInt
+      val spark = session()
+      opt(args, "data") match {
+        case Some(data) => // hybrid: fuse with cosine ranks of --vec
+          val vecId = opt(args, "vec").getOrElse("0").toLong
+          println(s"hybrid top-$k for terms=${terms.mkString(",")} vec=$vecId:")
+          graft.operators.LexIndex.hybrid(spark, root, terms,
+            graft.catalog.Catalog.embeddings(spark, data), vecId, k)
+            .collect().foreach(r => println(
+              s"  doc ${r.getLong(0)}  rrf=${r.getLong(3)} " +
+                s"(lex=${Option(r.get(1)).getOrElse("-")}, vec=${Option(r.get(2)).getOrElse("-")})"))
+        case None =>
+          println(s"bm25 top-$k for terms=${terms.mkString(",")}:")
+          graft.operators.LexIndex.search(spark, root, terms, k)
+            .collect().foreach(r => println(
+              f"  ${r.getInt(2)}%2d. doc ${r.getLong(0)}%6d  score_micro=${r.getLong(1)}"))
+      }
+      spark.stop()
+
     // table-maintenance drive: recover any crash-stranded partitions,
     // then bin-pack the offenders; prints the per-partition report
     case Some("compact") =>
@@ -806,7 +838,7 @@ object Main {
       spark.stop()
 
     case other =>
-      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export|index-build|index-search|pq-build|pq-search|dedup-build|dedup-classify|compact|diff|fuzzy")
+      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export|index-build|index-search|pq-build|pq-search|dedup-build|dedup-classify|compact|diff|fuzzy|lex-build|lex-search")
       sys.exit(2)
   }
 }

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StateCommit
+
+/** Persisted inverted (lexical) index with BM25 ranking — the
+  * build-once / query-many LEXICAL complement to the ANN family
+  * ([[AnnIndex]]/[[AnnIndexPq]] answer "semantically near", this
+  * answers "contains these terms", and [[LexIndex.hybrid]] fuses the
+  * two): postings carry (token, doc_id, tf, dl) — document length is
+  * denormalized INTO the posting row, the classic payload trick, so
+  * scoring never joins a doc-length table at query time — plus
+  * metadata-sized document-frequency and corpus-stat tables, published
+  * atomically as one [[StateCommit]] snapshot.
+  *
+  * Query cost is the inverted-index contract: ONLY the query terms'
+  * posting rows are read (`token IN (...)` pushes to the parquet
+  * scan), never the corpus. Postings are written repartitioned by
+  * token; at cluster scale the same layout becomes a token-bucketed
+  * table ([[Bucketing]]) or a token-prefix-partitioned directory so
+  * the IN-filter prunes at the file level, the [[AnnIndex]] cell
+  * discipline applied to text.
+  *
+  * Scoring is Okapi BM25 with the engine's RSJ idf (the
+  * [[TextAnalysis.bm25TopK]] math), with each per-term score rounded
+  * to integer MICRO-points (×10⁶) BEFORE the per-doc sum — the
+  * fixed-point aggregate contract that makes the total exact and
+  * order-independent across engines (a raw double sum would be
+  * partial-aggregation-order dependent).
+  *
+  * Tokenization is `[a-z]+` over lowercased text — byte-for-byte the
+  * [[TextAnalysis]] tokenizer, so index statistics agree with every
+  * corpus-level text operator.
+  */
+object LexIndex {
+
+  private val Postings = "postings"
+  private val Dfs = "dfs"
+  private val Stats = "stats"
+
+  private def tokens(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as("token"))
+
+  /** Build (or rebuild) the index from the corpus; returns the
+    * committed snapshot version. One corpus scan: tf, dl, df and the
+    * corpus stats all derive from the same token aggregation. */
+  def build(spark: SparkSession, documents: DataFrame, root: String,
+      nBuckets: Int = 32): Long = {
+    val v = StateCommit.currentVersion(spark, root).getOrElse(0L) + 1
+    val tf = Stage.snap(
+      tokens(documents).groupBy("doc_id", "token").agg(count(lit(1)).as("tf")),
+      materialize = true)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    tf.join(dl, Seq("doc_id"))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+      .repartition(nBuckets, col("token"))
+      .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Postings))
+    tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Dfs))
+    documents.select(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n_dl")))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Stats))
+    StateCommit.commit(spark, root, v)
+    v
+  }
+
+  /** BM25 top-k for a bag of query terms: (doc_id, score_micro, rank).
+    * Score is the exact BIGINT sum of per-term micro-scores; rank
+    * breaks ties by doc_id. Terms not in the index contribute nothing;
+    * an empty term list returns no rows. */
+  def search(spark: SparkSession, root: String, terms: Seq[String],
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val v = StateCommit.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed lexical index at $root"))
+    if (terms.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("score_micro"),
+          lit(0).as("rank")).limit(0)
+    val stats = spark.read.parquet(StateCommit.tableDir(root, v, Stats))
+    val dfs = spark.read.parquet(StateCommit.tableDir(root, v, Dfs))
+      .where(col("token").isin(terms: _*))
+    val postings = spark.read.parquet(StateCommit.tableDir(root, v, Postings))
+      .where(col("token").isin(terms: _*))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val avgdl = col("sum_dl").cast("double") / col("n_dl")
+    val score = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    postings
+      .join(broadcast(dfs), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        round(score * 1e6, 0).cast("bigint").as("micro"))
+      .groupBy("doc_id").agg(sum("micro").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_micro").desc, col("doc_id"))).cast("int"))
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion of this index's BM25
+    * ranking with a brute-force cosine ranking of `queryVec` over
+    * `embeddings` (vec_id ≡ doc_id in this corpus). RRF score per doc
+    * = Σ over the lists it appears in of ⌊10⁶ / (60 + rank)⌋ —
+    * integer division, so fusion is exact on both engines. The classic
+    * robust fusion: no score normalization across incomparable scales,
+    * just ranks. */
+  def hybrid(spark: SparkSession, root: String, terms: Seq[String],
+      embeddings: DataFrame, queryVecId: Long, k: Int = 10,
+      poolK: Int = 50): DataFrame = {
+    val lex = search(spark, root, terms, poolK)
+      .select(col("doc_id"), col("rank").as("rank_lex"))
+    val q = embeddings.where(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"))
+    val vec = embeddings.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= queryVecId)
+      .select(col("vec_id").cast("long").as("doc_id"),
+        round(Similarity.cos(embeddings)(col("embedding"), col("qe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(poolK)
+      .withColumn("rank_vec", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("rank_vec"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+        (coalesce(expr("1000000 div (60 + rank_lex)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rank_vec)"), lit(0L))).as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+}
