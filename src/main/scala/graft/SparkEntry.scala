@@ -1015,6 +1015,10 @@ object SparkEntry {
     // identity on results; ViewRewriteSpec pins that the optimized plan
     // really scans the view, not the fact.
     "ia_rewrite" -> ((s, dir) => {
+      // drop any stale registration BEFORE the scratch root it points
+      // at is deleted — between here and registerView below, matching
+      // queries are served from the base table (sound either way)
+      graft.plans.ViewRewrite.deregister(s, "iarw_docs")
       val (root, _) = freshScratch(s, "iarw_q")
       val docs = Catalog.documents(s, dir)
       (0 until 4).foreach { b =>

@@ -81,11 +81,30 @@ object Layout {
     * equi-DEPTH tiling, vs [[zorderWrite]]'s equi-width min/max
     * scaling. One codegen'd fold over a literal cut array per row;
     * no shuffle, no window. */
-  private def quantileTile(c: Column, cuts: Array[Double]): Column =
-    aggregate(
-      array(cuts.map(v => lit(v)): _*),
-      lit(0L),
-      (acc, cut) => acc + when(c.cast("double") >= cut, 1L).otherwise(0L))
+  // Binary search over the sorted cuts — a deliberate UDF. The
+  // declarative forms are O(cuts) PER ROW and worse than that in
+  // practice: an `aggregate` HOF interprets its lambda per element
+  // (round 9: 48 s over sf0.1 lineitem at 2×255 cuts), and a static
+  // when-sum builds a 255-deep Add chain whose generated method blows
+  // the JIT limit (measured 81 s; 24 s even at 63 cuts). The UDF is
+  // O(log cuts) row-local work — 2.7 s-class on the same input — and
+  // sits in a write-path projection where codegen fusion buys nothing.
+  // Returns the count of cuts ≤ v (ties count every duplicate cut,
+  // matching the when-sum semantics on skewed cut arrays); null keys
+  // are not expected on layout columns (primitive-input UDF yields
+  // null row-wise if they appear).
+  private def quantileTile(c: Column, cuts: Array[Double]): Column = {
+    val tile = udf((v: Double) => {
+      var lo = 0
+      var hi = cuts.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (v >= cuts(mid)) lo = mid + 1 else hi = mid
+      }
+      lo.toLong
+    })
+    tile(c.cast("double"))
+  }
 
   /** Skew-resistant z-order: tile boundaries are per-column QUANTILE
     * cut points (distributed sketch via `approxQuantile`, driver gets
@@ -102,12 +121,23 @@ object Layout {
     val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
     val Array(cuts1, cuts2) =
       df.stat.approxQuantile(Array(c1, c2), probs, 0.001)
-    val keyed = df.withColumn("_zkey",
-      zkey(quantileTile(col(c1), cuts1), quantileTile(col(c2), cuts2), bits))
-    keyed
+    // Two-step on purpose: zkeyN references each tile input `bits`
+    // times (once per interleaved bit), so passing the 2^bits-1-branch
+    // tile expression DIRECTLY builds a tree with bits× syntactic
+    // copies of it (~4000 nodes at bits=8 — codegen bails and round 9
+    // measured the interpreted fallback at 80+ s on sf0.1 lineitem).
+    // Materializing the tiles as attributes first makes every zkey
+    // reference a cheap column read; CollapseProject keeps the split
+    // because it never inlines a non-cheap expression used more than
+    // once.
+    val tiled = df.select(df.columns.map(col) :+
+      quantileTile(col(c1), cuts1).as("_t1") :+
+      quantileTile(col(c2), cuts2).as("_t2"): _*)
+    tiled
+      .withColumn("_zkey", zkey(col("_t1"), col("_t2"), bits))
       .repartitionByRange(nFiles, col("_zkey"))
       .sortWithinPartitions("_zkey")
-      .drop("_zkey")
+      .drop("_zkey", "_t1", "_t2")
       .write.mode("overwrite").parquet(path)
   }
 

@@ -120,17 +120,59 @@ case class GraftViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => throw Bail
   }
 
+  /** Structural prefilter — MUST pass before the view thunk is ever
+    * dereferenced. This ordering is load-bearing: the thunk reads the
+    * maintained state, and a registration whose state is mid-rebuild
+    * (or stale) must not be able to break queries that were never
+    * going to be served by the view — the ingest that REFRESHES a
+    * view aggregates the same fact table it is registered over, and
+    * round 9's bench caught exactly that recursion. */
+  private def structurallyMatches(agg: Aggregate, filters: Seq[Expression],
+      d: MaterializedViewDef): Boolean = {
+    val groupingsOk = agg.groupingExpressions.forall {
+      case a: AttributeReference => d.keys.contains(a.name)
+      case _ => false
+    }
+    val filtersOk = filters.forall(_.references.forall(a => d.keys.contains(a.name)))
+    var usesValue = false
+    val aggsOk = agg.aggregateExpressions.forall {
+      case _: AttributeReference => true // grouping output; exprId-checked later
+      case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case c: Count => c.children.forall {
+            case l: Literal => l.value != null
+            case _ => false
+          }
+          case s: Sum => scala.util.Try(valueOf(s.child, d)).isSuccess && { usesValue = true; true }
+          case m: Min => scala.util.Try(valueOf(m.child, d)).isSuccess && { usesValue = true; true }
+          case m: Max => scala.util.Try(valueOf(m.child, d)).isSuccess && { usesValue = true; true }
+          case _ => false
+        }
+      case _ => false
+    }
+    // Any metric must actually use the view (not count-only): a
+    // count-only match is more likely an unrelated rollup the user
+    // never meant to serve from this view.
+    groupingsOk && filtersOk && aggsOk && usesValue
+  }
+
   private def tryRewrite(agg: Aggregate, d: MaterializedViewDef): Option[Aggregate] =
     try {
       val (filters, scan) = stripToScan(agg.child).getOrElse(throw Bail)
       need(scanPaths(scan).contains(d.pathKey))
+      need(structurallyMatches(agg, filters, d))
 
-      // Any metric must actually use the view (not count-only): a
-      // count-only match is more likely an unrelated rollup the user
-      // never meant to serve from this view.
       var usesValue = false
 
-      val vplan = d.viewPlan()
+      // Only a structurally-matching query dereferences the thunk; a
+      // broken or mid-rebuild registration degrades to the un-rewritten
+      // (still correct, just slower) base plan instead of failing the
+      // query.
+      val vplan = scala.util.Try(d.viewPlan()).getOrElse {
+        logWarning(s"view '${d.name}' over ${d.pathKey} is registered but " +
+          "unreadable — serving the query from the base table")
+        throw Bail
+      }
       val vAttr: Map[String, Attribute] = vplan.output.map(a => a.name -> a).toMap
       need(d.keys.forall(vAttr.contains) && vAttr.contains("cnt") &&
         d.values.forall(v => vAttr.contains(s"sum_$v")))

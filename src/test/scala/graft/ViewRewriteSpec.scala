@@ -217,6 +217,30 @@ class ViewRewriteSpec extends SparkSpec {
     } finally cleanup()
   }
 
+  test("a broken registration degrades to the base plan — and non-matching queries never touch the view state") {
+    val (factDir, root, fact) = fixture()
+    try {
+      // destroy the maintained state out from under the registration
+      // (the round-9 bench failure: a scratch root deleted while the
+      // old registration still pointed at it)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+
+      // a MATCHING query must fall back to the fact scan and still answer
+      val q = fact.groupBy("k1").agg(sum(col("v").cast("long")).as("sv"))
+      assert(scanPaths(q).exists(_.contains(factDir)),
+        "broken view must degrade to the base plan")
+      assert(q.count() == 3)
+
+      // a NON-matching aggregate over the same fact (non-key filter —
+      // the shape every view-refresh ingest produces) must never
+      // dereference the broken thunk either
+      val ingestLike = fact.where(col("id") % 4 === 1).groupBy("k1")
+        .agg(sum(col("v").cast("long")).as("sv"))
+      assert(ingestLike.collect().nonEmpty)
+    } finally cleanup()
+  }
+
   test("operators above the rewritten aggregate keep resolving (order by, having)") {
     val (factDir, root, fact) = fixture()
     try {
