@@ -1126,7 +1126,7 @@ object SparkEntry {
 
     // blocked edit-distance entity resolution: a dirty probe batch
     // (every 10th part name with its 6th character dropped) resolves
-    // against the master part table — candidates share a 4-char prefix
+    // against the master part table — candidates share a 5-char prefix
     // block (equi-join, probe side broadcast, master never shuffles),
     // and only within-block pairs pay the exact levenshtein verify.
     // Both engines derive the same corruption, so the pair set and
@@ -1137,7 +1137,7 @@ object SparkEntry {
         .withColumn("p_name",
           concat(substring(col("p_name"), 1, 5), expr("substring(p_name, 7)")))
       graft.operators.FuzzyJoin.resolve(part, probe, "p_partkey", "p_name",
-        prefixLen = 4, maxDist = 2)
+        prefixLen = 5, maxDist = 2)
         .orderBy("probe_key", "match_key")
     }),
 
@@ -1149,7 +1149,7 @@ object SparkEntry {
         .withColumn("p_name",
           concat(substring(col("p_name"), 1, 5), expr("substring(p_name, 7)")))
       graft.operators.FuzzyJoin.resolveBest(part, probe, "p_partkey", "p_name",
-        prefixLen = 4, maxDist = 2)
+        prefixLen = 5, maxDist = 2)
         .orderBy("probe_key")
     }),
 
@@ -3039,7 +3039,7 @@ object SparkEntry {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
-    // mirrors FuzzyJoin.resolve: same corruption, same prefix-4 block,
+    // mirrors FuzzyJoin.resolve: same corruption, same prefix-5 block,
     // same levenshtein threshold
     "dd_fuzzy" ->
       """WITH probe AS (
@@ -3052,7 +3052,7 @@ object SparkEntry {
         |SELECT probe_key, match_key,
         |  CAST(levenshtein(p_text, m_text) AS INTEGER) AS dist
         |FROM probe JOIN master
-        |  ON substring(p_text, 1, 4) = substring(m_text, 1, 4)
+        |  ON substring(p_text, 1, 5) = substring(m_text, 1, 5)
         |WHERE levenshtein(p_text, m_text) <= 2
         |ORDER BY probe_key, match_key""".stripMargin,
 
@@ -3069,7 +3069,7 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY probe_key
         |      ORDER BY levenshtein(p_text, m_text), match_key) AS rn
         |  FROM probe JOIN master
-        |    ON substring(p_text, 1, 4) = substring(m_text, 1, 4)
+        |    ON substring(p_text, 1, 5) = substring(m_text, 1, 5)
         |  WHERE levenshtein(p_text, m_text) <= 2
         |)
         |SELECT probe_key, match_key, dist FROM pairs WHERE rn = 1

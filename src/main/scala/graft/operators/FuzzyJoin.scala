@@ -37,9 +37,16 @@ object FuzzyJoin {
     val p = probe.select(col(keyCol).as("probe_key"),
       col(textCol).as("p_text"),
       substring(col(textCol), 1, prefixLen).as("blk"))
+    // Two semantics-preserving prunes before the DP: levenshtein ≥
+    // |length difference|, so the cheap codegen'd length guard drops
+    // most candidates without touching the matrix; the 3-arg
+    // (thresholded) levenshtein then runs the banded early-exit DP,
+    // returning -1 past maxDist instead of filling the full matrix.
+    // Neither changes the result set — the oracle stays the plain form.
     broadcast(p).join(m, "blk")
-      .withColumn("dist", levenshtein(col("p_text"), col("m_text")))
-      .where(col("dist") <= maxDist)
+      .where(abs(length(col("p_text")) - length(col("m_text"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("p_text"), col("m_text"), maxDist))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
       .select("probe_key", "match_key", "dist")
   }
 
