@@ -1359,6 +1359,12 @@ object SparkEntry {
       TextAnalysis.heavyHitters(Catalog.documents(s, dir), minCount = 300)),
 
     // stratified sampling: deterministic per-language fractions
+    // per-language winsorization of doc length: clamp to the exact
+    // interpolated [p05, p95] band (bounds broadcast, clamp map-only) —
+    // the outlier cap run before length stats feed mixture weights
+    "ta_winsorize" -> ((s, dir) =>
+      TextAnalysis.winsorize(Catalog.documents(s, dir))),
+
     "ta_stratified" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(Catalog.documents(s, dir),
         Map("en" -> 0.25, "es" -> 0.5, "de" -> 0.75))),
@@ -4278,6 +4284,20 @@ object SparkEntry {
           |FROM documents d JOIN scored s USING (doc_id)
           |WHERE s.micro_bpt BETWEEN 4890000 AND 4950000
           |ORDER BY d.doc_id""".stripMargin),
+
+    // quantile_cont ≡ Spark percentile (the ta_quantiles parity),
+    // bounds rounded 4dp before the clamp on both sides
+    "ta_winsorize" ->
+      """WITH bounds AS (
+        |  SELECT lang,
+        |    round(quantile_cont(n_chars, 0.05), 4) AS lo,
+        |    round(quantile_cont(n_chars, 0.95), 4) AS hi
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT doc_id, lang, n_chars, lo, hi,
+        |  round(least(greatest(CAST(n_chars AS DOUBLE), lo), hi), 4) AS clamped
+        |FROM documents JOIN bounds USING (lang)
+        |ORDER BY doc_id""".stripMargin,
 
     "ta_quantiles" ->
       """SELECT lang, COUNT(*) AS n_docs,

@@ -1045,4 +1045,29 @@ object TextAnalysis {
       .toDF("doc_id", "n_tokens", "n_distinct", "ttr_bps", "entropy_micro")
       .orderBy("doc_id")
   }
+
+  /** Winsorization — clamp a per-document statistic to its per-group
+    * interpolated [pLo, pHi] percentiles: the outlier-capping step run
+    * before length/quality statistics feed mixture weights or scorer
+    * normalization, where one megadoc would otherwise drag the mean.
+    * Bounds round to 4 dp before clamping (the ta_quantiles
+    * engine-parity convention) and ride along per row for audit.
+    *
+    * Scale posture: the bounds table is |groups| rows (one exact
+    * percentile aggregation — swap `percentile` for t-digest
+    * `approx_percentile` at 100 TB, the [[tokenQuantilesApprox]]
+    * pairing) and broadcasts; the clamp itself is map-only. */
+  def winsorize(documents: DataFrame, group: String = "lang",
+      value: String = "n_chars", pLo: Double = 0.05,
+      pHi: Double = 0.95): DataFrame = {
+    val bounds = documents.groupBy(group)
+      .agg(round(expr(s"percentile($value, $pLo)"), 4).as("lo"),
+        round(expr(s"percentile($value, $pHi)"), 4).as("hi"))
+    documents.join(broadcast(bounds), group)
+      .select(col("doc_id"), col(group), col(value),
+        col("lo"), col("hi"),
+        round(least(greatest(col(value).cast("double"), col("lo")), col("hi")), 4)
+          .as("clamped"))
+      .orderBy("doc_id")
+  }
 }

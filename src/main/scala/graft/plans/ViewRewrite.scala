@@ -73,7 +73,10 @@ final case class MaterializedViewDef(
 case class GraftViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val views = ViewRewrite.viewsFor(spark)
+    // fewest keys first: when several registered views can serve the
+    // same aggregate, the coarsest one has the smallest state table —
+    // key cardinality IS the view's scan cost
+    val views = ViewRewrite.viewsFor(spark).sortBy(_.keys.length)
     if (views.isEmpty) plan
     else plan.transformDown {
       case agg: Aggregate =>

@@ -185,4 +185,22 @@ class TextScoringSpec extends SparkSpec {
         s"doc $d: ${rows(d).getLong(2)} vs ${ws.map(micro).sum}")
     }
   }
+
+  test("winsorize: outliers clamp to the per-group band, in-band rows pass through") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one group with a fat tail: values 1..99 plus an outlier 10000
+    val docs = ((1 to 99).map(i => (i.toLong, "en", i)) :+ (100L, "en", 10000))
+      .toDF("doc_id", "lang", "n_chars")
+    val got = graft.operators.TextAnalysis.winsorize(docs, pLo = 0.05, pHi = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val (lo, hi, _) = got(50L)
+    assert(lo > 1 && hi < 10000, s"bounds not interior: [$lo, $hi]")
+    // the outlier clamps to hi; the bottom value clamps to lo
+    assert(got(100L)._3 == hi, s"outlier not clamped: ${got(100L)}")
+    assert(got(1L)._3 == lo)
+    // a mid value inside the band is untouched
+    assert(got(50L)._3 == 50.0)
+  }
 }

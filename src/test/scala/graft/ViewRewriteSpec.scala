@@ -217,6 +217,36 @@ class ViewRewriteSpec extends SparkSpec {
     } finally cleanup()
   }
 
+  test("with two matching views, the coarser (smaller-state) one serves the query") {
+    val (factDir, root2, fact) = fixture() // (k1, k2) view as "vr_test"
+    val root1 = Files.createTempDirectory("vr_view1_").toString
+    try {
+      // a coarser single-key view over the same fact
+      (0 until 3).foreach { b =>
+        IncrementalAgg.ingest(spark, root1,
+          fact.where(pmod(col("id"), lit(3)) === b),
+          keys = Seq("k1"), values = Seq("v"), batchId = b + 1L)
+      }
+      IncrementalAgg.registerView(spark, root1, "vr_coarse", factDir,
+        Seq("k1"), Seq("v"))
+      val q = fact.groupBy("k1").agg(sum(col("v").cast("long")).as("sv"))
+      val paths = scanPaths(q)
+      assert(paths.exists(_.contains(root1)) && !paths.exists(_.contains(root2)),
+        s"coarser view not preferred: $paths")
+      // and it still answers exactly
+      ViewRewrite.deregister(spark, "vr_coarse")
+      ViewRewrite.deregister(spark, "vr_test")
+      val expected = fact.groupBy("k1").agg(sum(col("v").cast("long")).as("sv"))
+        .collect().toSet
+      IncrementalAgg.registerView(spark, root1, "vr_coarse", factDir,
+        Seq("k1"), Seq("v"))
+      assert(q.collect().toSet == expected)
+    } finally {
+      ViewRewrite.deregister(spark, "vr_coarse")
+      cleanup()
+    }
+  }
+
   test("a broken registration degrades to the base plan — and non-matching queries never touch the view state") {
     val (factDir, root, fact) = fixture()
     try {
