@@ -1089,6 +1089,20 @@ object SparkEntry {
         Seq("vector", "merge", "spark"), k = 10)
     }),
 
+    // INCREMENTAL index maintenance, gated against the full-corpus
+    // oracle: 80% of the corpus builds, the remaining 20% ingests as
+    // an immutable generation with algebraically-merged df/stats — the
+    // hash match proves incremental-ingest ≡ from-scratch-rebuild
+    // exactly (df and corpus totals are additive over disjoint docs)
+    "lx_search_inc" -> ((s, dir) => {
+      val (root, _) = freshScratch(s, "lxi_q")
+      val docs = Catalog.documents(s, dir)
+      graft.operators.LexIndex.build(s, docs.where(col("doc_id") % 5 =!= 0), root)
+      graft.operators.LexIndex.ingest(s, docs.where(col("doc_id") % 5 === 0), root)
+      graft.operators.LexIndex.search(s, root,
+        Seq("vector", "merge", "spark"), k = 10)
+    }),
+
     // hybrid retrieval: reciprocal-rank fusion of the lexical BM25
     // ranking with a brute-force cosine ranking of embedding 0
     // (vec_id ≡ doc_id) — integer-division RRF, so fusion is exact
@@ -2944,6 +2958,44 @@ object SparkEntry {
     // micro-point integer sums, the ta_bm25 math restricted to the
     // query terms
     "lx_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
+        |), dfreq AS (
+        |  SELECT token, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1
+        |), consts AS (
+        |  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS sum_dl, COUNT(*) AS n_dl FROM dl
+        |), scored AS (
+        |  SELECT CAST(tf.doc_id AS BIGINT) AS doc_id,
+        |    CAST(round(
+        |      ln(1.0 + CAST(n_docs - df + 0.5 AS DOUBLE)
+        |               / CAST(df + 0.5 AS DOUBLE))
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (tf + 1.2 * (0.25 + 0.75 *
+        |          (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_dl))))
+        |      * 1e6, 0) AS BIGINT) AS micro
+        |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), consts
+        |  WHERE tf.token IN ('vector', 'merge', 'spark')
+        |), agg AS (
+        |  SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS score_micro
+        |  FROM scored GROUP BY 1
+        |), ranked AS (
+        |  SELECT doc_id, score_micro,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
+        |  FROM agg
+        |)
+        |SELECT doc_id, score_micro, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // IDENTICAL math to lx_search — the Spark side answers from the
+    // incrementally-ingested index, so matching proves exact merge
+    "lx_search_inc" ->
       """WITH tok AS (
         |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS token
         |  FROM documents

@@ -36,38 +36,94 @@ import graft.streaming.StateCommit
   */
 object LexIndex {
 
-  private val Postings = "postings"
   private val Dfs = "dfs"
   private val Stats = "stats"
+  private val Manifest = "manifest"
 
   private def tokens(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"),
       explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
         .as("token"))
 
-  /** Build (or rebuild) the index from the corpus; returns the
-    * committed snapshot version. One corpus scan: tf, dl, df and the
-    * corpus stats all derive from the same token aggregation. */
-  def build(spark: SparkSession, documents: DataFrame, root: String,
-      nBuckets: Int = 32): Long = {
-    val v = StateCommit.currentVersion(spark, root).getOrElse(0L) + 1
+  private def genDir(root: String, v: Long): String = s"$root/gen-$v/postings"
+
+  /** The batch's (postings, dfs, stats) derivation — shared by build
+    * and ingest, so the incremental path cannot drift from the
+    * full-build one. */
+  private def batchParts(documents: DataFrame) = {
     val tf = Stage.snap(
       tokens(documents).groupBy("doc_id", "token").agg(count(lit(1)).as("tf")),
       materialize = true)
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    tf.join(dl, Seq("doc_id"))
+    val postings = tf.join(dl, Seq("doc_id"))
       .select(col("token"), col("doc_id"), col("tf"), col("dl"))
-      .repartition(nBuckets, col("token"))
-      .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Postings))
-    tf.groupBy("token").agg(count(lit(1)).as("df"))
-      .coalesce(1)
+    val dfs = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = documents.select(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(
+        coalesce(sum("dl"), lit(0L)).as("sum_dl"),
+        count(lit(1)).as("n_dl")))
+    (postings, dfs, stats)
+  }
+
+  private def writeSnapshot(spark: SparkSession, root: String, v: Long,
+      postings: DataFrame, dfs: DataFrame, stats: DataFrame,
+      gens: Seq[Long], nBuckets: Int): Long = {
+    postings.repartition(nBuckets, col("token"))
+      .write.mode("overwrite").parquet(genDir(root, v))
+    dfs.coalesce(1)
       .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Dfs))
-    documents.select(count(lit(1)).as("n_docs"))
-      .crossJoin(dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n_dl")))
-      .coalesce(1)
+    stats.coalesce(1)
       .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Stats))
+    val s = spark
+    import s.implicits._
+    gens.toDF("gen").coalesce(1)
+      .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Manifest))
     StateCommit.commit(spark, root, v)
     v
+  }
+
+  /** Build (or rebuild from scratch) the index; returns the committed
+    * snapshot version. One corpus scan: tf, dl, df and the corpus
+    * stats all derive from the same token aggregation. */
+  def build(spark: SparkSession, documents: DataFrame, root: String,
+      nBuckets: Int = 32): Long = {
+    val v = StateCommit.currentVersion(spark, root).getOrElse(0L) + 1
+    val (postings, dfs, stats) = batchParts(documents)
+    writeSnapshot(spark, root, v, postings, dfs, stats, Seq(v), nBuckets)
+  }
+
+  /** Fold a batch of NEW documents into the index WITHOUT rescanning
+    * the corpus: the batch's postings land as an immutable generation,
+    * and the df / corpus-stat tables merge algebraically (df and
+    * doc-count/token-total sums are EXACTLY additive over disjoint doc
+    * sets), so a search over the ingested index is row-for-row equal
+    * to one over a from-scratch rebuild — spec-pinned, and the
+    * lx_search_inc driver gate proves it against the full-corpus
+    * oracle. Contract: batches are append-only NEW doc_ids (the
+    * [[IncrementalAgg]] discipline); re-ingesting a doc double-counts
+    * — route update/delete workloads through [[DedupIndex]]-style
+    * tombstones or a rebuild. */
+  def ingest(spark: SparkSession, documents: DataFrame, root: String,
+      nBuckets: Int = 32): Long = {
+    val prev = StateCommit.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed lexical index at $root — build first"))
+    val v = prev + 1
+    val (postings, bDfs, bStats) = batchParts(documents)
+    val oldDfs = spark.read.parquet(StateCommit.tableDir(root, prev, Dfs))
+    val mergedDfs = oldDfs.select(col("token"), col("df").as("a"))
+      .join(bDfs.select(col("token"), col("df").as("b")), Seq("token"), "full_outer")
+      .select(col("token"),
+        (coalesce(col("a"), lit(0L)) + coalesce(col("b"), lit(0L))).as("df"))
+    val o = spark.read.parquet(StateCommit.tableDir(root, prev, Stats)).head()
+    val b = bStats.head()
+    val s = spark
+    import s.implicits._
+    val mergedStats = Seq((o.getLong(0) + b.getLong(0),
+      o.getLong(1) + b.getLong(1), o.getLong(2) + b.getLong(2)))
+      .toDF("n_docs", "sum_dl", "n_dl")
+    val gens = spark.read.parquet(StateCommit.tableDir(root, prev, Manifest))
+      .collect().map(_.getLong(0)).toSeq :+ v
+    writeSnapshot(spark, root, v, postings, mergedDfs, mergedStats, gens, nBuckets)
   }
 
   /** BM25 top-k for a bag of query terms: (doc_id, score_micro, rank).
@@ -85,7 +141,12 @@ object LexIndex {
     val stats = spark.read.parquet(StateCommit.tableDir(root, v, Stats))
     val dfs = spark.read.parquet(StateCommit.tableDir(root, v, Dfs))
       .where(col("token").isin(terms: _*))
-    val postings = spark.read.parquet(StateCommit.tableDir(root, v, Postings))
+    // the manifest's generation list is metadata-sized (one entry per
+    // ingest since the last rebuild)
+    val gens = spark.read.parquet(StateCommit.tableDir(root, v, Manifest))
+      .collect().map(_.getLong(0)).toSeq
+    val postings = spark.read
+      .parquet(gens.map(g => genDir(root, g)): _*)
       .where(col("token").isin(terms: _*))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))

@@ -86,4 +86,30 @@ class LexIndexSpec extends SparkSpec {
     val scores = fused.map(r => (r.getLong(3), r.getLong(0)))
     assert(scores.toSeq == scores.sortBy { case (s, d) => (-s, d) }.toSeq)
   }
+
+  test("incremental ingest equals a from-scratch rebuild row-for-row") {
+    import org.apache.spark.sql.functions._
+    val rootInc = Files.createTempDirectory("lex_inc_").toString
+    val rootFull = Files.createTempDirectory("lex_full_").toString
+    LexIndex.build(spark, docs.where(col("doc_id") % 3 =!= 0), rootInc)
+    LexIndex.ingest(spark, docs.where(col("doc_id") % 3 === 0), rootInc)
+    LexIndex.build(spark, docs, rootFull)
+    for (terms <- Seq(Seq("vector"), Seq("vector", "merge", "spark"))) {
+      val inc = LexIndex.search(spark, rootInc, terms, k = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      val full = LexIndex.search(spark, rootFull, terms, k = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(inc == full, s"terms=$terms: incremental diverged from rebuild")
+    }
+    // and a second ingest stacks another generation, still exact
+    val rootInc2 = Files.createTempDirectory("lex_inc2_").toString
+    LexIndex.build(spark, docs.where(col("doc_id") % 3 === 1), rootInc2)
+    LexIndex.ingest(spark, docs.where(col("doc_id") % 3 === 2), rootInc2)
+    LexIndex.ingest(spark, docs.where(col("doc_id") % 3 === 0), rootInc2)
+    val inc2 = LexIndex.search(spark, rootInc2, Seq("vector", "merge"), k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val full2 = LexIndex.search(spark, rootFull, Seq("vector", "merge"), k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(inc2 == full2, "two stacked generations diverged from rebuild")
+  }
 }
