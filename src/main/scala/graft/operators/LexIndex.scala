@@ -104,10 +104,22 @@ object LexIndex {
     * — route update/delete workloads through [[DedupIndex]]-style
     * tombstones or a rebuild. */
   def ingest(spark: SparkSession, documents: DataFrame, root: String,
-      nBuckets: Int = 32): Long = {
+      nBuckets: Int = 32): Long =
+    ingestAs(spark, documents, root, expectedVersion = -1L, nBuckets)
+
+  /** [[ingest]] with an at-least-once replay guard: the write commits
+    * as exactly `expectedVersion` and is a NO-OP (returning the
+    * current version) when that version is already committed — the
+    * [[graft.streaming.StreamingAgg]] discipline, for streams that
+    * re-deliver a failed batch under the same id. `expectedVersion
+    * = -1` means "next" (the batch-job form, no replay protection). */
+  def ingestAs(spark: SparkSession, documents: DataFrame, root: String,
+      expectedVersion: Long, nBuckets: Int = 32): Long = {
     val prev = StateCommit.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed lexical index at $root — build first"))
-    val v = prev + 1
+    if (expectedVersion >= 0 && expectedVersion <= prev) return prev // replay
+    val v = if (expectedVersion >= 0) expectedVersion else prev + 1
+    require(v == prev + 1, s"ingest version $v must follow committed $prev")
     val (postings, bDfs, bStats) = batchParts(documents)
     val oldDfs = spark.read.parquet(StateCommit.tableDir(root, prev, Dfs))
     val mergedDfs = oldDfs.select(col("token"), col("df").as("a"))
