@@ -1294,6 +1294,21 @@ object SparkEntry {
         nProbes = 2, k = 5)
     }),
 
+    // two-stage ANN: ADC shortlist (pool 20) from the codes-only index,
+    // exact cosine re-rank of just those candidates against the raw
+    // vectors (id-keyed fetch, never a scan) — the FAISS-style
+    // production search; oracle = the ivf-pq SQL with its pool widened
+    // and a cosine re-rank stage appended
+    "sim_annpq_rerank" -> ((s, dir) => {
+      val (root, _) = freshScratch(s, "pqrr_q")
+      val emb = Catalog.embeddings(s, dir)
+      graft.operators.AnnIndexPq.build(emb, root)
+      graft.operators.AnnIndexPq.searchRerank(s, root,
+        emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        emb, nProbes = 2, k = 5, poolK = 20)
+    }),
+
     "sim_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Catalog.embeddings(s, dir))),
 
@@ -2052,7 +2067,28 @@ object SparkEntry {
       // the persisted IVF-PQ index shares the in-query operator's oracle
       // for the same reason (same training, same output contract;
       // AnnIndexPqSpec pins the row-for-row equality of the two paths)
-      ("sim_annpq_store" -> baseOracleSql("sim_ivfpq_topk"))
+      ("sim_annpq_store" -> baseOracleSql("sim_ivfpq_topk")) +
+      // two-stage re-rank: the same ivf-pq derivation with the ADC pool
+      // widened to 20 and an exact-cosine re-rank stage appended
+      ("sim_annpq_rerank" -> baseOracleSql("sim_ivfpq_topk").replace(
+        ")\nSELECT qid, cid, adist_nano, CAST(rn AS INTEGER) AS rn\nFROM ranked WHERE rn <= 5\nORDER BY qid, rn",
+        s"""), pool AS (
+           |  SELECT qid, cid FROM ranked WHERE rn <= 20
+           |), rer AS (
+           |  SELECT p.qid, p.cid,
+           |    round(${cosSql("cv.embedding", "qv.embedding")}, 6) AS cos
+           |  FROM pool p
+           |  JOIN embeddings qv ON qv.vec_id = p.qid
+           |  JOIN embeddings cv ON cv.vec_id = p.cid
+           |), rranked AS (
+           |  SELECT qid, cid, cos,
+           |    ROW_NUMBER() OVER (PARTITION BY qid
+           |      ORDER BY cos DESC, cid) AS rn
+           |  FROM rer
+           |)
+           |SELECT qid, cid, cos, CAST(rn AS INTEGER) AS rn
+           |FROM rranked WHERE rn <= 5
+           |ORDER BY qid, rn""".stripMargin))
 
   private lazy val baseOracleSql: Map[String, String] = Map(
 

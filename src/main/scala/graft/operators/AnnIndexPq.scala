@@ -186,6 +186,36 @@ object AnnIndexPq {
     }
   }
 
+  /** Two-stage search — the production IVF-PQ pattern: the codes-only
+    * index shortlists `poolK` candidates per query by ADC distance,
+    * then ONLY those candidates pay an exact cosine against the raw
+    * vectors and the top `k` re-rank by it. The compressed index
+    * bounds what is read (probed cells' code rows); the exact pass is
+    * an id-keyed equi-join fetching poolK rows per query — never a
+    * corpus scan — which is why codes-not-vectors cells stay the right
+    * layout even when exact scores are required. Re-ranking can only
+    * raise recall vs the ADC ranking (spec-pinned): the shortlist is
+    * unchanged, and within it the true metric replaces the
+    * quantization-error-afflicted estimate. */
+  def searchRerank(spark: SparkSession, root: String, queries: DataFrame,
+      vectors: DataFrame, nProbes: Int = 2, k: Int = 5,
+      poolK: Int = 20): DataFrame = {
+    val shortlist = search(spark, root, queries, nProbes, poolK)
+      .select(col("qid"), col("cid"))
+    val q = queries.select(col("qid"), col("qe"))
+    val cand = vectors.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    shortlist
+      .join(cand, Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        round(Similarity.cos(vectors)(col("ce"), col("qe")), 6).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .where(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
   /** Incremental add between retrains: encode `batch` against the
     * PERSISTED quantizer and codebooks and rewrite only its touched
     * cells (kept rows + incoming, id-keyed replace), published

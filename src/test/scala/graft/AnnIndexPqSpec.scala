@@ -178,4 +178,47 @@ class AnnIndexPqSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(after == before, "reader saw an uncommitted generation")
   }
+
+  test("exact re-rank: top-k is the exact-cosine order of the ADC pool, recall never drops") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("pqrr").toString
+    graft.operators.AnnIndexPq.build(emb, root)
+    val qs = queries(8)
+    val adc = graft.operators.AnnIndexPq.search(spark, root, qs, nProbes = 2, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val rer = graft.operators.AnnIndexPq.searchRerank(spark, root, qs, emb,
+      nProbes = 2, k = 5, poolK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+
+    // the re-ranked list is ordered by exact cosine desc within each query
+    rer.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(x => (-x._3, x._2)).toSeq ==
+        sorted.map(x => (-x._3, x._2)).sortBy(identity).toSeq,
+        s"re-rank not in exact-cosine order: ${sorted.mkString(", ")}")
+    }
+
+    // recall vs the exact cosine top-5 (brute force) never drops
+    val q = qs.select(col("qid"), col("qe"))
+    val exact = emb.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        { graft.expressions.GraftFunctions.ensureRegistered(spark)
+          round(graft.expressions.GraftFunctions.cosineSim(
+            col("embedding"), col("qe")), 6).as("cos") })
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid"))))
+      .where(col("rn") <= 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    def recall(got: Seq[(Long, Long)]): Double = {
+      val truth = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val mine = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val per = truth.map { case (k2, t) =>
+        mine.getOrElse(k2, Set.empty).intersect(t).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    val (ra, rr) = (recall(adc.toSeq), recall(rer.map(x => x._1 -> x._2).toSeq))
+    assert(rr >= ra, s"re-rank lowered recall: adc=$ra rerank=$rr")
+  }
 }

@@ -50,7 +50,7 @@ class DriverContractSpec extends SparkSpec {
       "sim_ann_store", "sim_annpq_store", "dd_index_query",
       "dd_index_classify", "ia_priority_rollup", "ia_priority_hist",
       "ia_rewrite", "cp_compact_scan", "lx_search", "lx_hybrid",
-      "lx_search_inc")
+      "lx_search_inc", "sim_annpq_rerank")
 
   private val eager = streamingEager ++ layoutEager
 
