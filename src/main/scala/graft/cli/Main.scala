@@ -785,6 +785,13 @@ object Main {
       }
       spark.stop()
 
+    case Some("lex-compact") =>
+      val root = opt(args, "root").getOrElse { System.err.println("error: --root required"); sys.exit(2); "" }
+      val spark = session()
+      val v = graft.operators.LexIndex.compactGenerations(spark, root)
+      println(s"lexical index compacted to one generation at $root (snapshot $v)")
+      spark.stop()
+
     // table-maintenance drive: recover any crash-stranded partitions,
     // then bin-pack the offenders; prints the per-partition report
     case Some("compact") =>
@@ -838,7 +845,7 @@ object Main {
       spark.stop()
 
     case other =>
-      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export|index-build|index-search|pq-build|pq-search|dedup-build|dedup-classify|compact|diff|fuzzy|lex-build|lex-search")
+      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export|index-build|index-search|pq-build|pq-search|dedup-build|dedup-classify|compact|diff|fuzzy|lex-build|lex-search|lex-compact")
       sys.exit(2)
   }
 }

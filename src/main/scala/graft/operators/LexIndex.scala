@@ -138,6 +138,28 @@ object LexIndex {
     writeSnapshot(spark, root, v, postings, mergedDfs, mergedStats, gens, nBuckets)
   }
 
+  /** Fold every live generation's postings into ONE new generation —
+    * the maintenance pass a long-running ingest stream needs (each
+    * micro-batch adds a generation; a query unions them all, and
+    * per-generation file overhead grows without bound). Pure layout:
+    * the postings multiset, df table and corpus stats are unchanged,
+    * so a search is byte-identical before and after (spec-pinned) —
+    * the [[Compact]] content-neutrality contract at the index level.
+    * Publication is the usual atomic snapshot; old generations stay on
+    * disk for in-flight readers of the previous version. */
+  def compactGenerations(spark: SparkSession, root: String,
+      nBuckets: Int = 32): Long = {
+    val prev = StateCommit.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed lexical index at $root"))
+    val v = prev + 1
+    val gens = spark.read.parquet(StateCommit.tableDir(root, prev, Manifest))
+      .collect().map(_.getLong(0)).toSeq
+    val postings = spark.read.parquet(gens.map(g => genDir(root, g)): _*)
+    val dfs = spark.read.parquet(StateCommit.tableDir(root, prev, Dfs))
+    val stats = spark.read.parquet(StateCommit.tableDir(root, prev, Stats))
+    writeSnapshot(spark, root, v, postings, dfs, stats, Seq(v), nBuckets)
+  }
+
   /** BM25 top-k for a bag of query terms: (doc_id, score_micro, rank).
     * Score is the exact BIGINT sum of per-term micro-scores; rank
     * breaks ties by doc_id. Terms not in the index contribute nothing;

@@ -112,4 +112,24 @@ class LexIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     assert(inc2 == full2, "two stacked generations diverged from rebuild")
   }
+
+  test("generation compaction is content-neutral: search byte-identical, manifest shrinks to one") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("lex_cpt_").toString
+    LexIndex.build(spark, docs.where(col("doc_id") % 3 === 0), root)
+    LexIndex.ingest(spark, docs.where(col("doc_id") % 3 === 1), root)
+    LexIndex.ingest(spark, docs.where(col("doc_id") % 3 === 2), root)
+    val terms = Seq("vector", "merge", "spark")
+    val before = LexIndex.search(spark, root, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+
+    val v = LexIndex.compactGenerations(spark, root)
+    val manifest = spark.read.parquet(
+      graft.streaming.StateCommit.tableDir(root, v, "manifest"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(manifest == Seq(v), s"manifest not compacted: $manifest")
+    val after = LexIndex.search(spark, root, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(after == before, "compaction changed search results")
+  }
 }
