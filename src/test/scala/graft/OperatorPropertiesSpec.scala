@@ -123,4 +123,26 @@ class OperatorPropertiesSpec extends SparkSpec {
     // and the chains actually clustered
     assert(r3(1L) == 0L || r3(2L) == r3(1L), r3.take(6).toString)
   }
+
+  test("TopKByScore: merge is associative/commutative and equals brute force on random streams (seeded)") {
+    import graft.functions.{Scored, TopKByScore}
+    val agg = TopKByScore(5)
+    val r = new scala.util.Random(1234)
+    (1 to 50).foreach { _ =>
+      val xs = Seq.fill(r.nextInt(40))(Scored(r.nextInt(10).toLong, r.nextInt(1000).toLong))
+      val ys = Seq.fill(r.nextInt(40))(Scored(r.nextInt(10).toLong, r.nextInt(1000).toLong))
+      val zs = Seq.fill(r.nextInt(40))(Scored(r.nextInt(10).toLong, r.nextInt(1000).toLong))
+      def buf(v: Seq[Scored]) = v.foldLeft(agg.zero)(agg.reduce)
+      val (a, b, c) = (buf(xs), buf(ys), buf(zs))
+      // commutative and associative
+      assert(agg.merge(a, b) == agg.merge(b, a))
+      assert(agg.merge(agg.merge(a, b), c) == agg.merge(a, agg.merge(b, c)))
+      // merged partials equal one sequential fold over the union
+      val all = (xs ++ ys ++ zs).sortBy(x => (-x.score, x.id))
+        .foldLeft(agg.zero)(agg.reduce)
+      assert(agg.merge(agg.merge(a, b), c) == all,
+        "merged partials diverged from the sequential fold")
+      assert(all.size <= 5)
+    }
+  }
 }

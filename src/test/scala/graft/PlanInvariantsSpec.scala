@@ -499,4 +499,29 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_quantity"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("sim_decon: benchmark side broadcasts; candidates are bucket-mates, never all-pairs") {
+    val p = planOf("sim_decon")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("t2_resample: the fact aggregates once — grid and join reuse the agg exchange") {
+    val p = planOf("t2_resample")
+    // one parquet scan of events feeds bucketing; the spans/grid branch
+    // reuses the aggregation's exchange instead of rescanning the fact
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans <= 2, s"expected <=2 fact scans (exchange reuse), got $scans\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q8b: the top-k aggregate is two-phase and never sorts the fact") {
+    val p = planOf("q8b_topk_agg")
+    val aggs = """\(\d+\) ObjectHashAggregate""".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final ObjectHashAggregate\n$p")
+    // the only Sort nodes may order the FINAL exploded rows, never the
+    // per-customer totals feeding the aggregate (no window over them)
+    assert(!p.contains("RunningWindowFunction") &&
+      !p.contains("row_number() windowspecdefinition"), p)
+  }
 }
