@@ -289,4 +289,22 @@ class ViewRewriteSpec extends SparkSpec {
       assert(q.collect().toSeq == expected)
     } finally cleanup()
   }
+
+  test("SQL-authored queries are served too (parquet.`path` table syntax)") {
+    val (factDir, root, fact) = fixture()
+    try {
+      val q = spark.sql(
+        s"SELECT k1, sum(CAST(v AS BIGINT)) AS sv FROM parquet.`$factDir` GROUP BY k1")
+      val paths = scanPaths(q)
+      assert(!paths.exists(_.contains(factDir)) && paths.exists(_.contains(root)),
+        s"SQL path not rewritten: $paths")
+      ViewRewrite.deregister(spark, "vr_test")
+      val expected = spark.sql(
+        s"SELECT k1, sum(CAST(v AS BIGINT)) AS sv FROM parquet.`$factDir` GROUP BY k1")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      IncrementalAgg.registerView(spark, root, "vr_test", factDir,
+        Seq("k1", "k2"), Seq("v"))
+      assert(q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expected)
+    } finally cleanup()
+  }
 }
