@@ -1037,6 +1037,31 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // view-served AVG — the round-10 rewrite breadth item: the raw-fact
+    // avg(n_chars) query is rewritten to Σsum_n_chars / Σcnt over the
+    // maintained view (weighted re-aggregation — per-group means do NOT
+    // average directly, and the lang grouping is a strict SUBSET of the
+    // (lang, source) view keys, so the weights genuinely differ). Both
+    // sums are exact BIGINTs below 2^53, so the division is bit-equal
+    // to the base plan's and the oracle's.
+    "ia_rewrite_avg" -> ((s, dir) => {
+      graft.plans.ViewRewrite.deregister(s, "iarwavg_docs")
+      val (root, _) = freshScratch(s, "iarwa_q")
+      val docs = Catalog.documents(s, dir)
+      (0 until 4).foreach { b =>
+        graft.operators.IncrementalAgg.ingest(s, root,
+          docs.where(pmod(col("doc_id"), lit(4)) === b),
+          keys = Seq("lang", "source"), values = Seq("n_chars"),
+          batchId = b + 1L)
+      }
+      graft.operators.IncrementalAgg.registerView(s, root, "iarwavg_docs",
+        s"$dir/documents.parquet", Seq("lang", "source"), Seq("n_chars"))
+      docs.groupBy("lang").agg(
+        avg(col("n_chars").cast("long")).as("avg_chars"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     // persisted dedup index: build-once/probe-many — the corpus's LSH
     // band signatures persist as an immutable-generation index
     // (StateCommit snapshots, tombstone deletes), and each incoming
@@ -2509,6 +2534,17 @@ object SparkEntry {
         |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
         |  MIN(CAST(n_chars AS BIGINT)) AS min_chars,
         |  MAX(CAST(n_chars AS BIGINT)) AS max_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    // base-table AVG — the Spark side serves it from the view as
+    // Σsum/Σcnt; exact-integer sums below 2^53 make the double division
+    // bit-identical on both engines
+    "ia_rewrite_avg" ->
+      """SELECT lang,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,

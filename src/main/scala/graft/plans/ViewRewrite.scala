@@ -3,12 +3,12 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, EvalMode, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, ShortType}
 
 /** A registered materialized aggregate view: queries that group the fact
   * at `basePath` by a subset of `keys` and compute distributive
@@ -53,13 +53,20 @@ final case class MaterializedViewDef(
   * unless ALL hold:
   *   - the scan is the registered fact path (V1 parquet relation);
   *   - between aggregate and scan there are only attribute-projections
-  *     and filters whose references are all view KEY columns (a filter
-  *     on a key partitions groups whole, so it commutes with the view);
+  *     and DETERMINISTIC filters whose references are all view KEY
+  *     columns (a filter on a key partitions groups whole, so it
+  *     commutes with the view; a non-deterministic filter — rand()
+  *     sampling — would silently turn per-row sampling into per-GROUP
+  *     sampling when relocated, so it bails);
   *   - every grouping expression is a bare key column;
   *   - every aggregate is non-distinct, unfiltered count(literal) /
-  *     sum / min / max whose child is a value column (bare integral
-  *     attribute, or `CAST(value AS BIGINT)` — the view stores exact
-  *     BIGINT summaries, so both re-aggregate losslessly);
+  *     sum / min / max / avg whose child is a value column (bare
+  *     integral attribute, or `CAST(value AS BIGINT)` — the view
+  *     stores exact BIGINT summaries, so both re-aggregate
+  *     losslessly); avg serves as Σsum_v / Σcnt (the weighted
+  *     re-aggregation — per-group means do NOT average directly) and
+  *     count(*) as coalesce(Σcnt, 0), preserving COUNT's
+  *     non-nullable-zero contract on an empty global aggregate;
   *   - the mapped expression's data type equals the original's (so an
   *     `INT`-typed `min(v)` over an `INT` column is NOT served by the
   *     view's BIGINT `min_v` — the caller must cast, keeping the
@@ -136,7 +143,12 @@ case class GraftViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference => d.keys.contains(a.name)
       case _ => false
     }
-    val filtersOk = filters.forall(_.references.forall(a => d.keys.contains(a.name)))
+    // deterministic-only: a reference-free non-deterministic predicate
+    // (rand() < p) passes the key-column check vacuously, but relocating
+    // it from per-fact-row to per-view-group evaluation silently turns
+    // row sampling into group sampling
+    val filtersOk = filters.forall(f => f.deterministic &&
+      f.references.forall(a => d.keys.contains(a.name)))
     var usesValue = false
     val aggsOk = agg.aggregateExpressions.forall {
       case _: AttributeReference => true // grouping output; exprId-checked later
@@ -149,6 +161,7 @@ case class GraftViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           case s: Sum => scala.util.Try(valueOf(s.child, d)).isSuccess && { usesValue = true; true }
           case m: Min => scala.util.Try(valueOf(m.child, d)).isSuccess && { usesValue = true; true }
           case m: Max => scala.util.Try(valueOf(m.child, d)).isSuccess && { usesValue = true; true }
+          case a: Average => scala.util.Try(valueOf(a.child, d)).isSuccess && { usesValue = true; true }
           case _ => false
         }
       case _ => false
@@ -177,6 +190,11 @@ case class GraftViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         throw Bail
       }
       val vAttr: Map[String, Attribute] = vplan.output.map(a => a.name -> a).toMap
+      // every view-column dereference goes through vGet so a custom
+      // MaterializedViewDef missing any summary column (min_*/max_*
+      // included) BAILS to the base plan instead of throwing
+      // NoSuchElementException out of the optimizer
+      def vGet(n: String): Attribute = vAttr.getOrElse(n, throw Bail)
       need(d.keys.forall(vAttr.contains) && vAttr.contains("cnt") &&
         d.values.forall(v => vAttr.contains(s"sum_$v")))
 
@@ -197,28 +215,53 @@ case class GraftViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           Alias(vAttr(a.name), a.name)(exprId = a.exprId)
         case al @ Alias(ae: AggregateExpression, name) =>
           need(!ae.isDistinct && ae.filter.isEmpty)
-          val newFn = ae.aggregateFunction match {
+          // fresh resultId per replacement: the avg case derives TWO
+          // aggregates from one original, and copies sharing the
+          // original's resultId would bind to the same result slot
+          // (both legs of Σsum/Σcnt reading one value)
+          def reagg(fn: AggregateFunction): AggregateExpression =
+            ae.copy(aggregateFunction = fn,
+              resultId = NamedExpression.newExprId)
+          val repl: Expression = ae.aggregateFunction match {
             case c: Count =>
               need(c.children.forall {
                 case l: Literal => l.value != null
                 case _ => false
               })
-              new Sum(vAttr("cnt"))
+              // coalesce preserves COUNT's contract on an empty GLOBAL
+              // aggregate (COUNT → non-nullable 0; bare SUM → nullable
+              // NULL); per-group it is transparent (cnt is never null)
+              Coalesce(Seq(reagg(new Sum(vGet("cnt"))), Literal(0L)))
             case s: Sum =>
               usesValue = true
-              s.withNewChildren(Seq(vAttr(s"sum_${valueOf(s.child, d)}")))
+              reagg(s.withNewChildren(Seq(vGet(s"sum_${valueOf(s.child, d)}")))
+                .asInstanceOf[AggregateFunction])
             case m: Min =>
               usesValue = true
-              m.withNewChildren(Seq(vAttr(s"min_${valueOf(m.child, d)}")))
+              reagg(m.withNewChildren(Seq(vGet(s"min_${valueOf(m.child, d)}")))
+                .asInstanceOf[AggregateFunction])
             case m: Max =>
               usesValue = true
-              m.withNewChildren(Seq(vAttr(s"max_${valueOf(m.child, d)}")))
+              reagg(m.withNewChildren(Seq(vGet(s"max_${valueOf(m.child, d)}")))
+                .asInstanceOf[AggregateFunction])
+            case a: Average =>
+              // the weighted re-aggregation: avg(v) = Σsum_v / Σcnt.
+              // Per-group means must NOT average directly (groups merge
+              // with different weights); both sums are exact BIGINTs, so
+              // the division sees the same two integers the base plan's
+              // double accumulation produces (exact below 2^53). LEGACY
+              // divide: NULL (never an ANSI error) on the empty global
+              // aggregate, matching avg-over-no-rows.
+              usesValue = true
+              need(a.dataType == DoubleType)
+              Divide(
+                Cast(reagg(new Sum(vGet(s"sum_${valueOf(a.child, d)}"))), DoubleType),
+                Cast(reagg(new Sum(vGet("cnt"))), DoubleType),
+                EvalMode.LEGACY)
             case _ => throw Bail
           }
-          val newAe = ae.copy(aggregateFunction =
-            newFn.asInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction])
-          need(newAe.dataType == ae.dataType)
-          Alias(newAe, name)(exprId = al.exprId)
+          need(repl.dataType == ae.dataType)
+          Alias(repl, name)(exprId = al.exprId)
         case _ => throw Bail
       }
       need(usesValue)

@@ -150,6 +150,87 @@ class ViewRewriteSpec extends SparkSpec {
     } finally cleanup()
   }
 
+  test("avg is served as weighted Σsum/Σcnt — including over a key subset, where group means differ") {
+    val (factDir, root, fact) = fixture()
+    try {
+      // group by k2 only: (k1, k2) state rows merge with different
+      // weights, so averaging the per-row means would be WRONG — the
+      // hash match proves the Σsum/Σcnt form
+      val q = fact.groupBy("k2").agg(
+        avg(col("v").cast("long")).as("av"),
+        sum(col("v").cast("long")).as("sv"))
+      val paths = scanPaths(q)
+      assert(!paths.exists(_.contains(factDir)) && paths.exists(_.contains(root)),
+        s"avg rewrite did not fire: $paths")
+      ViewRewrite.deregister(spark, "vr_test")
+      val expected = fact.groupBy("k2").agg(
+        avg(col("v").cast("long")).as("av"),
+        sum(col("v").cast("long")).as("sv")).collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      IncrementalAgg.registerView(spark, root, "vr_test", factDir,
+        Seq("k1", "k2"), Seq("v"))
+      val got = q.collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      assert(got == expected, s"$got vs $expected")
+    } finally cleanup()
+  }
+
+  test("a non-deterministic filter bails: rand() sampling must stay per-row, not per-group") {
+    val (factDir, _, fact) = fixture()
+    try {
+      // rand() < 0.5 survives optimization (an always-true rand() < 2.0
+      // is eliminated by Spark before this rule ever sees it); only the
+      // plan shape is asserted — the result is random by construction
+      val q = fact.where(rand() < 0.5).groupBy("k1")
+        .agg(sum(col("v").cast("long")).as("sv"))
+      assert(scanPaths(q).exists(_.contains(factDir)),
+        "non-deterministic filter must bail to the base plan")
+    } finally cleanup()
+  }
+
+  test("a registration missing min/max summary columns degrades min/max queries to the base plan") {
+    val (factDir, root, fact) = fixture()
+    try {
+      ViewRewrite.deregister(spark, "vr_test")
+      // a custom view def whose plan drops the min/max columns —
+      // min/max queries must BAIL (base-plan answer), not throw out of
+      // the optimizer; sum/count queries are still served
+      ViewRewrite.register(spark, graft.plans.MaterializedViewDef(
+        "vr_test", factDir, Seq("k1", "k2"), Seq("v"),
+        () => IncrementalAgg.read(spark, root).get
+          .select("k1", "k2", "cnt", "sum_v").queryExecution.analyzed))
+      val m = fact.groupBy("k1").agg(min(col("v").cast("long")).as("mn"),
+        sum(col("v").cast("long")).as("sv"))
+      assert(scanPaths(m).exists(_.contains(factDir)),
+        "min over an incomplete view must degrade, not throw")
+      assert(m.count() == 3)
+      val s = fact.groupBy("k1").agg(sum(col("v").cast("long")).as("sv"))
+      assert(!scanPaths(s).exists(_.contains(factDir)),
+        "sum is fully covered by the incomplete view and must still be served")
+    } finally cleanup()
+  }
+
+  test("count(*) over an EMPTY fact: the global rewrite returns 0, not NULL") {
+    import spark.implicits._
+    val factDir = Files.createTempDirectory("vr_efact_").toString
+    val root = Files.createTempDirectory("vr_eview_").toString
+    try {
+      Seq.empty[(Long, String, String, Int)].toDF("id", "k1", "k2", "v")
+        .write.mode("overwrite").parquet(factDir)
+      val fact = spark.read.parquet(factDir)
+      IncrementalAgg.ingest(spark, root, fact,
+        keys = Seq("k1", "k2"), values = Seq("v"), batchId = 1L)
+      IncrementalAgg.registerView(spark, root, "vr_empty", factDir,
+        Seq("k1", "k2"), Seq("v"))
+      val q = fact.agg(count(lit(1)).as("n"), sum(col("v").cast("long")).as("sv"))
+      assert(!scanPaths(q).exists(_.contains(factDir)),
+        "empty-fact global aggregate should still be view-served")
+      val r = q.head
+      assert(r.getLong(0) == 0L, s"count over empty fact must be 0, got $r")
+      assert(r.isNullAt(1), s"sum over empty fact must be NULL, got $r")
+    } finally ViewRewrite.deregister(spark, "vr_empty")
+  }
+
   test("the view plan is resolved per query: a later ingest is visible without re-registering") {
     val (factDir, root, fact) = fixture()
     try {
