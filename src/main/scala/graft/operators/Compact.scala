@@ -90,8 +90,20 @@ object Compact {
         val staged = new Path(tmp, s"$pcol=$v")
         val held = new Path(trash, s"$pcol=$v")
         if (fs.exists(staged)) {
-          fs.rename(live, held)   // 1: hold the old generation
-          fs.rename(staged, live) // 2: publish the compacted one
+          // both renames are CHECKED: a false return (e.g. the live dir
+          // recreated by a concurrent writer between the two renames)
+          // must not fall through to the trash delete below — that
+          // would permanently drop the only copy of the old partition.
+          // On failure the hold (if it landed) stays on disk for
+          // [[recover]], and the compact fails loudly.
+          if (!fs.rename(live, held)) // 1: hold the old generation
+            throw new IllegalStateException(
+              s"compact: holding $live as $held failed — aborting; " +
+                s"run Compact.recover to clear work dirs")
+          if (!fs.rename(staged, live)) // 2: publish the compacted one
+            throw new IllegalStateException(
+              s"compact: publishing $staged over $live failed — old " +
+                s"data held at $held; run Compact.recover to restore")
         }
       }
       fs.delete(trash, true)

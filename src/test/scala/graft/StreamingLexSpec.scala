@@ -49,6 +49,36 @@ class StreamingLexSpec extends SparkSpec {
       "streamed index diverged from the rebuild")
   }
 
+  test("a resumed checkpoint anchors to the persisted base version — restart keeps ingesting") {
+    // round-9 advisory: with a RESUMED checkpoint, batch ids continue
+    // where they left off, so re-deriving the base from the CURRENT
+    // committed version overshoots the contiguity check and the restart
+    // dies. The base must come from the checkpoint's recorded anchor.
+    val root = Files.createTempDirectory("slex3_root").toString
+    val ckpt = Files.createTempDirectory("slex3_ckpt").toString
+    val srcDir = Files.createTempDirectory("slex3_src").toString
+    LexIndex.build(spark, docs.where(col("doc_id") % 3 === 0)
+      .select("doc_id", "text"), root)
+
+    docs.where(col("doc_id") % 3 === 1).select("doc_id", "text")
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def pass(): Unit = StreamingLex.start(
+      spark.readStream.schema(schema).parquet(srcDir), root, ckpt)
+      .awaitTermination()
+    pass() // first start: anchors and persists the base
+
+    docs.where(col("doc_id") % 3 === 2).select("doc_id", "text")
+      .write.mode("append").parquet(srcDir)
+    pass() // RESUME: same checkpoint, continuing batch ids
+
+    val full = Files.createTempDirectory("slex3_full").toString
+    LexIndex.build(spark, docs.select("doc_id", "text"), full)
+    val terms = Seq("vector", "merge", "spark")
+    assert(rows(root, terms) == rows(full, terms),
+      "resumed maintenance diverged from the rebuild")
+  }
+
   test("a replayed stream batch is refused by the version guard") {
     val root = Files.createTempDirectory("slex2_root").toString
     LexIndex.build(spark, docs.where(col("doc_id") < 100)
