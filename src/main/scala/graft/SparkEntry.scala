@@ -1940,12 +1940,18 @@ object SparkEntry {
        |  FROM mh GROUP BY doc_id, CAST(floor(j / 4) AS BIGINT)
        |)""".stripMargin
 
-  private val LshBandsCtes: String = "WITH " + lshBandsCtes("documents")
+  // WITH RECURSIVE: componentsCtes' transitive closure needs it; harmless
+  // for the band-only consumers (a RECURSIVE prefix with no recursive CTE
+  // is valid SQL)
+  private val LshBandsCtes: String = "WITH RECURSIVE " + lshBandsCtes("documents")
 
-  /** Shared min-label-propagation chain over the LSH pair graph
-    * (dd_components / dd_near_apply / ta_release): 3 unrolled rounds,
-    * matching the Spark side's fixed iteration count; `src` is the
-    * vertex-universe relation. */
+  /** Shared connected-components chain over the LSH pair graph
+    * (dd_components / dd_near_apply / ta_release): a recursive-CTE
+    * transitive closure whose per-doc MIN over reachable ids is the
+    * exact fixpoint the Spark side's convergence-driven label
+    * propagation computes — any chain depth, no unrolled round cap.
+    * `src` is the vertex-universe relation; the enclosing WITH must be
+    * WITH RECURSIVE. The final CTE keeps its historical name `l3`. */
   private def componentsCtes(src: String): String =
     s""", pairs AS (
       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -1954,23 +1960,12 @@ object SparkEntry {
       |), edges AS (
       |  SELECT d1 AS a, d2 AS b FROM pairs
       |  UNION ALL SELECT d2 AS a, d1 AS b FROM pairs
-      |), l0 AS (
-      |  SELECT doc_id, doc_id AS label FROM $src
-      |), l1 AS (
-      |  SELECT l.doc_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
-      |  FROM l0 l LEFT JOIN edges e ON e.a = l.doc_id
-      |            LEFT JOIN l0 n ON n.doc_id = e.b
-      |  GROUP BY l.doc_id, l.label
-      |), l2 AS (
-      |  SELECT l.doc_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
-      |  FROM l1 l LEFT JOIN edges e ON e.a = l.doc_id
-      |            LEFT JOIN l1 n ON n.doc_id = e.b
-      |  GROUP BY l.doc_id, l.label
+      |), reach AS (
+      |  SELECT doc_id, doc_id AS r FROM $src
+      |  UNION
+      |  SELECT re.doc_id, e.b AS r FROM reach re JOIN edges e ON e.a = re.r
       |), l3 AS (
-      |  SELECT l.doc_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
-      |  FROM l2 l LEFT JOIN edges e ON e.a = l.doc_id
-      |            LEFT JOIN l2 n ON n.doc_id = e.b
-      |  GROUP BY l.doc_id, l.label
+      |  SELECT doc_id, MIN(r) AS label FROM reach GROUP BY doc_id
       |)""".stripMargin
 
   private val ComponentsCtes: String = componentsCtes("documents")
@@ -3451,8 +3446,9 @@ object SparkEntry {
         |WHERE d.doc_id NOT IN (SELECT eval_id FROM leaks)
         |ORDER BY d.doc_id""".stripMargin),
 
-    // 3 unrolled rounds of min-label propagation over the LSH pair graph —
-    // the same fixed iteration count the Spark side runs.
+    // exact connected components over the LSH pair graph (recursive
+    // transitive closure, min id per component) — the same fixpoint the
+    // Spark side's convergence-driven label propagation reaches.
     "dd_components" -> (LshBandsCtes + ComponentsCtes +
       """
         |SELECT doc_id, label AS cluster FROM l3
@@ -4222,7 +4218,7 @@ object SparkEntry {
     "ta_fertility" -> OracleSql.bpeFertility(operators.Bpe.DemoMerges),
 
     "ta_release" -> (
-      s"""WITH q AS (
+      s"""WITH RECURSIVE q AS (
          |  SELECT doc_id FROM (
          |    SELECT doc_id,
          |      round(least(1.0, n_tokens / 100.0) * (1.0 - stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE)), 4) AS quality
@@ -4264,7 +4260,7 @@ object SparkEntry {
         s"""SELECT '$stage' AS stage, COUNT(*) AS n_docs,
            |  COALESCE(CAST(SUM($ntok) AS BIGINT), 0) AS n_tokens FROM $rel"""
           .stripMargin
-      s"""WITH ctoks AS (
+      s"""WITH RECURSIVE ctoks AS (
          |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t
          |  FROM documents
          |), ctw AS (

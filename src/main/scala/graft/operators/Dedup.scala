@@ -412,21 +412,33 @@ object Dedup {
     snapped
   }
 
-  /** Near-dup CLUSTERS from the LSH candidate pairs: `rounds` iterations
-    * of min-label propagation over the (undirected) pair graph — each doc
-    * adopts the smallest doc_id reachable within `rounds` hops, so LSH
-    * "buckets of pairs" become usable keep-one-per-cluster groups (the
-    * step a real dedup pipeline runs between candidate generation and the
-    * corpus filter). Fixed round count keeps it deterministic and lets the
-    * DuckDB oracle unroll the same iterations; near-dup components are
-    * tiny (bounded by cluster diameter), so 3 hops converges in practice
-    * and `log(n)` rounds is the general bound.
+  /** Near-dup CLUSTERS from the LSH candidate pairs: min-label
+    * propagation over the (undirected) pair graph until a FIXPOINT —
+    * every doc adopts the smallest doc_id in its connected component,
+    * so LSH "buckets of pairs" become usable keep-one-per-cluster
+    * groups (the step a real dedup pipeline runs between candidate
+    * generation and the corpus filter).
+    *
+    * `rounds <= 0` (the default) iterates until a round changes no
+    * label — exact connected components at ANY chain depth. The
+    * round-9 scale flag: a fixed round count under-deduped silently
+    * whenever a duplicate CHAIN (boilerplate families, template drift)
+    * was deeper than the cap — a label-propagation round reaches one
+    * hop further, so depth-`d` chains need `d` rounds and corpus-scale
+    * chains have no a-priori bound. The fixpoint test is one cheap
+    * narrow count per round over the pair-graph VERTEX set (already
+    * materialized at the round's stage boundary), and the loop is
+    * bounded by the cluster diameter — `log`-ish in practice, capped at
+    * [[Dedup.MaxPropagationRounds]] as a pathological-graph backstop.
+    * An explicit positive `rounds` keeps the old bounded-unroll form
+    * (equivalence on shallow graphs is spec-pinned; the DuckDB oracle
+    * mirrors the fixpoint with a recursive-CTE transitive closure).
     *
     * Scale posture: each round is one narrow (edge ⋈ label) shuffle keyed
     * on doc_id — the standard iterative-dataflow shape for connected
     * components; no driver-side graph. */
   def lshComponents(documents: DataFrame, k: Int = 16, r: Int = 4,
-      rounds: Int = 3, materialize: Boolean = true): DataFrame =
+      rounds: Int = 0, materialize: Boolean = true): DataFrame =
     lshComponentsUnsorted(documents, k, r, rounds, materialize).orderBy("doc_id")
 
   /** Cluster-size histogram over the near-dup components — the "how much
@@ -447,8 +459,14 @@ object Dedup {
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
       .orderBy("cluster_size")
 
+  /** Backstop for the fixpoint loop: no realistic near-dup cluster has
+    * a diameter anywhere near this, so hitting it means the pair graph
+    * is pathological (and the run fails loudly rather than silently
+    * under-clustering). */
+  private[operators] val MaxPropagationRounds = 64
+
   private[operators] def lshComponentsUnsorted(documents: DataFrame,
-      k: Int = 16, r: Int = 4, rounds: Int = 3,
+      k: Int = 16, r: Int = 4, rounds: Int = 0,
       materialize: Boolean = true): DataFrame = {
     // materialize=false keeps the all-lazy plan (plan inspection,
     // equivalence tests); the default snapshots are the production shape —
@@ -474,16 +492,33 @@ object Dedup {
     // rounds just skip rows that could never change).
     val edgeDocs = edges.select(col("a").as("doc_id")).distinct()
     var labels = edgeDocs.select(col("doc_id"), col("doc_id").as("label"))
-    for (_ <- 1 to rounds) {
+    val fixpoint = rounds <= 0
+    val maxRounds = if (fixpoint) MaxPropagationRounds else rounds
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
       val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
         .groupBy(col("a")).agg(min("label").as("nl"))
-      // checkpoint per round: plan depth stays O(1) in `rounds` (instead
-      // of each round's join nesting the previous rounds' plan), which
-      // also makes a data-driven round count safe.
-      labels = snap(labels.join(nbrMin, labels("doc_id") === nbrMin("a"), "left_outer")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
+      // checkpoint per round: plan depth stays O(1) in the round count
+      // (instead of each round's join nesting the previous rounds'
+      // plan), which is what makes the data-driven fixpoint safe. The
+      // previous round's label rides along so the convergence test is a
+      // scan of THIS snapshot, not a join back to the old one.
+      val stepped = snap(
+        labels.join(nbrMin, labels("doc_id") === nbrMin("a"), "left_outer")
+          .select(col("doc_id"), col("label").as("prev_label"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
+      // labels only ever decrease, so "no label changed" IS the global
+      // fixpoint — one narrow count over the vertex set per round
+      if (fixpoint)
+        converged = stepped.where(col("label") =!= col("prev_label")).isEmpty
+      labels = stepped.select("doc_id", "label")
+      round += 1
     }
+    if (fixpoint && !converged)
+      throw new IllegalStateException(
+        s"lshComponents did not converge in $MaxPropagationRounds rounds — " +
+          "pathological pair graph (diameter beyond any near-dup cluster)")
     labels = labels.unionByName(
       documents.select(col("doc_id"), col("doc_id").as("label"))
         .join(edgeDocs, Seq("doc_id"), "left_anti"))

@@ -120,6 +120,12 @@ class OperatorPropertiesSpec extends SparkSpec {
     val r4 = Dedup.lshComponents(chain, rounds = 4).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(r3 == r4, "3 rounds must already be converged on small-diameter clusters")
+    // the fixpoint (default) form equals the bounded form wherever the
+    // bound suffices — the shallow-graph equivalence leg of the round-10
+    // convergence change
+    val fix = Dedup.lshComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fix == r3, "fixpoint diverged from the converged bounded form")
     // and the chains actually clustered
     assert(r3(1L) == 0L || r3(2L) == r3(1L), r3.take(6).toString)
   }
