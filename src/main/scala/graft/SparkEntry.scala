@@ -1128,6 +1128,21 @@ object SparkEntry {
         Seq("vector", "merge", "spark"), k = 10)
     }),
 
+    // tombstoned document DELETION, gated against the filtered-corpus
+    // oracle: the full corpus builds, every doc_id % 7 == 0 deletes
+    // (metadata-only — tombstones + algebraic df/stats corrections, no
+    // posting rewrite), and the search must hash-match a from-scratch
+    // rebuild WITHOUT the victims — the takedown path is exact
+    "lx_search_del" -> ((s, dir) => {
+      val (root, _) = freshScratch(s, "lxd_q")
+      val docs = Catalog.documents(s, dir)
+      graft.operators.LexIndex.build(s, docs, root)
+      graft.operators.LexIndex.delete(s, root,
+        docs.where(col("doc_id") % 7 === 0).select("doc_id"))
+      graft.operators.LexIndex.search(s, root,
+        Seq("vector", "merge", "spark"), k = 10)
+    }),
+
     // hybrid retrieval: reciprocal-rank fusion of the lexical BM25
     // ranking with a brute-force cosine ranking of embedding 0
     // (vec_id ≡ doc_id) — integer-division RRF, so fusion is exact
@@ -1917,6 +1932,46 @@ object SparkEntry {
       s"""(list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
          | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
          |    * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+
+  /** The corpus-recomputed BM25 top-10 oracle chain (exact micro-point
+    * integer sums, the ta_bm25 math restricted to the query terms),
+    * parameterized by the corpus relation so lx_search /
+    * lx_search_inc / lx_search_del all share one definition. */
+  private def lxBm25Sql(src: String): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS token
+       |  FROM $src
+       |), tf AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+       |), dl AS (
+       |  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
+       |), dfreq AS (
+       |  SELECT token, COUNT(*) AS df
+       |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1
+       |), consts AS (
+       |  SELECT (SELECT COUNT(*) FROM $src) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS sum_dl, COUNT(*) AS n_dl FROM dl
+       |), scored AS (
+       |  SELECT CAST(tf.doc_id AS BIGINT) AS doc_id,
+       |    CAST(round(
+       |      ln(1.0 + CAST(n_docs - df + 0.5 AS DOUBLE)
+       |               / CAST(df + 0.5 AS DOUBLE))
+       |      * (CAST(tf AS DOUBLE) * 2.2)
+       |      / (tf + 1.2 * (0.25 + 0.75 *
+       |          (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_dl))))
+       |      * 1e6, 0) AS BIGINT) AS micro
+       |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), consts
+       |  WHERE tf.token IN ('vector', 'merge', 'spark')
+       |), agg AS (
+       |  SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS score_micro
+       |  FROM scored GROUP BY 1
+       |), ranked AS (
+       |  SELECT doc_id, score_micro,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
+       |  FROM agg
+       |)
+       |SELECT doc_id, score_micro, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
 
   /** Shared minhash-band CTE chain (dd_lsh_pairs / dd_components /
     * ta_release), parameterized by the source relation so the same chain
@@ -3024,79 +3079,18 @@ object SparkEntry {
     // recomputes the index's BM25 from the raw corpus — exact
     // micro-point integer sums, the ta_bm25 math restricted to the
     // query terms
-    "lx_search" ->
-      """WITH tok AS (
-        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS token
-        |  FROM documents
-        |), tf AS (
-        |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
-        |), dl AS (
-        |  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
-        |), dfreq AS (
-        |  SELECT token, COUNT(*) AS df
-        |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1
-        |), consts AS (
-        |  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-        |    CAST(SUM(dl) AS BIGINT) AS sum_dl, COUNT(*) AS n_dl FROM dl
-        |), scored AS (
-        |  SELECT CAST(tf.doc_id AS BIGINT) AS doc_id,
-        |    CAST(round(
-        |      ln(1.0 + CAST(n_docs - df + 0.5 AS DOUBLE)
-        |               / CAST(df + 0.5 AS DOUBLE))
-        |      * (CAST(tf AS DOUBLE) * 2.2)
-        |      / (tf + 1.2 * (0.25 + 0.75 *
-        |          (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_dl))))
-        |      * 1e6, 0) AS BIGINT) AS micro
-        |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), consts
-        |  WHERE tf.token IN ('vector', 'merge', 'spark')
-        |), agg AS (
-        |  SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS score_micro
-        |  FROM scored GROUP BY 1
-        |), ranked AS (
-        |  SELECT doc_id, score_micro,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
-        |  FROM agg
-        |)
-        |SELECT doc_id, score_micro, rank FROM ranked
-        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    "lx_search" -> lxBm25Sql("documents"),
 
     // IDENTICAL math to lx_search — the Spark side answers from the
     // incrementally-ingested index, so matching proves exact merge
-    "lx_search_inc" ->
-      """WITH tok AS (
-        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS token
-        |  FROM documents
-        |), tf AS (
-        |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
-        |), dl AS (
-        |  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
-        |), dfreq AS (
-        |  SELECT token, COUNT(*) AS df
-        |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1
-        |), consts AS (
-        |  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-        |    CAST(SUM(dl) AS BIGINT) AS sum_dl, COUNT(*) AS n_dl FROM dl
-        |), scored AS (
-        |  SELECT CAST(tf.doc_id AS BIGINT) AS doc_id,
-        |    CAST(round(
-        |      ln(1.0 + CAST(n_docs - df + 0.5 AS DOUBLE)
-        |               / CAST(df + 0.5 AS DOUBLE))
-        |      * (CAST(tf AS DOUBLE) * 2.2)
-        |      / (tf + 1.2 * (0.25 + 0.75 *
-        |          (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_dl))))
-        |      * 1e6, 0) AS BIGINT) AS micro
-        |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), consts
-        |  WHERE tf.token IN ('vector', 'merge', 'spark')
-        |), agg AS (
-        |  SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS score_micro
-        |  FROM scored GROUP BY 1
-        |), ranked AS (
-        |  SELECT doc_id, score_micro,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
-        |  FROM agg
-        |)
-        |SELECT doc_id, score_micro, rank FROM ranked
-        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    "lx_search_inc" -> lxBm25Sql("documents"),
+
+    // the FILTERED-corpus recompute — the Spark side answers from the
+    // full-corpus index after tombstoned deletes, so matching proves
+    // delete ≡ rebuild-without-victims (df and corpus stats corrected
+    // algebraically, dead postings masked)
+    "lx_search_del" ->
+      lxBm25Sql("(SELECT * FROM documents WHERE doc_id % 7 <> 0)"),
 
     "lx_hybrid" ->
       s"""WITH tok AS (

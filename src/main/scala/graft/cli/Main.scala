@@ -785,6 +785,17 @@ object Main {
       }
       spark.stop()
 
+    case Some("lex-delete") =>
+      val root = opt(args, "root").getOrElse { System.err.println("error: --root required"); sys.exit(2); "" }
+      val ids = opt(args, "ids").getOrElse { System.err.println("error: --ids required (comma-separated doc ids)"); sys.exit(2); "" }
+        .split(",").map(_.trim.toLong).toSeq
+      val spark = session()
+      val s = spark; import s.implicits._
+      val v = graft.operators.LexIndex.delete(spark, root, ids.toDF("doc_id"))
+      println(s"deleted ${ids.size} doc id(s) from $root (snapshot $v; " +
+        "tombstoned — run lex-compact to fold dead rows away)")
+      spark.stop()
+
     case Some("lex-compact") =>
       val root = opt(args, "root").getOrElse { System.err.println("error: --root required"); sys.exit(2); "" }
       val spark = session()
@@ -845,7 +856,7 @@ object Main {
       spark.stop()
 
     case other =>
-      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export|index-build|index-search|pq-build|pq-search|dedup-build|dedup-classify|compact|diff|fuzzy|lex-build|lex-search|lex-compact")
+      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export|index-build|index-search|pq-build|pq-search|dedup-build|dedup-classify|compact|diff|fuzzy|lex-build|lex-search|lex-delete|lex-compact")
       sys.exit(2)
   }
 }

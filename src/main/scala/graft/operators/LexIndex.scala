@@ -9,7 +9,8 @@ import graft.streaming.StateCommit
   * build-once / query-many LEXICAL complement to the ANN family
   * ([[AnnIndex]]/[[AnnIndexPq]] answer "semantically near", this
   * answers "contains these terms", and [[LexIndex.hybrid]] fuses the
-  * two): postings carry (token, doc_id, tf, dl) — document length is
+  * two; [[LexIndex.delete]] tombstones documents without a rebuild):
+  * postings carry (token, doc_id, tf, dl) — document length is
   * denormalized INTO the posting row, the classic payload trick, so
   * scoring never joins a doc-length table at query time — plus
   * metadata-sized document-frequency and corpus-stat tables, published
@@ -39,6 +40,8 @@ object LexIndex {
   private val Dfs = "dfs"
   private val Stats = "stats"
   private val Manifest = "manifest"
+  private val Tombstones = "tombstones"
+  private val DeleteAll = Long.MaxValue
 
   private def tokens(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"),
@@ -65,11 +68,46 @@ object LexIndex {
     (postings, dfs, stats)
   }
 
-  private def writeSnapshot(spark: SparkSession, root: String, v: Long,
-      postings: DataFrame, dfs: DataFrame, stats: DataFrame,
-      gens: Seq[Long], nBuckets: Int): Long = {
-    postings.repartition(nBuckets, col("token"))
-      .write.mode("overwrite").parquet(genDir(root, v))
+  private def emptyTombstones(spark: SparkSession): DataFrame = {
+    val s = spark; import s.implicits._
+    Seq.empty[(Long, Long)].toDF("doc_id", "before_gen")
+  }
+
+  /** Snapshot v's tombstones: (doc_id, before_gen) — the doc's posting
+    * rows in generations < before_gen are dead (the [[DedupIndex]]
+    * table verbatim; a delete writes Long.MaxValue, a re-ingest of a
+    * deleted id replaces it with the new generation). Bounded by churn
+    * since the last [[compactGenerations]], never corpus-sized — it
+    * broadcasts into every read. Absent table (pre-tombstone snapshot)
+    * reads as empty. */
+  private def tombstonesOf(spark: SparkSession, root: String,
+      v: Long): DataFrame =
+    scala.util.Try(
+        spark.read.parquet(StateCommit.tableDir(root, v, Tombstones)))
+      .getOrElse(emptyTombstones(spark))
+
+  /** The LIVE posting rows of snapshot v: every live generation's rows,
+    * tombstone-filtered (broadcast join — the tombstone table is
+    * churn-bounded). Shape (token, doc_id, tf, dl). */
+  private def livePostings(spark: SparkSession, root: String,
+      v: Long): DataFrame = {
+    val gens = spark.read.parquet(StateCommit.tableDir(root, v, Manifest))
+      .collect().map(_.getLong(0)).toSeq
+    val unioned = gens.map(g =>
+        spark.read.parquet(genDir(root, g)).withColumn("gen", lit(g)))
+      .reduce(_.unionByName(_))
+    unioned.join(broadcast(tombstonesOf(spark, root, v)),
+        Seq("doc_id"), "left_outer")
+      .where(col("before_gen").isNull || col("gen") >= col("before_gen"))
+      .drop("before_gen", "gen")
+  }
+
+  /** Write the metadata-sized snapshot tables and commit — shared by
+    * every mutation (postings generations are written by the caller,
+    * when the mutation adds any). */
+  private def writeMetaTables(spark: SparkSession, root: String, v: Long,
+      dfs: DataFrame, stats: DataFrame, gens: Seq[Long],
+      tombstones: DataFrame): Long = {
     dfs.coalesce(1)
       .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Dfs))
     stats.coalesce(1)
@@ -78,8 +116,22 @@ object LexIndex {
     import s.implicits._
     gens.toDF("gen").coalesce(1)
       .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Manifest))
+    tombstones
+      .select(col("doc_id").cast("long"), col("before_gen").cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(StateCommit.tableDir(root, v, Tombstones))
     StateCommit.commit(spark, root, v)
     v
+  }
+
+  private def writeSnapshot(spark: SparkSession, root: String, v: Long,
+      postings: DataFrame, dfs: DataFrame, stats: DataFrame,
+      gens: Seq[Long], nBuckets: Int,
+      tombstones: DataFrame): Long = {
+    postings.repartition(nBuckets, col("token"))
+      .write.mode("overwrite").parquet(genDir(root, v))
+    writeMetaTables(spark, root, v, dfs, stats, gens, tombstones)
   }
 
   /** Build (or rebuild from scratch) the index; returns the committed
@@ -89,7 +141,8 @@ object LexIndex {
       nBuckets: Int = 32): Long = {
     val v = StateCommit.currentVersion(spark, root).getOrElse(0L) + 1
     val (postings, dfs, stats) = batchParts(documents)
-    writeSnapshot(spark, root, v, postings, dfs, stats, Seq(v), nBuckets)
+    writeSnapshot(spark, root, v, postings, dfs, stats, Seq(v), nBuckets,
+      emptyTombstones(spark))
   }
 
   /** Fold a batch of NEW documents into the index WITHOUT rescanning
@@ -100,9 +153,12 @@ object LexIndex {
     * to one over a from-scratch rebuild — spec-pinned, and the
     * lx_search_inc driver gate proves it against the full-corpus
     * oracle. Contract: batches are append-only NEW doc_ids (the
-    * [[IncrementalAgg]] discipline); re-ingesting a doc double-counts
-    * — route update/delete workloads through [[DedupIndex]]-style
-    * tombstones or a rebuild. */
+    * [[IncrementalAgg]] discipline), with one exception: a previously
+    * [[delete]]d id may re-ingest — its tombstone advances to this
+    * generation, so the dead old rows stay dead and the new rows are
+    * live (the delete already subtracted the old df/stats
+    * contributions, so the algebra stays exact). Re-ingesting a LIVE
+    * doc still double-counts. */
   def ingest(spark: SparkSession, documents: DataFrame, root: String,
       nBuckets: Int = 32): Long =
     ingestAs(spark, documents, root, expectedVersion = -1L, nBuckets)
@@ -135,7 +191,82 @@ object LexIndex {
       .toDF("n_docs", "sum_dl", "n_dl")
     val gens = spark.read.parquet(StateCommit.tableDir(root, prev, Manifest))
       .collect().map(_.getLong(0)).toSeq :+ v
-    writeSnapshot(spark, root, v, postings, mergedDfs, mergedStats, gens, nBuckets)
+    // tombstone rows for ids this batch RE-ingests advance to this
+    // generation (resurrecting the doc with its new content); other
+    // rows carry forward — the table stays churn-bounded because only
+    // deleted-and-not-yet-reingested ids live in it
+    val prior = tombstonesOf(spark, root, prev)
+    val batchIds = documents.select(col("doc_id").cast("long")).distinct()
+    val tombs = prior.join(batchIds, Seq("doc_id"), "left_anti")
+      .unionByName(prior.join(batchIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), lit(v).as("before_gen")))
+    writeSnapshot(spark, root, v, postings, mergedDfs, mergedStats, gens,
+      nBuckets, tombs)
+  }
+
+  /** Drop documents from the index without a rebuild — the takedown /
+    * revocation path: one tombstone row per id plus ALGEBRAIC df/stats
+    * corrections, published atomically as the next snapshot. Metadata-
+    * sized writes only — no posting generation is rewritten (the dead
+    * rows stay on disk, masked at read time, until
+    * [[compactGenerations]] folds them away and clears the
+    * tombstones). df rows that reach zero drop out, and the corpus
+    * stats subtract the victims' doc counts and token totals, so a
+    * post-delete [[search]] is row-for-row equal to one over an index
+    * rebuilt without the victims (spec-pinned; the lx_search_del
+    * driver gate proves it against the filtered-corpus oracle).
+    *
+    * Ids without live postings are no-ops (so replays converge), with
+    * the one blind spot a postings-only index has: a ZERO-TOKEN doc is
+    * invisible to postings and its `n_docs` contribution cannot be
+    * located — it stays counted until the next rebuild (documented,
+    * spec-pinned). `expectedVersion` is the [[ingestAs]] replay guard
+    * (-1 = next, no protection).
+    *
+    * Scale posture: one tombstone-filtered scan of the posting
+    * generations (the victim semi-join prunes it to the dead rows),
+    * one broadcast-sized df merge, metadata writes — the corpus is
+    * never rewritten. */
+  def delete(spark: SparkSession, root: String, ids: DataFrame,
+      expectedVersion: Long = -1L): Long = {
+    val prev = StateCommit.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed lexical index at $root"))
+    if (expectedVersion >= 0 && expectedVersion <= prev) return prev // replay
+    val v = if (expectedVersion >= 0) expectedVersion else prev + 1
+    require(v == prev + 1, s"delete version $v must follow committed $prev")
+    val victims = ids.select(col("doc_id").cast("long")).distinct()
+    // the victims' LIVE posting rows: already-dead rows must not
+    // subtract twice (which is also what makes a replayed or repeated
+    // delete a no-op on the statistics)
+    val dead = Stage.snap(
+      livePostings(spark, root, prev)
+        .join(broadcast(victims), Seq("doc_id"), "left_semi"),
+      materialize = true)
+    val oldDfs = spark.read.parquet(StateCommit.tableDir(root, prev, Dfs))
+    // postings hold ONE row per (token, doc), so the per-token dead-row
+    // count IS the df decrement; rows at zero leave the table, exactly
+    // as a rebuild-without-victims would never emit them
+    val deadDf = dead.groupBy("token").agg(count(lit(1)).as("ddf"))
+    val mergedDfs = oldDfs
+      .join(deadDf, Seq("token"), "left_outer")
+      .select(col("token"),
+        (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+      .where(col("df") > 0)
+    val d = dead.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s")).head()
+    val (nDead, dlDead) = (d.getLong(0), d.getLong(1))
+    val o = spark.read.parquet(StateCommit.tableDir(root, prev, Stats)).head()
+    val s = spark
+    import s.implicits._
+    val mergedStats = Seq((o.getLong(0) - nDead, o.getLong(1) - dlDead,
+      o.getLong(2) - nDead)).toDF("n_docs", "sum_dl", "n_dl")
+    val prior = tombstonesOf(spark, root, prev)
+    val tombs = prior.join(victims, Seq("doc_id"), "left_anti")
+      .unionByName(victims.select(col("doc_id"),
+        lit(DeleteAll).as("before_gen")))
+    val gens = spark.read.parquet(StateCommit.tableDir(root, prev, Manifest))
+      .collect().map(_.getLong(0)).toSeq
+    writeMetaTables(spark, root, v, mergedDfs, mergedStats, gens, tombs)
   }
 
   /** Fold every live generation's postings into ONE new generation —
@@ -152,12 +283,14 @@ object LexIndex {
     val prev = StateCommit.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed lexical index at $root"))
     val v = prev + 1
-    val gens = spark.read.parquet(StateCommit.tableDir(root, prev, Manifest))
-      .collect().map(_.getLong(0)).toSeq
-    val postings = spark.read.parquet(gens.map(g => genDir(root, g)): _*)
+    // the LIVE multiset only: tombstoned rows die physically here, and
+    // the tombstone table resets to empty — df/stats carry unchanged
+    // (deletes corrected them algebraically at delete time)
+    val postings = livePostings(spark, root, prev)
     val dfs = spark.read.parquet(StateCommit.tableDir(root, prev, Dfs))
     val stats = spark.read.parquet(StateCommit.tableDir(root, prev, Stats))
-    writeSnapshot(spark, root, v, postings, dfs, stats, Seq(v), nBuckets)
+    writeSnapshot(spark, root, v, postings, dfs, stats, Seq(v), nBuckets,
+      emptyTombstones(spark))
   }
 
   /** BM25 top-k for a bag of query terms: (doc_id, score_micro, rank).
@@ -175,12 +308,11 @@ object LexIndex {
     val stats = spark.read.parquet(StateCommit.tableDir(root, v, Stats))
     val dfs = spark.read.parquet(StateCommit.tableDir(root, v, Dfs))
       .where(col("token").isin(terms: _*))
-    // the manifest's generation list is metadata-sized (one entry per
-    // ingest since the last rebuild)
-    val gens = spark.read.parquet(StateCommit.tableDir(root, v, Manifest))
-      .collect().map(_.getLong(0)).toSeq
-    val postings = spark.read
-      .parquet(gens.map(g => genDir(root, g)): _*)
+    // live rows only (tombstone-filtered; the manifest's generation
+    // list is metadata-sized — one entry per ingest since the last
+    // rebuild). The token IN still pushes through the tombstone join
+    // to each generation's scan (plan-gated).
+    val postings = livePostings(spark, root, v)
       .where(col("token").isin(terms: _*))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))

@@ -113,6 +113,78 @@ class LexIndexSpec extends SparkSpec {
     assert(inc2 == full2, "two stacked generations diverged from rebuild")
   }
 
+  test("delete equals a rebuild without the victims, row-for-row; replays and absent ids are no-ops") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("lex_del_").toString
+    LexIndex.build(spark, docs, root)
+    val vDel = LexIndex.delete(spark, root,
+      docs.where(col("doc_id") % 5 === 0).select("doc_id"))
+    val rootWithout = Files.createTempDirectory("lex_delf_").toString
+    LexIndex.build(spark, docs.where(col("doc_id") % 5 =!= 0), rootWithout)
+    val terms = Seq("vector", "merge", "spark")
+    def rows(r: String) = LexIndex.search(spark, r, terms, k = 20)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSeq
+    assert(rows(root) == rows(rootWithout),
+      "tombstoned delete diverged from rebuild-without-victims")
+    assert(rows(root).forall(_._1 % 5 != 0), "a deleted doc still surfaced")
+
+    // replay under the same expected version: guarded no-op
+    assert(LexIndex.delete(spark, root,
+      docs.where(col("doc_id") % 5 === 0).select("doc_id"),
+      expectedVersion = vDel) == vDel)
+    assert(rows(root) == rows(rootWithout), "replayed delete drifted the stats")
+
+    // deleting ids with no live postings (already dead + never-indexed):
+    // stats must not double-subtract
+    import spark.implicits._
+    LexIndex.delete(spark, root,
+      docs.where(col("doc_id") % 5 === 0).select("doc_id")
+        .unionByName(Seq(999999L).toDF("doc_id")))
+    assert(rows(root) == rows(rootWithout), "re-delete double-subtracted")
+  }
+
+  test("delete is metadata-only, and compaction folds the dead rows away and clears tombstones") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("lex_del2_").toString
+    val v0 = LexIndex.build(spark, docs, root)
+    val genDir = new java.io.File(s"$root/gen-$v0/postings")
+    val sizeBefore = genDir.listFiles().map(_.length()).sum
+    LexIndex.delete(spark, root,
+      docs.where(col("doc_id") % 4 === 0).select("doc_id"))
+    assert(genDir.listFiles().map(_.length()).sum == sizeBefore,
+      "delete rewrote posting data — it must be metadata-only")
+
+    val terms = Seq("vector", "merge", "spark")
+    def rows() = LexIndex.search(spark, root, terms, k = 20)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSeq
+    val before = rows()
+    val vc = LexIndex.compactGenerations(spark, root)
+    assert(rows() == before, "compaction changed the post-delete answer")
+    val tombs = spark.read.parquet(
+      graft.streaming.StateCommit.tableDir(root, vc, "tombstones"))
+    assert(tombs.count() == 0, "compaction must clear the tombstones")
+    // the compacted generation must not carry the dead rows
+    val compacted = spark.read.parquet(s"$root/gen-$vc/postings")
+    assert(compacted.where(col("doc_id") % 4 === 0).count() == 0,
+      "dead rows survived compaction")
+  }
+
+  test("re-ingesting a deleted doc resurrects it with the new content, exactly") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("lex_del3_").toString
+    LexIndex.build(spark, docs, root)
+    LexIndex.delete(spark, root,
+      docs.where(col("doc_id") % 6 === 0).select("doc_id"))
+    LexIndex.ingest(spark, docs.where(col("doc_id") % 6 === 0), root)
+    val rootFull = Files.createTempDirectory("lex_del3f_").toString
+    LexIndex.build(spark, docs, rootFull)
+    val terms = Seq("vector", "merge", "spark")
+    def rows(r: String) = LexIndex.search(spark, r, terms, k = 20)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSeq
+    assert(rows(root) == rows(rootFull),
+      "delete-then-reingest diverged from the full rebuild")
+  }
+
   test("generation compaction is content-neutral: search byte-identical, manifest shrinks to one") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("lex_cpt_").toString
