@@ -65,6 +65,54 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(fixed.where(col("match_key") === 1L).count() == 1)
   }
 
+  test("dualBlock: an in-prefix edit resolves via the suffix pass; no pair is emitted twice") {
+    // "Alpha..." vs "alpha...": dist 1, edit at char 1 — the single
+    // prefix block misses it by construction (pinned above); the dual
+    // form recovers it through the untouched suffix
+    val probe = Seq((300L, "Alpha cluster node")).toDF("k", "name")
+    val dual = FuzzyJoin.resolve(master, probe, "k", "name", 4, 2,
+      dualBlock = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(dual.contains((300L, 1L, 1)), s"suffix pass missed: ${dual.mkString}")
+
+    // a pair equal in BOTH blocks (identical text) must appear exactly
+    // once — the suffix pass's prefix-unequal residual keeps the union
+    // disjoint
+    val probeEq = Seq((400L, "alpha cluster node")).toDF("k", "name")
+    val eq = FuzzyJoin.resolve(master, probeEq, "k", "name", 4, 2,
+      dualBlock = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(eq.count(_ == ((400L, 1L, 0))) == 1, s"duplicate pair: ${eq.mkString}")
+  }
+
+  test("dualBlock equals the unblocked brute force under the OR-block predicate") {
+    val probe = Seq((100L, "alpha clustr node"), (300L, "Alpha cluster node"),
+      (101L, "alpha cluster")).toDF("k", "name")
+    val dual = FuzzyJoin.resolve(master, probe, "k", "name", 4, 2,
+      dualBlock = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = probe.select(col("k").as("probe_key"), col("name").as("p"))
+      .crossJoin(master.select(col("k").as("match_key"), col("name").as("m")))
+      .withColumn("dist", levenshtein(col("p"), col("m")))
+      .where(col("dist") <= 2 &&
+        (substring(col("p"), 1, 4) === substring(col("m"), 1, 4) ||
+          substring(reverse(col("p")), 1, 4) === substring(reverse(col("m")), 1, 4)))
+      .select("probe_key", "match_key", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(dual == brute)
+  }
+
+  test("plan: dualBlock still never exchanges the master — two broadcast passes, no cartesian") {
+    val probe = Seq((100L, "alpha clustr node")).toDF("k", "name")
+    val p = FuzzyJoin.resolve(master, probe, "k", "name", 4, 2, dualBlock = true)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // tree lines only ("BroadcastHashJoin Inner ..."); the formatted
+    // detail section repeats each node name without the join type
+    assert("BroadcastHashJoin Inner".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("plan: probe broadcasts, no cartesian, master side never exchanges") {
     val probe = Seq((100L, "alpha clustr node")).toDF("k", "name")
     val p = FuzzyJoin.resolve(master, probe, "k", "name", 4, 2)
