@@ -38,12 +38,22 @@ import graft.streaming.StateCommit
   * rewrites only its touched cells, published atomically; retrain =
   * [[build]], the drift-triggered path.
   */
+/** Quantization-drift advisory (see [[AnnIndexPq.driftReport]]):
+  * build-time vs recent-upsert mean per-vector quantization error
+  * (nano-L2 of residual vs chosen codes, the `err_nano`
+  * [[Similarity.ivfPqEncode]] already computes); `drifted` recommends
+  * a [[AnnIndexPq.build]] retrain. */
+case class PqDriftReport(buildMeanErrNano: Double,
+    recentMeanErrNano: Double, nRecent: Long, drifted: Boolean)
+
 object AnnIndexPq {
 
   private val Coarse = "coarse"
   private val Codebook = "codebook"
   private val Params = "params"
   private val Manifest = "manifest"
+  private val Stats = "stats"
+  private val Drift = "drift"
 
   private def genPath(root: String, gen: Long) = s"$root/gen-$gen"
   private def cellDir(root: String, gen: Long, cell: String) =
@@ -72,6 +82,55 @@ object AnnIndexPq {
     entries.toDF("cell", "gen").coalesce(1)
       .write.mode("overwrite")
       .parquet(StateCommit.tableDir(root, v, Manifest))
+  }
+
+  /** Mean per-vector quantization error (Σ over blocks of the chosen
+    * code's nano-L2) and vector count of an encoded assignment —
+    * the [[AnnIndex]] drift-monitor shape with err_nano as the stat. */
+  private def meanErrOf(assign: DataFrame): (Double, Long) = {
+    val r = assign.groupBy("vec_id").agg(sum("nano").as("err"))
+      .agg(avg(col("err").cast("double")), count(lit(1))).head()
+    (Option(r.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0), r.getLong(1))
+  }
+
+  private def writeStats(spark: SparkSession, root: String, v: Long,
+      meanErr: Double, n: Long): Unit = {
+    val s = spark; import s.implicits._
+    Seq((meanErr, n)).toDF("build_mean_err_nano", "n").coalesce(1)
+      .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Stats))
+  }
+
+  /** One row per upsert since the last build (seq, n, mean_err_nano) —
+    * reset by [[build]], carried forward by every other mutation;
+    * metadata-sized always. */
+  private def writeDrift(spark: SparkSession, root: String, v: Long,
+      rows: Seq[(Long, Long, Double)]): Unit = {
+    val s = spark; import s.implicits._
+    rows.toDF("seq", "n", "mean_err_nano").coalesce(1)
+      .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Drift))
+  }
+
+  private def readDrift(spark: SparkSession, root: String,
+      v: Long): Seq[(Long, Long, Double)] =
+    Try(spark.read.parquet(StateCommit.tableDir(root, v, Drift))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sortBy(_._1))
+      .getOrElse(Seq.empty)
+
+  /** Carry the stats row and drift log from snapshot `from` into
+    * snapshot `to`, optionally appending one drift row for the
+    * mutation creating `to`. Tolerates pre-monitor snapshots. */
+  private def carryMonitor(spark: SparkSession, root: String,
+      from: Long, to: Long,
+      appendDrift: Option[(Long, Double)] = None): Unit = {
+    Try {
+      spark.read.parquet(StateCommit.tableDir(root, from, Stats))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(StateCommit.tableDir(root, to, Stats))
+    }
+    writeDrift(spark, root, to,
+      readDrift(spark, root, from) ++
+        appendDrift.map { case (n, m) => (to, n, m) })
   }
 
   private def listCellDirs(spark: SparkSession, path: String): Seq[String] = {
@@ -126,6 +185,11 @@ object AnnIndexPq {
       .parquet(genPath(root, v))
     writeManifest(spark, root, v,
       listCellDirs(spark, genPath(root, v)).map(_ -> v))
+    // build-time quantization quality: the drift monitor's reference
+    // point (and the drift log resets — a fresh build is un-drifted)
+    val (meanErr, n) = meanErrOf(parts.assign)
+    writeStats(spark, root, v, meanErr, n)
+    writeDrift(spark, root, v, Seq.empty)
     StateCommit.commit(spark, root, v)
     gcGenerations(spark, root)
   }
@@ -231,9 +295,14 @@ object AnnIndexPq {
         zip_with(col("embedding"), col("cce"),
           (x, c) => x.cast("double") - c.cast("double")).as("embedding"))
       .localCheckpoint() // touched-cell collect + code write share it
-    val incoming = Similarity
+    val encoded = Similarity
       .pqNearest(Similarity.pqBlocks(
         residuals.select("vec_id", "embedding"), m, subDim), cents)
+      .localCheckpoint() // drift stat + code write share it
+    // drift signal: this batch's quantization error vs build time (the
+    // err_nano ivfPqEncode emits, per incoming batch)
+    val (batchMeanErr, batchN) = meanErrOf(encoded)
+    val incoming = encoded
       .select(col("vec_id"), col("blk"), col("cell").as("code"))
       .join(residuals.select(col("vec_id"), col("ccell").as("cell")),
         Seq("vec_id"))
@@ -258,6 +327,8 @@ object AnnIndexPq {
         .coalesce(1).write.mode("overwrite")
         .parquet(StateCommit.tableDir(root, v, t))
     }
+    carryMonitor(spark, root, v0, v,
+      appendDrift = Some((batchN, batchMeanErr)))
     val written = listCellDirs(spark, genPath(root, v))
     writeManifest(spark, root, v,
       live.filterNot(e => touched(e._1)) ++ written.map(_ -> v))
@@ -292,6 +363,7 @@ object AnnIndexPq {
         .coalesce(1).write.mode("overwrite")
         .parquet(StateCommit.tableDir(root, v, t))
     }
+    carryMonitor(spark, root, v0, v)
     writeManifest(spark, root, v,
       listCellDirs(spark, genPath(root, v)).map(_ -> v) ++
         live.filterNot(e => touched(e._1)))
@@ -315,10 +387,45 @@ object AnnIndexPq {
           .coalesce(1).write.mode("overwrite")
           .parquet(StateCommit.tableDir(root, v, t))
       }
+      carryMonitor(spark, root, v0, v)
       writeManifest(spark, root, v,
         listCellDirs(spark, genPath(root, v)).map(_ -> v))
       StateCommit.commit(spark, root, v)
       gcGenerations(spark, root)
+    }
+  }
+
+  /** Drift advisory for the incremental add path — the [[AnnIndex
+    * .driftReport]] trigger with QUANTIZATION ERROR as the monitored
+    * stat: [[upsert]] encodes against the PERSISTED quantizer and
+    * codebooks, so when the feed's distribution shifts, incoming
+    * residuals stop landing near any code and the batch's mean
+    * err_nano rises above the build-time reference — the cheap,
+    * already-computed signal that the FAISS retrain side ([[build]])
+    * is due. Returns None before the first post-build upsert.
+    *
+    * Calibrating `ratio`: the build-time mean is IN-SAMPLE (codebooks
+    * trained on those exact residuals), so a stationary feed sits a
+    * generalization gap ABOVE it — measure the gap once with a
+    * stationary holdout right after a build (~1.1–1.3x on this repo's
+    * synthetic embeddings) and set `ratio` above it; a true shift
+    * lands far outside (the spec's scaled feed exceeds 5x). `lastK`
+    * bounds the window to the most recent batches (row-weighted), so
+    * one early clean batch cannot mask a later shift. */
+  def driftReport(spark: SparkSession, root: String,
+      ratio: Double = 1.5, lastK: Int = 5): Option[PqDriftReport] = {
+    val v = version(spark, root)
+    val stats = Try(
+        spark.read.parquet(StateCommit.tableDir(root, v, Stats)).head())
+      .toOption
+    val drift = readDrift(spark, root, v).takeRight(lastK)
+    for (s <- stats if drift.nonEmpty) yield {
+      val buildMean = s.getDouble(0)
+      val n = drift.map(_._2).sum
+      val recent =
+        if (n == 0L) buildMean
+        else drift.map(d => d._3 * d._2).sum / n
+      PqDriftReport(buildMean, recent, n, recent > buildMean * ratio)
     }
   }
 

@@ -22,6 +22,41 @@ class AnnIndexPqSpec extends SparkSpec {
   private def freshRoot() =
     Files.createTempDirectory("graft_pqidx_spec_").toString
 
+  test("drift: quiet under a stationary feed, fires under a shifted distribution, resets on rebuild") {
+    val root = freshRoot()
+    AnnIndexPq.build(emb.where(col("vec_id") < 400), root)
+    assert(AnnIndexPq.driftReport(spark, root).isEmpty,
+      "a fresh build has no upserts to judge — report must be None")
+
+    // stationary: held-out vectors from the SAME distribution — the
+    // generalization gap stays under the ratio
+    AnnIndexPq.upsert(spark, root,
+      emb.where(col("vec_id") >= 400 && col("vec_id") < 450))
+    val quiet = AnnIndexPq.driftReport(spark, root)
+    assert(quiet.isDefined && !quiet.get.drifted,
+      s"stationary upsert flagged as drift: $quiet")
+    assert(quiet.get.nRecent == 50, quiet.toString)
+
+    // shifted: scaled + offset embeddings land far from every persisted
+    // code — quantization error explodes past any reasonable ratio
+    val shifted = emb.where(col("vec_id") >= 450 && col("vec_id") < 500)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") * lit(4.0) + lit(7.0)).cast("float"))
+          .as("embedding"))
+    AnnIndexPq.upsert(spark, root, shifted)
+    val loud = AnnIndexPq.driftReport(spark, root)
+    assert(loud.isDefined && loud.get.drifted,
+      s"shifted upsert not flagged: $loud")
+    assert(loud.get.recentMeanErrNano > loud.get.buildMeanErrNano,
+      loud.toString)
+
+    // retrain resets the monitor
+    AnnIndexPq.build(emb.where(col("vec_id") < 500), root)
+    assert(AnnIndexPq.driftReport(spark, root).isEmpty,
+      "rebuild must reset the drift log")
+  }
+
   test("search equals the in-query ivfPqTopK row-for-row") {
     val root = freshRoot()
     AnnIndexPq.build(emb, root)
