@@ -69,6 +69,11 @@ object Bench {
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), line + "\n")
     println(line)
+    // SHORT machine-readable summary as the LAST stdout line: the
+    // round-9 driver captured a bounded tail of stdout and the long
+    // per-query line alone got truncated mid-JSON (parsed: null). A
+    // tail capture always retains the final short line intact.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

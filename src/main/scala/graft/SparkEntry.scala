@@ -86,6 +86,30 @@ object SparkEntry {
     (dir, nonce)
   }
 
+  /** Q16-style supplier diversity, with the COUNT(DISTINCT) swap as a
+    * REAL parameter rather than a comment: `approxDistinct = true` is
+    * the 100 TB path — `approx_count_distinct` (HLL++, `rsd` standard
+    * error) turns the exact two-phase distinct shuffle into a
+    * fixed-size mergeable sketch per (brand, size) group, so the
+    * shuffle carries sketches, not supplier ids (spec-bounded within
+    * 5% of exact at sf0.1). Exact stays the gated default: the oracle
+    * hash-compare needs determinism. Shared by the q16 gate and the
+    * ApproxDistinctSpec bound. */
+  private[graft] def q16PartSuppliers(s: SparkSession, dir: String,
+      approxDistinct: Boolean = false, rsd: Double = 0.02): DataFrame = {
+    val excl = Catalog.supplier(s, dir)
+      .where(col("s_name").like("%7%")).select(col("s_suppkey"))
+    val part = Catalog.part(s, dir).select("p_partkey", "p_brand", "p_size")
+    Catalog.lineitem(s, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(
+        (if (approxDistinct) approx_count_distinct(col("l_suppkey"), rsd)
+         else countDistinct(col("l_suppkey"))).as("n_supp"))
+      .orderBy(col("n_supp").desc, col("p_brand"), col("p_size"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ================= TPC-H-ish headline queries =================
@@ -435,17 +459,7 @@ object SparkEntry {
     // an exclusion set): suppliers on a denylist drop via a broadcast
     // left-anti join BEFORE the fact joins the part dim; the distinct
     // count shuffles narrow (brand, size, suppkey) rows only.
-    "q16_part_suppliers" -> ((s, dir) => {
-      val excl = Catalog.supplier(s, dir)
-        .where(col("s_name").like("%7%")).select(col("s_suppkey"))
-      val part = Catalog.part(s, dir).select("p_partkey", "p_brand", "p_size")
-      Catalog.lineitem(s, dir).select("l_partkey", "l_suppkey")
-        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
-        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
-        .groupBy("p_brand", "p_size")
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"))
-        .orderBy(col("n_supp").desc, col("p_brand"), col("p_size"))
-    }),
+    "q16_part_suppliers" -> ((s, dir) => q16PartSuppliers(s, dir)),
 
     // Q21-style sole-blame report, WITHOUT correlated subqueries: the
     // classic EXISTS/NOT-EXISTS pair over the same fact collapses into

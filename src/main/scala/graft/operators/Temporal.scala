@@ -139,11 +139,18 @@ object Temporal {
     * Scale posture: the signup table reduces to one row per user before
     * anything joins it (broadcast-size for dim-like user counts,
     * shuffle equi-join beyond); the distinct-user count is the one
-    * two-phase shuffle — swap in approx_count_distinct when cohorts
-    * reach HLL scale (the ta_cardinality pairing). */
+    * two-phase shuffle. `approxDistinct = true` IS the 100 TB path —
+    * `approx_count_distinct` (HLL++, `rsd` standard error) replaces the
+    * exact two-phase distinct with a fixed-size mergeable sketch per
+    * (cohort, offset) group, so the shuffle carries sketches instead of
+    * user ids (the ta_cardinality pairing; spec-bounded within 5% of
+    * exact at sf0.1). Exact stays the default because it is what the
+    * deterministic oracle gates. */
   def cohortRetention(events: DataFrame,
       weekMicros: Long = 604800000000L,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true,
+      approxDistinct: Boolean = false,
+      rsd: Double = 0.02): DataFrame = {
     // the signup table has two consumers (cohort sizes + the activity
     // join) — snapshot it once rather than re-running the scan+agg per
     // branch (the funnel/tfbg pattern)
@@ -159,7 +166,9 @@ object Temporal {
       .select(col("cohort_week"),
         expr(s"(ea - es) div ${weekMicros}L").as("week_offset"), col("user_id"))
       .groupBy("cohort_week", "week_offset")
-      .agg(countDistinct("user_id").as("n_active"))
+      .agg(
+        (if (approxDistinct) approx_count_distinct(col("user_id"), rsd)
+         else countDistinct(col("user_id"))).as("n_active"))
       .join(size, Seq("cohort_week"))
       .select("cohort_week", "week_offset", "n_active", "cohort_users")
       .orderBy("cohort_week", "week_offset")
