@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-curve spot check: times a representative query subset at two
+  * scale factors and prints per-query scaling ratios — the measured
+  * complement to SCALE.md's plan-shape arguments. A query scaling
+  * materially worse than the data ratio earns a plan re-audit.
+  *
+  * Usage: `runMain graft.ScaleCurve <dirA> <dirB> [ratio]` where
+  * `ratio` is dirB's data multiple of dirA (default 10). Emits one
+  * JSON line per query plus a summary line; min-of-2 per (query, sf)
+  * after one untimed warmup, the Bench discipline.
+  */
+object ScaleCurve {
+
+  /** Headline relational + dedup + ANN + lexical + text families —
+    * the mix the round-10 verdict asked to curve. Index-building
+    * queries (sim_ann_store, lx_search) time build+query by design. */
+  val Subset: Seq[String] = Seq(
+    "q1_pricing", "q7_volume", "q16_part_suppliers", "q21_sole_blame",
+    "q8b_topk_agg", "j7_asof", "j10_cohort", "a5_rate_anomaly",
+    "s8_json_props",
+    "dd_exact", "dd_minhash", "dd_lsh_pairs", "dd_components",
+    "dd_near_apply", "dd_spans", "dd_fuzzy",
+    "sim_topk", "sim_ivf_kmeans", "sim_pq_topk", "sim_ivfpq_topk",
+    "sim_ann_store", "sim_semdedup",
+    "lx_search", "ta_release")
+
+  def main(args: Array[String]): Unit = {
+    val dirA = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dirB = args.lift(1).getOrElse("/tmp/sf1")
+    val dataRatio = args.lift(2).map(_.toDouble).getOrElse(10.0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+
+    def time(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    val rows = Subset.filter(SparkEntry.queries.contains).map { name =>
+      val a = time(name, dirA)
+      val b = time(name, dirB)
+      val r = b / a
+      println(f"""{"query":"$name","t_a":$a%.2f,"t_b":$b%.2f,"ratio":$r%.2f}""")
+      (name, a, b, r)
+    }
+    val flagged = rows.filter(_._4 > dataRatio * 1.3).map(_._1)
+    println(s"""{"n":${rows.length},"data_ratio":$dataRatio,""" +
+      f""""median_ratio":${rows.map(_._4).sorted.apply(rows.length / 2)}%.2f,""" +
+      s""""superlinear":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
+    spark.stop()
+  }
+}

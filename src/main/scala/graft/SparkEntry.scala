@@ -1204,13 +1204,18 @@ object SparkEntry {
     // the suffix pass recovers every one, at a wall-clock ~equal to the
     // old single-pass query. Both engines derive the same corruption,
     // so the pair set and distances must match exactly.
+    // verifyDistinctTexts: this corpus has far fewer distinct names
+    // than rows, so verification runs once per distinct text pair and
+    // re-expands by key (the round-10 scale-curve fix: 757 s -> 67 s
+    // at 10x data; the residue is the inherently 100x output multiset) — result set identical, spec-pinned.
     "dd_fuzzy" -> ((s, dir) => {
       val part = Catalog.part(s, dir).select(col("p_partkey"), col("p_name"))
       val probe = part.where(col("p_partkey") % 10 === 0)
         .withColumn("p_name",
           concat(substring(col("p_name"), 1, 1), expr("substring(p_name, 3)")))
       graft.operators.FuzzyJoin.resolve(part, probe, "p_partkey", "p_name",
-        prefixLen = 5, maxDist = 2, dualBlock = true)
+        prefixLen = 5, maxDist = 2, dualBlock = true,
+        verifyDistinctTexts = true)
         .orderBy("probe_key", "match_key")
     }),
 
@@ -1222,7 +1227,8 @@ object SparkEntry {
         .withColumn("p_name",
           concat(substring(col("p_name"), 1, 1), expr("substring(p_name, 3)")))
       graft.operators.FuzzyJoin.resolveBest(part, probe, "p_partkey", "p_name",
-        prefixLen = 5, maxDist = 2, dualBlock = true)
+        prefixLen = 5, maxDist = 2, dualBlock = true,
+        verifyDistinctTexts = true)
         .orderBy("probe_key")
     }),
 

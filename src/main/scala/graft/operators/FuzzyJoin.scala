@@ -22,11 +22,11 @@ import org.apache.spark.sql.functions._
   * untouched by edits before it (insertions shift positions, not the
   * tail's content), so prefix ∪ suffix catches every pair whose edits
   * are confined to one end, and only a pair edited inside BOTH its
-  * first and last `prefixLen` characters is still missed. The second
-  * pass also buys a LONGER (more selective) prefix: two sharp blocks
-  * verify far fewer candidate pairs than one blunt block at equal
-  * recall (dd_fuzzy's measured pair count drops with prefix 5 → 8 +
-  * dual).
+  * first and last `prefixLen` characters is still missed. On corpora
+  * with long stable heads/tails the second pass also buys a LONGER
+  * (more selective) prefix — two sharp blocks verify fewer candidate
+  * pairs than one blunt block at equal recall; dd_fuzzy pins the
+  * recall side (an in-prefix edit a single pass finds ZERO of).
   *
   * Scale posture: the probe batch is the SMALL side (an ingest slice,
   * not the corpus) and is broadcast, so the master table never
@@ -40,10 +40,37 @@ import org.apache.spark.sql.functions._
 object FuzzyJoin {
 
   /** (probe_key, match_key, dist ≤ maxDist) for every within-block
-    * candidate pair. `master`/`probe` provide (`keyCol`, `textCol`). */
+    * candidate pair. `master`/`probe` provide (`keyCol`, `textCol`).
+    *
+    * `verifyDistinctTexts = true` is the duplicated-corpus scale path
+    * (result set IDENTICAL — spec-pinned): verification runs once per
+    * distinct (probe text, master text) pair and the verdicts expand
+    * back to keys by text equi-joins. Why it matters: blocking-key
+    * cardinality is a property of the TEXT DISTRIBUTION, not the row
+    * count, so on a corpus whose distinct-text count grows slower than
+    * its rows the default path's per-row-pair verification goes
+    * QUADRATIC in rows while the distinct path stays quadratic only in
+    * distinct texts (round-10 scale curve: dd_fuzzy 757 s → 67 s at
+    * 10x data, the residue being the inherently 100x output
+    * multiset). Cost of the swap: one narrow distinct shuffle per
+    * side; on an all-distinct corpus that shuffle buys nothing — hence
+    * a parameter, not the default. */
   def resolve(master: DataFrame, probe: DataFrame, keyCol: String,
       textCol: String, prefixLen: Int = 4, maxDist: Int = 2,
-      dualBlock: Boolean = false): DataFrame = {
+      dualBlock: Boolean = false,
+      verifyDistinctTexts: Boolean = false): DataFrame = {
+    if (verifyDistinctTexts) {
+      val pD = probe.select(col(textCol).as("t")).distinct()
+      val mD = master.select(col(textCol).as("t")).distinct()
+      val verified = resolve(mD, pD, "t", "t", prefixLen, maxDist, dualBlock)
+        .select(col("probe_key").as("p_text"), col("match_key").as("m_text"),
+          col("dist"))
+      return probe.select(col(keyCol).as("probe_key"), col(textCol).as("p_text"))
+        .join(verified, Seq("p_text"))
+        .join(master.select(col(keyCol).as("match_key"),
+          col(textCol).as("m_text")), Seq("m_text"))
+        .select("probe_key", "match_key", "dist")
+    }
     def side(df: DataFrame, key: String, txt: String,
         blk: Column => Column): DataFrame =
       df.select(col(keyCol).as(key), col(textCol).as(txt),
@@ -81,8 +108,10 @@ object FuzzyJoin {
     * key — the assignment form an ingest dedup actually applies. */
   def resolveBest(master: DataFrame, probe: DataFrame, keyCol: String,
       textCol: String, prefixLen: Int = 4, maxDist: Int = 2,
-      dualBlock: Boolean = false): DataFrame =
-    resolve(master, probe, keyCol, textCol, prefixLen, maxDist, dualBlock)
+      dualBlock: Boolean = false,
+      verifyDistinctTexts: Boolean = false): DataFrame =
+    resolve(master, probe, keyCol, textCol, prefixLen, maxDist, dualBlock,
+      verifyDistinctTexts)
       .groupBy("probe_key")
       .agg(min(struct(col("dist"), col("match_key"))).as("best"))
       .select(col("probe_key"), col("best.match_key").as("match_key"),

@@ -113,6 +113,37 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("verifyDistinctTexts: identical result multiset on a duplicated corpus, keys fully re-expanded") {
+    // duplicated texts under distinct keys — the corpus shape whose
+    // per-row-pair verification goes quadratic (the round-10 sf1 curve
+    // caught dd_fuzzy at 100x); the distinct path must be a pure
+    // execution-strategy swap
+    val dupMaster = master.unionByName(
+      master.withColumn("k", col("k") + 100)) // every text twice
+    val probe = Seq((100L, "alpha clustr node"), (300L, "Alpha cluster node"),
+      (101L, "alpha cluster"), (102L, "alpha clustr node")).toDF("k", "name")
+    def rows(distinctTexts: Boolean) =
+      FuzzyJoin.resolve(dupMaster, probe, "k", "name", 4, 2,
+        dualBlock = true, verifyDistinctTexts = distinctTexts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sorted.toSeq
+    val default = rows(false)
+    val viaDistinct = rows(true)
+    assert(default == viaDistinct,
+      s"distinct-text path diverged: ${default.size} vs ${viaDistinct.size}")
+    // duplicate master keys both present (re-expansion is complete) and
+    // duplicate probe texts both resolve
+    assert(default.exists(_._2 > 100) && default.exists(_._2 <= 100))
+    assert(viaDistinct.exists(_._1 == 102L))
+    // and best-match agrees too
+    val bestA = FuzzyJoin.resolveBest(dupMaster, probe, "k", "name", 4, 2,
+      dualBlock = true).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val bestB = FuzzyJoin.resolveBest(dupMaster, probe, "k", "name", 4, 2,
+      dualBlock = true, verifyDistinctTexts = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(bestA == bestB)
+  }
+
   test("plan: probe broadcasts, no cartesian, master side never exchanges") {
     val probe = Seq((100L, "alpha clustr node")).toDF("k", "name")
     val p = FuzzyJoin.resolve(master, probe, "k", "name", 4, 2)
