@@ -168,6 +168,10 @@ object AnnIndexPq {
     val v = StateCommit.currentVersion(spark, root).getOrElse(0L) + 1
     val parts = Similarity.ivfPqParts(embeddings, nCoarse, m, subDim,
       nCentroids, materialize = true)
+    // the code assignment has two consumers now (cell write + the
+    // drift monitor's build-time error stat) — snapshot it so the
+    // assignment join/agg doesn't run twice
+    val assign = parts.assign.localCheckpoint()
     parts.coarse.coalesce(1).write.mode("overwrite")
       .parquet(StateCommit.tableDir(root, v, Coarse))
     parts.cents.coalesce(1).write.mode("overwrite")
@@ -178,7 +182,7 @@ object AnnIndexPq {
     // the code rows: PQ code per (vector, block), partitioned by the
     // vector's COARSE cell — `cell` is the partition (pruning) column,
     // `code` the payload
-    parts.assign.select(col("vec_id"), col("blk"), col("cell").as("code"))
+    assign.select(col("vec_id"), col("blk"), col("cell").as("code"))
       .join(parts.residuals.select(col("vec_id"), col("ccell").as("cell")),
         Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cell")
@@ -187,7 +191,7 @@ object AnnIndexPq {
       listCellDirs(spark, genPath(root, v)).map(_ -> v))
     // build-time quantization quality: the drift monitor's reference
     // point (and the drift log resets — a fresh build is un-drifted)
-    val (meanErr, n) = meanErrOf(parts.assign)
+    val (meanErr, n) = meanErrOf(assign)
     writeStats(spark, root, v, meanErr, n)
     writeDrift(spark, root, v, Seq.empty)
     StateCommit.commit(spark, root, v)

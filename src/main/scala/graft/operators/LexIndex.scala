@@ -1,5 +1,8 @@
 package graft.operators
 
+import scala.util.Try
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -122,7 +125,32 @@ object LexIndex {
       .write.mode("overwrite")
       .parquet(StateCommit.tableDir(root, v, Tombstones))
     StateCommit.commit(spark, root, v)
+    gcGenerations(spark, root)
     v
+  }
+
+  /** Delete posting generations no RETAINED snapshot's manifest
+    * references (the [[DedupIndex]]/[[AnnIndexPq]] GC verbatim): a
+    * compaction supersedes every prior generation, and once the
+    * snapshot retention horizon passes them they are unreachable —
+    * without this a long-running ingest stream leaks one generation
+    * directory per micro-batch forever. */
+  private def gcGenerations(spark: SparkSession, root: String): Unit = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed = Try(fs.listStatus(p).toSeq).getOrElse(Seq.empty)
+    val referenced: Set[Long] = listed
+      .filter(_.getPath.getName.startsWith("snap-"))
+      .flatMap { s =>
+        Try(spark.read.parquet(s"${s.getPath}/$Manifest")
+          .collect().map(_.getLong(0)).toSeq).getOrElse(Seq.empty)
+      }.toSet
+    val cur = StateCommit.currentVersion(spark, root).getOrElse(0L)
+    listed.filter(_.getPath.getName.startsWith("gen-")).foreach { g =>
+      Try(g.getPath.getName.stripPrefix("gen-").toLong).toOption.foreach {
+        gv => if (gv < cur && !referenced(gv)) fs.delete(g.getPath, true)
+      }
+    }
   }
 
   private def writeSnapshot(spark: SparkSession, root: String, v: Long,

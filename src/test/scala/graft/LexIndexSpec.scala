@@ -169,6 +169,31 @@ class LexIndexSpec extends SparkSpec {
       "dead rows survived compaction")
   }
 
+  test("superseded generations GC once outside the retention horizon; retained snapshots keep theirs") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("lex_gc_").toString
+    LexIndex.build(spark, docs.where(col("doc_id") % 3 === 0), root)   // gen-1
+    LexIndex.ingest(spark, docs.where(col("doc_id") % 3 === 1), root)  // gen-2
+    LexIndex.ingest(spark, docs.where(col("doc_id") % 3 === 2), root)  // gen-3
+    def gens() = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .map(_.getName).sorted.toSeq
+    assert(gens() == Seq("gen-1", "gen-2", "gen-3"), gens().toString)
+
+    LexIndex.compactGenerations(spark, root) // gen-4 supersedes 1-3, but
+    // the retained previous snapshot (snap-3) still references them
+    assert(gens().contains("gen-1"), "retained snapshot's generations must survive")
+
+    // the next mutation pushes snap-3 past the retention horizon — the
+    // superseded generations become unreachable and GC
+    LexIndex.ingest(spark, docs.where(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000), root)
+    assert(gens() == Seq("gen-4", "gen-5"), gens().toString)
+
+    // and the index still answers from what remains
+    assert(LexIndex.search(spark, root, Seq("vector"), k = 5).count() == 5)
+  }
+
   test("re-ingesting a deleted doc resurrects it with the new content, exactly") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("lex_del3_").toString
