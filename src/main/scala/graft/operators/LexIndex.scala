@@ -21,11 +21,13 @@ import graft.streaming.StateCommit
   *
   * Query cost is the inverted-index contract: ONLY the query terms'
   * posting rows are read (`token IN (...)` pushes to the parquet
-  * scan), never the corpus. Postings are written repartitioned by
-  * token; at cluster scale the same layout becomes a token-bucketed
-  * table ([[Bucketing]]) or a token-prefix-partitioned directory so
-  * the IN-filter prunes at the file level, the [[AnnIndex]] cell
-  * discipline applied to text.
+  * scan), never the corpus. Postings land hive-partitioned by the
+  * token's first letter (`tpfx=<a..z>`) and repartitioned by token
+  * within each partition, so a query PRUNES AT THE DIRECTORY level —
+  * only its terms' prefix partitions are listed or opened (plan-gated:
+  * `PartitionFilters: [tpfx IN (...)]`), the [[AnnIndex]] cell
+  * discipline applied to text — and the row-level token IN still
+  * pushes to each opened file.
   *
   * Scoring is Okapi BM25 with the engine's RSJ idf (the
   * [[TextAnalysis.bm25TopK]] math), with each per-term score rounded
@@ -91,18 +93,27 @@ object LexIndex {
 
   /** The LIVE posting rows of snapshot v: every live generation's rows,
     * tombstone-filtered (broadcast join — the tombstone table is
-    * churn-bounded). Shape (token, doc_id, tf, dl). */
-  private def livePostings(spark: SparkSession, root: String,
-      v: Long): DataFrame = {
+    * churn-bounded). Shape (token, doc_id, tf, dl). `prefixes` applies
+    * directory-level pruning: only the named `tpfx=` partitions of each
+    * generation are listed/opened (a query passes its terms' first
+    * letters; maintenance passes read everything). */
+  private def livePostings(spark: SparkSession, root: String, v: Long,
+      prefixes: Option[Seq[String]] = None): DataFrame = {
     val gens = spark.read.parquet(StateCommit.tableDir(root, v, Manifest))
       .collect().map(_.getLong(0)).toSeq
-    val unioned = gens.map(g =>
-        spark.read.parquet(genDir(root, g)).withColumn("gen", lit(g)))
-      .reduce(_.unionByName(_))
+    val unioned = gens.map { g =>
+      val full = spark.read.parquet(genDir(root, g))
+      val pruned = prefixes match {
+        case Some(ps) if full.columns.contains("tpfx") =>
+          full.where(col("tpfx").isin(ps: _*))
+        case _ => full
+      }
+      pruned.withColumn("gen", lit(g))
+    }.reduce(_.unionByName(_))
     unioned.join(broadcast(tombstonesOf(spark, root, v)),
         Seq("doc_id"), "left_outer")
       .where(col("before_gen").isNull || col("gen") >= col("before_gen"))
-      .drop("before_gen", "gen")
+      .drop("before_gen", "gen", "tpfx")
   }
 
   /** Write the metadata-sized snapshot tables and commit — shared by
@@ -157,8 +168,13 @@ object LexIndex {
       postings: DataFrame, dfs: DataFrame, stats: DataFrame,
       gens: Seq[Long], nBuckets: Int,
       tombstones: DataFrame): Long = {
-    postings.repartition(nBuckets, col("token"))
-      .write.mode("overwrite").parquet(genDir(root, v))
+    // hive-partition by the token's first letter (≤ 26 dirs — the
+    // tokenizer is [a-z]+) so a search prunes whole directories;
+    // repartition by token within so one term's rows co-locate
+    postings.withColumn("tpfx", substring(col("token"), 1, 1))
+      .repartition(nBuckets, col("token"))
+      .write.mode("overwrite").partitionBy("tpfx")
+      .parquet(genDir(root, v))
     writeMetaTables(spark, root, v, dfs, stats, gens, tombstones)
   }
 
@@ -338,9 +354,11 @@ object LexIndex {
       .where(col("token").isin(terms: _*))
     // live rows only (tombstone-filtered; the manifest's generation
     // list is metadata-sized — one entry per ingest since the last
-    // rebuild). The token IN still pushes through the tombstone join
-    // to each generation's scan (plan-gated).
-    val postings = livePostings(spark, root, v)
+    // rebuild). Directory-level pruning first (only the terms' tpfx
+    // partitions are opened), then the token IN pushes through the
+    // tombstone join to each opened file (both plan-gated).
+    val postings = livePostings(spark, root, v,
+        prefixes = Some(terms.map(_.take(1)).distinct))
       .where(col("token").isin(terms: _*))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))

@@ -47,12 +47,21 @@ class LexIndexSpec extends SparkSpec {
     assert(LexIndex.search(spark, root, Seq.empty, k = 5).count() == 0)
   }
 
-  test("the query reads only its terms' postings: token IN pushes to the posting scan") {
+  test("the query reads only its terms' postings: tpfx prunes directories, token IN pushes to the scan") {
     val root = freshIndex()
     val p = LexIndex.search(spark, root, Seq("vector", "merge"), k = 10)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("PushedFilters") && p.contains("In(token"),
       s"term filter not pushed to the scan:\n$p")
+    // directory-level pruning: the terms' first letters reach the
+    // PARTITION filter, so only tpfx=v / tpfx=m dirs are opened
+    assert(p.contains("PartitionFilters") && p.contains("tpfx"),
+      s"tpfx partition pruning missing from the plan:\n$p")
+    // and the physical layout really is prefix-partitioned
+    val v = graft.streaming.StateCommit.currentVersion(spark, root).get
+    val dirs = new java.io.File(s"$root/gen-$v/postings").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("tpfx=")), dirs.toString)
   }
 
   test("rebuild publishes atomically: the old snapshot serves until the commit lands") {
