@@ -342,9 +342,25 @@ object LexIndex {
     * breaks ties by doc_id. Terms not in the index contribute nothing;
     * an empty term list returns no rows. */
   def search(spark: SparkSession, root: String, terms: Seq[String],
-      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val v = StateCommit.currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed lexical index at $root"))
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    searchAt(spark, root, terms,
+      StateCommit.currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed lexical index at $root")),
+      k, k1, b)
+
+  /** Time travel: [[search]] as of snapshot `v` — the reproducibility
+    * surface ([[graft.streaming.StateCommit.readTableAt]]'s stance at
+    * the index level): a retrieval run re-executed against yesterday's
+    * committed snapshot answers exactly what it answered yesterday,
+    * because generations are immutable and every snapshot pins its own
+    * manifest/df/stats/tombstones. `v` must be within the retention
+    * horizon (fails loudly otherwise — a silent fallback to another
+    * version would corrupt any downstream reproduction). */
+  def searchAt(spark: SparkSession, root: String, terms: Seq[String],
+      v: Long, k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val have = StateCommit.versions(spark, root)
+    require(have.contains(v),
+      s"snapshot $v not available at $root (retained: ${have.mkString(", ")})")
     if (terms.isEmpty)
       return spark.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit(0L).as("score_micro"),

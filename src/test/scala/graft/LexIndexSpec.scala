@@ -219,6 +219,27 @@ class LexIndexSpec extends SparkSpec {
       "delete-then-reingest diverged from the full rebuild")
   }
 
+  test("searchAt: a retained prior snapshot answers exactly what it answered when current") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("lex_tt_").toString
+    val v1 = LexIndex.build(spark, docs.where(col("doc_id") % 2 === 0), root)
+    val terms = Seq("vector", "merge", "spark")
+    val asCurrent = LexIndex.search(spark, root, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    LexIndex.ingest(spark, docs.where(col("doc_id") % 2 =!= 0), root)
+    // the current answer has moved; the retained v1 answer has not
+    val atV1 = LexIndex.searchAt(spark, root, terms, v1, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(atV1 == asCurrent, "time-traveled search drifted")
+    assert(LexIndex.search(spark, root, terms, k = 20)
+      .collect().map(_.getLong(0)).toSeq != atV1.map(_._1),
+      "fixture too weak: ingest did not change the ranking")
+    // a GC'd / never-committed version fails loudly
+    intercept[IllegalArgumentException] {
+      LexIndex.searchAt(spark, root, terms, v1 + 100, k = 5)
+    }
+  }
+
   test("generation compaction is content-neutral: search byte-identical, manifest shrinks to one") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("lex_cpt_").toString
