@@ -3184,7 +3184,7 @@ object SparkEntry {
         |ORDER BY event_type""".stripMargin,
 
     // mirrors FuzzyJoin.resolve with dualBlock: same corruption, the
-    // prefix-8 OR suffix-8 block union, same levenshtein threshold
+    // prefix-5 OR suffix-5 block union, same levenshtein threshold
     "dd_fuzzy" ->
       """WITH probe AS (
         |  SELECT p_partkey AS probe_key,

@@ -177,22 +177,9 @@ object AnnIndex {
     * the one just superseded (the previous survives one round for
     * in-flight readers), so a generation dies one commit after its last
     * reference does. */
-  private def gcGenerations(spark: SparkSession, root: String): Unit = {
-    val (fs, rootP) = fsOf(spark, root)
-    val listed = Try(fs.listStatus(rootP).toSeq).getOrElse(Seq.empty)
-    val referenced: Set[Long] = listed
-      .filter(_.getPath.getName.startsWith("snap-"))
-      .flatMap { s =>
-        Try(spark.read.parquet(s"${s.getPath}/$Manifest")
-          .collect().map(_.getLong(1)).toSeq).getOrElse(Seq.empty)
-      }.toSet
-    val cur = StateCommit.currentVersion(spark, root).getOrElse(0L)
-    listed.filter(_.getPath.getName.startsWith("gen-")).foreach { g =>
-      Try(g.getPath.getName.stripPrefix("gen-").toLong).toOption.foreach {
-        gv => if (gv < cur && !referenced(gv)) fs.delete(g.getPath, true)
-      }
-    }
-  }
+  /** Shared fail-safe reclaim — see [[StateCommit.gcGenerations]]. */
+  private def gcGenerations(spark: SparkSession, root: String): Unit =
+    StateCommit.gcGenerations(spark, root)
 
   private def emptyVectors(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(

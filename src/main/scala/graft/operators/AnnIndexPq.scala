@@ -415,9 +415,15 @@ object AnnIndexPq {
     * synthetic embeddings) and set `ratio` above it; a true shift
     * lands far outside (the spec's scaled feed exceeds 5x). `lastK`
     * bounds the window to the most recent batches (row-weighted), so
-    * one early clean batch cannot mask a later shift. */
+    * one early clean batch cannot mask a later shift. `floorNano`
+    * de-degenerates the ratio test when the build fit is essentially
+    * perfect (build mean ~0 — the codes coincide with the vectors):
+    * without a floor, `recent > 0 * ratio` would fire on ANY nonzero
+    * batch; below the floor, error differences are quantization noise
+    * (1e-3 of a unit-vector's nano-L2 scale by default). */
   def driftReport(spark: SparkSession, root: String,
-      ratio: Double = 1.5, lastK: Int = 5): Option[PqDriftReport] = {
+      ratio: Double = 1.5, lastK: Int = 5,
+      floorNano: Double = 1e6): Option[PqDriftReport] = {
     val v = version(spark, root)
     val stats = Try(
         spark.read.parquet(StateCommit.tableDir(root, v, Stats)).head())
@@ -429,25 +435,12 @@ object AnnIndexPq {
       val recent =
         if (n == 0L) buildMean
         else drift.map(d => d._3 * d._2).sum / n
-      PqDriftReport(buildMean, recent, n, recent > buildMean * ratio)
+      PqDriftReport(buildMean, recent, n,
+        recent > math.max(buildMean, floorNano) * ratio)
     }
   }
 
-  private def gcGenerations(spark: SparkSession, root: String): Unit = {
-    val p = new Path(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val listed = Try(fs.listStatus(p).toSeq).getOrElse(Seq.empty)
-    val referenced: Set[Long] = listed
-      .filter(_.getPath.getName.startsWith("snap-"))
-      .flatMap { s =>
-        Try(spark.read.parquet(s"${s.getPath}/$Manifest")
-          .collect().map(_.getLong(1)).toSeq).getOrElse(Seq.empty)
-      }.toSet
-    val cur = StateCommit.currentVersion(spark, root).getOrElse(0L)
-    listed.filter(_.getPath.getName.startsWith("gen-")).foreach { g =>
-      Try(g.getPath.getName.stripPrefix("gen-").toLong).toOption.foreach {
-        gv => if (gv < cur && !referenced(gv)) fs.delete(g.getPath, true)
-      }
-    }
-  }
+  /** Shared fail-safe reclaim — see [[StateCommit.gcGenerations]]. */
+  private def gcGenerations(spark: SparkSession, root: String): Unit =
+    StateCommit.gcGenerations(spark, root)
 }

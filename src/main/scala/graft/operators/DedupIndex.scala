@@ -309,21 +309,7 @@ object DedupIndex {
       .orderBy("doc_id")
   }
 
-  private def gcGenerations(spark: SparkSession, root: String): Unit = {
-    val p = new Path(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val listed = Try(fs.listStatus(p).toSeq).getOrElse(Seq.empty)
-    val referenced: Set[Long] = listed
-      .filter(_.getPath.getName.startsWith("snap-"))
-      .flatMap { s =>
-        Try(spark.read.parquet(s"${s.getPath}/$Manifest")
-          .collect().map(_.getLong(0)).toSeq).getOrElse(Seq.empty)
-      }.toSet
-    val cur = StateCommit.currentVersion(spark, root).getOrElse(0L)
-    listed.filter(_.getPath.getName.startsWith("gen-")).foreach { g =>
-      Try(g.getPath.getName.stripPrefix("gen-").toLong).toOption.foreach {
-        gv => if (gv < cur && !referenced(gv)) fs.delete(g.getPath, true)
-      }
-    }
-  }
+  /** Shared fail-safe reclaim — see [[StateCommit.gcGenerations]]. */
+  private def gcGenerations(spark: SparkSession, root: String): Unit =
+    StateCommit.gcGenerations(spark, root)
 }

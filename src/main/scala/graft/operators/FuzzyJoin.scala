@@ -65,10 +65,17 @@ object FuzzyJoin {
       val verified = resolve(mD, pD, "t", "t", prefixLen, maxDist, dualBlock)
         .select(col("probe_key").as("p_text"), col("match_key").as("m_text"),
           col("dist"))
-      return probe.select(col(keyCol).as("probe_key"), col(textCol).as("p_text"))
-        .join(verified, Seq("p_text"))
-        .join(master.select(col(keyCol).as("match_key"),
-          col(textCol).as("m_text")), Seq("m_text"))
+      // re-expansion keeps the master's full rows OFF the shuffle: the
+      // verified pairs broadcast into the (small, by contract) probe,
+      // and the expanded probe side broadcasts into the master scan —
+      // the only master shuffle on this path is the narrow text
+      // distinct above (the documented cost of the swap)
+      val expanded = probe
+        .select(col(keyCol).as("probe_key"), col(textCol).as("p_text"))
+        .join(broadcast(verified), Seq("p_text"))
+      return master
+        .select(col(keyCol).as("match_key"), col(textCol).as("m_text"))
+        .join(broadcast(expanded), Seq("m_text"))
         .select("probe_key", "match_key", "dist")
     }
     def side(df: DataFrame, key: String, txt: String,

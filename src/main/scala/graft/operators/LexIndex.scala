@@ -46,6 +46,7 @@ object LexIndex {
   private val Stats = "stats"
   private val Manifest = "manifest"
   private val Tombstones = "tombstones"
+  private val StreamBatch = "stream_batch"
   private val DeleteAll = Long.MaxValue
 
   private def tokens(documents: DataFrame): DataFrame =
@@ -91,6 +92,18 @@ object LexIndex {
         spark.read.parquet(StateCommit.tableDir(root, v, Tombstones)))
       .getOrElse(emptyTombstones(spark))
 
+  /** The maintaining stream's last applied batch id, recorded IN the
+    * snapshot (so it commits atomically with the generation it guards).
+    * None before any stream batch, and reset by [[build]] — a rebuild
+    * starts a new stream era (resume a stream across a rebuild with a
+    * FRESH checkpoint). */
+  private def streamBatchOf(spark: SparkSession, root: String,
+      v: Long): Option[Long] =
+    scala.util.Try(
+        spark.read.parquet(StateCommit.tableDir(root, v, StreamBatch))
+          .head().getLong(0))
+      .toOption
+
   /** The LIVE posting rows of snapshot v: every live generation's rows,
     * tombstone-filtered (broadcast join — the tombstone table is
     * churn-bounded). Shape (token, doc_id, tf, dl). `prefixes` applies
@@ -108,12 +121,17 @@ object LexIndex {
           full.where(col("tpfx").isin(ps: _*))
         case _ => full
       }
-      pruned.withColumn("gen", lit(g))
+      // canonical projection BEFORE the union: a manifest can mix
+      // tpfx-partitioned generations with pre-tpfx ones (an index built
+      // by older code, upgraded by one ingest), and unionByName over
+      // heterogeneous schemas would throw on every read
+      pruned.select(col("token"), col("doc_id"), col("tf"), col("dl"),
+        lit(g).as("gen"))
     }.reduce(_.unionByName(_))
     unioned.join(broadcast(tombstonesOf(spark, root, v)),
         Seq("doc_id"), "left_outer")
       .where(col("before_gen").isNull || col("gen") >= col("before_gen"))
-      .drop("before_gen", "gen", "tpfx")
+      .drop("before_gen", "gen")
   }
 
   /** Write the metadata-sized snapshot tables and commit — shared by
@@ -121,7 +139,7 @@ object LexIndex {
     * when the mutation adds any). */
   private def writeMetaTables(spark: SparkSession, root: String, v: Long,
       dfs: DataFrame, stats: DataFrame, gens: Seq[Long],
-      tombstones: DataFrame): Long = {
+      tombstones: DataFrame, streamBatch: Option[Long] = None): Long = {
     dfs.coalesce(1)
       .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Dfs))
     stats.coalesce(1)
@@ -135,39 +153,23 @@ object LexIndex {
       .coalesce(1)
       .write.mode("overwrite")
       .parquet(StateCommit.tableDir(root, v, Tombstones))
+    streamBatch.toSeq.toDF("last_batch_id").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(StateCommit.tableDir(root, v, StreamBatch))
     StateCommit.commit(spark, root, v)
-    gcGenerations(spark, root)
+    // reclaim generations no committed snapshot references — a
+    // long-running ingest stream otherwise leaks one generation
+    // directory per micro-batch forever
+    StateCommit.gcGenerations(spark, root)
     v
   }
 
-  /** Delete posting generations no RETAINED snapshot's manifest
-    * references (the [[DedupIndex]]/[[AnnIndexPq]] GC verbatim): a
-    * compaction supersedes every prior generation, and once the
-    * snapshot retention horizon passes them they are unreachable —
-    * without this a long-running ingest stream leaks one generation
-    * directory per micro-batch forever. */
-  private def gcGenerations(spark: SparkSession, root: String): Unit = {
-    val p = new Path(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val listed = Try(fs.listStatus(p).toSeq).getOrElse(Seq.empty)
-    val referenced: Set[Long] = listed
-      .filter(_.getPath.getName.startsWith("snap-"))
-      .flatMap { s =>
-        Try(spark.read.parquet(s"${s.getPath}/$Manifest")
-          .collect().map(_.getLong(0)).toSeq).getOrElse(Seq.empty)
-      }.toSet
-    val cur = StateCommit.currentVersion(spark, root).getOrElse(0L)
-    listed.filter(_.getPath.getName.startsWith("gen-")).foreach { g =>
-      Try(g.getPath.getName.stripPrefix("gen-").toLong).toOption.foreach {
-        gv => if (gv < cur && !referenced(gv)) fs.delete(g.getPath, true)
-      }
-    }
-  }
+
 
   private def writeSnapshot(spark: SparkSession, root: String, v: Long,
       postings: DataFrame, dfs: DataFrame, stats: DataFrame,
-      gens: Seq[Long], nBuckets: Int,
-      tombstones: DataFrame): Long = {
+      gens: Seq[Long], nBuckets: Int, tombstones: DataFrame,
+      streamBatch: Option[Long] = None): Long = {
     // hive-partition by the token's first letter (≤ 26 dirs — the
     // tokenizer is [a-z]+) so a search prunes whole directories;
     // repartition by token within so one term's rows co-locate
@@ -175,7 +177,7 @@ object LexIndex {
       .repartition(nBuckets, col("token"))
       .write.mode("overwrite").partitionBy("tpfx")
       .parquet(genDir(root, v))
-    writeMetaTables(spark, root, v, dfs, stats, gens, tombstones)
+    writeMetaTables(spark, root, v, dfs, stats, gens, tombstones, streamBatch)
   }
 
   /** Build (or rebuild from scratch) the index; returns the committed
@@ -220,6 +222,35 @@ object LexIndex {
     if (expectedVersion >= 0 && expectedVersion <= prev) return prev // replay
     val v = if (expectedVersion >= 0) expectedVersion else prev + 1
     require(v == prev + 1, s"ingest version $v must follow committed $prev")
+    ingestCore(spark, documents, root, prev, v, nBuckets,
+      streamBatchOf(spark, root, prev))
+  }
+
+  /** Stream-maintenance ingest keyed by the STREAM'S OWN batch id, the
+    * replay guard recorded inside the snapshot itself: batch B applies
+    * iff B is greater than the last applied batch id (committed
+    * atomically with the generation it guards), and the snapshot
+    * version is simply `committed + 1`. Unlike version arithmetic over
+    * a remembered base, this stays correct when OTHER writers mutate
+    * the index between stream runs (a takedown [[delete]] or a
+    * [[compactGenerations]] bumps the version; the watermark does not
+    * move, so the next batch still applies instead of being mistaken
+    * for a replay — round-10 review finding). [[build]] resets the
+    * watermark: resuming a stream across a rebuild needs a fresh
+    * checkpoint. */
+  def ingestBatch(spark: SparkSession, documents: DataFrame, root: String,
+      batchId: Long, nBuckets: Int = 32): Long = {
+    val prev = StateCommit.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed lexical index at $root — build first"))
+    if (streamBatchOf(spark, root, prev).exists(batchId <= _))
+      return prev // replay of an applied batch — converged no-op
+    ingestCore(spark, documents, root, prev, prev + 1, nBuckets,
+      Some(batchId))
+  }
+
+  private def ingestCore(spark: SparkSession, documents: DataFrame,
+      root: String, prev: Long, v: Long, nBuckets: Int,
+      streamBatch: Option[Long]): Long = {
     val (postings, bDfs, bStats) = batchParts(documents)
     val oldDfs = spark.read.parquet(StateCommit.tableDir(root, prev, Dfs))
     val mergedDfs = oldDfs.select(col("token"), col("df").as("a"))
@@ -245,7 +276,7 @@ object LexIndex {
       .unionByName(prior.join(batchIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), lit(v).as("before_gen")))
     writeSnapshot(spark, root, v, postings, mergedDfs, mergedStats, gens,
-      nBuckets, tombs)
+      nBuckets, tombs, streamBatch)
   }
 
   /** Drop documents from the index without a rebuild — the takedown /
@@ -310,7 +341,8 @@ object LexIndex {
         lit(DeleteAll).as("before_gen")))
     val gens = spark.read.parquet(StateCommit.tableDir(root, prev, Manifest))
       .collect().map(_.getLong(0)).toSeq
-    writeMetaTables(spark, root, v, mergedDfs, mergedStats, gens, tombs)
+    writeMetaTables(spark, root, v, mergedDfs, mergedStats, gens, tombs,
+      streamBatchOf(spark, root, prev))
   }
 
   /** Fold every live generation's postings into ONE new generation —
@@ -334,7 +366,7 @@ object LexIndex {
     val dfs = spark.read.parquet(StateCommit.tableDir(root, prev, Dfs))
     val stats = spark.read.parquet(StateCommit.tableDir(root, prev, Stats))
     writeSnapshot(spark, root, v, postings, dfs, stats, Seq(v), nBuckets,
-      emptyTombstones(spark))
+      emptyTombstones(spark), streamBatchOf(spark, root, prev))
   }
 
   /** BM25 top-k for a bag of query terms: (doc_id, score_micro, rank).

@@ -131,6 +131,49 @@ object StateCommit {
           .sorted
     }
 
+  /** Garbage-collect generation directories (`gen-<v>` under
+    * `statePath`) that no COMMITTED snapshot's manifest references —
+    * the shared reclaim pass of every generational index
+    * ([[graft.operators.AnnIndex]]/AnnIndexPq/DedupIndex/LexIndex; all
+    * four previously carried a private copy). The manifest table must
+    * expose a BIGINT `gen` column.
+    *
+    * Fail-safe by construction: if ANY committed snapshot's manifest
+    * cannot be read (transient storage error), the pass ABORTS without
+    * deleting anything — defaulting an unreadable manifest to "refers
+    * to nothing" would delete generations the current index still
+    * needs. Snapshot dirs ABOVE the committed version are in-flight
+    * builds and are skipped (their generations are `>= cur` and never
+    * GC candidates anyway). Generations at or above the committed
+    * version are never touched. */
+  def gcGenerations(spark: SparkSession, statePath: String,
+      manifestTable: String = "manifest"): Unit = {
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed = Try(fs.listStatus(root).toSeq).getOrElse(return)
+    val cur = currentVersion(spark, statePath).getOrElse(return)
+    val committedSnaps = listed
+      .filter(_.getPath.getName.startsWith(SnapPrefix))
+      .filter(s => Try(s.getPath.getName.stripPrefix(SnapPrefix).toLong)
+        .toOption.exists(_ <= cur))
+    val referenced = scala.collection.mutable.Set.empty[Long]
+    committedSnaps.foreach { s =>
+      Try {
+        spark.read.parquet(s"${s.getPath}/$manifestTable")
+          .select(org.apache.spark.sql.functions.col("gen").cast("long"))
+          .collect().map(_.getLong(0))
+      } match {
+        case scala.util.Success(gs) => referenced ++= gs
+        case scala.util.Failure(_) => return // abort: never guess
+      }
+    }
+    listed.filter(_.getPath.getName.startsWith("gen-")).foreach { g =>
+      Try(g.getPath.getName.stripPrefix("gen-").toLong).toOption.foreach {
+        gv => if (gv < cur && !referenced(gv)) fs.delete(g.getPath, true)
+      }
+    }
+  }
+
   /** Time travel: read `table` as of snapshot `v`. Fails loudly when
     * `v` was never committed or has been retention-GC'd — a silent
     * fallback to another version would be a correctness bug in any

@@ -219,6 +219,37 @@ class LexIndexSpec extends SparkSpec {
       "delete-then-reingest diverged from the full rebuild")
   }
 
+  test("a pre-tpfx generation mixes with partitioned ones: search, delete and compaction still work") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("lex_mix_").toString
+    val v1 = LexIndex.build(spark, docs.where(col("doc_id") % 2 === 0), root)
+    LexIndex.ingest(spark, docs.where(col("doc_id") % 2 =!= 0), root)
+    // downgrade gen-1 to the pre-tpfx layout (flat files, no partition
+    // column) — the on-disk shape an index built by older code has
+    val g1 = new org.apache.hadoop.fs.Path(s"$root/gen-$v1/postings")
+    val fs = g1.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val flatTmp = new org.apache.hadoop.fs.Path(s"$root/_flat_tmp")
+    spark.read.parquet(g1.toString).select("token", "doc_id", "tf", "dl")
+      .write.parquet(flatTmp.toString)
+    fs.delete(g1, true)
+    assert(fs.rename(flatTmp, g1))
+
+    val rootFull = Files.createTempDirectory("lex_mixf_").toString
+    LexIndex.build(spark, docs, rootFull)
+    val terms = Seq("vector", "merge", "spark")
+    def rows(r: String) = LexIndex.search(spark, r, terms, k = 20)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSeq
+    assert(rows(root) == rows(rootFull),
+      "mixed-layout index diverged from the rebuild")
+    LexIndex.delete(spark, root,
+      docs.where(col("doc_id") % 5 === 0).select("doc_id"))
+    LexIndex.compactGenerations(spark, root)
+    val rootDel = Files.createTempDirectory("lex_mixd_").toString
+    LexIndex.build(spark, docs.where(col("doc_id") % 5 =!= 0), rootDel)
+    assert(rows(root) == rows(rootDel),
+      "mixed-layout delete+compact diverged from the filtered rebuild")
+  }
+
   test("searchAt: a retained prior snapshot answers exactly what it answered when current") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("lex_tt_").toString

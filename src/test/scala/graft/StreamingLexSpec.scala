@@ -8,9 +8,11 @@ import graft.operators.LexIndex
 import graft.streaming.StreamingLex
 
 /** Streaming index maintenance: streamed generations answer exactly
-  * like a from-scratch rebuild over the union, and a replayed batch
-  * (same stream batch id after a lost checkpoint) is refused by the
-  * version guard — never double-counted. */
+  * like a from-scratch rebuild over the union; a replayed batch (same
+  * stream batch id after a lost checkpoint) is refused by the
+  * in-snapshot batch watermark — never double-counted — and an
+  * out-of-band index mutation between stream runs does not swallow
+  * the next batch. */
 class StreamingLexSpec extends SparkSpec {
 
   import spark.implicits._
@@ -49,11 +51,11 @@ class StreamingLexSpec extends SparkSpec {
       "streamed index diverged from the rebuild")
   }
 
-  test("a resumed checkpoint anchors to the persisted base version — restart keeps ingesting") {
-    // round-9 advisory: with a RESUMED checkpoint, batch ids continue
-    // where they left off, so re-deriving the base from the CURRENT
-    // committed version overshoots the contiguity check and the restart
-    // dies. The base must come from the checkpoint's recorded anchor.
+  test("a resumed checkpoint keeps ingesting: continuing batch ids clear the snapshot watermark") {
+    // round-9 advisory, round-10 design: with a RESUMED checkpoint,
+    // batch ids continue where they left off — the in-snapshot batch
+    // watermark (not version arithmetic) decides replay-vs-new, so the
+    // restart just applies the next batch.
     val root = Files.createTempDirectory("slex3_root").toString
     val ckpt = Files.createTempDirectory("slex3_ckpt").toString
     val srcDir = Files.createTempDirectory("slex3_src").toString
@@ -83,7 +85,6 @@ class StreamingLexSpec extends SparkSpec {
     val root = Files.createTempDirectory("slex2_root").toString
     LexIndex.build(spark, docs.where(col("doc_id") < 100)
       .select("doc_id", "text"), root)
-    val base = graft.streaming.StateCommit.currentVersion(spark, root).get
 
     val batch = docs.where(col("doc_id") >= 100 && col("doc_id") < 150)
       .select(col("doc_id").cast("long"), col("text"))
@@ -92,15 +93,51 @@ class StreamingLexSpec extends SparkSpec {
     val ck1 = Files.createTempDirectory("slex2_ck1").toString
     val (in1, s1) = mkStream()
     in1.addData(batch)
-    StreamingLex.start(s1, root, ck1, baseVersion = Some(base)).awaitTermination()
+    StreamingLex.start(s1, root, ck1).awaitTermination()
     val before = rows(root, Seq("vector", "merge"))
 
-    // lost checkpoint => the same data re-delivers as batch 0 again
+    // lost checkpoint => the same data re-delivers as batch 0 again;
+    // the watermark inside the snapshot refuses it
     val ck2 = Files.createTempDirectory("slex2_ck2").toString
     val (in2, s2) = mkStream()
     in2.addData(batch)
-    StreamingLex.start(s2, root, ck2, baseVersion = Some(base)).awaitTermination()
+    StreamingLex.start(s2, root, ck2).awaitTermination()
     assert(rows(root, Seq("vector", "merge")) == before,
       "replayed batch double-counted")
+  }
+
+  test("an out-of-band delete between stream runs does not swallow the next batch") {
+    // the round-10 review finding: version arithmetic over a remembered
+    // base mistook the first post-mutation batch for a replay and
+    // silently dropped it — the in-snapshot watermark does not
+    val root = Files.createTempDirectory("slex4_root").toString
+    val ckpt = Files.createTempDirectory("slex4_ckpt").toString
+    val srcDir = Files.createTempDirectory("slex4_src").toString
+    LexIndex.build(spark, docs.where(col("doc_id") % 3 === 0)
+      .select("doc_id", "text"), root)
+
+    docs.where(col("doc_id") % 3 === 1).select("doc_id", "text")
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def pass(): Unit = StreamingLex.start(
+      spark.readStream.schema(schema).parquet(srcDir), root, ckpt)
+      .awaitTermination()
+    pass()
+
+    // OUT-OF-BAND mutation: a takedown delete bumps the committed
+    // version between stream runs
+    LexIndex.delete(spark, root,
+      docs.where(col("doc_id") % 30 === 0).select("doc_id"))
+
+    docs.where(col("doc_id") % 3 === 2).select("doc_id", "text")
+      .write.mode("append").parquet(srcDir)
+    pass() // the resumed batch MUST apply, not be mistaken for a replay
+
+    val want = Files.createTempDirectory("slex4_want").toString
+    LexIndex.build(spark,
+      docs.where(col("doc_id") % 30 =!= 0).select("doc_id", "text"), want)
+    val terms = Seq("vector", "merge", "spark")
+    assert(rows(root, terms) == rows(want, terms),
+      "post-delete stream batch was swallowed or double-counted")
   }
 }
