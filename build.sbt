@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains are consumed by parsing stdout: forward the
+// forked JVM's stdout VERBATIM (no `[info] ` prefix on every line) and
+// suppress sbt's trailing `[success] Total time...` line, so the last
+// stdout line of `sbt "runMain graft.Bench"` is genuinely the short
+// machine-readable JSON summary Bench prints (round-10 verdict: the
+// driver's `parsed` field was null because sbt's decoration defeated
+// its tail parser). target/bench.json remains the belt-and-braces file
+// channel.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -50,7 +50,10 @@ object Explain {
       graft.catalog.Catalog.documents(s, dir), materialize = false)),
     "dd_near_apply" -> ((s, dir) => graft.operators.Dedup.nearDupApply(
       graft.catalog.Catalog.documents(s, dir), materialize = false)),
+    // bounded rounds for the lazy plan dump: per-round plan shape is
+    // identical to the fixpoint's, and the bounded path runs no
+    // convergence actions while the plan is being built
     "sim_semdedup" -> ((s, dir) => graft.operators.Similarity.semanticDedup(
       graft.catalog.Catalog.embeddings(s, dir), threshold = 0.25,
-      materialize = false)))
+      rounds = 3, materialize = false)))
 }

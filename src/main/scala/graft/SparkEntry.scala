@@ -1157,6 +1157,25 @@ object SparkEntry {
         Seq("vector", "merge", "spark"), k = 10)
     }),
 
+    // atomic live-document UPDATE, gated against the updated-corpus
+    // oracle: the full corpus builds, every doc_id % 11 == 3 upserts
+    // with appended text in ONE snapshot (tombstone-advance + new
+    // generation + exact subtract-old/add-new df/stats algebra), and
+    // the search must hash-match a from-scratch rebuild over the
+    // updated corpus — the in-place-update path is exact
+    "lx_search_upd" -> ((s, dir) => {
+      val (root, _) = freshScratch(s, "lxu_q")
+      val docs = Catalog.documents(s, dir)
+      graft.operators.LexIndex.build(s, docs, root)
+      graft.operators.LexIndex.upsert(s,
+        docs.where(col("doc_id") % 11 === 3)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" updated revision text")).as("text")),
+        root)
+      graft.operators.LexIndex.search(s, root,
+        Seq("vector", "merge", "spark"), k = 10)
+    }),
+
     // hybrid retrieval: reciprocal-rank fusion of the lexical BM25
     // ranking with a brute-force cosine ranking of embedding 0
     // (vec_id ≡ doc_id) — integer-division RRF, so fusion is exact
@@ -2051,8 +2070,12 @@ object SparkEntry {
   private val ComponentsCtes: String = componentsCtes("documents")
 
   /** Shared SemDeDup CTE chain (sim_semdedup / sim_semdedup_apply):
-    * sign-LSH buckets → cosine pairs → symmetric edges → 3 min-label
-    * propagation rounds (l3 = final labels, keyed on vec_id). */
+    * sign-LSH buckets → cosine pairs → symmetric edges → recursive-CTE
+    * transitive closure whose per-vector MIN over reachable ids is the
+    * exact fixpoint the Spark side's convergence-driven propagation
+    * computes — any chain depth, no unrolled round cap (the same mirror
+    * shape as [[componentsCtes]], keyed on vec_id). The final CTE keeps
+    * its historical name `l3`. Consumers must say WITH RECURSIVE. */
   private lazy val SemDedupCtes: String =
     s"""b AS (
        |  SELECT vec_id, embedding,
@@ -2068,23 +2091,12 @@ object SparkEntry {
        |), edges AS (
        |  SELECT d1 AS a, d2 AS bb FROM pairs
        |  UNION ALL SELECT d2 AS a, d1 AS bb FROM pairs
-       |), l0 AS (
-       |  SELECT vec_id, vec_id AS label FROM embeddings
-       |), l1 AS (
-       |  SELECT l.vec_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
-       |  FROM l0 l LEFT JOIN edges e ON e.a = l.vec_id
-       |            LEFT JOIN l0 n ON n.vec_id = e.bb
-       |  GROUP BY l.vec_id, l.label
-       |), l2 AS (
-       |  SELECT l.vec_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
-       |  FROM l1 l LEFT JOIN edges e ON e.a = l.vec_id
-       |            LEFT JOIN l1 n ON n.vec_id = e.bb
-       |  GROUP BY l.vec_id, l.label
+       |), reach AS (
+       |  SELECT vec_id, vec_id AS r FROM embeddings
+       |  UNION
+       |  SELECT re.vec_id, e.bb AS r FROM reach re JOIN edges e ON e.a = re.r
        |), l3 AS (
-       |  SELECT l.vec_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
-       |  FROM l2 l LEFT JOIN edges e ON e.a = l.vec_id
-       |            LEFT JOIN l2 n ON n.vec_id = e.bb
-       |  GROUP BY l.vec_id, l.label
+       |  SELECT vec_id, MIN(r) AS label FROM reach GROUP BY vec_id
        |)""".stripMargin
 
   /** Shared n4b ACF id-lookup CTE chain (n4b_acf_lookup / n7_full_text):
@@ -2614,11 +2626,12 @@ object SparkEntry {
         |ORDER BY lang""".stripMargin,
 
     // base-table AVG — the Spark side serves it from the view as
-    // Σsum/Σcnt; exact-integer sums below 2^53 make the double division
-    // bit-identical on both engines
+    // Σsum/Σcnt_v (the NON-NULL value count, avg's true divisor; the
+    // oracle mirrors with COUNT(n_chars)); exact-integer sums below 2^53
+    // make the double division bit-identical on both engines
     "ia_rewrite_avg" ->
       """SELECT lang,
-        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
         |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
         |FROM documents
         |GROUP BY lang
@@ -2634,7 +2647,8 @@ object SparkEntry {
         |  CAST(SUM(tc) AS BIGINT) AS sum_total_cents,
         |  MIN(tc) AS min_total_cents,
         |  MAX(tc) AS max_total_cents,
-        |  CAST(SUM(tc) AS BIGINT) // COUNT(*) AS avg_total_cents
+        |  COUNT(tc) AS cnt_total_cents,
+        |  CAST(SUM(tc) AS BIGINT) // COUNT(tc) AS avg_total_cents
         |FROM o
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
@@ -3116,6 +3130,14 @@ object SparkEntry {
     // algebraically, dead postings masked)
     "lx_search_del" ->
       lxBm25Sql("(SELECT * FROM documents WHERE doc_id % 7 <> 0)"),
+
+    // the UPDATED-corpus recompute — the Spark side answers from the
+    // built index after an atomic upsert of the modified docs, so
+    // matching proves upsert ≡ rebuild-with-updated-corpus
+    "lx_search_upd" ->
+      lxBm25Sql("(SELECT doc_id, CASE WHEN doc_id % 11 = 3 " +
+        "THEN text || ' updated revision text' ELSE text END AS text " +
+        "FROM documents)"),
 
     "lx_hybrid" ->
       s"""WITH tok AS (
@@ -3751,17 +3773,18 @@ object SparkEntry {
          |FROM pick p JOIN embeddings e ON e.vec_id = p.src
          |ORDER BY vec_id""".stripMargin,
 
-    // SemDeDup mirror: cosine edges + the same bounded 3-round min-label
-    // propagation as dd_components, keyed on vec_id
+    // SemDeDup mirror: cosine edges + the same recursive-CTE transitive
+    // closure as dd_components, keyed on vec_id — the exact fixpoint the
+    // Spark side's convergence-driven propagation reaches
     "sim_semdedup" ->
-      (s"WITH $SemDedupCtes\n" +
+      (s"WITH RECURSIVE $SemDedupCtes\n" +
         """SELECT vec_id, label AS cluster,
           |  CAST(vec_id = label AS INTEGER) AS survivor
           |FROM l3 ORDER BY vec_id""".stripMargin),
 
     // SemDeDup APPLY mirror: survivor ids join the documents corpus
     "sim_semdedup_apply" ->
-      (s"WITH $SemDedupCtes\n" +
+      (s"WITH RECURSIVE $SemDedupCtes\n" +
         """SELECT d.doc_id, d.lang, CAST(length(d.text) AS BIGINT) AS text_len
           |FROM documents d JOIN l3 ON d.doc_id = l3.vec_id
           |WHERE l3.vec_id = l3.label

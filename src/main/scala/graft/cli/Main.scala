@@ -796,6 +796,23 @@ object Main {
         "tombstoned — run lex-compact to fold dead rows away)")
       spark.stop()
 
+    // atomic live-document update: --data supplies the corpus, --ids
+    // picks which docs re-index with their current text (the curation
+    // "content changed, refresh the index" event — one snapshot, exact
+    // delete+ingest algebra, no double-count)
+    case Some("lex-upsert") =>
+      val root = opt(args, "root").getOrElse { System.err.println("error: --root required"); sys.exit(2); "" }
+      val data = opt(args, "data").getOrElse { System.err.println("error: --data required"); sys.exit(2); "" }
+      val ids = opt(args, "ids").getOrElse { System.err.println("error: --ids required (comma-separated doc ids)"); sys.exit(2); "" }
+        .split(",").map(_.trim.toLong).toSeq
+      val spark = session()
+      val batch = graft.catalog.Catalog.documents(spark, data)
+        .where(org.apache.spark.sql.functions.col("doc_id").isin(ids: _*))
+        .select("doc_id", "text")
+      val v = graft.operators.LexIndex.upsert(spark, batch, root)
+      println(s"upserted ${ids.size} doc id(s) into $root (snapshot $v)")
+      spark.stop()
+
     case Some("lex-compact") =>
       val root = opt(args, "root").getOrElse { System.err.println("error: --root required"); sys.exit(2); "" }
       val spark = session()
@@ -856,7 +873,7 @@ object Main {
       spark.stop()
 
     case other =>
-      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export|index-build|index-search|pq-build|pq-search|dedup-build|dedup-classify|compact|diff|fuzzy|lex-build|lex-search|lex-delete|lex-compact")
+      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export|index-build|index-search|pq-build|pq-search|dedup-build|dedup-classify|compact|diff|fuzzy|lex-build|lex-search|lex-delete|lex-upsert|lex-compact")
       sys.exit(2)
   }
 }

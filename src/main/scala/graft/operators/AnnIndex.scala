@@ -260,8 +260,21 @@ object AnnIndex {
     * bounded by nQueries × nProbes ints, the standard query-time
     * partition-pruning shape (not a data collect). */
   def search(spark: SparkSession, root: String, queries: DataFrame,
-      nProbes: Int = 1, k: Int = 5): DataFrame = {
-    val v = version(spark, root)
+      nProbes: Int = 1, k: Int = 5): DataFrame =
+    searchAt(spark, root, queries, version(spark, root), nProbes, k)
+
+  /** Time travel: [[search]] as of snapshot `v` — the [[LexIndex
+    * .searchAt]] reproducibility contract for the vector index:
+    * generations are immutable and every snapshot pins its own
+    * manifest/centroids, so a retrieval run re-executed against a
+    * RETAINED prior version (an upsert superseded it, but the
+    * StateCommit retain horizon keeps it) answers exactly what it
+    * answered when current. Fails loudly outside the horizon. */
+  def searchAt(spark: SparkSession, root: String, queries: DataFrame,
+      v: Long, nProbes: Int = 1, k: Int = 5): DataFrame = {
+    val have = StateCommit.versions(spark, root)
+    require(have.contains(v),
+      s"snapshot $v not available at $root (retained: ${have.mkString(", ")})")
     val cents = spark.read.parquet(StateCommit.tableDir(root, v, Centroids))
     val live = entriesOf(spark, root, v)
     val raw = readCells(spark, root, live)

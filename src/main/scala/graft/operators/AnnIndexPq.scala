@@ -65,9 +65,13 @@ object AnnIndexPq {
         s"no committed IVF-PQ index at $root (run AnnIndexPq.build first)"))
 
   /** (nCoarse, m, subDim, nCentroids) locked at build time. */
-  def params(spark: SparkSession, root: String): (Int, Int, Int, Int) = {
+  def params(spark: SparkSession, root: String): (Int, Int, Int, Int) =
+    paramsAt(spark, root, version(spark, root))
+
+  private def paramsAt(spark: SparkSession, root: String,
+      v: Long): (Int, Int, Int, Int) = {
     val r = spark.read.parquet(
-      StateCommit.tableDir(root, version(spark, root), Params)).head()
+      StateCommit.tableDir(root, v, Params)).head()
     (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
   }
 
@@ -203,9 +207,21 @@ object AnnIndexPq {
     * (qid, cid, adist_nano, rn), nano-BIGINT distances, cid tie-break,
     * self-matches excluded. */
   def search(spark: SparkSession, root: String, queries: DataFrame,
-      nProbes: Int = 2, k: Int = 5): DataFrame = {
-    val v = version(spark, root)
-    val (_, m, subDim, _) = params(spark, root)
+      nProbes: Int = 2, k: Int = 5): DataFrame =
+    searchAt(spark, root, queries, version(spark, root), nProbes, k)
+
+  /** Time travel: [[search]] as of snapshot `v` — the [[LexIndex
+    * .searchAt]] reproducibility contract for the compressed index:
+    * every snapshot pins its own quantizer, codebooks, params and
+    * manifest, so a retained prior version answers exactly what it
+    * answered when current (an upsert's re-encoded rows are invisible
+    * to it). Fails loudly outside the retention horizon. */
+  def searchAt(spark: SparkSession, root: String, queries: DataFrame,
+      v: Long, nProbes: Int = 2, k: Int = 5): DataFrame = {
+    val have = StateCommit.versions(spark, root)
+    require(have.contains(v),
+      s"snapshot $v not available at $root (retained: ${have.mkString(", ")})")
+    val (_, m, subDim, _) = paramsAt(spark, root, v)
     val coarse = spark.read.parquet(StateCommit.tableDir(root, v, Coarse))
     val cents = spark.read.parquet(StateCommit.tableDir(root, v, Codebook))
     val wq = org.apache.spark.sql.expressions.Window

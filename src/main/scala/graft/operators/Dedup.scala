@@ -438,8 +438,10 @@ object Dedup {
     * on doc_id — the standard iterative-dataflow shape for connected
     * components; no driver-side graph. */
   def lshComponents(documents: DataFrame, k: Int = 16, r: Int = 4,
-      rounds: Int = 0, materialize: Boolean = true): DataFrame =
-    lshComponentsUnsorted(documents, k, r, rounds, materialize).orderBy("doc_id")
+      rounds: Int = 0, materialize: Boolean = true,
+      maxRounds: Int = MaxPropagationRounds): DataFrame =
+    lshComponentsUnsorted(documents, k, r, rounds, materialize, maxRounds)
+      .orderBy("doc_id")
 
   /** Cluster-size histogram over the near-dup components — the "how much
     * mass does dedup remove, and in what clumps" card a curation review
@@ -459,20 +461,15 @@ object Dedup {
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
       .orderBy("cluster_size")
 
-  /** Backstop for the fixpoint loop: no realistic near-dup cluster has
-    * a diameter anywhere near this, so hitting it means the pair graph
-    * is pathological (and the run fails loudly rather than silently
-    * under-clustering). */
-  private[operators] val MaxPropagationRounds = 64
+  /** Backstop for the fixpoint loop — forwarded to
+    * [[Propagation.DefaultMaxRounds]] (the shared propagation core);
+    * kept here as the historical name lshComponents callers use. */
+  private[operators] val MaxPropagationRounds = Propagation.DefaultMaxRounds
 
   private[operators] def lshComponentsUnsorted(documents: DataFrame,
       k: Int = 16, r: Int = 4, rounds: Int = 0,
-      materialize: Boolean = true): DataFrame = {
-    // materialize=false keeps the all-lazy plan (plan inspection,
-    // equivalence tests); the default snapshots are the production shape —
-    // localCheckpoint on one JVM, reliable-storage checkpoints under
-    // `spark.graft.checkpoint=reliable` (see Stage.snap)
-    def snap(df: DataFrame): DataFrame = Stage.snap(df, materialize)
+      materialize: Boolean = true,
+      maxRounds: Int = MaxPropagationRounds): DataFrame = {
     val pairs = minhashLshPairs(documents, k, r)
     // Materialize the candidate edges ONCE: every propagation round joins
     // against them and the final isolated-doc anti-join reads their vertex
@@ -483,45 +480,23 @@ object Dedup {
     // (not persist) deliberately: it cuts lineage eagerly and bypasses the
     // CacheManager, so repeated builds never alias each other's cache; a
     // multi-executor pipeline would checkpoint to reliable storage.
-    val edges = snap(pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b"))))
+    val edges = Stage.snap(
+      pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b"))),
+      materialize)
     // Propagate over the pair-graph VERTEX set only — at corpus scale the
     // docs that matched any LSH band are a small fraction, so the join
     // rounds run on the near-dup subgraph, not the whole corpus. Isolated
     // docs keep label = doc_id and rejoin at the end (same result, the
-    // rounds just skip rows that could never change).
-    val edgeDocs = edges.select(col("a").as("doc_id")).distinct()
-    var labels = edgeDocs.select(col("doc_id"), col("doc_id").as("label"))
-    val fixpoint = rounds <= 0
-    val maxRounds = if (fixpoint) MaxPropagationRounds else rounds
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
-      val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
-        .groupBy(col("a")).agg(min("label").as("nl"))
-      // checkpoint per round: plan depth stays O(1) in the round count
-      // (instead of each round's join nesting the previous rounds'
-      // plan), which is what makes the data-driven fixpoint safe. The
-      // previous round's label rides along so the convergence test is a
-      // scan of THIS snapshot, not a join back to the old one.
-      val stepped = snap(
-        labels.join(nbrMin, labels("doc_id") === nbrMin("a"), "left_outer")
-          .select(col("doc_id"), col("label").as("prev_label"),
-            least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
-      // labels only ever decrease, so "no label changed" IS the global
-      // fixpoint — one narrow count over the vertex set per round
-      if (fixpoint)
-        converged = stepped.where(col("label") =!= col("prev_label")).isEmpty
-      labels = stepped.select("doc_id", "label")
-      round += 1
-    }
-    if (fixpoint && !converged)
-      throw new IllegalStateException(
-        s"lshComponents did not converge in $MaxPropagationRounds rounds — " +
-          "pathological pair graph (diameter beyond any near-dup cluster)")
-    labels = labels.unionByName(
-      documents.select(col("doc_id"), col("doc_id").as("label"))
-        .join(edgeDocs, Seq("doc_id"), "left_anti"))
+    // rounds just skip rows that could never change). The loop itself —
+    // per-round checkpoint, folded convergence count, loud backstop — is
+    // the shared [[Propagation.minLabel]] core (also the SemDeDup engine).
+    val labels = Propagation
+      .minLabel(edges, "doc_id", rounds, materialize, maxRounds)
+      .unionByName(
+        documents.select(col("doc_id"), col("doc_id").as("label"))
+          .join(edges.select(col("a").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti"))
     labels.select(col("doc_id"), col("label").as("cluster"))
   }
 

@@ -69,11 +69,8 @@ object DedupIndex {
         s"no committed dedup index at $root (run DedupIndex.build first)"))
 
   /** The signature scheme locked at build time. */
-  def scheme(spark: SparkSession, root: String): (Int, Int) = {
-    val r = spark.read.parquet(
-      StateCommit.tableDir(root, version(spark, root), Meta)).head()
-    (r.getInt(0), r.getInt(1))
-  }
+  def scheme(spark: SparkSession, root: String): (Int, Int) =
+    schemeAt(spark, root, version(spark, root))
 
   private def writeMeta(spark: SparkSession, root: String, v: Long,
       k: Int, r: Int): Unit = {
@@ -160,6 +157,19 @@ object DedupIndex {
   def sigs(spark: SparkSession, root: String): DataFrame =
     liveRows(spark, root, version(spark, root), p => s"$p/sigs")
 
+  private def requireRetained(spark: SparkSession, root: String,
+      v: Long): Unit = {
+    val have = StateCommit.versions(spark, root)
+    require(have.contains(v),
+      s"snapshot $v not available at $root (retained: ${have.mkString(", ")})")
+  }
+
+  private def schemeAt(spark: SparkSession, root: String,
+      v: Long): (Int, Int) = {
+    val r = spark.read.parquet(StateCommit.tableDir(root, v, Meta)).head()
+    (r.getInt(0), r.getInt(1))
+  }
+
   /** Index the corpus from scratch: one signature pass, one generation,
     * empty tombstones, atomic publish. Re-building over a live root
     * replaces everything in one commit. */
@@ -244,10 +254,20 @@ object DedupIndex {
     * never shuffles. Self-matches (same id on both sides) are excluded:
     * a re-probed doc is its own trivial dup. */
   def queryNearDups(spark: SparkSession, root: String,
-      incoming: DataFrame): DataFrame = {
-    val (k, r) = scheme(spark, root)
+      incoming: DataFrame): DataFrame =
+    queryNearDupsAt(spark, root, incoming, version(spark, root))
+
+  /** Time travel: [[queryNearDups]] as of snapshot `v` — every snapshot
+    * pins its own manifest/tombstones/scheme, so a probe against a
+    * RETAINED prior version (pre-delete, pre-upsert) answers exactly
+    * what it answered when that version was current. Fails loudly
+    * outside the retention horizon. */
+  def queryNearDupsAt(spark: SparkSession, root: String,
+      incoming: DataFrame, v: Long): DataFrame = {
+    requireRetained(spark, root, v)
+    val (k, r) = schemeAt(spark, root, v)
     val (qBands, qSigs) = signatures(incoming, k, r)
-    val cand = bands(spark, root)
+    val cand = liveRows(spark, root, v, p => s"$p/bands")
       .select(col("doc_id").as("dup_id"), col("band"), col("sig"))
       .join(broadcast(qBands), Seq("band", "sig"))
       .where(col("doc_id") =!= col("dup_id"))
@@ -259,7 +279,8 @@ object DedupIndex {
       (0 until k).map(j => col(s"mh$j").as(s"q$j")): _*)
     cand
       .join(broadcast(qWide), Seq("doc_id"))
-      .join(sigs(spark, root).withColumnRenamed("doc_id", "dup_id")
+      .join(liveRows(spark, root, v, p => s"$p/sigs")
+        .withColumnRenamed("doc_id", "dup_id")
         .drop("gen"), Seq("dup_id"))
       .select(col("doc_id"), col("dup_id"),
         matchCount.as("n_sig_match"))
@@ -279,8 +300,16 @@ object DedupIndex {
     * Same scale posture as [[queryNearDups]] (which this aggregates):
     * batch-side broadcast probe, no corpus shuffle. */
   def classifyBatch(spark: SparkSession, root: String,
-      incoming: DataFrame): DataFrame = {
-    val (k, _) = scheme(spark, root)
+      incoming: DataFrame): DataFrame =
+    classifyBatchAt(spark, root, incoming, version(spark, root))
+
+  /** Time travel: [[classifyBatch]] against snapshot `v` — reproduces a
+    * past curation decision exactly (the verdicts a batch received when
+    * `v` was current, before later deletes/upserts moved the index). */
+  def classifyBatchAt(spark: SparkSession, root: String,
+      incoming: DataFrame, v: Long): DataFrame = {
+    requireRetained(spark, root, v)
+    val (k, _) = schemeAt(spark, root, v)
     // "seen BEFORE this batch": exclude the batch's own ids from the
     // candidate side — without this, an at-least-once replay (whose
     // first delivery already upserted the batch) would suddenly see
@@ -288,7 +317,7 @@ object DedupIndex {
     // replay convergence (StreamingDedupSpec pins the twin case)
     val ownIds = incoming.select(col("doc_id").cast("long").as("dup_id"))
       .distinct()
-    val cand = queryNearDups(spark, root, incoming)
+    val cand = queryNearDupsAt(spark, root, incoming, v)
       .join(broadcast(ownIds), Seq("dup_id"), "left_anti")
     val best = cand.groupBy("doc_id")
       .agg(countDistinct("dup_id").as("n_candidates"),

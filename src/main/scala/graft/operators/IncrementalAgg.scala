@@ -83,8 +83,13 @@ object IncrementalAgg {
     StateCommit.currentVersion(spark, root).getOrElse(0L)
 
   /** The non-key state columns and their merge rules, in schema order:
-    * cnt, (sum/min/max per value), (hll sketch per distinct col),
-    * (bin-count array per histogram). */
+    * cnt, (sum/min/max/cnt per value), (hll sketch per distinct col),
+    * (bin-count array per histogram). `cnt_<v>` is the NON-NULL count of
+    * the value column — sum/min/max ignore NULLs, so re-aggregating them
+    * is null-consistent for free, but avg(v) divides by the non-null
+    * count and serving it as Σsum_v / Σcnt silently deflates the mean on
+    * a fact with NULLs in v (round-10 advice); Σcnt_v is the exact
+    * divisor. */
   private def metricMerges(values: Seq[String], distincts: Seq[String],
       hists: Seq[HistSpec]): Seq[(String, (Column, Column) => Column)] =
     ("cnt", (a: Column, b: Column) => mrg(a, b, _ + _)) +:
@@ -93,7 +98,8 @@ object IncrementalAgg {
         Seq[(String, (Column, Column) => Column)](
           (su, (a, b) => mrg(a, b, _ + _)),
           (mn, (a, b) => least(a, b)), // least/greatest skip nulls
-          (mx, (a, b) => greatest(a, b)))
+          (mx, (a, b) => greatest(a, b)),
+          (s"cnt_$v", (a, b) => mrg(a, b, _ + _)))
       } ++
       distincts.map { d =>
         (s"hll_$d",
@@ -112,7 +118,8 @@ object IncrementalAgg {
         val (s, mn, mx) = cols(v)
         Seq(sum(col(v).cast("long")).as(s),
           min(col(v).cast("long")).as(mn),
-          max(col(v).cast("long")).as(mx))
+          max(col(v).cast("long")).as(mx),
+          count(col(v)).as(s"cnt_$v"))
       }) ++
       distincts.map(d => hll_sketch_agg(col(d)).as(s"hll_$d")) ++
       hists.map { h =>
@@ -195,8 +202,8 @@ object IncrementalAgg {
       throw new IllegalStateException(s"no committed aggregate at $root"))
     val keyCols = state.columns.toSeq.filterNot(c =>
       c == "cnt" || c.startsWith("sum_") || c.startsWith("min_") ||
-        c.startsWith("max_") || c.startsWith("hll_") ||
-        c.startsWith("hist_"))
+        c.startsWith("max_") || c.startsWith("cnt_") ||
+        c.startsWith("hll_") || c.startsWith("hist_"))
     state.select(keyCols.map(col) :+ posexplode(col(hist.name)): _*)
       .select(keyCols.map(col) :+ col("pos").cast("long").as("bin") :+
         col("col").as("n_in_bin"): _*)
@@ -248,14 +255,15 @@ object IncrementalAgg {
         .queryExecution.analyzed))
   }
 
-  /** The maintained view with derived averages (sum div cnt, exact
-    * BIGINT) — what a reader queries instead of the 100 TB fact. */
+  /** The maintained view with derived averages (sum div the NON-NULL
+    * value count, exact BIGINT — avg(v)'s divisor, not the row count) —
+    * what a reader queries instead of the 100 TB fact. */
   def view(spark: SparkSession, root: String,
       values: Seq[String]): DataFrame = {
     val state = read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed aggregate at $root"))
     values.foldLeft(state) { (df, v) =>
-      df.withColumn(s"avg_$v", expr(s"sum_$v div cnt"))
+      df.withColumn(s"avg_$v", expr(s"sum_$v div cnt_$v"))
     }
   }
 }

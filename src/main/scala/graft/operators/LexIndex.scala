@@ -47,6 +47,7 @@ object LexIndex {
   private val Manifest = "manifest"
   private val Tombstones = "tombstones"
   private val StreamBatch = "stream_batch"
+  private val EraTable = "era"
   private val DeleteAll = Long.MaxValue
 
   private def tokens(documents: DataFrame): DataFrame =
@@ -56,9 +57,17 @@ object LexIndex {
 
   private def genDir(root: String, v: Long): String = s"$root/gen-$v/postings"
 
-  /** The batch's (postings, dfs, stats) derivation — shared by build
-    * and ingest, so the incremental path cannot drift from the
-    * full-build one. */
+  /** The generation's (doc_id, dl) doc table — ONE row per ingested doc
+    * INCLUDING dl=0: a zero-token document is invisible to postings, and
+    * round 10's delete could not locate its `n_docs` contribution (the
+    * documented blind spot this table closes — delete/upsert subtract
+    * every victim exactly). Lives beside the postings so [[StateCommit
+    * .gcGenerations]] reclaims both together. */
+  private def docsDir(root: String, v: Long): String = s"$root/gen-$v/docs"
+
+  /** The batch's (postings, docs, dfs, stats) derivation — shared by
+    * build, ingest and upsert, so the incremental paths cannot drift
+    * from the full-build one. */
   private def batchParts(documents: DataFrame) = {
     val tf = Stage.snap(
       tokens(documents).groupBy("doc_id", "token").agg(count(lit(1)).as("tf")),
@@ -67,11 +76,16 @@ object LexIndex {
     val postings = tf.join(dl, Seq("doc_id"))
       .select(col("token"), col("doc_id"), col("tf"), col("dl"))
     val dfs = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val docs = documents.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct()
+      .join(dl.select(col("doc_id").cast("long").as("doc_id"), col("dl")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl"))
     val stats = documents.select(count(lit(1)).as("n_docs"))
       .crossJoin(dl.agg(
         coalesce(sum("dl"), lit(0L)).as("sum_dl"),
         count(lit(1)).as("n_dl")))
-    (postings, dfs, stats)
+    (postings, docs, dfs, stats)
   }
 
   private def emptyTombstones(spark: SparkSession): DataFrame = {
@@ -96,13 +110,34 @@ object LexIndex {
     * snapshot (so it commits atomically with the generation it guards).
     * None before any stream batch, and reset by [[build]] — a rebuild
     * starts a new stream era (resume a stream across a rebuild with a
-    * FRESH checkpoint). */
+    * FRESH checkpoint; [[buildEra]] + the [[graft.streaming
+    * .StreamingLex]] checkpoint marker ENFORCE that rule instead of
+    * leaving it to operator discipline — round-10 advice). */
   private def streamBatchOf(spark: SparkSession, root: String,
       v: Long): Option[Long] =
     scala.util.Try(
         spark.read.parquet(StateCommit.tableDir(root, v, StreamBatch))
           .head().getLong(0))
       .toOption
+
+  private def eraOf(spark: SparkSession, root: String, v: Long): Long =
+    scala.util.Try(
+        spark.read.parquet(StateCommit.tableDir(root, v, EraTable))
+          .head().getLong(0))
+      .getOrElse(0L)
+
+  /** The index's BUILD ERA: the snapshot version of the last [[build]]
+    * (0 for a pre-era snapshot). Every ingest/delete/compact carries it
+    * forward unchanged; a rebuild bumps it. A maintenance stream records
+    * the era it started against and refuses to apply batches once the
+    * index has been rebuilt under it — resuming an OLD checkpoint after
+    * a rebuild could otherwise re-apply a crashed in-flight batch whose
+    * docs the rebuild corpus already contains. */
+  def buildEra(spark: SparkSession, root: String): Long = {
+    val v = StateCommit.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed lexical index at $root"))
+    eraOf(spark, root, v)
+  }
 
   /** The LIVE posting rows of snapshot v: every live generation's rows,
     * tombstone-filtered (broadcast join — the tombstone table is
@@ -134,12 +169,36 @@ object LexIndex {
       .drop("before_gen", "gen")
   }
 
+  /** The LIVE (doc_id, dl) rows of snapshot v — one row per live doc
+    * INCLUDING zero-token docs (the doc table, not the postings, is the
+    * membership authority). Tombstone-filtered exactly like
+    * [[livePostings]]. A generation written before the doc table
+    * existed falls back to the postings-derived (doc_id, dl) set —
+    * where zero-token docs are invisible, the pre-docs-table behavior. */
+  private def liveDocs(spark: SparkSession, root: String,
+      v: Long): DataFrame = {
+    val gens = spark.read.parquet(StateCommit.tableDir(root, v, Manifest))
+      .collect().map(_.getLong(0)).toSeq
+    val unioned = gens.map { g =>
+      scala.util.Try(spark.read.parquet(docsDir(root, g)))
+        .getOrElse(spark.read.parquet(genDir(root, g))
+          .select("doc_id", "dl").distinct())
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("dl").cast("long").as("dl"), lit(g).as("gen"))
+    }.reduce(_.unionByName(_))
+    unioned.join(broadcast(tombstonesOf(spark, root, v)),
+        Seq("doc_id"), "left_outer")
+      .where(col("before_gen").isNull || col("gen") >= col("before_gen"))
+      .drop("before_gen", "gen")
+  }
+
   /** Write the metadata-sized snapshot tables and commit — shared by
     * every mutation (postings generations are written by the caller,
     * when the mutation adds any). */
   private def writeMetaTables(spark: SparkSession, root: String, v: Long,
       dfs: DataFrame, stats: DataFrame, gens: Seq[Long],
-      tombstones: DataFrame, streamBatch: Option[Long] = None): Long = {
+      tombstones: DataFrame, streamBatch: Option[Long] = None,
+      era: Long = 0L): Long = {
     dfs.coalesce(1)
       .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Dfs))
     stats.coalesce(1)
@@ -156,6 +215,9 @@ object LexIndex {
     streamBatch.toSeq.toDF("last_batch_id").coalesce(1)
       .write.mode("overwrite")
       .parquet(StateCommit.tableDir(root, v, StreamBatch))
+    Seq(era).toDF("build_era").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(StateCommit.tableDir(root, v, EraTable))
     StateCommit.commit(spark, root, v)
     // reclaim generations no committed snapshot references — a
     // long-running ingest stream otherwise leaks one generation
@@ -167,28 +229,40 @@ object LexIndex {
 
 
   private def writeSnapshot(spark: SparkSession, root: String, v: Long,
-      postings: DataFrame, dfs: DataFrame, stats: DataFrame,
-      gens: Seq[Long], nBuckets: Int, tombstones: DataFrame,
-      streamBatch: Option[Long] = None): Long = {
+      postings: DataFrame, docs: DataFrame, dfs: DataFrame,
+      stats: DataFrame, gens: Seq[Long], nBuckets: Int,
+      tombstones: DataFrame, streamBatch: Option[Long] = None,
+      era: Long = 0L): Long = {
     // hive-partition by the token's first letter (≤ 26 dirs — the
-    // tokenizer is [a-z]+) so a search prunes whole directories;
-    // repartition by token within so one term's rows co-locate
+    // tokenizer is [a-z]+) so a search prunes whole directories.
+    // RANGE-partition by token before the write: each task then covers
+    // a CONTIGUOUS token range, so it intersects only a few tpfx
+    // prefixes and the generation lands as ~nBuckets+26 files instead
+    // of the hash layout's nBuckets × 26 (the round-10 medians showed
+    // that write amplification as lx_search_inc's real 1.8× regression;
+    // one term's rows still co-locate — a range holds whole tokens)
     postings.withColumn("tpfx", substring(col("token"), 1, 1))
-      .repartition(nBuckets, col("token"))
+      .repartitionByRange(nBuckets, col("token"), col("doc_id"))
       .write.mode("overwrite").partitionBy("tpfx")
       .parquet(genDir(root, v))
-    writeMetaTables(spark, root, v, dfs, stats, gens, tombstones, streamBatch)
+    // the generation's doc table: one narrow (doc_id, dl) row per doc —
+    // a fraction of the postings' size, so a handful of files suffices
+    docs.coalesce(math.max(1, nBuckets / 8))
+      .write.mode("overwrite").parquet(docsDir(root, v))
+    writeMetaTables(spark, root, v, dfs, stats, gens, tombstones,
+      streamBatch, era)
   }
 
   /** Build (or rebuild from scratch) the index; returns the committed
     * snapshot version. One corpus scan: tf, dl, df and the corpus
-    * stats all derive from the same token aggregation. */
+    * stats all derive from the same token aggregation. A build starts a
+    * new [[buildEra]]. */
   def build(spark: SparkSession, documents: DataFrame, root: String,
       nBuckets: Int = 32): Long = {
     val v = StateCommit.currentVersion(spark, root).getOrElse(0L) + 1
-    val (postings, dfs, stats) = batchParts(documents)
-    writeSnapshot(spark, root, v, postings, dfs, stats, Seq(v), nBuckets,
-      emptyTombstones(spark))
+    val (postings, docs, dfs, stats) = batchParts(documents)
+    writeSnapshot(spark, root, v, postings, docs, dfs, stats, Seq(v),
+      nBuckets, emptyTombstones(spark), era = v)
   }
 
   /** Fold a batch of NEW documents into the index WITHOUT rescanning
@@ -204,7 +278,9 @@ object LexIndex {
     * generation, so the dead old rows stay dead and the new rows are
     * live (the delete already subtracted the old df/stats
     * contributions, so the algebra stays exact). Re-ingesting a LIVE
-    * doc still double-counts. */
+    * doc through THIS path still double-counts — updating live
+    * documents is [[upsert]]'s job (one atomic snapshot, exact
+    * algebra for every membership state). */
   def ingest(spark: SparkSession, documents: DataFrame, root: String,
       nBuckets: Int = 32): Long =
     ingestAs(spark, documents, root, expectedVersion = -1L, nBuckets)
@@ -251,7 +327,7 @@ object LexIndex {
   private def ingestCore(spark: SparkSession, documents: DataFrame,
       root: String, prev: Long, v: Long, nBuckets: Int,
       streamBatch: Option[Long]): Long = {
-    val (postings, bDfs, bStats) = batchParts(documents)
+    val (postings, bDocs, bDfs, bStats) = batchParts(documents)
     val oldDfs = spark.read.parquet(StateCommit.tableDir(root, prev, Dfs))
     val mergedDfs = oldDfs.select(col("token"), col("df").as("a"))
       .join(bDfs.select(col("token"), col("df").as("b")), Seq("token"), "full_outer")
@@ -275,8 +351,8 @@ object LexIndex {
     val tombs = prior.join(batchIds, Seq("doc_id"), "left_anti")
       .unionByName(prior.join(batchIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), lit(v).as("before_gen")))
-    writeSnapshot(spark, root, v, postings, mergedDfs, mergedStats, gens,
-      nBuckets, tombs, streamBatch)
+    writeSnapshot(spark, root, v, postings, bDocs, mergedDfs, mergedStats,
+      gens, nBuckets, tombs, streamBatch, eraOf(spark, root, prev))
   }
 
   /** Drop documents from the index without a rebuild — the takedown /
@@ -291,17 +367,20 @@ object LexIndex {
     * rebuilt without the victims (spec-pinned; the lx_search_del
     * driver gate proves it against the filtered-corpus oracle).
     *
-    * Ids without live postings are no-ops (so replays converge), with
-    * the one blind spot a postings-only index has: a ZERO-TOKEN doc is
-    * invisible to postings and its `n_docs` contribution cannot be
-    * located — it stays counted until the next rebuild (documented,
-    * spec-pinned). `expectedVersion` is the [[ingestAs]] replay guard
-    * (-1 = next, no protection).
+    * Ids without live rows are no-ops (so replays converge) and add NO
+    * tombstone — only live victims are tombstoned (semi-join against
+    * the live doc set), so repeated takedown sweeps with overlapping or
+    * bogus id lists cannot grow the churn-bounded tombstone table
+    * (round-10 advice). Zero-token docs subtract exactly too: the
+    * per-generation DOC table (not the postings) is the membership
+    * authority, closing round 10's documented `n_docs` blind spot.
+    * `expectedVersion` is the [[ingestAs]] replay guard (-1 = next, no
+    * protection).
     *
     * Scale posture: one tombstone-filtered scan of the posting
-    * generations (the victim semi-join prunes it to the dead rows),
-    * one broadcast-sized df merge, metadata writes — the corpus is
-    * never rewritten. */
+    * generations (the victim semi-join prunes it to the dead rows) plus
+    * one of the narrow doc tables, one broadcast-sized df merge,
+    * metadata writes — the corpus is never rewritten. */
   def delete(spark: SparkSession, root: String, ids: DataFrame,
       expectedVersion: Long = -1L): Long = {
     val prev = StateCommit.currentVersion(spark, root).getOrElse(
@@ -310,39 +389,129 @@ object LexIndex {
     val v = if (expectedVersion >= 0) expectedVersion else prev + 1
     require(v == prev + 1, s"delete version $v must follow committed $prev")
     val victims = ids.select(col("doc_id").cast("long")).distinct()
-    // the victims' LIVE posting rows: already-dead rows must not
-    // subtract twice (which is also what makes a replayed or repeated
-    // delete a no-op on the statistics)
-    val dead = Stage.snap(
+    // the victims' LIVE rows only: already-dead rows must not subtract
+    // twice (which is also what makes a replayed or repeated delete a
+    // no-op on the statistics)
+    val deadPost = Stage.snap(
       livePostings(spark, root, prev)
+        .join(broadcast(victims), Seq("doc_id"), "left_semi"),
+      materialize = true)
+    val deadDocs = Stage.snap(
+      liveDocs(spark, root, prev)
         .join(broadcast(victims), Seq("doc_id"), "left_semi"),
       materialize = true)
     val oldDfs = spark.read.parquet(StateCommit.tableDir(root, prev, Dfs))
     // postings hold ONE row per (token, doc), so the per-token dead-row
     // count IS the df decrement; rows at zero leave the table, exactly
     // as a rebuild-without-victims would never emit them
-    val deadDf = dead.groupBy("token").agg(count(lit(1)).as("ddf"))
+    val deadDf = deadPost.groupBy("token").agg(count(lit(1)).as("ddf"))
     val mergedDfs = oldDfs
       .join(deadDf, Seq("token"), "left_outer")
       .select(col("token"),
         (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
       .where(col("df") > 0)
-    val d = dead.select("doc_id", "dl").distinct()
-      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s")).head()
-    val (nDead, dlDead) = (d.getLong(0), d.getLong(1))
+    // exact stat subtraction from the doc table: n_docs loses EVERY live
+    // victim (zero-token ones included), n_dl only those with tokens
+    val d = deadDocs.agg(count(lit(1)).as("n"),
+      coalesce(sum("dl"), lit(0L)).as("s"),
+      count(when(col("dl") > 0, 1)).as("ndl")).head()
+    val (nDead, dlDead, nDlDead) = (d.getLong(0), d.getLong(1), d.getLong(2))
     val o = spark.read.parquet(StateCommit.tableDir(root, prev, Stats)).head()
     val s = spark
     import s.implicits._
     val mergedStats = Seq((o.getLong(0) - nDead, o.getLong(1) - dlDead,
-      o.getLong(2) - nDead)).toDF("n_docs", "sum_dl", "n_dl")
+      o.getLong(2) - nDlDead)).toDF("n_docs", "sum_dl", "n_dl")
     val prior = tombstonesOf(spark, root, prev)
-    val tombs = prior.join(victims, Seq("doc_id"), "left_anti")
-      .unionByName(victims.select(col("doc_id"),
+    // tombstone only ids that actually had live rows; anti-join against
+    // the SAME set so an already-dead victim keeps its existing
+    // tombstone (dropping it would resurrect its pre-delete rows)
+    val victimsLive = deadDocs.select("doc_id").distinct()
+    val tombs = prior.join(victimsLive, Seq("doc_id"), "left_anti")
+      .unionByName(victimsLive.select(col("doc_id"),
         lit(DeleteAll).as("before_gen")))
     val gens = spark.read.parquet(StateCommit.tableDir(root, prev, Manifest))
       .collect().map(_.getLong(0)).toSeq
     writeMetaTables(spark, root, v, mergedDfs, mergedStats, gens, tombs,
-      streamBatchOf(spark, root, prev))
+      streamBatchOf(spark, root, prev), eraOf(spark, root, prev))
+  }
+
+  /** Atomic live-document UPDATE — tombstone-advance + ingest in ONE
+    * snapshot: each batch doc's pre-existing rows (if any) die and its
+    * new content lands as generation v, with df/corpus stats corrected
+    * by exact subtract-old/add-new algebra. This is the routine
+    * curation event [[ingest]] documents as its own hazard
+    * ("re-ingesting a LIVE doc still double-counts"): callers no longer
+    * sequence delete→ingest across two snapshots — and cannot
+    * double-count by forgetting the delete. Handles every membership
+    * state uniformly: live ids update, deleted ids resurrect, new ids
+    * simply ingest. A post-upsert [[search]] is row-for-row equal to a
+    * from-scratch rebuild with the updated corpus (spec-pinned; the
+    * lx_search_upd driver gate proves it against the updated-corpus
+    * oracle).
+    *
+    * Scale posture: [[delete]]'s pruned dead-row scan + [[ingest]]'s
+    * batch-only token pass; the corpus is never rescanned or
+    * rewritten. */
+  def upsert(spark: SparkSession, documents: DataFrame, root: String,
+      nBuckets: Int = 32, expectedVersion: Long = -1L): Long = {
+    val prev = StateCommit.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed lexical index at $root — build first"))
+    if (expectedVersion >= 0 && expectedVersion <= prev) return prev // replay
+    val v = if (expectedVersion >= 0) expectedVersion else prev + 1
+    require(v == prev + 1, s"upsert version $v must follow committed $prev")
+    val batchIds = Stage.snap(
+      documents.select(col("doc_id").cast("long").as("doc_id")).distinct(),
+      materialize = true)
+    // the batch ids' CURRENT live contribution — empty for brand-new or
+    // previously-deleted ids, so the subtraction is exactly the delete()
+    // algebra restricted to docs that really are being replaced
+    val deadPost = Stage.snap(
+      livePostings(spark, root, prev)
+        .join(broadcast(batchIds), Seq("doc_id"), "left_semi"),
+      materialize = true)
+    val deadDocs = Stage.snap(
+      liveDocs(spark, root, prev)
+        .join(broadcast(batchIds), Seq("doc_id"), "left_semi"),
+      materialize = true)
+    val (postings, bDocs, bDfs, bStats) = batchParts(documents)
+    val deadDf = deadPost.groupBy("token").agg(count(lit(1)).as("ddf"))
+    val oldDfs = spark.read.parquet(StateCommit.tableDir(root, prev, Dfs))
+    val mergedDfs = oldDfs.select(col("token"), col("df").as("a"))
+      .join(bDfs.select(col("token"), col("df").as("b")), Seq("token"), "full_outer")
+      .join(deadDf, Seq("token"), "left_outer")
+      .select(col("token"),
+        (coalesce(col("a"), lit(0L)) + coalesce(col("b"), lit(0L))
+          - coalesce(col("ddf"), lit(0L))).as("df"))
+      .where(col("df") > 0)
+    val d = deadDocs.agg(count(lit(1)).as("n"),
+      coalesce(sum("dl"), lit(0L)).as("s"),
+      count(when(col("dl") > 0, 1)).as("ndl")).head()
+    val b = bStats.head()
+    val o = spark.read.parquet(StateCommit.tableDir(root, prev, Stats)).head()
+    val s = spark
+    import s.implicits._
+    val mergedStats = Seq((
+      o.getLong(0) + b.getLong(0) - d.getLong(0),
+      o.getLong(1) + b.getLong(1) - d.getLong(1),
+      o.getLong(2) + b.getLong(2) - d.getLong(2)))
+      .toDF("n_docs", "sum_dl", "n_dl")
+    // tombstones advance to v for every batch id that needs one: ids
+    // with live rows being replaced, and previously-deleted ids whose
+    // tombstone must move (not vanish — dropping it would resurrect
+    // their dead rows; before_gen=v keeps gens < v dead and only the
+    // new generation live). Brand-new ids add no tombstone.
+    val prior = tombstonesOf(spark, root, prev)
+    val needTomb = deadDocs.select("doc_id")
+      .unionByName(prior.join(batchIds, Seq("doc_id"), "left_semi")
+        .select("doc_id"))
+      .distinct()
+    val tombs = prior.join(batchIds, Seq("doc_id"), "left_anti")
+      .unionByName(needTomb.select(col("doc_id"), lit(v).as("before_gen")))
+    val gens = spark.read.parquet(StateCommit.tableDir(root, prev, Manifest))
+      .collect().map(_.getLong(0)).toSeq :+ v
+    writeSnapshot(spark, root, v, postings, bDocs, mergedDfs, mergedStats,
+      gens, nBuckets, tombs, streamBatchOf(spark, root, prev),
+      eraOf(spark, root, prev))
   }
 
   /** Fold every live generation's postings into ONE new generation —
@@ -363,10 +532,12 @@ object LexIndex {
     // the tombstone table resets to empty — df/stats carry unchanged
     // (deletes corrected them algebraically at delete time)
     val postings = livePostings(spark, root, prev)
+    val docs = liveDocs(spark, root, prev)
     val dfs = spark.read.parquet(StateCommit.tableDir(root, prev, Dfs))
     val stats = spark.read.parquet(StateCommit.tableDir(root, prev, Stats))
-    writeSnapshot(spark, root, v, postings, dfs, stats, Seq(v), nBuckets,
-      emptyTombstones(spark), streamBatchOf(spark, root, prev))
+    writeSnapshot(spark, root, v, postings, docs, dfs, stats, Seq(v),
+      nBuckets, emptyTombstones(spark), streamBatchOf(spark, root, prev),
+      eraOf(spark, root, prev))
   }
 
   /** BM25 top-k for a bag of query terms: (doc_id, score_micro, rank).

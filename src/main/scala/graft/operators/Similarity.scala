@@ -348,35 +348,36 @@ object Similarity {
     * counterpart of [[graft.operators.Dedup.nearDupApply]], catching
     * paraphrases and re-encodings that lexical MinHash can't see.
     * Edges are the sign-LSH-bucketed cosine pairs ([[cosineNearDup]]);
-    * clusters come from the same bounded min-label propagation as
-    * `lshComponents` (both engines run the identical `rounds` joins, so
-    * the result agrees even before full convergence); survivors are
-    * `vec_id == cluster`. Returns (vec_id, cluster, survivor).
+    * clusters come from the SAME convergence-driven min-label propagation
+    * core as `lshComponents` ([[Propagation.minLabel]] — `rounds <= 0`,
+    * the default, iterates until a round changes no label, so embedding
+    * paraphrase CHAINS deeper than any fixed cap stop silently splitting;
+    * the round-10 lexical fixpoint fix, now shared rather than
+    * duplicated). A positive `rounds` keeps the bounded-unroll form for
+    * shallow-graph equivalence specs. Survivors are `vec_id == cluster`.
+    * Returns (vec_id, cluster, survivor).
     *
     * Scale posture: identical to the lexical components chain — edges
     * snapshot once (the near-dup subgraph only), each round is one
     * narrow (edge ⋈ label) equi-join keyed on vec_id, labels checkpoint
-    * per round so plan depth stays O(1) in rounds, isolated vectors skip
-    * the rounds and union back. */
+    * per round so plan depth stays O(1) in rounds (convergence count
+    * folded into the checkpoint action), isolated vectors skip the
+    * rounds and union back. */
   def semanticDedup(embeddings: DataFrame, bits: Int = 8,
-      threshold: Double = 0.25, rounds: Int = 3,
-      materialize: Boolean = true): DataFrame = {
-    def snap(df: DataFrame): DataFrame = Stage.snap(df, materialize)
+      threshold: Double = 0.25, rounds: Int = 0,
+      materialize: Boolean = true,
+      maxRounds: Int = Propagation.DefaultMaxRounds): DataFrame = {
     val pairs = cosineNearDup(embeddings, bits, threshold)
-    val edges = snap(pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b"))))
+    val edges = Stage.snap(
+      pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b"))),
+      materialize)
     val edgeDocs = edges.select(col("a").as("vec_id")).distinct()
-    var labels = edgeDocs.select(col("vec_id"), col("vec_id").as("label"))
-    for (_ <- 1 to rounds) {
-      val nbrMin = edges.join(labels, edges("b") === labels("vec_id"))
-        .groupBy(col("a")).agg(min("label").as("nl"))
-      labels = snap(labels.join(nbrMin, labels("vec_id") === nbrMin("a"), "left_outer")
-        .select(col("vec_id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
-    }
-    labels = labels.unionByName(
-      embeddings.select(col("vec_id"), col("vec_id").as("label"))
-        .join(edgeDocs, Seq("vec_id"), "left_anti"))
+    val labels = Propagation
+      .minLabel(edges, "vec_id", rounds, materialize, maxRounds)
+      .unionByName(
+        embeddings.select(col("vec_id"), col("vec_id").as("label"))
+          .join(edgeDocs, Seq("vec_id"), "left_anti"))
     labels
       .select(col("vec_id"), col("label").as("cluster"),
         (col("vec_id") === col("label")).cast("int").as("survivor"))

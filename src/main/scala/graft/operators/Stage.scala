@@ -37,4 +37,25 @@ object Stage {
         df.checkpoint()
       case _ => df.localCheckpoint()
     }
+
+  /** Snapshot whose materialization is DEFERRED to the caller's next
+    * action — for loops that can fold useful work (a convergence count)
+    * into the job that persists the snapshot, instead of paying an eager
+    * checkpoint action PLUS a probe action per round
+    * ([[graft.operators.Propagation]]).
+    *
+    * Local mode marks a lazy localCheckpoint: the first action computes
+    * every partition once, persists the blocks, and truncates lineage.
+    * Reliable mode stays EAGER — a non-eager reliable checkpoint re-runs
+    * the whole lineage a second time to write the checkpoint files
+    * (Spark's classic persist-before-checkpoint gotcha), which is worse
+    * than the extra probe action it would save. */
+  def snapLazy(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.checkpoint") match {
+      case Some("reliable") =>
+        require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          "spark.graft.checkpoint=reliable requires sparkContext.setCheckpointDir")
+        df.checkpoint()
+      case _ => df.localCheckpoint(eager = false)
+    }
 }

@@ -245,18 +245,25 @@ case class GraftViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               reagg(m.withNewChildren(Seq(vGet(s"max_${valueOf(m.child, d)}")))
                 .asInstanceOf[AggregateFunction])
             case a: Average =>
-              // the weighted re-aggregation: avg(v) = Σsum_v / Σcnt.
+              // the weighted re-aggregation: avg(v) = Σsum_v / Σcnt_v.
               // Per-group means must NOT average directly (groups merge
-              // with different weights); both sums are exact BIGINTs, so
-              // the division sees the same two integers the base plan's
-              // double accumulation produces (exact below 2^53). LEGACY
-              // divide: NULL (never an ANSI error) on the empty global
-              // aggregate, matching avg-over-no-rows.
+              // with different weights), and the divisor must be the
+              // NON-NULL value count the view maintains per value column
+              // — the base plan's avg divides by count(v), not count(*),
+              // so Σcnt would silently deflate the mean on a fact with
+              // NULLs in v (round-10 advice; vGet bails to the base plan
+              // on a pre-cnt_v view snapshot). Both sums are exact
+              // BIGINTs, so the division sees the same two integers the
+              // base plan's double accumulation produces (exact below
+              // 2^53). LEGACY divide: NULL (never an ANSI error) on the
+              // empty global aggregate or an all-NULL value column,
+              // matching avg-over-no-rows / avg-over-all-NULLs.
               usesValue = true
               need(a.dataType == DoubleType)
+              val v = valueOf(a.child, d)
               Divide(
-                Cast(reagg(new Sum(vGet(s"sum_${valueOf(a.child, d)}"))), DoubleType),
-                Cast(reagg(new Sum(vGet("cnt"))), DoubleType),
+                Cast(reagg(new Sum(vGet(s"sum_$v"))), DoubleType),
+                Cast(reagg(new Sum(vGet(s"cnt_$v"))), DoubleType),
                 EvalMode.LEGACY)
             case _ => throw Bail
           }

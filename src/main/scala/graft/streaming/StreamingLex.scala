@@ -24,15 +24,44 @@ import graft.operators.LexIndex
   * it this file's hand-rolled copy of the StateCommit pointer I/O).
   *
   * [[LexIndex.build]] resets the watermark: resuming a stream across a
-  * rebuild requires a fresh checkpoint (a new stream era).
+  * rebuild requires a fresh checkpoint (a new stream era). That rule is
+  * ENFORCED, not just documented (round-10 advice): on first start the
+  * checkpoint records the index's [[LexIndex.buildEra]] in a marker
+  * file, and a resume whose recorded era no longer matches the index
+  * fails loudly BEFORE any batch applies — an old checkpoint resumed
+  * after a rebuild could otherwise re-deliver a crashed in-flight batch
+  * whose documents the rebuild corpus already contains (the watermark
+  * alone cannot catch it, because build resets the watermark to None).
   */
 object StreamingLex {
+
+  private val EraMarker = "graft-build-era"
 
   /** Start an AvailableNow maintenance pass of `docs` (batches of new
     * documents with `doc_id`/`text`) into the index at `root`, which
     * must already be built. */
   def start(docs: DataFrame, root: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String): StreamingQuery = {
+    val spark = docs.sparkSession
+    val era = LexIndex.buildEra(spark, root)
+    val marker = new org.apache.hadoop.fs.Path(checkpoint, EraMarker)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val recorded =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      require(recorded == era,
+        s"checkpoint $checkpoint was created against build era $recorded " +
+          s"but the index at $root is now era $era — it was rebuilt; " +
+          "resume with a FRESH checkpoint (replaying this one could " +
+          "double-count documents the rebuild corpus already contains)")
+    } else {
+      fs.mkdirs(marker.getParent)
+      val out = fs.create(marker, false)
+      try out.write(era.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         LexIndex.ingestBatch(batch.sparkSession, batch.toDF(), root, batchId)
@@ -42,6 +71,7 @@ object StreamingLex {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** Read-side convenience: BM25 top-k over the maintained index. */
   def search(spark: SparkSession, root: String, terms: Seq[String],

@@ -256,4 +256,23 @@ class AnnIndexPqSpec extends SparkSpec {
     val (ra, rr) = (recall(adc.toSeq), recall(rer.map(x => x._1 -> x._2).toSeq))
     assert(rr >= ra, s"re-rank lowered recall: adc=$ra rerank=$rr")
   }
+
+  test("searchAt: a retained pre-upsert snapshot answers exactly what it answered when current") {
+    val root = freshRoot()
+    AnnIndexPq.build(emb.where(col("vec_id") % 2 === 0), root)
+    val v1 = AnnIndexPq.version(spark, root)
+    val q = queries(4)
+    val before = AnnIndexPq.search(spark, root, q, nProbes = 8, k = 10)
+      .collect().map(_.toString).toSeq
+    AnnIndexPq.upsert(spark, root, emb.where(col("vec_id") % 2 =!= 0))
+    val now = AnnIndexPq.search(spark, root, q, nProbes = 8, k = 10)
+      .collect().map(_.toString).toSeq
+    assert(now != before, "fixture too weak: upsert did not move the ranking")
+    val atV1 = AnnIndexPq.searchAt(spark, root, q, v1, nProbes = 8, k = 10)
+      .collect().map(_.toString).toSeq
+    assert(atV1 == before, "pre-upsert snapshot drifted")
+    intercept[IllegalArgumentException] {
+      AnnIndexPq.searchAt(spark, root, q, v1 + 100, nProbes = 8, k = 10)
+    }
+  }
 }

@@ -256,4 +256,29 @@ class AnnIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(all == truth, "probing all cells diverged from brute force")
   }
+
+  test("searchAt: a retained pre-delete snapshot still serves the deleted vector") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ann_tt").toString
+    AnnIndex.build(emb.where(col("vec_id") < 60), dir, nCells = 8)
+    val v1 = AnnIndex.version(spark, dir)
+    val q = queries(4)
+    val before = AnnIndex.search(spark, dir, q, nProbes = 8, k = 10)
+      .collect().map(_.toString).toSeq
+    // delete every pre-delete top hit's id — the ranking must move
+    val victims = AnnIndex.search(spark, dir, q, nProbes = 8, k = 1)
+      .select("cid").distinct().as[Long].collect().toSeq
+    AnnIndex.delete(spark, dir, victims.toDF("vec_id"))
+    val now = AnnIndex.search(spark, dir, q, nProbes = 8, k = 10)
+      .collect().map(_.toString).toSeq
+    assert(now != before, "fixture too weak: delete did not move the ranking")
+    // time travel: the retained v1 answers exactly as it did when current
+    val atV1 = AnnIndex.searchAt(spark, dir, q, v1, nProbes = 8, k = 10)
+      .collect().map(_.toString).toSeq
+    assert(atV1 == before, "pre-delete snapshot drifted")
+    // outside the retention horizon: loud failure, never a silent fallback
+    intercept[IllegalArgumentException] {
+      AnnIndex.searchAt(spark, dir, q, v1 + 100, nProbes = 8, k = 10)
+    }
+  }
 }

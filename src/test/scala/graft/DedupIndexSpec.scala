@@ -158,4 +158,28 @@ class DedupIndexSpec extends SparkSpec {
       .select("n_sig_match").as[Long].collect()
     assert(rows.forall(m => m >= 2 && m <= 8), "probe ignored the stored scheme")
   }
+
+  test("classifyBatchAt: a retained pre-delete snapshot still flags the deleted doc's dups") {
+    val root = freshRoot()
+    DedupIndex.build(corpus, root)
+    val v1 = DedupIndex.version(spark, root)
+    val before = DedupIndex.classifyBatch(spark, root, batch)
+      .collect().map(_.toString).toSeq
+    // take down every indexed doc that matched anything in the batch —
+    // a probe against the CURRENT index must lose those verdicts
+    val dupIds = DedupIndex.queryNearDups(spark, root, batch)
+      .select(col("dup_id").as("doc_id")).distinct()
+    assert(dupIds.count() > 0, "fixture too weak: no near-dups to take down")
+    DedupIndex.delete(spark, root, dupIds)
+    val now = DedupIndex.classifyBatch(spark, root, batch)
+      .collect().map(_.toString).toSeq
+    assert(now != before, "fixture too weak: delete did not change verdicts")
+    // time travel: the pre-delete curation decision reproduces exactly
+    val atV1 = DedupIndex.classifyBatchAt(spark, root, batch, v1)
+      .collect().map(_.toString).toSeq
+    assert(atV1 == before, "pre-delete classify drifted")
+    intercept[IllegalArgumentException] {
+      DedupIndex.classifyBatchAt(spark, root, batch, v1 + 100)
+    }
+  }
 }

@@ -50,7 +50,8 @@ class DriverContractSpec extends SparkSpec {
       "sim_ann_store", "sim_annpq_store", "dd_index_query",
       "dd_index_classify", "ia_priority_rollup", "ia_priority_hist",
       "ia_rewrite", "ia_rewrite_avg", "cp_compact_scan", "lx_search",
-      "lx_hybrid", "lx_search_inc", "lx_search_del", "sim_annpq_rerank")
+      "lx_hybrid", "lx_search_inc", "lx_search_del", "lx_search_upd",
+      "sim_annpq_rerank")
 
   private val eager = streamingEager ++ layoutEager
 

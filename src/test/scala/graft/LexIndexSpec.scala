@@ -233,6 +233,9 @@ class LexIndexSpec extends SparkSpec {
       .write.parquet(flatTmp.toString)
     fs.delete(g1, true)
     assert(fs.rename(flatTmp, g1))
+    // a pre-docs-table generation has no docs dir either — the delete
+    // below must take liveDocs' postings-derived fallback for gen-1
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/gen-$v1/docs"), true)
 
     val rootFull = Files.createTempDirectory("lex_mixf_").toString
     LexIndex.build(spark, docs, rootFull)
@@ -269,6 +272,114 @@ class LexIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       LexIndex.searchAt(spark, root, terms, v1 + 100, k = 5)
     }
+  }
+
+  test("upsert updates a LIVE doc atomically: search equals a rebuild with the new content") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("lex_ups_").toString
+    LexIndex.build(spark, docs, root)
+    // update every doc_id % 11 == 3 in place — the routine curation
+    // event ingest's contract forbids (it would double-count)
+    val updated = docs.where(col("doc_id") % 11 === 3)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" freshly revised vector text")).as("text"))
+    LexIndex.upsert(spark, updated, root)
+    val rootRef = Files.createTempDirectory("lex_upsf_").toString
+    LexIndex.build(spark,
+      docs.select(col("doc_id"),
+        when(col("doc_id") % 11 === 3,
+          concat(col("text"), lit(" freshly revised vector text")))
+          .otherwise(col("text")).as("text")),
+      rootRef)
+    val terms = Seq("vector", "merge", "spark")
+    def rows(r: String) = LexIndex.search(spark, r, terms, k = 20)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSeq
+    assert(rows(root) == rows(rootRef),
+      "upsert diverged from rebuild-with-updated-corpus")
+
+    // replay under the committed version: guarded no-op
+    val cur = graft.streaming.StateCommit.currentVersion(spark, root).get
+    assert(LexIndex.upsert(spark, updated, root, expectedVersion = cur) == cur)
+    assert(rows(root) == rows(rootRef), "replayed upsert drifted the stats")
+
+    // a REPEATED (non-replay) upsert of the same content is idempotent
+    // on the search: old rows die, identical new ones land
+    LexIndex.upsert(spark, updated, root)
+    assert(rows(root) == rows(rootRef), "repeated upsert double-counted")
+  }
+
+  test("upsert handles every membership state: new ids ingest, deleted ids resurrect") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("lex_upm_").toString
+    LexIndex.build(spark, docs.where(col("doc_id") % 4 =!= 0), root)
+    LexIndex.delete(spark, root,
+      docs.where(col("doc_id") % 8 === 1).select("doc_id"))
+    // one upsert batch mixing: brand-new ids (% 4 == 0), deleted ids
+    // (% 8 == 1, resurrect with changed text), and live ids (% 8 == 5,
+    // update in place)
+    val batch = docs.where(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") % 8 === 1)
+        .select(col("doc_id"), concat(col("text"), lit(" resurrected")).as("text")))
+      .unionByName(docs.where(col("doc_id") % 8 === 5)
+        .select(col("doc_id"), concat(col("text"), lit(" updated")).as("text")))
+    LexIndex.upsert(spark, batch, root)
+    val rootRef = Files.createTempDirectory("lex_upmf_").toString
+    LexIndex.build(spark,
+      docs.select(col("doc_id"),
+        when(col("doc_id") % 8 === 1, concat(col("text"), lit(" resurrected")))
+          .when(col("doc_id") % 8 === 5, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")).as("text")),
+      rootRef)
+    val terms = Seq("vector", "merge", "spark")
+    def rows(r: String) = LexIndex.search(spark, r, terms, k = 20)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSeq
+    assert(rows(root) == rows(rootRef),
+      "mixed-membership upsert diverged from the reference rebuild")
+  }
+
+  test("deleting a ZERO-TOKEN doc subtracts its n_docs contribution exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a corpus with docs that tokenize to NOTHING ([a-z]+ finds no
+    // match) — invisible to postings, present only in the doc table
+    val corpus = docs.select("doc_id", "text").unionByName(
+      Seq((900001L, "12345 !!! 678"), (900002L, "??? 42"))
+        .toDF("doc_id", "text"))
+    val root = Files.createTempDirectory("lex_zt_").toString
+    LexIndex.build(spark, corpus, root)
+    LexIndex.delete(spark, root, Seq(900001L, 900002L).toDF("doc_id"))
+    val rootRef = Files.createTempDirectory("lex_ztf_").toString
+    LexIndex.build(spark, docs, rootRef)
+    val terms = Seq("vector", "merge", "spark")
+    def rows(r: String) = LexIndex.search(spark, r, terms, k = 20)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSeq
+    // n_docs feeds every idf: if the zero-token victims stayed counted,
+    // every score would differ from the rebuild-without-them
+    assert(rows(root) == rows(rootRef),
+      "zero-token delete left n_docs inflated (round-10 blind spot)")
+  }
+
+  test("tombstones stay churn-bounded: repeated sweeps with overlapping/bogus ids add no rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("lex_tb_").toString
+    LexIndex.build(spark, docs, root)
+    def tombRows(): Long = {
+      val v = graft.streaming.StateCommit.currentVersion(spark, root).get
+      spark.read.parquet(
+        graft.streaming.StateCommit.tableDir(root, v, "tombstones")).count()
+    }
+    val sweep = docs.where(col("doc_id") % 9 === 0).select("doc_id")
+    LexIndex.delete(spark, root, sweep)
+    val afterFirst = tombRows()
+    assert(afterFirst > 0, "fixture too weak: nothing deleted")
+    // the same takedown list again, plus ids that were never indexed:
+    // zero LIVE victims -> zero new tombstone rows (round-10 advice)
+    LexIndex.delete(spark, root,
+      sweep.unionByName(Seq(777777L, 888888L).toDF("doc_id")))
+    assert(tombRows() == afterFirst,
+      s"overlapping sweep grew tombstones: $afterFirst -> ${tombRows()}")
   }
 
   test("generation compaction is content-neutral: search byte-identical, manifest shrinks to one") {

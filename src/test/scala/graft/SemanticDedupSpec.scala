@@ -58,6 +58,31 @@ class SemanticDedupSpec extends SparkSpec {
     }
   }
 
+  test("deep paraphrase chain: fixpoint collapses depth >> 3 into one cluster") {
+    // A 13-vector PATH in embedding space: dims 0-7 are a shared positive
+    // base (one sign-LSH bucket for all), dims 8+k/9+k an overlapping
+    // two-dim window. Consecutive cosine = (s+w²)/(s+2w²) = 0.6, two-apart
+    // = s/(s+2w²) = 0.2 with s = 8·0.25² = 0.5, w = 1 — so at threshold
+    // 0.5 the pair graph is EXACTLY the path v0—v1—…—v12 (diameter 12).
+    val n = 12
+    def vec(k: Int): Array[Float] = {
+      val a = Array.fill(8 + n + 2)(0f)
+      (0 until 8).foreach(j => a(j) = 0.25f)
+      a(8 + k) = 1f; a(9 + k) = 1f
+      a
+    }
+    val chain = (0 to n).map(k => (k.toLong, vec(k))).toDF("vec_id", "embedding")
+    // fixpoint (default): the whole chain collapses to min id 0
+    val fixed = Similarity.semanticDedup(chain, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed == (0 to n).map(k => k.toLong -> 0L).toMap, fixed.toString)
+    // the old 3-round cap demonstrably splits this chain (non-vacuous:
+    // the silent under-dedup this round's fixpoint port fixes)
+    val capped = Similarity.semanticDedup(chain, threshold = 0.5, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped.values.toSet.size > 1, "cap did not split — deepen the fixture")
+  }
+
   test("threshold gates the graph: at cos >= 1.1 nothing clusters") {
     val rows = Similarity.semanticDedup(fixture, threshold = 1.1).collect()
     assert(rows.forall(r => r.getLong(0) == r.getLong(1) && r.getInt(2) == 1))

@@ -106,6 +106,44 @@ class StreamingLexSpec extends SparkSpec {
       "replayed batch double-counted")
   }
 
+  test("resuming an old checkpoint across a REBUILD fails loudly (era guard)") {
+    // round-10 advice: build() resets the batch watermark, so an old
+    // checkpoint resumed after a rebuild could re-apply a crashed
+    // in-flight batch whose docs the rebuild corpus already contains.
+    // The checkpoint's recorded build era makes that a loud refusal
+    // instead of operator discipline.
+    val root = Files.createTempDirectory("slex5_root").toString
+    val ckpt = Files.createTempDirectory("slex5_ckpt").toString
+    val srcDir = Files.createTempDirectory("slex5_src").toString
+    LexIndex.build(spark, docs.where(col("doc_id") % 3 === 0)
+      .select("doc_id", "text"), root)
+
+    docs.where(col("doc_id") % 3 === 1).select("doc_id", "text")
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def pass(): Unit = StreamingLex.start(
+      spark.readStream.schema(schema).parquet(srcDir), root, ckpt)
+      .awaitTermination()
+    pass() // anchors the checkpoint to the current build era
+
+    // REBUILD: new era; the index already contains everything
+    LexIndex.build(spark, docs.select("doc_id", "text"), root)
+    val before = rows(root, Seq("vector", "merge", "spark"))
+
+    docs.where(col("doc_id") % 3 === 2).select("doc_id", "text")
+      .write.mode("append").parquet(srcDir)
+    val e = intercept[IllegalArgumentException] { pass() }
+    assert(e.getMessage.contains("era"), e.getMessage)
+    assert(rows(root, Seq("vector", "merge", "spark")) == before,
+      "the refused resume still mutated the index")
+
+    // a FRESH checkpoint against the rebuilt index works
+    val ckpt2 = Files.createTempDirectory("slex5_ckpt2").toString
+    StreamingLex.start(
+      spark.readStream.schema(schema).parquet(srcDir), root, ckpt2)
+      .awaitTermination()
+  }
+
   test("an out-of-band delete between stream runs does not swallow the next batch") {
     // the round-10 review finding: version arithmetic over a remembered
     // base mistook the first post-mutation batch for a replay and

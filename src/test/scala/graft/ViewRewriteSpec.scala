@@ -175,6 +175,44 @@ class ViewRewriteSpec extends SparkSpec {
     } finally cleanup()
   }
 
+  test("avg over a value column WITH NULLs divides by the non-null count, not the row count") {
+    import spark.implicits._
+    // round-10 advice: Σsum/Σcnt deflates avg when v has NULLs (the base
+    // plan divides by count(v)); the maintained cnt_v is the exact divisor
+    val factDir = Files.createTempDirectory("vrn_fact_").toString
+    val root = Files.createTempDirectory("vrn_view_").toString
+    (1 to 40).map(i => (i.toLong, s"k${i % 3}",
+      if (i % 4 == 0) None else Some(i * 7L % 19))) // every 4th v is NULL
+      .toDF("id", "k1", "v")
+      .write.mode("overwrite").parquet(factDir)
+    val fact = spark.read.parquet(factDir)
+    (0 until 2).foreach { b =>
+      IncrementalAgg.ingest(spark, root,
+        fact.where(pmod(col("id"), lit(2)) === b),
+        keys = Seq("k1"), values = Seq("v"), batchId = b + 1L)
+    }
+    IncrementalAgg.registerView(spark, root, "vrn_test", factDir,
+      Seq("k1"), Seq("v"))
+    try {
+      val q = fact.groupBy("k1").agg(
+        avg(col("v").cast("long")).as("av"),
+        sum(col("v").cast("long")).as("sv"))
+      val paths = scanPaths(q)
+      assert(!paths.exists(_.contains(factDir)) && paths.exists(_.contains(root)),
+        s"avg rewrite did not fire: $paths")
+      ViewRewrite.deregister(spark, "vrn_test")
+      val expected = fact.groupBy("k1").agg(
+        avg(col("v").cast("long")).as("av"),
+        sum(col("v").cast("long")).as("sv")).collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      IncrementalAgg.registerView(spark, root, "vrn_test", factDir,
+        Seq("k1"), Seq("v"))
+      val got = q.collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      assert(got == expected, s"$got vs $expected")
+    } finally ViewRewrite.deregister(spark, "vrn_test")
+  }
+
   test("a non-deterministic filter bails: rand() sampling must stay per-row, not per-group") {
     val (factDir, _, fact) = fixture()
     try {
