@@ -669,7 +669,12 @@ object Main {
         .where(col("vec_id") === qid)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       if (q.isEmpty) { System.err.println(s"error: vec_id $qid not found in $data"); sys.exit(1) }
-      val hits = graft.operators.AnnIndex.search(spark, root, q, probes, k).collect()
+      // --at <version>: time-travel the probe to a retained snapshot
+      val hits = (opt(args, "at") match {
+        case Some(v) =>
+          graft.operators.AnnIndex.searchAt(spark, root, q, v.toLong, probes, k)
+        case None => graft.operators.AnnIndex.search(spark, root, q, probes, k)
+      }).collect()
       println(s"query=$qid probes=$probes k=$k -> ${hits.length} neighbors:")
       hits.foreach(r => println(f"  rank ${r.getInt(3)}%2d  vec ${r.getLong(1)}%6d  cos ${r.getDouble(2)}%.6f"))
       spark.stop()
@@ -778,10 +783,17 @@ object Main {
               s"  doc ${r.getLong(0)}  rrf=${r.getLong(3)} " +
                 s"(lex=${Option(r.get(1)).getOrElse("-")}, vec=${Option(r.get(2)).getOrElse("-")})"))
         case None =>
-          println(s"bm25 top-$k for terms=${terms.mkString(",")}:")
-          graft.operators.LexIndex.search(spark, root, terms, k)
-            .collect().foreach(r => println(
-              f"  ${r.getInt(2)}%2d. doc ${r.getLong(0)}%6d  score_micro=${r.getLong(1)}"))
+          // --at <version>: time-travel the query to a retained snapshot
+          val res = opt(args, "at") match {
+            case Some(v) =>
+              println(s"bm25 top-$k for terms=${terms.mkString(",")} AS OF snapshot $v:")
+              graft.operators.LexIndex.searchAt(spark, root, terms, v.toLong, k)
+            case None =>
+              println(s"bm25 top-$k for terms=${terms.mkString(",")}:")
+              graft.operators.LexIndex.search(spark, root, terms, k)
+          }
+          res.collect().foreach(r => println(
+            f"  ${r.getInt(2)}%2d. doc ${r.getLong(0)}%6d  score_micro=${r.getLong(1)}"))
       }
       spark.stop()
 

@@ -60,12 +60,15 @@ final case class MaterializedViewDef(
   *     sampling when relocated, so it bails);
   *   - every grouping expression is a bare key column;
   *   - every aggregate is non-distinct, unfiltered count(literal) /
-  *     sum / min / max / avg whose child is a value column (bare
-  *     integral attribute, or `CAST(value AS BIGINT)` — the view
+  *     count(v) / sum / min / max / avg whose child is a value column
+  *     (bare integral attribute, or `CAST(value AS BIGINT)` — the view
   *     stores exact BIGINT summaries, so both re-aggregate
-  *     losslessly); avg serves as Σsum_v / Σcnt (the weighted
-  *     re-aggregation — per-group means do NOT average directly) and
-  *     count(*) as coalesce(Σcnt, 0), preserving COUNT's
+  *     losslessly); avg serves as Σsum_v / Σcnt_v and count(v) as
+  *     Σcnt_v, where cnt_v is the view's per-value NON-NULL count —
+  *     avg's and count(v)'s true divisor/value on a fact with NULLs in
+  *     v (Σcnt, the row count, would silently deflate the mean; a view
+  *     snapshot predating cnt_v bails to the base plan); count(*)
+  *     serves as coalesce(Σcnt, 0), preserving COUNT's
   *     non-nullable-zero contract on an empty global aggregate;
   *   - the mapped expression's data type equals the original's (so an
   *     `INT`-typed `min(v)` over an `INT` column is NOT served by the
@@ -154,10 +157,15 @@ case class GraftViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _: AttributeReference => true // grouping output; exprId-checked later
       case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
-          case c: Count => c.children.forall {
-            case l: Literal => l.value != null
-            case _ => false
-          }
+          // count(*) / count(1) — served from Σcnt; count(v) over a
+          // registered value column — served from Σcnt_v (the per-value
+          // NON-NULL count the view maintains, count(v)'s exact value)
+          case c: Count if c.children.length == 1 =>
+            c.children.head match {
+              case l: Literal => l.value != null
+              case child =>
+                scala.util.Try(valueOf(child, d)).isSuccess && { usesValue = true; true }
+            }
           case s: Sum => scala.util.Try(valueOf(s.child, d)).isSuccess && { usesValue = true; true }
           case m: Min => scala.util.Try(valueOf(m.child, d)).isSuccess && { usesValue = true; true }
           case m: Max => scala.util.Try(valueOf(m.child, d)).isSuccess && { usesValue = true; true }
@@ -224,14 +232,20 @@ case class GraftViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               resultId = NamedExpression.newExprId)
           val repl: Expression = ae.aggregateFunction match {
             case c: Count =>
-              need(c.children.forall {
-                case l: Literal => l.value != null
-                case _ => false
-              })
+              need(c.children.length == 1)
+              // count(*)/count(1) re-aggregates Σcnt; count(v) over a
+              // registered value column re-aggregates Σcnt_v — its
+              // exact non-null count (vGet bails on a pre-cnt_v view).
               // coalesce preserves COUNT's contract on an empty GLOBAL
               // aggregate (COUNT → non-nullable 0; bare SUM → nullable
               // NULL); per-group it is transparent (cnt is never null)
-              Coalesce(Seq(reagg(new Sum(vGet("cnt"))), Literal(0L)))
+              val src = c.children.head match {
+                case l: Literal => need(l.value != null); vGet("cnt")
+                case child =>
+                  usesValue = true
+                  vGet(s"cnt_${valueOf(child, d)}")
+              }
+              Coalesce(Seq(reagg(new Sum(src)), Literal(0L)))
             case s: Sum =>
               usesValue = true
               reagg(s.withNewChildren(Seq(vGet(s"sum_${valueOf(s.child, d)}")))

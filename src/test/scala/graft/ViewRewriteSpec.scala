@@ -194,22 +194,33 @@ class ViewRewriteSpec extends SparkSpec {
     IncrementalAgg.registerView(spark, root, "vrn_test", factDir,
       Seq("k1"), Seq("v"))
     try {
+      // count(v) (the NON-NULL count) is served from Σcnt_v too —
+      // alongside count(*) from Σcnt, in the same query
       val q = fact.groupBy("k1").agg(
         avg(col("v").cast("long")).as("av"),
-        sum(col("v").cast("long")).as("sv"))
+        sum(col("v").cast("long")).as("sv"),
+        count(col("v")).as("nv"),
+        count(lit(1)).as("n"))
       val paths = scanPaths(q)
       assert(!paths.exists(_.contains(factDir)) && paths.exists(_.contains(root)),
         s"avg rewrite did not fire: $paths")
       ViewRewrite.deregister(spark, "vrn_test")
       val expected = fact.groupBy("k1").agg(
         avg(col("v").cast("long")).as("av"),
-        sum(col("v").cast("long")).as("sv")).collect()
-        .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+        sum(col("v").cast("long")).as("sv"),
+        count(col("v")).as("nv"),
+        count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
       IncrementalAgg.registerView(spark, root, "vrn_test", factDir,
         Seq("k1"), Seq("v"))
       val got = q.collect()
-        .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+        .map(r => r.getString(0) ->
+          ((r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
       assert(got == expected, s"$got vs $expected")
+      // the null rows are real: count(v) < count(*) somewhere
+      assert(expected.values.exists(t => t._3 < t._4),
+        "fixture too weak: no NULLs reached the fact")
     } finally ViewRewrite.deregister(spark, "vrn_test")
   }
 
