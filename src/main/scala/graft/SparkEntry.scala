@@ -957,6 +957,13 @@ object SparkEntry {
 
     "dd_jaccard" -> ((s, dir) => Dedup.jaccardConsecutive(Catalog.documents(s, dir))),
 
+    // exact n-gram Jaccard VERIFICATION of the LSH candidates — the
+    // estimate-is-not-enough stage: every candidate pair (never
+    // all-pairs) gets its true shingle-set overlap and a thresholded
+    // dup verdict; one shingle-hash pass feeds both signatures and sets
+    "dd_jaccard_verify" -> ((s, dir) =>
+      Dedup.jaccardVerifiedPairs(Catalog.documents(s, dir))),
+
     "dd_components" -> ((s, dir) => Dedup.lshComponents(Catalog.documents(s, dir))),
 
     // near-dedup materialized: canonical (min) doc per LSH cluster
@@ -3627,6 +3634,40 @@ object SparkEntry {
          |        / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 4) AS jaccard
          |FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
          |ORDER BY d1""".stripMargin,
+
+    // exact-Jaccard verification mirror: the SAME band chain generates
+    // candidates, then per-pair true overlap over the DISTINCT 32-bit
+    // shingle-hash sets (post-hash distinct on BOTH engines, so the
+    // negligible 2^32 collision behavior is identical)
+    "dd_jaccard_verify" ->
+      (LshBandsCtes +
+        """, pairs AS (
+          |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+          |  WHERE a.doc_id < b.doc_id
+          |), hsd AS (
+          |  SELECT DISTINCT doc_id, h FROM hs
+          |), sizes AS (
+          |  SELECT doc_id, COUNT(*) AS n FROM hsd GROUP BY 1
+          |), inter AS (
+          |  SELECT p.d1, p.d2, COUNT(*) AS inter
+          |  FROM pairs p
+          |  JOIN hsd h1 ON h1.doc_id = p.d1
+          |  JOIN hsd h2 ON h2.doc_id = p.d2 AND h2.h = h1.h
+          |  GROUP BY 1, 2
+          |), scored AS (
+          |  SELECT p.d1, p.d2,
+          |    COALESCE(i.inter, 0) AS inter, s1.n AS n1, s2.n AS n2,
+          |    round(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+          |          / (s1.n + s2.n - COALESCE(i.inter, 0)), 6) AS jaccard
+          |  FROM pairs p
+          |  LEFT JOIN inter i ON i.d1 = p.d1 AND i.d2 = p.d2
+          |  JOIN sizes s1 ON s1.doc_id = p.d1
+          |  JOIN sizes s2 ON s2.doc_id = p.d2
+          |)
+          |SELECT d1, d2, inter, n1, n2, jaccard,
+          |  CAST(jaccard >= 0.5 AS INTEGER) AS is_dup
+          |FROM scored ORDER BY d1, d2""".stripMargin),
 
     "sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),

@@ -158,9 +158,15 @@ object Dedup {
   def minhashWide(documents: DataFrame, k: Int = 16): DataFrame =
     // shinglesRaw, not shingles: `min` is duplicate-insensitive, so the
     // distinct's full-text shuffle would buy nothing.
-    shinglesRaw(documents)
-      .select(col("doc_id"), sha32(col("g")).as("h"))
-      .groupBy("doc_id")
+    wideFromHashes(
+      shinglesRaw(documents).select(col("doc_id"), sha32(col("g")).as("h")), k)
+
+  /** [[minhashWide]] from an already-hashed (doc_id, h) shingle stream —
+    * lets a caller that ALSO needs the hash sets (exact-Jaccard
+    * verification) derive the signatures from one shared snapshot
+    * instead of re-running the shingle pipeline. */
+  private def wideFromHashes(hs: DataFrame, k: Int): DataFrame =
+    hs.groupBy("doc_id")
       .agg(
         min(uhash(col("h"), 0)).as("mh0"),
         (1 until k).map(j => min(uhash(col("h"), j)).as(s"mh$j")): _*)
@@ -176,8 +182,10 @@ object Dedup {
   /** LSH band signatures from the wide form: bands of r adjacent rows,
     * signature = sha256 of the comma-joined minhashes in j-order. Computed
     * row-wise — no second shuffle. Returns (doc_id, band, sig). */
-  def lshBands(documents: DataFrame, k: Int = 16, r: Int = 4): DataFrame = {
-    val wide = minhashWide(documents, k)
+  def lshBands(documents: DataFrame, k: Int = 16, r: Int = 4): DataFrame =
+    bandsFromWide(minhashWide(documents, k), k, r)
+
+  private def bandsFromWide(wide: DataFrame, k: Int, r: Int): DataFrame = {
     val bands = (0 until k / r).map { b =>
       struct(lit(b.toLong).as("band"),
         sha2(concat_ws(",",
@@ -188,16 +196,17 @@ object Dedup {
       .select(col("doc_id"), col("x.band").as("band"), col("x.sig").as("sig"))
   }
 
-  /** Candidate near-dup pairs: documents sharing any LSH band bucket. */
-  def minhashLshPairs(documents: DataFrame, k: Int = 16, r: Int = 4): DataFrame = {
-    val bands = lshBands(documents, k, r)
+  private def pairsFromBands(bands: DataFrame): DataFrame = {
     val a = bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("d2"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))
       .where(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-      .orderBy("d1", "d2")
   }
+
+  /** Candidate near-dup pairs: documents sharing any LSH band bucket. */
+  def minhashLshPairs(documents: DataFrame, k: Int = 16, r: Int = 4): DataFrame =
+    pairsFromBands(lshBands(documents, k, r)).orderBy("d1", "d2")
 
   /** Cross-split near-dup LEAKAGE audit — eval hygiene for a
     * train/val/test release: an eval document with a near-duplicate in
@@ -886,5 +895,52 @@ object Dedup {
         round(col("common") / (col("n1") + col("n2") - col("common")), 4)
           .as("jaccard"))
       .orderBy("d1")
+  }
+
+  /** Exact n-gram Jaccard VERIFICATION of the LSH candidate pairs —
+    * the stage a production near-dup pipeline runs between candidate
+    * generation and the dedup decision when the MinHash ESTIMATE is
+    * not certain enough (k=16 signatures estimate J with σ ≈ 0.125;
+    * a borderline takedown / legal-compliance dedup wants the true
+    * overlap). Each LSH candidate pair (and ONLY candidates — never
+    * all-pairs) gets its exact shingle-set Jaccard |A∩B| / |A∪B| and
+    * an `is_dup` verdict at `threshold`. Returns
+    * (d1, d2, inter, n1, n2, jaccard, is_dup).
+    *
+    * Scale posture: ONE shingle→sha32 pass feeds both the signature
+    * chain (candidates) and the verification sets — the per-doc
+    * DISTINCT 32-bit hash set is snapshotted and reused, so raw text
+    * never crosses a shuffle and the shingle pipeline never re-runs
+    * (the lshComponents lesson). The intersection is two narrow
+    * id-keyed joins on (doc, h) rows RESTRICTED to candidate docs
+    * (left-semi prune first), grouped per pair — work is bounded by
+    * |candidates| × shingles-per-doc, not corpus². */
+  def jaccardVerifiedPairs(documents: DataFrame, k: Int = 16, r: Int = 4,
+      threshold: Double = 0.5, materialize: Boolean = true): DataFrame = {
+    val sets = Stage.snap(
+      shinglesRaw(documents)
+        .select(col("doc_id"), sha32(col("g")).as("h")).distinct(),
+      materialize)
+    val pairs = Stage.snap(
+      pairsFromBands(bandsFromWide(wideFromHashes(sets, k), k, r)),
+      materialize)
+    // only candidate docs' hash rows enter the intersection joins
+    val candDocs = pairs.select(col("d1").as("doc_id"))
+      .unionByName(pairs.select(col("d2").as("doc_id"))).distinct()
+    val candSets = sets.join(candDocs, Seq("doc_id"), "left_semi")
+    val sizes = candSets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(candSets.select(col("doc_id").as("d1"), col("h")), Seq("d1"))
+      .join(candSets.select(col("doc_id").as("d2"), col("h")), Seq("d2", "h"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    val i = coalesce(col("inter"), lit(0L))
+    pairs
+      .join(inter, Seq("d1", "d2"), "left_outer")
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .select(col("d1"), col("d2"), i.as("inter"), col("n1"), col("n2"),
+        round(i.cast("double") / (col("n1") + col("n2") - i), 6).as("jaccard"))
+      .withColumn("is_dup", (col("jaccard") >= threshold).cast("int"))
+      .orderBy("d1", "d2")
   }
 }

@@ -29,6 +29,34 @@ class DedupQualitySpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)), pairs.toString)
   }
 
+  test("jaccardVerifiedPairs: exact overlap on LSH candidates, brute-force parity") {
+    // an exact copy, a near-dup and an unrelated doc: the verifier must
+    // score the copy at 1.0, the near-dup at its TRUE shingle Jaccard
+    // (computed brute-force here), and emit only LSH candidate pairs
+    val corpus = docs.unionByName(Seq((4L, base)).toDF("doc_id", "text"))
+    val rows = Dedup.jaccardVerifiedPairs(corpus, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getInt(6))))
+      .toMap
+    // candidates only: every emitted pair is an LSH candidate pair
+    val cand = Dedup.minhashLshPairs(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.keySet.subsetOf(cand), s"${rows.keySet} vs $cand")
+    // the exact copy scores 1.0
+    val copy = rows((1L, 4L))
+    assert(copy._4 == 1.0 && copy._5 == 1 && copy._1 == copy._2, copy.toString)
+    // brute-force ground truth for the near-dup pair (word 3-gram sets)
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val (sa, sb) = (shingles(base), shingles(nearDup))
+    val truth = sa.intersect(sb).size.toDouble / sa.union(sb).size
+    val nd = rows((1L, 2L))
+    assert(math.abs(nd._4 - truth) < 1e-6, s"got ${nd._4}, want $truth")
+    assert(nd._1 == sa.intersect(sb).size && nd._2 == sa.size && nd._3 == sb.size)
+    // verdict respects the threshold against the exact value
+    assert(nd._5 == (if (nd._4 >= 0.5) 1 else 0))
+  }
+
   test("simhash hamming pairs the near-dup, not the unrelated doc") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
