@@ -459,6 +459,29 @@ object LexIndex {
     if (expectedVersion >= 0 && expectedVersion <= prev) return prev // replay
     val v = if (expectedVersion >= 0) expectedVersion else prev + 1
     require(v == prev + 1, s"upsert version $v must follow committed $prev")
+    upsertCore(spark, documents, root, prev, v, nBuckets,
+      streamBatchOf(spark, root, prev))
+  }
+
+  /** Stream-maintenance UPSERT keyed by the stream's own batch id — the
+    * [[ingestBatch]] watermark discipline applied to the live-document
+    * UPDATE path: a CDC feed of changed documents maintains the index
+    * through at-least-once delivery, with re-delivered batches refused
+    * by the in-snapshot watermark (committed atomically with the
+    * generation it guards). */
+  def upsertBatch(spark: SparkSession, documents: DataFrame, root: String,
+      batchId: Long, nBuckets: Int = 32): Long = {
+    val prev = StateCommit.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed lexical index at $root — build first"))
+    if (streamBatchOf(spark, root, prev).exists(batchId <= _))
+      return prev // replay of an applied batch — converged no-op
+    upsertCore(spark, documents, root, prev, prev + 1, nBuckets,
+      Some(batchId))
+  }
+
+  private def upsertCore(spark: SparkSession, documents: DataFrame,
+      root: String, prev: Long, v: Long, nBuckets: Int,
+      streamBatch: Option[Long]): Long = {
     val batchIds = Stage.snap(
       documents.select(col("doc_id").cast("long").as("doc_id")).distinct(),
       materialize = true)
@@ -510,8 +533,7 @@ object LexIndex {
     val gens = spark.read.parquet(StateCommit.tableDir(root, prev, Manifest))
       .collect().map(_.getLong(0)).toSeq :+ v
     writeSnapshot(spark, root, v, postings, bDocs, mergedDfs, mergedStats,
-      gens, nBuckets, tombs, streamBatchOf(spark, root, prev),
-      eraOf(spark, root, prev))
+      gens, nBuckets, tombs, streamBatch, eraOf(spark, root, prev))
   }
 
   /** Fold every live generation's postings into ONE new generation —

@@ -37,11 +37,12 @@ object StreamingLex {
 
   private val EraMarker = "graft-build-era"
 
-  /** Start an AvailableNow maintenance pass of `docs` (batches of new
-    * documents with `doc_id`/`text`) into the index at `root`, which
-    * must already be built. */
-  def start(docs: DataFrame, root: String,
-      checkpoint: String): StreamingQuery = {
+  /** The era handshake: first start records the index's current build
+    * era inside the checkpoint; any later start from the same
+    * checkpoint refuses to proceed if the index has been rebuilt
+    * since. */
+  private def guardEra(docs: DataFrame, root: String,
+      checkpoint: String): Unit = {
     val spark = docs.sparkSession
     val era = LexIndex.buildEra(spark, root)
     val marker = new org.apache.hadoop.fs.Path(checkpoint, EraMarker)
@@ -62,9 +63,37 @@ object StreamingLex {
       try out.write(era.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
+  }
+
+  /** Start an AvailableNow maintenance pass of `docs` (batches of new
+    * documents with `doc_id`/`text`) into the index at `root`, which
+    * must already be built. */
+  def start(docs: DataFrame, root: String,
+      checkpoint: String): StreamingQuery = {
+    guardEra(docs, root, checkpoint)
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         LexIndex.ingestBatch(batch.sparkSession, batch.toDF(), root, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Start an AvailableNow UPSERT pass — the CDC shape: each micro-batch
+    * carries changed documents (updates of live docs, resurrections of
+    * deleted ids, brand-new ids — any mix), applied atomically per batch
+    * via [[LexIndex.upsertBatch]]'s exact delete+ingest algebra. The
+    * same watermark + era guards as [[start]]: re-delivered batches are
+    * refused, and a checkpoint cannot outlive a rebuild. */
+  def startUpsert(docs: DataFrame, root: String,
+      checkpoint: String): StreamingQuery = {
+    guardEra(docs, root, checkpoint)
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        LexIndex.upsertBatch(batch.sparkSession, batch.toDF(), root, batchId)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -106,6 +106,52 @@ class StreamingLexSpec extends SparkSpec {
       "replayed batch double-counted")
   }
 
+  test("CDC upsert stream: streamed document UPDATES converge to the updated-corpus rebuild; replay refused") {
+    val root = Files.createTempDirectory("slex6_root").toString
+    val srcDir = Files.createTempDirectory("slex6_src").toString
+    LexIndex.build(spark, docs.select("doc_id", "text"), root)
+
+    // batch 1: update a third of the corpus in place (live-doc updates —
+    // the shape plain ingest would double-count); batch 2: update
+    // another slice AND introduce brand-new ids
+    docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" cdc rev one")).as("text"))
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def pass(ckpt: String): Unit = StreamingLex.startUpsert(
+      spark.readStream.schema(schema).parquet(srcDir), root, ckpt)
+      .awaitTermination()
+    val ckpt = Files.createTempDirectory("slex6_ckpt").toString
+    pass(ckpt)
+
+    docs.where(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), concat(col("text"), lit(" cdc rev two")).as("text"))
+      .unionByName(docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .write.mode("append").parquet(srcDir)
+    pass(ckpt) // resume: second batch applies
+
+    val want = Files.createTempDirectory("slex6_want").toString
+    LexIndex.build(spark,
+      docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" cdc rev one")))
+          .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" cdc rev two")))
+          .otherwise(col("text")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"))),
+      want)
+    val terms = Seq("vector", "merge", "spark")
+    assert(rows(root, terms) == rows(want, terms),
+      "CDC upsert stream diverged from the updated-corpus rebuild")
+
+    // lost checkpoint: the same files re-deliver from batch 0 — the
+    // watermark refuses them, nothing double-counts
+    val ckpt2 = Files.createTempDirectory("slex6_ckpt2").toString
+    pass(ckpt2)
+    assert(rows(root, terms) == rows(want, terms),
+      "replayed upsert batches drifted the index")
+  }
+
   test("resuming an old checkpoint across a REBUILD fails loudly (era guard)") {
     // round-10 advice: build() resets the batch watermark, so an old
     // checkpoint resumed after a rebuild could re-apply a crashed
