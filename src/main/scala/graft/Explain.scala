@@ -44,15 +44,20 @@ object Explain {
   /** Lazy (materialize=false) builders for the stage-snapshotting queries. */
   private val lazyForms
       : Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    // bounded rounds = 3 for every lazy plan dump: per-round plan shape
+    // is identical to the fixpoint's, and the bounded path runs no
+    // convergence actions while the plan is being built (the fixpoint
+    // form would execute the FULL un-checkpointed LSH pipeline once per
+    // round before any plan prints)
     "ta_release" -> ((s, dir) => graft.operators.TextAnalysis.releasePipeline(
-      graft.catalog.Catalog.documents(s, dir), materialize = false)),
+      graft.catalog.Catalog.documents(s, dir), materialize = false,
+      rounds = 3)),
     "dd_components" -> ((s, dir) => graft.operators.Dedup.lshComponents(
-      graft.catalog.Catalog.documents(s, dir), materialize = false)),
+      graft.catalog.Catalog.documents(s, dir), rounds = 3,
+      materialize = false)),
     "dd_near_apply" -> ((s, dir) => graft.operators.Dedup.nearDupApply(
-      graft.catalog.Catalog.documents(s, dir), materialize = false)),
-    // bounded rounds for the lazy plan dump: per-round plan shape is
-    // identical to the fixpoint's, and the bounded path runs no
-    // convergence actions while the plan is being built
+      graft.catalog.Catalog.documents(s, dir), materialize = false,
+      rounds = 3)),
     "sim_semdedup" -> ((s, dir) => graft.operators.Similarity.semanticDedup(
       graft.catalog.Catalog.embeddings(s, dir), threshold = 0.25,
       rounds = 3, materialize = false)))

@@ -272,9 +272,7 @@ object AnnIndex {
     * answered when current. Fails loudly outside the horizon. */
   def searchAt(spark: SparkSession, root: String, queries: DataFrame,
       v: Long, nProbes: Int = 1, k: Int = 5): DataFrame = {
-    val have = StateCommit.versions(spark, root)
-    require(have.contains(v),
-      s"snapshot $v not available at $root (retained: ${have.mkString(", ")})")
+    StateCommit.requireRetained(spark, root, v)
     val cents = spark.read.parquet(StateCommit.tableDir(root, v, Centroids))
     val live = entriesOf(spark, root, v)
     val raw = readCells(spark, root, live)

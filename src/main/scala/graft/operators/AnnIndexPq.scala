@@ -218,9 +218,7 @@ object AnnIndexPq {
     * to it). Fails loudly outside the retention horizon. */
   def searchAt(spark: SparkSession, root: String, queries: DataFrame,
       v: Long, nProbes: Int = 2, k: Int = 5): DataFrame = {
-    val have = StateCommit.versions(spark, root)
-    require(have.contains(v),
-      s"snapshot $v not available at $root (retained: ${have.mkString(", ")})")
+    StateCommit.requireRetained(spark, root, v)
     val (_, m, subDim, _) = paramsAt(spark, root, v)
     val coarse = spark.read.parquet(StateCommit.tableDir(root, v, Coarse))
     val cents = spark.read.parquet(StateCommit.tableDir(root, v, Codebook))

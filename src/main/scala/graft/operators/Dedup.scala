@@ -563,14 +563,19 @@ object Dedup {
     * Map-only on top of the components' narrow doc_id shuffles — the
     * filter is `doc_id == cluster`, no extra join against the corpus
     * needed because every doc carries its own label. */
-  def nearDupApply(documents: DataFrame, materialize: Boolean = true): DataFrame =
-    nearDupKeepIds(documents, materialize).orderBy("doc_id")
+  def nearDupApply(documents: DataFrame, materialize: Boolean = true,
+      rounds: Int = 0): DataFrame =
+    nearDupKeepIds(documents, materialize, rounds).orderBy("doc_id")
 
   /** Unsorted near-dedup keep-ids — the stage-snapshot form for
-    * releasePipeline (no global sort before a checkpoint). */
+    * releasePipeline (no global sort before a checkpoint). `rounds`
+    * forwards to the propagation loop: 0 = fixpoint (production);
+    * positive = bounded unroll, the form a lazy plan dump wants (a
+    * fixpoint cannot be built without executing convergence actions). */
   private[operators] def nearDupKeepIds(documents: DataFrame,
-      materialize: Boolean = true): DataFrame =
-    lshComponentsUnsorted(documents, materialize = materialize)
+      materialize: Boolean = true, rounds: Int = 0): DataFrame =
+    lshComponentsUnsorted(documents, rounds = rounds,
+        materialize = materialize)
       .where(col("doc_id") === col("cluster"))
       .select(col("doc_id"))
 

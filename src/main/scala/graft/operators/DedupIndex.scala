@@ -158,11 +158,7 @@ object DedupIndex {
     liveRows(spark, root, version(spark, root), p => s"$p/sigs")
 
   private def requireRetained(spark: SparkSession, root: String,
-      v: Long): Unit = {
-    val have = StateCommit.versions(spark, root)
-    require(have.contains(v),
-      s"snapshot $v not available at $root (retained: ${have.mkString(", ")})")
-  }
+      v: Long): Unit = StateCommit.requireRetained(spark, root, v)
 
   private def schemeAt(spark: SparkSession, root: String,
       v: Long): (Int, Int) = {

@@ -130,6 +130,26 @@ object IncrementalAgg {
     batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Legacy-state shim: snapshots committed before the `cnt_<v>`
+    * non-null counts existed cannot be upgraded in place — the non-null
+    * history is gone. Without it, [[ingest]] and [[view]] would throw a
+    * bare UNRESOLVED_COLUMN AnalysisException on the first post-upgrade
+    * read (round-11 review finding). Fail with the migration story
+    * instead, or — when the caller can assert the value columns never
+    * held NULLs — adopt `cnt` as the divisor, which is then exact. */
+  private def upgraded(state: DataFrame, values: Seq[String],
+      assumeNoNulls: Boolean): DataFrame = {
+    val missing = values.map(v => s"cnt_$v").filterNot(state.columns.contains)
+    if (missing.isEmpty) state
+    else if (assumeNoNulls)
+      missing.foldLeft(state)((df, m) => df.withColumn(m, col("cnt")))
+    else throw new IllegalStateException(
+      s"aggregate state predates the non-null count column(s) " +
+        s"${missing.mkString(", ")} — rebuild the view by re-ingesting " +
+        "the fact, or pass assumeNoNulls=true to adopt cnt as the " +
+        "divisor (exact ONLY if the value columns never held NULLs)")
+  }
+
   private def merged(state: DataFrame, partial: DataFrame,
       keys: Seq[String], values: Seq[String], distincts: Seq[String],
       hists: Seq[HistSpec]): DataFrame = {
@@ -152,12 +172,14 @@ object IncrementalAgg {
   def ingest(spark: SparkSession, root: String, batch: DataFrame,
       keys: Seq[String], values: Seq[String], batchId: Long,
       distincts: Seq[String] = Nil, hists: Seq[HistSpec] = Nil,
-      retain: Int = 2): Boolean = {
+      retain: Int = 2, assumeNoNulls: Boolean = false): Boolean = {
     val cur = lastBatch(spark, root)
     if (batchId <= cur) return false // replay — already folded in
     val partial = partialOf(batch, keys, values, distincts, hists)
     val next = read(spark, root) match {
-      case Some(state) => merged(state, partial, keys, values, distincts, hists)
+      case Some(state) =>
+        merged(upgraded(state, values, assumeNoNulls), partial,
+          keys, values, distincts, hists)
       case None => partial
     }
     next.write.mode("overwrite")
@@ -259,9 +281,11 @@ object IncrementalAgg {
     * value count, exact BIGINT — avg(v)'s divisor, not the row count) —
     * what a reader queries instead of the 100 TB fact. */
   def view(spark: SparkSession, root: String,
-      values: Seq[String]): DataFrame = {
-    val state = read(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed aggregate at $root"))
+      values: Seq[String], assumeNoNulls: Boolean = false): DataFrame = {
+    val state = upgraded(
+      read(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed aggregate at $root")),
+      values, assumeNoNulls)
     values.foldLeft(state) { (df, v) =>
       df.withColumn(s"avg_$v", expr(s"sum_$v div cnt_$v"))
     }

@@ -88,6 +88,28 @@ object LexIndex {
     (postings, docs, dfs, stats)
   }
 
+  /** Collapse a CDC batch to ONE row per doc_id BEFORE the upsert
+    * algebra sees it. A micro-batch legitimately carries several
+    * versions of the same document (two edits inside one trigger
+    * window); without this step [[batchParts]] would union both
+    * versions' tokens into one posting set and count the doc twice in
+    * `n_docs` — silent, permanent index corruption. Last-wins order: by
+    * `seqCol` when the feed has one (a CDC offset / modified-at
+    * column), else deterministically by the row's remaining columns
+    * (max struct) so replays pick the same winner either way. */
+  private def collapseBatch(documents: DataFrame, seqCol: String): DataFrame = {
+    val others = documents.columns.filterNot(_ == "doc_id").toSeq
+    if (others.isEmpty) return documents.dropDuplicates("doc_id")
+    require(seqCol.isEmpty || others.contains(seqCol),
+      s"seqCol '$seqCol' is not a column of the upsert batch")
+    val ord =
+      if (seqCol.nonEmpty) col(seqCol) +: others.filterNot(_ == seqCol).map(col)
+      else others.map(col)
+    documents.groupBy(col("doc_id"))
+      .agg(max(struct(ord: _*)).as("w"))
+      .select(col("doc_id") +: others.map(c => col(s"w.$c").as(c)): _*)
+  }
+
   private def emptyTombstones(spark: SparkSession): DataFrame = {
     val s = spark; import s.implicits._
     Seq.empty[(Long, Long)].toDF("doc_id", "before_gen")
@@ -239,10 +261,14 @@ object LexIndex {
     // a CONTIGUOUS token range, so it intersects only a few tpfx
     // prefixes and the generation lands as ~nBuckets+26 files instead
     // of the hash layout's nBuckets × 26 (the round-10 medians showed
-    // that write amplification as lx_search_inc's real 1.8× regression;
-    // one term's rows still co-locate — a range holds whole tokens)
+    // that write amplification as lx_search_inc's real 1.8× regression).
+    // Range by token ALONE: with doc_id in the range key a boundary can
+    // land inside one hot token's doc_id run, splitting that term across
+    // two files (round-11 review); the within-partition sort restores
+    // (token, doc_id) row order for the file layout.
     postings.withColumn("tpfx", substring(col("token"), 1, 1))
-      .repartitionByRange(nBuckets, col("token"), col("doc_id"))
+      .repartitionByRange(nBuckets, col("token"))
+      .sortWithinPartitions(col("token"), col("doc_id"))
       .write.mode("overwrite").partitionBy("tpfx")
       .parquet(genDir(root, v))
     // the generation's doc table: one narrow (doc_id, dl) row per doc —
@@ -453,14 +479,15 @@ object LexIndex {
     * batch-only token pass; the corpus is never rescanned or
     * rewritten. */
   def upsert(spark: SparkSession, documents: DataFrame, root: String,
-      nBuckets: Int = 32, expectedVersion: Long = -1L): Long = {
+      nBuckets: Int = 32, expectedVersion: Long = -1L,
+      seqCol: String = ""): Long = {
     val prev = StateCommit.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed lexical index at $root — build first"))
     if (expectedVersion >= 0 && expectedVersion <= prev) return prev // replay
     val v = if (expectedVersion >= 0) expectedVersion else prev + 1
     require(v == prev + 1, s"upsert version $v must follow committed $prev")
     upsertCore(spark, documents, root, prev, v, nBuckets,
-      streamBatchOf(spark, root, prev))
+      streamBatchOf(spark, root, prev), seqCol)
   }
 
   /** Stream-maintenance UPSERT keyed by the stream's own batch id — the
@@ -470,18 +497,19 @@ object LexIndex {
     * by the in-snapshot watermark (committed atomically with the
     * generation it guards). */
   def upsertBatch(spark: SparkSession, documents: DataFrame, root: String,
-      batchId: Long, nBuckets: Int = 32): Long = {
+      batchId: Long, nBuckets: Int = 32, seqCol: String = ""): Long = {
     val prev = StateCommit.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed lexical index at $root — build first"))
     if (streamBatchOf(spark, root, prev).exists(batchId <= _))
       return prev // replay of an applied batch — converged no-op
     upsertCore(spark, documents, root, prev, prev + 1, nBuckets,
-      Some(batchId))
+      Some(batchId), seqCol)
   }
 
-  private def upsertCore(spark: SparkSession, documents: DataFrame,
+  private def upsertCore(spark: SparkSession, rawDocuments: DataFrame,
       root: String, prev: Long, v: Long, nBuckets: Int,
-      streamBatch: Option[Long]): Long = {
+      streamBatch: Option[Long], seqCol: String = ""): Long = {
+    val documents = collapseBatch(rawDocuments, seqCol)
     val batchIds = Stage.snap(
       documents.select(col("doc_id").cast("long").as("doc_id")).distinct(),
       materialize = true)
@@ -583,9 +611,7 @@ object LexIndex {
     * version would corrupt any downstream reproduction). */
   def searchAt(spark: SparkSession, root: String, terms: Seq[String],
       v: Long, k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val have = StateCommit.versions(spark, root)
-    require(have.contains(v),
-      s"snapshot $v not available at $root (retained: ${have.mkString(", ")})")
+    StateCommit.requireRetained(spark, root, v)
     if (terms.isEmpty)
       return spark.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit(0L).as("score_micro"),

@@ -313,7 +313,7 @@ object TextAnalysis {
     * final corpus projection (1) — 5 bounded passes, independent of how
     * many downstream branches consume each stage. */
   def releasePipeline(documents: DataFrame, materialize: Boolean = true,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, rounds: Int = 0): DataFrame = {
     def snap(df: DataFrame): DataFrame = Stage.snap(df, materialize)
     // stage keep-lists snapshot UNSORTED: the public operators' global
     // orderBy (oracle determinism) feeding a checkpoint would physically
@@ -326,7 +326,7 @@ object TextAnalysis {
     // nearDupKeepIds' survivors are already ⊆ d2 ⊆ d1 — its output IS the
     // final corpus id list. materialize propagates so the lazy form is
     // lazy ALL the way down (no hidden checkpoint inside lshComponents).
-    val keepN = Dedup.nearDupKeepIds(d2, materialize)
+    val keepN = Dedup.nearDupKeepIds(d2, materialize, rounds)
     val corpus = snap(documents.select("doc_id", "lang")
       .join(keepN, Seq("doc_id"), "left_semi"))
     split(corpus)

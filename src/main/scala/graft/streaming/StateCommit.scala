@@ -180,9 +180,17 @@ object StateCommit {
     * downstream reproduction run. */
   def readTableAt(spark: SparkSession, statePath: String, table: String,
       v: Long): DataFrame = {
+    requireRetained(spark, statePath, v)
+    spark.read.parquet(tableDir(statePath, v, table))
+  }
+
+  /** The retained-snapshot guard every time-travel read shares (one
+    * edit site for retention semantics and the error wording instead of
+    * a copy per index family). */
+  def requireRetained(spark: SparkSession, statePath: String,
+      v: Long): Unit = {
     val have = versions(spark, statePath)
     require(have.contains(v),
       s"snapshot $v not available at $statePath (retained: ${have.mkString(", ")})")
-    spark.read.parquet(tableDir(statePath, v, table))
   }
 }

@@ -58,6 +58,18 @@ object StreamingLex {
           "resume with a FRESH checkpoint (replaying this one could " +
           "double-count documents the rebuild corpus already contains)")
     } else {
+      // A marker-less checkpoint that ALREADY holds Spark streaming
+      // state predates this guard — its true era is unknown, so
+      // anchoring it to the CURRENT era would let a pre-rebuild
+      // checkpoint sail through (the exact replay double-count the
+      // guard exists to stop). Only a genuinely fresh checkpoint (no
+      // offsets yet) may adopt the current era.
+      val offsets = new org.apache.hadoop.fs.Path(checkpoint, "offsets")
+      require(!fs.exists(offsets) || fs.listStatus(offsets).isEmpty,
+        s"checkpoint $checkpoint has streaming offsets but no recorded " +
+          s"build era — it predates the era guard, and the index at $root " +
+          "may have been rebuilt since it was written; resume with a " +
+          "FRESH checkpoint")
       fs.mkdirs(marker.getParent)
       val out = fs.create(marker, false)
       try out.write(era.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -89,11 +101,12 @@ object StreamingLex {
     * same watermark + era guards as [[start]]: re-delivered batches are
     * refused, and a checkpoint cannot outlive a rebuild. */
   def startUpsert(docs: DataFrame, root: String,
-      checkpoint: String): StreamingQuery = {
+      checkpoint: String, seqCol: String = ""): StreamingQuery = {
     guardEra(docs, root, checkpoint)
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        LexIndex.upsertBatch(batch.sparkSession, batch.toDF(), root, batchId)
+        LexIndex.upsertBatch(batch.sparkSession, batch.toDF(), root, batchId,
+          seqCol = seqCol)
         ()
       }
       .option("checkpointLocation", checkpoint)

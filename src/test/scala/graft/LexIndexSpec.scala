@@ -382,6 +382,53 @@ class LexIndexSpec extends SparkSpec {
       s"overlapping sweep grew tombstones: $afterFirst -> ${tombRows()}")
   }
 
+  test("a CDC batch with TWO versions of one doc collapses to last-wins — no posting union, no double n_docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("lex_dup_").toString
+    LexIndex.build(spark, docs, root)
+    // one micro-batch carrying BOTH edits of doc 3 (two versions inside
+    // a trigger window) — seq orders them, so v2 must win outright:
+    // pre-fix, batchParts unioned both versions' tokens and counted the
+    // doc twice in n_docs
+    val batch = Seq(
+      (3L, 1L, "first draft of the revised vector text"),
+      (3L, 2L, "zanzibar final revision only")).toDF("doc_id", "seq", "text")
+    LexIndex.upsert(spark, batch, root, seqCol = "seq")
+    val rootRef = Files.createTempDirectory("lex_dupf_").toString
+    LexIndex.build(spark,
+      docs.select(col("doc_id"),
+        when(col("doc_id") === 3, lit("zanzibar final revision only"))
+          .otherwise(col("text")).as("text")),
+      rootRef)
+    val terms = Seq("vector", "zanzibar", "draft", "merge")
+    def rows(r: String) = LexIndex.search(spark, r, terms, k = 20)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSeq
+    assert(rows(root) == rows(rootRef),
+      "duplicate-doc batch diverged from last-wins rebuild")
+    // phantom token from the LOSING version must not match doc 3
+    val stale = LexIndex.search(spark, root, Seq("draft"), k = 20)
+      .collect().map(_.getLong(0)).toSet
+    val staleRef = LexIndex.search(spark, rootRef, Seq("draft"), k = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(stale == staleRef, "stale version's tokens leaked into the index")
+    // n_docs must equal the reference's exactly (pre-fix: off by one)
+    def nDocs(r: String): Long = {
+      val v = graft.streaming.StateCommit.currentVersion(spark, r).get
+      spark.read.parquet(graft.streaming.StateCommit.tableDir(r, v, "stats"))
+        .head().getLong(0)
+    }
+    assert(nDocs(root) == nDocs(rootRef), "duplicate batch inflated n_docs")
+    // without a seq column the collapse is deterministic: two identical
+    // upserts of an unordered dup batch agree with each other
+    val unordered = Seq((5L, "gamma beta"), (5L, "alpha omega"))
+      .toDF("doc_id", "text")
+    LexIndex.upsert(spark, unordered, root)
+    val first = rows(root)
+    LexIndex.upsert(spark, unordered, root)
+    assert(rows(root) == first, "unordered dup collapse was not deterministic")
+  }
+
   test("generation compaction is content-neutral: search byte-identical, manifest shrinks to one") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("lex_cpt_").toString

@@ -190,6 +190,35 @@ class StreamingLexSpec extends SparkSpec {
       .awaitTermination()
   }
 
+  test("a marker-less checkpoint with existing offsets is refused — it cannot adopt the current era") {
+    // round-11 review: a checkpoint born BEFORE the era guard has
+    // streaming offsets but no marker file; silently anchoring it to
+    // the CURRENT era would let a pre-rebuild checkpoint replay a
+    // crashed batch against the rebuild corpus. Only a genuinely fresh
+    // checkpoint (no offsets) may adopt the era.
+    val root = Files.createTempDirectory("slex6_root").toString
+    val ckpt = Files.createTempDirectory("slex6_ckpt").toString
+    val srcDir = Files.createTempDirectory("slex6_src").toString
+    LexIndex.build(spark, docs.where(col("doc_id") % 3 === 0)
+      .select("doc_id", "text"), root)
+    docs.where(col("doc_id") % 3 === 1).select("doc_id", "text")
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def pass(): Unit = StreamingLex.start(
+      spark.readStream.schema(schema).parquet(srcDir), root, ckpt)
+      .awaitTermination()
+    pass() // writes both streaming offsets and the era marker
+    // age the checkpoint back to the pre-guard layout: delete the marker
+    val fs = new org.apache.hadoop.fs.Path(ckpt).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(ckpt, "graft-build-era"), false))
+    val before = rows(root, Seq("vector", "merge", "spark"))
+    val e = intercept[IllegalArgumentException] { pass() }
+    assert(e.getMessage.contains("predates the era guard"), e.getMessage)
+    assert(rows(root, Seq("vector", "merge", "spark")) == before,
+      "the refused marker-less resume still mutated the index")
+  }
+
   test("an out-of-band delete between stream runs does not swallow the next batch") {
     // the round-10 review finding: version arithmetic over a remembered
     // base mistook the first post-mutation batch for a replay and
