@@ -309,10 +309,15 @@ object AnnIndex {
     * generation) and the replay overwrites it — id-keyed and
     * deterministic, the [[graft.streaming.StateCommit]] stance, now
     * with the atomic publication to match. */
-  def upsert(spark: SparkSession, root: String, batch: DataFrame): Unit = {
+  def upsert(spark: SparkSession, root: String, rawBatch: DataFrame,
+      seqCol: String = ""): Unit = {
     val v0 = version(spark, root)
     val v = v0 + 1
     val cents = spark.read.parquet(StateCommit.tableDir(root, v0, Centroids))
+    // last-wins collapse: a CDC batch carrying two versions of one
+    // vec_id would land the vector TWICE in the new generation (the
+    // anti-join only removes prior-generation copies)
+    val batch = CdcBatch.collapse(rawBatch, "vec_id", seqCol)
     val scored = Similarity.assignCellsScored(batch, cents)
       .localCheckpoint() // the touched-cell collect, the drift stat and
                          // the write below must not run the caller's

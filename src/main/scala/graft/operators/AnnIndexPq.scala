@@ -302,9 +302,14 @@ object AnnIndexPq {
     * PERSISTED quantizer and codebooks and rewrite only its touched
     * cells (kept rows + incoming, id-keyed replace), published
     * atomically. No retraining — drift is [[build]]'s trigger. */
-  def upsert(spark: SparkSession, root: String, batch: DataFrame): Unit = {
+  def upsert(spark: SparkSession, root: String, rawBatch: DataFrame,
+      seqCol: String = ""): Unit = {
     val v0 = version(spark, root)
     val v = v0 + 1
+    // last-wins collapse: duplicate vec_ids within one CDC batch would
+    // each encode and land in the new generation (the incoming-id
+    // anti-join removes only prior-generation rows)
+    val batch = CdcBatch.collapse(rawBatch, "vec_id", seqCol)
     val (_, m, subDim, _) = params(spark, root)
     val coarse = spark.read.parquet(StateCommit.tableDir(root, v0, Coarse))
     val cents = spark.read.parquet(StateCommit.tableDir(root, v0, Codebook))

@@ -184,10 +184,15 @@ object DedupIndex {
   /** Add (or replace) a batch: one signature pass over the BATCH only,
     * appended as its own generation; prior rows of the batch's ids die
     * by tombstone. The corpus is never rescanned or rewritten. */
-  def upsert(spark: SparkSession, root: String, batch: DataFrame): Unit = {
+  def upsert(spark: SparkSession, root: String, rawBatch: DataFrame,
+      seqCol: String = ""): Unit = {
     val v0 = version(spark, root)
     val v = v0 + 1
     val (k, r) = scheme(spark, root)
+    // last-wins collapse: two versions of one doc in a CDC batch would
+    // otherwise minhash a CHIMERA of both texts (the per-doc signature
+    // groupBy unions their shingles)
+    val batch = CdcBatch.collapse(rawBatch, "doc_id", seqCol)
     writeGen(spark, root, v, batch, k, r)
     // tombstone EVERY incoming id, not just signature-bearing ones: a
     // doc shrunk below the 3-token shingle floor must still shed its

@@ -65,9 +65,11 @@ object LexIndex {
     * .gcGenerations]] reclaims both together. */
   private def docsDir(root: String, v: Long): String = s"$root/gen-$v/docs"
 
-  /** The batch's (postings, docs, dfs, stats) derivation — shared by
-    * build, ingest and upsert, so the incremental paths cannot drift
-    * from the full-build one. */
+  /** The batch's (postings, docs, dfs, stats, nPostings) derivation —
+    * shared by build, ingest and upsert, so the incremental paths
+    * cannot drift from the full-build one. nPostings (exact: postings
+    * are 1:1 with tf rows, and tf is already checkpointed so the count
+    * is a cached-block scan) feeds [[writeSnapshot]]'s bucket sizing. */
   private def batchParts(documents: DataFrame) = {
     val tf = Stage.snap(
       tokens(documents).groupBy("doc_id", "token").agg(count(lit(1)).as("tf")),
@@ -85,29 +87,7 @@ object LexIndex {
       .crossJoin(dl.agg(
         coalesce(sum("dl"), lit(0L)).as("sum_dl"),
         count(lit(1)).as("n_dl")))
-    (postings, docs, dfs, stats)
-  }
-
-  /** Collapse a CDC batch to ONE row per doc_id BEFORE the upsert
-    * algebra sees it. A micro-batch legitimately carries several
-    * versions of the same document (two edits inside one trigger
-    * window); without this step [[batchParts]] would union both
-    * versions' tokens into one posting set and count the doc twice in
-    * `n_docs` — silent, permanent index corruption. Last-wins order: by
-    * `seqCol` when the feed has one (a CDC offset / modified-at
-    * column), else deterministically by the row's remaining columns
-    * (max struct) so replays pick the same winner either way. */
-  private def collapseBatch(documents: DataFrame, seqCol: String): DataFrame = {
-    val others = documents.columns.filterNot(_ == "doc_id").toSeq
-    if (others.isEmpty) return documents.dropDuplicates("doc_id")
-    require(seqCol.isEmpty || others.contains(seqCol),
-      s"seqCol '$seqCol' is not a column of the upsert batch")
-    val ord =
-      if (seqCol.nonEmpty) col(seqCol) +: others.filterNot(_ == seqCol).map(col)
-      else others.map(col)
-    documents.groupBy(col("doc_id"))
-      .agg(max(struct(ord: _*)).as("w"))
-      .select(col("doc_id") +: others.map(c => col(s"w.$c").as(c)): _*)
+    (postings, docs, dfs, stats, tf.count())
   }
 
   private def emptyTombstones(spark: SparkSession): DataFrame = {
@@ -250,11 +230,25 @@ object LexIndex {
 
 
 
+  /** Target posting rows per range bucket (~20 MB of narrow posting
+    * rows): a 2-doc upsert generation must not fan out into nBuckets
+    * range partitions — per-generation small files are the cost the
+    * round-10 medians flagged, and incremental generations are usually
+    * batch-sized. `rowHint` (exact from [[batchParts]], sum_dl upper
+    * bound from the committed stats for compaction) scales the bucket
+    * count DOWN; the caller's nBuckets stays the ceiling, which is the
+    * knob a 100 TB corpus build raises. */
+  private val TargetPostingsPerBucket = 512L * 1024
+
   private def writeSnapshot(spark: SparkSession, root: String, v: Long,
       postings: DataFrame, docs: DataFrame, dfs: DataFrame,
       stats: DataFrame, gens: Seq[Long], nBuckets: Int,
       tombstones: DataFrame, streamBatch: Option[Long] = None,
-      era: Long = 0L): Long = {
+      era: Long = 0L, rowHint: Long = -1L): Long = {
+    val buckets =
+      if (rowHint < 0) nBuckets
+      else math.max(1L, math.min(nBuckets.toLong,
+        (rowHint + TargetPostingsPerBucket - 1) / TargetPostingsPerBucket)).toInt
     // hive-partition by the token's first letter (≤ 26 dirs — the
     // tokenizer is [a-z]+) so a search prunes whole directories.
     // RANGE-partition by token before the write: each task then covers
@@ -267,13 +261,13 @@ object LexIndex {
     // two files (round-11 review); the within-partition sort restores
     // (token, doc_id) row order for the file layout.
     postings.withColumn("tpfx", substring(col("token"), 1, 1))
-      .repartitionByRange(nBuckets, col("token"))
+      .repartitionByRange(buckets, col("token"))
       .sortWithinPartitions(col("token"), col("doc_id"))
       .write.mode("overwrite").partitionBy("tpfx")
       .parquet(genDir(root, v))
     // the generation's doc table: one narrow (doc_id, dl) row per doc —
     // a fraction of the postings' size, so a handful of files suffices
-    docs.coalesce(math.max(1, nBuckets / 8))
+    docs.coalesce(math.max(1, buckets / 8))
       .write.mode("overwrite").parquet(docsDir(root, v))
     writeMetaTables(spark, root, v, dfs, stats, gens, tombstones,
       streamBatch, era)
@@ -286,9 +280,9 @@ object LexIndex {
   def build(spark: SparkSession, documents: DataFrame, root: String,
       nBuckets: Int = 32): Long = {
     val v = StateCommit.currentVersion(spark, root).getOrElse(0L) + 1
-    val (postings, docs, dfs, stats) = batchParts(documents)
+    val (postings, docs, dfs, stats, nPost) = batchParts(documents)
     writeSnapshot(spark, root, v, postings, docs, dfs, stats, Seq(v),
-      nBuckets, emptyTombstones(spark), era = v)
+      nBuckets, emptyTombstones(spark), era = v, rowHint = nPost)
   }
 
   /** Fold a batch of NEW documents into the index WITHOUT rescanning
@@ -353,7 +347,7 @@ object LexIndex {
   private def ingestCore(spark: SparkSession, documents: DataFrame,
       root: String, prev: Long, v: Long, nBuckets: Int,
       streamBatch: Option[Long]): Long = {
-    val (postings, bDocs, bDfs, bStats) = batchParts(documents)
+    val (postings, bDocs, bDfs, bStats, nPost) = batchParts(documents)
     val oldDfs = spark.read.parquet(StateCommit.tableDir(root, prev, Dfs))
     val mergedDfs = oldDfs.select(col("token"), col("df").as("a"))
       .join(bDfs.select(col("token"), col("df").as("b")), Seq("token"), "full_outer")
@@ -378,7 +372,7 @@ object LexIndex {
       .unionByName(prior.join(batchIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), lit(v).as("before_gen")))
     writeSnapshot(spark, root, v, postings, bDocs, mergedDfs, mergedStats,
-      gens, nBuckets, tombs, streamBatch, eraOf(spark, root, prev))
+      gens, nBuckets, tombs, streamBatch, eraOf(spark, root, prev), nPost)
   }
 
   /** Drop documents from the index without a rebuild — the takedown /
@@ -509,7 +503,9 @@ object LexIndex {
   private def upsertCore(spark: SparkSession, rawDocuments: DataFrame,
       root: String, prev: Long, v: Long, nBuckets: Int,
       streamBatch: Option[Long], seqCol: String = ""): Long = {
-    val documents = collapseBatch(rawDocuments, seqCol)
+    // last-wins collapse: a CDC batch may carry several versions of one
+    // doc — the delete+ingest algebra below assumes one row per id
+    val documents = CdcBatch.collapse(rawDocuments, "doc_id", seqCol)
     val batchIds = Stage.snap(
       documents.select(col("doc_id").cast("long").as("doc_id")).distinct(),
       materialize = true)
@@ -524,7 +520,7 @@ object LexIndex {
       liveDocs(spark, root, prev)
         .join(broadcast(batchIds), Seq("doc_id"), "left_semi"),
       materialize = true)
-    val (postings, bDocs, bDfs, bStats) = batchParts(documents)
+    val (postings, bDocs, bDfs, bStats, nPost) = batchParts(documents)
     val deadDf = deadPost.groupBy("token").agg(count(lit(1)).as("ddf"))
     val oldDfs = spark.read.parquet(StateCommit.tableDir(root, prev, Dfs))
     val mergedDfs = oldDfs.select(col("token"), col("df").as("a"))
@@ -561,7 +557,7 @@ object LexIndex {
     val gens = spark.read.parquet(StateCommit.tableDir(root, prev, Manifest))
       .collect().map(_.getLong(0)).toSeq :+ v
     writeSnapshot(spark, root, v, postings, bDocs, mergedDfs, mergedStats,
-      gens, nBuckets, tombs, streamBatch, eraOf(spark, root, prev))
+      gens, nBuckets, tombs, streamBatch, eraOf(spark, root, prev), nPost)
   }
 
   /** Fold every live generation's postings into ONE new generation —
@@ -585,9 +581,12 @@ object LexIndex {
     val docs = liveDocs(spark, root, prev)
     val dfs = spark.read.parquet(StateCommit.tableDir(root, prev, Dfs))
     val stats = spark.read.parquet(StateCommit.tableDir(root, prev, Stats))
+    // bucket hint: the committed sum_dl upper-bounds live posting rows
+    // (tf >= 1 per row), read from the 1-row stats table — no data pass
+    val hint = stats.head().getLong(1)
     writeSnapshot(spark, root, v, postings, docs, dfs, stats, Seq(v),
       nBuckets, emptyTombstones(spark), streamBatchOf(spark, root, prev),
-      eraOf(spark, root, prev))
+      eraOf(spark, root, prev), rowHint = hint)
   }
 
   /** BM25 top-k for a bag of query terms: (doc_id, score_micro, rank).

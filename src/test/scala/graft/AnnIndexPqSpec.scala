@@ -57,6 +57,38 @@ class AnnIndexPqSpec extends SparkSpec {
       "rebuild must reset the drift log")
   }
 
+  test("a CDC batch with TWO versions of one vec_id encodes ONCE — the seq winner") {
+    // round-11 review: duplicate ids within one upsert batch each
+    // encoded into the new generation (the anti-join removes only
+    // prior-generation rows), so the id answered twice per query
+    val root = freshRoot()
+    AnnIndexPq.build(emb.where(col("vec_id") < 400), root)
+    val v1 = emb.where(col("vec_id") === 400)
+      .select(lit(9000L).as("vec_id"), lit(1L).as("seq"), col("embedding"))
+    val v2 = emb.where(col("vec_id") === 401)
+      .select(lit(9000L).as("vec_id"), lit(2L).as("seq"), col("embedding"))
+    AnnIndexPq.upsert(spark, root, v1.unionByName(v2), seqCol = "seq")
+    // reference: the same upsert with only the winning version
+    val ref = freshRoot()
+    AnnIndexPq.build(emb.where(col("vec_id") < 400), ref)
+    AnnIndexPq.upsert(spark, ref,
+      emb.where(col("vec_id") === 401)
+        .select(lit(9000L).as("vec_id"), col("embedding")))
+    // probe with the WINNER's embedding under a foreign qid (search
+    // drops qid==cid self-matches): pre-fix, both versions' code rows
+    // joined the LUT and the groupBy SUMMED them — id 9000's ADC
+    // distance doubled and its rank sank
+    val q = emb.where(col("vec_id") === 401)
+      .select(lit(8999L).as("qid"), col("embedding").as("qe"))
+    def hits(r: String) = AnnIndexPq.search(spark, r, q, nProbes = 8, k = 10)
+      .collect().map(_.toString).toSeq
+    val got = hits(root)
+    assert(got == hits(ref),
+      "dup-id batch diverged from the last-version-only upsert")
+    assert(got.exists(_.contains("9000")),
+      "fixture too weak: the upserted id never surfaced in the top-k")
+  }
+
   test("search equals the in-query ivfPqTopK row-for-row") {
     val root = freshRoot()
     AnnIndexPq.build(emb, root)

@@ -106,6 +106,28 @@ class AnnIndexSpec extends SparkSpec {
     assert(hits.nonEmpty, "upserted vectors found no neighbors")
   }
 
+  test("a CDC batch with TWO versions of one vec_id lands ONCE — seq orders the winner") {
+    // round-11 review: duplicate ids within one upsert batch both
+    // landed in the new generation (the anti-join removes only
+    // prior-generation copies) — the vector then answered twice
+    val dir = Files.createTempDirectory("graft_ann_dup").toString
+    AnnIndex.build(emb.where(col("vec_id") < 40), dir, nCells = 8)
+    // two versions of id 1000: v1 carries doc 40's embedding, v2 (the
+    // winner by seq) carries doc 41's
+    val e40 = emb.where(col("vec_id") === 40)
+      .select(lit(1000L).as("vec_id"), lit(1L).as("seq"), col("embedding"))
+    val e41 = emb.where(col("vec_id") === 41)
+      .select(lit(1000L).as("vec_id"), lit(2L).as("seq"), col("embedding"))
+    AnnIndex.upsert(spark, dir, e40.unionByName(e41), seqCol = "seq")
+    val mine = AnnIndex.vectors(spark, dir).where(col("vec_id") === 1000L)
+      .select("embedding").collect()
+    assert(mine.length == 1, s"dup-id batch landed ${mine.length} rows")
+    val wantEmb = emb.where(col("vec_id") === 41)
+      .select("embedding").head().getSeq[Float](0)
+    assert(mine.head.getSeq[Float](0) == wantEmb,
+      "the seq-max version did not win the collapse")
+  }
+
   test("delete: victims vanish (including a fully-emptied cell); absent ids are no-ops") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ann_del").toString

@@ -92,6 +92,38 @@ class DedupIndexSpec extends SparkSpec {
     assert(!got.contains(2L), "replaced doc still matches through its OLD text")
   }
 
+  test("a CDC batch with TWO versions of one doc signs the LAST version, never a chimera") {
+    // round-11 review: duplicate doc_ids in one upsert batch fed the
+    // per-doc minhash groupBy the union of both texts' shingles — a
+    // chimera signature matching neither version
+    val root = freshRoot()
+    DedupIndex.build(
+      Seq((1L, T)).toDF("doc_id", "text").withColumn("source", lit("s")), root)
+    // both versions of doc 2 in ONE batch: v1 is a near-dup of T, the
+    // seq-ordered winner v2 is unrelated text
+    val dup = Seq(
+      (2L, 1L, T),
+      (2L, 2L, "completely different words now appear here instead"))
+      .toDF("doc_id", "seq", "text").withColumn("source", lit("s"))
+    DedupIndex.upsert(spark, root, dup, seqCol = "seq")
+    val probe = Seq((10L, T))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+    val got = DedupIndex.queryNearDups(spark, root, probe)
+      .select("dup_id").as[Long].collect().toSet
+    assert(!got.contains(2L),
+      "the losing version's shingles leaked into doc 2's signature")
+    // and the signature equals a reference index built with v2 alone
+    val ref = freshRoot()
+    DedupIndex.build(
+      Seq((1L, T),
+        (2L, "completely different words now appear here instead"))
+        .toDF("doc_id", "text").withColumn("source", lit("s")), ref)
+    def sigsOf(r: String) = DedupIndex.sigs(spark, r).drop("gen")
+      .collect().map(_.toString).sorted.toSeq
+    assert(sigsOf(root) == sigsOf(ref),
+      "dup-batch signatures diverged from the last-version-only build")
+  }
+
   test("delete tombstones; re-upsert resurrects") {
     val root = freshRoot()
     val a = Seq((1L, T), (2L, T))
