@@ -157,9 +157,6 @@ object DedupIndex {
   def sigs(spark: SparkSession, root: String): DataFrame =
     liveRows(spark, root, version(spark, root), p => s"$p/sigs")
 
-  private def requireRetained(spark: SparkSession, root: String,
-      v: Long): Unit = StateCommit.requireRetained(spark, root, v)
-
   private def schemeAt(spark: SparkSession, root: String,
       v: Long): (Int, Int) = {
     val r = spark.read.parquet(StateCommit.tableDir(root, v, Meta)).head()
@@ -191,8 +188,11 @@ object DedupIndex {
     val (k, r) = scheme(spark, root)
     // last-wins collapse: two versions of one doc in a CDC batch would
     // otherwise minhash a CHIMERA of both texts (the per-doc signature
-    // groupBy unions their shingles)
-    val batch = CdcBatch.collapse(rawBatch, "doc_id", seqCol)
+    // groupBy unions their shingles). Snapped: writeGen's signature
+    // derivation and the tombstone id scan below both read it, and the
+    // collapse shuffle plus the caller's source plan must run once
+    val batch = Stage.snap(CdcBatch.collapse(rawBatch, "doc_id", seqCol),
+      materialize = true)
     writeGen(spark, root, v, batch, k, r)
     // tombstone EVERY incoming id, not just signature-bearing ones: a
     // doc shrunk below the 3-token shingle floor must still shed its
@@ -265,7 +265,7 @@ object DedupIndex {
     * outside the retention horizon. */
   def queryNearDupsAt(spark: SparkSession, root: String,
       incoming: DataFrame, v: Long): DataFrame = {
-    requireRetained(spark, root, v)
+    StateCommit.requireRetained(spark, root, v)
     val (k, r) = schemeAt(spark, root, v)
     val (qBands, qSigs) = signatures(incoming, k, r)
     val cand = liveRows(spark, root, v, p => s"$p/bands")
@@ -309,7 +309,7 @@ object DedupIndex {
     * `v` was current, before later deletes/upserts moved the index). */
   def classifyBatchAt(spark: SparkSession, root: String,
       incoming: DataFrame, v: Long): DataFrame = {
-    requireRetained(spark, root, v)
+    StateCommit.requireRetained(spark, root, v)
     val (k, _) = schemeAt(spark, root, v)
     // "seen BEFORE this batch": exclude the batch's own ids from the
     // candidate side — without this, an at-least-once replay (whose

@@ -302,8 +302,9 @@ object LexIndex {
     * documents is [[upsert]]'s job (one atomic snapshot, exact
     * algebra for every membership state). */
   def ingest(spark: SparkSession, documents: DataFrame, root: String,
-      nBuckets: Int = 32): Long =
-    ingestAs(spark, documents, root, expectedVersion = -1L, nBuckets)
+      nBuckets: Int = 32, seqCol: String = ""): Long =
+    ingestAs(spark, documents, root, expectedVersion = -1L, nBuckets,
+      seqCol)
 
   /** [[ingest]] with an at-least-once replay guard: the write commits
     * as exactly `expectedVersion` and is a NO-OP (returning the
@@ -312,14 +313,15 @@ object LexIndex {
     * re-deliver a failed batch under the same id. `expectedVersion
     * = -1` means "next" (the batch-job form, no replay protection). */
   def ingestAs(spark: SparkSession, documents: DataFrame, root: String,
-      expectedVersion: Long, nBuckets: Int = 32): Long = {
+      expectedVersion: Long, nBuckets: Int = 32,
+      seqCol: String = ""): Long = {
     val prev = StateCommit.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed lexical index at $root — build first"))
     if (expectedVersion >= 0 && expectedVersion <= prev) return prev // replay
     val v = if (expectedVersion >= 0) expectedVersion else prev + 1
     require(v == prev + 1, s"ingest version $v must follow committed $prev")
     ingestCore(spark, documents, root, prev, v, nBuckets,
-      streamBatchOf(spark, root, prev))
+      streamBatchOf(spark, root, prev), seqCol)
   }
 
   /** Stream-maintenance ingest keyed by the STREAM'S OWN batch id, the
@@ -335,18 +337,27 @@ object LexIndex {
     * watermark: resuming a stream across a rebuild needs a fresh
     * checkpoint. */
   def ingestBatch(spark: SparkSession, documents: DataFrame, root: String,
-      batchId: Long, nBuckets: Int = 32): Long = {
+      batchId: Long, nBuckets: Int = 32, seqCol: String = ""): Long = {
     val prev = StateCommit.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed lexical index at $root — build first"))
     if (streamBatchOf(spark, root, prev).exists(batchId <= _))
       return prev // replay of an applied batch — converged no-op
     ingestCore(spark, documents, root, prev, prev + 1, nBuckets,
-      Some(batchId))
+      Some(batchId), seqCol)
   }
 
-  private def ingestCore(spark: SparkSession, documents: DataFrame,
+  private def ingestCore(spark: SparkSession, rawDocuments: DataFrame,
       root: String, prev: Long, v: Long, nBuckets: Int,
-      streamBatch: Option[Long]): Long = {
+      streamBatch: Option[Long], seqCol: String = ""): Long = {
+    // last-wins collapse, the upsert path's discipline (round-11
+    // review): an at-least-once source can re-deliver a NEW doc twice
+    // inside one trigger window, and batchParts over both copies would
+    // double every token count, n_docs and sum_dl — silent, permanent
+    // index corruption no later compaction corrects. Snapped: the
+    // token pass and the tombstone id scan both read it
+    val documents = Stage.snap(
+      CdcBatch.collapse(rawDocuments, "doc_id", seqCol),
+      materialize = true)
     val (postings, bDocs, bDfs, bStats, nPost) = batchParts(documents)
     val oldDfs = spark.read.parquet(StateCommit.tableDir(root, prev, Dfs))
     val mergedDfs = oldDfs.select(col("token"), col("df").as("a"))
@@ -504,8 +515,11 @@ object LexIndex {
       root: String, prev: Long, v: Long, nBuckets: Int,
       streamBatch: Option[Long], seqCol: String = ""): Long = {
     // last-wins collapse: a CDC batch may carry several versions of one
-    // doc — the delete+ingest algebra below assumes one row per id
-    val documents = CdcBatch.collapse(rawDocuments, "doc_id", seqCol)
+    // doc — the delete+ingest algebra below assumes one row per id.
+    // Snapped: batchIds, the token pass and the docs table all read it
+    val documents = Stage.snap(
+      CdcBatch.collapse(rawDocuments, "doc_id", seqCol),
+      materialize = true)
     val batchIds = Stage.snap(
       documents.select(col("doc_id").cast("long").as("doc_id")).distinct(),
       materialize = true)

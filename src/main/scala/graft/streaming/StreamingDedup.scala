@@ -28,13 +28,19 @@ import graft.operators.DedupIndex
 object StreamingDedup {
 
   /** Ingest-only: fold each micro-batch into the index at `root`
-    * (which must already be built, possibly over an empty corpus). */
+    * (which must already be built, possibly over an empty corpus).
+    * `seqCol` names the feed's CDC ordering column (offset /
+    * modified-at) so two versions of one doc inside a trigger window
+    * collapse to the RECENT one — without it the last-wins collapse
+    * falls back to a deterministic-but-arbitrary payload order
+    * (round-11 review). */
   def start(documents: DataFrame, root: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String, seqCol: String = ""): StreamingQuery =
     documents.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty)
-          DedupIndex.upsert(batch.sparkSession, root, batch.toDF())
+          DedupIndex.upsert(batch.sparkSession, root, batch.toDF(),
+            seqCol = seqCol)
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -46,14 +52,15 @@ object StreamingDedup {
     * `out/batch_id=B` BEFORE the batch joins the index (a doc is never
     * its own near-dup), then the batch upserts. */
   def startClassified(documents: DataFrame, root: String,
-      checkpoint: String, out: String): StreamingQuery =
+      checkpoint: String, out: String,
+      seqCol: String = ""): StreamingQuery =
     documents.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           DedupIndex.classifyBatch(spark, root, batch.toDF())
             .write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
-          DedupIndex.upsert(spark, root, batch.toDF())
+          DedupIndex.upsert(spark, root, batch.toDF(), seqCol = seqCol)
         }
         ()
       }

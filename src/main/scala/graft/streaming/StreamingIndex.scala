@@ -28,13 +28,18 @@ import graft.operators.AnnIndex
 object StreamingIndex {
 
   /** Start an AvailableNow ingest of `vectors` (vec_id, embedding)
-    * into the index at `root` (which must already be built). */
+    * into the index at `root` (which must already be built). `seqCol`
+    * names the feed's CDC ordering column so two versions of one
+    * vec_id inside a trigger window collapse to the RECENT embedding
+    * (round-11 review: without it the fallback order compares the
+    * embedding arrays — deterministic, but not recency). */
   def start(vectors: DataFrame, root: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String, seqCol: String = ""): StreamingQuery =
     vectors.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty)
-          AnnIndex.upsert(batch.sparkSession, root, batch.toDF())
+          AnnIndex.upsert(batch.sparkSession, root, batch.toDF(),
+            seqCol = seqCol)
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -48,11 +53,12 @@ object StreamingIndex {
     * cells — same replay-convergence argument (id-keyed, deterministic
     * against fixed tables). */
   def startPq(vectors: DataFrame, root: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String, seqCol: String = ""): StreamingQuery =
     vectors.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty)
-          graft.operators.AnnIndexPq.upsert(batch.sparkSession, root, batch.toDF())
+          graft.operators.AnnIndexPq.upsert(batch.sparkSession, root,
+            batch.toDF(), seqCol = seqCol)
         ()
       }
       .option("checkpointLocation", checkpoint)

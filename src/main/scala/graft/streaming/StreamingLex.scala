@@ -79,13 +79,16 @@ object StreamingLex {
 
   /** Start an AvailableNow maintenance pass of `docs` (batches of new
     * documents with `doc_id`/`text`) into the index at `root`, which
-    * must already be built. */
+    * must already be built. `seqCol` names the feed's CDC ordering
+    * column so a doc re-delivered within one trigger window collapses
+    * to its recent version. */
   def start(docs: DataFrame, root: String,
-      checkpoint: String): StreamingQuery = {
+      checkpoint: String, seqCol: String = ""): StreamingQuery = {
     guardEra(docs, root, checkpoint)
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        LexIndex.ingestBatch(batch.sparkSession, batch.toDF(), root, batchId)
+        LexIndex.ingestBatch(batch.sparkSession, batch.toDF(), root, batchId,
+          seqCol = seqCol)
         ()
       }
       .option("checkpointLocation", checkpoint)

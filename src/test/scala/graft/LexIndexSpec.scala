@@ -122,6 +122,48 @@ class LexIndexSpec extends SparkSpec {
     assert(inc2 == full2, "two stacked generations diverged from rebuild")
   }
 
+  test("ingest collapses an at-least-once double-delivery: stats and search equal a single-copy ingest") {
+    import org.apache.spark.sql.functions._
+    // round-11 review: the ingest path lacked the upsert path's CDC
+    // collapse, so a NEW doc re-delivered twice inside one trigger
+    // window doubled its token counts, n_docs and sum_dl — permanently
+    val root = Files.createTempDirectory("lex_ingdup_").toString
+    LexIndex.build(spark, docs, root)
+    val fresh = (900001L, "zanzibar vectors merge in this brand new doc")
+    LexIndex.ingest(spark, Seq(fresh, fresh).toDF("doc_id", "text"), root)
+    val ref = Files.createTempDirectory("lex_ingref_").toString
+    LexIndex.build(spark, docs, ref)
+    LexIndex.ingest(spark, Seq(fresh).toDF("doc_id", "text"), ref)
+    def stats(r: String): Seq[Long] = {
+      val v = graft.streaming.StateCommit.currentVersion(spark, r).get
+      val row = spark.read
+        .parquet(graft.streaming.StateCommit.tableDir(r, v, "stats")).head()
+      Seq(row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+    assert(stats(root) == stats(ref),
+      s"double-delivered ingest skewed stats: ${stats(root)} vs ${stats(ref)}")
+    def rows(r: String) = LexIndex.search(spark, r,
+      Seq("vector", "zanzibar", "merge"), k = 20)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSeq
+    assert(rows(root) == rows(ref),
+      "double-delivered ingest diverged from the single-copy index")
+    // and two VERSIONS of one new doc in one ingest batch: seq wins
+    val v1 = (900002L, 1L, "first draft wording here")
+    val v2 = (900002L, 2L, "zanzibar second final wording")
+    LexIndex.ingest(spark, Seq(v1, v2).toDF("doc_id", "seq", "text"), root,
+      seqCol = "seq")
+    LexIndex.ingest(spark,
+      Seq((900002L, 2L, "zanzibar second final wording"))
+        .toDF("doc_id", "seq", "text"), ref, seqCol = "seq")
+    assert(stats(root) == stats(ref), "versioned ingest batch skewed stats")
+    assert(rows(root) == rows(ref),
+      "versioned ingest batch diverged from the winner-only index")
+    val draft = LexIndex.search(spark, root, Seq("draft"), k = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(!draft.contains(900002L),
+      "the losing version's tokens leaked into the ingest generation")
+  }
+
   test("delete equals a rebuild without the victims, row-for-row; replays and absent ids are no-ops") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("lex_del_").toString

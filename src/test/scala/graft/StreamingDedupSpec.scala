@@ -132,4 +132,32 @@ class StreamingDedupSpec extends SparkSpec {
       .select("dup_id").as[Long].collect().toSet
     assert(got == Set(1L, 2L), s"streamed doc not probeable: $got")
   }
+
+  test("seqCol reaches the stream's upsert: a re-edited doc inside one trigger window keeps the RECENT version") {
+    // round-11 review: the streaming wrappers could not pass seqCol, so
+    // the intra-batch collapse fell back to payload order and a STALE
+    // version could win permanently (here v1's text sorts after v2's)
+    val root = Files.createTempDirectory("graft_sd4_root").toString
+    val ckpt = Files.createTempDirectory("graft_sd4_ck").toString
+    DedupIndex.build(docsDF((1L, T1)), root)
+    implicit val ctx = spark.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    val docs = input.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("seq"),
+        col("_3").as("text"), lit("s").as("source"))
+    // both versions of doc 2 in ONE batch: v1 near-dups T1 and sorts
+    // LAST lexicographically ("zz..."), v2 (the seq winner) is T2
+    input.addData(Seq((2L, 1L, "zz " + T1), (2L, 2L, T2)))
+    StreamingDedup.start(docs, root, ckpt, seqCol = "seq")
+      .awaitTermination()
+    val viaOld = DedupIndex.queryNearDups(spark, root, docsDF((9L, T1)))
+      .select("dup_id").as[Long].collect().toSet
+    assert(!viaOld.contains(2L),
+      "the stale version won the intra-batch collapse")
+    val viaNew = DedupIndex.queryNearDups(spark, root, docsDF((9L, T2)))
+      .select("dup_id").as[Long].collect().toSet
+    assert(viaNew.contains(2L),
+      "the seq-winning version is not probeable")
+  }
 }

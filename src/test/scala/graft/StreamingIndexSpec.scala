@@ -135,4 +135,31 @@ class StreamingIndexSpec extends SparkSpec {
     assert(AnnIndex.driftReport(spark, dir).isEmpty,
       "rebuild did not reset the drift log")
   }
+
+  test("seqCol reaches the stream's upsert: a re-embedded vec_id inside one trigger window keeps the RECENT embedding") {
+    // round-11 review: the streaming wrapper could not pass seqCol, so
+    // two versions of one vec_id in a trigger window collapsed by
+    // whichever embedding ARRAY sorted larger — not recency
+    val dir = Files.createTempDirectory("graft_si_seq").toString
+    AnnIndex.build(emb.where(col("vec_id") < 40), dir, nCells = 8)
+    val e40 = corpusRows(40, 41).head._2
+    val e41 = corpusRows(41, 42).head._2
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Seq[Float])]
+    val vectors = input.toDF()
+      .select(col("_1").as("vec_id"), col("_2").as("seq"),
+        col("_3").cast("array<float>").as("embedding"))
+    // both versions of id 1000 in ONE batch; seq orders e41 the winner
+    input.addData(Seq((1000L, 1L, e40), (1000L, 2L, e41)))
+    val ckpt = Files.createTempDirectory("graft_si_seq_ck").toString
+    graft.streaming.StreamingIndex.start(vectors, dir, ckpt, seqCol = "seq")
+      .awaitTermination()
+    val mine = AnnIndex.vectors(spark, dir).where(col("vec_id") === 1000L)
+      .select("embedding").collect()
+    assert(mine.length == 1, s"dup-id stream batch landed ${mine.length} rows")
+    assert(mine.head.getSeq[Float](0) == e41,
+      "the seq-max version did not win the streamed collapse")
+  }
 }
