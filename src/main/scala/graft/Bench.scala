@@ -41,7 +41,13 @@ object Bench {
     // comparisons); max is kept in the artifact so a contended window is
     // visible IN the recorded file — round 4's driver run spiked a1/n7/s7c
     // 4–16× from box contention and min-of-2 alone couldn't show it.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 narrows the run for targeted before/after
+    // measurement during development; absent (the driver) = all queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         // Force via toRdd, NOT count(): count() lets Catalyst prune every
