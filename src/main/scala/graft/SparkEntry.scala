@@ -1183,6 +1183,29 @@ object SparkEntry {
         Seq("vector", "merge", "spark"), k = 10)
     }),
 
+    // CDC-batch UPDATE, gated against the winner-only oracle: one
+    // upsert batch carries TWO versions of every modified doc (two
+    // edits inside a trigger window, ordered by a seq column), and the
+    // search must hash-match a from-scratch rebuild where ONLY the
+    // seq-max version exists — proving the last-wins collapse keeps
+    // intra-batch duplicates from unioning postings or double-counting
+    // corpus stats. v1 is token-heavy on a query term so a chimera or
+    // a wrong winner diverges loudly
+    "lx_search_cdc" -> ((s, dir) => {
+      val (root, _) = freshScratch(s, "lxc_q")
+      val docs = Catalog.documents(s, dir)
+      graft.operators.LexIndex.build(s, docs, root)
+      val targets = docs.where(col("doc_id") % 13 === 5)
+      val v1 = targets.select(col("doc_id"), lit(1L).as("seq"),
+        concat(col("text"), lit(" vector vector vector draft")).as("text"))
+      val v2 = targets.select(col("doc_id"), lit(2L).as("seq"),
+        concat(col("text"), lit(" final merge revision")).as("text"))
+      graft.operators.LexIndex.upsert(s, v1.unionByName(v2), root,
+        seqCol = "seq")
+      graft.operators.LexIndex.search(s, root,
+        Seq("vector", "merge", "spark"), k = 10)
+    }),
+
     // hybrid retrieval: reciprocal-rank fusion of the lexical BM25
     // ranking with a brute-force cosine ranking of embedding 0
     // (vec_id ≡ doc_id) — integer-division RRF, so fusion is exact
@@ -3144,6 +3167,15 @@ object SparkEntry {
     "lx_search_upd" ->
       lxBm25Sql("(SELECT doc_id, CASE WHEN doc_id % 11 = 3 " +
         "THEN text || ' updated revision text' ELSE text END AS text " +
+        "FROM documents)"),
+
+    // the WINNER-ONLY recompute — the Spark side upserts a CDC batch
+    // holding two seq-ordered versions per modified doc; matching
+    // proves the last-wins collapse (losing version's tokens absent,
+    // stats counted once)
+    "lx_search_cdc" ->
+      lxBm25Sql("(SELECT doc_id, CASE WHEN doc_id % 13 = 5 " +
+        "THEN text || ' final merge revision' ELSE text END AS text " +
         "FROM documents)"),
 
     "lx_hybrid" ->
