@@ -4639,7 +4639,8 @@ object SparkEntry {
         |), win AS (
         |  SELECT event_type, hour, n,
         |    CAST(SUM(n) OVER w AS BIGINT) AS s,
-        |    CAST(SUM(n * n) OVER w AS BIGINT) AS ss,
+        |    CAST(SUM(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+        |      OVER w AS DECIMAL(38,0)) AS ss,
         |    COUNT(*) OVER w AS m
         |  FROM hourly
         |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
@@ -4647,9 +4648,13 @@ object SparkEntry {
         |)
         |SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
         |  n, s, ss,
-        |  CASE WHEN (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / 24.0) / 24.0 > 0
+        |  CASE WHEN CAST(24 * CAST(ss AS HUGEINT)
+        |              - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS DOUBLE)
+        |            / (24.0 * 24.0) > 0
         |       THEN CAST(round((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / 24.0)
-        |         / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / 24.0) / 24.0)
+        |         / sqrt(CAST(24 * CAST(ss AS HUGEINT)
+        |                 - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS DOUBLE)
+        |               / (24.0 * 24.0))
         |         * 1000, 0) AS BIGINT)
         |       END AS z_milli
         |FROM win WHERE m = 24

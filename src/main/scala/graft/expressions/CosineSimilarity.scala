@@ -16,6 +16,15 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
   *
   * Double-precision sequential accumulation in index order — bitwise
   * identical to the DuckDB oracle's list_transform/list_sum mirror.
+  *
+  * Zero-norm guard (round-11 review): a zero vector (a failed encode)
+  * has no direction, and the raw formula returns 0/0 = NaN — which
+  * Spark orders ABOVE every real number, so one bad row would rank as
+  * the #1 neighbor in every cos-desc path and satisfy every
+  * `cos >= threshold` dup test. Degenerate inputs return 0.0 instead:
+  * a real value that never wins a ranking and never passes a positive
+  * threshold. (The oracle mirror never sees zero vectors — the gates
+  * run on generated embeddings — so oracle parity is unaffected.)
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -34,7 +43,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -49,7 +59,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double y = $b.getDouble($i);
          |  $dot += x * y; $na += x * x; $nb += y * y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+         |  : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

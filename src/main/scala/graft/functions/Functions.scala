@@ -75,13 +75,16 @@ object Functions {
 
   /** Cosine similarity between two float-array columns, computed in double
     * precision end-to-end (cast before multiply so Spark and the DuckDB
-    * oracle agree to ~1e-15). */
+    * oracle agree to ~1e-15). Zero-norm inputs return 0.0, the
+    * [[graft.expressions.CosineSimilarity]] contract — the raw 0/0 NaN
+    * would rank ABOVE every real cosine in a desc ordering. */
   def cosine(a: Column, b: Column): Column = {
     def d(c: Column) = transform(c, x => x.cast("double"))
     val dot = aggregate(zip_with(d(a), d(b), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(d(a), x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(d(b), x => x * x), lit(0.0), (acc, x) => acc + x))
-    dot / (na * nb)
+    val na2 = aggregate(transform(d(a), x => x * x), lit(0.0), (acc, x) => acc + x)
+    val nb2 = aggregate(transform(d(b), x => x * x), lit(0.0), (acc, x) => acc + x)
+    when(na2 === 0.0 || nb2 === 0.0, lit(0.0))
+      .otherwise(dot / (sqrt(na2) * sqrt(nb2)))
   }
 }

@@ -23,12 +23,24 @@ object Similarity {
     GraftFunctions.cosineSim(a, b)
   }
 
-  /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
-    * the k nearest candidates by cosine. Ranking uses the 6-dp-rounded
-    * cosine with vec_id tiebreak so results are deterministic and
-    * oracle-reproducible. */
+  /** The `n` smallest-id rows of a one-row-per-vec_id frame — the query
+    * head set every *TopK operator probes with. RANK-based
+    * (orderBy + limit, a TakeOrdered, no full shuffle), not
+    * `vec_id < n`: a filtered/non-contiguous id space must still yield
+    * a full head set (the seedCents rationale, applied to probes —
+    * round-11 review: value-based selection silently returned an EMPTY
+    * result on a corpus whose smallest id exceeds n). On a contiguous
+    * 0-based corpus the two selections are identical, which keeps the
+    * DuckDB oracles' arithmetic mirrors exact. */
+  private def queryHeads(unique: DataFrame, n: Int): DataFrame =
+    unique.orderBy("vec_id").limit(n)
+
+  /** Brute-force cosine top-k: for each query vector (the nQueries
+    * smallest ids), the k nearest candidates by cosine. Ranking uses
+    * the 6-dp-rounded cosine with vec_id tiebreak so results are
+    * deterministic and oracle-reproducible. */
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
-    val q = embeddings.where(col("vec_id") < nQueries)
+    val q = queryHeads(embeddings, nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val c = embeddings
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
@@ -58,7 +70,7 @@ object Similarity {
     * served by swapping the scored source for [[pqTopK]]/[[ivfPqTopK]]
     * candidates — the ranking tail is unchanged. */
   def hardNegatives(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
-    val q = embeddings.where(col("vec_id") < nQueries)
+    val q = queryHeads(embeddings, nQueries)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("embedding").as("qe"))
     val c = embeddings
@@ -288,20 +300,39 @@ object Similarity {
       .where(col("arn") === 1)
       .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
 
+  /** Element-wise mean of the `arrCol` arrays per `keys` — the Lloyd /
+    * centroid pooling every quantizer-training step shares (explode to
+    * (keys, pos, x), average, reassemble in pos order). ONE edit site
+    * for the cross-engine determinism contract (round-11 review: four
+    * near-identical copies had to agree or the "same quantizer"
+    * row-for-row guarantees between the in-query and persisted paths
+    * would silently drift): `nano = false` rounds the mean to 9 dp
+    * (absorbing partial-agg summation order); `nano = true` quantizes
+    * to integer nanos and divides back — for paths whose DuckDB oracle
+    * mirrors the integer form. */
+  private def elementwiseMean(df: DataFrame, keys: Seq[String],
+      arrCol: String, out: String, nano: Boolean = false): DataFrame = {
+    val m =
+      if (nano) round(avg(col("col").cast("double")) * 1e9, 0).cast("bigint")
+      else round(avg(col("col").cast("double")), 9)
+    df.select(keys.map(col) :+ posexplode(col(arrCol)): _*)
+      .groupBy((keys :+ "pos").map(col): _*)
+      .agg(m.as("m"))
+      .groupBy(keys.map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos").as("p"), col("m").as("m")))),
+        s => if (nano) s.getField("m").cast("double") / 1e9
+             else s.getField("m")).as(out))
+  }
+
   /** Lloyd-refined coarse centroids (seed-assign → element-wise cell
     * mean, 9-dp rounded for cross-engine reproducibility):
     * (centroid_id, ce). Shared by [[ivfKmeansTopK]] and the persisted
     * [[AnnIndex]] so the in-query and build-once paths train the SAME
     * quantizer — their results must agree row-for-row (spec-gated). */
   def trainCentroids(embeddings: DataFrame, nCentroids: Int = 8): DataFrame =
-    ivfAssign(embeddings, nCentroids)
-      .select(col("cell"), posexplode(col("embedding")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(round(avg(col("col").cast("double")), 9).as("m"))
-      .groupBy("cell")
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos").as("p"), col("m").as("m")))),
-        s => s.getField("m")).as("ce"))
+    elementwiseMean(ivfAssign(embeddings, nCentroids), Seq("cell"),
+        "embedding", "ce")
       .select(col("cell").as("centroid_id"), col("ce"))
 
   /** Every vector assigned to its nearest centroid:
@@ -333,9 +364,16 @@ object Similarity {
     * assignment remains map-only. Means round to 9 dp so the DuckDB
     * oracle's float sums agree bit-for-bit after the 6-dp cosine round. */
   def ivfKmeansTopK(embeddings: DataFrame, nCentroids: Int = 8,
-      nQueries: Int = 8, k: Int = 5): DataFrame = {
-    val assigned = assignCells(embeddings, trainCentroids(embeddings, nCentroids))
-    val q = assigned.where(col("vec_id") < nQueries)
+      nQueries: Int = 8, k: Int = 5,
+      materialize: Boolean = true): DataFrame = {
+    // snapshot the assignment ONCE: both sides of cellTopK's self-join
+    // read it, and without a stage boundary the whole seed-assign +
+    // Lloyd-mean + reassign training lineage runs twice (the pqTopK
+    // codebook lesson — round-11 review)
+    val assigned = Stage.snap(
+      assignCells(embeddings, trainCentroids(embeddings, nCentroids)),
+      materialize)
+    val q = queryHeads(assigned, nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
     val c = assigned
       .select(col("vec_id").as("cid"), col("embedding").as("ce2"), col("cell"))
@@ -429,24 +467,16 @@ object Similarity {
   def centroidOutliers(embeddings: DataFrame, threshold: Double = -0.10,
       materialize: Boolean = true): DataFrame = {
     val cents = Stage.snap(
-      embeddings
-        .select(col("label"), posexplode(col("embedding")))
-        .groupBy("label", "pos")
-        .agg(round(avg(col("col").cast("double")) * 1e9, 0)
-          .cast("bigint").as("m"))
-        .groupBy("label")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos").as("p"), col("m").as("m")))),
-          s => s.getField("m").cast("double") / 1e9).as("c")),
+      elementwiseMean(embeddings, Seq("label"), "embedding", "c",
+        nano = true),
       materialize)
-    val x = transform(col("embedding"), v => v.cast("double"))
-    val dot = aggregate(zip_with(x, col("c"), (a, b) => a * b),
-      lit(0.0), (a, v) => a + v)
-    val nx = sqrt(aggregate(transform(x, v => v * v), lit(0.0), (a, v) => a + v))
-    val nc = sqrt(aggregate(transform(col("c"), v => v * v),
-      lit(0.0), (a, v) => a + v))
+    // the native codegen'd cosine (identical double-sequential
+    // accumulation to the HOF fold it replaces — round-11 review: the
+    // interpreted aggregate/zip_with form was the exact composition
+    // cosine_sim exists to replace, on a map-only full-corpus pass)
     embeddings.join(broadcast(cents), Seq("label"))
-      .select(col("vec_id"), col("label"), round(dot / (nx * nc), 6).as("cos"))
+      .select(col("vec_id"), col("label"),
+        round(cos(embeddings)(col("embedding"), col("c")), 6).as("cos"))
       .withColumn("is_outlier", (col("cos") < threshold).cast("int"))
       .orderBy("vec_id")
   }
@@ -560,14 +590,8 @@ object Similarity {
     val seedIds = source.select("vec_id").orderBy("vec_id").limit(nCentroids)
     val cents0 = blocks.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("blk"), col("vec_id").as("cid"), col("sub").as("ce"))
-    pqNearest(blocks, cents0)
-      .select(col("blk"), col("cell"), posexplode(col("sub")))
-      .groupBy(col("blk"), col("cell"), col("pos"))
-      .agg(round(avg(col("col").cast("double")), 9).as("mv"))
-      .groupBy("blk", "cell")
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos").as("p"), col("mv").as("mv")))),
-        s => s.getField("mv")).as("ce"))
+    elementwiseMean(pqNearest(blocks, cents0), Seq("blk", "cell"),
+        "sub", "ce")
       .select(col("blk"), col("cell").as("cid"), col("ce"))
   }
 
@@ -605,7 +629,9 @@ object Similarity {
     val cents = Stage.snap(pqCodebook(blocks, embeddings, nCentroids), materialize)
     val codes = pqNearest(blocks, cents)
       .select(col("vec_id").as("cid2"), col("blk"), col("cell"))
-    val lut = blocks.where(col("vec_id") < nQueries)
+    val lut = blocks
+      .join(broadcast(queryHeads(embeddings.select("vec_id"), nQueries)),
+        Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("qid"), col("blk"), col("sub"))
       .join(broadcast(cents), Seq("blk"))
       .select(col("qid"), col("blk"), col("cid"),
@@ -689,14 +715,7 @@ object Similarity {
       .select(col("vec_id").as("ccell"), col("embedding").as("cce"))
       .orderBy("ccell").limit(nCoarse)
     val coarse = Stage.snap(
-      assignTo(coarse0)
-        .select(col("ccell"), posexplode(col("embedding")))
-        .groupBy(col("ccell"), col("pos"))
-        .agg(round(avg(col("col").cast("double")), 9).as("mv"))
-        .groupBy("ccell")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos").as("p"), col("mv").as("mv")))),
-          s => s.getField("mv")).as("cce")),
+      elementwiseMean(assignTo(coarse0), Seq("ccell"), "embedding", "cce"),
       materialize)
     val assigned = assignTo(coarse)
     // snapshot the residual table: the codebook training, the code
@@ -748,7 +767,7 @@ object Similarity {
     // query → nProbes nearest coarse cells, residual query per probe
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cnano"), col("ccell"))
-    val qprobe = embeddings.where(col("vec_id") < nQueries)
+    val qprobe = queryHeads(embeddings, nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .crossJoin(broadcast(parts.coarse))
       .select(col("qid"), col("qe"), col("ccell"), col("cce"),
@@ -791,11 +810,18 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, nCentroids: Int = 8, nQueries: Int = 8,
       k: Int = 5, nProbes: Int = 1): DataFrame = {
     val ranked = ivfRanked(embeddings, nCentroids)
-    val q = ranked.where(col("vec_id") < nQueries && col("arn") <= nProbes)
+    val q = ranked.where(col("arn") <= nProbes)
+      .join(broadcast(queryHeads(embeddings.select("vec_id"), nQueries)),
+        Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("centroid_id").as("cell"))
-    val c = ivfAssign(embeddings, nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce2"), col("cell"))
+    // the candidate side IS ranked's arn==1 slice (ivfAssign's
+    // definition) — deriving it from the same frame instead of calling
+    // ivfRanked again avoids re-running the full crossJoin + rank
+    // window over the corpus (round-11 review)
+    val c = ranked.where(col("arn") === 1)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce2"),
+        col("centroid_id").as("cell"))
     cellTopK(q, c, k, embeddings)
   }
 

@@ -196,10 +196,21 @@ object Temporal {
 
   /** The (event_type, hour, n) pre-aggregation under [[rateAnomaly]] —
     * exposed so a streaming monitor can MAINTAIN it incrementally (counts
-    * merge by sum) and re-score without the raw events. */
+    * merge by sum) and re-score without the raw events.
+    *
+    * Buckets truncate via EPOCH MICROS, not `date_trunc` (round-11
+    * review): date_trunc truncates in the session timezone, so a
+    * non-UTC session's DST fall-back merged two UTC hours into one
+    * bucket (a spurious 2× spike) and spring-forward left a phantom
+    * gap — the resample operator's pure-epoch contract, now applied
+    * here. The UTC-session values are identical (hour boundaries
+    * coincide), so the DuckDB mirror is unchanged; only the final
+    * display string still renders in the session timezone. */
   def hourlyOf(events: DataFrame): DataFrame =
     events
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .groupBy(col("event_type"),
+        timestamp_micros(expr("unix_micros(ts) div 3600000000") *
+          3600000000L).as("hour"))
       .agg(count(lit(1)).as("n"))
 
   /** Scoring half of [[rateAnomaly]]: the trailing window + z over an
@@ -208,13 +219,29 @@ object Temporal {
     val w = Window.partitionBy("event_type").orderBy("hour")
       .rowsBetween(-trailing, -1)
     val t = lit(trailing.toDouble)
+    // Σn² carries as DECIMAL(38,0), not BIGINT (round-11 review): at a
+    // steady 1e9 events/hour a 24-bucket Σn² is 2.4e19 — past
+    // Long.MaxValue — and the silent wrap turns variance negative,
+    // blinding the monitor exactly when volume is highest. Decimal
+    // keeps the sums exact (the determinism contract needs exact
+    // integers feeding ONE shared double expression tree), and the
+    // DuckDB mirror sums the same decimal type.
+    val nDec = col("n").cast("decimal(19,0)")
     val scored = hourly
       .withColumn("s", sum("n").over(w))
-      .withColumn("ss", sum(col("n") * col("n")).over(w))
+      .withColumn("ss", sum(nDec * nDec).over(w))
       .withColumn("m", count(lit(1)).over(w))
       .where(col("m") === trailing)
     val sD = col("s").cast("double")
-    val variance = (col("ss").cast("double") - sD * col("s") / t) / t
+    // variance = (t·Σn² − (Σn)²) / t², with the NUMERATOR computed as an
+    // exact decimal integer and cast to double ONCE: the naive
+    // (Σn²_d − s_d·s/t)/t form cancels catastrophically at 1e9-scale
+    // counts (variance 0.25 is below double resolution at 2.4e19), so
+    // the monitor emitted no z precisely on high-volume types. The
+    // DuckDB mirror computes the same exact integer via HUGEINT.
+    val sDec = col("s").cast("decimal(19,0)")
+    val variance = (lit(trailing).cast("decimal(19,0)") * col("ss") -
+      sDec * sDec).cast("double") / (t * t)
     val z = round((col("n").cast("double") - sD / t) / sqrt(variance) * 1000)
       .cast("long")
     scored.select(col("event_type"),

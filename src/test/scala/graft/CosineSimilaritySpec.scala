@@ -33,22 +33,37 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(math.abs(rows(2).getDouble(0) - 1.0 / math.sqrt(2)) < 1e-15)
   }
 
-  test("zero vector degrades to NaN — JVM arithmetic, never an ANSI throw") {
+  test("zero vector returns 0.0 — never a NaN that would rank #1 everywhere") {
     GraftFunctions.ensureRegistered(spark)
-    // doGenCode emits raw Java division (IEEE): a zero-norm vector gives
-    // NaN instead of killing the job the way an ANSI SQL division would.
-    // Spark SQL (like DuckDB) orders NaN GREATER than every value, so a
-    // NaN cosine passes `>= threshold` filters — cross-engine-consistent,
-    // and the reason zero vectors should be filtered upstream of
-    // cosineNearDup, not relied on to self-exclude.
-    val df = Seq((Array(0.0f, 0.0f, 0.0f), Array(1.0f, 2.0f, 3.0f)))
-      .toDF("a", "b")
-    val v = df.select(GraftFunctions.cosineSim(col("a"), col("b")).as("c"))
-      .collect().head.getDouble(0)
-    assert(v.isNaN, s"expected NaN for zero vector, got $v")
-    assert(df.select((GraftFunctions.cosineSim(col("a"), col("b")) >= 0.5)
+    // round-11 review: the raw 0/0 NaN ordered ABOVE every real number
+    // in Spark, so one failed-encode zero vector ranked as the top
+    // neighbor in every cos-desc path and passed every `>= threshold`
+    // dup test. The guard returns 0.0: a real value that never wins a
+    // ranking and never passes a positive threshold.
+    val df = Seq(
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 2.0f, 3.0f), Array(0.0f, 0.0f, 0.0f)),
+      (Array(0.0f, 0.0f, 0.0f), Array(0.0f, 0.0f, 0.0f))
+    ).toDF("a", "b")
+    // both the codegen'd native expression and the HOF fallback
+    val got = df.select(
+      GraftFunctions.cosineSim(col("a"), col("b")).as("native"),
+      Functions.cosine(col("a"), col("b")).as("hof")).collect()
+    got.foreach { r =>
+      assert(r.getDouble(0) == 0.0, s"native gave ${r.getDouble(0)}")
+      assert(r.getDouble(1) == 0.0, s"hof gave ${r.getDouble(1)}")
+    }
+    assert(!df.select((GraftFunctions.cosineSim(col("a"), col("b")) >= 0.5)
       .as("keep")).collect().head.getBoolean(0),
-      "Spark NaN ordering: NaN >= threshold must be TRUE (documented semantics)")
+      "a degenerate cosine must NOT pass a positive threshold")
+    // end-to-end: a zero vector in the corpus never outranks real ones
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(100)
+      .unionByName(Seq((999999L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+    val top = graft.operators.Similarity.bruteForceTopK(emb, nQueries = 2, k = 3)
+      .collect()
+    assert(!top.exists(r => r.getLong(1) == 999999L && r.getInt(3) == 1),
+      "a zero vector ranked as the #1 neighbor")
   }
 
   test("codegen and interpreted paths agree on real embeddings") {

@@ -295,4 +295,34 @@ class SimilarityQualitySpec extends SparkSpec {
     assert(loose.contains(9999L))
     assert(loose.forall(v => v == 9999L || v % 20 != 0))
   }
+
+  test("non-contiguous id space: every topk probes a FULL query head set, shift-equivariant") {
+    // round-11 review: `vec_id < nQueries` selected NOTHING on a
+    // filtered corpus whose smallest id exceeds nQueries — the exact
+    // hazard the rank-based centroid seeding already guards. Heads are
+    // now the nQueries SMALLEST ids, so shifting every id by a constant
+    // must shift the results and nothing else.
+    import org.apache.spark.sql.functions._
+    val shift = 1000000L
+    val shifted = embeddings.withColumn("vec_id", col("vec_id") + shift)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+      ("bruteForce", e => Similarity.bruteForceTopK(e, nQueries = 4, k = 3)),
+      ("hardNeg", e => Similarity.hardNegatives(e, nQueries = 4, k = 3)
+        .select(col("qid"), col("cid"))),
+      ("ivf", e => Similarity.ivfTopK(e, nQueries = 4, k = 3)),
+      ("ivfKmeans", e => Similarity.ivfKmeansTopK(e, nQueries = 4, k = 3)),
+      ("pq", e => Similarity.pqTopK(e, nQueries = 4, k = 3)),
+      ("ivfPq", e => Similarity.ivfPqTopK(e, nQueries = 4, k = 3)))
+    for ((name, f) <- cases) {
+      val base = rows(f(embeddings))
+      val got = rows(f(shifted))
+      assert(got.nonEmpty, s"$name: empty result on a shifted id space")
+      assert(got.map(_._1).distinct.size == 4,
+        s"$name: expected 4 query heads, got ${got.map(_._1).distinct}")
+      assert(got == base.map { case (q, c) => (q + shift, c + shift) },
+        s"$name: shifted results are not the shifted base results")
+    }
+  }
 }

@@ -151,7 +151,8 @@ class TemporalSpec extends SparkSpec {
     // only hour 24 carries 24 trailing buckets
     assert(got.length == 1)
     val r = got.head
-    assert(r.getLong(2) == 5 && r.getLong(3) == 36 && r.getLong(4) == 60)
+    assert(r.getLong(2) == 5 && r.getLong(3) == 36 &&
+      r.getDecimal(4).longValueExact == 60)
     // z = (5 - 1.5) / 0.5 * 1000 — exact in doubles
     assert(r.getLong(5) == 7000, r.toString)
   }
@@ -161,6 +162,52 @@ class TemporalSpec extends SparkSpec {
     val got = Temporal.rateAnomaly(hourlyFeed(counts)).collect()
     assert(got.length == 1)
     assert(got.head.getLong(2) == 7 && got.head.isNullAt(5), got.head.toString)
+  }
+
+  test("rate anomaly: Σn² at 1e9 events/hour stays exact — no silent BIGINT wrap blinding the monitor") {
+    // round-11 review: 24 trailing buckets of n ≈ 1e9 give Σn² ≈ 2.4e19,
+    // past Long.MaxValue — the old BIGINT sum wrapped negative, variance
+    // went negative, and the `variance > 0` guard suppressed every z
+    // exactly when volume was highest. Decimal sums stay exact.
+    val big = (0 until 24).map(h => 1000000000L + (h % 2)) :+ 1000000100L
+    val hourly = big.zipWithIndex.map { case (n, h) =>
+      (s"2024-01-0${1 + h / 24} ${"%02d".format(h % 24)}:00:00", "e", n)
+    }.toDF("t", "event_type", "n")
+      .select(col("event_type"), col("t").cast("timestamp").as("hour"), col("n"))
+    val got = Temporal.rateAnomalyFromHourly(hourly).collect()
+    assert(got.length == 1)
+    val r = got.head
+    val ss = r.getDecimal(4)
+    assert(ss.signum > 0 && ss.compareTo(
+      new java.math.BigDecimal(Long.MaxValue)) > 0,
+      s"Σn² must exceed Long.MaxValue exactly, got $ss")
+    // baseline alternates 1e9/1e9+1 (var 0.25, mean 1e9+0.5); the spike
+    // of +99.5 over the mean scores z = 99.5/0.5*1000 = 199000 exactly
+    assert(!r.isNullAt(5), "overflow-free variance must emit a z")
+    assert(r.getLong(5) == 199000L, r.toString)
+  }
+
+  test("hourly buckets are session-timezone independent: DST fall-back never merges two UTC hours") {
+    // round-11 review: date_trunc('hour') truncates in the session tz, so
+    // America/New_York's 2025-11-02 fall-back mapped 05:30Z and 06:30Z to
+    // the same local 01:00 wall hour — one bucket with 2x the true count.
+    // Epoch-micros truncation keeps them distinct in ANY session tz.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val events = Seq(
+        "2025-11-02 05:30:00Z", "2025-11-02 05:45:00Z", // 05:00 UTC hour
+        "2025-11-02 06:30:00Z"                           // 06:00 UTC hour
+      ).toDF("t")
+        .select(lit("e").as("event_type"),
+          to_timestamp(col("t"), "yyyy-MM-dd HH:mm:ssX").as("ts"))
+      val buckets = Temporal.hourlyOf(events)
+        .select(unix_micros(col("hour")).as("us"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val h0 = 1762059600L * 1000000L // 2025-11-02 05:00:00Z
+      assert(buckets == Seq((h0, 2L), (h0 + 3600000000L, 1L)),
+        s"DST fall-back merged UTC hours: $buckets")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
   test("resample: gaps zero-fill, spans are per-key, mass is conserved") {
