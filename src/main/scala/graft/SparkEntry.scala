@@ -4936,7 +4936,7 @@ object SparkEntry {
         |  FROM documents
         |), m2 AS (
         |  SELECT doc_id, n_frames,
-        |    greatest(CAST(1 AS BIGINT), n_frames // 8) AS stride
+        |    greatest(CAST(1 AS BIGINT), (n_frames + 7) // 8) AS stride
         |  FROM meta
         |), frames AS (
         |  SELECT doc_id, n_frames, stride, f.fi AS frame_idx

@@ -75,8 +75,13 @@ object Multimodal {
     documents
       .select(col("doc_id"),
         expr("CAST(octet_length(text) AS BIGINT) DIV 1000 + 1").as("n_frames"))
+      // CEIL stride, not floor (round-11 review): floor gave stride 1
+      // for maxFrames < n_frames < 2*maxFrames, and the pos cap then
+      // kept only the PREFIX of the stream — the second half of the
+      // asset was never sampled. Ceil covers the full span evenly.
       .select(col("doc_id"), col("n_frames"),
-        greatest(lit(1L), expr(s"n_frames DIV $maxFrames")).as("stride"))
+        greatest(lit(1L),
+          expr(s"(n_frames + $maxFrames - 1) DIV $maxFrames")).as("stride"))
       .select(col("doc_id"), col("n_frames"), col("stride"),
         posexplode(sequence(lit(0L), col("n_frames") - 1, col("stride"))))
       .where(col("pos") < maxFrames)
@@ -424,6 +429,36 @@ object Multimodal {
     * Scale posture: `mapPartitions` — pixels are decoded, folded into
     * three channel sums in-partition and dropped; only narrow stats rows
     * shuffle or return. */
+  /** The shared pixel-decode guard ladder (round-11 review: imageStats
+    * and imageDHash each carried a full copy — exactly how a future
+    * bomb-guard fix would land in one and silently not the other):
+    * sniff → header-only dimension read FIRST (a decompression bomb
+    * declares huge dimensions in a tiny payload, and ImageIO.read
+    * allocates the full pixel buffer BEFORE any post-decode check
+    * could run, so the guard must fire off the header alone) →
+    * ImageIO decode under the degrade-don't-fail catch (decoder
+    * internals throw unchecked types on crafted bytes). `onGuard`
+    * builds the labeled degraded row (dims are the header's for
+    * oversize, 0 otherwise); `onImage` folds the decoded pixels. */
+  private def withDecodedImage[A](bytes: Array[Byte], maxPixels: Long)(
+      onGuard: (String, Int, Int) => A)(
+      onImage: (String, java.awt.image.BufferedImage) => A): A =
+    sniffImageFormat(bytes) match {
+      case Some(fmt) =>
+        val (hw, hh, hfmt) = decodeImage(bytes)
+        if (hfmt.startsWith("corrupt-")) onGuard(s"corrupt-$fmt", 0, 0)
+        else if (hw.toLong * hh > maxPixels) onGuard(s"oversize-$fmt", hw, hh)
+        else try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img eq null) onGuard(s"corrupt-$fmt", 0, 0)
+          else onImage(fmt, img)
+        } catch {
+          case scala.util.control.NonFatal(_) => onGuard(s"corrupt-$fmt", 0, 0)
+        }
+      case None => onGuard(decodeMedia(bytes).format, 0, 0)
+    }
+
   def imageStats(documents: DataFrame,
       maxPixels: Long = 16L * 1024 * 1024): Dataset[ImageStats] = {
     val spark = documents.sparkSession
@@ -434,47 +469,24 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, raw) =>
           val bytes = if (raw eq null) Array.emptyByteArray else raw
-          sniffImageFormat(bytes) match {
-            case Some(fmt) =>
-              def corrupt = ImageStats(id, s"corrupt-$fmt", 0, 0, 0, 0, 0, 0)
-              // header-only dimension read FIRST (decodeImage): a
-              // decompression bomb declares huge dimensions in a tiny
-              // payload, and ImageIO.read allocates the full pixel
-              // buffer BEFORE any post-decode size check could run —
-              // the guard must fire off the header alone
-              val (hw, hh, hfmt) = decodeImage(bytes)
-              if (hfmt.startsWith("corrupt-")) corrupt
-              else if (hw.toLong * hh > maxPixels)
-                ImageStats(id, s"oversize-$fmt", hw, hh, 0, 0, 0, 0)
-              else try {
-                val img = javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(bytes))
-                if (img eq null) corrupt
-                else {
-                  val w = img.getWidth; val h = img.getHeight
-                  var r = 0.0; var g = 0.0; var b = 0.0
-                  var y = 0
-                  while (y < h) {
-                    var x = 0
-                    while (x < w) {
-                      val p = img.getRGB(x, y)
-                      r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-                      x += 1
-                    }
-                    y += 1
-                  }
-                  val n = w.toDouble * h
-                  val (mr, mg, mb) = (r / n, g / n, b / n)
-                  ImageStats(id, fmt, w, h, mr, mg, mb,
-                    0.2126 * mr + 0.7152 * mg + 0.0722 * mb)
-                }
-              } catch {
-                // same degrade-don't-fail rule as decodeImage: decoder
-                // internals throw unchecked types on crafted bytes
-                case scala.util.control.NonFatal(_) => corrupt
+          withDecodedImage(bytes, maxPixels)(
+            (fmt, w, h) => ImageStats(id, fmt, w, h, 0, 0, 0, 0)) { (fmt, img) =>
+            val w = img.getWidth; val h = img.getHeight
+            var r = 0.0; var g = 0.0; var b = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+                x += 1
               }
-            case None =>
-              ImageStats(id, decodeMedia(bytes).format, 0, 0, 0, 0, 0, 0)
+              y += 1
+            }
+            val n = w.toDouble * h
+            val (mr, mg, mb) = (r / n, g / n, b / n)
+            ImageStats(id, fmt, w, h, mr, mg, mb,
+              0.2126 * mr + 0.7152 * mg + 0.0722 * mb)
           }
         }
       }
@@ -507,57 +519,42 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, raw) =>
           val bytes = if (raw eq null) Array.emptyByteArray else raw
-          sniffImageFormat(bytes) match {
-            case Some(fmt) =>
-              def corrupt = DHashRow(id, s"corrupt-$fmt", 0L)
-              val (hw, hh, hfmt) = decodeImage(bytes)
-              if (hfmt.startsWith("corrupt-")) corrupt
-              else if (hw.toLong * hh > maxPixels)
-                DHashRow(id, s"oversize-$fmt", 0L)
-              else try {
-                val img = javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(bytes))
-                if (img eq null) corrupt
-                else {
-                  val w = img.getWidth; val h = img.getHeight
-                  val grid = Array.ofDim[Double](8, 9)
-                  var gy = 0
-                  while (gy < 8) {
-                    var gx = 0
-                    while (gx < 9) {
-                      val x0 = gx * w / 9
-                      val x1 = math.min(w, math.max(x0 + 1, (gx + 1) * w / 9))
-                      val y0 = gy * h / 8
-                      val y1 = math.min(h, math.max(y0 + 1, (gy + 1) * h / 8))
-                      var s = 0.0; var n = 0
-                      var y = y0
-                      while (y < y1) {
-                        var x = x0
-                        while (x < x1) {
-                          val p = img.getRGB(x, y)
-                          s += 0.2126 * ((p >> 16) & 0xff) +
-                            0.7152 * ((p >> 8) & 0xff) + 0.0722 * (p & 0xff)
-                          n += 1; x += 1
-                        }
-                        y += 1
-                      }
-                      grid(gy)(gx) = if (n == 0) 0.0 else s / n
-                      gx += 1
-                    }
-                    gy += 1
+          withDecodedImage(bytes, maxPixels)(
+            (fmt, _, _) => DHashRow(id, fmt, 0L)) { (fmt, img) =>
+            val w = img.getWidth; val h = img.getHeight
+            val grid = Array.ofDim[Double](8, 9)
+            var gy = 0
+            while (gy < 8) {
+              var gx = 0
+              while (gx < 9) {
+                val x0 = gx * w / 9
+                val x1 = math.min(w, math.max(x0 + 1, (gx + 1) * w / 9))
+                val y0 = gy * h / 8
+                val y1 = math.min(h, math.max(y0 + 1, (gy + 1) * h / 8))
+                var s = 0.0; var n = 0
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    val p = img.getRGB(x, y)
+                    s += 0.2126 * ((p >> 16) & 0xff) +
+                      0.7152 * ((p >> 8) & 0xff) + 0.0722 * (p & 0xff)
+                    n += 1; x += 1
                   }
-                  var hash = 0L; var i = 0
-                  while (i < 64) {
-                    if (grid(i / 8)(i % 8) < grid(i / 8)(i % 8 + 1))
-                      hash |= (1L << i)
-                    i += 1
-                  }
-                  DHashRow(id, fmt, hash)
+                  y += 1
                 }
-              } catch {
-                case scala.util.control.NonFatal(_) => corrupt
+                grid(gy)(gx) = if (n == 0) 0.0 else s / n
+                gx += 1
               }
-            case None => DHashRow(id, decodeMedia(bytes).format, 0L)
+              gy += 1
+            }
+            var hash = 0L; var i = 0
+            while (i < 64) {
+              if (grid(i / 8)(i % 8) < grid(i / 8)(i % 8 + 1))
+                hash |= (1L << i)
+              i += 1
+            }
+            DHashRow(id, fmt, hash)
           }
         }
       }
@@ -586,11 +583,17 @@ object Multimodal {
     require(64 % nBlocks == 0,
       s"maxHamming+1 = $nBlocks must divide 64 for full block coverage")
     val blockBits = 64 / nBlocks
+    // blockBits == 64 (maxHamming = 0): the JVM masks `1L << 64` back
+    // to 1, so the mod would send EVERY hash to bucket 0 and the
+    // "bucketed" join would silently degrade to all-pairs (round-11
+    // review) — the single block's value is the whole hash
+    def blockVal(b: Int) =
+      if (blockBits == 64) col("h")
+      else pmod(shiftrightunsigned(col("h"), b * blockBits),
+        lit(1L << blockBits))
     val blocks = hashed.select(col("doc_id"), col("h"),
       explode(array((0 until nBlocks).map(b =>
-        struct(lit(b).as("blk"),
-          pmod(shiftrightunsigned(col("h"), b * blockBits),
-            lit(1L << blockBits)).as("v"))): _*)).as("x"))
+        struct(lit(b).as("blk"), blockVal(b).as("v"))): _*)).as("x"))
       .select(col("doc_id"), col("h"),
         col("x.blk").as("blk"), col("x.v").as("v"))
     val a = blocks.select(col("blk"), col("v"),
@@ -660,8 +663,18 @@ object Multimodal {
                 AHashRow(id, "wav", hash)
               }
             case None =>
-              AHashRow(id, if (sniffWav(bytes)) "corrupt-wav"
-                else decodeMedia(bytes).format, 0L)
+              // a WAV that PARSES but is not integer PCM (IEEE-float /
+              // ADPCM) is a VALID asset this fingerprint cannot read —
+              // label it nonpcm-wav, not corrupt (round-11 review:
+              // decodeMedia/audioStats call the same payload "wav", so
+              // "corrupt" double-counted healthy assets in corruption
+              // cards). Either label excludes it from pairing.
+              val fmt =
+                if (!sniffWav(bytes)) decodeMedia(bytes).format
+                else if (parseWavLayout(bytes).exists(l => !l.isPcm))
+                  "nonpcm-wav"
+                else "corrupt-wav"
+              AHashRow(id, fmt, 0L)
           }
         }
       }

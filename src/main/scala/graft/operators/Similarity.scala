@@ -828,12 +828,9 @@ object Similarity {
   /** Driver-side mirror of Functions.sha32 (first 8 hex chars of sha256 as
     * unsigned int = first 4 bytes big-endian) — same byte walk as
     * TextAnalysis.winnow's executor-side hash. */
-  private def sha32Local(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-  }
+  private def sha32Local(s: String): Long =
+    TextAnalysis.sha32Of(java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
 
   /** Sign random projection (Achlioptas/JL): reduce `inDim`-d embeddings
     * to `outDim` components y_k = Σ_j sign(j,k)·x_j with sign(j,k) = ±1

@@ -109,7 +109,15 @@ object TextAnalysis {
     * runs (id/phone-shaped) → `<NUM>`, with per-doc match counts. Pure
     * codegen'd regexp expressions; the synthetic corpus carries no PII, so
     * the query composes a deterministic contact suffix per document to
-    * exercise the patterns (the oracle mirrors the composition). */
+    * exercise the patterns (the oracle mirrors the composition).
+    *
+    * Count contract: `n_emails`/`n_urls`/`n_nums` count matches in the
+    * RAW text, independently per pattern — NOT placeholders in
+    * `scrubbed`, which applies the three replacements sequentially (a
+    * digit run inside a URL counts in `n_nums` but is consumed by the
+    * `<URL>` replacement, so no `<NUM>` placeholder appears). Raw
+    * counts are the PII-exposure signal a curation card wants; don't
+    * assert count == placeholder occurrences. */
   def scrub(documents: DataFrame): DataFrame = {
     val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val urlRe = "https?://[^\\s]+"
@@ -476,8 +484,12 @@ object TextAnalysis {
     * ([[tokenEntropy]]), repetition signals ([[repetitionSignals]]) and
     * LM surprisal ([[unigramSurprisal]]) — the feature set the
     * CCNet/fastText-era curation classifiers actually train on.
-    * Restricted to docs with ≥ 2 tokens (the repetition signals need a
-    * bigram; mirrored by the oracle's inner join).
+    * Scope contract (mirrored by the oracle's inner joins): a doc
+    * appears iff it has ≥ 2 whitespace tokens (the repetition signals
+    * need a bigram) AND ≥ 1 alphabetic `[a-z]+` token (surprisal is
+    * undefined on an empty term vector) — a digits-/punctuation-only
+    * doc is deliberately absent from the training table, not scored
+    * zero (round-11 review made the second condition explicit).
     *
     * Scale posture: each signal keeps its own scale-shaped plan (one
     * combinable agg or row-local pass); the matrix is three narrow
@@ -675,6 +687,15 @@ object TextAnalysis {
     * k1 and the doc-length prior via b. Scores round to 6 dp BEFORE
     * ranking (engine-stable ordering, token tie-break).
     *
+    * avgdl convention (round-11 review, made explicit): avgdl averages
+    * over TOKEN-BEARING docs only (sum_dl / n_dl, the dl table's row
+    * count), while N in the idf counts every doc. A token-less doc can
+    * contribute no (doc, token) row to score anyway, so including its
+    * zero length in avgdl would only deflate every other doc's length
+    * prior; the [[graft.operators.LexIndex]] stats table carries
+    * n_docs and n_dl separately for exactly this distinction, and the
+    * DuckDB oracle mirrors it.
+    *
     * Scale posture: identical to [[tfidfTopK]] — two map-side-combinable
     * aggregations over narrow (doc_id, token) rows plus a per-doc length
     * table; the corpus constants (N, avgdl) broadcast as one row, avgdl
@@ -861,6 +882,15 @@ object TextAnalysis {
     * array); the only shuffle carries narrow (doc_id, band, fp) rows.
     */
   def winnow(documents: DataFrame, w: Int = 8, band: Int = 4): DataFrame = {
+    // loud bound, not silent wrap (round-11 review): the un-reduced
+    // window sum is at most (2^32-1)·(7^w-1)/6, which passes
+    // Long.MaxValue at w = 12 — a wrapped sum goes NEGATIVE and Scala's
+    // % keeps the sign, so fingerprints would silently diverge from the
+    // oracle's positive-mod arithmetic instead of failing
+    require(w >= 1 && w <= 11,
+      s"winnow window w=$w outside [1, 11]: the 64-bit rolling sum " +
+        "overflows at w >= 12 (switch to mod-reduced accumulation " +
+        "before raising the bound)")
     // Typed mapPartitions hot loop (round-1 used interpreted higher-order
     // `transform` with 8 element_ats per window — 10 s / 20% of the bench).
     // Here each partition makes ONE pass: sha256 per token (reused digest
@@ -879,13 +909,15 @@ object TextAnalysis {
         val tokenRe = java.util.regex.Pattern.compile("\\S+")
         it.flatMap { case (docId, text) =>
           // Locale.ROOT: executor-default locales (e.g. Turkish dotless-i)
-          // must not change token hashes vs Spark's lower()/the oracle
-          val m = tokenRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
+          // must not change token hashes vs Spark's lower()/the oracle.
+          // Null text degrades to no fingerprints — the sibling
+          // mapPartitions operators' degrade-don't-fail contract
+          val safe = if (text == null) "" else text
+          val m = tokenRe.matcher(safe.toLowerCase(java.util.Locale.ROOT))
           val hs = scala.collection.mutable.ArrayBuffer.empty[Long]
           while (m.find()) {
-            val d = md.digest(m.group().getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            hs += (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL))
+            hs += sha32Of(md.digest(
+              m.group().getBytes(java.nio.charset.StandardCharsets.UTF_8)))
           }
           val n = hs.length
           if (n < w) Iterator.empty
@@ -972,9 +1004,8 @@ object TextAnalysis {
           var n = 0L
           var sumW = 0L
           while (m.find()) {
-            val d = md.digest(m.group().getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+            val h = sha32Of(md.digest(
+              m.group().getBytes(java.nio.charset.StandardCharsets.UTF_8)))
             sumW += weights((h % dim).toInt)
             n += 1
           }
@@ -987,15 +1018,21 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** First 4 bytes of a sha256 digest as big-endian unsigned — the ONE
+    * byte fold every executor- and driver-side sha32 shares (round-11
+    * review: three inlined copies had to stay bit-identical with
+    * Functions.sha32 and the DuckDB oracle with no compile-time
+    * signal tying them together). */
+  private[operators] def sha32Of(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+
   /** Driver-side sha32 (first 4 bytes of sha256, big-endian) — the same
     * value Functions.sha32 computes as a Column; used to fill
     * deterministic closure tables. */
-  private def sha32Driver(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-  }
+  private def sha32Driver(s: String): Long =
+    sha32Of(java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
 
   /** Per-document token Shannon entropy + type-token ratio — the
     * vocabulary-diversity quality signal ([[qualityScore]]'s structural

@@ -410,4 +410,53 @@ class MultimodalSpec extends SparkSpec {
       s"only the re-leveled copy should pair: ${pairs.toSeq}")
     assert(pairs.head.getInt(2) == 0)
   }
+
+  test("a valid non-PCM WAV fingerprints as nonpcm-wav, not corrupt (decodeMedia calls it wav)") {
+    import spark.implicits._
+    // round-11 review: audioFingerprint labeled a well-formed
+    // IEEE-float WAV "corrupt-wav" while decodeMedia/audioStats called
+    // the same payload "wav" — corruption cards double-counted healthy
+    // assets. The honest label: valid container, unreadable samples.
+    val float32 = {
+      val fmt = ascii("fmt ") ++ le32(16) ++ le16(3) ++ le16(1) ++
+        le32(8000L) ++ le32(32000L) ++ le16(4) ++ le16(32)
+      val data = ascii("data") ++ le32(8) ++ new Array[Byte](8)
+      ascii("RIFF") ++ le32(4L + fmt.length + data.length) ++ ascii("WAVE") ++ fmt ++ data
+    }
+    val truncated = wavBytes(8000, 1).take(20) // fmt chunk destroyed
+    val fp = Multimodal.audioFingerprint(
+      Seq((1L, float32), (2L, truncated)).toDF("doc_id", "text"))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(fp(1L).format == "nonpcm-wav" && fp(1L).ahash == 0L, fp(1L).toString)
+    assert(fp(2L).format == "corrupt-wav", fp(2L).toString)
+  }
+
+  test("maxHamming = 0: only EXACT hash matches pair (the 64-bit single-block bucket)") {
+    import spark.implicits._
+    // round-11 review: blockBits = 64 made `1L << 64` wrap to 1, so
+    // every hash landed in one bucket and the bucketed join silently
+    // degraded to all-pairs (results stayed right; the pruning didn't).
+    // The single block's value is now the hash itself — this drives the
+    // 64-bit branch and pins the exact-match semantics.
+    val hs = Seq((1L, "wav", 5L), (2L, "wav", 5L), (3L, "wav", 4L),
+      (4L, "wav", Long.MinValue), (5L, "wav", Long.MinValue))
+      .toDF("doc_id", "format", "ahash")
+    val got = Multimodal.audioPairs(hs, maxHamming = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, 2L, 0), (4L, 5L, 0)), got.toString)
+  }
+
+  test("frameSamplePlan covers the FULL stream span when maxFrames < n_frames < 2*maxFrames") {
+    import spark.implicits._
+    // round-11 review: the floor stride was 1 for n_frames = 15 with
+    // maxFrames = 8, and the pos cap then kept frames 0..7 only — the
+    // whole second half of the asset was never sampled. Ceil stride = 2
+    // samples 0,2,..,14: even coverage to the last frame.
+    val doc = Seq((1L, "x" * 14500)).toDF("doc_id", "text") // n_frames = 15
+    val rows = Multimodal.frameSamplePlan(doc).collect()
+      .map(r => (r.getInt(2), r.getLong(3))).toSeq
+    assert(rows.map(_._2) == Seq(0L, 2L, 4L, 6L, 8L, 10L, 12L, 14L),
+      s"expected even full-span coverage, got $rows")
+    assert(rows.map(_._1) == (0 until 8).toSeq)
+  }
 }

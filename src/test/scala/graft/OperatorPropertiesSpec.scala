@@ -69,6 +69,22 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("winnow: null text degrades to no rows; w >= 12 is refused loudly (sum would wrap)") {
+    import spark.implicits._
+    // round-11 review: the null path NPE'd the executor task; and at
+    // w = 12 the un-reduced rolling sum can exceed Long.MaxValue, so
+    // fingerprints would silently go negative instead of failing
+    val withNull = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val rows = TextAnalysis.winnow(withNull).collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(0) == 1L),
+      "null text must contribute nothing, not kill the job")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.winnow(withNull, w = 12)
+    }
+    assert(e.getMessage.contains("overflow"), e.getMessage)
+  }
+
   test("scrub is idempotent and masks everything it counts") {
     val withPii = docsDf.select(col("doc_id"),
       concat(col("text"), lit(" a.b@x-mail.org 9876543 https://h.test/q")).as("text"))
