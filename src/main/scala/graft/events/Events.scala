@@ -26,7 +26,18 @@ final class EventLog(spark: SparkSession, root: String) {
     * product-filtered read over a log whose rows never carried
     * product_id would crash on an unresolvable column. */
   def read(): DataFrame = {
-    val df = spark.read.json(root)
+    // A log nobody has appended to yet reads as zero rows, not a
+    // PATH_NOT_FOUND crash (the reference's read of an empty log table
+    // returns empty; only `ts` is pinned — the filter columns below are
+    // normalized in either branch).
+    val df =
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root)))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType))))
+      else spark.read.json(root)
     Seq("product_id" -> "bigint", "target" -> "string",
       "action" -> "string", "outcome" -> "string")
       .foldLeft(df) { case (d, (c, t)) =>
@@ -48,8 +59,14 @@ final class EventLog(spark: SparkSession, root: String) {
       s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
         .filter { p =>
           val n = p.getFileName.toString
+          // Try: a malformed partition name (e.g. a NULL-ts row lands in
+          // log_date=__HIVE_DEFAULT_PARTITION__) must not abort retention
+          // forever — unparseable dirs are skipped, parseable ones still
+          // prune.
           n.startsWith("log_date=") &&
-            java.time.LocalDate.parse(n.stripPrefix("log_date="), fmt).isBefore(cutoff)
+            scala.util.Try(
+              java.time.LocalDate.parse(n.stripPrefix("log_date="), fmt))
+              .toOption.exists(_.isBefore(cutoff))
         }
     }
     dropped.foreach { p =>

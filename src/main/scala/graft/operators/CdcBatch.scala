@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * modified-at column), else deterministically by the row's remaining
   * columns (max struct) so replays pick the same winner either way.
   * One narrow groupBy on the BATCH only — never corpus-sized. */
-private[operators] object CdcBatch {
+private[graft] object CdcBatch {
 
   def collapse(batch: DataFrame, idCol: String,
       seqCol: String = ""): DataFrame = {

@@ -151,8 +151,17 @@ object Scans {
     * The offset composes with the sort into one TakeOrdered-style pass —
     * no full materialization. */
   def eventLogRead(log: DataFrame, filters: EventFilters, limit: Int,
-      offset: Int = 0): DataFrame =
-    log.where(filters.predicate)
+      offset: Int = 0): DataFrame = {
+    // The engine's own EventLog rows carry no event_id / duration_ms —
+    // normalize them to typed NULLs so the documented pairing with
+    // EventLog.read works instead of dying on an unresolved column
+    // (Catalog.eventLog's synthetic table carries both, so it is
+    // untouched by this).
+    val norm = Seq("event_id" -> "bigint", "duration_ms" -> "bigint")
+      .foldLeft(log) { case (d, (c, t)) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(t))
+      }
+    norm.where(filters.predicate)
       .orderBy(col("ts").desc, col("event_id").desc)
       .offset(offset)
       .limit(limit)
@@ -160,6 +169,7 @@ object Scans {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
         col("product_id"), col("target"), col("action"), col("outcome"),
         col("duration_ms"))
+  }
 
   /** S8 — semi-structured payload rollup: extract a typed field from a
     * JSON `props` string column and aggregate per event type. The

@@ -46,7 +46,15 @@ final class Watermark(path: String) {
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p)).trim) else None
   def set(ts: String): Unit = {
     Option(p.getParent).foreach(Files.createDirectories(_))
-    Files.write(p, ts.getBytes)
+    // temp + atomic move, same discipline as every other cursor file: a
+    // torn plain write would leave a garbage timestamp whose cast turns
+    // the modified-scan predicate NULL — zero candidates, no error, and
+    // the next tick's set() papers over the skipped window permanently.
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.write(tmp, ts.getBytes)
+    Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 }
 

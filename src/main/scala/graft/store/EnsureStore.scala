@@ -33,8 +33,11 @@ final class EnsureStoreVectorStore(spark: SparkSession, root: String,
 
   private def storeIdFile = java.nio.file.Paths.get(root, "_STORE_ID")
 
-  /** GET-or-create the store id, cached in memory and on disk. */
-  def ensureStore(): String = cachedStoreId.getOrElse {
+  /** GET-or-create the store id, cached in memory and on disk.
+    * `Option(...)` guard: after Java deserialization (the class is
+    * Serializable and may ride a task closure) a @transient Option field
+    * is null, not None — the guard re-ensures lazily instead of NPE-ing. */
+  def ensureStore(): String = Option(cachedStoreId).flatten.getOrElse {
     val id =
       if (java.nio.file.Files.exists(storeIdFile))
         new String(java.nio.file.Files.readAllBytes(storeIdFile)).trim

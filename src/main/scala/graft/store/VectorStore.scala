@@ -50,7 +50,10 @@ final class ParquetVectorStore(spark: SparkSession, root: String,
     nBuckets: Int = 16, siteBuckets: Boolean = false)
     extends VectorStoreWriter with Serializable {
 
-  private val fs = java.nio.file.Paths.get(root)
+  // def, not val: java.nio.file.Path is NOT Serializable, and a Path
+  // field would break this class's Serializable contract the moment a
+  // closure or a decorating adapter captures it
+  private def fs = java.nio.file.Paths.get(root)
 
   val schema: StructType = StructType(Seq(
     StructField("id", StringType, nullable = false),
@@ -182,12 +185,16 @@ final class ParquetVectorStore(spark: SparkSession, root: String,
   }
 
   /** K1/K2 — id-keyed upsert: incoming rows replace same-id rows; only
-    * the incoming rows' buckets are read and rewritten. */
+    * the incoming rows' buckets are read and rewritten. A batch carrying
+    * the same id twice collapses to ONE row first ([[graft.operators
+    * .CdcBatch]]) — Pinecone's id-keyed upsert is single-winner within a
+    * batch, and without the collapse both rows land and read() returns
+    * duplicate ids until a later upsert replaces them. */
   def upsert(payloads: DataFrame): Int = {
     // cache: the touched-bucket collect() and the commit write would
     // otherwise each evaluate the caller's (possibly expensive) plan
-    val incoming = payloads
-      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    val incoming = graft.operators.CdcBatch.collapse(
+        payloads.select(schema.fieldNames.toIndexedSeq.map(col): _*), "id")
       .withColumn("bucket", bucketCol)
       .cache()
     try {

@@ -47,7 +47,9 @@ final class SyncEngine(
 
   import spark.implicits._
 
-  private val fsRoot = java.nio.file.Paths.get(syncStateRoot)
+  // def, not val: Path is not Serializable and the engine is (so its
+  // UDF-free helpers can ride task closures without a kryo surprise)
+  private def fsRoot = java.nio.file.Paths.get(syncStateRoot)
 
   val syncSchema: StructType = StructType(Seq(
     StructField("site_id", IntegerType, nullable = false),
@@ -152,7 +154,13 @@ final class SyncEngine(
   def deleteProduct(productId: Long, siteId: Int = 1): Long = {
     store.deleteByProduct(productId, siteId)
     val all = readSyncState()
-    val mine = col("product_id") === productId && col("target") === target
+    // Scoped by site_id too: the store delete above filters by
+    // (product_id, site_id), so the bookkeeping purge must match — a
+    // site-mismatched call would otherwise erase ALL the product's
+    // sync_state rows while deleting none of its vectors, leaving them
+    // orphaned and the product treated as brand-new (round-11 review).
+    val mine = col("product_id") === productId &&
+      col("site_id") === siteId && col("target") === target
     val removed = all.where(mine).count()
     commitSyncState(all.where(!mine))
     events.foreach { log =>
@@ -258,6 +266,7 @@ final class SyncEngine(
     * chunk_sha nullable for deletes). */
   def sampleDryRun(normalized: DataFrame, force: Boolean = false): DataFrame = {
     val parts = deltaParts(normalized, force)
+    try {
     // id resolution mirrors execution exactly: existing rows keep their
     // stored vector_id (deletes recompute from e_site, as sync does);
     // NEW chunks take the id buildPayloads would mint from the
@@ -278,18 +287,24 @@ final class SyncEngine(
     // — a driver collect() here would cap the API at driver memory, and
     // the candidate set can be a whole scan batch (reliable-storage
     // checkpoint under spark.graft.checkpoint=reliable; Stage.snap)
-    val out = graft.operators.Stage.snap(
+    graft.operators.Stage.snap(
       perChunk.unionByName(skippedUnchanged)
         .orderBy("product_id", "chunk_index"),
       materialize = true)
-    parts.unpersistAll()
-    out
+    // finally (not inline): a failure mid-plan must still unpin the four
+    // cached frames, or a scheduler loop that swallows per-tick errors
+    // accumulates dead cached plans for the session's lifetime
+    } finally parts.unpersistAll()
   }
 
   /** One full sync pass over `normalized` (product_id, site_id, sku, text).
     * Returns the per-action summary DataFrame (upserted/deleted/skipped). */
   def sync(normalized: DataFrame, force: Boolean = false): DataFrame = {
     val parts = deltaParts(normalized, force)
+    try syncImpl(parts, force) finally parts.unpersistAll()
+  }
+
+  private def syncImpl(parts: DeltaParts, force: Boolean): DataFrame = {
     val unchanged = parts.unchanged
     val changed = parts.changed
     val payloads = parts.payloads
@@ -338,8 +353,27 @@ final class SyncEngine(
       .withColumn("last_synced_at", lit(clock))
     val rest = untouched
       .join(unchanged.select("product_id"), Seq("product_id"), "left_anti")
+    // T8 delete-set preservation on write failure: rows routed 'delete'
+    // belong to changed products, so the merge above drops them — correct
+    // when the delete landed, but after a store failure they are the ONLY
+    // record that those chunks' vectors exist. Dropping them would leave
+    // the vectors orphaned forever (the self-heal pass re-derives its
+    // delete set from sync_state). Keep them as status='error' rows so
+    // the next healthy pass routes them 'delete' again (idempotent even
+    // if the failed pass's deleteByIds had already landed).
+    val failedDeletes =
+      if (writeError.isEmpty) mine.limit(0)
+      else mine.join(
+          routed.where(col("action") === "delete")
+            .select("product_id", "chunk_index"),
+          Seq("product_id", "chunk_index"), "left_semi")
+        .withColumn("status", lit("error"))
+        .withColumn("error_code", lit("graft_store_error"))
+        .withColumn("error_msg", errMsg)
+        .withColumn("last_synced_at", lit(clock))
     commitSyncState(others.unionByName(rest).unionByName(touched)
-      .unionByName(freshRows.select(rest.columns.toIndexedSeq.map(col): _*)))
+      .unionByName(freshRows.select(rest.columns.toIndexedSeq.map(col): _*))
+      .unionByName(failedDeletes.select(rest.columns.toIndexedSeq.map(col): _*)))
 
     // A4 summary (`class-indexer.php:468-477`).
     val acted = routed.groupBy("action").agg(count(lit(1)).as("n"))
@@ -354,8 +388,15 @@ final class SyncEngine(
     events.foreach { log =>
       val counts = materialized.map(r => r.getString(0) -> r.getLong(1)).toMap
       val outcome = if (writeError.isEmpty) "success" else "error"
+      // Site attribution from the batch itself (a hardcoded 1 mislabeled
+      // every non-default-site pass): single-site batch → that site;
+      // multi-site or empty batch → NULL (an equality filter on site_id
+      // then correctly excludes the row rather than mis-attributing it).
+      val sites = parts.withSha.select("site_id").distinct().limit(2).collect()
+      val siteForEvent: Option[Int] =
+        if (sites.length == 1) Some(sites(0).getInt(0)) else None
       import spark.implicits._
-      log.append(Seq((clock, 1, target, "sync", outcome,
+      log.append(Seq((clock, siteForEvent, target, "sync", outcome,
           counts.getOrElse("upsert", 0L), counts.getOrElse("delete", 0L),
           counts.getOrElse("skip", 0L) + counts.getOrElse("skip_unchanged", 0L),
           writeError.map(e => Option(e.getMessage).getOrElse("").take(200)).orNull))
@@ -363,7 +404,6 @@ final class SyncEngine(
           "upserted", "deleted", "skipped", "error_msg")
         .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s"))
     }
-    parts.unpersistAll()
     spark.createDataFrame(
       spark.sparkContext.parallelize(materialized.toSeq), out.schema)
   }
