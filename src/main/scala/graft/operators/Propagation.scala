@@ -34,12 +34,18 @@ import org.apache.spark.sql.functions._
   * dd_near_apply's round-10 bench regression. */
 object Propagation {
 
-  /** Backstop for the fixpoint loop: no realistic near-dup cluster has a
-    * diameter anywhere near this, so hitting it means the pair graph is
-    * pathological (and the run fails loudly rather than silently
-    * under-clustering). Callers with measured deeper chains pass a larger
-    * `maxRounds` instead of editing this. */
+  /** Backstop for the fixpoint loop. With the pointer-doubling step the
+    * label horizon grows as 2^round − 1, so 64 rounds covers any graph a
+    * physical corpus can hold (diameter up to ~2^63) — hitting the
+    * backstop now means the loop is genuinely broken, not that the chain
+    * is deep. Kept as a parameter anyway so the bounded-unroll oracle
+    * mirrors and pathology drills can lower it. */
   val DefaultMaxRounds = 64
+
+  /** [[minLabel]] plus the number of rounds the fixpoint actually ran —
+    * the observable the O(log d) convergence specs assert on (a 60-hop
+    * chain must close in ~7 rounds, not 60). */
+  final case class Labeled(labels: DataFrame, rounds: Int)
 
   /** Labels every vertex of `edges` with the minimum id reachable from it.
     *
@@ -54,7 +60,13 @@ object Propagation {
     *         are the caller's union */
   def minLabel(edges: DataFrame, idCol: String, rounds: Int = 0,
       materialize: Boolean = true,
-      maxRounds: Int = DefaultMaxRounds): DataFrame = {
+      maxRounds: Int = DefaultMaxRounds): DataFrame =
+    minLabelCounted(edges, idCol, rounds, materialize, maxRounds).labels
+
+  /** [[minLabel]], returning the round count too. */
+  def minLabelCounted(edges: DataFrame, idCol: String, rounds: Int = 0,
+      materialize: Boolean = true,
+      maxRounds: Int = DefaultMaxRounds): Labeled = {
     val fixpoint = rounds <= 0
     val vertices = edges.select(col("a").as(idCol)).distinct()
     var labels = vertices.select(col(idCol), col(idCol).as("label"))
@@ -71,14 +83,32 @@ object Propagation {
         .select(col(idCol), col("label").as("prev_label"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
       if (fixpoint) {
+        // Pointer doubling: fold in the PREVIOUS round's label of the
+        // label just computed (every label is a vertex id, so the lookup
+        // is a vertex-sized equi-join against the already-materialized
+        // map). The reachable-min horizon then grows as 2^round − 1
+        // instead of round — O(log d) rounds on a depth-d chain, so the
+        // 64-round backstop covers diameters up to ~2^63 rather than 64
+        // (round-10 advice: a >64-deep template-drift chain used to
+        // abort the job). The bounded-unroll branch below stays pure
+        // one-hop min-label — the shape the DuckDB oracle mirrors.
+        val lmap = labels
+          .select(col(idCol).as("pj_id"), col("label").as("pj_label"))
+        val jumped = stepped
+          .join(lmap, stepped("label") === lmap("pj_id"), "left_outer")
+          .select(col(idCol), col("prev_label"),
+            least(col("label"), coalesce(col("pj_label"), col("label")))
+              .as("label"))
         // ONE action: the count's job computes every partition of the
         // lazily-checkpoint-marked frame, persisting the round's snapshot
         // and producing the changed-label count in the same pass. Labels
-        // only ever decrease, so "no label changed" IS the global fixpoint.
+        // only ever decrease, so "no label changed" IS the global fixpoint
+        // (a stable neighbor step implies the compression step is stable
+        // too, so the combined-round test is still exact).
         // (materialize=false — the all-lazy plan-inspection form — skips
         // the checkpoint and pays the per-round re-derivation; fine on
         // the fixture-sized graphs that form inspects.)
-        val snapped = if (materialize) Stage.snapLazy(stepped) else stepped
+        val snapped = if (materialize) Stage.snapLazy(jumped) else jumped
         converged =
           snapped.where(col("label") =!= col("prev_label")).count() == 0L
         labels = snapped.select(idCol, "label")
@@ -90,8 +120,9 @@ object Propagation {
     if (fixpoint && !converged)
       throw new IllegalStateException(
         s"min-label propagation did not converge in $maxRounds rounds — " +
-          "pathological pair graph (diameter beyond any near-dup cluster); " +
-          "raise maxRounds only if the chain depth is genuinely real")
-    labels
+          "with pointer doubling that bounds the graph diameter at ~2^" +
+          s"$maxRounds: the loop is broken, not the data; investigate " +
+          "before raising maxRounds")
+    Labeled(labels, round)
   }
 }

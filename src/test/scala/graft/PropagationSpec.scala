@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Propagation
+import org.apache.spark.sql.functions._
+
+/** The shared propagation core's convergence contract: exact component
+  * minima at any chain depth, in O(log d) rounds (pointer doubling), with
+  * the loud backstop still reachable when doubling is bypassed via a tiny
+  * maxRounds. */
+class PropagationSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Symmetric edge set of a path 0—1—…—(n−1): the worst case for plain
+    * one-hop min-label (needs n−1 rounds). */
+  private def pathEdges(n: Int) = {
+    val dir = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+    (dir ++ dir.map(_.swap)).toDF("a", "b")
+  }
+
+  test("fixpoint labels a 60-hop path with its minimum in O(log d) rounds") {
+    val r = Propagation.minLabelCounted(pathEdges(60), "doc_id")
+    val labels = r.labels.collect().map(x => x.getLong(0) -> x.getLong(1))
+    assert(labels.length == 60)
+    assert(labels.forall(_._2 == 0L),
+      s"split component: ${labels.filter(_._2 != 0L).take(5).toSeq}")
+    // horizon grows as 2^round − 1 → 59 hops close in 6 growth rounds
+    // plus the final no-change round; plain min-label would need 60
+    assert(r.rounds <= 10,
+      s"pointer doubling regressed: ${r.rounds} rounds for a 60-hop path")
+  }
+
+  test("fixpoint is exact on a multi-component graph of paths, stars and edges") {
+    // components: {0..4} path, {10,11,12} star on 11, {20,21} edge
+    val dir = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (11L, 10L), (11L, 12L), (20L, 21L))
+    val edges = (dir ++ dir.map(_.swap)).toDF("a", "b")
+    val got = Propagation.minLabel(edges, "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val want = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(got == want)
+  }
+
+  test("bounded-unroll form stays pure one-hop (oracle-mirror shape)") {
+    // 3 bounded rounds reach exactly 3 hops down the path — no doubling
+    val labels = Propagation.minLabel(pathEdges(10), "doc_id", rounds = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    (0 until 10).foreach { v =>
+      assert(labels(v.toLong) == math.max(0, v - 3).toLong,
+        s"vertex $v: got ${labels(v.toLong)}")
+    }
+  }
+
+  test("backstop still fails loudly when the cap is genuinely too small") {
+    val e = intercept[IllegalStateException] {
+      Propagation.minLabelCounted(pathEdges(40), "doc_id", maxRounds = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("dense clique converges in 2 rounds regardless of size") {
+    val n = 12
+    val dir = for (i <- 0 until n; j <- 0 until n if i != j)
+      yield (i.toLong, j.toLong)
+    val r = Propagation.minLabelCounted(dir.toDF("a", "b"), "doc_id")
+    assert(r.labels.where(col("label") =!= 0L).count() == 0L)
+    assert(r.rounds <= 3, s"clique took ${r.rounds} rounds")
+  }
+}
