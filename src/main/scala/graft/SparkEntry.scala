@@ -1601,6 +1601,24 @@ object SparkEntry {
     "ta_lm_filter" -> ((s, dir) =>
       TextAnalysis.lmFilter(Catalog.documents(s, dir), 4890000L, 4950000L)),
 
+    // DSIR importance weights: score every non-src1 doc by how
+    // target-like (src1-like) its hashed-n-gram bag is — BIGINT
+    // micro-nat log-ratios (Xie et al. 2023 importance resampling)
+    "ta_dsir" -> ((s, dir) => {
+      val docs = Catalog.documents(s, dir)
+      TextAnalysis.dsirWeights(
+        docs.where(col("source") =!= "src1"),
+        docs.where(col("source") === "src1"))
+    }),
+
+    // DSIR selection: deterministic Gumbel top-50 resample ∝ weight
+    "ta_dsir_select" -> ((s, dir) => {
+      val docs = Catalog.documents(s, dir)
+      TextAnalysis.dsirSelect(
+        docs.where(col("source") =!= "src1"),
+        docs.where(col("source") === "src1"))
+    }),
+
     // PII scrub over documents with a deterministic composed contact
     // suffix (the corpus itself carries no PII; oracle mirrors the compose).
     "ta_scrub" -> ((s, dir) =>
@@ -1983,6 +2001,58 @@ object SparkEntry {
     OracleSql.unigramScored +
       """SELECT doc_id, n_tokens, micro_bits, micro_bpt FROM scored
         |ORDER BY doc_id""".stripMargin
+
+  /** Shared DSIR chain (ta_dsir / ta_dsir_select): hashed unigram+bigram
+    * bags for raw (source<>'src1') and target (='src1') corpora, add-one
+    * smoothed bucket log-ratios in micro-nats, per-doc BIGINT sums —
+    * the exact arithmetic of TextAnalysis.dsirWeights. Final CTE is
+    * `weights`. */
+  private val DsirCtes: String =
+    s"""WITH tgt AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+       |  FROM documents WHERE source = 'src1'
+       |), raw AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+       |  FROM documents WHERE source <> 'src1'
+       |), rg AS (
+       |  SELECT doc_id, unnest(ts) AS g FROM raw
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)-1),
+       |                        i -> ts[i] || ' ' || ts[i+1])) AS g FROM raw
+       |), tg AS (
+       |  SELECT doc_id, unnest(ts) AS g FROM tgt
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)-1),
+       |                        i -> ts[i] || ' ' || ts[i+1])) AS g FROM tgt
+       |), rb AS MATERIALIZED (
+       |  SELECT doc_id, ${sha32Sql("g")} % 4096 AS bucket, COUNT(*) AS c
+       |  FROM rg GROUP BY 1, 2
+       |), tb AS (
+       |  SELECT ${sha32Sql("g")} % 4096 AS bucket, COUNT(*) AS ct
+       |  FROM tg GROUP BY 1
+       |), rbb AS (
+       |  SELECT bucket, SUM(c) AS cr FROM rb GROUP BY 1
+       |), tot AS (
+       |  SELECT (SELECT COALESCE(SUM(ct), 0) FROM tb) AS nt,
+       |         (SELECT COALESCE(SUM(cr), 0) FROM rbb) AS nr
+       |), micro AS (
+       |  SELECT COALESCE(rbb.bucket, tb.bucket) AS bucket,
+       |    CAST(round((ln((COALESCE(ct, 0) + 1) / CAST(nt + 4096 AS DOUBLE)) -
+       |                ln((COALESCE(cr, 0) + 1) / CAST(nr + 4096 AS DOUBLE)))
+       |               * 1000000.0, 0) AS BIGINT) AS micro
+       |  FROM rbb FULL OUTER JOIN tb ON rbb.bucket = tb.bucket CROSS JOIN tot
+       |), perdoc AS (
+       |  SELECT rb.doc_id, SUM(rb.c) AS n_grams,
+       |    SUM(rb.c * m.micro) AS micro_logw
+       |  FROM rb JOIN micro m USING (bucket) GROUP BY 1
+       |), weights AS (
+       |  SELECT r.doc_id,
+       |    CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       |    CAST(COALESCE(p.micro_logw, 0) AS BIGINT) AS micro_logw
+       |  FROM (SELECT DISTINCT doc_id FROM raw) r
+       |  LEFT JOIN perdoc p USING (doc_id)
+       |)
+       |""".stripMargin
 
   private val PackOracle: String =
     """WITH toks AS (
@@ -4521,6 +4591,29 @@ object SparkEntry {
           |FROM documents d JOIN scored s USING (doc_id)
           |WHERE s.micro_bpt BETWEEN 4890000 AND 4950000
           |ORDER BY d.doc_id""".stripMargin),
+
+    "ta_dsir" ->
+      (DsirCtes +
+        """SELECT doc_id, n_grams, micro_logw FROM weights
+          |ORDER BY doc_id""".stripMargin),
+
+    "ta_dsir_select" ->
+      (DsirCtes +
+        s""", gum AS (
+          |  SELECT doc_id, n_grams, micro_logw,
+          |    CAST(round(-ln(-ln((${sha32Sql("'dsir:7:' || CAST(doc_id AS VARCHAR)")} + 0.5)
+          |                       / 4294967296.0)) * 1000000.0, 0) AS BIGINT)
+          |      AS micro_gumbel
+          |  FROM weights
+          |), ranked AS (
+          |  SELECT doc_id, n_grams, micro_logw, micro_gumbel,
+          |    CAST(ROW_NUMBER() OVER (
+          |      ORDER BY micro_logw + micro_gumbel DESC, doc_id) AS INTEGER)
+          |      AS rank
+          |  FROM gum
+          |)
+          |SELECT rank, doc_id, n_grams, micro_logw, micro_gumbel
+          |FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin),
 
     // quantile_cont ≡ Spark percentile (the ta_quantiles parity),
     // bounds rounded 4dp before the clamp on both sides

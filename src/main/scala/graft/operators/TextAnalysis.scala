@@ -1107,4 +1107,104 @@ object TextAnalysis {
           .as("clamped"))
       .orderBy("doc_id")
   }
+
+  /** Hashed-n-gram bag per document: unigrams + bigrams of the lowercase
+    * token stream, each sha32-hashed into one of `buckets` feature slots
+    * — the DSIR feature map (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling": hashed n-gram counts
+    * are rich enough to steer selection toward a target domain while
+    * staying a fixed-width, trivially-distributable representation).
+    * Gram construction is ROW-LOCAL (array transform, no window); the
+    * only shuffle is the (doc_id, bucket) count, map-side combinable. */
+  private def hashedGrams(documents: DataFrame, buckets: Int): DataFrame = {
+    val ts = documents.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("ts"))
+    val uni = ts.select(col("doc_id"), explode(col("ts")).as("g"))
+    val bi = ts.select(col("doc_id"),
+      explode(when(size(col("ts")) >= 2,
+          expr("transform(sequence(0, size(ts)-2), i -> concat(ts[i], ' ', ts[i+1]))"))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    uni.unionByName(bi)
+      .select(col("doc_id"), pmod(sha32(col("g")), lit(buckets.toLong)).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+  }
+
+  /** DSIR importance weights: score every `raw` document by how much
+    * more likely its hashed-n-gram bag is under the TARGET corpus's
+    * bag-of-buckets model than under the raw corpus's own —
+    * log w(x) = Σ_grams [ln p̂_target(bucket) − ln p̂_raw(bucket)], with
+    * add-one smoothing over the `buckets` slots so unseen buckets stay
+    * finite. High weight = looks like the target domain; the selection
+    * step resamples ∝ w. (Xie et al. 2023 — the importance-resampling
+    * data-selection method; the hashed bag makes both "models" one
+    * `buckets`-row table.)
+    *
+    * Per-bucket log-ratios round to integer MICRO-NATS (×10⁶, BIGINT)
+    * before the per-doc sum — the engine's fixed-point
+    * aggregate-output contract (same as [[unigramSurprisal]]), so the
+    * per-doc aggregate is exact and partial-aggregation-order
+    * independent across engines.
+    *
+    * Scale posture: one hashed-gram pass over each corpus (map-side
+    * combinable counts); the two bucket models and their totals are
+    * ≤`buckets` rows — they BROADCAST to the per-doc scoring join, so
+    * the corpus-sized side never re-shuffles. Raw docs with zero grams
+    * surface with n_grams = 0 and weight 0, not a dropped row. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 4096,
+      materialize: Boolean = true): DataFrame = {
+    val rawG = Stage.snap(hashedGrams(raw, buckets), materialize)
+    val tB = hashedGrams(target, buckets).groupBy("bucket").agg(sum("c").as("ct"))
+    val rB = rawG.groupBy("bucket").agg(sum("c").as("cr"))
+    // corpus totals BEFORE the outer merge (each side's total counts all
+    // of its grams, including buckets the other side never hits); an
+    // empty corpus contributes 0, not null — smoothing keeps ln finite
+    val tot = tB.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
+      .crossJoin(rB.agg(coalesce(sum("cr"), lit(0L)).as("nr")))
+    val micro = rB.join(tB, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("ct", "cr"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round((log((col("ct") + 1).cast("double") / (col("nt") + lit(buckets.toLong))) -
+               log((col("cr") + 1).cast("double") / (col("nr") + lit(buckets.toLong)))) * 1e6, 0)
+          .cast("bigint").as("micro"))
+    val perDoc = rawG.join(broadcast(micro), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_grams"),
+        sum(col("c") * col("micro")).as("micro_logw"))
+    raw.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("micro_logw"), lit(0L)).as("micro_logw"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR selection: Gumbel top-k over [[dsirWeights]] — adding an
+    * independent Gumbel to each log-weight and taking the k largest
+    * samples k documents WITHOUT replacement with probability ∝ w(x)
+    * (the Gumbel-top-k trick; the resampling step of Xie et al. 2023).
+    * The Gumbel is DERIVED (sha32 of seed:doc_id → uniform in (0,1) →
+    * −ln(−ln u)), so the draw is reproducible across engines and runs —
+    * a re-run of the selection on the same corpus is byte-identical,
+    * which is what makes a 100 TB selection auditable. Noise rounds to
+    * micro-nats so the ranking key stays an exact BIGINT.
+    *
+    * Scale posture: the scorer's shuffles plus one TakeOrdered(k) —
+    * no full sort, no window over the corpus. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, k: Int = 50,
+      buckets: Int = 4096, seed: Int = 7,
+      materialize: Boolean = true): DataFrame = {
+    val u = (sha32(concat(lit(s"dsir:$seed:"), col("doc_id"))) + lit(0.5)) /
+      lit(4294967296.0)
+    val scored = dsirWeights(raw, target, buckets, materialize)
+      .select(col("doc_id"), col("n_grams"), col("micro_logw"),
+        round(-log(-log(u)) * 1e6, 0).cast("bigint").as("micro_gumbel"))
+      .withColumn("key", col("micro_logw") + col("micro_gumbel"))
+    val top = scored.orderBy(col("key").desc, col("doc_id")).limit(k)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("key").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("n_grams"),
+        col("micro_logw"), col("micro_gumbel"))
+      .orderBy("rank")
+  }
 }
