@@ -83,22 +83,29 @@ object Propagation {
         .select(col(idCol), col("label").as("prev_label"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
       if (fixpoint) {
-        // Pointer doubling: fold in the PREVIOUS round's label of the
-        // label just computed (every label is a vertex id, so the lookup
-        // is a vertex-sized equi-join against the already-materialized
-        // map). The reachable-min horizon then grows as 2^round − 1
-        // instead of round — O(log d) rounds on a depth-d chain, so the
-        // 64-round backstop covers diameters up to ~2^63 rather than 64
-        // (round-10 advice: a >64-deep template-drift chain used to
-        // abort the job). The bounded-unroll branch below stays pure
-        // one-hop min-label — the shape the DuckDB oracle mirrors.
-        val lmap = labels
-          .select(col(idCol).as("pj_id"), col("label").as("pj_label"))
-        val jumped = stepped
-          .join(lmap, stepped("label") === lmap("pj_id"), "left_outer")
-          .select(col(idCol), col("prev_label"),
-            least(col("label"), coalesce(col("pj_label"), col("label")))
-              .as("label"))
+        // Pointer doubling FROM THE THIRD ROUND ON: fold in the previous
+        // round's label of the label just computed (every label is a
+        // vertex id, so the lookup is a vertex-sized equi-join against
+        // the already-materialized map). The reachable-min horizon then
+        // grows as ~2^round instead of round — O(log d) rounds on a
+        // depth-d chain, so the 64-round backstop covers diameters up to
+        // ~2^63 rather than 64 (round-10 advice: a >64-deep
+        // template-drift chain used to abort the job). The first two
+        // rounds stay plain one-hop: typical near-dup graphs (pair/star
+        // clusters, diameter ≤ 2) converge inside them, and the measured
+        // cost of compressing every round was a 1.5–4× constant across
+        // the whole propagation family at sf0.1 for zero round savings.
+        // The bounded-unroll branch below stays pure one-hop min-label —
+        // the shape the DuckDB oracle mirrors.
+        val jumped = if (round < 2) stepped else {
+          val lmap = labels
+            .select(col(idCol).as("pj_id"), col("label").as("pj_label"))
+          stepped
+            .join(lmap, stepped("label") === lmap("pj_id"), "left_outer")
+            .select(col(idCol), col("prev_label"),
+              least(col("label"), coalesce(col("pj_label"), col("label")))
+                .as("label"))
+        }
         // ONE action: the count's job computes every partition of the
         // lazily-checkpoint-marked frame, persisting the round's snapshot
         // and producing the changed-label count in the same pass. Labels
