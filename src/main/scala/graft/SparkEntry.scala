@@ -1378,6 +1378,12 @@ object SparkEntry {
     "sim_ivf_kmeans" -> ((s, dir) =>
       Similarity.ivfKmeansTopK(Catalog.embeddings(s, dir))),
 
+    // cluster-balanced prototypicality pruning (SSL-prototypes): per
+    // kmeans cell, drop the 30% most-prototypical members — the
+    // data-pruning counterpart of SemDeDup, sharing the IVF quantizer
+    "sim_prototypes" -> ((s, dir) =>
+      Similarity.prototypesPrune(Catalog.embeddings(s, dir))),
+
     // persisted IVF index: build-once/query-many — the index is a
     // cell-PARTITIONED parquet table and the probe set prunes at the
     // partition (file) level; with nProbes=1 the result contract is
@@ -4023,6 +4029,46 @@ object SparkEntry {
          |)
          |SELECT qid, cid, cos, CAST(rn AS INTEGER) AS rn FROM ranked WHERE rn <= 5
          |ORDER BY qid, rn""".stripMargin,
+
+    // sim_prototypes: the sim_ivf_kmeans training chain (seed → Lloyd
+    // mean 9dp → reassign at 6dp cosine), then per-cell prototypicality
+    // rank and the floor(dropFrac·n_cell) drop line
+    "sim_prototypes" ->
+      s"""WITH cents0 AS (
+         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8
+         |), a0 AS (
+         |  SELECT vec_id, embedding, centroid_id AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.embedding", "c.ce")}, 6) DESC, c.centroid_id) AS arn
+         |    FROM embeddings e CROSS JOIN cents0 c)
+         |  WHERE arn = 1
+         |), cmean AS (
+         |  SELECT cell, j, round(avg(CAST(embedding[j] AS DOUBLE)), 9) AS m
+         |  FROM a0, UNNEST(generate_series(1, len(embedding))) t(j)
+         |  GROUP BY cell, j
+         |), cents1 AS (
+         |  SELECT cell AS centroid_id, list(m ORDER BY j) AS ce FROM cmean GROUP BY cell
+         |), a1 AS (
+         |  SELECT vec_id, centroid_id AS cell, ccos FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      round(${cosSql("e.embedding", "c.ce")}, 6) AS ccos,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.embedding", "c.ce")}, 6) DESC, c.centroid_id) AS arn
+         |    FROM embeddings e CROSS JOIN cents1 c)
+         |  WHERE arn = 1
+         |), sizes AS (
+         |  SELECT cell, COUNT(*) AS n_cell FROM a1 GROUP BY 1
+         |), ranked AS (
+         |  SELECT vec_id, cell, ccos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY cell
+         |      ORDER BY ccos DESC, vec_id) AS INTEGER) AS proto_rank
+         |  FROM a1
+         |)
+         |SELECT r.vec_id, r.cell, r.ccos, r.proto_rank, s.n_cell,
+         |  r.proto_rank > floor(0.3 * s.n_cell) AS kept
+         |FROM ranked r JOIN sizes s USING (cell)
+         |ORDER BY r.vec_id""".stripMargin,
 
     "sim_quantize" ->
       """WITH scaled AS (

@@ -401,6 +401,41 @@ object Similarity {
     * per round so plan depth stays O(1) in rounds (convergence count
     * folded into the checkpoint action), isolated vectors skip the
     * rounds and union back. */
+  /** Cluster-balanced prototypicality pruning (Sorscher et al. 2022,
+    * "Beyond neural scaling laws": with abundant data, the EASY —
+    * most prototypical — examples are the ones to drop): train the
+    * deterministic one-Lloyd coarse quantizer ([[trainCentroids]], the
+    * same quantizer the IVF family shares), assign every vector with
+    * its winning 6-dp cosine (= prototypicality: high cosine means the
+    * vector sits at its cluster's prototype), then per cell drop the
+    * `dropFrac` most-prototypical members. Pruning per cell rather than
+    * globally keeps the selection CLUSTER-BALANCED — a dominant dense
+    * cluster can't crowd the budget the way a global score cut lets it.
+    * Returns the full audit form (vec_id, cell, ccos, proto_rank,
+    * n_cell, kept); callers filter `kept` to apply.
+    *
+    * Scale posture: centroids broadcast (nCentroids rows), assignment
+    * is map-only, the per-cell rank windows on the cell key (skew
+    * bounded by the largest cluster — at 100 TB swap the exact window
+    * for a per-cell quantile threshold on ccos, the same exact↔approx
+    * swap the quantiles family documents), and the cell-size table is
+    * nCentroids rows joined broadcast. */
+  def prototypesPrune(embeddings: DataFrame, nCentroids: Int = 8,
+      dropFrac: Double = 0.3, materialize: Boolean = true): DataFrame = {
+    val assigned = Stage.snap(
+      assignCellsScored(embeddings, trainCentroids(embeddings, nCentroids)),
+      materialize)
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("n_cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(col("ccos").desc, col("vec_id"))
+    assigned.withColumn("proto_rank", row_number().over(w))
+      .join(broadcast(sizes), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("ccos"), col("proto_rank"),
+        col("n_cell"),
+        (col("proto_rank") > floor(lit(dropFrac) * col("n_cell"))).as("kept"))
+      .orderBy("vec_id")
+  }
+
   def semanticDedup(embeddings: DataFrame, bits: Int = 8,
       threshold: Double = 0.25, rounds: Int = 0,
       materialize: Boolean = true,

@@ -325,4 +325,33 @@ class SimilarityQualitySpec extends SparkSpec {
         s"$name: shifted results are not the shifted base results")
     }
   }
+
+  test("prototypesPrune drops the most-prototypical floor(frac*n) per cell, cluster-balanced") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.prototypesPrune(embeddings, dropFrac = 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.length == embeddings.count(),
+      "pruning must audit every vector, not just survivors")
+    // per cell: exactly floor(0.3*n) dropped, and the dropped set is the
+    // TOP of the prototypicality ranking (every dropped cosine >= every
+    // kept cosine within the cell)
+    rows.groupBy(_._2).foreach { case (cell, members) =>
+      val dropped = members.filter(!_._6)
+      val kept = members.filter(_._6)
+      assert(dropped.length == math.floor(0.3 * members.length).toInt,
+        s"cell $cell: ${dropped.length} dropped of ${members.length}")
+      if (dropped.nonEmpty && kept.nonEmpty)
+        assert(dropped.map(_._3).min >= kept.map(_._3).max,
+          s"cell $cell: dropped a less-prototypical member than one kept")
+      // cluster balance: small cells (n < 4) lose at most one member
+      if (members.length < 4) assert(dropped.length <= 1)
+    }
+    // dropFrac = 0 keeps everything; dropFrac = 1 keeps nothing
+    val all = Similarity.prototypesPrune(embeddings, dropFrac = 0.0).collect()
+    assert(all.forall(_.getBoolean(5)))
+    val none = Similarity.prototypesPrune(embeddings, dropFrac = 1.0).collect()
+    assert(none.forall(!_.getBoolean(5)))
+  }
 }
