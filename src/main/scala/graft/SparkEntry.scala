@@ -1330,6 +1330,16 @@ object SparkEntry {
         emb.where(col("vec_id") % 20 === 0))
     }),
 
+    // banded (OR-amplified) semantic decontamination on the same split:
+    // candidates share ANY of 8 four-bit sign-bands instead of one
+    // 8-bit bucket — recall ≈ 1 at paraphrase-level cosine vs ~29%
+    "sim_decon_banded" -> ((s, dir) => {
+      val emb = Catalog.embeddings(s, dir)
+      Similarity.semanticDecontaminateBanded(
+        emb.where(col("vec_id") % 20 =!= 0),
+        emb.where(col("vec_id") % 20 === 0))
+    }),
+
     // bucketed kNN graph: every vector's top-k among its sign-LSH
     // bucket-mates — the every-vector scale path next to sim_topk's
     // brute-force few-query baseline
@@ -1383,6 +1393,17 @@ object SparkEntry {
     // data-pruning counterpart of SemDeDup, sharing the IVF quantizer
     "sim_prototypes" -> ((s, dir) =>
       Similarity.prototypesPrune(Catalog.embeddings(s, dir))),
+
+    // EXACT semantic decontamination (sim_decon's brute-force recall
+    // baseline, the exact↔approx pairing): max cosine of every training
+    // vector to the 8-smallest-id eval set, flagged at 0.3
+    "sim_decon_exact" -> ((s, dir) => {
+      val emb = Catalog.embeddings(s, dir)
+      val eval = emb.orderBy("vec_id").limit(8)
+      Similarity.semanticDecontaminateExact(
+        emb.join(eval.select("vec_id"), Seq("vec_id"), "left_anti"),
+        eval, threshold = 0.3)
+    }),
 
     // persisted IVF index: build-once/query-many — the index is a
     // cell-PARTITIONED parquet table and the probe set prunes at the
@@ -3852,6 +3873,40 @@ object SparkEntry {
          |GROUP BY vec_id
          |ORDER BY vec_id""".stripMargin,
 
+    // banded decontamination: candidates share ANY of 8 four-bit
+    // sign-bands ('j:bbbb' prefixed so bands can't cross-collide)
+    "sim_decon_banded" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    list_value(${(0 until 8).map(j =>
+               s"'$j:' || " + (1 to 4).map(i =>
+                 s"CASE WHEN embedding[${j * 4 + i}] >= 0 THEN '1' ELSE '0' END")
+                 .mkString(" || ")).mkString(", ")}) AS sigs
+         |  FROM embeddings
+         |), t AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0
+         |), ts AS (
+         |  SELECT vec_id, unnest(sigs) AS sig FROM e WHERE vec_id % 20 <> 0
+         |), bs AS (
+         |  SELECT vec_id AS bench_id, unnest(sigs) AS sig FROM e
+         |  WHERE vec_id % 20 = 0
+         |), cand AS (
+         |  SELECT DISTINCT ts.vec_id, bs.bench_id FROM ts JOIN bs USING (sig)
+         |), bm AS (
+         |  SELECT vec_id AS bench_id, embedding AS be FROM embeddings
+         |  WHERE vec_id % 20 = 0
+         |), hits AS (
+         |  SELECT c.vec_id, c.bench_id,
+         |    round(${cosSql("t.embedding", "bm.be")}, 6) AS cos
+         |  FROM cand c JOIN t ON c.vec_id = t.vec_id
+         |  JOIN bm ON c.bench_id = bm.bench_id
+         |)
+         |SELECT vec_id, COUNT(*) AS n_hits, MAX(cos) AS max_cos,
+         |  MIN(bench_id) AS bench_id
+         |FROM hits WHERE cos >= 0.25
+         |GROUP BY vec_id
+         |ORDER BY vec_id""".stripMargin,
+
     "sim_knn" ->
       s"""WITH b AS (
          |  SELECT vec_id, embedding,
@@ -4029,6 +4084,26 @@ object SparkEntry {
          |)
          |SELECT qid, cid, cos, CAST(rn AS INTEGER) AS rn FROM ranked WHERE rn <= 5
          |ORDER BY qid, rn""".stripMargin,
+
+    "sim_decon_exact" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id AS eval_id, embedding AS ee FROM embeddings
+         |  ORDER BY vec_id LIMIT 8
+         |), tr AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id NOT IN (SELECT eval_id FROM ev)
+         |), s AS (
+         |  SELECT t.vec_id, e.eval_id,
+         |    round(${cosSql("t.embedding", "e.ee")}, 6) AS cos
+         |  FROM tr t CROSS JOIN ev e
+         |), r AS (
+         |  SELECT vec_id, eval_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, eval_id) AS rn
+         |  FROM s
+         |)
+         |SELECT vec_id, eval_id, cos AS max_cos, cos >= 0.3 AS contaminated
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     // sim_prototypes: the sim_ivf_kmeans training chain (seed → Lloyd
     // mean 9dp → reassign at 6dp cosine), then per-cell prototypicality

@@ -354,4 +354,35 @@ class SimilarityQualitySpec extends SparkSpec {
     val none = Similarity.prototypesPrune(embeddings, dropFrac = 1.0).collect()
     assert(none.forall(!_.getBoolean(5)))
   }
+
+  test("bucketed decontamination flags a SUBSET of the exact baseline, with honest recall") {
+    import org.apache.spark.sql.functions._
+    val eval = embeddings.orderBy("vec_id").limit(8)
+    val train = embeddings.join(eval.select("vec_id"), Seq("vec_id"), "left_anti")
+    val threshold = 0.3
+    val exact = Similarity
+      .semanticDecontaminateExact(train, eval, threshold)
+      .where(col("contaminated")).collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.semanticDecontaminate(train, eval, threshold = threshold)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty, "fixture produced no contamination — lower the threshold")
+    // all bucketed paths require the same rounded cosine >= threshold;
+    // buckets only restrict CANDIDATES, so flags can never exceed exact
+    assert(lsh.subsetOf(exact),
+      s"LSH flagged non-contaminated vectors: ${(lsh -- exact).take(5)}")
+    val banded = Similarity
+      .semanticDecontaminateBanded(train, eval, threshold = threshold)
+      .collect().map(_.getLong(0)).toSet
+    assert(banded.subsetOf(exact),
+      s"banded flagged non-contaminated vectors: ${(banded -- exact).take(5)}")
+    // the single 8-bit bucket's recall collapses at moderate cosine
+    // (p^8; measured ~4% here) — the OR-amplified 8×4 banding is the
+    // scale path and must recover a solid share of true contamination
+    val lshRecall = lsh.size.toDouble / exact.size
+    val bandedRecall = banded.size.toDouble / exact.size
+    assert(bandedRecall > 0.5,
+      s"banded recall $bandedRecall — banding is not amplifying")
+    assert(bandedRecall > lshRecall,
+      s"banded ($bandedRecall) must beat single-bucket ($lshRecall)")
+  }
 }
