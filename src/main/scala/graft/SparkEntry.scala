@@ -1316,7 +1316,7 @@ object SparkEntry {
     "sim_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(Catalog.embeddings(s, dir))),
 
     "sim_near_dup" -> ((s, dir) =>
-      Similarity.cosineNearDup(Catalog.embeddings(s, dir), threshold = 0.25)),
+      Similarity.cosineNearDup(Catalog.embeddings(s, dir), threshold = 0.35)),
 
     // embedding-level benchmark decontamination: every 20th vector acts
     // as the held-out eval set (broadcast), and train vectors cosine-
@@ -1354,14 +1354,14 @@ object SparkEntry {
     // components -> canonical-min survivor (the semantic counterpart of
     // dd_near_apply; catches paraphrases lexical MinHash can't see)
     "sim_semdedup" -> ((s, dir) =>
-      Similarity.semanticDedup(Catalog.embeddings(s, dir), threshold = 0.25)),
+      Similarity.semanticDedup(Catalog.embeddings(s, dir), threshold = 0.35)),
 
     // SemDeDup APPLY: the survivor decision (made in embedding space)
     // filters the documents corpus — one narrow id join; the dedup
     // action a curation pipeline actually ships
     "sim_semdedup_apply" -> ((s, dir) => {
       val surv = Similarity
-        .semanticDedup(Catalog.embeddings(s, dir), threshold = 0.25)
+        .semanticDedup(Catalog.embeddings(s, dir), threshold = 0.35)
         .where(col("survivor") === 1)
         .select(col("vec_id").as("doc_id"))
       Catalog.documents(s, dir).join(surv, Seq("doc_id"))
@@ -1377,7 +1377,7 @@ object SparkEntry {
       val emb = Catalog.embeddings(s, dir)
       Similarity.semanticDedupIncremental(
         emb.where(col("vec_id") % 10 >= 8),
-        emb.where(col("vec_id") % 10 < 8))
+        emb.where(col("vec_id") % 10 < 8), threshold = 0.35)
     }),
 
     "sim_ivf" -> ((s, dir) => Similarity.ivfTopK(Catalog.embeddings(s, dir))),
@@ -1900,6 +1900,38 @@ object SparkEntry {
   private def sha32Sql(x: String): String =
     s"CAST(CAST(concat('0x', substr(sha256($x), 1, 8)) AS UBIGINT) AS BIGINT)"
 
+  /** DuckDB mirror of Similarity.bandSigs (8 bands × 4 sign bits over
+    * `embedding`): a list of 'j:bbbb' band signatures. The two-branch
+    * CASE (no ELSE) yields NULL for out-of-range coordinates, exactly
+    * like the Spark side's try_element_at — NULL sigs join nothing. */
+  private val bandSigsSql: String =
+    "list_value(" + (0 until 8).map(j =>
+      s"'$j:' || " + (1 to 4).map { i =>
+        val e = s"embedding[${j * 4 + i}]"
+        s"CASE WHEN $e >= 0 THEN '1' WHEN $e < 0 THEN '0' END"
+      }.mkString(" || ")).mkString(", ") + ")"
+
+  /** Shared banded cosine-pair CTE chain: (d1 < d2) id pairs sharing any
+    * sign band, scored at 6-dp cosine, kept at ≥ `threshold`. Emits CTEs
+    * `bsrc` (vec_id, embedding, sigs) over `src` and `pairs` (d1, d2) —
+    * the mirror of Similarity.cosineNearDup. */
+  private def bandedPairsCtes(src: String, threshold: Double): String =
+    s"""bsrc AS (
+       |  SELECT vec_id, embedding, $bandSigsSql AS sigs FROM $src
+       |), bsig AS (
+       |  SELECT vec_id, unnest(sigs) AS sig FROM bsrc
+       |), bcand AS (
+       |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM bsig a JOIN bsig b USING (sig) WHERE a.vec_id < b.vec_id
+       |), pairs AS (
+       |  SELECT d1, d2, cos FROM (
+       |    SELECT c.d1, c.d2,
+       |      round(${cosSql("x.embedding", "y.embedding")}, 6) AS cos
+       |    FROM bcand c JOIN bsrc x ON c.d1 = x.vec_id
+       |    JOIN bsrc y ON c.d2 = y.vec_id)
+       |  WHERE cos >= $threshold
+       |)""".stripMargin
+
   /** Nano-scaled squared L2 between two lists (mirror of
     * Similarity.nanoL2; list_sum folds left-to-right like Spark's
     * aggregate(), so the double arithmetic is order-identical). */
@@ -2204,18 +2236,7 @@ object SparkEntry {
     * shape as [[componentsCtes]], keyed on vec_id). The final CTE keeps
     * its historical name `l3`. Consumers must say WITH RECURSIVE. */
   private lazy val SemDedupCtes: String =
-    s"""b AS (
-       |  SELECT vec_id, embedding,
-       |    ${(1 to 8).map(i =>
-           s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS bucket
-       |  FROM embeddings
-       |), pairs AS (
-       |  SELECT d1, d2 FROM (
-       |    SELECT a.vec_id AS d1, bb.vec_id AS d2,
-       |      round(${cosSql("a.embedding", "bb.embedding")}, 6) AS cos
-       |    FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
-       |  WHERE cos >= 0.25
-       |), edges AS (
+    s"""${bandedPairsCtes("embeddings", 0.35)}, edges AS (
        |  SELECT d1 AS a, d2 AS bb FROM pairs
        |  UNION ALL SELECT d2 AS a, d1 AS bb FROM pairs
        |), reach AS (
@@ -3578,17 +3599,9 @@ object SparkEntry {
         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
         |  WHERE a.doc_id < b.doc_id
-        |), eb AS (
-        |  SELECT vec_id, embedding,
-        |    ${(1 to 8).map(i =>
-             s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS bucket
-        |  FROM embeddings
-        |), sp AS (
-        |  SELECT d1, d2 FROM (
-        |    SELECT a.vec_id AS d1, bb.vec_id AS d2,
-        |      round(${cosSql("a.embedding", "bb.embedding")}, 6) AS cos
-        |    FROM eb a JOIN eb bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
-        |  WHERE cos >= 0.25
+        |), ${bandedPairsCtes("embeddings", 0.35)},
+        |sp AS (
+        |  SELECT d1, d2 FROM pairs
         |)
         |SELECT method, COUNT(*) AS n_pairs FROM (
         |  SELECT CASE WHEN tp.d1 IS NOT NULL AND sp.d1 IS NOT NULL THEN 'both'
@@ -3838,18 +3851,10 @@ object SparkEntry {
          |GROUP BY bucket
          |ORDER BY bucket""".stripMargin,
 
+    // banded candidates since round 11 — pairs share ANY sign band
     "sim_near_dup" ->
-      s"""WITH b AS (
-         |  SELECT vec_id, embedding,
-         |    ${(1 to 8).map(i =>
-             s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS bucket
-         |  FROM embeddings)
-         |SELECT d1, d2, cos FROM (
-         |  SELECT a.vec_id AS d1, bb.vec_id AS d2,
-         |    round(${cosSql("a.embedding", "bb.embedding")}, 6) AS cos
-         |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
-         |WHERE cos >= 0.25
-         |ORDER BY d1, d2""".stripMargin,
+      (s"WITH ${bandedPairsCtes("embeddings", 0.35)}\n" +
+        "SELECT d1, d2, cos FROM pairs ORDER BY d1, d2"),
 
     "sim_decon" ->
       s"""WITH b AS (
@@ -3877,12 +3882,7 @@ object SparkEntry {
     // sign-bands ('j:bbbb' prefixed so bands can't cross-collide)
     "sim_decon_banded" ->
       s"""WITH e AS (
-         |  SELECT vec_id, embedding,
-         |    list_value(${(0 until 8).map(j =>
-               s"'$j:' || " + (1 to 4).map(i =>
-                 s"CASE WHEN embedding[${j * 4 + i}] >= 0 THEN '1' ELSE '0' END")
-                 .mkString(" || ")).mkString(", ")}) AS sigs
-         |  FROM embeddings
+         |  SELECT vec_id, embedding, $bandSigsSql AS sigs FROM embeddings
          |), t AS (
          |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0
          |), ts AS (
@@ -3928,22 +3928,28 @@ object SparkEntry {
 
     "sim_semdedup_inc" ->
       s"""WITH b AS (
-         |  SELECT vec_id, embedding,
-         |    ${(1 to 8).map(i =>
-             s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS bucket
-         |  FROM embeddings
+         |  SELECT vec_id, embedding, $bandSigsSql AS sigs FROM embeddings
          |), inc AS (
-         |  SELECT vec_id, embedding, bucket FROM b WHERE vec_id % 10 >= 8
+         |  SELECT vec_id, embedding, sigs FROM b WHERE vec_id % 10 >= 8
          |), cor AS (
-         |  SELECT vec_id AS cid, embedding AS ce, bucket FROM b WHERE vec_id % 10 < 8
-         |), j AS (
-         |  SELECT i.vec_id, round(${cosSql("i.embedding", "c.ce")}, 6) AS cos
-         |  FROM inc i LEFT JOIN cor c ON i.bucket = c.bucket AND i.vec_id <> c.cid
+         |  SELECT vec_id AS cid, embedding AS ce, sigs FROM b WHERE vec_id % 10 < 8
+         |), isig AS (
+         |  SELECT vec_id, unnest(sigs) AS sig FROM inc
+         |), csig AS (
+         |  SELECT cid, unnest(sigs) AS sig FROM cor
+         |), cand AS (
+         |  SELECT DISTINCT i.vec_id, c.cid FROM isig i JOIN csig c USING (sig)
+         |  WHERE i.vec_id <> c.cid
+         |), scored AS (
+         |  SELECT cand.vec_id, round(${cosSql("i.embedding", "c.ce")}, 6) AS cos
+         |  FROM cand JOIN inc i ON cand.vec_id = i.vec_id
+         |  JOIN cor c ON cand.cid = c.cid
          |)
-         |SELECT vec_id, COUNT(cos) AS n_candidates, MAX(cos) AS max_cos,
-         |  CAST(COALESCE(MAX(cos) >= 0.25, FALSE) AS INTEGER) AS is_dup
-         |FROM j GROUP BY vec_id
-         |ORDER BY vec_id""".stripMargin,
+         |SELECT i.vec_id, COUNT(s.cos) AS n_candidates, MAX(s.cos) AS max_cos,
+         |  CAST(COALESCE(MAX(s.cos) >= 0.35, FALSE) AS INTEGER) AS is_dup
+         |FROM inc i LEFT JOIN scored s ON i.vec_id = s.vec_id
+         |GROUP BY i.vec_id
+         |ORDER BY i.vec_id""".stripMargin,
 
     "sim_knn_classify" ->
       s"""WITH b AS (

@@ -270,7 +270,7 @@ object Dedup {
     * chains (band join / sign-LSH bucket join — never all-pairs); the
     * overlap is one full-outer id-pair join + one 3-row count. */
   def dedupMethodOverlap(documents: DataFrame, embeddings: DataFrame,
-      cosThreshold: Double = 0.25): DataFrame = {
+      cosThreshold: Double = 0.35): DataFrame = {
     val text = minhashLshPairs(documents)
       .select(col("d1"), col("d2"), lit(1).as("t"))
     val sem = Similarity.cosineNearDup(embeddings, threshold = cosThreshold)

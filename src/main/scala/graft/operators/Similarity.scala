@@ -104,19 +104,30 @@ object Similarity {
     * max/count agg. At index scale the corpus side is the snapshot a
     * vector store maintains anyway. */
   def semanticDedupIncremental(incoming: DataFrame, corpus: DataFrame,
-      bits: Int = 8, threshold: Double = 0.25): DataFrame = {
-    val inc = incoming.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), bits).as("bucket"))
-    val cor = corpus.select(col("vec_id").as("cid"),
-      col("embedding").as("ce"), lshBucket(col("embedding"), bits).as("cbucket"))
+      bands: Int = 8, threshold: Double = 0.25,
+      bandBits: Int = 4): DataFrame = {
+    val incSig = incoming.select(col("vec_id"),
+      explode(bandSigs(col("embedding"), bands, bandBits)).as("sig"))
+    val corSig = corpus.select(col("vec_id").as("cid"),
+      explode(bandSigs(col("embedding"), bands, bandBits)).as("sig"))
     // vec_id =!= cid: an at-least-once replay puts the batch's own rows
     // in the corpus snapshot — without the exclusion each replayed
-    // vector self-matches at cos 1.0 and flags itself duplicate
-    inc.join(cor,
-        col("bucket") === col("cbucket") && col("vec_id") =!= col("cid"),
-        "left_outer")
+    // vector self-matches at cos 1.0 and flags itself duplicate.
+    // DISTINCT pairs before scoring: a multi-band match must count the
+    // candidate once, not once per matching band.
+    val cands = incSig.join(corSig,
+        incSig("sig") === corSig("sig") && col("vec_id") =!= col("cid"))
+      .select("vec_id", "cid").distinct()
+    val scored = cands
+      .join(incoming.select(col("vec_id"), col("embedding").as("ie")),
+        Seq("vec_id"))
+      .join(corpus.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+        Seq("cid"))
       .select(col("vec_id"),
-        round(cos(incoming)(col("embedding"), col("ce")), 6).as("cos"))
+        round(cos(incoming)(col("ie"), col("ce")), 6).as("cos"))
+    // left join back so zero-candidate vectors surface with n=0, is_dup=0
+    incoming.select(col("vec_id"))
+      .join(scored, Seq("vec_id"), "left_outer")
       .groupBy("vec_id")
       .agg(count(col("cos")).as("n_candidates"), max(col("cos")).as("max_cos"))
       .withColumn("is_dup",
@@ -157,6 +168,25 @@ object Similarity {
   def lshBucket(e: org.apache.spark.sql.Column, bits: Int = 8): org.apache.spark.sql.Column =
     concat((1 to bits).map(i =>
       when(element_at(e, i) >= 0f, "1").otherwise("0")): _*)
+
+  /** OR-amplified sign-LSH signatures: `bands` strings of `bandBits`
+    * sign bits each ('j:bbbb' — the band index prefixes the bits so
+    * bands can't cross-collide in a flat join key). Two vectors are
+    * CANDIDATES when any band matches: recall 1 − (1 − p^bandBits)^bands
+    * vs the single-bucket p^bits — the same banding the lexical MinHash
+    * LSH uses, applied to the sign hash. A band whose coordinates run
+    * past the embedding's length yields NULL (equi-joins never match
+    * NULL, so out-of-range bands contribute no candidates instead of
+    * throwing everything into one '0000' mega-bucket — and DuckDB's
+    * out-of-range list index mirrors this exactly: NULL || _ = NULL). */
+  private[operators] def bandSigs(e: org.apache.spark.sql.Column,
+      bands: Int, bandBits: Int): org.apache.spark.sql.Column =
+    array((0 until bands).map { j =>
+      concat(lit(s"$j:") +: (1 to bandBits).map { i =>
+        val x = try_element_at(e, lit(j * bandBits + i))
+        when(x >= 0f, "1").when(x < 0f, "0")
+      }: _*)
+    }: _*)
 
   /** Bucket histogram — the partition-shape diagnostic for the LSH path. */
   def lshBuckets(embeddings: DataFrame, bits: Int = 8): DataFrame =
@@ -219,14 +249,10 @@ object Similarity {
   def semanticDecontaminateBanded(train: DataFrame, benchmark: DataFrame,
       bands: Int = 8, bandBits: Int = 4,
       threshold: Double = 0.25): DataFrame = {
-    def sigs(e: org.apache.spark.sql.Column) = array((0 until bands).map { j =>
-      concat(lit(s"$j:") +: (1 to bandBits).map(i =>
-        when(element_at(e, j * bandBits + i) >= 0f, "1").otherwise("0")): _*)
-    }: _*)
     val tSig = train.select(col("vec_id"),
-      explode(sigs(col("embedding"))).as("sig"))
+      explode(bandSigs(col("embedding"), bands, bandBits)).as("sig"))
     val bSig = benchmark.select(col("vec_id").as("bench_id"),
-      explode(sigs(col("embedding"))).as("sig"))
+      explode(bandSigs(col("embedding"), bands, bandBits)).as("sig"))
     val cands = tSig.join(broadcast(bSig), Seq("sig"))
       .select("vec_id", "bench_id").distinct()
     val bm = benchmark.select(col("vec_id").as("bench_id"),
@@ -244,16 +270,29 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  /** Embedding-cosine near-dup: pairs in the same sign-LSH bucket with
-    * rounded cosine ≥ threshold. */
-  def cosineNearDup(embeddings: DataFrame, bits: Int = 8,
-      threshold: Double = 0.99): DataFrame = {
-    val withB = embeddings.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), bits).as("bucket"))
-    val a = withB.select(col("bucket"), col("vec_id").as("d1"), col("embedding").as("e1"))
-    val b = withB.select(col("bucket"), col("vec_id").as("d2"), col("embedding").as("e2"))
-    a.join(b, Seq("bucket"))
+  /** Embedding-cosine near-dup: pairs sharing ANY sign-LSH band with
+    * rounded cosine ≥ threshold. Banded ([[bandSigs]]) rather than
+    * single-bucket since round 11: one 8-bit bucket's pair recall is
+    * p^8 ≈ 0.69 even at cosine 0.99 — a third of true near-dup PAIRS
+    * silently missed before clustering ever ran; 8×4 banding takes
+    * pair recall to ~1 at paraphrase-level cosine.
+    *
+    * Scale posture: the band explode carries ids only (the embedding
+    * does NOT ride the ×bands blow-up); candidates are DISTINCT
+    * same-band id pairs (bounded by band-bucket collisions, never
+    * all-pairs); embeddings join back by id for the one scoring pass. */
+  def cosineNearDup(embeddings: DataFrame, bands: Int = 8,
+      bandBits: Int = 4, threshold: Double = 0.99): DataFrame = {
+    val sigs = embeddings.select(col("vec_id"),
+      explode(bandSigs(col("embedding"), bands, bandBits)).as("sig"))
+    val cands = sigs.select(col("sig"), col("vec_id").as("d1"))
+      .join(sigs.select(col("sig"), col("vec_id").as("d2")), Seq("sig"))
       .where(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    cands
+      .join(e.select(col("vec_id").as("d1"), col("embedding").as("e1")), Seq("d1"))
+      .join(e.select(col("vec_id").as("d2"), col("embedding").as("e2")), Seq("d2"))
       .select(col("d1"), col("d2"),
         round(cos(embeddings)(col("e1"), col("e2")), 6).as("cos"))
       .where(col("cos") >= threshold)
@@ -518,11 +557,12 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  def semanticDedup(embeddings: DataFrame, bits: Int = 8,
+  def semanticDedup(embeddings: DataFrame, bands: Int = 8,
       threshold: Double = 0.25, rounds: Int = 0,
       materialize: Boolean = true,
-      maxRounds: Int = Propagation.DefaultMaxRounds): DataFrame = {
-    val pairs = cosineNearDup(embeddings, bits, threshold)
+      maxRounds: Int = Propagation.DefaultMaxRounds,
+      bandBits: Int = 4): DataFrame = {
+    val pairs = cosineNearDup(embeddings, bands, bandBits, threshold)
     val edges = Stage.snap(
       pairs.select(col("d1").as("a"), col("d2").as("b"))
         .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b"))),
