@@ -1646,6 +1646,17 @@ object SparkEntry {
         docs.where(col("source") === "src1"))
     }),
 
+    // persisted DSIR model: fit-once/score-many — fit commits a frozen
+    // (bucket, micro) table, score applies it at ingest; same shared
+    // math as ta_dsir, so it shares that oracle
+    "ta_dsir_store" -> ((s, dir) => {
+      val (root, _) = freshScratch(s, "dsir_m")
+      val docs = Catalog.documents(s, dir)
+      val raw = docs.where(col("source") =!= "src1")
+      graft.operators.DsirModel.fit(raw, docs.where(col("source") === "src1"), root)
+      graft.operators.DsirModel.score(s, root, raw)
+    }),
+
     // PII scrub over documents with a deterministic composed contact
     // suffix (the corpus itself carries no PII; oracle mirrors the compose).
     "ta_scrub" -> ((s, dir) =>
@@ -2328,6 +2339,11 @@ object SparkEntry {
       // for the same reason (same training, same output contract;
       // AnnIndexPqSpec pins the row-for-row equality of the two paths)
       ("sim_annpq_store" -> baseOracleSql("sim_ivfpq_topk")) +
+      // the persisted DSIR model is fit and applied by the SAME shared
+      // dsirMicro/dsirApply code as the in-query weights (DsirSpec pins
+      // fit-then-score ≡ dsirWeights row-for-row), so it shares ta_dsir's
+      // oracle verbatim
+      ("ta_dsir_store" -> baseOracleSql("ta_dsir")) +
       // two-stage re-rank: the same ivf-pq derivation with the ADC pool
       // widened to 20 and an exact-cosine re-rank stage appended
       ("sim_annpq_rerank" -> baseOracleSql("sim_ivfpq_topk").replace(

@@ -1116,7 +1116,7 @@ object TextAnalysis {
     * staying a fixed-width, trivially-distributable representation).
     * Gram construction is ROW-LOCAL (array transform, no window); the
     * only shuffle is the (doc_id, bucket) count, map-side combinable. */
-  private def hashedGrams(documents: DataFrame, buckets: Int): DataFrame = {
+  private[operators] def hashedGrams(documents: DataFrame, buckets: Int): DataFrame = {
     val ts = documents.select(col("doc_id"),
       regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("ts"))
     val uni = ts.select(col("doc_id"), explode(col("ts")).as("g"))
@@ -1150,32 +1150,51 @@ object TextAnalysis {
     * ≤`buckets` rows — they BROADCAST to the per-doc scoring join, so
     * the corpus-sized side never re-shuffles. Raw docs with zero grams
     * surface with n_grams = 0 and weight 0, not a dropped row. */
-  def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 4096,
-      materialize: Boolean = true): DataFrame = {
-    val rawG = Stage.snap(hashedGrams(raw, buckets), materialize)
-    val tB = hashedGrams(target, buckets).groupBy("bucket").agg(sum("c").as("ct"))
+  /** The frozen per-bucket model of [[dsirWeights]]: (bucket, micro)
+    * add-one-smoothed log-ratios in micro-nats over `buckets` slots.
+    * Shared — BY CONSTRUCTION, not by parallel implementation — between
+    * the in-query weights and the persisted [[DsirModel]], so
+    * fit-then-score over the same corpora is provably identical to the
+    * one-shot form. */
+  private[operators] def dsirMicro(rawG: DataFrame, targetG: DataFrame,
+      buckets: Int): DataFrame = {
+    val tB = targetG.groupBy("bucket").agg(sum("c").as("ct"))
     val rB = rawG.groupBy("bucket").agg(sum("c").as("cr"))
     // corpus totals BEFORE the outer merge (each side's total counts all
     // of its grams, including buckets the other side never hits); an
     // empty corpus contributes 0, not null — smoothing keeps ln finite
     val tot = tB.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
       .crossJoin(rB.agg(coalesce(sum("cr"), lit(0L)).as("nr")))
-    val micro = rB.join(tB, Seq("bucket"), "full_outer")
+    rB.join(tB, Seq("bucket"), "full_outer")
       .na.fill(0L, Seq("ct", "cr"))
       .crossJoin(broadcast(tot))
       .select(col("bucket"),
         round((log((col("ct") + 1).cast("double") / (col("nt") + lit(buckets.toLong))) -
                log((col("cr") + 1).cast("double") / (col("nr") + lit(buckets.toLong)))) * 1e6, 0)
           .cast("bigint").as("micro"))
-    val perDoc = rawG.join(broadcast(micro), Seq("bucket"))
+  }
+
+  /** Per-doc weight application: every doc's hashed grams score against
+    * the broadcast (bucket, micro) model; zero-gram docs surface with
+    * weight 0, not a dropped row. Shared by [[dsirWeights]] and
+    * [[DsirModel.score]]. */
+  private[operators] def dsirApply(docIds: DataFrame, grams: DataFrame,
+      micro: DataFrame): DataFrame = {
+    val perDoc = grams.join(broadcast(micro), Seq("bucket"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_grams"),
         sum(col("c") * col("micro")).as("micro_logw"))
-    raw.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+    docIds.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("micro_logw"), lit(0L)).as("micro_logw"))
       .orderBy("doc_id")
+  }
+
+  def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 4096,
+      materialize: Boolean = true): DataFrame = {
+    val rawG = Stage.snap(hashedGrams(raw, buckets), materialize)
+    dsirApply(raw, rawG, dsirMicro(rawG, hashedGrams(target, buckets), buckets))
   }
 
   /** DSIR selection: Gumbel top-k over [[dsirWeights]] — adding an

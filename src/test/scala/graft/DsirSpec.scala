@@ -87,4 +87,43 @@ class DsirSpec extends SparkSpec {
     val legalHits = a.count(_._2 % 3 == 0)
     assert(legalHits >= 7, s"only $legalHits/10 selected docs are on-target")
   }
+
+  test("persisted model: fit-then-score equals the in-query weights row-for-row") {
+    val root = java.nio.file.Files.createTempDirectory("dsir_model_").toString
+    val target = Seq((100L, legal)).toDF("doc_id", "text")
+    val raw = Seq((1L, legal), (2L, recipe), (3L, legal + " " + recipe),
+      (4L, "")).toDF("doc_id", "text")
+    val v = graft.operators.DsirModel.fit(raw, target, root)
+    assert(v == 1L)
+    val scored = graft.operators.DsirModel.score(spark, root, raw)
+      .collect().map(_.toString).toSeq
+    val inQuery = TextAnalysis.dsirWeights(raw, target)
+      .collect().map(_.toString).toSeq
+    assert(scored == inQuery, "persisted scoring diverged from dsirWeights")
+    // the frozen model scores NEW docs it never saw at fit time
+    val novel = Seq((9L, recipe + " extra words")).toDF("doc_id", "text")
+    val n = graft.operators.DsirModel.score(spark, root, novel).collect()
+    assert(n.length == 1 && n.head.getLong(1) > 0)
+  }
+
+  test("refit bumps the version; scoreAt pins the old model") {
+    val root = java.nio.file.Files.createTempDirectory("dsir_refit_").toString
+    val raw = Seq((1L, legal), (2L, recipe)).toDF("doc_id", "text")
+    val v1 = graft.operators.DsirModel.fit(raw,
+      Seq((100L, legal)).toDF("doc_id", "text"), root)
+    val s1 = graft.operators.DsirModel.score(spark, root, raw)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // refit toward the OTHER domain: current-version scores must flip
+    val v2 = graft.operators.DsirModel.fit(raw,
+      Seq((200L, recipe)).toDF("doc_id", "text"), root)
+    assert(v2 == v1 + 1)
+    val s2 = graft.operators.DsirModel.score(spark, root, raw)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s1(1L) > s1(2L) && s2(2L) > s2(1L),
+      s"refit did not retarget: v1=$s1 v2=$s2")
+    // the pinned read still serves the old regime after the refit
+    val pinned = graft.operators.DsirModel.scoreAt(spark, root, raw, v1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pinned == s1, "scoreAt(v1) diverged from the pre-refit scores")
+  }
 }
