@@ -45,9 +45,12 @@ object DsirModel {
         s"no committed DSIR model at $root (run DsirModel.fit first)"))
 
   /** Fit and commit a new model version from the two corpora; returns
-    * the committed version. */
+    * the committed version. `retain` is the StateCommit snapshot-expiry
+    * horizon: how many model versions stay readable for [[scoreAt]]
+    * pinning (default 2 = current + predecessor; raise it when long
+    * sweeps must outlive several refits). */
   def fit(raw: DataFrame, target: DataFrame, root: String,
-      buckets: Int = 4096): Long = {
+      buckets: Int = 4096, retain: Int = 2): Long = {
     val spark = raw.sparkSession
     val v = StateCommit.currentVersion(spark, root).getOrElse(0L) + 1
     val micro = TextAnalysis.dsirMicro(
@@ -58,7 +61,7 @@ object DsirModel {
     val s = spark; import s.implicits._
     Seq(Tuple1(buckets)).toDF("buckets").coalesce(1)
       .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Meta))
-    StateCommit.commit(spark, root, v)
+    StateCommit.commit(spark, root, v, retain)
     v
   }
 

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.{CdcBatch, DsirModel}
+
+/** Streaming DSIR scoring — importance-weight every incoming micro-batch
+  * against a FROZEN [[DsirModel]]: the production shape of
+  * selection-at-ingest, where the model was fit once (on samples) and
+  * the 100 TB firehose is scored as it lands rather than re-read later.
+  *
+  * Model pinning: [[start]] resolves the model version ONCE and every
+  * batch of that sweep scores against it ([[DsirModel.scoreAt]]) — a
+  * refit landing mid-sweep must not silently switch scoring regimes
+  * between batch N and N+1. Each score row records its `model_v` so a
+  * downstream selection can prove which regime produced it (and a new
+  * sweep picks up the new version by restarting).
+  *
+  * Replay safety ([[StreamingCuration]] / [[StreamingMonitor]] design):
+  * `foreachBatch` is at-least-once, so scores write to a per-batch-id
+  * directory with overwrite (a replayed partial write converges) and
+  * the applied-batch watermark advances by one atomic [[StateCommit]]
+  * pointer swap AFTER the write — a crash between the two replays
+  * cleanly. A CDC batch carrying several versions of one doc collapses
+  * last-wins BEFORE scoring ([[CdcBatch.collapse]]) — without it the
+  * two versions' gram bags merge into a chimera document whose weight
+  * belongs to neither version.
+  *
+  * Scale posture: per batch, one hashed-gram pass over the batch plus a
+  * broadcast join against the ≤buckets-row model — nothing corpus-sized
+  * moves, no state grows beyond the applied-batch pointer. */
+object StreamingDsir {
+
+  private def scoresPath(p: String) = s"$p/scores"
+
+  /** Score one micro-batch against the pinned model version; idempotent
+    * per `batchId`. `seqCol` names the batch's CDC ordering column when
+    * the feed carries one (recency, not payload order, picks the
+    * surviving version of a doc edited twice in one trigger window). */
+  def applyBatch(modelRoot: String, statePath: String, batch: DataFrame,
+      batchId: Long, modelVersion: Long, seqCol: String = ""): Unit = {
+    val spark = batch.sparkSession
+    if (StateCommit.currentVersion(spark, statePath).exists(batchId <= _)) return
+    val collapsed = CdcBatch.collapse(batch, "doc_id", seqCol)
+    DsirModel.scoreAt(spark, modelRoot, collapsed, modelVersion)
+      .withColumn("model_v", lit(modelVersion))
+      .write.mode("overwrite")
+      .parquet(s"${scoresPath(statePath)}/batch_id=$batchId")
+    StateCommit.commit(spark, statePath, batchId)
+  }
+
+  /** All recorded scores (doc_id, n_grams, micro_logw, model_v,
+    * batch_id). */
+  def scores(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(scoresPath(statePath))
+
+  /** Start an AvailableNow scoring pass of `documents` (doc_id + text
+    * rows) against the model at `modelRoot`, pinned to its CURRENT
+    * committed version for the whole sweep. */
+  def start(documents: DataFrame, modelRoot: String, statePath: String,
+      checkpoint: String, seqCol: String = ""): StreamingQuery = {
+    val pinned = DsirModel.version(documents.sparkSession, modelRoot)
+    documents.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyBatch(modelRoot, statePath, batch.toDF(), batchId, pinned, seqCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

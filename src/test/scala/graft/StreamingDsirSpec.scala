@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DsirModel, TextAnalysis}
+import graft.streaming.StreamingDsir
+
+/** Streaming DSIR scoring: batch scores equal the batch operator against
+  * the frozen model, replays are no-ops, a mid-sweep refit does not
+  * switch regimes, and multi-version CDC batches collapse last-wins
+  * before scoring. */
+class StreamingDsirSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val legal = "whereas the party of the first part hereby agrees " +
+    "to indemnify and hold harmless the aforementioned party"
+  private val recipe = "whisk the eggs with sugar then fold in flour and " +
+    "bake the batter until golden and fragrant"
+
+  private def fitModel(): String = {
+    val root = Files.createTempDirectory("dsir_sm_").toString
+    DsirModel.fit(
+      Seq((50L, legal), (51L, recipe)).toDF("doc_id", "text"),
+      Seq((100L, legal)).toDF("doc_id", "text"), root)
+    root
+  }
+
+  test("per-batch scores equal DsirModel.score, idempotent per batch id") {
+    val modelRoot = fitModel()
+    val state = Files.createTempDirectory("dsir_state_").toString
+    val b0 = Seq((1L, legal), (2L, recipe)).toDF("doc_id", "text")
+    val b1 = Seq((3L, legal + " pursuant")).toDF("doc_id", "text")
+    StreamingDsir.applyBatch(modelRoot, state, b0, 0L, 1L)
+    StreamingDsir.applyBatch(modelRoot, state, b1, 1L, 1L)
+    val got = StreamingDsir.scores(spark, state).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val want = DsirModel.score(spark, modelRoot, b0.unionByName(b1))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    got.foreach { case (id, (w, mv)) =>
+      assert(w == want(id) && mv == 1L, s"doc $id: $w/$mv vs ${want(id)}")
+    }
+    // replay of an applied batch id changes nothing
+    val before = StreamingDsir.scores(spark, state).collect().toSet
+    StreamingDsir.applyBatch(modelRoot, state,
+      Seq((9L, recipe)).toDF("doc_id", "text"), 0L, 1L)
+    assert(StreamingDsir.scores(spark, state).collect().toSet == before)
+  }
+
+  test("a mid-sweep refit does not switch the pinned regime") {
+    val modelRoot = fitModel()
+    val state = Files.createTempDirectory("dsir_state2_").toString
+    val doc = Seq((1L, legal)).toDF("doc_id", "text")
+    StreamingDsir.applyBatch(modelRoot, state, doc, 0L, 1L)
+    // refit toward the other domain between batches
+    DsirModel.fit(
+      Seq((50L, legal), (51L, recipe)).toDF("doc_id", "text"),
+      Seq((200L, recipe)).toDF("doc_id", "text"), modelRoot)
+    StreamingDsir.applyBatch(modelRoot, state,
+      Seq((2L, legal)).toDF("doc_id", "text"), 1L, 1L)
+    val got = StreamingDsir.scores(spark, state).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // same text, same pinned model version -> identical weight either
+    // side of the refit
+    assert(got(1L) == got(2L), s"regime switched mid-sweep: $got")
+    assert(got(1L)._2 == 1L)
+  }
+
+  test("multi-version CDC batch collapses last-wins before scoring") {
+    val modelRoot = fitModel()
+    val state = Files.createTempDirectory("dsir_state3_").toString
+    val cdc = Seq((1L, recipe, 10L), (1L, legal, 20L))
+      .toDF("doc_id", "text", "seq")
+    StreamingDsir.applyBatch(modelRoot, state, cdc, 0L, 1L, seqCol = "seq")
+    val rows = StreamingDsir.scores(spark, state).collect()
+    assert(rows.length == 1, s"chimera rows: ${rows.toSeq}")
+    val wantLegal = DsirModel.score(spark, modelRoot,
+      Seq((1L, legal)).toDF("doc_id", "text")).head().getLong(2)
+    assert(rows.head.getLong(2) == wantLegal,
+      "winner is not the highest-seq version")
+  }
+
+  test("end-to-end stream: every source doc scored once, pinned") {
+    val modelRoot = fitModel()
+    val state = Files.createTempDirectory("dsir_state4_").toString
+    val ckpt = Files.createTempDirectory("dsir_ckpt_").toString
+    val ms = MemoryStream[(Long, String)](spark)
+    ms.addData((1L, legal), (2L, recipe), (3L, legal + " " + recipe))
+    val q = StreamingDsir.start(
+      ms.toDF().toDF("doc_id", "text"), modelRoot, state, ckpt)
+    q.awaitTermination(60000)
+    val got = StreamingDsir.scores(spark, state).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val want = TextAnalysis.dsirWeights(
+      Seq((1L, legal), (2L, recipe), (3L, legal + " " + recipe))
+        .toDF("doc_id", "text"),
+      Seq((100L, legal)).toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // the stream scores against the FROZEN model (fit corpus 50/51), the
+    // batch operator refits on its own raw corpus — same target, so the
+    // on-target doc tops both rankings (sum-form weights: the MIXED doc
+    // carries the off-domain mass too, so it does not interpolate)
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) > got(2L) && got(1L) > got(3L),
+      s"stream scores misordered: $got (batch reference order: $want)")
+    assert(want(1L) > want(2L) && want(1L) > want(3L),
+      s"batch reference misordered: $want")
+  }
+}
