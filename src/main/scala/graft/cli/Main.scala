@@ -884,8 +884,48 @@ object Main {
           println(s"  ${r.get(0)} -> ${r.get(1)} (dist ${r.getInt(2)})"))
       spark.stop()
 
+    // dsir-fit --data <sfdir> --root <dir> [--target-source src1]
+    // [--buckets N]: fit and commit a DSIR importance model (target =
+    // the named source's docs, raw = the rest).
+    case Some("dsir-fit") =>
+      val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
+      val root = opt(args, "root").getOrElse { System.err.println("error: --root required"); sys.exit(2); "" }
+      val tgtSrc = opt(args, "target-source").getOrElse("src1")
+      val buckets = opt(args, "buckets").getOrElse("4096").toInt
+      val spark = session()
+      val docs = spark.read.parquet(s"$data/documents.parquet")
+      val t0 = System.nanoTime()
+      val v = graft.operators.DsirModel.fit(
+        docs.where(col("source") =!= tgtSrc),
+        docs.where(col("source") === tgtSrc), root, buckets)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val nBuckets = graft.operators.DsirModel.model(spark, root).count()
+      println(f"DSIR model fit in $dt%.1fs: target-source=$tgtSrc $nBuckets populated buckets of $buckets at $root (version $v)")
+      spark.stop()
+
+    // dsir-score --root <dir> --data <sfdir> [--at V] [--k N]: score
+    // documents against the committed (or pinned) model; prints the
+    // top-k by importance weight.
+    case Some("dsir-score") =>
+      val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
+      val root = opt(args, "root").getOrElse { System.err.println("error: --root required"); sys.exit(2); "" }
+      val k = opt(args, "k").getOrElse("10").toInt
+      val spark = session()
+      val docs = spark.read.parquet(s"$data/documents.parquet")
+      val scored = opt(args, "at") match {
+        case Some(v) => graft.operators.DsirModel.scoreAt(spark, root, docs, v.toLong)
+        case None => graft.operators.DsirModel.score(spark, root, docs)
+      }
+      val vUsed = opt(args, "at").map(_.toLong)
+        .getOrElse(graft.operators.DsirModel.version(spark, root))
+      println(s"model version $vUsed, top $k by importance weight (micro-nats):")
+      scored.orderBy(col("micro_logw").desc, col("doc_id")).limit(k)
+        .collect().foreach(r => println(
+          f"  doc ${r.getLong(0)}%6d  grams ${r.getLong(1)}%6d  logw ${r.getLong(2)}%12d"))
+      spark.stop()
+
     case other =>
-      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export|index-build|index-search|pq-build|pq-search|dedup-build|dedup-classify|compact|diff|fuzzy|lex-build|lex-search|lex-delete|lex-upsert|lex-compact")
+      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export|index-build|index-search|pq-build|pq-search|dedup-build|dedup-classify|compact|diff|fuzzy|lex-build|lex-search|lex-delete|lex-upsert|lex-compact|dsir-fit|dsir-score")
       sys.exit(2)
   }
 }
