@@ -1915,10 +1915,10 @@ object SparkEntry {
     * `embedding`): a list of 'j:bbbb' band signatures. The two-branch
     * CASE (no ELSE) yields NULL for out-of-range coordinates, exactly
     * like the Spark side's try_element_at — NULL sigs join nothing. */
-  private val bandSigsSql: String =
+  private def bandSigsSql(bandBits: Int = 8): String =
     "list_value(" + (0 until 8).map(j =>
-      s"'$j:' || " + (1 to 4).map { i =>
-        val e = s"embedding[${j * 4 + i}]"
+      s"'$j:' || " + (1 to bandBits).map { i =>
+        val e = s"embedding[${j * bandBits + i}]"
         s"CASE WHEN $e >= 0 THEN '1' WHEN $e < 0 THEN '0' END"
       }.mkString(" || ")).mkString(", ") + ")"
 
@@ -1928,7 +1928,7 @@ object SparkEntry {
     * the mirror of Similarity.cosineNearDup. */
   private def bandedPairsCtes(src: String, threshold: Double): String =
     s"""bsrc AS (
-       |  SELECT vec_id, embedding, $bandSigsSql AS sigs FROM $src
+       |  SELECT vec_id, embedding, ${bandSigsSql()} AS sigs FROM $src
        |), bsig AS (
        |  SELECT vec_id, unnest(sigs) AS sig FROM bsrc
        |), bcand AS (
@@ -3898,7 +3898,7 @@ object SparkEntry {
     // sign-bands ('j:bbbb' prefixed so bands can't cross-collide)
     "sim_decon_banded" ->
       s"""WITH e AS (
-         |  SELECT vec_id, embedding, $bandSigsSql AS sigs FROM embeddings
+         |  SELECT vec_id, embedding, ${bandSigsSql(4)} AS sigs FROM embeddings
          |), t AS (
          |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0
          |), ts AS (
@@ -3944,7 +3944,7 @@ object SparkEntry {
 
     "sim_semdedup_inc" ->
       s"""WITH b AS (
-         |  SELECT vec_id, embedding, $bandSigsSql AS sigs FROM embeddings
+         |  SELECT vec_id, embedding, ${bandSigsSql()} AS sigs FROM embeddings
          |), inc AS (
          |  SELECT vec_id, embedding, sigs FROM b WHERE vec_id % 10 >= 8
          |), cor AS (

@@ -105,7 +105,7 @@ object Similarity {
     * vector store maintains anyway. */
   def semanticDedupIncremental(incoming: DataFrame, corpus: DataFrame,
       bands: Int = 8, threshold: Double = 0.25,
-      bandBits: Int = 4): DataFrame = {
+      bandBits: Int = 8): DataFrame = {
     val incSig = incoming.select(col("vec_id"),
       explode(bandSigs(col("embedding"), bands, bandBits)).as("sig"))
     val corSig = corpus.select(col("vec_id").as("cid"),
@@ -239,6 +239,12 @@ object Similarity {
     * (≈ 1.0 at cosine 0.9, ≈ 0.66 at 0.3 with 8×4) — the same
     * banding scheme the lexical MinHash LSH has always used, applied to
     * the sign-hash. Output contract identical to the single-bucket form.
+    * The COARSE 4-bit default is deliberate here and wrong for the
+    * all-pairs operators ([[cosineNearDup]] defaults to 8-bit bands):
+    * decontamination joins the corpus against a SMALL eval set, so
+    * candidate volume is ≈ bands · n_train · n_bench / 2^bandBits —
+    * linear in the corpus at any band width — and coarse bands buy the
+    * recall that matters when eval leakage sits at moderate cosine.
     *
     * Scale posture: band signatures are map-side column expressions;
     * the train side explodes to (vec_id, band-sig) WITHOUT carrying the
@@ -274,15 +280,23 @@ object Similarity {
     * rounded cosine ≥ threshold. Banded ([[bandSigs]]) rather than
     * single-bucket since round 11: one 8-bit bucket's pair recall is
     * p^8 ≈ 0.69 even at cosine 0.99 — a third of true near-dup PAIRS
-    * silently missed before clustering ever ran; 8×4 banding takes
-    * pair recall to ~1 at paraphrase-level cosine.
+    * silently missed before clustering ever ran; 8×8 banding takes
+    * pair recall to ~1 at near-dup cosine (0.94 at 0.9, 0.999 at 0.99).
+    *
+    * Band width is the candidate-volume knob for an ALL-PAIRS operator:
+    * expected candidates ≈ bands · n²/2^bandBits, so 4-bit bands (16
+    * buckets/band) measured 40% of ALL pairs as candidates at sf0.1 —
+    * quadratic, unacceptable at corpus scale — while 8-bit bands hold
+    * 3% (n²/32) with the banding still repairing the recall. Coarser
+    * bands belong only where one join side is small (the
+    * [[semanticDecontaminateBanded]] bench-bounded case).
     *
     * Scale posture: the band explode carries ids only (the embedding
     * does NOT ride the ×bands blow-up); candidates are DISTINCT
     * same-band id pairs (bounded by band-bucket collisions, never
     * all-pairs); embeddings join back by id for the one scoring pass. */
   def cosineNearDup(embeddings: DataFrame, bands: Int = 8,
-      bandBits: Int = 4, threshold: Double = 0.99): DataFrame = {
+      bandBits: Int = 8, threshold: Double = 0.99): DataFrame = {
     val sigs = embeddings.select(col("vec_id"),
       explode(bandSigs(col("embedding"), bands, bandBits)).as("sig"))
     val cands = sigs.select(col("sig"), col("vec_id").as("d1"))
@@ -561,7 +575,7 @@ object Similarity {
       threshold: Double = 0.25, rounds: Int = 0,
       materialize: Boolean = true,
       maxRounds: Int = Propagation.DefaultMaxRounds,
-      bandBits: Int = 4): DataFrame = {
+      bandBits: Int = 8): DataFrame = {
     val pairs = cosineNearDup(embeddings, bands, bandBits, threshold)
     val edges = Stage.snap(
       pairs.select(col("d1").as("a"), col("d2").as("b"))
