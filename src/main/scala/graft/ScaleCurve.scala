@@ -30,7 +30,10 @@ object ScaleCurve {
     "sim_topk", "sim_ivf_kmeans", "sim_pq_topk", "sim_ivfpq_topk",
     "sim_ann_store", "sim_annpq_store", "sim_annpq_rerank", "sim_semdedup",
     "lx_search", "lx_search_inc", "lx_search_del", "lx_search_upd",
-    "ta_release")
+    "ta_release",
+    // round-11 final session: the selection family + banded near-dup
+    "ta_dsir", "ta_dsir_select", "ta_dsir_store",
+    "sim_prototypes", "sim_near_dup", "sim_decon_banded", "sim_decon_exact")
 
   def main(args: Array[String]): Unit = {
     val dirA = args.lift(0).getOrElse("/root/testdata/sf0.1")
