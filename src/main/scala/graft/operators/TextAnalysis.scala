@@ -1117,14 +1117,15 @@ object TextAnalysis {
     * Gram construction is ROW-LOCAL (array transform, no window); the
     * only shuffle is the (doc_id, bucket) count, map-side combinable. */
   private[operators] def hashedGrams(documents: DataFrame, buckets: Int): DataFrame = {
+    // unigrams and bigrams concatenate ROW-LOCALLY before the one explode,
+    // so the corpus scans ONCE (a union of two explodes scans it twice —
+    // the round-11 ta_dsir plan audit)
     val ts = documents.select(col("doc_id"),
       regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("ts"))
-    val uni = ts.select(col("doc_id"), explode(col("ts")).as("g"))
-    val bi = ts.select(col("doc_id"),
-      explode(when(size(col("ts")) >= 2,
+    ts.select(col("doc_id"), explode(concat(col("ts"),
+        when(size(col("ts")) >= 2,
           expr("transform(sequence(0, size(ts)-2), i -> concat(ts[i], ' ', ts[i+1]))"))
-        .otherwise(array().cast("array<string>"))).as("g"))
-    uni.unionByName(bi)
+          .otherwise(array().cast("array<string>")))).as("g"))
       .select(col("doc_id"), pmod(sha32(col("g")), lit(buckets.toLong)).as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
   }
@@ -1157,9 +1158,15 @@ object TextAnalysis {
     * fit-then-score over the same corpora is provably identical to the
     * one-shot form. */
   private[operators] def dsirMicro(rawG: DataFrame, targetG: DataFrame,
-      buckets: Int): DataFrame = {
-    val tB = targetG.groupBy("bucket").agg(sum("c").as("ct"))
-    val rB = rawG.groupBy("bucket").agg(sum("c").as("cr"))
+      buckets: Int, materialize: Boolean = true): DataFrame = {
+    // both bucket models snapshot (≤ buckets rows): each is referenced
+    // twice (its total + the outer merge), and without the stage
+    // boundary each reference re-derives the full gram chain — the
+    // round-11 plan audit found the target corpus scanned 4× here
+    val tB = Stage.snap(
+      targetG.groupBy("bucket").agg(sum("c").as("ct")), materialize)
+    val rB = Stage.snap(
+      rawG.groupBy("bucket").agg(sum("c").as("cr")), materialize)
     // corpus totals BEFORE the outer merge (each side's total counts all
     // of its grams, including buckets the other side never hits); an
     // empty corpus contributes 0, not null — smoothing keeps ln finite
