@@ -296,9 +296,14 @@ object Similarity {
     * same-band id pairs (bounded by band-bucket collisions, never
     * all-pairs); embeddings join back by id for the one scoring pass. */
   def cosineNearDup(embeddings: DataFrame, bands: Int = 8,
-      bandBits: Int = 8, threshold: Double = 0.99): DataFrame = {
-    val sigs = embeddings.select(col("vec_id"),
-      explode(bandSigs(col("embedding"), bands, bandBits)).as("sig"))
+      bandBits: Int = 8, threshold: Double = 0.99,
+      materialize: Boolean = true): DataFrame = {
+    // the sig table feeds BOTH sides of the candidate self-join: snap it
+    // (narrow id+sig rows) so the fat embedding column scans once for
+    // signature derivation, not twice (round-11 plan audit)
+    val sigs = Stage.snap(embeddings.select(col("vec_id"),
+      explode(bandSigs(col("embedding"), bands, bandBits)).as("sig")),
+      materialize)
     val cands = sigs.select(col("sig"), col("vec_id").as("d1"))
       .join(sigs.select(col("sig"), col("vec_id").as("d2")), Seq("sig"))
       .where(col("d1") < col("d2"))
