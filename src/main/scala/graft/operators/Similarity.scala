@@ -576,6 +576,33 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** The 100 TB form of [[prototypesPrune]] — the exact↔approx pairing
+    * applied to the per-cell rank window: instead of ranking every
+    * member of a cell (a window whose skew is the largest cluster), cut
+    * at the cell's (1 − dropFrac) ccos quantile from a t-digest
+    * (`approx_percentile`, one combinable aggregation), then keep
+    * members BELOW the cut. No window, no per-cell sort — the prune is
+    * one broadcast threshold join + a map-side comparison, so the
+    * largest cluster costs the same as the smallest. Drop counts are
+    * approximate at the quantile's accuracy (spec-bounded against the
+    * exact form); ties at the cut keep (the exact form's rank breaks
+    * ties by vec_id — the approx form has no rank to break them with,
+    * and keeping is the conservative direction for a PRUNE). */
+  def prototypesPruneApprox(embeddings: DataFrame, nCentroids: Int = 8,
+      dropFrac: Double = 0.3, accuracy: Int = 10000,
+      materialize: Boolean = true): DataFrame = {
+    val assigned = Stage.snap(
+      assignCellsScored(embeddings, trainCentroids(embeddings, nCentroids)),
+      materialize)
+    val cuts = assigned.groupBy("cell").agg(
+      expr(s"approx_percentile(ccos, ${1.0 - dropFrac}, $accuracy)").as("cut"),
+      count(lit(1)).as("n_cell"))
+    assigned.join(broadcast(cuts), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("ccos"), col("n_cell"),
+        col("cut"), (col("ccos") <= col("cut")).as("kept"))
+      .orderBy("vec_id")
+  }
+
   def semanticDedup(embeddings: DataFrame, bands: Int = 8,
       threshold: Double = 0.25, rounds: Int = 0,
       materialize: Boolean = true,

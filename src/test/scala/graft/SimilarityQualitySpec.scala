@@ -355,6 +355,34 @@ class SimilarityQualitySpec extends SparkSpec {
     assert(none.forall(!_.getBoolean(5)))
   }
 
+  test("prototypesPruneApprox tracks the exact form per cell within quantile slack") {
+    import org.apache.spark.sql.functions._
+    val exact = Similarity.prototypesPrune(embeddings, dropFrac = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(5)))
+    val approx = Similarity.prototypesPruneApprox(embeddings, dropFrac = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(5)))
+    assert(approx.length == exact.length)
+    val exCells = exact.groupBy(_._2)
+    approx.groupBy(_._2).foreach { case (cell, members) =>
+      val exDropped = exCells(cell).count(!_._3)
+      val apDropped = members.count(!_._3)
+      // at accuracy 10000 on fixture-sized cells the t-digest quantile is
+      // near-exact; ties at the cut KEEP (the conservative direction), so
+      // the approx form may drop slightly fewer — never wildly different
+      assert(math.abs(apDropped - exDropped) <= math.max(2, exDropped / 5),
+        s"cell $cell: approx dropped $apDropped vs exact $exDropped")
+    }
+    // the approx prune must still drop the TOP of the ranking: every
+    // dropped cosine >= every kept cosine within a cell
+    val byId = Similarity.prototypesPruneApprox(embeddings, dropFrac = 0.3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(5)))
+    byId.groupBy(_._1).foreach { case (cell, ms) =>
+      val d = ms.filter(!_._3); val k = ms.filter(_._3)
+      if (d.nonEmpty && k.nonEmpty)
+        assert(d.map(_._2).min >= k.map(_._2).max, s"cell $cell inverted")
+    }
+  }
+
   test("bucketed decontamination flags a SUBSET of the exact baseline, with honest recall") {
     import org.apache.spark.sql.functions._
     val eval = embeddings.orderBy("vec_id").limit(8)
