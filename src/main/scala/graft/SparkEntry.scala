@@ -1380,6 +1380,14 @@ object SparkEntry {
         emb.where(col("vec_id") % 10 < 8), threshold = 0.35)
     }),
 
+    // source-priority SemDeDup survivors: curated sources (src0-4) beat
+    // the rest within each embedding cluster, ties to smallest id
+    "sim_semdedup_priority" -> ((s, dir) =>
+      Similarity.semanticDedupByPriority(
+        Catalog.embeddings(s, dir), Catalog.documents(s, dir),
+        (0 until 5).map(i => s"src$i" -> 0).toMap, defaultRank = 1,
+        threshold = 0.35)),
+
     "sim_ivf" -> ((s, dir) => Similarity.ivfTopK(Catalog.embeddings(s, dir))),
 
     "sim_ivf2" -> ((s, dir) =>
@@ -4007,6 +4015,24 @@ object SparkEntry {
         """SELECT vec_id, label AS cluster,
           |  CAST(vec_id = label AS INTEGER) AS survivor
           |FROM l3 ORDER BY vec_id""".stripMargin),
+
+    // source-priority survivor mirror: the same cluster chain, survivor
+    // by (priority, vec_id) rank within each cluster
+    "sim_semdedup_priority" ->
+      (s"WITH RECURSIVE $SemDedupCtes\n" +
+        """, pr AS (
+          |  SELECT l3.vec_id, l3.label AS cluster, d.source,
+          |    CASE WHEN d.source IN ('src0','src1','src2','src3','src4')
+          |      THEN 0 ELSE 1 END AS prio
+          |  FROM l3 JOIN documents d ON d.doc_id = l3.vec_id
+          |), surv AS (
+          |  SELECT vec_id, cluster, source,
+          |    ROW_NUMBER() OVER (PARTITION BY cluster
+          |      ORDER BY prio, vec_id) AS rn
+          |  FROM pr
+          |)
+          |SELECT vec_id, cluster, source FROM surv WHERE rn = 1
+          |ORDER BY vec_id""".stripMargin),
 
     // SemDeDup APPLY mirror: survivor ids join the documents corpus
     "sim_semdedup_apply" ->

@@ -576,6 +576,39 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Source-priority SemDeDup survivor policy —
+    * [[graft.operators.Dedup.nearDupApplyByPriority]] applied to the
+    * EMBEDDING clusters: within each semantic near-dup cluster keep the
+    * member from the highest-priority SOURCE (curated feed beats crawl
+    * copy of the same paraphrase), ties to the smallest id. `rank` maps
+    * source → priority (lower wins; unlisted sources take
+    * `defaultRank`). Documents join by vec_id ≡ doc_id (the
+    * sim_semdedup_apply convention of the testdata).
+    *
+    * Scale posture: [[semanticDedup]]'s shuffles plus one narrow
+    * (id, source) join and a per-cluster rank window — cluster sizes
+    * are bounded by near-dup diameter, so the window partitions stay
+    * small. */
+  def semanticDedupByPriority(embeddings: DataFrame, documents: DataFrame,
+      rank: Map[String, Int], defaultRank: Int = 100,
+      threshold: Double = 0.25, materialize: Boolean = true): DataFrame = {
+    val prio = rank.foldLeft(lit(defaultRank)) { case (acc, (src, r)) =>
+      when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("prio"), col("vec_id"))
+    semanticDedup(embeddings, threshold = threshold,
+        materialize = materialize)
+      .select(col("vec_id"), col("cluster"))
+      .join(documents.select(col("doc_id").as("vec_id"), col("source")),
+        Seq("vec_id"))
+      .withColumn("prio", prio)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"), col("source"))
+      .orderBy("vec_id")
+  }
+
   /** The 100 TB form of [[prototypesPrune]] — the exact↔approx pairing
     * applied to the per-cell rank window: instead of ranking every
     * member of a cell (a window whose skew is the largest cluster), cut

@@ -83,6 +83,24 @@ class SemanticDedupSpec extends SparkSpec {
     assert(capped.values.toSet.size > 1, "cap did not split — deepen the fixture")
   }
 
+  test("priority survivor policy: the curated-source member beats the min id") {
+    // docs table keyed vec_id ≡ doc_id: member 9 of cluster 0 (ids
+    // 0,3,6,9) carries the curated source; everyone else is crawl
+    val docs = (0 until 16).map(i =>
+      (i.toLong, if (i == 9) "curated" else "crawl")).toDF("doc_id", "source")
+    val rows = Similarity.semanticDedupByPriority(
+      fixture, docs, Map("curated" -> 0), defaultRank = 1, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byCluster = rows.map(t => t._2 -> t).toMap
+    // cluster 0's survivor is 9 (curated), NOT the min id 0
+    assert(byCluster(0L) == ((9L, 0L, "curated")), byCluster(0L).toString)
+    // clusters with no curated member keep their min id
+    assert(byCluster(1L)._1 == 1L && byCluster(2L)._1 == 2L)
+    // exactly one survivor per cluster; singletons survive themselves
+    assert(rows.length == 3 + 4)
+    (12 until 16).foreach(s => assert(byCluster(s.toLong)._1 == s.toLong))
+  }
+
   test("threshold gates the graph: at cos >= 1.1 nothing clusters") {
     val rows = Similarity.semanticDedup(fixture, threshold = 1.1).collect()
     assert(rows.forall(r => r.getLong(0) == r.getLong(1) && r.getInt(2) == 1))
