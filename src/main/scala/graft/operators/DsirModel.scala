@@ -53,13 +53,20 @@ object DsirModel {
       buckets: Int = 4096, retain: Int = 2): Long = {
     val spark = raw.sparkSession
     val v = StateCommit.currentVersion(spark, root).getOrElse(0L) + 1
-    val micro = TextAnalysis.dsirMicro(
-      TextAnalysis.hashedGrams(raw, buckets),
-      TextAnalysis.hashedGrams(target, buckets), buckets)
-    micro.coalesce(1).write.mode("overwrite")
+    val rB = TextAnalysis.dsirBucketAgg(
+      TextAnalysis.hashedGrams(raw, buckets), "cr")
+    val tB = TextAnalysis.dsirBucketAgg(
+      TextAnalysis.hashedGrams(target, buckets), "ct")
+    TextAnalysis.dsirMicroFromAggs(rB, tB, buckets)
+      .coalesce(1).write.mode("overwrite")
       .parquet(StateCommit.tableDir(root, v, Model))
+    // the totals freeze WITH the model: scoring a novel doc needs the
+    // zero-count smoothed log-ratio, which only nt/nr can reconstruct
+    // (round-11 review: without them, unseen grams silently dropped)
+    val nt = tB.agg(coalesce(sum("ct"), lit(0L))).head().getLong(0)
+    val nr = rB.agg(coalesce(sum("cr"), lit(0L))).head().getLong(0)
     val s = spark; import s.implicits._
-    Seq(Tuple1(buckets)).toDF("buckets").coalesce(1)
+    Seq((buckets, nt, nr)).toDF("buckets", "nt", "nr").coalesce(1)
       .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Meta))
     StateCommit.commit(spark, root, v, retain)
     v
@@ -69,12 +76,23 @@ object DsirModel {
   def model(spark: SparkSession, root: String): DataFrame =
     modelAt(spark, root, version(spark, root))
 
+  // readTableAt (not a raw path read): a version above CURRENT is some
+  // writer's in-flight build — reading it would serve a half-written
+  // model silently; the shared retained-snapshot guard rejects it loudly
   private def modelAt(spark: SparkSession, root: String, v: Long): DataFrame =
-    spark.read.parquet(StateCommit.tableDir(root, v, Model))
+    StateCommit.readTableAt(spark, root, Model, v)
 
-  private def bucketsAt(spark: SparkSession, root: String, v: Long): Int =
-    spark.read.parquet(StateCommit.tableDir(root, v, Meta))
-      .head().getInt(0)
+  private def metaAt(spark: SparkSession, root: String,
+      v: Long): (Int, Long, Long) = {
+    val row = StateCommit.readTableAt(spark, root, Meta, v).head()
+    // a pre-totals meta (round-11 mid-session) carries only `buckets`;
+    // treat its totals as 0/0 — the default then matches what the old
+    // inner-join behavior NEVER produced anyway (no novel-doc caller
+    // existed before the totals landed)
+    if (row.schema.fieldNames.length >= 3)
+      (row.getInt(0), row.getLong(1), row.getLong(2))
+    else (row.getInt(0), 0L, 0L)
+  }
 
   /** Score `docs` against the committed model: (doc_id, n_grams,
     * micro_logw), the [[TextAnalysis.dsirWeights]] output contract. */
@@ -86,8 +104,15 @@ object DsirModel {
     * to the old model. */
   def scoreAt(spark: SparkSession, root: String, docs: DataFrame,
       v: Long): DataFrame = {
-    val buckets = bucketsAt(spark, root, v)
+    val (buckets, nt, nr) = metaAt(spark, root, v)
+    // the zero-count smoothed log-ratio, micro-nat rounded with the same
+    // HALF_UP the model rows got — what a gram in a bucket NEITHER fit
+    // corpus touched is worth
+    val default = java.math.BigDecimal.valueOf(
+        (math.log(1.0 / (nt + buckets)) - math.log(1.0 / (nr + buckets))) * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
     TextAnalysis.dsirApply(docs,
-      TextAnalysis.hashedGrams(docs, buckets), modelAt(spark, root, v))
+      TextAnalysis.hashedGrams(docs, buckets), modelAt(spark, root, v),
+      default)
   }
 }

@@ -641,7 +641,8 @@ object Similarity {
       materialize: Boolean = true,
       maxRounds: Int = Propagation.DefaultMaxRounds,
       bandBits: Int = 8): DataFrame = {
-    val pairs = cosineNearDup(embeddings, bands, bandBits, threshold)
+    val pairs = cosineNearDup(embeddings, bands, bandBits, threshold,
+      materialize)
     val edges = Stage.snap(
       pairs.select(col("d1").as("a"), col("d2").as("b"))
         .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b"))),

@@ -1130,6 +1130,70 @@ object TextAnalysis {
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
   }
 
+  /** The frozen per-bucket model of [[dsirWeights]]: (bucket, micro)
+    * add-one-smoothed log-ratios in micro-nats over `buckets` slots.
+    * Shared — BY CONSTRUCTION, not by parallel implementation — between
+    * the in-query weights and the persisted [[DsirModel]], so
+    * fit-then-score over the same corpora is provably identical to the
+    * one-shot form. */
+  /** Snapshotted per-bucket gram counts — each aggregate is referenced
+    * twice downstream (its total + the outer merge), and without the
+    * stage boundary each reference re-derives the full gram chain (the
+    * round-11 plan audit found the target corpus scanned 4×). */
+  private[operators] def dsirBucketAgg(grams: DataFrame, cnt: String,
+      materialize: Boolean = true): DataFrame =
+    Stage.snap(grams.groupBy("bucket").agg(sum("c").as(cnt)), materialize)
+
+  /** The micro table from pre-aggregated bucket counts — the one edit
+    * site for the smoothing arithmetic, shared by the in-query path and
+    * [[DsirModel.fit]] (which also persists the totals so unseen-bucket
+    * scoring can apply the same smoothed default). */
+  private[operators] def dsirMicroFromAggs(rB: DataFrame, tB: DataFrame,
+      buckets: Int): DataFrame = {
+    // corpus totals BEFORE the outer merge (each side's total counts all
+    // of its grams, including buckets the other side never hits); an
+    // empty corpus contributes 0, not null — smoothing keeps ln finite
+    val tot = tB.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
+      .crossJoin(rB.agg(coalesce(sum("cr"), lit(0L)).as("nr")))
+    rB.join(tB, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("ct", "cr"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round((log((col("ct") + 1).cast("double") / (col("nt") + lit(buckets.toLong))) -
+               log((col("cr") + 1).cast("double") / (col("nr") + lit(buckets.toLong)))) * 1e6, 0)
+          .cast("bigint").as("micro"))
+  }
+
+  private[operators] def dsirMicro(rawG: DataFrame, targetG: DataFrame,
+      buckets: Int, materialize: Boolean = true): DataFrame =
+    dsirMicroFromAggs(dsirBucketAgg(rawG, "cr", materialize),
+      dsirBucketAgg(targetG, "ct", materialize), buckets)
+
+  /** Per-doc weight application: every doc's hashed grams score against
+    * the broadcast (bucket, micro) model; zero-gram docs surface with
+    * weight 0, not a dropped row. Shared by [[dsirWeights]] and
+    * [[DsirModel.score]]. */
+  private[operators] def dsirApply(docIds: DataFrame, grams: DataFrame,
+      micro: DataFrame, defaultMicro: Long = 0L): DataFrame = {
+    // LEFT join: a bucket absent from the model table takes the smoothed
+    // default (ln((nr+B)/(nt+B)) in micro-nats — the zero-count
+    // log-ratio). In the in-query path every gram bucket is in the
+    // model by construction (the raw side feeds it), so the default
+    // never fires there; it exists for [[DsirModel.score]] on NOVEL
+    // docs, whose unseen grams must count and carry the smoothed mass,
+    // not silently drop (round-11 review).
+    val perDoc = grams.join(broadcast(micro), Seq("bucket"), "left_outer")
+      .withColumn("micro", coalesce(col("micro"), lit(defaultMicro)))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_grams"),
+        sum(col("c") * col("micro")).as("micro_logw"))
+    docIds.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("micro_logw"), lit(0L)).as("micro_logw"))
+      .orderBy("doc_id")
+  }
+
   /** DSIR importance weights: score every `raw` document by how much
     * more likely its hashed-n-gram bag is under the TARGET corpus's
     * bag-of-buckets model than under the raw corpus's own —
@@ -1151,57 +1215,11 @@ object TextAnalysis {
     * ≤`buckets` rows — they BROADCAST to the per-doc scoring join, so
     * the corpus-sized side never re-shuffles. Raw docs with zero grams
     * surface with n_grams = 0 and weight 0, not a dropped row. */
-  /** The frozen per-bucket model of [[dsirWeights]]: (bucket, micro)
-    * add-one-smoothed log-ratios in micro-nats over `buckets` slots.
-    * Shared — BY CONSTRUCTION, not by parallel implementation — between
-    * the in-query weights and the persisted [[DsirModel]], so
-    * fit-then-score over the same corpora is provably identical to the
-    * one-shot form. */
-  private[operators] def dsirMicro(rawG: DataFrame, targetG: DataFrame,
-      buckets: Int, materialize: Boolean = true): DataFrame = {
-    // both bucket models snapshot (≤ buckets rows): each is referenced
-    // twice (its total + the outer merge), and without the stage
-    // boundary each reference re-derives the full gram chain — the
-    // round-11 plan audit found the target corpus scanned 4× here
-    val tB = Stage.snap(
-      targetG.groupBy("bucket").agg(sum("c").as("ct")), materialize)
-    val rB = Stage.snap(
-      rawG.groupBy("bucket").agg(sum("c").as("cr")), materialize)
-    // corpus totals BEFORE the outer merge (each side's total counts all
-    // of its grams, including buckets the other side never hits); an
-    // empty corpus contributes 0, not null — smoothing keeps ln finite
-    val tot = tB.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
-      .crossJoin(rB.agg(coalesce(sum("cr"), lit(0L)).as("nr")))
-    rB.join(tB, Seq("bucket"), "full_outer")
-      .na.fill(0L, Seq("ct", "cr"))
-      .crossJoin(broadcast(tot))
-      .select(col("bucket"),
-        round((log((col("ct") + 1).cast("double") / (col("nt") + lit(buckets.toLong))) -
-               log((col("cr") + 1).cast("double") / (col("nr") + lit(buckets.toLong)))) * 1e6, 0)
-          .cast("bigint").as("micro"))
-  }
-
-  /** Per-doc weight application: every doc's hashed grams score against
-    * the broadcast (bucket, micro) model; zero-gram docs surface with
-    * weight 0, not a dropped row. Shared by [[dsirWeights]] and
-    * [[DsirModel.score]]. */
-  private[operators] def dsirApply(docIds: DataFrame, grams: DataFrame,
-      micro: DataFrame): DataFrame = {
-    val perDoc = grams.join(broadcast(micro), Seq("bucket"))
-      .groupBy("doc_id")
-      .agg(sum("c").as("n_grams"),
-        sum(col("c") * col("micro")).as("micro_logw"))
-    docIds.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("micro_logw"), lit(0L)).as("micro_logw"))
-      .orderBy("doc_id")
-  }
-
   def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 4096,
       materialize: Boolean = true): DataFrame = {
     val rawG = Stage.snap(hashedGrams(raw, buckets), materialize)
-    dsirApply(raw, rawG, dsirMicro(rawG, hashedGrams(target, buckets), buckets))
+    dsirApply(raw, rawG,
+      dsirMicro(rawG, hashedGrams(target, buckets), buckets, materialize))
   }
 
   /** DSIR selection: Gumbel top-k over [[dsirWeights]] — adding an

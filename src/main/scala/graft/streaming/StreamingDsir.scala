@@ -56,12 +56,40 @@ object StreamingDsir {
   def scores(spark: SparkSession, statePath: String): DataFrame =
     spark.read.parquet(scoresPath(statePath))
 
+  private val PinMarker = "graft-dsir-model-pin"
+
+  /** The sweep's model pin, persisted in the CHECKPOINT on first start
+    * (the [[StreamingLex]] era-marker pattern): a crash-recovery restart
+    * of the same checkpoint re-reads the recorded pin instead of
+    * re-resolving CURRENT — a refit landing while the stream was down
+    * must not switch scoring regimes mid-sweep (round-11 review: the
+    * in-memory pin alone only survived within one process). */
+  private def resolvePin(documents: DataFrame, modelRoot: String,
+      checkpoint: String): Long = {
+    val spark = documents.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(checkpoint, PinMarker)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    } else {
+      val v = DsirModel.version(spark, modelRoot)
+      val out = fs.create(marker, false)
+      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      v
+    }
+  }
+
   /** Start an AvailableNow scoring pass of `documents` (doc_id + text
-    * rows) against the model at `modelRoot`, pinned to its CURRENT
-    * committed version for the whole sweep. */
+    * rows) against the model at `modelRoot`, pinned for the whole sweep
+    * — including across crash-recovery restarts of the same checkpoint
+    * — to the version that was CURRENT at first start. */
   def start(documents: DataFrame, modelRoot: String, statePath: String,
       checkpoint: String, seqCol: String = ""): StreamingQuery = {
-    val pinned = DsirModel.version(documents.sparkSession, modelRoot)
+    val pinned = resolvePin(documents, modelRoot, checkpoint)
     documents.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         applyBatch(modelRoot, statePath, batch.toDF(), batchId, pinned, seqCol)

@@ -106,6 +106,28 @@ class DsirSpec extends SparkSpec {
     assert(n.length == 1 && n.head.getLong(1) > 0)
   }
 
+  test("unseen grams carry the smoothed default, not a silent drop") {
+    val root = java.nio.file.Files.createTempDirectory("dsir_novel_").toString
+    graft.operators.DsirModel.fit(
+      Seq((1L, legal), (2L, recipe)).toDF("doc_id", "text"),
+      Seq((100L, legal)).toDF("doc_id", "text"), root)
+    // two ALL-novel docs (no gram appears in either fit corpus): every
+    // gram must COUNT (n_grams = unigrams + bigrams) and score the same
+    // per-gram smoothed constant — the old inner join dropped them all
+    // and scored (0, 0), indistinguishable from an empty doc
+    val gib = Seq((1L, "zzzz qqqq"), (2L, "xxxx yyyy wwww"))
+      .toDF("doc_id", "text")
+    val rows = graft.operators.DsirModel.score(spark, root, gib)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (n1, w1) = rows(1L)
+    val (n2, w2) = rows(2L)
+    assert(n1 == 3L && n2 == 5L,
+      s"unseen grams dropped from n_grams: $rows")
+    assert(w1 != 0L && w2 != 0L, s"unseen grams scored zero: $rows")
+    // same per-gram constant (cross-multiplied to stay in integers)
+    assert(w1 * n2 == w2 * n1, s"default is not a constant per gram: $rows")
+  }
+
   test("refit bumps the version; scoreAt pins the old model") {
     val root = java.nio.file.Files.createTempDirectory("dsir_refit_").toString
     val raw = Seq((1L, legal), (2L, recipe)).toDF("doc_id", "text")

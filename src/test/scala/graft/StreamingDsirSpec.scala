@@ -84,6 +84,30 @@ class StreamingDsirSpec extends SparkSpec {
       "winner is not the highest-seq version")
   }
 
+  test("checkpoint restart after a refit keeps the ORIGINAL pin") {
+    val modelRoot = fitModel()
+    val state = Files.createTempDirectory("dsir_state5_").toString
+    val ckpt = Files.createTempDirectory("dsir_ckpt5_").toString
+    val ms = MemoryStream[(Long, String)](spark)
+    ms.addData((1L, legal))
+    StreamingDsir.start(ms.toDF().toDF("doc_id", "text"),
+      modelRoot, state, ckpt).awaitTermination(60000)
+    // the model refits while the stream is DOWN…
+    DsirModel.fit(
+      Seq((50L, legal), (51L, recipe)).toDF("doc_id", "text"),
+      Seq((200L, recipe)).toDF("doc_id", "text"), modelRoot)
+    // …and a crash-recovery restart of the SAME checkpoint must score
+    // new batches under the ORIGINAL pin (v1), not the new CURRENT
+    ms.addData((2L, legal))
+    StreamingDsir.start(ms.toDF().toDF("doc_id", "text"),
+      modelRoot, state, ckpt).awaitTermination(60000)
+    val got = StreamingDsir.scores(spark, state).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set(1L, 2L), got.toString)
+    assert(got(1L) == got(2L) && got(1L)._2 == 1L,
+      s"restart re-pinned to the refit model: $got")
+  }
+
   test("end-to-end stream: every source doc scored once, pinned") {
     val modelRoot = fitModel()
     val state = Files.createTempDirectory("dsir_state4_").toString
