@@ -410,6 +410,24 @@ object Main {
         .groupBy("split").count().collect()
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
       println(s"split: $splits")
+      // semantic posture (embeddings table): cluster survivors, semantic
+      // eval-leakage (banded), and DSIR target-likeness vs src1
+      val embPath = s"$data/embeddings.parquet"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(embPath))) {
+        val emb = spark.read.parquet(embPath)
+        val semSurv = graft.operators.Similarity.semanticDedup(emb)
+          .where(col("survivor") === 1).count()
+        val semFlag = graft.operators.Similarity.semanticDecontaminateBanded(
+          emb.where(col("vec_id") % 20 =!= 0),
+          emb.where(col("vec_id") % 20 === 0)).count()
+        println(s"semantic: semdedup survivors $semSurv/${emb.count()}; " +
+          s"banded eval-leakage flags $semFlag")
+      }
+      val dsirTop = graft.operators.TextAnalysis.dsirSelect(
+        docs.where(col("source") =!= "src1"),
+        docs.where(col("source") === "src1"), k = 5)
+        .collect().map(_.getLong(1)).mkString(",")
+      println(s"dsir top-5 vs src1 target: docs $dsirTop")
       spark.stop()
 
     case Some("purge") =>
