@@ -61,6 +61,9 @@ object MakeScale {
     val out = args.lift(1).getOrElse("/tmp/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // getOrCreate may return a pre-existing session (a test harness's):
+    // only a session THIS main created is its to stop
+    val preExisting = SparkSession.getDefaultSession.isDefined
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -97,7 +100,7 @@ object MakeScale {
     writeDocuments(spark, src, out, factor)
     writeEmbeddings(spark, src, out, factor)
     println(s"scale dataset at $out (factor $factor of $src)")
-    spark.stop()
+    if (!preExisting) spark.stop()
   }
 
   private def writeDocuments(spark: SparkSession, src: String, out: String,
