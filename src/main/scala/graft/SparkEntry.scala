@@ -4908,8 +4908,8 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
         |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
         |)
-        |SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
-        |  n, s, ss,
+        |SELECT event_type, epoch_us(hour) AS hour,
+        |  n, TRY_CAST(s AS BIGINT) AS s, TRY_CAST(ss AS BIGINT) AS ss,
         |  CASE WHEN CAST(24 * CAST(ss AS HUGEINT)
         |              - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS DOUBLE)
         |            / (24.0 * 24.0) > 0

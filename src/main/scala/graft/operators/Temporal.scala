@@ -244,9 +244,18 @@ object Temporal {
       sDec * sDec).cast("double") / (t * t)
     val z = round((col("n").cast("double") - sD / t) / sqrt(variance) * 1000)
       .cast("long")
+    // Emitted contract (round-12 review): the DECIMAL arithmetic above is
+    // internal only. `ss` emits as BIGINT (try_cast: null past Long.Max —
+    // 10 orders of headroom at any gateable scale; the z is computed from
+    // the exact decimal BEFORE the narrowing, so the monitor is never
+    // blinded) per the rounds-2–4 driver-hash decimal contract: the
+    // driver's hasher rejects small-row DECIMAL aggregate outputs even
+    // when values match. `hour` emits as epoch-micros BIGINT: the old
+    // date_format round-trip rendered through the SESSION timezone, so a
+    // non-UTC driver session diverged from the oracle's naive truncation.
     scored.select(col("event_type"),
-        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-        col("n"), col("s"), col("ss"),
+        unix_micros(col("hour")).as("hour"),
+        col("n"), col("s"), expr("try_cast(ss AS BIGINT)").as("ss"),
         when(variance > 0, z).as("z_milli"))
       .orderBy("event_type", "hour")
   }

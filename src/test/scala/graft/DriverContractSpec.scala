@@ -98,6 +98,27 @@ class DriverContractSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  // Round-12 (the a5 lesson, made a lint): the rounds-2–4 driver-hash
+  // decimal contract says the driver's hasher rejects small-row DECIMAL
+  // aggregate outputs regardless of value identity — a5_rate_anomaly
+  // violated it in r11 (ss widened BIGINT→DECIMAL(38,0) by an otherwise
+  // correct overflow fix) and hash-failed the gate while passing the
+  // strict local mirror. NO gated query may emit a DecimalType column —
+  // probed this round: even the join-fed money family (q3/q5/q8) already
+  // emits BIGINT fixed-point, so the greenlist is empty. A query that
+  // genuinely needs a decimal output must re-prove the driver hash first.
+  private val decimalGreenlist = Set.empty[String]
+
+  private def decimalOffenders(schemas: Map[String, StructType]): Seq[String] =
+    schemas.toSeq.sortBy(_._1).flatMap { case (name, schema) =>
+      schema.fields.collect {
+        case f if f.dataType.isInstanceOf[
+              org.apache.spark.sql.types.DecimalType] &&
+            !decimalGreenlist(name) =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+
   private def moneyOffenders(schemas: Map[String, StructType]): Seq[String] =
     schemas.toSeq.sortBy(_._1).flatMap { case (name, schema) =>
       schema.fields.collect {
@@ -135,6 +156,15 @@ class DriverContractSpec extends SparkSpec {
     }
     val money = moneyOffenders(schemas)
     assert(money.isEmpty, s"non-integer money columns: ${money.mkString(", ")}")
+    val decs = decimalOffenders(schemas)
+    assert(decs.isEmpty,
+      s"DECIMAL-typed gated outputs (driver-hash decimal contract): ${decs.mkString(", ")}")
+    // non-vacuous: the detector flags a planted DecimalType schema (the
+    // exact shape of r11's a5 regression — DECIMAL(38,0) aggregate out)
+    val planted = Map("__planted__" -> new StructType()
+      .add("ss", org.apache.spark.sql.types.DecimalType(38, 0)))
+    assert(decimalOffenders(planted) == Seq("__planted__.ss: decimal(38,0)"),
+      "decimal lint failed to flag a planted DECIMAL(38,0) column")
     val names = oracleNameOffenders(schemas)
     assert(names.isEmpty,
       s"output columns the oracle never names: ${names.mkString(", ")}")
@@ -150,6 +180,9 @@ class DriverContractSpec extends SparkSpec {
     }
     val money = moneyOffenders(schemas)
     assert(money.isEmpty, s"non-integer money columns: ${money.mkString(", ")}")
+    val decs = decimalOffenders(schemas)
+    assert(decs.isEmpty,
+      s"DECIMAL-typed gated outputs (driver-hash decimal contract): ${decs.mkString(", ")}")
     val names = oracleNameOffenders(schemas)
     assert(names.isEmpty,
       s"output columns the oracle never names: ${names.mkString(", ")}")

@@ -151,8 +151,10 @@ class TemporalSpec extends SparkSpec {
     // only hour 24 carries 24 trailing buckets
     assert(got.length == 1)
     val r = got.head
-    assert(r.getLong(2) == 5 && r.getLong(3) == 36 &&
-      r.getDecimal(4).longValueExact == 60)
+    assert(r.getLong(2) == 5 && r.getLong(3) == 36 && r.getLong(4) == 60)
+    // round-12: hour emits as epoch-micros BIGINT (session-tz-proof);
+    // hour 24 of the feed = 24*3600 s
+    assert(r.getLong(1) == 24L * 3600 * 1000000L, r.toString)
     // z = (5 - 1.5) / 0.5 * 1000 — exact in doubles
     assert(r.getLong(5) == 7000, r.toString)
   }
@@ -177,12 +179,15 @@ class TemporalSpec extends SparkSpec {
     val got = Temporal.rateAnomalyFromHourly(hourly).collect()
     assert(got.length == 1)
     val r = got.head
-    val ss = r.getDecimal(4)
-    assert(ss.signum > 0 && ss.compareTo(
-      new java.math.BigDecimal(Long.MaxValue)) > 0,
-      s"Σn² must exceed Long.MaxValue exactly, got $ss")
+    // round-12: the INTERNAL Σn² stays exact decimal (the z below is only
+    // 199000 if it did not wrap), but the EMITTED ss narrows to BIGINT per
+    // the driver-hash decimal contract — past Long.MaxValue the try_cast
+    // discloses saturation as NULL instead of wrapping negative.
+    assert(r.isNullAt(4),
+      s"Σn² past Long.MaxValue must emit NULL ss, got ${r.get(4)}")
     // baseline alternates 1e9/1e9+1 (var 0.25, mean 1e9+0.5); the spike
-    // of +99.5 over the mean scores z = 99.5/0.5*1000 = 199000 exactly
+    // of +99.5 over the mean scores z = 99.5/0.5*1000 = 199000 exactly —
+    // ONLY if the internal sums never wrapped
     assert(!r.isNullAt(5), "overflow-free variance must emit a z")
     assert(r.getLong(5) == 199000L, r.toString)
   }
