@@ -33,6 +33,27 @@ object Bench {
     // Untimed warmup: JVM classloading / codegen-compiler / parquet-footer
     // costs land here instead of inside the first timed query.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Warm the index-build codepath too (round-12 lx_hybrid adjudication):
+    // the session's FIRST LexIndex.build pays ~2–3 s of classload/codegen/
+    // committer warm-up that otherwise lands on whichever lx_* query
+    // hash-orders first — r11 charged it to lx_hybrid, which read as a
+    // ~1.4× "regression", while isolated fresh-JVM runs measure hybrid
+    // FASTER than plain search (5.4 vs 6.7 s) and the fusion itself at
+    // ~0.1 s. A tiny 60-doc build to a temp root moves that one-time cost
+    // where the warmup design already puts its siblings.
+    try {
+      val warmDocs = graft.catalog.Catalog.documents(spark, sfDir).limit(60)
+      graft.operators.LexIndex.build(spark, warmDocs,
+        Files.createTempDirectory("graft-warm-lx").toString)
+    } catch { case _: Throwable => () }
+    // Same treatment for the embedding family: the first embeddings read
+    // + native-cosine codegen otherwise lands on whichever sim_*/hybrid
+    // query runs first.
+    try {
+      graft.operators.Similarity.bruteForceTopK(
+        graft.catalog.Catalog.embeddings(spark, sfDir).limit(60),
+        nQueries = 2, k = 2).count()
+    } catch { case _: Throwable => () }
     // min of 2 runs per query: codegen-cache effects and background load
     // otherwise dominate round-over-round comparisons.
     val failed = scala.collection.mutable.ListBuffer[String]()
