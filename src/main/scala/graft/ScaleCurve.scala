@@ -59,7 +59,12 @@ object ScaleCurve {
       }.min
     }
 
-    val rows = Subset.filter(SparkEntry.queries.contains).map { name =>
+    // SPARK_GRAFT_ONLY narrows the curve for targeted family
+    // measurement (round 12) — same contract as Bench's filter
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val rows = Subset.filter(SparkEntry.queries.contains)
+      .filter(name => only.forall(_.contains(name))).map { name =>
       val a = time(name, dirA)
       val b = time(name, dirB)
       val r = b / a

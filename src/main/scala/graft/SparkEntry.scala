@@ -1315,8 +1315,13 @@ object SparkEntry {
 
     "sim_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(Catalog.embeddings(s, dir))),
 
+    // embedding near-dup pairs on the CELL-LOCAL candidate path (round
+    // 12): candidates are same-cell pairs under a corpus-adaptive
+    // k-means quantizer (one cell per 32 vectors, 2 probes) — linear
+    // candidate volume where the banded form kept Θ(n²/2^bits)
     "sim_near_dup" -> ((s, dir) =>
-      Similarity.cosineNearDup(Catalog.embeddings(s, dir), threshold = 0.35)),
+      Similarity.cosineNearDupCells(Catalog.embeddings(s, dir),
+        threshold = 0.35)),
 
     // embedding-level benchmark decontamination: every 20th vector acts
     // as the held-out eval set (broadcast), and train vectors cosine-
@@ -1354,14 +1359,15 @@ object SparkEntry {
     // components -> canonical-min survivor (the semantic counterpart of
     // dd_near_apply; catches paraphrases lexical MinHash can't see)
     "sim_semdedup" -> ((s, dir) =>
-      Similarity.semanticDedup(Catalog.embeddings(s, dir), threshold = 0.35)),
+      Similarity.semanticDedupCells(Catalog.embeddings(s, dir),
+        threshold = 0.35)),
 
     // SemDeDup APPLY: the survivor decision (made in embedding space)
     // filters the documents corpus — one narrow id join; the dedup
     // action a curation pipeline actually ships
     "sim_semdedup_apply" -> ((s, dir) => {
       val surv = Similarity
-        .semanticDedup(Catalog.embeddings(s, dir), threshold = 0.35)
+        .semanticDedupCells(Catalog.embeddings(s, dir), threshold = 0.35)
         .where(col("survivor") === 1)
         .select(col("vec_id").as("doc_id"))
       Catalog.documents(s, dir).join(surv, Seq("doc_id"))
@@ -1383,7 +1389,7 @@ object SparkEntry {
     // source-priority SemDeDup survivors: curated sources (src0-4) beat
     // the rest within each embedding cluster, ties to smallest id
     "sim_semdedup_priority" -> ((s, dir) =>
-      Similarity.semanticDedupByPriority(
+      Similarity.semanticDedupByPriorityCells(
         Catalog.embeddings(s, dir), Catalog.documents(s, dir),
         (0 until 5).map(i => s"src$i" -> 0).toMap, defaultRank = 1,
         threshold = 0.35)),
@@ -1930,24 +1936,52 @@ object SparkEntry {
         s"CASE WHEN $e >= 0 THEN '1' WHEN $e < 0 THEN '0' END"
       }.mkString(" || ")).mkString(", ") + ")"
 
-  /** Shared banded cosine-pair CTE chain: (d1 < d2) id pairs sharing any
-    * sign band, scored at 6-dp cosine, kept at ≥ `threshold`. Emits CTEs
-    * `bsrc` (vec_id, embedding, sigs) over `src` and `pairs` (d1, d2) —
-    * the mirror of Similarity.cosineNearDup. */
-  private def bandedPairsCtes(src: String, threshold: Double): String =
-    s"""bsrc AS (
-       |  SELECT vec_id, embedding, ${bandSigsSql()} AS sigs FROM $src
-       |), bsig AS (
-       |  SELECT vec_id, unnest(sigs) AS sig FROM bsrc
-       |), bcand AS (
+  /** DuckDB mirror of Similarity.cosineNearDupCells: corpus-adaptive
+    * k-means cells (GREATEST(8, ceil(n/32)) seeds = smallest ids, one
+    * Lloyd round with 9-dp means, 6-dp-cosine assignment, centroid_id
+    * tiebreak), 2-probe membership (arn ≤ 2), DISTINCT same-cell
+    * (d1 < d2) candidates, exact-cosine scoring at ≥ `threshold`.
+    * Emits CTE `pairs` (d1, d2, cos) over `src`. */
+  private def cellPairsCtes(src: String, threshold: Double): String =
+    s"""cnn AS (
+       |  SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 32.0) AS BIGINT)) AS c
+       |  FROM $src
+       |), cseeds AS (
+       |  SELECT centroid_id, ce FROM (
+       |    SELECT vec_id AS centroid_id, embedding AS ce,
+       |      ROW_NUMBER() OVER (ORDER BY vec_id) AS srn
+       |    FROM $src) s, cnn
+       |  WHERE s.srn <= cnn.c
+       |), ca0 AS (
+       |  SELECT vec_id, embedding, centroid_id AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${cosSql("e.embedding", "c.ce")}, 6) DESC, c.centroid_id) AS arn
+       |    FROM $src e CROSS JOIN cseeds c)
+       |  WHERE arn = 1
+       |), cmeanc AS (
+       |  SELECT cell, j, round(avg(CAST(embedding[j] AS DOUBLE)), 9) AS m
+       |  FROM ca0, UNNEST(generate_series(1, len(embedding))) t(j)
+       |  GROUP BY cell, j
+       |), ccents AS (
+       |  SELECT cell AS centroid_id, list(m ORDER BY j) AS ce
+       |  FROM cmeanc GROUP BY cell
+       |), caM AS (
+       |  SELECT vec_id, centroid_id AS cell FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${cosSql("e.embedding", "c.ce")}, 6) DESC, c.centroid_id) AS arn
+       |    FROM $src e CROSS JOIN ccents c)
+       |  WHERE arn <= 2
+       |), ccand AS (
        |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
-       |  FROM bsig a JOIN bsig b USING (sig) WHERE a.vec_id < b.vec_id
+       |  FROM caM a JOIN caM b USING (cell) WHERE a.vec_id < b.vec_id
        |), pairs AS (
        |  SELECT d1, d2, cos FROM (
        |    SELECT c.d1, c.d2,
        |      round(${cosSql("x.embedding", "y.embedding")}, 6) AS cos
-       |    FROM bcand c JOIN bsrc x ON c.d1 = x.vec_id
-       |    JOIN bsrc y ON c.d2 = y.vec_id)
+       |    FROM ccand c JOIN $src x ON c.d1 = x.vec_id
+       |    JOIN $src y ON c.d2 = y.vec_id)
        |  WHERE cos >= $threshold
        |)""".stripMargin
 
@@ -2255,7 +2289,7 @@ object SparkEntry {
     * shape as [[componentsCtes]], keyed on vec_id). The final CTE keeps
     * its historical name `l3`. Consumers must say WITH RECURSIVE. */
   private lazy val SemDedupCtes: String =
-    s"""${bandedPairsCtes("embeddings", 0.35)}, edges AS (
+    s"""${cellPairsCtes("embeddings", 0.35)}, edges AS (
        |  SELECT d1 AS a, d2 AS bb FROM pairs
        |  UNION ALL SELECT d2 AS a, d1 AS bb FROM pairs
        |), reach AS (
@@ -3623,7 +3657,7 @@ object SparkEntry {
         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
         |  WHERE a.doc_id < b.doc_id
-        |), ${bandedPairsCtes("embeddings", 0.35)},
+        |), ${cellPairsCtes("embeddings", 0.35)},
         |sp AS (
         |  SELECT d1, d2 FROM pairs
         |)
@@ -3877,7 +3911,7 @@ object SparkEntry {
 
     // banded candidates since round 11 — pairs share ANY sign band
     "sim_near_dup" ->
-      (s"WITH ${bandedPairsCtes("embeddings", 0.35)}\n" +
+      (s"WITH ${cellPairsCtes("embeddings", 0.35)}\n" +
         "SELECT d1, d2, cos FROM pairs ORDER BY d1, d2"),
 
     "sim_decon" ->

@@ -68,6 +68,11 @@ import graft.sync.SyncEngine
   */
 object Main {
 
+  /** The embedding near-dup threshold the GATED catalog ships (retuned
+    * in round 11); every CLI report quotes the same posture so the data
+    * card can't disagree with the pipeline (round-12 review). */
+  private val GatedCosThreshold = 0.35
+
   private def opt(args: Array[String], name: String): Option[String] = {
     val i = args.indexOf(s"--$name")
     if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
@@ -415,11 +420,16 @@ object Main {
       val embPath = s"$data/embeddings.parquet"
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(embPath))) {
         val emb = spark.read.parquet(embPath)
-        val semSurv = graft.operators.Similarity.semanticDedup(emb)
+        // threshold 0.35 = the gated catalog's retuned dedup posture
+        // (round-12 review: the report previously ran the library default
+        // 0.25 and disagreed with what the pipeline ships)
+        val semSurv = graft.operators.Similarity.semanticDedupCells(
+            emb, threshold = GatedCosThreshold)
           .where(col("survivor") === 1).count()
         val semFlag = graft.operators.Similarity.semanticDecontaminateBanded(
           emb.where(col("vec_id") % 20 =!= 0),
-          emb.where(col("vec_id") % 20 === 0)).count()
+          emb.where(col("vec_id") % 20 === 0),
+          threshold = GatedCosThreshold).count()
         println(s"semantic: semdedup survivors $semSurv/${emb.count()}; " +
           s"banded eval-leakage flags $semFlag")
       }
@@ -540,10 +550,11 @@ object Main {
           .agg(sum("is_outlier").cast("long"), count(lit(1))).collect().head
         println(s"  label outliers (anti-correlated with class centroid): " +
           s"${o.getLong(0)} / ${o.getLong(1)} vectors")
-        val sdd = graft.operators.Similarity.semanticDedup(emb)
+        val sdd = graft.operators.Similarity.semanticDedupCells(
+            emb, threshold = GatedCosThreshold)
           .agg(sum("survivor").cast("long"), count(lit(1))).collect().head
         println(s"  semantic dedup: ${sdd.getLong(0)} survivors / " +
-          s"${sdd.getLong(1)} vectors (cos >= 0.25 near-dup graph)")
+          s"${sdd.getLong(1)} vectors (cos >= $GatedCosThreshold near-dup graph)")
       }
       if (flag(args, "shards")) {
         println("shard balance (8 sha-keyed shards: docs, chars, langs):")

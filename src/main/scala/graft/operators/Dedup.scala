@@ -267,13 +267,15 @@ object Dedup {
     * count is boilerplate whose embeddings diverge.
     *
     * Scale posture: both pair generators are the proven bucketed
-    * chains (band join / sign-LSH bucket join — never all-pairs); the
-    * overlap is one full-outer id-pair join + one 3-row count. */
+    * chains (MinHash band join / adaptive cell-local candidates — never
+    * all-pairs, both linear in corpus size); the overlap is one
+    * full-outer id-pair join + one 3-row count. */
   def dedupMethodOverlap(documents: DataFrame, embeddings: DataFrame,
       cosThreshold: Double = 0.35): DataFrame = {
     val text = minhashLshPairs(documents)
       .select(col("d1"), col("d2"), lit(1).as("t"))
-    val sem = Similarity.cosineNearDup(embeddings, threshold = cosThreshold)
+    val sem = Similarity.cosineNearDupCells(embeddings,
+        threshold = cosThreshold)
       .select(col("d1"), col("d2"), lit(1).as("s"))
     text.join(sem, Seq("d1", "d2"), "full_outer")
       .select(when(col("t").isNotNull && col("s").isNotNull, "both")

@@ -318,6 +318,112 @@ object Similarity {
       .orderBy("d1", "d2")
   }
 
+  /** Corpus-adaptive coarse-quantizer size: one cell per `cellTarget`
+    * vectors (floor 8). The ONE count action buys the sub-quadratic
+    * exponent: with cells ∝ n, in-cell candidate volume is
+    * ≈ probes²·cellTarget·n/2 — LINEAR in the corpus — where any fixed
+    * bucketing (sign-LSH bands included) keeps Θ(n²/2^bits) and only
+    * shrinks the constant (the round-11 band-width audit's disclosed
+    * caveat, closed here). */
+  private def adaptiveCells(embeddings: DataFrame, cellTarget: Int): Int =
+    math.max(8, math.ceil(
+      embeddings.select(col("vec_id")).count().toDouble / cellTarget).toInt)
+
+  /** NARROW multi-probe cell assignment — (vec_id, cell) with each
+    * vector in its `probes` highest-cosine cells. Built for the
+    * corpus-adaptive quantizer (cells ∝ n), where [[rankAgainst]]'s
+    * shape is wrong twice over: it carries the fat embedding column
+    * through the n·cells window shuffle (the whole corpus duplicated
+    * ×cells), and for probes = 1 it pays a full sort-window where a
+    * map-side-combinable max suffices. Here the scored rows are narrow
+    * (vec_id, centroid_id, ccos); probes = 1 resolves via one
+    * partial-aggregated max(struct) — ties to the SMALLEST centroid_id
+    * via the negated id, exactly rankAgainst's (ccos DESC, centroid_id)
+    * order — and only the true multi-probe case pays a (narrow) window.
+    * At extreme scale the centroid table itself outgrows a broadcast
+    * scan and assignment composes with [[AnnIndex]] over the centroids
+    * (the FAISS shape); the emitted contract is unchanged. */
+  private def assignNarrowMulti(embeddings: DataFrame,
+      cents: DataFrame, probes: Int): DataFrame = {
+    val scored = embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        round(cos(embeddings)(col("embedding"), col("ce")), 6).as("ccos"))
+    if (probes == 1)
+      scored
+        .groupBy("vec_id")
+        .agg(max(struct(col("ccos"), (-col("centroid_id")).as("nc"))).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).as("cell"))
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("ccos").desc, col("centroid_id"))
+      scored.withColumn("arn", row_number().over(w))
+        .where(col("arn") <= probes)
+        .select(col("vec_id"), col("centroid_id").as("cell"))
+    }
+  }
+
+  /** The adaptive quantizer's training, assignment kept NARROW
+    * throughout (same math as [[trainCentroids]] — seed = smallest-c
+    * ids, one Lloyd round of 9-dp element means over 6-dp-cosine
+    * assignment — so the DuckDB mirror is shared; only the plan shape
+    * differs: the embedding joins back by id for the mean instead of
+    * riding the ranking shuffle). */
+  private def trainCentroidsNarrow(embeddings: DataFrame, c: Int): DataFrame = {
+    val a0 = assignNarrowMulti(embeddings, seedCents(embeddings, c), 1)
+    elementwiseMean(
+      a0.join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id")),
+      Seq("cell"), "embedding", "ce")
+      .select(col("cell").as("centroid_id"), col("ce"))
+  }
+
+  /** CELL-LOCAL embedding near-dup — the 100× form of [[cosineNearDup]]
+    * (SemDeDup's published shape: cluster first with the coarse
+    * quantizer, then compare only within clusters). Candidates are
+    * DISTINCT same-cell id pairs under a corpus-adaptive k-means
+    * quantizer (one cell per `cellTarget` vectors, Lloyd-refined — the
+    * SAME [[trainCentroids]] the IVF/ANN family trains) with `probes`
+    * cells per vector, then ONE exact-cosine scoring pass.
+    *
+    * Scale posture, against the banded form it supersedes in the dedup
+    * pipeline: banded candidates are Θ(bands·n²/2^bandBits) — the
+    * quadratic exponent survives any band width — while cell-local
+    * candidates are ≈ probes²·cellTarget·n/2, linear in n because the
+    * quantizer GROWS with the corpus. Assignment is the standard IVF
+    * n·cells broadcast pass (at extreme scale the centroid table itself
+    * is searched via [[AnnIndex]] instead of scanned — the FAISS
+    * composition; the shuffled volume is n·probes rows either way).
+    * Recall at near-dup cosine is probe-bounded, not band-bounded:
+    * a 0.9+-cosine pair subtends a small angle relative to coarse-cell
+    * diameter, so same-cell probability is high and the second probe
+    * catches boundary splits (SimilarityQualitySpec plants pairs at
+    * 0.9/0.99 and gates pair recall ≥ 0.9 vs the exact all-pairs
+    * baseline). */
+  def cosineNearDupCells(embeddings: DataFrame, cellTarget: Int = 32,
+      probes: Int = 2, threshold: Double = 0.99,
+      materialize: Boolean = true): DataFrame = {
+    val c = adaptiveCells(embeddings, cellTarget)
+    // narrow (vec_id, cell) rows feed BOTH sides of the candidate
+    // self-join: snap so the quantizer trains once (the cosineNearDup
+    // sig-table lesson)
+    val assigned = Stage.snap(
+      assignNarrowMulti(embeddings, trainCentroidsNarrow(embeddings, c),
+        probes),
+      materialize)
+    val cands = assigned.select(col("cell"), col("vec_id").as("d1"))
+      .join(assigned.select(col("cell"), col("vec_id").as("d2")), Seq("cell"))
+      .where(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    cands
+      .join(e.select(col("vec_id").as("d1"), col("embedding").as("e1")), Seq("d1"))
+      .join(e.select(col("vec_id").as("d2"), col("embedding").as("e2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        round(cos(embeddings)(col("e1"), col("e2")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+      .orderBy("d1", "d2")
+  }
+
   /** Bucketed kNN graph — each vector's top-k neighbor list over the
     * WHOLE corpus ([[bruteForceTopK]] is the exact baseline for a few
     * query vectors; this is the every-vector scale path): candidates
@@ -591,14 +697,32 @@ object Similarity {
     * small. */
   def semanticDedupByPriority(embeddings: DataFrame, documents: DataFrame,
       rank: Map[String, Int], defaultRank: Int = 100,
-      threshold: Double = 0.25, materialize: Boolean = true): DataFrame = {
+      threshold: Double = 0.25, materialize: Boolean = true): DataFrame =
+    priorityFromClusters(
+      semanticDedup(embeddings, threshold = threshold,
+        materialize = materialize),
+      documents, rank, defaultRank)
+
+  /** [[semanticDedupByPriority]] over the cell-local cluster chain —
+    * same survivor policy, sub-quadratic candidates. */
+  def semanticDedupByPriorityCells(embeddings: DataFrame,
+      documents: DataFrame, rank: Map[String, Int], defaultRank: Int = 100,
+      cellTarget: Int = 32, probes: Int = 2, threshold: Double = 0.35,
+      materialize: Boolean = true): DataFrame =
+    priorityFromClusters(
+      semanticDedupCells(embeddings, cellTarget, probes, threshold,
+        materialize = materialize),
+      documents, rank, defaultRank)
+
+  private def priorityFromClusters(clusters: DataFrame,
+      documents: DataFrame, rank: Map[String, Int],
+      defaultRank: Int): DataFrame = {
     val prio = rank.foldLeft(lit(defaultRank)) { case (acc, (src, r)) =>
       when(col("source") === src, lit(r)).otherwise(acc)
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster").orderBy(col("prio"), col("vec_id"))
-    semanticDedup(embeddings, threshold = threshold,
-        materialize = materialize)
+    clusters
       .select(col("vec_id"), col("cluster"))
       .join(documents.select(col("doc_id").as("vec_id"), col("source")),
         Seq("vec_id"))
@@ -640,9 +764,28 @@ object Similarity {
       threshold: Double = 0.25, rounds: Int = 0,
       materialize: Boolean = true,
       maxRounds: Int = Propagation.DefaultMaxRounds,
-      bandBits: Int = 8): DataFrame = {
-    val pairs = cosineNearDup(embeddings, bands, bandBits, threshold,
-      materialize)
+      bandBits: Int = 8): DataFrame =
+    clustersFromPairs(embeddings,
+      cosineNearDup(embeddings, bands, bandBits, threshold, materialize),
+      rounds, materialize, maxRounds)
+
+  /** [[semanticDedup]] on the CELL-LOCAL candidate path
+    * ([[cosineNearDupCells]]) — the sub-quadratic form the gated dedup
+    * pipeline ships; same output contract (vec_id, cluster, survivor). */
+  def semanticDedupCells(embeddings: DataFrame, cellTarget: Int = 32,
+      probes: Int = 2, threshold: Double = 0.35, rounds: Int = 0,
+      materialize: Boolean = true,
+      maxRounds: Int = Propagation.DefaultMaxRounds): DataFrame =
+    clustersFromPairs(embeddings,
+      cosineNearDupCells(embeddings, cellTarget, probes, threshold,
+        materialize),
+      rounds, materialize, maxRounds)
+
+  /** Shared SemDeDup clustering core: near-dup pairs (whatever candidate
+    * scheme produced them) → min-label fixpoint components → canonical
+    * survivor flag. */
+  private def clustersFromPairs(embeddings: DataFrame, pairs: DataFrame,
+      rounds: Int, materialize: Boolean, maxRounds: Int): DataFrame = {
     val edges = Stage.snap(
       pairs.select(col("d1").as("a"), col("d2").as("b"))
         .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b"))),
