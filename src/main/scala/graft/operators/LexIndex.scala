@@ -105,7 +105,7 @@ object LexIndex {
   private def tombstonesOf(spark: SparkSession, root: String,
       v: Long): DataFrame =
     scala.util.Try(
-        spark.read.parquet(StateCommit.tableDir(root, v, Tombstones)))
+        metaTable(spark, root, v, Tombstones))
       .getOrElse(emptyTombstones(spark))
 
   /** The maintaining stream's last applied batch id, recorded IN the
@@ -118,13 +118,13 @@ object LexIndex {
   private def streamBatchOf(spark: SparkSession, root: String,
       v: Long): Option[Long] =
     scala.util.Try(
-        spark.read.parquet(StateCommit.tableDir(root, v, StreamBatch))
+        metaTable(spark, root, v, StreamBatch)
           .head().getLong(0))
       .toOption
 
   private def eraOf(spark: SparkSession, root: String, v: Long): Long =
     scala.util.Try(
-        spark.read.parquet(StateCommit.tableDir(root, v, EraTable))
+        metaTable(spark, root, v, EraTable)
           .head().getLong(0))
       .getOrElse(0L)
 
@@ -149,7 +149,7 @@ object LexIndex {
     * letters; maintenance passes read everything). */
   private def livePostings(spark: SparkSession, root: String, v: Long,
       prefixes: Option[Seq[String]] = None): DataFrame = {
-    val gens = spark.read.parquet(StateCommit.tableDir(root, v, Manifest))
+    val gens = metaTable(spark, root, v, Manifest)
       .collect().map(_.getLong(0)).toSeq
     val unioned = gens.map { g =>
       val full = spark.read.parquet(genDir(root, g))
@@ -179,7 +179,7 @@ object LexIndex {
     * where zero-token docs are invisible, the pre-docs-table behavior. */
   private def liveDocs(spark: SparkSession, root: String,
       v: Long): DataFrame = {
-    val gens = spark.read.parquet(StateCommit.tableDir(root, v, Manifest))
+    val gens = metaTable(spark, root, v, Manifest)
       .collect().map(_.getLong(0)).toSeq
     val unioned = gens.map { g =>
       scala.util.Try(spark.read.parquet(docsDir(root, g)))
@@ -194,6 +194,52 @@ object LexIndex {
       .drop("before_gen", "gen")
   }
 
+  /** The folded snapshot-metadata columns: every metadata-sized table
+    * (dfs/stats/manifest/tombstones/stream_batch/era) lands in ONE
+    * parquet write under `meta/`, discriminated by `t` — six
+    * coalesce(1) committer rounds per commit (~0.2–0.3 s each at any
+    * corpus size; the round-11 verdict measured them as lx_search_inc's
+    * whole flat cost) become one. Columns are the union schema; a
+    * table's reader selects its own and the rest stay NULL. */
+  private val MetaCols: Seq[(String, String)] = Seq(
+    "token" -> "string", "df" -> "long",
+    "n_docs" -> "long", "sum_dl" -> "long", "n_dl" -> "long",
+    "gen" -> "long",
+    "doc_id" -> "long", "before_gen" -> "long",
+    "last_batch_id" -> "long", "build_era" -> "long")
+
+  private def toMetaRows(t: String, df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    df.select(lit(t).as("t") +: MetaCols.map { case (c, tp) =>
+      (if (have(c)) col(c) else lit(null)).cast(tp).as(c)
+    }: _*)
+  }
+
+  /** Read one logical meta table of snapshot `v`: folded layout first,
+    * per-table directory as the fallback for snapshots written by older
+    * code (time travel across the upgrade keeps working). */
+  private[graft] def metaTable(spark: SparkSession, root: String,
+      v: Long, table: String): DataFrame = {
+    val cols: Seq[String] = table match {
+      case Dfs => Seq("token", "df")
+      case Stats => Seq("n_docs", "sum_dl", "n_dl")
+      case Manifest => Seq("gen")
+      case Tombstones => Seq("doc_id", "before_gen")
+      case StreamBatch => Seq("last_batch_id")
+      case EraTable => Seq("build_era")
+    }
+    // layout probe by existence (not exception-driven — a caught
+    // AnalysisException still stack-spams the log): folded `meta` is
+    // the current layout; per-table dirs serve pre-fold snapshots.
+    val metaPath = new Path(StateCommit.tableDir(root, v, "meta"))
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaPath))
+      spark.read.parquet(metaPath.toString)
+        .where(col("t") === table)
+        .select(cols.map(col): _*)
+    else spark.read.parquet(StateCommit.tableDir(root, v, table))
+  }
+
   /** Write the metadata-sized snapshot tables and commit — shared by
     * every mutation (postings generations are written by the caller,
     * when the mutation adds any). */
@@ -201,25 +247,19 @@ object LexIndex {
       dfs: DataFrame, stats: DataFrame, gens: Seq[Long],
       tombstones: DataFrame, streamBatch: Option[Long] = None,
       era: Long = 0L): Long = {
-    dfs.coalesce(1)
-      .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Dfs))
-    stats.coalesce(1)
-      .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Stats))
     val s = spark
     import s.implicits._
-    gens.toDF("gen").coalesce(1)
-      .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Manifest))
-    tombstones
-      .select(col("doc_id").cast("long"), col("before_gen").cast("long"))
-      .coalesce(1)
-      .write.mode("overwrite")
-      .parquet(StateCommit.tableDir(root, v, Tombstones))
-    streamBatch.toSeq.toDF("last_batch_id").coalesce(1)
-      .write.mode("overwrite")
-      .parquet(StateCommit.tableDir(root, v, StreamBatch))
-    Seq(era).toDF("build_era").coalesce(1)
-      .write.mode("overwrite")
-      .parquet(StateCommit.tableDir(root, v, EraTable))
+    val meta = Seq(
+      toMetaRows(Dfs, dfs),
+      toMetaRows(Stats, stats),
+      toMetaRows(Manifest, gens.toDF("gen")),
+      toMetaRows(Tombstones, tombstones
+        .select(col("doc_id").cast("long"), col("before_gen").cast("long"))),
+      toMetaRows(StreamBatch, streamBatch.toSeq.toDF("last_batch_id")),
+      toMetaRows(EraTable, Seq(era).toDF("build_era"))
+    ).reduce(_.unionByName(_))
+    meta.coalesce(1).write.mode("overwrite")
+      .parquet(StateCommit.tableDir(root, v, "meta"))
     StateCommit.commit(spark, root, v)
     // reclaim generations no committed snapshot references — a
     // long-running ingest stream otherwise leaks one generation
@@ -359,19 +399,19 @@ object LexIndex {
       CdcBatch.collapse(rawDocuments, "doc_id", seqCol),
       materialize = true)
     val (postings, bDocs, bDfs, bStats, nPost) = batchParts(documents)
-    val oldDfs = spark.read.parquet(StateCommit.tableDir(root, prev, Dfs))
+    val oldDfs = metaTable(spark, root, prev, Dfs)
     val mergedDfs = oldDfs.select(col("token"), col("df").as("a"))
       .join(bDfs.select(col("token"), col("df").as("b")), Seq("token"), "full_outer")
       .select(col("token"),
         (coalesce(col("a"), lit(0L)) + coalesce(col("b"), lit(0L))).as("df"))
-    val o = spark.read.parquet(StateCommit.tableDir(root, prev, Stats)).head()
+    val o = metaTable(spark, root, prev, Stats).head()
     val b = bStats.head()
     val s = spark
     import s.implicits._
     val mergedStats = Seq((o.getLong(0) + b.getLong(0),
       o.getLong(1) + b.getLong(1), o.getLong(2) + b.getLong(2)))
       .toDF("n_docs", "sum_dl", "n_dl")
-    val gens = spark.read.parquet(StateCommit.tableDir(root, prev, Manifest))
+    val gens = metaTable(spark, root, prev, Manifest)
       .collect().map(_.getLong(0)).toSeq :+ v
     // tombstone rows for ids this batch RE-ingests advance to this
     // generation (resurrecting the doc with its new content); other
@@ -431,7 +471,7 @@ object LexIndex {
       liveDocs(spark, root, prev)
         .join(broadcast(victims), Seq("doc_id"), "left_semi"),
       materialize = true)
-    val oldDfs = spark.read.parquet(StateCommit.tableDir(root, prev, Dfs))
+    val oldDfs = metaTable(spark, root, prev, Dfs)
     // postings hold ONE row per (token, doc), so the per-token dead-row
     // count IS the df decrement; rows at zero leave the table, exactly
     // as a rebuild-without-victims would never emit them
@@ -447,7 +487,7 @@ object LexIndex {
       coalesce(sum("dl"), lit(0L)).as("s"),
       count(when(col("dl") > 0, 1)).as("ndl")).head()
     val (nDead, dlDead, nDlDead) = (d.getLong(0), d.getLong(1), d.getLong(2))
-    val o = spark.read.parquet(StateCommit.tableDir(root, prev, Stats)).head()
+    val o = metaTable(spark, root, prev, Stats).head()
     val s = spark
     import s.implicits._
     val mergedStats = Seq((o.getLong(0) - nDead, o.getLong(1) - dlDead,
@@ -460,7 +500,7 @@ object LexIndex {
     val tombs = prior.join(victimsLive, Seq("doc_id"), "left_anti")
       .unionByName(victimsLive.select(col("doc_id"),
         lit(DeleteAll).as("before_gen")))
-    val gens = spark.read.parquet(StateCommit.tableDir(root, prev, Manifest))
+    val gens = metaTable(spark, root, prev, Manifest)
       .collect().map(_.getLong(0)).toSeq
     writeMetaTables(spark, root, v, mergedDfs, mergedStats, gens, tombs,
       streamBatchOf(spark, root, prev), eraOf(spark, root, prev))
@@ -536,7 +576,7 @@ object LexIndex {
       materialize = true)
     val (postings, bDocs, bDfs, bStats, nPost) = batchParts(documents)
     val deadDf = deadPost.groupBy("token").agg(count(lit(1)).as("ddf"))
-    val oldDfs = spark.read.parquet(StateCommit.tableDir(root, prev, Dfs))
+    val oldDfs = metaTable(spark, root, prev, Dfs)
     val mergedDfs = oldDfs.select(col("token"), col("df").as("a"))
       .join(bDfs.select(col("token"), col("df").as("b")), Seq("token"), "full_outer")
       .join(deadDf, Seq("token"), "left_outer")
@@ -548,7 +588,7 @@ object LexIndex {
       coalesce(sum("dl"), lit(0L)).as("s"),
       count(when(col("dl") > 0, 1)).as("ndl")).head()
     val b = bStats.head()
-    val o = spark.read.parquet(StateCommit.tableDir(root, prev, Stats)).head()
+    val o = metaTable(spark, root, prev, Stats).head()
     val s = spark
     import s.implicits._
     val mergedStats = Seq((
@@ -568,7 +608,7 @@ object LexIndex {
       .distinct()
     val tombs = prior.join(batchIds, Seq("doc_id"), "left_anti")
       .unionByName(needTomb.select(col("doc_id"), lit(v).as("before_gen")))
-    val gens = spark.read.parquet(StateCommit.tableDir(root, prev, Manifest))
+    val gens = metaTable(spark, root, prev, Manifest)
       .collect().map(_.getLong(0)).toSeq :+ v
     writeSnapshot(spark, root, v, postings, bDocs, mergedDfs, mergedStats,
       gens, nBuckets, tombs, streamBatch, eraOf(spark, root, prev), nPost)
@@ -593,8 +633,8 @@ object LexIndex {
     // (deletes corrected them algebraically at delete time)
     val postings = livePostings(spark, root, prev)
     val docs = liveDocs(spark, root, prev)
-    val dfs = spark.read.parquet(StateCommit.tableDir(root, prev, Dfs))
-    val stats = spark.read.parquet(StateCommit.tableDir(root, prev, Stats))
+    val dfs = metaTable(spark, root, prev, Dfs)
+    val stats = metaTable(spark, root, prev, Stats)
     // bucket hint: the committed sum_dl upper-bounds live posting rows
     // (tf >= 1 per row), read from the 1-row stats table — no data pass
     val hint = stats.head().getLong(1)
@@ -629,8 +669,8 @@ object LexIndex {
       return spark.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit(0L).as("score_micro"),
           lit(0).as("rank")).limit(0)
-    val stats = spark.read.parquet(StateCommit.tableDir(root, v, Stats))
-    val dfs = spark.read.parquet(StateCommit.tableDir(root, v, Dfs))
+    val stats = metaTable(spark, root, v, Stats)
+    val dfs = metaTable(spark, root, v, Dfs)
       .where(col("token").isin(terms: _*))
     // live rows only (tombstone-filtered; the manifest's generation
     // list is metadata-sized — one entry per ingest since the last

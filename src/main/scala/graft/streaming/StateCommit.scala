@@ -158,11 +158,25 @@ object StateCommit {
         .toOption.exists(_ <= cur))
     val referenced = scala.collection.mutable.Set.empty[Long]
     committedSnaps.foreach { s =>
-      Try {
-        spark.read.parquet(s"${s.getPath}/$manifestTable")
-          .select(org.apache.spark.sql.functions.col("gen").cast("long"))
-          .collect().map(_.getLong(0))
-      } match {
+      // layout probe by existence, not by catching AnalysisException —
+      // a folded-meta snapshot (round 12: one `meta` parquet holds every
+      // metadata-sized table, discriminated by column `t`) has no
+      // per-table manifest dir, and exception-driven fallback spammed
+      // a full PATH_NOT_FOUND stack into every commit's log
+      val perTable = new Path(s.getPath, manifestTable)
+      val folded = new Path(s.getPath, "meta")
+      val read = Try {
+        if (fs.exists(perTable))
+          spark.read.parquet(perTable.toString)
+            .select(org.apache.spark.sql.functions.col("gen").cast("long"))
+            .collect().map(_.getLong(0))
+        else
+          spark.read.parquet(folded.toString)
+            .where(org.apache.spark.sql.functions.col("t") === manifestTable)
+            .select(org.apache.spark.sql.functions.col("gen").cast("long"))
+            .collect().map(_.getLong(0))
+      }
+      read match {
         case scala.util.Success(gs) => referenced ++= gs
         case scala.util.Failure(_) => return // abort: never guess
       }

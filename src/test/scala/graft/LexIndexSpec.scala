@@ -136,8 +136,7 @@ class LexIndexSpec extends SparkSpec {
     LexIndex.ingest(spark, Seq(fresh).toDF("doc_id", "text"), ref)
     def stats(r: String): Seq[Long] = {
       val v = graft.streaming.StateCommit.currentVersion(spark, r).get
-      val row = spark.read
-        .parquet(graft.streaming.StateCommit.tableDir(r, v, "stats")).head()
+      val row = LexIndex.metaTable(spark, r, v, "stats").head()
       Seq(row.getLong(0), row.getLong(1), row.getLong(2))
     }
     assert(stats(root) == stats(ref),
@@ -211,8 +210,7 @@ class LexIndexSpec extends SparkSpec {
     val before = rows()
     val vc = LexIndex.compactGenerations(spark, root)
     assert(rows() == before, "compaction changed the post-delete answer")
-    val tombs = spark.read.parquet(
-      graft.streaming.StateCommit.tableDir(root, vc, "tombstones"))
+    val tombs = LexIndex.metaTable(spark, root, vc, "tombstones")
     assert(tombs.count() == 0, "compaction must clear the tombstones")
     // the compacted generation must not carry the dead rows
     val compacted = spark.read.parquet(s"$root/gen-$vc/postings")
@@ -409,8 +407,7 @@ class LexIndexSpec extends SparkSpec {
     LexIndex.build(spark, docs, root)
     def tombRows(): Long = {
       val v = graft.streaming.StateCommit.currentVersion(spark, root).get
-      spark.read.parquet(
-        graft.streaming.StateCommit.tableDir(root, v, "tombstones")).count()
+      LexIndex.metaTable(spark, root, v, "tombstones").count()
     }
     val sweep = docs.where(col("doc_id") % 9 === 0).select("doc_id")
     LexIndex.delete(spark, root, sweep)
@@ -457,8 +454,7 @@ class LexIndexSpec extends SparkSpec {
     // n_docs must equal the reference's exactly (pre-fix: off by one)
     def nDocs(r: String): Long = {
       val v = graft.streaming.StateCommit.currentVersion(spark, r).get
-      spark.read.parquet(graft.streaming.StateCommit.tableDir(r, v, "stats"))
-        .head().getLong(0)
+      LexIndex.metaTable(spark, r, v, "stats").head().getLong(0)
     }
     assert(nDocs(root) == nDocs(rootRef), "duplicate batch inflated n_docs")
     // without a seq column the collapse is deterministic: two identical
@@ -482,8 +478,7 @@ class LexIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
 
     val v = LexIndex.compactGenerations(spark, root)
-    val manifest = spark.read.parquet(
-      graft.streaming.StateCommit.tableDir(root, v, "manifest"))
+    val manifest = LexIndex.metaTable(spark, root, v, "manifest")
       .collect().map(_.getLong(0)).toSeq
     assert(manifest == Seq(v), s"manifest not compacted: $manifest")
     val after = LexIndex.search(spark, root, terms, k = 20)
