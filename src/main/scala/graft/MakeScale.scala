@@ -72,6 +72,18 @@ object MakeScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (preExisting) {
+      // a pre-existing session keeps its own master/parallelism — the
+      // builder configs above were silently ignored (round-12 review).
+      // Apply the runtime-settable ones so generation is still
+      // deterministic (UTC + fixed shuffle width), and SAY what's in
+      // effect instead of printing as if the builder had configured it.
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      println(s"MakeScale: reusing ambient session " +
+        s"(master=${spark.sparkContext.master}) — builder master/config " +
+        "ignored; timezone + shuffle partitions re-applied at runtime")
+    }
 
     val offsets: Map[String, Long] = FamilySource.map { case (fam, (t, c)) =>
       fam -> (spark.read.parquet(s"$src/$t.parquet")

@@ -57,6 +57,69 @@ object StreamingDsir {
     spark.read.parquet(scoresPath(statePath))
 
   private val PinMarker = "graft-dsir-model-pin"
+  private val SweepMarker = "graft-dsir-sweep-id"
+
+  private def readMarkerFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    } else None
+
+  private def writeMarkerFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, s: String): Unit = {
+    val out = fs.create(p, false)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Guard the checkpoint↔statePath pairing (round-12 review): the
+    * applied-batch watermark lives in `statePath` while batch ids come
+    * from the CHECKPOINT — a fresh checkpoint restarts ids at 0, so
+    * pairing it with a reused statePath made [[applyBatch]] silently
+    * skip every batch at or under the old watermark (new documents
+    * never scored, nothing failed). A sweep id minted once per
+    * checkpoint lifetime is recorded in BOTH places; a mismatch — or a
+    * fresh checkpoint against a statePath that already carries a
+    * watermark — fails loudly instead. */
+  private def requirePairing(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, checkpoint: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ckptMarker = new org.apache.hadoop.fs.Path(checkpoint, SweepMarker)
+    val fs = ckptMarker.getFileSystem(conf)
+    val ckptExisted = fs.exists(
+      new org.apache.hadoop.fs.Path(checkpoint, PinMarker))
+    val ckptId = readMarkerFile(fs, ckptMarker).getOrElse {
+      val id = java.util.UUID.randomUUID().toString
+      writeMarkerFile(fs, ckptMarker, id)
+      id
+    }
+    val stateMarker = new org.apache.hadoop.fs.Path(statePath, SweepMarker)
+    val sfs = stateMarker.getFileSystem(conf)
+    readMarkerFile(sfs, stateMarker) match {
+      case Some(sid) if sid != ckptId =>
+        throw new IllegalStateException(
+          s"statePath $statePath belongs to sweep $sid but checkpoint " +
+            s"$checkpoint carries sweep $ckptId — a fresh checkpoint " +
+            "restarts batch ids at 0 and the existing watermark would " +
+            "silently skip every new batch; resume the original " +
+            "checkpoint or point the sweep at a fresh statePath")
+      case Some(_) => ()
+      case None =>
+        if (!ckptExisted &&
+            StateCommit.currentVersion(spark, statePath).nonEmpty)
+          throw new IllegalStateException(
+            s"statePath $statePath already carries an applied-batch " +
+              s"watermark but checkpoint $checkpoint is fresh — batch " +
+              "ids restart at 0 and every new batch would be silently " +
+              "skipped; resume the sweep's original checkpoint or use " +
+              "a fresh statePath")
+        sfs.mkdirs(new org.apache.hadoop.fs.Path(statePath))
+        writeMarkerFile(sfs, stateMarker, ckptId)
+    }
+  }
 
   /** The sweep's model pin, persisted in the CHECKPOINT on first start
     * (the [[StreamingLex]] era-marker pattern): a crash-recovery restart
@@ -71,9 +134,22 @@ object StreamingDsir {
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) {
       val in = fs.open(marker)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
+      val pin =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      // round-12 review: with the default fit(retain = 2), two refits
+      // landing mid-sweep expire the pinned snapshot — scoreAt would
+      // fail on some arbitrary batch deep in the sweep. Surface the
+      // retention problem AT RESTART with the remedy in the message.
+      val retained = StateCommit.versions(spark, modelRoot)
+      if (!retained.contains(pin))
+        throw new IllegalStateException(
+          s"pinned DSIR model v$pin at $modelRoot has been " +
+            s"retention-expired (retained: ${retained.mkString(", ")}) — " +
+            "raise DsirModel.fit(retain = ...) so sweeps outlive refits, " +
+            "or restart the sweep with a fresh checkpoint to re-pin")
+      pin
     } else {
       val v = DsirModel.version(spark, modelRoot)
       val out = fs.create(marker, false)
@@ -89,6 +165,7 @@ object StreamingDsir {
     * — to the version that was CURRENT at first start. */
   def start(documents: DataFrame, modelRoot: String, statePath: String,
       checkpoint: String, seqCol: String = ""): StreamingQuery = {
+    requirePairing(documents.sparkSession, statePath, checkpoint)
     val pinned = resolvePin(documents, modelRoot, checkpoint)
     documents.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>

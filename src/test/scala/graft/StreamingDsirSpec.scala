@@ -134,4 +134,55 @@ class StreamingDsirSpec extends SparkSpec {
     assert(want(1L) > want(2L) && want(1L) > want(3L),
       s"batch reference misordered: $want")
   }
+
+  test("fresh checkpoint against a reused statePath fails loudly instead of silently skipping batches") {
+    val modelRoot = fitModel()
+    val state = Files.createTempDirectory("dsir_state7_").toString
+    val ckpt = Files.createTempDirectory("dsir_ckpt7_").toString
+    val ms = MemoryStream[(Long, String)](spark)
+    ms.addData((1L, legal))
+    StreamingDsir.start(ms.toDF().toDF("doc_id", "text"),
+      modelRoot, state, ckpt).awaitTermination(60000)
+    // a NEW checkpoint restarts batch ids at 0; pairing it with the
+    // used statePath would make the old watermark swallow every batch
+    // (round-12 review: new documents silently never scored)
+    val freshCkpt = Files.createTempDirectory("dsir_ckpt7b_").toString
+    val ms2 = MemoryStream[(Long, String)](spark)
+    ms2.addData((2L, recipe))
+    val e = intercept[IllegalStateException] {
+      StreamingDsir.start(ms2.toDF().toDF("doc_id", "text"),
+        modelRoot, state, freshCkpt).awaitTermination(60000)
+    }
+    assert(e.getMessage.contains("fresh") ||
+      e.getMessage.contains("sweep"), e.getMessage)
+    // the ORIGINAL pairing still resumes fine after the refusal
+    ms.addData((3L, recipe))
+    StreamingDsir.start(ms.toDF().toDF("doc_id", "text"),
+      modelRoot, state, ckpt).awaitTermination(60000)
+    val got = StreamingDsir.scores(spark, state).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L), s"original sweep broken after refusal: $got")
+  }
+
+  test("restart whose pinned model version was retention-expired fails with the remedy, not mid-sweep") {
+    val modelRoot = fitModel() // v1, retain = 2
+    val state = Files.createTempDirectory("dsir_state8_").toString
+    val ckpt = Files.createTempDirectory("dsir_ckpt8_").toString
+    val ms = MemoryStream[(Long, String)](spark)
+    ms.addData((1L, legal))
+    StreamingDsir.start(ms.toDF().toDF("doc_id", "text"),
+      modelRoot, state, ckpt).awaitTermination(60000)
+    // two refits expire v1 under the default retain=2
+    DsirModel.fit(Seq((50L, legal)).toDF("doc_id", "text"),
+      Seq((200L, recipe)).toDF("doc_id", "text"), modelRoot)
+    DsirModel.fit(Seq((51L, recipe)).toDF("doc_id", "text"),
+      Seq((201L, legal)).toDF("doc_id", "text"), modelRoot)
+    ms.addData((2L, recipe))
+    val e = intercept[IllegalStateException] {
+      StreamingDsir.start(ms.toDF().toDF("doc_id", "text"),
+        modelRoot, state, ckpt).awaitTermination(60000)
+    }
+    assert(e.getMessage.contains("retention-expired") &&
+      e.getMessage.contains("retain"), e.getMessage)
+  }
 }
