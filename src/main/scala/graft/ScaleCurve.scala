@@ -26,7 +26,8 @@ object ScaleCurve {
     "q8b_topk_agg", "j7_asof", "j10_cohort", "a5_rate_anomaly",
     "s8_json_props",
     "dd_exact", "dd_minhash", "dd_lsh_pairs", "dd_components",
-    "dd_near_apply", "dd_spans", "dd_fuzzy", "dd_index_query",
+    "dd_near_apply", "dd_spans", "dd_fuzzy", "dd_fuzzy_best",
+    "dd_index_query",
     "sim_topk", "sim_ivf_kmeans", "sim_pq_topk", "sim_ivfpq_topk",
     "sim_ann_store", "sim_annpq_store", "sim_annpq_rerank", "sim_semdedup",
     "lx_search", "lx_search_inc", "lx_search_del", "lx_search_upd",

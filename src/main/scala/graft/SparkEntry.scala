@@ -1936,43 +1936,75 @@ object SparkEntry {
         s"CASE WHEN $e >= 0 THEN '1' WHEN $e < 0 THEN '0' END"
       }.mkString(" || ")).mkString(", ") + ")"
 
-  /** DuckDB mirror of Similarity.cosineNearDupCells: corpus-adaptive
-    * k-means cells (GREATEST(8, ceil(n/32)) seeds = smallest ids, one
-    * Lloyd round with 9-dp means, 6-dp-cosine assignment, centroid_id
-    * tiebreak), 2-probe membership (arn ≤ 2), DISTINCT same-cell
-    * (d1 < d2) candidates, exact-cosine scoring at ≥ `threshold`.
-    * Emits CTE `pairs` (d1, d2, cos) over `src`. */
+  /** DuckDB mirror of Similarity.cosineNearDupCells — the TWO-LEVEL
+    * corpus-adaptive quantizer chain: c = GREATEST(8, ceil(n/32)) child
+    * cells, s = GREATEST(4, ceil(√c)) super-cells (both seeded from the
+    * smallest ids); every vector ranks its top-2 supers; child seeds
+    * join their top-1 super; the Lloyd round takes the top-1 child
+    * INSIDE the top-1 super (9-dp means); final membership = top-2
+    * refined children across the vector's 2 supers (children keep their
+    * seed's super). All cosines 6-dp, ties to the smallest id. Then
+    * DISTINCT same-cell (d1 < d2) candidates, exact-cosine scoring at
+    * ≥ `threshold`. Emits CTE `pairs` (d1, d2, cos) over `src`. */
   private def cellPairsCtes(src: String, threshold: Double): String =
     s"""cnn AS (
-       |  SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 32.0) AS BIGINT)) AS c
+       |  SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 32.0) AS BIGINT)) AS c,
+       |    GREATEST(4, CAST(CEIL(SQRT(GREATEST(8,
+       |      CEIL(COUNT(*) / 32.0)))) AS BIGINT)) AS s
        |  FROM $src
+       |), sseeds AS (
+       |  SELECT sid, se FROM (
+       |    SELECT vec_id AS sid, embedding AS se,
+       |      ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+       |    FROM $src) q, cnn
+       |  WHERE q.rn <= cnn.s
        |), cseeds AS (
        |  SELECT centroid_id, ce FROM (
        |    SELECT vec_id AS centroid_id, embedding AS ce,
-       |      ROW_NUMBER() OVER (ORDER BY vec_id) AS srn
-       |    FROM $src) s, cnn
-       |  WHERE s.srn <= cnn.c
-       |), ca0 AS (
-       |  SELECT vec_id, embedding, centroid_id AS cell FROM (
-       |    SELECT e.vec_id, e.embedding, c.centroid_id,
+       |      ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+       |    FROM $src) q, cnn
+       |  WHERE q.rn <= cnn.c
+       |), vsup AS (
+       |  SELECT vec_id, sid, srn FROM (
+       |    SELECT e.vec_id, su.sid,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY round(${cosSql("e.embedding", "c.ce")}, 6) DESC, c.centroid_id) AS arn
-       |    FROM $src e CROSS JOIN cseeds c)
-       |  WHERE arn = 1
+       |        ORDER BY round(${cosSql("e.embedding", "su.se")}, 6) DESC, su.sid) AS srn
+       |    FROM $src e CROSS JOIN sseeds su)
+       |  WHERE srn <= 2
+       |), csup AS (
+       |  SELECT centroid_id, ce, sid FROM (
+       |    SELECT ch.centroid_id, ch.ce, su.sid,
+       |      ROW_NUMBER() OVER (PARTITION BY ch.centroid_id
+       |        ORDER BY round(${cosSql("ch.ce", "su.se")}, 6) DESC, su.sid) AS r
+       |    FROM cseeds ch CROSS JOIN sseeds su)
+       |  WHERE r = 1
+       |), ca0 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT v.vec_id, ch.centroid_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(${cosSql("e.embedding", "ch.ce")}, 6) DESC, ch.centroid_id) AS r
+       |    FROM vsup v JOIN $src e ON e.vec_id = v.vec_id AND v.srn = 1
+       |    JOIN csup ch ON ch.sid = v.sid)
+       |  WHERE r = 1
        |), cmeanc AS (
-       |  SELECT cell, j, round(avg(CAST(embedding[j] AS DOUBLE)), 9) AS m
-       |  FROM ca0, UNNEST(generate_series(1, len(embedding))) t(j)
-       |  GROUP BY cell, j
+       |  SELECT a.cell, j, round(avg(CAST(e.embedding[j] AS DOUBLE)), 9) AS m
+       |  FROM ca0 a JOIN $src e ON e.vec_id = a.vec_id,
+       |    UNNEST(generate_series(1, len(e.embedding))) t(j)
+       |  GROUP BY a.cell, j
        |), ccents AS (
        |  SELECT cell AS centroid_id, list(m ORDER BY j) AS ce
        |  FROM cmeanc GROUP BY cell
+       |), ccsup AS (
+       |  SELECT cc.centroid_id, cc.ce, ch.sid
+       |  FROM ccents cc JOIN csup ch USING (centroid_id)
        |), caM AS (
-       |  SELECT vec_id, centroid_id AS cell FROM (
-       |    SELECT e.vec_id, c.centroid_id,
-       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY round(${cosSql("e.embedding", "c.ce")}, 6) DESC, c.centroid_id) AS arn
-       |    FROM $src e CROSS JOIN ccents c)
-       |  WHERE arn <= 2
+       |  SELECT vec_id, cell FROM (
+       |    SELECT v.vec_id, cc.centroid_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(${cosSql("e.embedding", "cc.ce")}, 6) DESC, cc.centroid_id) AS r
+       |    FROM vsup v JOIN $src e ON e.vec_id = v.vec_id
+       |    JOIN ccsup cc ON cc.sid = v.sid)
+       |  WHERE r <= 2
        |), ccand AS (
        |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
        |  FROM caM a JOIN caM b USING (cell) WHERE a.vec_id < b.vec_id

@@ -112,15 +112,49 @@ object FuzzyJoin {
   }
 
   /** Best match per probe row: smallest distance, then smallest master
-    * key — the assignment form an ingest dedup actually applies. */
+    * key — the assignment form an ingest dedup actually applies.
+    *
+    * On the distinct-text path the best match resolves at the
+    * DISTINCT-TEXT level BEFORE any key expansion (round 12): the
+    * min-(dist, match_key) over a probe row's expanded matches equals
+    * min dist over its text's verified matches, then the smallest
+    * master key among the best-distance texts — three narrow
+    * aggregations. The old shape expanded the full (probe_key,
+    * match_key) multiset first and windowed it down, which on a
+    * duplicate-heavy corpus is output-combinatorial even though the
+    * ANSWER is one row per probe row (the sf10 generator carries 2M
+    * part rows over 64 distinct names: the expanded multiset is ~10¹¹
+    * rows and filled 77 GB of spill before any top-1 ran; the
+    * text-level form never materializes more than probe-linear rows). */
   def resolveBest(master: DataFrame, probe: DataFrame, keyCol: String,
       textCol: String, prefixLen: Int = 4, maxDist: Int = 2,
       dualBlock: Boolean = false,
-      verifyDistinctTexts: Boolean = false): DataFrame =
-    resolve(master, probe, keyCol, textCol, prefixLen, maxDist, dualBlock,
-      verifyDistinctTexts)
-      .groupBy("probe_key")
-      .agg(min(struct(col("dist"), col("match_key"))).as("best"))
-      .select(col("probe_key"), col("best.match_key").as("match_key"),
+      verifyDistinctTexts: Boolean = false): DataFrame = {
+    if (!verifyDistinctTexts)
+      return resolve(master, probe, keyCol, textCol, prefixLen, maxDist,
+        dualBlock, verifyDistinctTexts)
+        .groupBy("probe_key")
+        .agg(min(struct(col("dist"), col("match_key"))).as("best"))
+        .select(col("probe_key"), col("best.match_key").as("match_key"),
+          col("best.dist").as("dist"))
+    val pD = probe.select(col(textCol).as("t")).distinct()
+    val mD = master.select(col(textCol).as("t")).distinct()
+    val verified = resolve(mD, pD, "t", "t", prefixLen, maxDist, dualBlock)
+      .select(col("probe_key").as("p_text"), col("match_key").as("m_text"),
+        col("dist"))
+    // smallest master key per DISTINCT master text (narrow agg over the
+    // master scan — no pair multiset), then best per probe text:
+    // min dist first, smallest qualifying master key to break ties —
+    // exactly min(struct(dist, match_key)) over the expanded multiset
+    val mKey = master.groupBy(col(textCol).as("m_text"))
+      .agg(min(col(keyCol)).as("m_key"))
+    val bestPerText = verified.join(broadcast(mKey), Seq("m_text"))
+      .groupBy("p_text")
+      .agg(min(struct(col("dist"), col("m_key"))).as("best"))
+      .select(col("p_text"), col("best.m_key").as("match_key"),
         col("best.dist").as("dist"))
+    probe.select(col(keyCol).as("probe_key"), col(textCol).as("p_text"))
+      .join(broadcast(bestPerText), Seq("p_text"))
+      .select("probe_key", "match_key", "dist")
+  }
 }

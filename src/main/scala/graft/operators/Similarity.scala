@@ -329,52 +329,90 @@ object Similarity {
     math.max(8, math.ceil(
       embeddings.select(col("vec_id")).count().toDouble / cellTarget).toInt)
 
-  /** NARROW multi-probe cell assignment — (vec_id, cell) with each
-    * vector in its `probes` highest-cosine cells. Built for the
-    * corpus-adaptive quantizer (cells ∝ n), where [[rankAgainst]]'s
-    * shape is wrong twice over: it carries the fat embedding column
-    * through the n·cells window shuffle (the whole corpus duplicated
-    * ×cells), and for probes = 1 it pays a full sort-window where a
-    * map-side-combinable max suffices. Here the scored rows are narrow
-    * (vec_id, centroid_id, ccos); probes = 1 resolves via one
-    * partial-aggregated max(struct) — ties to the SMALLEST centroid_id
-    * via the negated id, exactly rankAgainst's (ccos DESC, centroid_id)
-    * order — and only the true multi-probe case pays a (narrow) window.
-    * At extreme scale the centroid table itself outgrows a broadcast
-    * scan and assignment composes with [[AnnIndex]] over the centroids
-    * (the FAISS shape); the emitted contract is unchanged. */
-  private def assignNarrowMulti(embeddings: DataFrame,
-      cents: DataFrame, probes: Int): DataFrame = {
-    val scored = embeddings.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cents))
+  /** TWO-LEVEL (hierarchical) multi-probe cell assignment —
+    * (vec_id, cell) with each vector in its `probes` best cells, where
+    * "best" is searched through a super-cell layer instead of a flat
+    * scan of every centroid. The flat form is FLOPs-quadratic when
+    * cells ∝ n (n·c cosines: measured 452 s at n = 200k, c = 6250 —
+    * the whole sf10 curve cost); this is the standard IVF answer
+    * (FAISS trains an index over its own coarse centroids):
+    *
+    *   s = ⌈√c⌉ super-cells, seeded from the smallest-s ids;
+    *   every vector ranks its top-2 supers          (n·s cosines);
+    *   the c child seeds each join their top-1 super (c·s, tiny);
+    *   Lloyd: top-1 child inside the TOP-1 super via a windowless
+    *   map-side max(struct), 9-dp element means      (n·c/s);
+    *   final: top-`probes` among the refined children of the vector's
+    *   TOP-2 supers (children keep their seed's super key — refined
+    *   centroids never migrate, so the mirror is closed-form) (2n·c/s).
+    *
+    * Total ≈ n·(s + 3c/s) = Θ(n·√c) cosines — n^1.5 with a small
+    * constant when c ∝ n (64 k at sf0.1 vs the flat 252 k; 6×10⁷ at
+    * sf10 vs the flat 2.5×10⁹), and the SAME trick stacks to a third
+    * level before it matters again. Probing TWO supers (not one) is
+    * the boundary repair at both levels: a near-dup pair split across
+    * a super boundary still meets in the shared runner-up. Everything
+    * narrow: no fat column ever rides a ×cells or ×supers shuffle; the
+    * only per-vector fat join is the (vec_id → its 2 supers) expansion.
+    * All cosines round 6-dp, means 9-dp, ties to the smallest id — the
+    * exact determinism contract of the flat quantizer chain, so the
+    * DuckDB oracle mirrors every stage. */
+  private def assignCellsHierarchical(embeddings: DataFrame,
+      cellTarget: Int, probes: Int, materialize: Boolean): DataFrame = {
+    val c = adaptiveCells(embeddings, cellTarget)
+    val s = math.max(4, math.ceil(math.sqrt(c.toDouble)).toInt)
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val supers = seedCents(embeddings, s)
+      .select(col("centroid_id").as("sid"), col("ce").as("se"))
+    // vector → top-2 supers (narrow n·s window)
+    val vsup = {
+      val scored = e.crossJoin(broadcast(supers))
+        .select(col("vec_id"), col("sid"),
+          round(cos(embeddings)(col("embedding"), col("se")), 6).as("sc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("sc").desc, col("sid"))
+      Stage.snap(scored.withColumn("srn", row_number().over(w))
+        .where(col("srn") <= 2).select("vec_id", "sid", "srn"),
+        materialize)
+    }
+    // child seed → its top-1 super (c·s, all broadcast-sized)
+    val csup = {
+      val scored = seedCents(embeddings, c).crossJoin(broadcast(supers))
+        .select(col("centroid_id"), col("ce"), col("sid"),
+          round(cos(embeddings)(col("ce"), col("se")), 6).as("sc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("centroid_id").orderBy(col("sc").desc, col("sid"))
+      scored.withColumn("r", row_number().over(w))
+        .where(col("r") === 1).select("centroid_id", "ce", "sid")
+    }
+    // Lloyd input: top-1 child inside the top-1 super — windowless
+    // map-side-combined max(struct); ties to the smallest centroid via
+    // the negated id (exactly (ccos DESC, centroid_id) order)
+    val a0 = e
+      .join(vsup.where(col("srn") === 1).select("vec_id", "sid"), Seq("vec_id"))
+      .join(broadcast(csup), Seq("sid"))
+      .select(col("vec_id"),
+        round(cos(embeddings)(col("embedding"), col("ce")), 6).as("ccos"),
+        col("centroid_id"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("centroid_id")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cell"))
+    val cents1 = elementwiseMean(
+      a0.join(e, Seq("vec_id")), Seq("cell"), "embedding", "ce")
+      .select(col("cell").as("centroid_id"), col("ce"))
+    // refined centroids keyed by their SEED's super (no migration)
+    val ccsup = cents1.join(csup.select("centroid_id", "sid"),
+      Seq("centroid_id"))
+    // final: top-`probes` refined children across the vector's 2 supers
+    val scored2 = e.join(vsup.select("vec_id", "sid"), Seq("vec_id"))
+      .join(broadcast(ccsup), Seq("sid"))
       .select(col("vec_id"), col("centroid_id"),
         round(cos(embeddings)(col("embedding"), col("ce")), 6).as("ccos"))
-    if (probes == 1)
-      scored
-        .groupBy("vec_id")
-        .agg(max(struct(col("ccos"), (-col("centroid_id")).as("nc"))).as("m"))
-        .select(col("vec_id"), (-col("m.nc")).as("cell"))
-    else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("ccos").desc, col("centroid_id"))
-      scored.withColumn("arn", row_number().over(w))
-        .where(col("arn") <= probes)
-        .select(col("vec_id"), col("centroid_id").as("cell"))
-    }
-  }
-
-  /** The adaptive quantizer's training, assignment kept NARROW
-    * throughout (same math as [[trainCentroids]] — seed = smallest-c
-    * ids, one Lloyd round of 9-dp element means over 6-dp-cosine
-    * assignment — so the DuckDB mirror is shared; only the plan shape
-    * differs: the embedding joins back by id for the mean instead of
-    * riding the ranking shuffle). */
-  private def trainCentroidsNarrow(embeddings: DataFrame, c: Int): DataFrame = {
-    val a0 = assignNarrowMulti(embeddings, seedCents(embeddings, c), 1)
-    elementwiseMean(
-      a0.join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id")),
-      Seq("cell"), "embedding", "ce")
-      .select(col("cell").as("centroid_id"), col("ce"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("centroid_id"))
+    scored2.withColumn("r", row_number().over(w2))
+      .where(col("r") <= probes)
+      .select(col("vec_id"), col("centroid_id").as("cell"))
   }
 
   /** CELL-LOCAL embedding near-dup — the 100× form of [[cosineNearDup]]
@@ -402,13 +440,11 @@ object Similarity {
   def cosineNearDupCells(embeddings: DataFrame, cellTarget: Int = 32,
       probes: Int = 2, threshold: Double = 0.99,
       materialize: Boolean = true): DataFrame = {
-    val c = adaptiveCells(embeddings, cellTarget)
     // narrow (vec_id, cell) rows feed BOTH sides of the candidate
     // self-join: snap so the quantizer trains once (the cosineNearDup
     // sig-table lesson)
     val assigned = Stage.snap(
-      assignNarrowMulti(embeddings, trainCentroidsNarrow(embeddings, c),
-        probes),
+      assignCellsHierarchical(embeddings, cellTarget, probes, materialize),
       materialize)
     val cands = assigned.select(col("cell"), col("vec_id").as("d1"))
       .join(assigned.select(col("cell"), col("vec_id").as("d2")), Seq("cell"))
