@@ -42,9 +42,17 @@ object Bench {
     // ~0.1 s. A tiny 60-doc build to a temp root moves that one-time cost
     // where the warmup design already puts its siblings.
     try {
-      val warmDocs = graft.catalog.Catalog.documents(spark, sfDir).limit(60)
-      graft.operators.LexIndex.build(spark, warmDocs,
-        Files.createTempDirectory("graft-warm-lx").toString)
+      val warmRoot = Files.createTempDirectory("graft-warm-lx")
+      try {
+        val warmDocs = graft.catalog.Catalog.documents(spark, sfDir).limit(60)
+        graft.operators.LexIndex.build(spark, warmDocs, warmRoot.toString)
+      } finally {
+        // the warm build leaves index generations behind — reclaim them
+        // or repeated bench runs accumulate snapshots in /tmp (r12 advice)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(warmRoot).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     } catch { case _: Throwable => () }
     // Same treatment for the embedding family: the first embeddings read
     // + native-cosine codegen otherwise lands on whichever sim_*/hybrid

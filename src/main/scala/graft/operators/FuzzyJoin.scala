@@ -145,16 +145,24 @@ object FuzzyJoin {
     // smallest master key per DISTINCT master text (narrow agg over the
     // master scan — no pair multiset), then best per probe text:
     // min dist first, smallest qualifying master key to break ties —
-    // exactly min(struct(dist, match_key)) over the expanded multiset
+    // exactly min(struct(dist, match_key)) over the expanded multiset.
+    // NO broadcast hints here (round-12 review): mKey is one row per
+    // distinct MASTER text and bestPerText one per distinct probe text —
+    // on a mostly-distinct corpus both are master/probe-sized, and a
+    // forced broadcast is a driver OOM at exactly the scale this path
+    // exists for. Unhinted, Catalyst broadcasts them when its size
+    // estimate clears autoBroadcastJoinThreshold (the duplicate-heavy
+    // fixture case) and degrades to a shuffle join past it — the same
+    // size gate every join in the engine trusts.
     val mKey = master.groupBy(col(textCol).as("m_text"))
       .agg(min(col(keyCol)).as("m_key"))
-    val bestPerText = verified.join(broadcast(mKey), Seq("m_text"))
+    val bestPerText = verified.join(mKey, Seq("m_text"))
       .groupBy("p_text")
       .agg(min(struct(col("dist"), col("m_key"))).as("best"))
       .select(col("p_text"), col("best.m_key").as("match_key"),
         col("best.dist").as("dist"))
     probe.select(col(keyCol).as("probe_key"), col(textCol).as("p_text"))
-      .join(broadcast(bestPerText), Seq("p_text"))
+      .join(bestPerText, Seq("p_text"))
       .select("probe_key", "match_key", "dist")
   }
 }

@@ -42,6 +42,70 @@ object Propagation {
     * mirrors and pathology drills can lower it. */
   val DefaultMaxRounds = 64
 
+  /** Edge-count bound under which the fixpoint dispatches to the
+    * single-task union-find instead of the round loop (conf
+    * `spark.graft.components.localEdges`; 0 disables the gate). The
+    * broadcast-join pattern applied to connected components: per
+    * distributed round the loop pays ~4 shuffle stages plus a count
+    * action — a fixed multi-second scheduler constant at ANY graph size
+    * — and a chain-heavy pair graph needs ~log_φ(diameter) rounds (the
+    * round-12 semdedup regression: 19 rounds × ~2.4 s on a 2,324-edge
+    * graph). Union-find over one coalesced partition is exact, one job,
+    * and at 8M edges costs ~10⁸ find steps and ~200 MB on one executor
+    * thread — far below an executor's working set. Past the bound the
+    * distributed loop (and, on the cell path, cell-local contraction
+    * first) carries the 100 TB posture. */
+  val DefaultLocalEdgeBound = 8000000L
+
+  private[operators] def localEdgeBound(edges: DataFrame): Long =
+    edges.sparkSession.conf
+      .getOption("spark.graft.components.localEdges")
+      .map(_.toLong).getOrElse(DefaultLocalEdgeBound)
+
+  /** In-memory exact union-find over an edge iterator → (vertex, min id
+    * of its component) — the sequential core shared by [[unionFindLocal]]
+    * (whole graph, one coalesced task) and the cell-contraction phase
+    * (one bounded group per k-means cell). Unions always point the larger
+    * root at the smaller, so every root IS its component's minimum. */
+  private[operators] def unionFind(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    it.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    val ks = parent.keySet().iterator()
+    while (ks.hasNext) { val v = ks.next(); out += ((v, find(v))) }
+    out.iterator
+  }
+
+  /** Exact min-label components via union-find over ONE coalesced
+    * partition — the small-graph physical strategy behind [[minLabel]]'s
+    * size gate (also called directly by the cell-contraction path on its
+    * condensed graph). Input edges need not be symmetric or deduped; ids
+    * must be integral. Output matches the loop's contract exactly:
+    * (idCol, label = min id reachable) over the edge VERTEX set only. */
+  private[operators] def unionFindLocal(edges: DataFrame,
+      idCol: String): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions(unionFind)
+      .toDF(idCol, "label")
+  }
+
   /** [[minLabel]] plus the number of rounds the fixpoint actually ran —
     * the observable the O(log d) convergence specs assert on (a 60-hop
     * chain must close in ~7 rounds, not 60). */
@@ -68,6 +132,22 @@ object Propagation {
       materialize: Boolean = true,
       maxRounds: Int = DefaultMaxRounds): Labeled = {
     val fixpoint = rounds <= 0
+    // SIZE GATE (fixpoint mode only; materialize=false keeps the all-lazy
+    // loop for plan inspection): a snapped edge set at or under the bound
+    // dispatches to the exact single-task union-find — one job instead of
+    // rounds × (4 shuffle stages + a count), the constant that made the
+    // round-12 semdedup trio 8–10× slower on a 2,324-edge graph. Bounded-
+    // unroll mode (positive `rounds`) never gates: it exists to mirror
+    // the oracle's unrolled SQL shape exactly.
+    // gate only on bigint ids: the union-find emits long labels, and the
+    // two physical strategies must agree on schema as well as rows
+    val longIds = Seq("a", "b").forall(c =>
+      edges.schema(c).dataType == org.apache.spark.sql.types.LongType)
+    if (fixpoint && materialize && longIds) {
+      val bound = localEdgeBound(edges)
+      if (bound > 0 && edges.count() <= bound)
+        return Labeled(Stage.snap(unionFindLocal(edges, idCol), materialize), 1)
+    }
     val vertices = edges.select(col("a").as(idCol)).distinct()
     var labels = vertices.select(col(idCol), col(idCol).as("label"))
     val cap = if (fixpoint) maxRounds else rounds

@@ -297,7 +297,15 @@ object Similarity {
     * all-pairs); embeddings join back by id for the one scoring pass. */
   def cosineNearDup(embeddings: DataFrame, bands: Int = 8,
       bandBits: Int = 8, threshold: Double = 0.99,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true): DataFrame =
+    cosineNearDupUnsorted(embeddings, bands, bandBits, threshold,
+      materialize).orderBy("d1", "d2")
+
+  /** [[cosineNearDup]] without the trailing global sort — the form the
+    * clustering consumer snapshots (a sort evaluated inside an edge-set
+    * snapshot is pure waste; round-12 review). */
+  private def cosineNearDupUnsorted(embeddings: DataFrame, bands: Int,
+      bandBits: Int, threshold: Double, materialize: Boolean): DataFrame = {
     // the sig table feeds BOTH sides of the candidate self-join: snap it
     // (narrow id+sig rows) so the fat embedding column scans once for
     // signature derivation, not twice (round-11 plan audit)
@@ -315,7 +323,6 @@ object Similarity {
       .select(col("d1"), col("d2"),
         round(cos(embeddings)(col("e1"), col("e2")), 6).as("cos"))
       .where(col("cos") >= threshold)
-      .orderBy("d1", "d2")
   }
 
   /** Corpus-adaptive coarse-quantizer size: one cell per `cellTarget`
@@ -438,8 +445,22 @@ object Similarity {
     * 0.9/0.99 and gates pair recall ≥ 0.9 vs the exact all-pairs
     * baseline). */
   def cosineNearDupCells(embeddings: DataFrame, cellTarget: Int = 32,
-      probes: Int = 2, threshold: Double = 0.99,
-      materialize: Boolean = true): DataFrame = {
+      probes: Int = 2, threshold: Double = 0.35,
+      materialize: Boolean = true): DataFrame =
+    cosineNearDupCellsParts(embeddings, cellTarget, probes, threshold,
+      materialize)._2.orderBy("d1", "d2")
+
+  /** [[cosineNearDupCells]] split into its two reusable stages:
+    * (snapped cell assignment, UNSORTED scored pairs). The clustering
+    * consumers take this form — they re-use the assignment for
+    * cell-local contraction and have no use for a global pair sort
+    * (round-12 review: the trailing orderBy re-executed inside the
+    * edge-set snapshot, twice). The threshold default (0.35) matches the
+    * gated dedup posture across the Cells family — three operators, one
+    * default (round-12 advice). */
+  private[operators] def cosineNearDupCellsParts(embeddings: DataFrame,
+      cellTarget: Int, probes: Int, threshold: Double,
+      materialize: Boolean): (DataFrame, DataFrame) = {
     // narrow (vec_id, cell) rows feed BOTH sides of the candidate
     // self-join: snap so the quantizer trains once (the cosineNearDup
     // sig-table lesson)
@@ -451,13 +472,13 @@ object Similarity {
       .where(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
     val e = embeddings.select(col("vec_id"), col("embedding"))
-    cands
+    val pairs = cands
       .join(e.select(col("vec_id").as("d1"), col("embedding").as("e1")), Seq("d1"))
       .join(e.select(col("vec_id").as("d2"), col("embedding").as("e2")), Seq("d2"))
       .select(col("d1"), col("d2"),
         round(cos(embeddings)(col("e1"), col("e2")), 6).as("cos"))
       .where(col("cos") >= threshold)
-      .orderBy("d1", "d2")
+    (assigned, pairs)
   }
 
   /** Bucketed kNN graph — each vector's top-k neighbor list over the
@@ -802,7 +823,8 @@ object Similarity {
       maxRounds: Int = Propagation.DefaultMaxRounds,
       bandBits: Int = 8): DataFrame =
     clustersFromPairs(embeddings,
-      cosineNearDup(embeddings, bands, bandBits, threshold, materialize),
+      cosineNearDupUnsorted(embeddings, bands, bandBits, threshold,
+        materialize),
       rounds, materialize, maxRounds)
 
   /** [[semanticDedup]] on the CELL-LOCAL candidate path
@@ -811,28 +833,131 @@ object Similarity {
   def semanticDedupCells(embeddings: DataFrame, cellTarget: Int = 32,
       probes: Int = 2, threshold: Double = 0.35, rounds: Int = 0,
       materialize: Boolean = true,
-      maxRounds: Int = Propagation.DefaultMaxRounds): DataFrame =
-    clustersFromPairs(embeddings,
-      cosineNearDupCells(embeddings, cellTarget, probes, threshold,
-        materialize),
-      rounds, materialize, maxRounds)
+      maxRounds: Int = Propagation.DefaultMaxRounds): DataFrame = {
+    val (assigned, pairs) = cosineNearDupCellsParts(embeddings, cellTarget,
+      probes, threshold, materialize)
+    clustersFromPairsCells(embeddings, assigned, pairs, rounds, materialize,
+      maxRounds)
+  }
 
   /** Shared SemDeDup clustering core: near-dup pairs (whatever candidate
-    * scheme produced them) → min-label fixpoint components → canonical
-    * survivor flag. */
+    * scheme produced them) → min-label components ([[Propagation]]'s
+    * size-gated union-find / fixpoint) → canonical survivor flag. */
   private def clustersFromPairs(embeddings: DataFrame, pairs: DataFrame,
       rounds: Int, materialize: Boolean, maxRounds: Int): DataFrame = {
-    val edges = Stage.snap(
-      pairs.select(col("d1").as("a"), col("d2").as("b"))
-        .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b"))),
+    // snap the PAIRS, not the symmetric union: the union consumes its
+    // input twice, so an unsnapped pairs lineage — candidate join,
+    // scoring, even a trailing sort — evaluated once PER BRANCH inside
+    // the snapshot job (round-12: the semdedup trio re-ran the whole
+    // cell chain twice here). Two projections of a snapshot union for
+    // free — narrow, shuffle-less.
+    val p = Stage.snap(pairs.select("d1", "d2"), materialize)
+    val edges = p.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(p.select(col("d2").as("a"), col("d1").as("b")))
+    finishClusters(embeddings,
+      Propagation.minLabel(edges, "vec_id", rounds, materialize, maxRounds), p)
+  }
+
+  /** Cell-aware SemDeDup clustering — the [[semanticDedupCells]] tail.
+    * Physical strategy by measured size (the broadcast-join pattern):
+    * a pair set at or under `spark.graft.components.localEdges` resolves
+    * through the exact single-task union-find (one job — the per-round
+    * scheduler constant × ~log_φ(diameter) rounds was the round-12
+    * 8–10× regression); past the bound, SemDeDup's published cluster-
+    * then-compare shape runs IN FULL: per-cell union-find over bounded
+    * groups (one shuffle — a cell holds ~cellTarget·probes vectors, so
+    * its pair list is group-local by construction), then the global
+    * closure only over the CONDENSED bridge graph (one star per vector
+    * that spans cells), which re-gates through [[Propagation.minLabel]].
+    * Both strategies emit the exact min-reachable-id components the
+    * DuckDB recursive-CTE oracle computes. Bounded-unroll (`rounds` > 0)
+    * and all-lazy (materialize = false) forms keep the plain shared
+    * chain — they exist to mirror plan/oracle shapes, not to be fast. */
+  private def clustersFromPairsCells(embeddings: DataFrame,
+      assigned: DataFrame, pairs: DataFrame, rounds: Int,
+      materialize: Boolean, maxRounds: Int): DataFrame = {
+    if (rounds > 0 || !materialize)
+      return clustersFromPairs(embeddings, pairs, rounds, materialize,
+        maxRounds)
+    val p = Stage.snap(pairs.select("d1", "d2"), materialize)
+    val bound = Propagation.localEdgeBound(p)
+    val labels =
+      if (bound > 0 && p.count() <= bound)
+        Stage.snap(Propagation.unionFindLocal(
+          p.select(col("d1").as("a"), col("d2").as("b")), "vec_id"),
+          materialize)
+      else cellContractLabels(assigned, p, materialize, maxRounds)
+    finishClusters(embeddings, labels, p)
+  }
+
+  /** Cell-local contraction then condensed global closure — exact
+    * connected components in two phases (the standard two-level CC
+    * composition, and SemDeDup's own cluster-first shape):
+    *
+    *   A. each pair re-joins the assignment to recover its generating
+    *      cell(s); per cell, one union-find over the cell's pair list
+    *      (bounded: a cell holds ~cellTarget·probes vectors) emits
+    *      (vec_id, local min). Dense intra-cell structure — near-cliques
+    *      at near-dup thresholds — collapses here, in ONE shuffle, the
+    *      work the global fixpoint was paying ~19 rounds for.
+    *   B. a vector assigned to two cells bridges its local components:
+    *      per vector, a star from its smallest local label to the rest
+    *      (≤ probes−1 edges). The global fixpoint runs only on this
+    *      condensed graph — and re-gates through [[Propagation.minLabel]],
+    *      so a condensed graph under the bound resolves in one more job.
+    *
+    * Exact: components(∪ per-cell edges) ≡ components(pairs) because
+    * every pair lives in ≥1 shared cell of the SAME assignment snapshot
+    * that generated it, and phase B's stars connect exactly the local
+    * components that share a vector. Labels are min-ids at every level,
+    * so the composed min is the component's global min id. */
+  private def cellContractLabels(assigned: DataFrame, pairs: DataFrame,
+      materialize: Boolean, maxRounds: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val pc = pairs
+      .join(assigned.select(col("vec_id").as("d1"), col("cell")), Seq("d1"))
+      .join(assigned.select(col("vec_id").as("d2"), col("cell")),
+        Seq("d2", "cell"))
+    val local = Stage.snap(
+      pc.select(col("cell").cast("long"), col("d1").cast("long"),
+          col("d2").cast("long"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups((_, it) =>
+          Propagation.unionFind(it.map(t => (t._2, t._3))))
+        .toDF("vec_id", "label_local")
+        .distinct(),
       materialize)
-    val edgeDocs = edges.select(col("a").as("vec_id")).distinct()
-    val labels = Propagation
-      .minLabel(edges, "vec_id", rounds, materialize, maxRounds)
+    val bridges = local.groupBy("vec_id")
+      .agg(min(col("label_local")).as("m"),
+        collect_set(col("label_local")).as("ls"))
+      .select(col("m"), explode(col("ls")).as("o"))
+      .where(col("o") =!= col("m"))
+    val condensed = Stage.snap(
+      bridges.select(col("m").as("a"), col("o").as("b"))
+        .unionByName(bridges.select(col("o").as("a"), col("m").as("b"))),
+      materialize)
+    val glab = Propagation
+      .minLabel(condensed, "label_local", 0, materialize, maxRounds)
+      .select(col("label_local"), col("label").as("glabel"))
+    local.join(glab, Seq("label_local"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("glabel"), col("label_local")).as("label"))
+      .groupBy("vec_id").agg(min(col("label")).as("label"))
+  }
+
+  /** Shared clustering tail: component labels over the paired vertex
+    * set, isolated vectors unioned back self-labeled, survivor =
+    * canonical minimum. `p` is the SNAPPED (d1, d2) pair set. */
+  private def finishClusters(embeddings: DataFrame, labels: DataFrame,
+      p: DataFrame): DataFrame = {
+    val pairedDocs = p.select(col("d1").as("vec_id"))
+      .unionByName(p.select(col("d2").as("vec_id"))).distinct()
+    labels
       .unionByName(
         embeddings.select(col("vec_id"), col("vec_id").as("label"))
-          .join(edgeDocs, Seq("vec_id"), "left_anti"))
-    labels
+          .join(pairedDocs, Seq("vec_id"), "left_anti"))
       .select(col("vec_id"), col("label").as("cluster"),
         (col("vec_id") === col("label")).cast("int").as("survivor"))
       .orderBy("vec_id")

@@ -162,19 +162,36 @@ object StateCommit {
       // a folded-meta snapshot (round 12: one `meta` parquet holds every
       // metadata-sized table, discriminated by column `t`) has no
       // per-table manifest dir, and exception-driven fallback spammed
-      // a full PATH_NOT_FOUND stack into every commit's log
+      // a full PATH_NOT_FOUND stack into every commit's log.
+      // FOLDED FIRST — the same precedence readers (LexIndex.metaTable)
+      // use: a snapshot dir can legally carry BOTH layouts (a pre-fold
+      // build attempt crashed before commit, then the same version was
+      // rewritten post-fold — overwrite replaces meta/ but nothing
+      // removes the stale per-table dir). GC consulting the STALE
+      // manifest while readers follow the folded one would delete
+      // generations the committed snapshot still references
+      // (round-12 advice).
+      // "folded" is decided by SCHEMA, not existence alone: DedupIndex
+      // keeps an unrelated params table also named `meta` (no `t`
+      // discriminator column) — existence alone would mis-read it and
+      // abort (fail-safe, but silently disabling that family's GC).
       val perTable = new Path(s.getPath, manifestTable)
       val folded = new Path(s.getPath, "meta")
       val read = Try {
-        if (fs.exists(perTable))
-          spark.read.parquet(perTable.toString)
-            .select(org.apache.spark.sql.functions.col("gen").cast("long"))
-            .collect().map(_.getLong(0))
-        else
-          spark.read.parquet(folded.toString)
-            .where(org.apache.spark.sql.functions.col("t") === manifestTable)
-            .select(org.apache.spark.sql.functions.col("gen").cast("long"))
-            .collect().map(_.getLong(0))
+        val fm = if (fs.exists(folded))
+          Some(spark.read.parquet(folded.toString)).filter(
+            _.columns.contains("t"))
+        else None
+        fm match {
+          case Some(m) =>
+            m.where(org.apache.spark.sql.functions.col("t") === manifestTable)
+              .select(org.apache.spark.sql.functions.col("gen").cast("long"))
+              .collect().map(_.getLong(0))
+          case None =>
+            spark.read.parquet(perTable.toString)
+              .select(org.apache.spark.sql.functions.col("gen").cast("long"))
+              .collect().map(_.getLong(0))
+        }
       }
       read match {
         case scala.util.Success(gs) => referenced ++= gs

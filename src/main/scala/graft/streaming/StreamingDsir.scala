@@ -108,14 +108,42 @@ object StreamingDsir {
             "checkpoint or point the sweep at a fresh statePath")
       case Some(_) => ()
       case None =>
-        if (!ckptExisted &&
-            StateCommit.currentVersion(spark, statePath).nonEmpty)
+        val watermark = StateCommit.currentVersion(spark, statePath)
+        if (!ckptExisted && watermark.nonEmpty)
           throw new IllegalStateException(
             s"statePath $statePath already carries an applied-batch " +
               s"watermark but checkpoint $checkpoint is fresh — batch " +
               "ids restart at 0 and every new batch would be silently " +
               "skipped; resume the sweep's original checkpoint or use " +
               "a fresh statePath")
+        // PRE-UPGRADE adoption (round-12 advice): a checkpoint from
+        // before the sweep-marker mechanism (PinMarker present, no
+        // SweepMarker) paired with a pre-existing statePath used to be
+        // adopted blind — the wrong statePath's higher watermark still
+        // silently skipped every batch. Cross-check: a correctly paired
+        // sweep has watermark == the checkpoint's last committed batch
+        // id (or +1 for a crash between the state commit and Spark's
+        // commit marker). Anything else means the two dirs never ran
+        // together.
+        if (ckptExisted && watermark.nonEmpty) {
+          val wm = watermark.get
+          val lastCommitted = scala.util.Try {
+            fs.listStatus(new org.apache.hadoop.fs.Path(checkpoint, "commits"))
+              .map(_.getPath.getName)
+              .flatMap(n => scala.util.Try(n.toLong).toOption)
+          }.toOption.toSeq.flatten.sorted.lastOption.getOrElse(-1L)
+          if (wm != lastCommitted && wm != lastCommitted + 1)
+            throw new IllegalStateException(
+              s"statePath $statePath (applied-batch watermark $wm) does " +
+                s"not pair with pre-upgrade checkpoint $checkpoint (last " +
+                s"committed batch id $lastCommitted) — adopting the " +
+                "mismatch would silently skip batches; resume the " +
+                "sweep's original statePath or start fresh")
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"adopting pre-upgrade DSIR sweep pairing: checkpoint " +
+              s"$checkpoint (last committed $lastCommitted) <-> statePath " +
+              s"$statePath (watermark $wm); sweep id $ckptId minted")
+        }
         sfs.mkdirs(new org.apache.hadoop.fs.Path(statePath))
         writeMarkerFile(sfs, stateMarker, ckptId)
     }

@@ -152,4 +152,34 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("resolveBest distinct-text joins are size-gated, not hint-forced (round-12 review)") {
+    // mKey is one row per distinct MASTER text and bestPerText one per
+    // distinct probe text — on a mostly-distinct corpus both are
+    // master/probe-sized, so a broadcast HINT would force a driver OOM
+    // at scale. Unhinted, the planner's size estimate decides: past the
+    // threshold the plan must degrade to shuffle joins, and the rows
+    // must not change.
+    val probe = Seq((100L, "alpha clustr node"), (101L, "alpha cluster"))
+      .toDF("k", "name")
+    def best() = FuzzyJoin.resolveBest(master, probe, "k", "name", 4, 2,
+      dualBlock = true, verifyDistinctTexts = true)
+    val small = best().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = best()
+      val p = df.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      // the two unhinted joins (verified⋈mKey, probe⋈bestPerText) must
+      // degrade; only the probe-side HINTED broadcasts may remain
+      assert(p.contains("SortMergeJoin"),
+        s"expected the unhinted joins to degrade to shuffle joins past " +
+          s"the size bound\n$p")
+      val degraded = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      assert(degraded == small, "join strategy changed the result")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

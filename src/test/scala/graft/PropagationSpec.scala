@@ -4,11 +4,20 @@ import graft.operators.Propagation
 import org.apache.spark.sql.functions._
 
 /** The shared propagation core's convergence contract: exact component
-  * minima at any chain depth, in O(log d) rounds (pointer doubling), with
-  * the loud backstop still reachable when doubling is bypassed via a tiny
-  * maxRounds. */
+  * minima at any chain depth — via the size-gated single-task union-find
+  * on small edge sets (round 13), or the O(log d)-round pointer-doubling
+  * loop past the bound — with the loud backstop still reachable when
+  * doubling is bypassed via a tiny maxRounds. Loop-specific tests force
+  * the distributed path by zeroing the gate conf. */
 class PropagationSpec extends SparkSpec {
   import spark.implicits._
+
+  /** Run `f` with the union-find size gate disabled — every fixpoint
+    * call inside takes the distributed round loop. */
+  private def withLoopForced[A](f: => A): A = {
+    spark.conf.set("spark.graft.components.localEdges", "0")
+    try f finally spark.conf.unset("spark.graft.components.localEdges")
+  }
 
   /** Symmetric edge set of a path 0—1—…—(n−1): the worst case for plain
     * one-hop min-label (needs n−1 rounds). */
@@ -17,8 +26,10 @@ class PropagationSpec extends SparkSpec {
     (dir ++ dir.map(_.swap)).toDF("a", "b")
   }
 
-  test("fixpoint labels a 60-hop path with its minimum in O(log d) rounds") {
-    val r = Propagation.minLabelCounted(pathEdges(60), "doc_id")
+  test("fixpoint loop labels a 60-hop path with its minimum in O(log d) rounds") {
+    val r = withLoopForced {
+      Propagation.minLabelCounted(pathEdges(60), "doc_id")
+    }
     val labels = r.labels.collect().map(x => x.getLong(0) -> x.getLong(1))
     assert(labels.length == 60)
     assert(labels.forall(_._2 == 0L),
@@ -27,6 +38,28 @@ class PropagationSpec extends SparkSpec {
     // plus the final no-change round; plain min-label would need 60
     assert(r.rounds <= 10,
       s"pointer doubling regressed: ${r.rounds} rounds for a 60-hop path")
+  }
+
+  test("small edge sets dispatch to the union-find: one job, same labels") {
+    val r = Propagation.minLabelCounted(pathEdges(60), "doc_id")
+    assert(r.rounds == 1, s"gate missed: ran ${r.rounds} distributed rounds")
+    val labels = r.labels.collect().map(x => x.getLong(0) -> x.getLong(1))
+    assert(labels.length == 60 && labels.forall(_._2 == 0L))
+  }
+
+  test("union-find and the distributed loop agree on a seeded random graph") {
+    val rnd = new scala.util.Random(13)
+    val dir = (0 until 400).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val edges = (dir ++ dir.map(_.swap)).toDF("a", "b")
+    val uf = Propagation.minLabel(edges, "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val loop = withLoopForced {
+      Propagation.minLabel(edges, "doc_id")
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    }
+    assert(uf == loop)
   }
 
   test("fixpoint is exact on a multi-component graph of paths, stars and edges") {
@@ -53,16 +86,20 @@ class PropagationSpec extends SparkSpec {
 
   test("backstop still fails loudly when the cap is genuinely too small") {
     val e = intercept[IllegalStateException] {
-      Propagation.minLabelCounted(pathEdges(40), "doc_id", maxRounds = 2)
+      withLoopForced {
+        Propagation.minLabelCounted(pathEdges(40), "doc_id", maxRounds = 2)
+      }
     }
     assert(e.getMessage.contains("did not converge"))
   }
 
-  test("dense clique converges in 2 rounds regardless of size") {
+  test("loop converges on a dense clique in 2 rounds regardless of size") {
     val n = 12
     val dir = for (i <- 0 until n; j <- 0 until n if i != j)
       yield (i.toLong, j.toLong)
-    val r = Propagation.minLabelCounted(dir.toDF("a", "b"), "doc_id")
+    val r = withLoopForced {
+      Propagation.minLabelCounted(dir.toDF("a", "b"), "doc_id")
+    }
     assert(r.labels.where(col("label") =!= 0L).count() == 0L)
     assert(r.rounds <= 3, s"clique took ${r.rounds} rounds")
   }

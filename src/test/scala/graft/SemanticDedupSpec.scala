@@ -101,6 +101,26 @@ class SemanticDedupSpec extends SparkSpec {
     (12 until 16).foreach(s => assert(byCluster(s.toLong)._1 == s.toLong))
   }
 
+  test("cells clustering strategies agree: union-find gate vs cell-contraction + loop") {
+    // the gated corpus at the gated threshold: default conf resolves the
+    // pair graph through the single-task union-find; conf=0 pushes it
+    // down the big-graph path (per-cell contraction, then the condensed
+    // closure through the distributed round loop). Exact components both
+    // ways — the rows must be identical.
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def run() = Similarity.semanticDedupCells(emb, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val viaUnionFind = run()
+    spark.conf.set("spark.graft.components.localEdges", "0")
+    val viaContraction =
+      try run()
+      finally spark.conf.unset("spark.graft.components.localEdges")
+    assert(viaUnionFind.nonEmpty &&
+      viaUnionFind.count(_._3 == 0) > 0, "vacuous fixture: nothing clustered")
+    assert(viaContraction == viaUnionFind)
+  }
+
   test("threshold gates the graph: at cos >= 1.1 nothing clusters") {
     val rows = Similarity.semanticDedup(fixture, threshold = 1.1).collect()
     assert(rows.forall(r => r.getLong(0) == r.getLong(1) && r.getInt(2) == 1))

@@ -185,4 +185,64 @@ class StreamingDsirSpec extends SparkSpec {
     assert(e.getMessage.contains("retention-expired") &&
       e.getMessage.contains("retain"), e.getMessage)
   }
+
+  /** Strip the sweep-id markers from a checkpoint/state pair — the
+    * on-disk shape of a sweep that ran BEFORE the pairing-guard upgrade
+    * (PinMarker and commits present, no SweepMarker). */
+  private def stripSweepMarkers(dirs: String*): Unit = dirs.foreach { d =>
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(d, "graft-dsir-sweep-id"))
+  }
+
+  test("pre-upgrade checkpoint + WRONG pre-existing statePath is rejected, not silently adopted") {
+    val modelRoot = fitModel()
+    // sweep A: one batch -> checkpoint A's last committed batch id is 0
+    val stateA = Files.createTempDirectory("dsir_stateA_").toString
+    val ckptA = Files.createTempDirectory("dsir_ckptA_").toString
+    val msA = MemoryStream[(Long, String)](spark)
+    msA.addData((1L, legal))
+    StreamingDsir.start(msA.toDF().toDF("doc_id", "text"),
+      modelRoot, stateA, ckptA).awaitTermination(60000)
+    // sweep B: three restarts -> statePath B's watermark reaches 2
+    val stateB = Files.createTempDirectory("dsir_stateB_").toString
+    val ckptB = Files.createTempDirectory("dsir_ckptB_").toString
+    val msB = MemoryStream[(Long, String)](spark)
+    (10 to 12).foreach { i =>
+      msB.addData((i.toLong, recipe))
+      StreamingDsir.start(msB.toDF().toDF("doc_id", "text"),
+        modelRoot, stateB, ckptB).awaitTermination(60000)
+    }
+    // simulate the pre-upgrade on-disk state, then mispair A's
+    // checkpoint with B's statePath: watermark 2 can never belong to a
+    // checkpoint whose last committed batch is 0 (round-12 advice: this
+    // combination used to be adopted silently, and every batch at or
+    // under watermark 2 would have been skipped without a trace)
+    stripSweepMarkers(ckptA, stateA, ckptB, stateB)
+    val msC = MemoryStream[(Long, String)](spark)
+    msC.addData((20L, legal))
+    val e = intercept[IllegalStateException] {
+      StreamingDsir.start(msC.toDF().toDF("doc_id", "text"),
+        modelRoot, stateB, ckptA).awaitTermination(60000)
+    }
+    assert(e.getMessage.contains("does not pair"), e.getMessage)
+  }
+
+  test("pre-upgrade checkpoint + its OWN statePath adopts and resumes") {
+    val modelRoot = fitModel()
+    val state = Files.createTempDirectory("dsir_stateC_").toString
+    val ckpt = Files.createTempDirectory("dsir_ckptC_").toString
+    val ms = MemoryStream[(Long, String)](spark)
+    ms.addData((1L, legal))
+    StreamingDsir.start(ms.toDF().toDF("doc_id", "text"),
+      modelRoot, state, ckpt).awaitTermination(60000)
+    stripSweepMarkers(ckpt, state)
+    // the matched pair (watermark == last committed batch id) must
+    // adopt: markers re-mint and the sweep continues scoring
+    ms.addData((2L, recipe))
+    StreamingDsir.start(ms.toDF().toDF("doc_id", "text"),
+      modelRoot, state, ckpt).awaitTermination(60000)
+    val got = StreamingDsir.scores(spark, state).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L), s"adopted sweep lost batches: $got")
+  }
 }
