@@ -363,7 +363,29 @@ object Similarity {
     * only per-vector fat join is the (vec_id → its 2 supers) expansion.
     * All cosines round 6-dp, means 9-dp, ties to the smallest id — the
     * exact determinism contract of the flat quantizer chain, so the
-    * DuckDB oracle mirrors every stage. */
+    * DuckDB oracle mirrors every stage.
+    *
+    * MEMORY at extreme c (round-12 review: the child-centroid broadcast
+    * was the flat assignment's memory analog — c ∝ n/32 outgrows the
+    * driver around 10⁹ vectors): the child tables (`csup`/`ccsup`) only
+    * BROADCAST while c stays under `spark.graft.quantizer.broadcastCells`
+    * (default 131072 ≈ 70 MB at dim 64). Past the bound the same joins
+    * run as shuffle equi-joins on the super key — the super layer IS the
+    * search structure (each vector meets only its 2 supers' ~√c
+    * children, exactly the pruning FAISS gets from searching a coarse
+    * index over its own centroids), so no row ever scans all c and the
+    * per-partition working set is O(√c). Row-identical either way (same
+    * join keys, same tie-breaks; spec-pinned) — a pure physical-strategy
+    * gate, the broadcast-join pattern the engine uses everywhere. The
+    * supers table (√c rows) broadcasts unconditionally: it outgrows a
+    * broadcast only past ~10¹⁰ cells ≈ 10¹² vectors. */
+  private def maybeBroadcastCells(df: DataFrame, c: Int): DataFrame = {
+    val bound = df.sparkSession.conf
+      .getOption("spark.graft.quantizer.broadcastCells")
+      .map(_.toInt).getOrElse(131072)
+    if (c <= bound) broadcast(df) else df
+  }
+
   private def assignCellsHierarchical(embeddings: DataFrame,
       cellTarget: Int, probes: Int, materialize: Boolean): DataFrame = {
     val c = adaptiveCells(embeddings, cellTarget)
@@ -397,7 +419,7 @@ object Similarity {
     // the negated id (exactly (ccos DESC, centroid_id) order)
     val a0 = e
       .join(vsup.where(col("srn") === 1).select("vec_id", "sid"), Seq("vec_id"))
-      .join(broadcast(csup), Seq("sid"))
+      .join(maybeBroadcastCells(csup, c), Seq("sid"))
       .select(col("vec_id"),
         round(cos(embeddings)(col("embedding"), col("ce")), 6).as("ccos"),
         col("centroid_id"))
@@ -412,7 +434,7 @@ object Similarity {
       Seq("centroid_id"))
     // final: top-`probes` refined children across the vector's 2 supers
     val scored2 = e.join(vsup.select("vec_id", "sid"), Seq("vec_id"))
-      .join(broadcast(ccsup), Seq("sid"))
+      .join(maybeBroadcastCells(ccsup, c), Seq("sid"))
       .select(col("vec_id"), col("centroid_id"),
         round(cos(embeddings)(col("embedding"), col("ce")), 6).as("ccos"))
     val w2 = org.apache.spark.sql.expressions.Window
@@ -434,10 +456,12 @@ object Similarity {
     * pipeline: banded candidates are Θ(bands·n²/2^bandBits) — the
     * quadratic exponent survives any band width — while cell-local
     * candidates are ≈ probes²·cellTarget·n/2, linear in n because the
-    * quantizer GROWS with the corpus. Assignment is the standard IVF
-    * n·cells broadcast pass (at extreme scale the centroid table itself
-    * is searched via [[AnnIndex]] instead of scanned — the FAISS
-    * composition; the shuffled volume is n·probes rows either way).
+    * quantizer GROWS with the corpus. Assignment is two-level and
+    * size-gated (see [[maybeBroadcastCells]]): child centroids broadcast
+    * while they fit, and past the bound the super-key equi-join prunes
+    * exactly as FAISS's coarse-index search would — each vector meets
+    * only its 2 supers' ~√c children; the shuffled volume is n·probes
+    * rows either way.
     * Recall at near-dup cosine is probe-bounded, not band-bounded:
     * a 0.9+-cosine pair subtends a small angle relative to coarse-cell
     * diameter, so same-cell probability is high and the second probe

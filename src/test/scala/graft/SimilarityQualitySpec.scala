@@ -460,6 +460,61 @@ class SimilarityQualitySpec extends SparkSpec {
       s"(${truth.count(pairs.contains)}/${truth.size})")
   }
 
+  test("cell recall AT THE GATED THRESHOLD (0.35) vs exact all-pairs >= the banded scheme it superseded") {
+    // the round-11 band audit's stance, applied to the cell scheme: grade
+    // recall at the OPERATING point, not only at planted 0.9/0.99 cosine
+    // (cell co-membership is much weaker at 0.35, and the oracle mirrors
+    // candidates — green is by-construction, so recall needs its own
+    // exact baseline). Exact = brute-force all-pairs at the same rounded
+    // cosine; both candidate schemes must be SUBSETS of it.
+    import org.apache.spark.sql.functions._
+    val threshold = 0.35
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
+    val a = emb.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+    val b = emb.select(col("vec_id").as("d2"), col("embedding").as("e2"))
+    val exact = a.crossJoin(b).where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(graft.expressions.GraftFunctions.cosineSim(col("e1"), col("e2")), 6)
+          .as("cos"))
+      .where(col("cos") >= threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cells = Similarity.cosineNearDupCells(emb, threshold = threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Similarity.cosineNearDup(emb, threshold = threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cells.subsetOf(exact), s"cells found non-pairs: ${(cells -- exact).take(3)}")
+    assert(banded.subsetOf(exact), s"banding found non-pairs: ${(banded -- exact).take(3)}")
+    val cellsRecall = cells.size.toDouble / exact.size
+    val bandedRecall = banded.size.toDouble / exact.size
+    info(f"gated-threshold recall vs exact ${exact.size} pairs: " +
+      f"cells $cellsRecall%.3f (${cells.size}), banded $bandedRecall%.3f (${banded.size})")
+    assert(cellsRecall >= bandedRecall,
+      f"cell scheme ($cellsRecall%.3f) must not trail the banding it " +
+        f"superseded ($bandedRecall%.3f) at the gated threshold")
+    assert(exact.size > 50, s"vacuous baseline: ${exact.size} exact pairs")
+  }
+
+  test("quantizer broadcast gate: shuffle-join assignment is row-identical to the broadcast path") {
+    // round-12 review #4: the child-centroid broadcast is the flat
+    // assignment's memory cliff at extreme c. Forcing the gate (bound 1
+    // < c) must change ONLY the physical join strategy — the scored
+    // pairs, and hence everything downstream, must be identical.
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def pairs() = Similarity.cosineNearDupCells(emb, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaBroadcast = pairs()
+    spark.conf.set("spark.graft.quantizer.broadcastCells", "1")
+    val viaShuffle =
+      try pairs()
+      finally spark.conf.unset("spark.graft.quantizer.broadcastCells")
+    assert(viaBroadcast.nonEmpty)
+    assert(viaShuffle == viaBroadcast)
+  }
+
   test("cell-local candidate volume grows LINEARLY with corpus size — the sub-quadratic exponent, measured") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
