@@ -240,13 +240,29 @@ object LexIndex {
     else spark.read.parquet(StateCommit.tableDir(root, v, table))
   }
 
+  /** Generation GC runs on every commit that DROPPED generations from
+    * the manifest (compaction, rebuild — the only commits that orphan
+    * gen dirs directly) and otherwise only every `gcSweepEvery`-th
+    * version (conf `spark.graft.lex.gcSweepEvery`) as a sweeper for the
+    * retention-lag case: the snapshot preceding a compaction keeps the
+    * superseded generations referenced until IT falls out of retention,
+    * one append-only commit later, where no manifest shrinks. Append
+    * commits (ingest/upsert/delete keep every prior gen) reclaim
+    * nothing, and paying the GC pass's manifest reads + root listing on
+    * each micro-batch was the dominant constant left in lx_search_inc
+    * (round-12 #8); the sweep bounds the transient leak at
+    * `gcSweepEvery` commits' worth of superseded dirs, only ever
+    * following a compaction/rebuild. */
+  private val DefaultGcSweepEvery = 8L
+
   /** Write the metadata-sized snapshot tables and commit — shared by
     * every mutation (postings generations are written by the caller,
-    * when the mutation adds any). */
+    * when the mutation adds any). `droppedGens` = this commit removed
+    * generations from the manifest (see the GC policy above). */
   private def writeMetaTables(spark: SparkSession, root: String, v: Long,
       dfs: DataFrame, stats: DataFrame, gens: Seq[Long],
       tombstones: DataFrame, streamBatch: Option[Long] = None,
-      era: Long = 0L): Long = {
+      era: Long = 0L, droppedGens: Boolean = false): Long = {
     val s = spark
     import s.implicits._
     val meta = Seq(
@@ -261,10 +277,10 @@ object LexIndex {
     meta.coalesce(1).write.mode("overwrite")
       .parquet(StateCommit.tableDir(root, v, "meta"))
     StateCommit.commit(spark, root, v)
-    // reclaim generations no committed snapshot references — a
-    // long-running ingest stream otherwise leaks one generation
-    // directory per micro-batch forever
-    StateCommit.gcGenerations(spark, root)
+    val sweepEvery = spark.conf.getOption("spark.graft.lex.gcSweepEvery")
+      .map(_.toLong).getOrElse(DefaultGcSweepEvery)
+    if (droppedGens || (sweepEvery > 0 && v % sweepEvery == 0))
+      StateCommit.gcGenerations(spark, root)
     v
   }
 
@@ -284,7 +300,8 @@ object LexIndex {
       postings: DataFrame, docs: DataFrame, dfs: DataFrame,
       stats: DataFrame, gens: Seq[Long], nBuckets: Int,
       tombstones: DataFrame, streamBatch: Option[Long] = None,
-      era: Long = 0L, rowHint: Long = -1L): Long = {
+      era: Long = 0L, rowHint: Long = -1L,
+      droppedGens: Boolean = false): Long = {
     val buckets =
       if (rowHint < 0) nBuckets
       else math.max(1L, math.min(nBuckets.toLong,
@@ -310,7 +327,7 @@ object LexIndex {
     docs.coalesce(math.max(1, buckets / 8))
       .write.mode("overwrite").parquet(docsDir(root, v))
     writeMetaTables(spark, root, v, dfs, stats, gens, tombstones,
-      streamBatch, era)
+      streamBatch, era, droppedGens)
   }
 
   /** Build (or rebuild from scratch) the index; returns the committed
@@ -319,10 +336,14 @@ object LexIndex {
     * new [[buildEra]]. */
   def build(spark: SparkSession, documents: DataFrame, root: String,
       nBuckets: Int = 32): Long = {
-    val v = StateCommit.currentVersion(spark, root).getOrElse(0L) + 1
+    val prior = StateCommit.currentVersion(spark, root)
+    val v = prior.getOrElse(0L) + 1
     val (postings, docs, dfs, stats, nPost) = batchParts(documents)
+    // a REBUILD over an existing root drops every prior generation from
+    // the manifest — GC immediately; a fresh build has nothing to drop
     writeSnapshot(spark, root, v, postings, docs, dfs, stats, Seq(v),
-      nBuckets, emptyTombstones(spark), era = v, rowHint = nPost)
+      nBuckets, emptyTombstones(spark), era = v, rowHint = nPost,
+      droppedGens = prior.nonEmpty)
   }
 
   /** Fold a batch of NEW documents into the index WITHOUT rescanning
@@ -640,7 +661,7 @@ object LexIndex {
     val hint = stats.head().getLong(1)
     writeSnapshot(spark, root, v, postings, docs, dfs, stats, Seq(v),
       nBuckets, emptyTombstones(spark), streamBatchOf(spark, root, prev),
-      eraOf(spark, root, prev), rowHint = hint)
+      eraOf(spark, root, prev), rowHint = hint, droppedGens = true)
   }
 
   /** BM25 top-k for a bag of query terms: (doc_id, score_micro, rank).

@@ -937,13 +937,29 @@ object Similarity {
     * so the composed min is the component's global min id. */
   private def cellContractLabels(assigned: DataFrame, pairs: DataFrame,
       materialize: Boolean, maxRounds: Int): DataFrame = {
+    val local = cellLocalLabels(assigned, pairs, materialize)
+    val condensed = bridgeEdges(local, materialize)
+    val glab = Propagation
+      .minLabel(condensed, "label_local", 0, materialize, maxRounds)
+      .select(col("label_local"), col("label").as("glabel"))
+    local.join(glab, Seq("label_local"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("glabel"), col("label_local")).as("label"))
+      .groupBy("vec_id").agg(min(col("label")).as("label"))
+  }
+
+  /** Phase A of [[cellContractLabels]]: (vec_id, label_local) — each
+    * vector's per-cell component minimum, one bounded union-find per
+    * cell. */
+  private def cellLocalLabels(assigned: DataFrame, pairs: DataFrame,
+      materialize: Boolean): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val pc = pairs
       .join(assigned.select(col("vec_id").as("d1"), col("cell")), Seq("d1"))
       .join(assigned.select(col("vec_id").as("d2"), col("cell")),
         Seq("d2", "cell"))
-    val local = Stage.snap(
+    Stage.snap(
       pc.select(col("cell").cast("long"), col("d1").cast("long"),
           col("d2").cast("long"))
         .as[(Long, Long, Long)]
@@ -953,22 +969,51 @@ object Similarity {
         .toDF("vec_id", "label_local")
         .distinct(),
       materialize)
+  }
+
+  /** Phase B input of [[cellContractLabels]]: symmetric condensed edges
+    * — one star per vector spanning cells, from its smallest local
+    * label to the rest. */
+  private def bridgeEdges(local: DataFrame,
+      materialize: Boolean): DataFrame = {
     val bridges = local.groupBy("vec_id")
       .agg(min(col("label_local")).as("m"),
         collect_set(col("label_local")).as("ls"))
       .select(col("m"), explode(col("ls")).as("o"))
       .where(col("o") =!= col("m"))
-    val condensed = Stage.snap(
+    Stage.snap(
       bridges.select(col("m").as("a"), col("o").as("b"))
         .unionByName(bridges.select(col("o").as("a"), col("m").as("b"))),
       materialize)
-    val glab = Propagation
-      .minLabel(condensed, "label_local", 0, materialize, maxRounds)
-      .select(col("label_local"), col("label").as("glabel"))
-    local.join(glab, Seq("label_local"), "left_outer")
-      .select(col("vec_id"),
-        coalesce(col("glabel"), col("label_local")).as("label"))
-      .groupBy("vec_id").agg(min(col("label")).as("label"))
+  }
+
+  /** Dev diagnostic (SCALE.md's rounds/size table — not a gated query):
+    * the cell-contraction path's stage sizes and the condensed loop's
+    * round count, computed with the union-find gate DISABLED so the
+    * distributed loop's behavior is what's measured. */
+  private[graft] def cellContractionStats(embeddings: DataFrame,
+      cellTarget: Int = 32, probes: Int = 2,
+      threshold: Double = 0.35): Map[String, Long] = {
+    val (assigned, pairs) = cosineNearDupCellsParts(embeddings, cellTarget,
+      probes, threshold, materialize = true)
+    val p = Stage.snap(pairs.select("d1", "d2"), materialize = true)
+    val local = cellLocalLabels(assigned, p, materialize = true)
+    val condensed = bridgeEdges(local, materialize = true)
+    val spark = embeddings.sparkSession
+    val prev = spark.conf.getOption("spark.graft.components.localEdges")
+    spark.conf.set("spark.graft.components.localEdges", "0")
+    val labeled =
+      try Propagation.minLabelCounted(condensed, "label_local")
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.graft.components.localEdges", v)
+        case None => spark.conf.unset("spark.graft.components.localEdges")
+      }
+    Map(
+      "pairs" -> p.count(),
+      "local_rows" -> local.count(),
+      "local_components" -> local.select("label_local").distinct().count(),
+      "condensed_edges" -> condensed.count(),
+      "condensed_rounds" -> labeled.rounds.toLong)
   }
 
   /** Shared clustering tail: component labels over the paired vertex

@@ -234,12 +234,44 @@ class LexIndexSpec extends SparkSpec {
     assert(gens().contains("gen-1"), "retained snapshot's generations must survive")
 
     // the next mutation pushes snap-3 past the retention horizon — the
-    // superseded generations become unreachable and GC
-    LexIndex.ingest(spark, docs.where(col("doc_id") % 3 === 0)
-      .withColumn("doc_id", col("doc_id") + 1000000), root)
-    assert(gens() == Seq("gen-4", "gen-5"), gens().toString)
+    // superseded generations become unreachable. Round 13: append
+    // commits defer the reclaim pass to the periodic sweep
+    // (spark.graft.lex.gcSweepEvery — GC ran on every micro-batch where
+    // append-only manifests can never orphan a generation); sweep-every-1
+    // restores the per-commit behavior this test pins.
+    spark.conf.set("spark.graft.lex.gcSweepEvery", "1")
+    try {
+      LexIndex.ingest(spark, docs.where(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000), root)
+      assert(gens() == Seq("gen-4", "gen-5"), gens().toString)
+    } finally spark.conf.unset("spark.graft.lex.gcSweepEvery")
 
     // and the index still answers from what remains
+    assert(LexIndex.search(spark, root, Seq("vector"), k = 5).count() == 5)
+  }
+
+  test("GC sweep policy: append commits defer the reclaim; the sweep and drop-commits still collect") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("lex_gcsweep_").toString
+    LexIndex.build(spark, docs.where(col("doc_id") % 3 === 0), root)   // v1
+    LexIndex.ingest(spark, docs.where(col("doc_id") % 3 === 1), root)  // v2
+    def gens() = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .map(_.getName).sorted.toSeq
+    LexIndex.compactGenerations(spark, root)                           // v3 = drop-commit: GCs
+    // v3's GC keeps gen-1/2 (still referenced by retained snap-2)
+    assert(gens() == Seq("gen-1", "gen-2", "gen-3"), gens().toString)
+    // v4 append: snap-2 leaves retention, gen-1/2 orphan — but the
+    // append defers the pass (bounded transient leak, by design)
+    LexIndex.ingest(spark, docs.where(col("doc_id") % 3 === 2)
+      .withColumn("doc_id", col("doc_id") + 500000), root)
+    assert(gens().contains("gen-1"),
+      "append commit should have deferred the GC pass")
+    // ...and the next drop-commit (or the v%sweepEvery==0 sweep) reclaims
+    LexIndex.compactGenerations(spark, root)                           // v5
+    val after = gens()
+    assert(!after.contains("gen-1") && !after.contains("gen-2"),
+      s"drop-commit failed to sweep the orphans: $after")
     assert(LexIndex.search(spark, root, Seq("vector"), k = 5).count() == 5)
   }
 
