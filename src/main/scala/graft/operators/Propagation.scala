@@ -62,6 +62,51 @@ object Propagation {
       .getOption("spark.graft.components.localEdges")
       .map(_.toLong).getOrElse(DefaultLocalEdgeBound)
 
+  /** Open-addressing long→long map (power-of-2 capacity, linear
+    * probing, amortized-doubling) — the union-find's parent store. A
+    * boxed HashMap costs ~60 B/entry (≈1 GB at the 8M-edge bound's
+    * worst-case 16M vertices); two parallel long arrays cost 16 B/entry
+    * (≈256 MB worst case, ~32 MB typical), which is what makes the
+    * single-task gate honest. Keys must not be Long.MinValue (the empty
+    * slot marker; vec/doc ids are non-negative). */
+  private final class LongLongMap(initialCap: Int) {
+    private val Empty = Long.MinValue
+    private var cap = Integer.highestOneBit(math.max(16, initialCap) * 2 - 1) << 1
+    private var keys = Array.fill(cap)(Empty)
+    private var vals = new Array[Long](cap)
+    private var n = 0
+    private def slot(k: Long): Int = {
+      // splitmix64 finalizer — avalanches sequential ids
+      var h = k * -7046029254386353131L
+      h = (h ^ (h >>> 32)) * -4658895280553007687L
+      var i = ((h ^ (h >>> 32)) & (cap - 1)).toInt
+      while (keys(i) != Empty && keys(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+    def getOrElse(k: Long, dflt: Long): Long = {
+      val i = slot(k); if (keys(i) == Empty) dflt else vals(i)
+    }
+    def contains(k: Long): Boolean = keys(slot(k)) != Empty
+    def put(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (keys(i) == Empty) {
+        keys(i) = k; vals(i) = v; n += 1
+        if (n * 2 > cap) grow()
+      } else vals(i) = v
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap <<= 1; keys = Array.fill(cap)(Empty); vals = new Array[Long](cap); n = 0
+      var i = 0
+      while (i < ok.length) { if (ok(i) != Empty) put(ok(i), ov(i)); i += 1 }
+    }
+    def size: Int = n
+    def foreachKey(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < keys.length) { if (keys(i) != Empty) f(keys(i)); i += 1 }
+    }
+  }
+
   /** In-memory exact union-find over an edge iterator → (vertex, min id
     * of its component) — the sequential core shared by [[unionFindLocal]]
     * (whole graph, one coalesced task) and the cell-contraction phase
@@ -69,23 +114,24 @@ object Propagation {
     * root at the smaller, so every root IS its component's minimum. */
   private[operators] def unionFind(
       it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
-    val parent = new java.util.HashMap[Long, Long]()
+    val parent = new LongLongMap(1024)
     def find(x: Long): Long = {
       var r = x
-      while (parent.get(r) != r) r = parent.get(r)
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
       var c = x
-      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      while (parent.getOrElse(c, c) != r) {
+        val nx = parent.getOrElse(c, c); parent.put(c, r); c = nx
+      }
       r
     }
     it.foreach { case (a, b) =>
-      if (!parent.containsKey(a)) parent.put(a, a)
-      if (!parent.containsKey(b)) parent.put(b, b)
+      if (!parent.contains(a)) parent.put(a, a)
+      if (!parent.contains(b)) parent.put(b, b)
       val ra = find(a); val rb = find(b)
       if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
     }
     val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
-    val ks = parent.keySet().iterator()
-    while (ks.hasNext) { val v = ks.next(); out += ((v, find(v))) }
+    parent.foreachKey(v => out += ((v, find(v))))
     out.iterator
   }
 
