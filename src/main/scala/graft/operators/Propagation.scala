@@ -3,15 +3,23 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Shared min-label propagation over a symmetric edge set — the
+/** Shared min-label components over a symmetric edge set — the
   * connected-components core behind BOTH dedup engines
   * ([[Dedup.lshComponents]], lexical MinHash pair graph) and
-  * [[Similarity.semanticDedup]] (embedding-cosine pair graph). One loop,
-  * one convergence contract, one backstop: convergence work lands once
-  * instead of drifting between the two files (the round-10 state — the
-  * lexical side was convergence-driven while the semantic side silently
-  * kept a fixed 3-round cap, the exact under-clustering defect the
-  * fixpoint had just fixed lexically).
+  * [[Similarity.semanticDedup]] (embedding-cosine pair graph). One
+  * entry point, one convergence contract, one backstop: convergence
+  * work lands once instead of drifting between the two files (the
+  * round-10 state — the lexical side was convergence-driven while the
+  * semantic side silently kept a fixed 3-round cap, the exact
+  * under-clustering defect the fixpoint had just fixed lexically).
+  *
+  * Since round 13 the physical strategy is SIZE-GATED (the
+  * broadcast-join pattern): an edge set at or under
+  * [[DefaultLocalEdgeBound]] resolves through an exact single-task
+  * union-find — one job — because the distributed loop's cost at small
+  * scale is pure scheduler constant (~4 shuffle stages + an action per
+  * round) times a round count that grows as ~log_φ(diameter) on
+  * chain-heavy graphs. The loop below remains the past-the-bound path.
   *
   * `rounds <= 0` (the production default) iterates until a round changes
   * no label — exact connected components at ANY chain depth, capped at
@@ -51,10 +59,11 @@ object Propagation {
     * — and a chain-heavy pair graph needs ~log_φ(diameter) rounds (the
     * round-12 semdedup regression: 19 rounds × ~2.4 s on a 2,324-edge
     * graph). Union-find over one coalesced partition is exact, one job,
-    * and at 8M edges costs ~10⁸ find steps and ~200 MB on one executor
-    * thread — far below an executor's working set. Past the bound the
-    * distributed loop (and, on the cell path, cell-local contraction
-    * first) carries the 100 TB posture. */
+    * and at 8M edges costs ~10⁸ find steps on one executor thread with
+    * a 16 B/vertex primitive parent map (≈256 MB at the worst-case 16M
+    * vertices, ~32 MB typical) — inside an executor's working set. Past
+    * the bound the distributed loop (and, on the cell path, cell-local
+    * contraction first) carries the 100 TB posture. */
   val DefaultLocalEdgeBound = 8000000L
 
   private[operators] def localEdgeBound(edges: DataFrame): Long =
