@@ -212,6 +212,19 @@ class PlanInvariantsSpec extends SparkSpec {
       s"expected 1 parquet scan (isolated-doc union), got $scans\n$p")
   }
 
+  test("sim_semdedup: labels come from the snapped components stage — one parquet scan in the final plan") {
+    // round 13: the clustering tail reads the size-gated component
+    // labels and the snapped pair set; only the isolated-vector union
+    // may scan the embeddings parquet (exactly once). A second scan
+    // means some consumer re-derives the candidate chain (the r12
+    // regression's double-evaluation shape).
+    val df = SparkEntry.queries("sim_semdedup")(spark, sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans == 1,
+      s"expected 1 parquet scan (isolated-vector union), got $scans\n$p")
+  }
+
   test("j7_asof: ONE key shuffle — union-and-window, no inequality join") {
     val p = planOf("j7_asof")
     // formatted mode lists the partitioning on the Exchange's detail line
