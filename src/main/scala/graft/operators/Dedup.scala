@@ -274,8 +274,10 @@ object Dedup {
       cosThreshold: Double = 0.35): DataFrame = {
     val text = minhashLshPairs(documents)
       .select(col("d1"), col("d2"), lit(1).as("t"))
-    val sem = Similarity.cosineNearDupCells(embeddings,
-        threshold = cosThreshold)
+    // unsorted pair form: the pairs feed a join, where an interior
+    // global sort is pure waste (the r12 clustering lesson)
+    val sem = Similarity.cosineNearDupCellsParts(embeddings, 32, 2,
+        cosThreshold, materialize = true)._2
       .select(col("d1"), col("d2"), lit(1).as("s"))
     text.join(sem, Seq("d1", "d2"), "full_outer")
       .select(when(col("t").isNotNull && col("s").isNotNull, "both")
