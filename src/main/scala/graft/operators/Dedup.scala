@@ -483,20 +483,23 @@ object Dedup {
       k: Int = 16, r: Int = 4, rounds: Int = 0,
       materialize: Boolean = true,
       maxRounds: Int = MaxPropagationRounds): DataFrame = {
-    val pairs = minhashLshPairs(documents, k, r)
-    // Materialize the candidate edges ONCE: every propagation round joins
-    // against them and the final isolated-doc anti-join reads their vertex
-    // set — without a stage boundary the shingle→minhash→LSH pipeline
-    // re-runs per reference (r3: dd_components spent ~4 s mostly
-    // re-deriving it). The edge set is the near-dup subgraph only — tiny
-    // relative to the corpus — so the snapshot is cheap. localCheckpoint
-    // (not persist) deliberately: it cuts lineage eagerly and bypasses the
-    // CacheManager, so repeated builds never alias each other's cache; a
-    // multi-executor pipeline would checkpoint to reliable storage.
-    val edges = Stage.snap(
-      pairs.select(col("d1").as("a"), col("d2").as("b"))
-        .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b"))),
-      materialize)
+    // Materialize the candidate PAIRS once: every propagation round
+    // joins against the edges, the final isolated-doc anti-join reads
+    // their vertex set — without a stage boundary the shingle→minhash→
+    // LSH pipeline re-runs per reference (r3: dd_components spent ~4 s
+    // mostly re-deriving it). Snapping the pairs BEFORE the symmetric
+    // union (r13, the semdedup lesson): the union consumes its input
+    // once per branch, so snapping the union instead ran the whole
+    // minhash chain twice inside the snapshot job. The pair set is the
+    // near-dup subgraph only — tiny relative to the corpus — so the
+    // snapshot is cheap. localCheckpoint (not persist) deliberately: it
+    // cuts lineage eagerly and bypasses the CacheManager, so repeated
+    // builds never alias each other's cache; a multi-executor pipeline
+    // would checkpoint to reliable storage.
+    val pairs = Stage.snap(
+      minhashLshPairs(documents, k, r).select("d1", "d2"), materialize)
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
     // Propagate over the pair-graph VERTEX set only — at corpus scale the
     // docs that matched any LSH band are a small fraction, so the join
     // rounds run on the near-dup subgraph, not the whole corpus. Isolated

@@ -47,19 +47,25 @@ class PropagationSpec extends SparkSpec {
     assert(labels.length == 60 && labels.forall(_._2 == 0L))
   }
 
-  test("union-find and the distributed loop agree on a seeded random graph") {
-    val rnd = new scala.util.Random(13)
-    val dir = (0 until 400).map(_ =>
-      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
-      .filter { case (a, b) => a != b }
-    val edges = (dir ++ dir.map(_.swap)).toDF("a", "b")
-    val uf = Propagation.minLabel(edges, "doc_id")
-      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
-    val loop = withLoopForced {
-      Propagation.minLabel(edges, "doc_id")
+  test("union-find and the distributed loop agree across seeded random graphs") {
+    // three regimes: sparse (mostly chains/trees), near the phase
+    // transition (one giant component), dense (few components) — the
+    // shapes where a components bug would hide differently
+    for ((seed, nEdges, nVerts) <- Seq((13, 400, 120), (101, 90, 150),
+        (7, 1200, 80))) {
+      val rnd = new scala.util.Random(seed)
+      val dir = (0 until nEdges).map(_ =>
+        (rnd.nextInt(nVerts).toLong, rnd.nextInt(nVerts).toLong))
+        .filter { case (a, b) => a != b }
+      val edges = (dir ++ dir.map(_.swap)).toDF("a", "b")
+      val uf = Propagation.minLabel(edges, "doc_id")
         .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val loop = withLoopForced {
+        Propagation.minLabel(edges, "doc_id")
+          .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      }
+      assert(uf == loop, s"strategies diverged at seed $seed")
     }
-    assert(uf == loop)
   }
 
   test("fixpoint is exact on a multi-component graph of paths, stars and edges") {
