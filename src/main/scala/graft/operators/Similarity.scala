@@ -976,15 +976,17 @@ object Similarity {
     * label to the rest. */
   private def bridgeEdges(local: DataFrame,
       materialize: Boolean): DataFrame = {
-    val bridges = local.groupBy("vec_id")
-      .agg(min(col("label_local")).as("m"),
-        collect_set(col("label_local")).as("ls"))
-      .select(col("m"), explode(col("ls")).as("o"))
-      .where(col("o") =!= col("m"))
-    Stage.snap(
-      bridges.select(col("m").as("a"), col("o").as("b"))
-        .unionByName(bridges.select(col("o").as("a"), col("m").as("b"))),
+    // snap the stars BEFORE the symmetric union (the same both-branches
+    // rule as every pair snapshot in this file)
+    val bridges = Stage.snap(
+      local.groupBy("vec_id")
+        .agg(min(col("label_local")).as("m"),
+          collect_set(col("label_local")).as("ls"))
+        .select(col("m"), explode(col("ls")).as("o"))
+        .where(col("o") =!= col("m")),
       materialize)
+    bridges.select(col("m").as("a"), col("o").as("b"))
+      .unionByName(bridges.select(col("o").as("a"), col("m").as("b")))
   }
 
   /** Dev diagnostic (SCALE.md's rounds/size table — not a gated query):
