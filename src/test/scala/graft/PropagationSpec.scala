@@ -68,6 +68,38 @@ class PropagationSpec extends SparkSpec {
     }
   }
 
+  test("union-find at scale: 60k-vertex permuted path + disjoint cliques, exact against ground truth") {
+    // stresses the primitive parent map through several capacity grows
+    // and deep path compression — the regimes the small specs never
+    // reach. Ground truth is known by construction (no reference
+    // implementation to drift against): a PATH over a seeded permutation
+    // of [0, 60000) is one component labeled by the global min; 100
+    // disjoint 40-cliques over a shifted id space each label by their
+    // own min.
+    val n = 60000
+    val perm = new scala.util.Random(97).shuffle((0 until n).toVector)
+      .map(_.toLong + 1000000L) // offset: min is NOT the first insert
+    val pathDir = (0 until n - 1).map(i => (perm(i), perm(i + 1)))
+    val cliqueDir = for {
+      c <- 0 until 100; i <- 0 until 40; j <- 0 until 40 if i < j
+    } yield (5000000L + c * 100 + i, 5000000L + c * 100 + j)
+    // symmetric for the minLabel contract; the gate dispatches to the
+    // union-find (asserted via rounds == 1)
+    val dir = pathDir ++ cliqueDir
+    val edges = (dir ++ dir.map(_.swap)).toDF("a", "b")
+    val r = Propagation.minLabelCounted(edges, "doc_id")
+    assert(r.rounds == 1, s"gate missed at 128k edges: ${r.rounds} rounds")
+    val labels = r.labels
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(labels.size == n + 4000)
+    val pathMin = perm.min
+    perm.foreach(v => assert(labels(v) == pathMin, s"path vertex $v"))
+    for (c <- 0 until 100; i <- 0 until 40) {
+      val v = 5000000L + c * 100 + i
+      assert(labels(v) == 5000000L + c * 100, s"clique $c vertex $v")
+    }
+  }
+
   test("fixpoint is exact on a multi-component graph of paths, stars and edges") {
     // components: {0..4} path, {10,11,12} star on 11, {20,21} edge
     val dir = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
