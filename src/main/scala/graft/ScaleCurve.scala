@@ -30,6 +30,9 @@ object ScaleCurve {
     "dd_index_query",
     "sim_topk", "sim_ivf_kmeans", "sim_pq_topk", "sim_ivfpq_topk",
     "sim_ann_store", "sim_annpq_store", "sim_annpq_rerank", "sim_semdedup",
+    // round 13: the rest of the semdedup trio + the candidate chain, so
+    // the next curve covers what the r12 verdict had to measure ad-hoc
+    "sim_near_dup", "sim_semdedup_apply", "sim_semdedup_priority",
     "lx_search", "lx_search_inc", "lx_search_del", "lx_search_upd",
     "ta_release",
     // round-11 final session: the selection family + banded near-dup
