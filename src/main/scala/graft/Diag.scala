@@ -1,13 +1,15 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.operators.Similarity
+import org.apache.spark.sql.functions._
 
-/** Dev diagnostic: wall-time and structural breakdown of the SemDeDup
-  * cell-clustering strategies (round-13 perf work; feeds SCALE.md's
-  * rounds table). Not a gated artifact.
-  *
-  * args: [sfDir] — e.g. /root/testdata/sf0.1 or a MakeScale output. */
+import graft.operators.{AnnIndexPq, Similarity}
+
+/** Scratch profiler main — per-round staged timings for whatever family
+  * is under the knife (not part of the driver surface; SCALE.md quotes
+  * its numbers with the round they were taken in). Round 13: where does
+  * sim_annpq_store's ~2.7 s-per-iteration actually go — training,
+  * codes write, or commit? */
 object Diag {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -24,19 +26,29 @@ object Diag {
     }
     val emb = graft.catalog.Catalog.embeddings(spark, dir)
     t("warm count")(emb.count())
-    t("semanticDedupCells (union-find)") {
-      Similarity.semanticDedupCells(emb, threshold = 0.35).count()
+    t("ivfPqEncode (training+encode only)") {
+      Similarity.ivfPqEncode(emb).count()
     }
-    spark.conf.set("spark.graft.components.localEdges", "0")
-    t("semanticDedupCells (contraction)") {
-      try Similarity.semanticDedupCells(emb, threshold = 0.35).count()
-      finally spark.conf.unset("spark.graft.components.localEdges")
+    t("ivfPqEncode again (warm)") {
+      Similarity.ivfPqEncode(emb).count()
     }
-    val stats = t("cellContractionStats") {
-      Similarity.cellContractionStats(emb)
+    val root = java.nio.file.Files.createTempDirectory("graft_diag_pq").toString
+    t("AnnIndexPq.build (total)") {
+      AnnIndexPq.build(emb, root)
     }
-    stats.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      println(s"DIAG stat $k = $v")
+    val q = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    t("AnnIndexPq.search (cold)") {
+      AnnIndexPq.search(spark, root, q, nProbes = 2, k = 5)
+        .queryExecution.toRdd.count()
+    }
+    t("AnnIndexPq.search (warm)") {
+      AnnIndexPq.search(spark, root, q, nProbes = 2, k = 5)
+        .queryExecution.toRdd.count()
+    }
+    t("searchRerank (warm)") {
+      AnnIndexPq.searchRerank(spark, root, q, emb, nProbes = 2, k = 5,
+        poolK = 20).queryExecution.toRdd.count()
     }
     spark.stop()
   }

@@ -18,10 +18,15 @@ import graft.streaming.StateCommit
   *
   * {{{
   *   root/CURRENT              — StateCommit pointer: the committed version
-  *   root/snap-v/centroids/    — snapshot v's coarse quantizer (nCells rows)
-  *   root/snap-v/manifest/     — snapshot v's live-cell map: (cell, gen)
+  *   root/snap-v/meta/         — ONE parquet folding the four logical
+  *                               metadata tables (centroids, live-cell
+  *                               manifest, stats, drift log),
+  *                               discriminated by column `t`
   *   root/gen-v/cell=C/        — IMMUTABLE data files written by mutation v
   * }}}
+  * (pre-fold snapshots carried per-table dirs — centroids/ manifest/
+  * stats/ drift/ — and stay readable via the folded-first fallback in
+  * `metaTable`)
   *
   * Every mutation ([[build]]/[[upsert]]/[[delete]]/[[compact]]) writes
   * its touched cells as a fresh `gen-v` directory that nothing
@@ -71,6 +76,83 @@ object AnnIndex {
   private def cellDir(root: String, gen: Long, cell: String) =
     s"${genPath(root, gen)}/cell=$cell"
 
+  /** Column superset of the four logical metadata tables — every commit
+    * folds them into ONE `meta` parquet (discriminated by column `t`),
+    * the [[LexIndex]]/[[AnnIndexPq]] folded-commit layout: four
+    * per-table coalesce(1) writes per mutation were four driver-side
+    * committer rounds of pure flat cost. Readers ([[metaTable]]) take
+    * folded-first with the per-table directory as the pre-fold
+    * fallback; [[StateCommit.gcGenerations]] already consults the
+    * folded manifest by the same precedence. */
+  private val MetaCols: Seq[(String, String)] = Seq(
+    "centroid_id" -> "long", "ce" -> "array<double>",
+    "cell" -> "string", "gen" -> "long",
+    "build_mean_cos" -> "double", "n" -> "long",
+    "seq" -> "long", "mean_cos" -> "double")
+
+  private def toMetaRows(t: String, df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    df.select(lit(t).as("t") +: MetaCols.map { case (c, tp) =>
+      (if (have(c)) col(c) else lit(null)).cast(tp).as(c)
+    }: _*)
+  }
+
+  /** Read one logical meta table of snapshot `v`: folded layout first,
+    * per-table directory as the fallback for snapshots written by older
+    * code. */
+  private[graft] def metaTable(spark: SparkSession, root: String,
+      v: Long, table: String): DataFrame = {
+    val cols: Seq[String] = table match {
+      case Centroids => Seq("centroid_id", "ce")
+      case Manifest => Seq("cell", "gen")
+      case Stats => Seq("build_mean_cos", "n")
+      case Drift => Seq("seq", "n", "mean_cos")
+    }
+    val metaPath = new Path(StateCommit.tableDir(root, v, "meta"))
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaPath))
+      spark.read.parquet(metaPath.toString)
+        .where(col("t") === table)
+        .select(cols.map(col): _*)
+    else spark.read.parquet(StateCommit.tableDir(root, v, table))
+  }
+
+  /** GC deferral — see [[AnnIndexPq]]: reclaim on generation-dropping
+    * commits plus a periodic sweep (`spark.graft.ann.gcSweepEvery`). */
+  private val DefaultGcSweepEvery = 8L
+
+  /** Write the folded metadata snapshot and commit; GC per the policy
+    * above. `droppedGens` = this commit removed generations from the
+    * manifest. */
+  private def writeMeta(spark: SparkSession, root: String, v: Long,
+      centroids: DataFrame, entries: Seq[(String, Long)],
+      stats: DataFrame, drift: Seq[(Long, Long, Double)],
+      droppedGens: Boolean): Unit = {
+    val s = spark; import s.implicits._
+    val meta = Seq(
+      toMetaRows(Centroids, centroids),
+      toMetaRows(Manifest, entries.toDF("cell", "gen")),
+      toMetaRows(Stats, stats),
+      toMetaRows(Drift, drift.toDF("seq", "n", "mean_cos"))
+    ).reduce(_.unionByName(_))
+    meta.coalesce(1).write.mode("overwrite")
+      .parquet(StateCommit.tableDir(root, v, "meta"))
+    StateCommit.commit(spark, root, v)
+    val sweepEvery = spark.conf.getOption("spark.graft.ann.gcSweepEvery")
+      .map(_.toLong).getOrElse(DefaultGcSweepEvery)
+    if (droppedGens || (sweepEvery > 0 && v % sweepEvery == 0))
+      StateCommit.gcGenerations(spark, root)
+  }
+
+  /** Stats rows of snapshot `v` (0 or 1 rows; tolerates pre-monitor
+    * snapshots, where the per-table fallback directory is absent). */
+  private def statsRows(spark: SparkSession, root: String,
+      v: Long): DataFrame = {
+    val s = spark; import s.implicits._
+    Try(metaTable(spark, root, v, Stats)).getOrElse(
+      Seq.empty[(Double, Long)].toDF("build_mean_cos", "n"))
+  }
+
   /** The committed snapshot version; mutations bump it by one. */
   def version(spark: SparkSession, root: String): Long =
     StateCommit.currentVersion(spark, root).getOrElse(
@@ -79,76 +161,24 @@ object AnnIndex {
 
   /** The committed coarse quantizer (broadcast-sized). */
   def centroids(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(
-      StateCommit.tableDir(root, version(spark, root), Centroids))
+    metaTable(spark, root, version(spark, root), Centroids)
 
   /** Snapshot v's live-cell map: cell (as the partition-directory
     * string) -> generation holding its current rows. nCells rows. */
   private def entriesOf(spark: SparkSession, root: String,
       v: Long): Seq[(String, Long)] =
-    spark.read.parquet(StateCommit.tableDir(root, v, Manifest))
+    metaTable(spark, root, v, Manifest)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
 
-  private def writeManifest(spark: SparkSession, root: String, v: Long,
-      entries: Seq[(String, Long)]): Unit = {
-    val s = spark; import s.implicits._
-    entries.toDF("cell", "gen").coalesce(1)
-      .write.mode("overwrite")
-      .parquet(StateCommit.tableDir(root, v, Manifest))
-  }
-
-  /** Centroids are immutable between rebuilds, but every snapshot
-    * carries its own copy (nCells rows — metadata-sized) so the
-    * pointer swap publishes quantizer + contents together. */
-  private def carryCentroids(spark: SparkSession, root: String,
-      from: Long, to: Long): Unit =
-    spark.read.parquet(StateCommit.tableDir(root, from, Centroids))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(StateCommit.tableDir(root, to, Centroids))
-
-  /** Build-time assignment quality (one row: mean cosine of every
-    * vector to its assigned centroid, and the corpus size) — the
-    * reference point the drift monitor compares upsert batches to. */
-  private def writeStats(spark: SparkSession, root: String, v: Long,
-      meanCos: Double, n: Long): Unit = {
-    val s = spark; import s.implicits._
-    Seq((meanCos, n)).toDF("build_mean_cos", "n").coalesce(1)
-      .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Stats))
-  }
-
-  /** One row per upsert since the last build (seq, n, mean_cos) —
-    * reset by [[build]], carried forward by every other mutation;
-    * metadata-sized always. */
-  private def writeDrift(spark: SparkSession, root: String, v: Long,
-      rows: Seq[(Long, Long, Double)]): Unit = {
-    val s = spark; import s.implicits._
-    rows.toDF("seq", "n", "mean_cos").coalesce(1)
-      .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Drift))
-  }
-
+  /** The drift log: one row per upsert since the last build
+    * (seq, n, mean_cos) — reset by [[build]], carried forward by every
+    * other mutation; metadata-sized always. */
   private def readDrift(spark: SparkSession, root: String,
       v: Long): Seq[(Long, Long, Double)] =
-    scala.util.Try(
-        spark.read.parquet(StateCommit.tableDir(root, v, Drift))
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-          .toSeq.sortBy(_._1))
+    Try(metaTable(spark, root, v, Drift)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sortBy(_._1))
       .getOrElse(Seq.empty)
-
-  /** Carry the stats row and the drift log from snapshot `from` into
-    * snapshot `to`, optionally appending one drift row for the
-    * mutation creating `to`. */
-  private def carryMonitor(spark: SparkSession, root: String,
-      from: Long, to: Long,
-      appendDrift: Option[(Long, Double)] = None): Unit = {
-    scala.util.Try {
-      spark.read.parquet(StateCommit.tableDir(root, from, Stats))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(StateCommit.tableDir(root, to, Stats))
-    }
-    writeDrift(spark, root, to,
-      readDrift(spark, root, from) ++
-        appendDrift.map { case (n, m) => (to, n, m) })
-  }
 
   /** Mean assignment cosine + row count of a scored assignment. */
   private def meanCosOf(scored: DataFrame): (Double, Long) = {
@@ -171,15 +201,6 @@ object AnnIndex {
       .map(_.getPath.getName.stripPrefix("cell="))
       .sorted
   }
-
-  /** Drop generation directories no longer referenced by any surviving
-    * snapshot manifest. [[StateCommit.commit]] GCs snapshots older than
-    * the one just superseded (the previous survives one round for
-    * in-flight readers), so a generation dies one commit after its last
-    * reference does. */
-  /** Shared fail-safe reclaim — see [[StateCommit.gcGenerations]]. */
-  private def gcGenerations(spark: SparkSession, root: String): Unit =
-    StateCommit.gcGenerations(spark, root)
 
   private def emptyVectors(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
@@ -231,11 +252,15 @@ object AnnIndex {
     * side — and replaces the whole manifest in one commit. */
   def build(embeddings: DataFrame, root: String, nCells: Int = 8): Unit = {
     val spark = embeddings.sparkSession
-    val v = StateCommit.currentVersion(spark, root).getOrElse(0L) + 1
-    Similarity.trainCentroids(embeddings, nCells)
-      .write.mode("overwrite")
-      .parquet(StateCommit.tableDir(root, v, Centroids))
-    val cents = spark.read.parquet(StateCommit.tableDir(root, v, Centroids))
+    val prior = StateCommit.currentVersion(spark, root)
+    val v = prior.getOrElse(0L) + 1
+    // pin the trained values once: the assignment pass and the folded
+    // metadata write below read the SAME materialized centroids, and
+    // parquet round-trips the 9-dp-rounded doubles exactly, so build
+    // and search rank against bit-identical values (the invariant the
+    // pre-fold code got from writing + re-reading the table)
+    val cents = Similarity.trainCentroids(embeddings, nCells)
+      .localCheckpoint()
     val scored = Similarity.assignCellsScored(embeddings, cents)
     scored.drop("ccos")
       .write.mode("overwrite").partitionBy("cell")
@@ -243,12 +268,15 @@ object AnnIndex {
     // build-time assignment quality: the drift monitor's reference point
     // (one extra broadcast-assignment pass — metadata-cheap vs the write)
     val (buildMean, n) = meanCosOf(scored)
-    writeStats(spark, root, v, buildMean, n)
-    writeDrift(spark, root, v, Seq.empty) // a rebuild resets the log
-    writeManifest(spark, root, v,
-      listCellDirs(spark, genPath(root, v)).map(_ -> v))
-    StateCommit.commit(spark, root, v)
-    gcGenerations(spark, root)
+    val s = spark; import s.implicits._
+    writeMeta(spark, root, v,
+      centroids = cents,
+      entries = listCellDirs(spark, genPath(root, v)).map(_ -> v),
+      stats = Seq((buildMean, n)).toDF("build_mean_cos", "n"),
+      drift = Seq.empty, // a rebuild resets the log
+      // a rebuild over a live index replaces the whole manifest —
+      // every prior generation loses its reference
+      droppedGens = prior.isDefined)
   }
 
   /** Top-k bucket search over a built index. `queries` is (qid, qe);
@@ -273,7 +301,7 @@ object AnnIndex {
   def searchAt(spark: SparkSession, root: String, queries: DataFrame,
       v: Long, nProbes: Int = 1, k: Int = 5): DataFrame = {
     StateCommit.requireRetained(spark, root, v)
-    val cents = spark.read.parquet(StateCommit.tableDir(root, v, Centroids))
+    val cents = metaTable(spark, root, v, Centroids)
     val live = entriesOf(spark, root, v)
     val raw = readCells(spark, root, live)
     // partition-column type is inferred from the directory names — cast
@@ -313,7 +341,7 @@ object AnnIndex {
       seqCol: String = ""): Unit = {
     val v0 = version(spark, root)
     val v = v0 + 1
-    val cents = spark.read.parquet(StateCommit.tableDir(root, v0, Centroids))
+    val cents = metaTable(spark, root, v0, Centroids)
     // last-wins collapse: a CDC batch carrying two versions of one
     // vec_id would land the vector TWICE in the new generation (the
     // anti-join only removes prior-generation copies)
@@ -339,13 +367,15 @@ object AnnIndex {
       }
     newGen.write.mode("overwrite").partitionBy("cell")
       .parquet(genPath(root, v))
-    carryCentroids(spark, root, v0, v)
-    carryMonitor(spark, root, v0, v, appendDrift = Some((batchN, batchMean)))
-    writeManifest(spark, root, v,
-      listCellDirs(spark, genPath(root, v)).map(_ -> v) ++
-        live.filterNot(e => touched(e._1)))
-    StateCommit.commit(spark, root, v)
-    gcGenerations(spark, root)
+    val entries = listCellDirs(spark, genPath(root, v)).map(_ -> v) ++
+      live.filterNot(e => touched(e._1))
+    writeMeta(spark, root, v,
+      centroids = cents,
+      entries = entries,
+      stats = statsRows(spark, root, v0),
+      drift = readDrift(spark, root, v0) :+ ((v, batchN, batchMean)),
+      droppedGens =
+        live.map(_._2).toSet.diff(entries.map(_._2).toSet).nonEmpty)
   }
 
   /** Drift advisory for the streaming/incremental ingest path — closes
@@ -374,9 +404,7 @@ object AnnIndex {
   def driftReport(spark: SparkSession, root: String,
       margin: Double = 0.15, lastK: Int = 5): Option[DriftReport] = {
     val v = version(spark, root)
-    val stats = scala.util.Try(
-        spark.read.parquet(StateCommit.tableDir(root, v, Stats)).head())
-      .toOption
+    val stats = Try(metaTable(spark, root, v, Stats).head()).toOption
     val drift = readDrift(spark, root, v).takeRight(lastK)
     for (s <- stats if drift.nonEmpty) yield {
       val buildMean = s.getDouble(0)
@@ -410,13 +438,15 @@ object AnnIndex {
       .join(victims, Seq("vec_id"), "left_anti")
     kept.write.mode("overwrite").partitionBy("cell")
       .parquet(genPath(root, v))
-    carryCentroids(spark, root, v0, v)
-    carryMonitor(spark, root, v0, v)
-    writeManifest(spark, root, v,
-      listCellDirs(spark, genPath(root, v)).map(_ -> v) ++
-        live.filterNot(e => touched(e._1)))
-    StateCommit.commit(spark, root, v)
-    gcGenerations(spark, root)
+    val entries = listCellDirs(spark, genPath(root, v)).map(_ -> v) ++
+      live.filterNot(e => touched(e._1))
+    writeMeta(spark, root, v,
+      centroids = metaTable(spark, root, v0, Centroids),
+      entries = entries,
+      stats = statsRows(spark, root, v0),
+      drift = readDrift(spark, root, v0),
+      droppedGens =
+        live.map(_._2).toSet.diff(entries.map(_._2).toSet).nonEmpty)
   }
 
   /** Small-file compaction: every [[upsert]]/[[delete]] generation
@@ -445,13 +475,15 @@ object AnnIndex {
       .repartition(col("cell")) // one task -> one file per cell
       .write.mode("overwrite").partitionBy("cell")
       .parquet(genPath(root, v))
-    carryCentroids(spark, root, v0, v)
-    carryMonitor(spark, root, v0, v)
-    writeManifest(spark, root, v,
-      listCellDirs(spark, genPath(root, v)).map(_ -> v) ++
-        live.filterNot(e => crowded.exists(_._1 == e._1)))
-    StateCommit.commit(spark, root, v)
-    gcGenerations(spark, root)
+    val entries = listCellDirs(spark, genPath(root, v)).map(_ -> v) ++
+      live.filterNot(e => crowded.exists(_._1 == e._1))
+    writeMeta(spark, root, v,
+      centroids = metaTable(spark, root, v0, Centroids),
+      entries = entries,
+      stats = statsRows(spark, root, v0),
+      drift = readDrift(spark, root, v0),
+      droppedGens =
+        live.map(_._2).toSet.diff(entries.map(_._2).toSet).nonEmpty)
   }
 
   /** Per-cell parquet file counts of the committed snapshot — the

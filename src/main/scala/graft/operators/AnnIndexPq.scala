@@ -22,12 +22,16 @@ import graft.streaming.StateCommit
   * Layout — the [[AnnIndex]] snapshot discipline:
   * {{{
   *   root/CURRENT             — StateCommit pointer
-  *   root/snap-v/coarse/      — (ccell, cce): coarse quantizer
-  *   root/snap-v/codebook/    — (blk, cid, ce): residual PQ codebooks
-  *   root/snap-v/params/      — (n_coarse, m, sub_dim, n_centroids)
-  *   root/snap-v/manifest/    — live-cell map: (cell, gen)
+  *   root/snap-v/meta/        — ONE parquet folding the six logical
+  *                              metadata tables (coarse quantizer,
+  *                              residual codebooks, params, live-cell
+  *                              manifest, stats, drift log),
+  *                              discriminated by column `t`
   *   root/gen-v/cell=C/       — IMMUTABLE (vec_id, blk, code) rows
   * }}}
+  * (pre-fold snapshots carried per-table dirs — coarse/ codebook/
+  * params/ manifest/ stats/ drift/ — and stay readable via the
+  * folded-first fallback in `metaTable`)
   *
   * Scale posture: the probe set prunes at the FILE level (manifest →
   * probed cells' directories only), the per-query LUT broadcasts, and
@@ -59,6 +63,98 @@ object AnnIndexPq {
   private def cellDir(root: String, gen: Long, cell: String) =
     s"${genPath(root, gen)}/cell=$cell"
 
+  /** Column superset of the six logical metadata tables — every commit
+    * folds them into ONE `meta` parquet (discriminated by column `t`),
+    * the [[LexIndex]] folded-commit layout: the six per-table
+    * coalesce(1) writes were six driver-side committer rounds per
+    * mutation (~0.2–0.3 s each at local[32]), the dominant flat cost of
+    * sim_annpq_store/_rerank after round 12 gave LexIndex the same
+    * treatment. Readers ([[metaTable]]) take folded-first with the
+    * per-table directory as the pre-fold fallback, so time travel
+    * across the upgrade keeps working; [[StateCommit.gcGenerations]]
+    * already consults the folded manifest by the same precedence. */
+  private val MetaCols: Seq[(String, String)] = Seq(
+    "ccell" -> "long", "cce" -> "array<double>",
+    "blk" -> "int", "cid" -> "long", "ce" -> "array<double>",
+    "n_coarse" -> "int", "m" -> "int", "sub_dim" -> "int",
+    "n_centroids" -> "int",
+    "cell" -> "string", "gen" -> "long",
+    "build_mean_err_nano" -> "double", "n" -> "long",
+    "seq" -> "long", "mean_err_nano" -> "double")
+
+  private def toMetaRows(t: String, df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    df.select(lit(t).as("t") +: MetaCols.map { case (c, tp) =>
+      (if (have(c)) col(c) else lit(null)).cast(tp).as(c)
+    }: _*)
+  }
+
+  /** Read one logical meta table of snapshot `v`: folded layout first,
+    * per-table directory as the fallback for snapshots written by older
+    * code. */
+  private[graft] def metaTable(spark: SparkSession, root: String,
+      v: Long, table: String): DataFrame = {
+    val cols: Seq[String] = table match {
+      case Coarse => Seq("ccell", "cce")
+      case Codebook => Seq("blk", "cid", "ce")
+      case Params => Seq("n_coarse", "m", "sub_dim", "n_centroids")
+      case Manifest => Seq("cell", "gen")
+      case Stats => Seq("build_mean_err_nano", "n")
+      case Drift => Seq("seq", "n", "mean_err_nano")
+    }
+    val metaPath = new Path(StateCommit.tableDir(root, v, "meta"))
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaPath))
+      spark.read.parquet(metaPath.toString)
+        .where(col("t") === table)
+        .select(cols.map(col): _*)
+    else spark.read.parquet(StateCommit.tableDir(root, v, table))
+  }
+
+  /** Generation GC runs on commits that DROPPED generations from the
+    * manifest and otherwise every `spark.graft.ann.gcSweepEvery`-th
+    * version — the [[LexIndex]] deferral: with the default retain=2 the
+    * dropping commit's predecessor still references the superseded
+    * generations, so GC at that commit reclaims nothing anyway, and
+    * paying the manifest-read pass per append commit was pure constant.
+    * The sweep bounds the transient leak at `gcSweepEvery` commits'
+    * worth of superseded dirs. */
+  private val DefaultGcSweepEvery = 8L
+
+  /** Write the folded metadata snapshot and commit; GC per the policy
+    * above. `droppedGens` = this commit removed generations from the
+    * manifest. */
+  private def writeMeta(spark: SparkSession, root: String, v: Long,
+      coarse: DataFrame, codebook: DataFrame, params: DataFrame,
+      entries: Seq[(String, Long)], stats: DataFrame,
+      drift: Seq[(Long, Long, Double)], droppedGens: Boolean): Unit = {
+    val s = spark; import s.implicits._
+    val meta = Seq(
+      toMetaRows(Coarse, coarse),
+      toMetaRows(Codebook, codebook),
+      toMetaRows(Params, params),
+      toMetaRows(Manifest, entries.toDF("cell", "gen")),
+      toMetaRows(Stats, stats),
+      toMetaRows(Drift, drift.toDF("seq", "n", "mean_err_nano"))
+    ).reduce(_.unionByName(_))
+    meta.coalesce(1).write.mode("overwrite")
+      .parquet(StateCommit.tableDir(root, v, "meta"))
+    StateCommit.commit(spark, root, v)
+    val sweepEvery = spark.conf.getOption("spark.graft.ann.gcSweepEvery")
+      .map(_.toLong).getOrElse(DefaultGcSweepEvery)
+    if (droppedGens || (sweepEvery > 0 && v % sweepEvery == 0))
+      StateCommit.gcGenerations(spark, root)
+  }
+
+  /** Stats rows of snapshot `v` (0 or 1 rows; tolerates pre-monitor
+    * snapshots, where the per-table fallback directory is absent). */
+  private def statsRows(spark: SparkSession, root: String,
+      v: Long): DataFrame = {
+    val s = spark; import s.implicits._
+    Try(metaTable(spark, root, v, Stats)).getOrElse(
+      Seq.empty[(Double, Long)].toDF("build_mean_err_nano", "n"))
+  }
+
   def version(spark: SparkSession, root: String): Long =
     StateCommit.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(
@@ -70,23 +166,14 @@ object AnnIndexPq {
 
   private def paramsAt(spark: SparkSession, root: String,
       v: Long): (Int, Int, Int, Int) = {
-    val r = spark.read.parquet(
-      StateCommit.tableDir(root, v, Params)).head()
+    val r = metaTable(spark, root, v, Params).head()
     (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
   }
 
   private def manifestOf(spark: SparkSession, root: String,
       v: Long): Seq[(String, Long)] =
-    spark.read.parquet(StateCommit.tableDir(root, v, Manifest))
+    metaTable(spark, root, v, Manifest)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
-
-  private def writeManifest(spark: SparkSession, root: String, v: Long,
-      entries: Seq[(String, Long)]): Unit = {
-    val s = spark; import s.implicits._
-    entries.toDF("cell", "gen").coalesce(1)
-      .write.mode("overwrite")
-      .parquet(StateCommit.tableDir(root, v, Manifest))
-  }
 
   /** Mean per-vector quantization error (Σ over blocks of the chosen
     * code's nano-L2) and vector count of an encoded assignment —
@@ -97,45 +184,15 @@ object AnnIndexPq {
     (Option(r.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0), r.getLong(1))
   }
 
-  private def writeStats(spark: SparkSession, root: String, v: Long,
-      meanErr: Double, n: Long): Unit = {
-    val s = spark; import s.implicits._
-    Seq((meanErr, n)).toDF("build_mean_err_nano", "n").coalesce(1)
-      .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Stats))
-  }
-
-  /** One row per upsert since the last build (seq, n, mean_err_nano) —
-    * reset by [[build]], carried forward by every other mutation;
-    * metadata-sized always. */
-  private def writeDrift(spark: SparkSession, root: String, v: Long,
-      rows: Seq[(Long, Long, Double)]): Unit = {
-    val s = spark; import s.implicits._
-    rows.toDF("seq", "n", "mean_err_nano").coalesce(1)
-      .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Drift))
-  }
-
+  /** The drift log: one row per upsert since the last build
+    * (seq, n, mean_err_nano) — reset by [[build]], carried forward by
+    * every other mutation; metadata-sized always. */
   private def readDrift(spark: SparkSession, root: String,
       v: Long): Seq[(Long, Long, Double)] =
-    Try(spark.read.parquet(StateCommit.tableDir(root, v, Drift))
+    Try(metaTable(spark, root, v, Drift)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSeq.sortBy(_._1))
       .getOrElse(Seq.empty)
-
-  /** Carry the stats row and drift log from snapshot `from` into
-    * snapshot `to`, optionally appending one drift row for the
-    * mutation creating `to`. Tolerates pre-monitor snapshots. */
-  private def carryMonitor(spark: SparkSession, root: String,
-      from: Long, to: Long,
-      appendDrift: Option[(Long, Double)] = None): Unit = {
-    Try {
-      spark.read.parquet(StateCommit.tableDir(root, from, Stats))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(StateCommit.tableDir(root, to, Stats))
-    }
-    writeDrift(spark, root, to,
-      readDrift(spark, root, from) ++
-        appendDrift.map { case (n, m) => (to, n, m) })
-  }
 
   private def listCellDirs(spark: SparkSession, path: String): Seq[String] = {
     val p = new Path(path)
@@ -169,20 +226,14 @@ object AnnIndexPq {
       m: Int = 8, subDim: Int = 8, nCentroids: Int = 16): Unit = {
     val spark = embeddings.sparkSession
     val s = spark; import s.implicits._
-    val v = StateCommit.currentVersion(spark, root).getOrElse(0L) + 1
+    val prior = StateCommit.currentVersion(spark, root)
+    val v = prior.getOrElse(0L) + 1
     val parts = Similarity.ivfPqParts(embeddings, nCoarse, m, subDim,
       nCentroids, materialize = true)
     // the code assignment has two consumers now (cell write + the
     // drift monitor's build-time error stat) — snapshot it so the
     // assignment join/agg doesn't run twice
     val assign = parts.assign.localCheckpoint()
-    parts.coarse.coalesce(1).write.mode("overwrite")
-      .parquet(StateCommit.tableDir(root, v, Coarse))
-    parts.cents.coalesce(1).write.mode("overwrite")
-      .parquet(StateCommit.tableDir(root, v, Codebook))
-    Seq((nCoarse, m, subDim, nCentroids))
-      .toDF("n_coarse", "m", "sub_dim", "n_centroids").coalesce(1)
-      .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Params))
     // the code rows: PQ code per (vector, block), partitioned by the
     // vector's COARSE cell — `cell` is the partition (pruning) column,
     // `code` the payload
@@ -191,15 +242,19 @@ object AnnIndexPq {
         Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(genPath(root, v))
-    writeManifest(spark, root, v,
-      listCellDirs(spark, genPath(root, v)).map(_ -> v))
     // build-time quantization quality: the drift monitor's reference
     // point (and the drift log resets — a fresh build is un-drifted)
     val (meanErr, n) = meanErrOf(assign)
-    writeStats(spark, root, v, meanErr, n)
-    writeDrift(spark, root, v, Seq.empty)
-    StateCommit.commit(spark, root, v)
-    gcGenerations(spark, root)
+    writeMeta(spark, root, v,
+      coarse = parts.coarse, codebook = parts.cents,
+      params = Seq((nCoarse, m, subDim, nCentroids))
+        .toDF("n_coarse", "m", "sub_dim", "n_centroids"),
+      entries = listCellDirs(spark, genPath(root, v)).map(_ -> v),
+      stats = Seq((meanErr, n)).toDF("build_mean_err_nano", "n"),
+      drift = Seq.empty,
+      // a rebuild over a live index replaces the whole manifest —
+      // every prior generation loses its reference
+      droppedGens = prior.isDefined)
   }
 
   /** ADC top-k over the persisted codes. `queries` is (qid, qe); the
@@ -220,8 +275,8 @@ object AnnIndexPq {
       v: Long, nProbes: Int = 2, k: Int = 5): DataFrame = {
     StateCommit.requireRetained(spark, root, v)
     val (_, m, subDim, _) = paramsAt(spark, root, v)
-    val coarse = spark.read.parquet(StateCommit.tableDir(root, v, Coarse))
-    val cents = spark.read.parquet(StateCommit.tableDir(root, v, Codebook))
+    val coarse = metaTable(spark, root, v, Coarse)
+    val cents = metaTable(spark, root, v, Codebook)
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cnano"), col("ccell"))
     val qprobe = queries.select(col("qid"), col("qe"))
@@ -311,8 +366,8 @@ object AnnIndexPq {
     // anti-join removes only prior-generation rows)
     val batch = CdcBatch.collapse(rawBatch, "vec_id", seqCol)
     val (_, m, subDim, _) = params(spark, root)
-    val coarse = spark.read.parquet(StateCommit.tableDir(root, v0, Coarse))
-    val cents = spark.read.parquet(StateCommit.tableDir(root, v0, Codebook))
+    val coarse = metaTable(spark, root, v0, Coarse)
+    val cents = metaTable(spark, root, v0, Codebook)
     val residuals = Similarity.assignCoarse(batch, coarse)
       .select(col("vec_id"), col("ccell"),
         zip_with(col("embedding"), col("cce"),
@@ -343,20 +398,20 @@ object AnnIndexPq {
     }
     newGen.write.mode("overwrite").partitionBy("cell")
       .parquet(genPath(root, v))
-    // carry the immutable tables into the new snapshot so the pointer
-    // swap publishes quantizer + codes together
-    Seq(Coarse, Codebook, Params).foreach { t =>
-      spark.read.parquet(StateCommit.tableDir(root, v0, t))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(StateCommit.tableDir(root, v, t))
-    }
-    carryMonitor(spark, root, v0, v,
-      appendDrift = Some((batchN, batchMeanErr)))
+    // the immutable tables carry into the new snapshot (lazy reads of
+    // v0's meta feeding v's single folded write) so the pointer swap
+    // publishes quantizer + codes together
     val written = listCellDirs(spark, genPath(root, v))
-    writeManifest(spark, root, v,
-      live.filterNot(e => touched(e._1)) ++ written.map(_ -> v))
-    StateCommit.commit(spark, root, v)
-    gcGenerations(spark, root)
+    val entries = live.filterNot(e => touched(e._1)) ++ written.map(_ -> v)
+    writeMeta(spark, root, v,
+      coarse = metaTable(spark, root, v0, Coarse),
+      codebook = metaTable(spark, root, v0, Codebook),
+      params = metaTable(spark, root, v0, Params),
+      entries = entries,
+      stats = statsRows(spark, root, v0),
+      drift = readDrift(spark, root, v0) :+ ((v, batchN, batchMeanErr)),
+      droppedGens =
+        live.map(_._2).toSet.diff(entries.map(_._2).toSet).nonEmpty)
   }
 
   /** Delete by id — locate the victims' cells with one id semi-join
@@ -381,17 +436,17 @@ object AnnIndexPq {
         .write.mode("overwrite").partitionBy("cell")
         .parquet(genPath(root, v))
     }
-    Seq(Coarse, Codebook, Params).foreach { t =>
-      spark.read.parquet(StateCommit.tableDir(root, v0, t))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(StateCommit.tableDir(root, v, t))
-    }
-    carryMonitor(spark, root, v0, v)
-    writeManifest(spark, root, v,
-      listCellDirs(spark, genPath(root, v)).map(_ -> v) ++
-        live.filterNot(e => touched(e._1)))
-    StateCommit.commit(spark, root, v)
-    gcGenerations(spark, root)
+    val entries = listCellDirs(spark, genPath(root, v)).map(_ -> v) ++
+      live.filterNot(e => touched(e._1))
+    writeMeta(spark, root, v,
+      coarse = metaTable(spark, root, v0, Coarse),
+      codebook = metaTable(spark, root, v0, Codebook),
+      params = metaTable(spark, root, v0, Params),
+      entries = entries,
+      stats = statsRows(spark, root, v0),
+      drift = readDrift(spark, root, v0),
+      droppedGens =
+        live.map(_._2).toSet.diff(entries.map(_._2).toSet).nonEmpty)
   }
 
   /** Small-file compaction: rewrite every live cell as one file in a
@@ -405,16 +460,16 @@ object AnnIndexPq {
       raw.repartition(col("cell")).sortWithinPartitions("cell", "vec_id", "blk")
         .write.mode("overwrite").partitionBy("cell")
         .parquet(genPath(root, v))
-      Seq(Coarse, Codebook, Params).foreach { t =>
-        spark.read.parquet(StateCommit.tableDir(root, v0, t))
-          .coalesce(1).write.mode("overwrite")
-          .parquet(StateCommit.tableDir(root, v, t))
-      }
-      carryMonitor(spark, root, v0, v)
-      writeManifest(spark, root, v,
-        listCellDirs(spark, genPath(root, v)).map(_ -> v))
-      StateCommit.commit(spark, root, v)
-      gcGenerations(spark, root)
+      writeMeta(spark, root, v,
+        coarse = metaTable(spark, root, v0, Coarse),
+        codebook = metaTable(spark, root, v0, Codebook),
+        params = metaTable(spark, root, v0, Params),
+        entries = listCellDirs(spark, genPath(root, v)).map(_ -> v),
+        stats = statsRows(spark, root, v0),
+        drift = readDrift(spark, root, v0),
+        // a compaction rewrites every live cell — all prior
+        // generations lose their references
+        droppedGens = live.map(_._2).toSet.exists(_ != v))
     }
   }
 
@@ -444,9 +499,7 @@ object AnnIndexPq {
       ratio: Double = 1.5, lastK: Int = 5,
       floorNano: Double = 1e6): Option[PqDriftReport] = {
     val v = version(spark, root)
-    val stats = Try(
-        spark.read.parquet(StateCommit.tableDir(root, v, Stats)).head())
-      .toOption
+    val stats = Try(metaTable(spark, root, v, Stats).head()).toOption
     val drift = readDrift(spark, root, v).takeRight(lastK)
     for (s <- stats if drift.nonEmpty) yield {
       val buildMean = s.getDouble(0)
@@ -458,8 +511,4 @@ object AnnIndexPq {
         recent > math.max(buildMean, floorNano) * ratio)
     }
   }
-
-  /** Shared fail-safe reclaim — see [[StateCommit.gcGenerations]]. */
-  private def gcGenerations(spark: SparkSession, root: String): Unit =
-    StateCommit.gcGenerations(spark, root)
 }

@@ -19,13 +19,16 @@ import graft.streaming.StateCommit
   *
   * {{{
   *   root/CURRENT            — StateCommit pointer: committed version
-  *   root/snap-v/meta/       — (k, r): the signature scheme, locked at build
-  *   root/snap-v/manifest/   — live generations: (gen, n_docs)
-  *   root/snap-v/tombstones/ — (doc_id, before_gen): doc rows in
-  *                             generations < before_gen are dead
+  *   root/snap-v/meta/       — ONE parquet folding the three logical
+  *                             metadata tables (the k/r scheme, the
+  *                             live-generation manifest, the
+  *                             tombstones), discriminated by column `t`
   *   root/gen-v/bands/       — IMMUTABLE (doc_id, band, sig) rows of mutation v
   *   root/gen-v/sigs/        — IMMUTABLE (doc_id, mh0..mh{k-1}) of mutation v
   * }}}
+  * (pre-fold snapshots carried per-table dirs — meta/ holding only the
+  * k/r scheme, manifest/, tombstones/ — and stay readable via the
+  * schema-probed folded-first fallback in `metaTable`)
   *
   * Generations are append-only and immutable; replacement and deletion
   * are TOMBSTONES (the Iceberg/Delta delete-file move): an upsert of an
@@ -72,36 +75,87 @@ object DedupIndex {
   def scheme(spark: SparkSession, root: String): (Int, Int) =
     schemeAt(spark, root, version(spark, root))
 
-  private def writeMeta(spark: SparkSession, root: String, v: Long,
-      k: Int, r: Int): Unit = {
+  /** Column superset of the three logical metadata tables — every
+    * commit folds them into ONE `meta` parquet (discriminated by
+    * column `t`), the [[LexIndex]]/[[AnnIndex]]/[[AnnIndexPq]]
+    * folded-commit layout: three per-table coalesce(1) writes per
+    * mutation were three driver-side committer rounds of flat cost on
+    * every probe-and-ingest cycle. The PRE-fold layout also kept a
+    * table at `snap-v/meta` (the k/r scheme, no `t` column), so the
+    * layout probe checks the SCHEMA, not existence alone — exactly the
+    * discrimination [[StateCommit.gcGenerations]] already applies to
+    * this family. */
+  private val MetaCols: Seq[(String, String)] = Seq(
+    "k" -> "int", "r" -> "int",
+    "gen" -> "long", "n_docs" -> "long",
+    "doc_id" -> "long", "before_gen" -> "long")
+
+  private def toMetaRows(t: String, df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    df.select(lit(t).as("t") +: MetaCols.map { case (c, tp) =>
+      (if (have(c)) col(c) else lit(null)).cast(tp).as(c)
+    }: _*)
+  }
+
+  /** Read one logical meta table of snapshot `v`: folded layout first
+    * (schema-probed — see [[MetaCols]]), per-table directory as the
+    * fallback for snapshots written by older code. */
+  private[graft] def metaTable(spark: SparkSession, root: String,
+      v: Long, table: String): DataFrame = {
+    val cols: Seq[String] = table match {
+      case Meta => Seq("k", "r")
+      case Manifest => Seq("gen", "n_docs")
+      case Tombstones => Seq("doc_id", "before_gen")
+    }
+    val metaPath = new Path(StateCommit.tableDir(root, v, "meta"))
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val folded =
+      if (fs.exists(metaPath))
+        Some(spark.read.parquet(metaPath.toString))
+          .filter(_.columns.contains("t"))
+      else None
+    folded match {
+      case Some(m) => m.where(col("t") === table).select(cols.map(col): _*)
+      case None => spark.read.parquet(StateCommit.tableDir(root, v, table))
+    }
+  }
+
+  /** GC deferral — see [[AnnIndexPq]]: reclaim on generation-dropping
+    * commits plus a periodic sweep (`spark.graft.dedup.gcSweepEvery`).
+    * Append commits (upsert/delete keep every prior generation) reclaim
+    * nothing under retain=2 anyway — the per-commit pass was pure
+    * constant. */
+  private val DefaultGcSweepEvery = 8L
+
+  /** Write the folded metadata snapshot and commit; GC per the policy
+    * above. */
+  private def writeMetaTables(spark: SparkSession, root: String, v: Long,
+      k: Int, r: Int, entries: Seq[(Long, Long)], tombstones: DataFrame,
+      droppedGens: Boolean): Unit = {
     val s = spark; import s.implicits._
-    Seq((k, r)).toDF("k", "r").coalesce(1)
-      .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Meta))
+    val meta = Seq(
+      toMetaRows(Meta, Seq((k, r)).toDF("k", "r")),
+      toMetaRows(Manifest, entries.toDF("gen", "n_docs")),
+      toMetaRows(Tombstones, tombstones
+        .select(col("doc_id").cast("long"), col("before_gen").cast("long")))
+    ).reduce(_.unionByName(_))
+    meta.coalesce(1).write.mode("overwrite")
+      .parquet(StateCommit.tableDir(root, v, "meta"))
+    StateCommit.commit(spark, root, v)
+    val sweepEvery = spark.conf.getOption("spark.graft.dedup.gcSweepEvery")
+      .map(_.toLong).getOrElse(DefaultGcSweepEvery)
+    if (droppedGens || (sweepEvery > 0 && v % sweepEvery == 0))
+      StateCommit.gcGenerations(spark, root)
   }
 
   private def manifestOf(spark: SparkSession, root: String,
       v: Long): Seq[(Long, Long)] =
-    spark.read.parquet(StateCommit.tableDir(root, v, Manifest))
+    metaTable(spark, root, v, Manifest)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
-
-  private def writeManifest(spark: SparkSession, root: String, v: Long,
-      entries: Seq[(Long, Long)]): Unit = {
-    val s = spark; import s.implicits._
-    entries.toDF("gen", "n_docs").coalesce(1)
-      .write.mode("overwrite")
-      .parquet(StateCommit.tableDir(root, v, Manifest))
-  }
 
   private def tombstonesOf(spark: SparkSession, root: String,
       v: Long): DataFrame =
-    spark.read.parquet(StateCommit.tableDir(root, v, Tombstones))
-
-  private def writeTombstones(spark: SparkSession, root: String, v: Long,
-      rows: DataFrame): Unit =
-    rows.select(col("doc_id").cast("long"), col("before_gen").cast("long"))
-      .coalesce(1)
-      .write.mode("overwrite")
-      .parquet(StateCommit.tableDir(root, v, Tombstones))
+    metaTable(spark, root, v, Tombstones)
 
   private def emptyTombstones(spark: SparkSession): DataFrame = {
     val s = spark; import s.implicits._
@@ -159,7 +213,7 @@ object DedupIndex {
 
   private def schemeAt(spark: SparkSession, root: String,
       v: Long): (Int, Int) = {
-    val r = spark.read.parquet(StateCommit.tableDir(root, v, Meta)).head()
+    val r = metaTable(spark, root, v, Meta).head()
     (r.getInt(0), r.getInt(1))
   }
 
@@ -169,13 +223,14 @@ object DedupIndex {
   def build(documents: DataFrame, root: String, k: Int = 16,
       r: Int = 4): Unit = {
     val spark = documents.sparkSession
-    val v = StateCommit.currentVersion(spark, root).getOrElse(0L) + 1
+    val prior = StateCommit.currentVersion(spark, root)
+    val v = prior.getOrElse(0L) + 1
     val n = writeGen(spark, root, v, documents, k, r)
-    writeMeta(spark, root, v, k, r)
-    writeManifest(spark, root, v, Seq(v -> n))
-    writeTombstones(spark, root, v, emptyTombstones(spark))
-    StateCommit.commit(spark, root, v)
-    gcGenerations(spark, root)
+    writeMetaTables(spark, root, v, k, r, Seq(v -> n),
+      emptyTombstones(spark),
+      // a rebuild replaces the whole manifest — every prior generation
+      // loses its reference
+      droppedGens = prior.isDefined)
   }
 
   /** Add (or replace) a batch: one signature pass over the BATCH only,
@@ -198,14 +253,11 @@ object DedupIndex {
     // doc shrunk below the 3-token shingle floor must still shed its
     // old signatures
     val ids = batch.select(col("doc_id").cast("long")).distinct()
-    writeTombstones(spark, root, v,
-      mergedTombstones(tombstonesOf(spark, root, v0), ids, beforeGen = v))
-    writeMeta(spark, root, v, k, r)
-    writeManifest(spark, root, v,
+    writeMetaTables(spark, root, v, k, r,
       manifestOf(spark, root, v0) :+
-        (v -> spark.read.parquet(sigsDir(root, v)).count()))
-    StateCommit.commit(spark, root, v)
-    gcGenerations(spark, root)
+        (v -> spark.read.parquet(sigsDir(root, v)).count()),
+      mergedTombstones(tombstonesOf(spark, root, v0), ids, beforeGen = v),
+      droppedGens = false) // append-only: every prior generation survives
   }
 
   /** Drop documents from the index (metadata-only: one tombstone row
@@ -214,13 +266,10 @@ object DedupIndex {
     val v0 = version(spark, root)
     val v = v0 + 1
     val idRows = ids.select(col("doc_id").cast("long")).distinct()
-    writeTombstones(spark, root, v,
-      mergedTombstones(tombstonesOf(spark, root, v0), idRows, DeleteAll))
     val (k, r) = scheme(spark, root)
-    writeMeta(spark, root, v, k, r)
-    writeManifest(spark, root, v, manifestOf(spark, root, v0))
-    StateCommit.commit(spark, root, v)
-    gcGenerations(spark, root)
+    writeMetaTables(spark, root, v, k, r, manifestOf(spark, root, v0),
+      mergedTombstones(tombstonesOf(spark, root, v0), idRows, DeleteAll),
+      droppedGens = false) // metadata-only: the manifest is unchanged
   }
 
   /** Fold the live rows into ONE generation and clear the tombstones —
@@ -236,12 +285,11 @@ object DedupIndex {
     liveRows(spark, root, v0, p => s"$p/sigs").drop("gen")
       .write.mode("overwrite").parquet(sigsDir(root, v))
     val (k, r) = scheme(spark, root)
-    writeMeta(spark, root, v, k, r)
-    writeManifest(spark, root, v,
-      Seq(v -> spark.read.parquet(sigsDir(root, v)).count()))
-    writeTombstones(spark, root, v, emptyTombstones(spark))
-    StateCommit.commit(spark, root, v)
-    gcGenerations(spark, root)
+    writeMetaTables(spark, root, v, k, r,
+      Seq(v -> spark.read.parquet(sigsDir(root, v)).count()),
+      emptyTombstones(spark),
+      // the fold replaces every prior generation's reference
+      droppedGens = true)
   }
 
   /** Near-dup candidates of an INCOMING batch against the index:
@@ -338,8 +386,4 @@ object DedupIndex {
           .otherwise("near_dup"))
       .orderBy("doc_id")
   }
-
-  /** Shared fail-safe reclaim — see [[StateCommit.gcGenerations]]. */
-  private def gcGenerations(spark: SparkSession, root: String): Unit =
-    StateCommit.gcGenerations(spark, root)
 }

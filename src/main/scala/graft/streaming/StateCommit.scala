@@ -171,10 +171,12 @@ object StateCommit {
       // manifest while readers follow the folded one would delete
       // generations the committed snapshot still references
       // (round-12 advice).
-      // "folded" is decided by SCHEMA, not existence alone: DedupIndex
-      // keeps an unrelated params table also named `meta` (no `t`
-      // discriminator column) — existence alone would mis-read it and
-      // abort (fail-safe, but silently disabling that family's GC).
+      // "folded" is decided by SCHEMA, not existence alone: PRE-fold
+      // DedupIndex snapshots keep an unrelated params table also named
+      // `meta` (no `t` discriminator column) — existence alone would
+      // mis-read it and abort (fail-safe, but silently disabling that
+      // family's GC). Post-fold (round 13) every family's meta carries
+      // `t`.
       val perTable = new Path(s.getPath, manifestTable)
       val folded = new Path(s.getPath, "meta")
       val read = Try {

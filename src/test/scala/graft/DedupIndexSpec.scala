@@ -156,10 +156,10 @@ class DedupIndexSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sorted.toSeq
     assert(after == before, "compaction changed probe results")
     val v = DedupIndex.version(spark, root)
-    val gens = spark.read.parquet(StateCommit.tableDir(root, v, "manifest"))
+    val gens = DedupIndex.metaTable(spark, root, v, "manifest")
       .collect().map(_.getLong(0)).toSeq
     assert(gens == Seq(v), s"compaction left multiple live generations: $gens")
-    val tombs = spark.read.parquet(StateCommit.tableDir(root, v, "tombstones")).count()
+    val tombs = DedupIndex.metaTable(spark, root, v, "tombstones").count()
     assert(tombs == 0, s"compaction left $tombs tombstones")
   }
 
