@@ -425,12 +425,18 @@ object LexIndex {
       .join(bDfs.select(col("token"), col("df").as("b")), Seq("token"), "full_outer")
       .select(col("token"),
         (coalesce(col("a"), lit(0L)) + coalesce(col("b"), lit(0L))).as("df"))
-    val o = metaTable(spark, root, prev, Stats).head()
-    val b = bStats.head()
+    // batch and committed stats in ONE driver action (round-13 review)
+    val sr = bStats.select(col("n_docs").as("bn"),
+        col("sum_dl").as("bs"), col("n_dl").as("bndl"))
+      .crossJoin(metaTable(spark, root, prev, Stats)
+        .select(col("n_docs").as("on"), col("sum_dl").as("os"),
+          col("n_dl").as("ondl")))
+      .head()
+    def g(n: String): Long = sr.getAs[Long](n)
     val s = spark
     import s.implicits._
-    val mergedStats = Seq((o.getLong(0) + b.getLong(0),
-      o.getLong(1) + b.getLong(1), o.getLong(2) + b.getLong(2)))
+    val mergedStats = Seq((g("on") + g("bn"),
+      g("os") + g("bs"), g("ondl") + g("bndl")))
       .toDF("n_docs", "sum_dl", "n_dl")
     val gens = metaTable(spark, root, prev, Manifest)
       .collect().map(_.getLong(0)).toSeq :+ v
@@ -483,11 +489,10 @@ object LexIndex {
     val victims = ids.select(col("doc_id").cast("long")).distinct()
     // the victims' LIVE rows only: already-dead rows must not subtract
     // twice (which is also what makes a replayed or repeated delete a
-    // no-op on the statistics)
-    val deadPost = Stage.snap(
-      livePostings(spark, root, prev)
-        .join(broadcast(victims), Seq("doc_id"), "left_semi"),
-      materialize = true)
+    // no-op on the statistics). deadPost has ONE consumer (the df
+    // decrement) — no snap (round-13 review)
+    val deadPost = livePostings(spark, root, prev)
+      .join(broadcast(victims), Seq("doc_id"), "left_semi")
     val deadDocs = Stage.snap(
       liveDocs(spark, root, prev)
         .join(broadcast(victims), Seq("doc_id"), "left_semi"),
@@ -503,16 +508,20 @@ object LexIndex {
         (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
       .where(col("df") > 0)
     // exact stat subtraction from the doc table: n_docs loses EVERY live
-    // victim (zero-token ones included), n_dl only those with tokens
-    val d = deadDocs.agg(count(lit(1)).as("n"),
-      coalesce(sum("dl"), lit(0L)).as("s"),
-      count(when(col("dl") > 0, 1)).as("ndl")).head()
-    val (nDead, dlDead, nDlDead) = (d.getLong(0), d.getLong(1), d.getLong(2))
-    val o = metaTable(spark, root, prev, Stats).head()
+    // victim (zero-token ones included), n_dl only those with tokens —
+    // fused with the committed-stats read into ONE driver action
+    val sr = deadDocs.agg(count(lit(1)).as("dn"),
+        coalesce(sum("dl"), lit(0L)).as("ds"),
+        count(when(col("dl") > 0, 1)).as("dndl"))
+      .crossJoin(metaTable(spark, root, prev, Stats)
+        .select(col("n_docs").as("on"), col("sum_dl").as("os"),
+          col("n_dl").as("ondl")))
+      .head()
+    def g(n: String): Long = sr.getAs[Long](n)
     val s = spark
     import s.implicits._
-    val mergedStats = Seq((o.getLong(0) - nDead, o.getLong(1) - dlDead,
-      o.getLong(2) - nDlDead)).toDF("n_docs", "sum_dl", "n_dl")
+    val mergedStats = Seq((g("on") - g("dn"), g("os") - g("ds"),
+      g("ondl") - g("dndl"))).toDF("n_docs", "sum_dl", "n_dl")
     val prior = tombstonesOf(spark, root, prev)
     // tombstone only ids that actually had live rows; anti-join against
     // the SAME set so an already-dead victim keeps its existing
@@ -586,11 +595,12 @@ object LexIndex {
       materialize = true)
     // the batch ids' CURRENT live contribution — empty for brand-new or
     // previously-deleted ids, so the subtraction is exactly the delete()
-    // algebra restricted to docs that really are being replaced
-    val deadPost = Stage.snap(
-      livePostings(spark, root, prev)
-        .join(broadcast(batchIds), Seq("doc_id"), "left_semi"),
-      materialize = true)
+    // algebra restricted to docs that really are being replaced.
+    // deadPost has ONE consumer (the df decrement below) — no snap: a
+    // materialization pass over the pruned postings scan bought nothing
+    // (round-13 review)
+    val deadPost = livePostings(spark, root, prev)
+      .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
     val deadDocs = Stage.snap(
       liveDocs(spark, root, prev)
         .join(broadcast(batchIds), Seq("doc_id"), "left_semi"),
@@ -605,17 +615,25 @@ object LexIndex {
         (coalesce(col("a"), lit(0L)) + coalesce(col("b"), lit(0L))
           - coalesce(col("ddf"), lit(0L))).as("df"))
       .where(col("df") > 0)
-    val d = deadDocs.agg(count(lit(1)).as("n"),
-      coalesce(sum("dl"), lit(0L)).as("s"),
-      count(when(col("dl") > 0, 1)).as("ndl")).head()
-    val b = bStats.head()
-    val o = metaTable(spark, root, prev, Stats).head()
+    // ONE driver action for the three 1-row stat sources (dead, batch,
+    // committed) — three separate head() calls were three jobs of pure
+    // scheduling constant on the incremental path (round-13 review)
+    val sr = deadDocs.agg(count(lit(1)).as("dn"),
+        coalesce(sum("dl"), lit(0L)).as("ds"),
+        count(when(col("dl") > 0, 1)).as("dndl"))
+      .crossJoin(bStats.select(col("n_docs").as("bn"),
+        col("sum_dl").as("bs"), col("n_dl").as("bndl")))
+      .crossJoin(metaTable(spark, root, prev, Stats)
+        .select(col("n_docs").as("on"), col("sum_dl").as("os"),
+          col("n_dl").as("ondl")))
+      .head()
+    def g(n: String): Long = sr.getAs[Long](n)
     val s = spark
     import s.implicits._
     val mergedStats = Seq((
-      o.getLong(0) + b.getLong(0) - d.getLong(0),
-      o.getLong(1) + b.getLong(1) - d.getLong(1),
-      o.getLong(2) + b.getLong(2) - d.getLong(2)))
+      g("on") + g("bn") - g("dn"),
+      g("os") + g("bs") - g("ds"),
+      g("ondl") + g("bndl") - g("dndl")))
       .toDF("n_docs", "sum_dl", "n_dl")
     // tombstones advance to v for every batch id that needs one: ids
     // with live rows being replaced, and previously-deleted ids whose
