@@ -18,9 +18,14 @@ import graft.streaming.StateCommit
   * == Layout (the [[AnnIndex]]/[[DedupIndex]] snapshot discipline) ==
   * {{{
   *   root/CURRENT        — StateCommit pointer: committed version
-  *   root/snap-v/model/  — (bucket, micro): frozen log-ratios, ≤ buckets rows
-  *   root/snap-v/meta/   — (buckets, nt, nr): scheme + the totals it froze
+  *   root/snap-v/meta/   — ONE parquet folding the model table
+  *                         (bucket, micro — frozen log-ratios,
+  *                         ≤ buckets rows) and the scheme row
+  *                         (buckets, nt, nr), discriminated by `t`
   * }}}
+  * (pre-fold snapshots carried model/ + a t-less meta/ and stay
+  * readable via the schema-probed fallback in `metaTable` — the
+  * [[DedupIndex]] discrimination)
   *
   * The model table and the scoring math are [[TextAnalysis.dsirMicro]] /
   * [[TextAnalysis.dsirApply]] — the SAME code the in-query operator runs,
@@ -44,6 +49,43 @@ object DsirModel {
       throw new IllegalStateException(
         s"no committed DSIR model at $root (run DsirModel.fit first)"))
 
+  /** Column superset of the two logical tables — one folded `meta`
+    * parquet per commit (see the layout note above; the same fold every
+    * other persisted family got in rounds 12–13). */
+  private val MetaCols: Seq[(String, String)] = Seq(
+    "bucket" -> "long", "micro" -> "long",
+    "buckets" -> "int", "nt" -> "long", "nr" -> "long")
+
+  private def toMetaRows(t: String, df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    df.select(lit(t).as("t") +: MetaCols.map { case (c, tp) =>
+      (if (have(c)) col(c) else lit(null)).cast(tp).as(c)
+    }: _*)
+  }
+
+  /** Read one logical table of snapshot `v`: folded layout first
+    * (schema-probed — the pre-fold layout also had a `meta` dir, the
+    * t-less scheme row), per-table fallback for pre-fold snapshots. */
+  private def metaTable(spark: SparkSession, root: String,
+      v: Long, table: String): DataFrame = {
+    val cols: Seq[String] = table match {
+      case Model => Seq("bucket", "micro")
+      case Meta => Seq("buckets", "nt", "nr")
+    }
+    val metaPath = new org.apache.hadoop.fs.Path(
+      StateCommit.tableDir(root, v, "meta"))
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val folded =
+      if (fs.exists(metaPath))
+        Some(spark.read.parquet(metaPath.toString))
+          .filter(_.columns.contains("t"))
+      else None
+    folded match {
+      case Some(m) => m.where(col("t") === table).select(cols.map(col): _*)
+      case None => spark.read.parquet(StateCommit.tableDir(root, v, table))
+    }
+  }
+
   /** Fit and commit a new model version from the two corpora; returns
     * the committed version. `retain` is the StateCommit snapshot-expiry
     * horizon: how many model versions stay readable for [[scoreAt]]
@@ -57,17 +99,19 @@ object DsirModel {
       TextAnalysis.hashedGrams(raw, buckets), "cr")
     val tB = TextAnalysis.dsirBucketAgg(
       TextAnalysis.hashedGrams(target, buckets), "ct")
-    TextAnalysis.dsirMicroFromAggs(rB, tB, buckets)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(StateCommit.tableDir(root, v, Model))
     // the totals freeze WITH the model: scoring a novel doc needs the
     // zero-count smoothed log-ratio, which only nt/nr can reconstruct
-    // (round-11 review: without them, unseen grams silently dropped)
-    val nt = tB.agg(coalesce(sum("ct"), lit(0L))).head().getLong(0)
-    val nr = rB.agg(coalesce(sum("cr"), lit(0L))).head().getLong(0)
+    // (round-11 review: without them, unseen grams silently dropped).
+    // Both totals in ONE driver action over the snapped bucket aggs.
+    val tot = tB.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
+      .crossJoin(rB.agg(coalesce(sum("cr"), lit(0L)).as("nr"))).head()
+    val (nt, nr) = (tot.getLong(0), tot.getLong(1))
     val s = spark; import s.implicits._
-    Seq((buckets, nt, nr)).toDF("buckets", "nt", "nr").coalesce(1)
-      .write.mode("overwrite").parquet(StateCommit.tableDir(root, v, Meta))
+    toMetaRows(Model, TextAnalysis.dsirMicroFromAggs(rB, tB, buckets))
+      .unionByName(toMetaRows(Meta,
+        Seq((buckets, nt, nr)).toDF("buckets", "nt", "nr")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(StateCommit.tableDir(root, v, "meta"))
     StateCommit.commit(spark, root, v, retain)
     v
   }
@@ -76,19 +120,22 @@ object DsirModel {
   def model(spark: SparkSession, root: String): DataFrame =
     modelAt(spark, root, version(spark, root))
 
-  // readTableAt (not a raw path read): a version above CURRENT is some
-  // writer's in-flight build — reading it would serve a half-written
-  // model silently; the shared retained-snapshot guard rejects it loudly
-  private def modelAt(spark: SparkSession, root: String, v: Long): DataFrame =
-    StateCommit.readTableAt(spark, root, Model, v)
+  // requireRetained first (not a raw path read): a version above CURRENT
+  // is some writer's in-flight build — reading it would serve a
+  // half-written model silently; the shared guard rejects it loudly
+  private def modelAt(spark: SparkSession, root: String, v: Long): DataFrame = {
+    StateCommit.requireRetained(spark, root, v)
+    metaTable(spark, root, v, Model)
+  }
 
   private def metaAt(spark: SparkSession, root: String,
       v: Long): (Int, Long, Long) = {
-    val row = StateCommit.readTableAt(spark, root, Meta, v).head()
-    // a pre-totals meta (round-11 mid-session) carries only `buckets`;
-    // treat its totals as 0/0 — the default then matches what the old
-    // inner-join behavior NEVER produced anyway (no novel-doc caller
-    // existed before the totals landed)
+    StateCommit.requireRetained(spark, root, v)
+    val row = metaTable(spark, root, v, Meta).head()
+    // a pre-totals PRE-FOLD meta (round-11 mid-session) carries only
+    // `buckets`; treat its totals as 0/0 — the default then matches what
+    // the old inner-join behavior NEVER produced anyway (no novel-doc
+    // caller existed before the totals landed)
     if (row.schema.fieldNames.length >= 3)
       (row.getInt(0), row.getLong(1), row.getLong(2))
     else (row.getInt(0), 0L, 0L)
