@@ -34,6 +34,8 @@ object ScaleCurve {
     // the next curve covers what the r12 verdict had to measure ad-hoc
     "sim_near_dup", "sim_semdedup_apply", "sim_semdedup_priority",
     "lx_search", "lx_search_inc", "lx_search_del", "lx_search_upd",
+    // round 13 continued: the remaining changed-commit-path family
+    "lx_search_cdc",
     "ta_release",
     // round-11 final session: the selection family + banded near-dup
     "ta_dsir", "ta_dsir_select", "ta_dsir_store",

@@ -953,8 +953,92 @@ object Main {
           f"  doc ${r.getLong(0)}%6d  grams ${r.getLong(1)}%6d  logw ${r.getLong(2)}%12d"))
       spark.stop()
 
+    // index-status --root <dir>: the operational metadata card for ANY
+    // persisted-index root (ANN / IVF-PQ / lexical / dedup / DSIR) —
+    // the Iceberg-snapshots-table idiom: committed version, time-travel
+    // horizon, generation accounting (on disk vs referenced — the gap
+    // is the GC-deferral transient), and a family-specific summary.
+    // Family detection reads the folded meta's `t` values, the one
+    // layout every family shares (pre-fold roots: probe per-table dirs).
+    case Some("index-status") =>
+      val root = opt(args, "root").getOrElse { System.err.println("error: --root required"); sys.exit(2); "" }
+      val spark = session()
+      import graft.streaming.StateCommit
+      val cur = StateCommit.currentVersion(spark, root).getOrElse {
+        System.err.println(s"error: no committed index at $root"); sys.exit(2); 0L
+      }
+      val retained = StateCommit.versions(spark, root)
+      val metaPath = new org.apache.hadoop.fs.Path(
+        StateCommit.tableDir(root, cur, "meta"))
+      val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ts: Set[String] =
+        if (fs.exists(metaPath)) {
+          val m = spark.read.parquet(metaPath.toString)
+          if (m.columns.contains("t"))
+            m.select("t").distinct().collect().map(_.getString(0)).toSet
+          else Set("meta") // pre-fold DedupIndex scheme table
+        } else
+          fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/snap-$cur"))
+            .map(_.getPath.getName).toSet
+      val family =
+        if (ts.contains("dfs")) "lexical"
+        else if (ts.contains("coarse")) "ivf-pq"
+        else if (ts.contains("centroids")) "ann"
+        else if (ts.contains("model")) "dsir"
+        // dedup's distinguishing tables: an EMPTY tombstone table emits
+        // zero meta rows, so membership tests on `tombstones` alone
+        // would miss a churn-free index — its (meta + manifest) pair is
+        // the stable signature once the richer families are ruled out
+        else if (ts.contains("meta") && ts.contains("manifest")) "dedup"
+        else "unknown"
+      val gensOnDisk = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .map(_.getPath.getName).filter(_.startsWith("gen-"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("gen-").toLong).toOption)
+        .sorted.toSeq
+      println(s"family: $family")
+      println(s"committed version: $cur")
+      println(s"retained versions (time-travel horizon): ${retained.mkString(", ")}")
+      def fTable(t: String, cols: Seq[String]) =
+        spark.read.parquet(metaPath.toString).where(col("t") === t)
+          .select(cols.map(col): _*)
+      family match {
+        case "lexical" | "ivf-pq" | "ann" =>
+          val entries = fTable("manifest",
+            if (family == "lexical") Seq("gen") else Seq("cell", "gen"))
+            .collect()
+          val referenced = entries.map(r => r.getLong(r.length - 1)).distinct.sorted
+          println(s"generations: ${gensOnDisk.size} on disk " +
+            s"(${gensOnDisk.mkString(", ")}), ${referenced.length} referenced " +
+            s"by v$cur (${referenced.mkString(", ")})")
+          if (family != "lexical")
+            println(s"live cells: ${entries.length}")
+          if (family == "lexical") {
+            val st = fTable("stats", Seq("n_docs", "sum_dl")).head()
+            val tombs = fTable("tombstones", Seq("doc_id")).count()
+            println(s"corpus: ${st.getLong(0)} docs, ${st.getLong(1)} tokens; " +
+              s"tombstoned ids: $tombs")
+          }
+        case "dedup" =>
+          val entries = fTable("manifest", Seq("gen", "n_docs")).collect()
+          val referenced = entries.map(_.getLong(0)).distinct.sorted
+          println(s"generations: ${gensOnDisk.size} on disk, " +
+            s"${referenced.length} referenced by v$cur")
+          val sch = fTable("meta", Seq("k", "r")).head()
+          println(s"scheme: k=${sch.getInt(0)} r=${sch.getInt(1)}; " +
+            s"indexed docs: ${entries.map(_.getLong(1)).sum}; " +
+            s"tombstoned ids: ${fTable("tombstones", Seq("doc_id")).count()}")
+        case "dsir" =>
+          val m = fTable("meta", Seq("buckets", "nt", "nr")).head()
+          println(s"scheme: ${m.getInt(0)} buckets; frozen totals " +
+            s"nt=${m.getLong(1)} nr=${m.getLong(2)}; populated buckets: " +
+            s"${fTable("model", Seq("bucket")).count()}")
+        case _ =>
+          println(s"snapshot tables: ${ts.toSeq.sorted.mkString(", ")}")
+      }
+      spark.stop()
+
     case other =>
-      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export|index-build|index-search|pq-build|pq-search|dedup-build|dedup-classify|compact|diff|fuzzy|lex-build|lex-search|lex-delete|lex-upsert|lex-compact|dsir-fit|dsir-score")
+      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export|index-build|index-search|index-status|pq-build|pq-search|dedup-build|dedup-classify|compact|diff|fuzzy|lex-build|lex-search|lex-delete|lex-upsert|lex-compact|dsir-fit|dsir-score")
       sys.exit(2)
   }
 }

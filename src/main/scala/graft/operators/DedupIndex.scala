@@ -274,9 +274,10 @@ object DedupIndex {
 
   /** Fold the live rows into ONE generation and clear the tombstones —
     * run when churn has made the generation list or tombstone table
-    * worth collapsing. Superseded generations die at the next commit's
-    * GC (the previous snapshot survives one round for in-flight
-    * readers, the [[StateCommit]] stance). */
+    * worth collapsing. Superseded generations die at the next
+    * generation-DROPPING commit or periodic sweep (the previous
+    * snapshot survives one retention round for in-flight readers, the
+    * [[StateCommit]] stance; see the GC-deferral note above). */
   def compact(spark: SparkSession, root: String): Unit = {
     val v0 = version(spark, root)
     val v = v0 + 1
