@@ -1217,6 +1217,23 @@ object SparkEntry {
         queryVecId = 0L, k = 10, poolK = 50)
     }),
 
+    // the DUAL-persisted-index retrieval stack: BM25 from the lexical
+    // index fused (exact integer RRF) with the persisted ANN index's
+    // cell-pruned pool — both legs build-once/query-many; the oracle
+    // composes the bm25 chain with the ivf-kmeans chain verbatim
+    "lx_hybrid_ann" -> ((s, dir) => {
+      val (lexRoot, _) = freshScratch(s, "lxha_l")
+      val (annRoot, _) = freshScratch(s, "lxha_a")
+      val emb = Catalog.embeddings(s, dir)
+      graft.operators.LexIndex.build(s, Catalog.documents(s, dir), lexRoot)
+      graft.operators.AnnIndex.build(emb, annRoot, nCells = 8)
+      graft.operators.LexIndex.hybridAnn(s, lexRoot,
+        Seq("vector", "merge", "spark"), annRoot,
+        emb.where(col("vec_id") === 0L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        k = 10, poolK = 50)
+    }),
+
     // small-file compaction, gated content-neutral the j13 way: the
     // events fact lands partitioned by event_type as ~16 files per
     // partition (a simulated micro-batch ingest history), Compact
@@ -3426,6 +3443,89 @@ object SparkEntry {
          |  SELECT CAST(vec_id AS BIGINT) AS doc_id,
          |    round(${cosSql("embedding", "qe")}, 6) AS cos
          |  FROM embeddings, vq WHERE vec_id <> 0
+         |), vecpool AS (
+         |  SELECT doc_id, rank_vec FROM (
+         |    SELECT doc_id,
+         |      CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INTEGER) AS rank_vec
+         |    FROM vscored)
+         |  WHERE rank_vec <= 50
+         |), fused AS (
+         |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, rank_lex, rank_vec,
+         |    COALESCE(1000000 // (60 + rank_lex), 0)
+         |      + COALESCE(1000000 // (60 + rank_vec), 0) AS rrf_micro
+         |  FROM lexpool l FULL OUTER JOIN vecpool v ON l.doc_id = v.doc_id
+         |)
+         |SELECT doc_id, rank_lex, rank_vec, CAST(rrf_micro AS BIGINT) AS rrf_micro
+         |FROM fused
+         |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
+
+    // lx_hybrid with the vector pool from the PERSISTED ANN index:
+    // the bm25 chain verbatim + the sim_ivf_kmeans training/probe
+    // chain verbatim (nProbes=1 ≡ the assigned cell), fused by the
+    // same integer RRF
+    "lx_hybrid_ann" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS token
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
+         |), dfreq AS (
+         |  SELECT token, COUNT(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1
+         |), consts AS (
+         |  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         |    CAST(SUM(dl) AS BIGINT) AS sum_dl, COUNT(*) AS n_dl FROM dl
+         |), bscored AS (
+         |  SELECT CAST(tf.doc_id AS BIGINT) AS doc_id,
+         |    CAST(round(
+         |      ln(1.0 + CAST(n_docs - df + 0.5 AS DOUBLE)
+         |               / CAST(df + 0.5 AS DOUBLE))
+         |      * (CAST(tf AS DOUBLE) * 2.2)
+         |      / (tf + 1.2 * (0.25 + 0.75 *
+         |          (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_dl))))
+         |      * 1e6, 0) AS BIGINT) AS micro
+         |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), consts
+         |  WHERE tf.token IN ('vector', 'merge', 'spark')
+         |), agg AS (
+         |  SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS score_micro
+         |  FROM bscored GROUP BY 1
+         |), lexpool AS (
+         |  SELECT doc_id, rank_lex FROM (
+         |    SELECT doc_id,
+         |      CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank_lex
+         |    FROM agg)
+         |  WHERE rank_lex <= 50
+         |), cents0 AS (
+         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8
+         |), a0 AS (
+         |  SELECT vec_id, embedding, centroid_id AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.embedding", "c.ce")}, 6) DESC, c.centroid_id) AS arn
+         |    FROM embeddings e CROSS JOIN cents0 c)
+         |  WHERE arn = 1
+         |), cmean AS (
+         |  SELECT cell, j, round(avg(CAST(embedding[j] AS DOUBLE)), 9) AS m
+         |  FROM a0, UNNEST(generate_series(1, len(embedding))) t(j)
+         |  GROUP BY cell, j
+         |), cents1 AS (
+         |  SELECT cell AS centroid_id, list(m ORDER BY j) AS ce FROM cmean GROUP BY cell
+         |), a1 AS (
+         |  SELECT vec_id, embedding, centroid_id AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.embedding", "c.ce")}, 6) DESC, c.centroid_id) AS arn
+         |    FROM embeddings e CROSS JOIN cents1 c)
+         |  WHERE arn = 1
+         |), q AS (
+         |  SELECT vec_id AS qid, embedding AS qe, cell FROM a1 WHERE vec_id = 0
+         |), vscored AS (
+         |  SELECT CAST(c.vec_id AS BIGINT) AS doc_id,
+         |    round(${cosSql("q.qe", "c.embedding")}, 6) AS cos
+         |  FROM q JOIN a1 c USING (cell)
+         |  WHERE c.vec_id <> q.qid
          |), vecpool AS (
          |  SELECT doc_id, rank_vec FROM (
          |    SELECT doc_id,

@@ -769,4 +769,33 @@ object LexIndex {
       .orderBy(col("rrf_micro").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** [[hybrid]] with the VECTOR side served by the persisted
+    * [[AnnIndex]] instead of a brute-force corpus scan — the
+    * production retrieval stack, both legs build-once/query-many: the
+    * lexical pool reads only its terms' posting rows (tpfx directory
+    * pruning + token pushdown) and the vector pool reads only the
+    * query's probed cells (manifest path pruning), so at 100 TB a
+    * hybrid query touches kilobytes of each index and fuses
+    * driver-side-free with the same exact integer RRF as [[hybrid]].
+    * `nProbes = 1` keeps the vector pool's result contract equal to
+    * [[Similarity.ivfKmeansTopK]]'s (the sim_ann_store parity), so the
+    * whole fusion stays oracle-exact end to end; raise nProbes for
+    * recall once past the oracle. `queries` is (qid, qe) — one row for
+    * the single-query retrieval shape. */
+  def hybridAnn(spark: SparkSession, root: String, terms: Seq[String],
+      annRoot: String, queries: DataFrame, k: Int = 10,
+      poolK: Int = 50, nProbes: Int = 1): DataFrame = {
+    val lex = search(spark, root, terms, poolK)
+      .select(col("doc_id"), col("rank").as("rank_lex"))
+    val vec = AnnIndex.search(spark, annRoot, queries, nProbes, k = poolK)
+      .select(col("cid").cast("long").as("doc_id"),
+        col("rn").cast("int").as("rank_vec"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+        (coalesce(expr("1000000 div (60 + rank_lex)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rank_vec)"), lit(0L))).as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -51,7 +51,7 @@ class DriverContractSpec extends SparkSpec {
       "dd_index_classify", "ia_priority_rollup", "ia_priority_hist",
       "ia_rewrite", "ia_rewrite_avg", "cp_compact_scan", "lx_search",
       "lx_hybrid", "lx_search_inc", "lx_search_del", "lx_search_upd",
-      "lx_search_cdc", "sim_annpq_rerank",
+      "lx_search_cdc", "sim_annpq_rerank", "lx_hybrid_ann",
       // fits + commits a DSIR model snapshot at construction — the
       // persisted-artifact write IS what ta_dsir_store gates
       "ta_dsir_store")
