@@ -802,8 +802,20 @@ object Main {
         .split(",").toSeq
       val k = opt(args, "k").getOrElse("10").toInt
       val spark = session()
-      opt(args, "data") match {
-        case Some(data) => // hybrid: fuse with cosine ranks of --vec
+      (opt(args, "data"), opt(args, "ann-root")) match {
+        case (Some(data), Some(annRoot)) =>
+          // dual-index hybrid: the vector pool from the persisted ANN
+          // index (cell-pruned) instead of a brute-force corpus scan
+          val vecId = opt(args, "vec").getOrElse("0").toLong
+          println(s"hybrid(ann) top-$k for terms=${terms.mkString(",")} vec=$vecId:")
+          graft.operators.LexIndex.hybridAnn(spark, root, terms, annRoot,
+            graft.catalog.Catalog.embeddings(spark, data)
+              .where(col("vec_id") === vecId)
+              .select(col("vec_id").as("qid"), col("embedding").as("qe")), k)
+            .collect().foreach(r => println(
+              s"  doc ${r.getLong(0)}  rrf=${r.getLong(3)} " +
+                s"(lex=${Option(r.get(1)).getOrElse("-")}, vec=${Option(r.get(2)).getOrElse("-")})"))
+        case (Some(data), None) => // hybrid: fuse with cosine ranks of --vec
           val vecId = opt(args, "vec").getOrElse("0").toLong
           println(s"hybrid top-$k for terms=${terms.mkString(",")} vec=$vecId:")
           graft.operators.LexIndex.hybrid(spark, root, terms,
@@ -811,7 +823,10 @@ object Main {
             .collect().foreach(r => println(
               s"  doc ${r.getLong(0)}  rrf=${r.getLong(3)} " +
                 s"(lex=${Option(r.get(1)).getOrElse("-")}, vec=${Option(r.get(2)).getOrElse("-")})"))
-        case None =>
+        case (None, Some(_)) =>
+          System.err.println("error: --ann-root requires --data (for the query embedding)")
+          sys.exit(2)
+        case (None, None) =>
           // --at <version>: time-travel the query to a retained snapshot
           val res = opt(args, "at") match {
             case Some(v) =>
