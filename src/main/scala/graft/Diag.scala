@@ -32,23 +32,33 @@ object Diag {
     t("ivfPqEncode again (warm)") {
       Similarity.ivfPqEncode(emb).count()
     }
-    val root = java.nio.file.Files.createTempDirectory("graft_diag_pq").toString
-    t("AnnIndexPq.build (total)") {
-      AnnIndexPq.build(emb, root)
-    }
-    val q = emb.where(col("vec_id") < 8)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    t("AnnIndexPq.search (cold)") {
-      AnnIndexPq.search(spark, root, q, nProbes = 2, k = 5)
-        .queryExecution.toRdd.count()
-    }
-    t("AnnIndexPq.search (warm)") {
-      AnnIndexPq.search(spark, root, q, nProbes = 2, k = 5)
-        .queryExecution.toRdd.count()
-    }
-    t("searchRerank (warm)") {
-      AnnIndexPq.searchRerank(spark, root, q, emb, nProbes = 2, k = 5,
-        poolK = 20).queryExecution.toRdd.count()
+    val rootPath = java.nio.file.Files.createTempDirectory("graft_diag_pq")
+    val root = rootPath.toString
+    try {
+      t("AnnIndexPq.build (total)") {
+        AnnIndexPq.build(emb, root)
+      }
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      t("AnnIndexPq.search (cold)") {
+        AnnIndexPq.search(spark, root, q, nProbes = 2, k = 5)
+          .queryExecution.toRdd.count()
+      }
+      t("AnnIndexPq.search (warm)") {
+        AnnIndexPq.search(spark, root, q, nProbes = 2, k = 5)
+          .queryExecution.toRdd.count()
+      }
+      t("searchRerank (warm)") {
+        AnnIndexPq.searchRerank(spark, root, q, emb, nProbes = 2, k = 5,
+          poolK = 20).queryExecution.toRdd.count()
+      }
+    } finally {
+      // repeated profiling runs must not accumulate index trees in /tmp
+      // (the Bench warmup convention)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(rootPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
     spark.stop()
   }

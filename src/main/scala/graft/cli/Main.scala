@@ -986,15 +986,18 @@ object Main {
       val metaPath = new org.apache.hadoop.fs.Path(
         StateCommit.tableDir(root, cur, "meta"))
       val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val snapListing = fs
+        .listStatus(new org.apache.hadoop.fs.Path(s"$root/snap-$cur"))
+        .map(_.getPath.getName).toSet
       val ts: Set[String] =
         if (fs.exists(metaPath)) {
           val m = spark.read.parquet(metaPath.toString)
           if (m.columns.contains("t"))
             m.select("t").distinct().collect().map(_.getString(0)).toSet
-          else Set("meta") // pre-fold DedupIndex scheme table
-        } else
-          fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/snap-$cur"))
-            .map(_.getPath.getName).toSet
+          // a t-less meta is a PRE-fold DedupIndex/DsirModel scheme
+          // table — the per-table DIR listing identifies the family
+          else snapListing
+        } else snapListing
       val family =
         if (ts.contains("dfs")) "lexical"
         else if (ts.contains("coarse")) "ivf-pq"
@@ -1013,40 +1016,52 @@ object Main {
       println(s"family: $family")
       println(s"committed version: $cur")
       println(s"retained versions (time-travel horizon): ${retained.mkString(", ")}")
-      def fTable(t: String, cols: Seq[String]) =
-        spark.read.parquet(metaPath.toString).where(col("t") === t)
-          .select(cols.map(col): _*)
+      // per-family readers go through each operator's metaTable —
+      // folded-first with the per-table fallback, so the card works on
+      // PRE-fold snapshots too (round-13 review: a raw folded read here
+      // threw PATH_NOT_FOUND on exactly the roots the probe detected
+      // from their per-table dirs)
+      import graft.operators.{AnnIndex, AnnIndexPq, DedupIndex, DsirModel, LexIndex}
+      def gensCard(referenced: Seq[Long]): Unit =
+        println(s"generations: ${gensOnDisk.size} on disk " +
+          s"(${gensOnDisk.mkString(", ")}), ${referenced.length} referenced " +
+          s"by v$cur (${referenced.mkString(", ")})")
       family match {
-        case "lexical" | "ivf-pq" | "ann" =>
-          val entries = fTable("manifest",
-            if (family == "lexical") Seq("gen") else Seq("cell", "gen"))
-            .collect()
-          val referenced = entries.map(r => r.getLong(r.length - 1)).distinct.sorted
-          println(s"generations: ${gensOnDisk.size} on disk " +
-            s"(${gensOnDisk.mkString(", ")}), ${referenced.length} referenced " +
-            s"by v$cur (${referenced.mkString(", ")})")
-          if (family != "lexical")
-            println(s"live cells: ${entries.length}")
-          if (family == "lexical") {
-            val st = fTable("stats", Seq("n_docs", "sum_dl")).head()
-            val tombs = fTable("tombstones", Seq("doc_id")).count()
-            println(s"corpus: ${st.getLong(0)} docs, ${st.getLong(1)} tokens; " +
-              s"tombstoned ids: $tombs")
-          }
+        case "lexical" =>
+          gensCard(LexIndex.metaTable(spark, root, cur, "manifest")
+            .collect().map(_.getLong(0)).distinct.sorted.toSeq)
+          val st = LexIndex.metaTable(spark, root, cur, "stats").head()
+          val tombs = LexIndex.metaTable(spark, root, cur, "tombstones").count()
+          println(s"corpus: ${st.getLong(0)} docs, ${st.getLong(1)} tokens; " +
+            s"tombstoned ids: $tombs")
+        case "ann" | "ivf-pq" =>
+          val mt: (SparkSession, String, Long, String) => org.apache.spark.sql.DataFrame =
+            if (family == "ann") AnnIndex.metaTable else AnnIndexPq.metaTable
+          val entries = mt(spark, root, cur, "manifest").collect()
+          gensCard(entries.map(_.getLong(1)).distinct.sorted.toSeq)
+          println(s"live cells: ${entries.length}")
         case "dedup" =>
-          val entries = fTable("manifest", Seq("gen", "n_docs")).collect()
-          val referenced = entries.map(_.getLong(0)).distinct.sorted
-          println(s"generations: ${gensOnDisk.size} on disk, " +
-            s"${referenced.length} referenced by v$cur")
-          val sch = fTable("meta", Seq("k", "r")).head()
+          val entries = DedupIndex.metaTable(spark, root, cur, "manifest")
+            .collect()
+          gensCard(entries.map(_.getLong(0)).distinct.sorted.toSeq)
+          val sch = DedupIndex.metaTable(spark, root, cur, "meta").head()
+          // per-generation doc counts are PRE-tombstone (a replaced
+          // doc's superseded copies still count until a compact) —
+          // label accordingly instead of implying live-corpus size
           println(s"scheme: k=${sch.getInt(0)} r=${sch.getInt(1)}; " +
-            s"indexed docs: ${entries.map(_.getLong(1)).sum}; " +
-            s"tombstoned ids: ${fTable("tombstones", Seq("doc_id")).count()}")
+            s"posted docs across generations (pre-tombstone): " +
+            s"${entries.map(_.getLong(1)).sum}; tombstoned ids: " +
+            s"${DedupIndex.metaTable(spark, root, cur, "tombstones").count()}")
         case "dsir" =>
-          val m = fTable("meta", Seq("buckets", "nt", "nr")).head()
+          val m = DsirModel.metaTable(spark, root, cur, "meta").head()
+          // width tolerance: a round-11 pre-totals meta carries only
+          // `buckets` (the DsirModel.metaAt contract)
+          val (nt, nr) =
+            if (m.schema.fieldNames.length >= 3)
+              (m.getLong(1), m.getLong(2)) else (0L, 0L)
           println(s"scheme: ${m.getInt(0)} buckets; frozen totals " +
-            s"nt=${m.getLong(1)} nr=${m.getLong(2)}; populated buckets: " +
-            s"${fTable("model", Seq("bucket")).count()}")
+            s"nt=$nt nr=$nr; populated buckets: " +
+            s"${DsirModel.metaTable(spark, root, cur, "model").count()}")
         case _ =>
           println(s"snapshot tables: ${ts.toSeq.sorted.mkString(", ")}")
       }

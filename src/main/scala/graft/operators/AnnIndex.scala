@@ -90,32 +90,23 @@ object AnnIndex {
     "build_mean_cos" -> "double", "n" -> "long",
     "seq" -> "long", "mean_cos" -> "double")
 
-  private def toMetaRows(t: String, df: DataFrame): DataFrame = {
-    val have = df.columns.toSet
-    df.select(lit(t).as("t") +: MetaCols.map { case (c, tp) =>
-      (if (have(c)) col(c) else lit(null)).cast(tp).as(c)
-    }: _*)
+  private def toMetaRows(t: String, df: DataFrame): DataFrame =
+    StateCommit.foldMetaRows(t, df, MetaCols)
+
+  /** This family's logical-table column lists (select order is the
+    * reader contract). */
+  private[graft] def metaCols(table: String): Seq[String] = table match {
+    case Centroids => Seq("centroid_id", "ce")
+    case Manifest => Seq("cell", "gen")
+    case Stats => Seq("build_mean_cos", "n")
+    case Drift => Seq("seq", "n", "mean_cos")
   }
 
-  /** Read one logical meta table of snapshot `v`: folded layout first,
-    * per-table directory as the fallback for snapshots written by older
-    * code. */
+  /** Read one logical meta table of snapshot `v` — the shared
+    * folded-first/per-table-fallback probe ([[StateCommit.metaTable]]). */
   private[graft] def metaTable(spark: SparkSession, root: String,
-      v: Long, table: String): DataFrame = {
-    val cols: Seq[String] = table match {
-      case Centroids => Seq("centroid_id", "ce")
-      case Manifest => Seq("cell", "gen")
-      case Stats => Seq("build_mean_cos", "n")
-      case Drift => Seq("seq", "n", "mean_cos")
-    }
-    val metaPath = new Path(StateCommit.tableDir(root, v, "meta"))
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(metaPath))
-      spark.read.parquet(metaPath.toString)
-        .where(col("t") === table)
-        .select(cols.map(col): _*)
-    else spark.read.parquet(StateCommit.tableDir(root, v, table))
-  }
+      v: Long, table: String): DataFrame =
+    StateCommit.metaTable(spark, root, v, table, metaCols(table))
 
   /** GC deferral — see [[AnnIndexPq]]: reclaim on generation-dropping
     * commits plus a periodic sweep (`spark.graft.ann.gcSweepEvery`). */

@@ -82,34 +82,25 @@ object AnnIndexPq {
     "build_mean_err_nano" -> "double", "n" -> "long",
     "seq" -> "long", "mean_err_nano" -> "double")
 
-  private def toMetaRows(t: String, df: DataFrame): DataFrame = {
-    val have = df.columns.toSet
-    df.select(lit(t).as("t") +: MetaCols.map { case (c, tp) =>
-      (if (have(c)) col(c) else lit(null)).cast(tp).as(c)
-    }: _*)
+  private def toMetaRows(t: String, df: DataFrame): DataFrame =
+    StateCommit.foldMetaRows(t, df, MetaCols)
+
+  /** This family's logical-table column lists (select order is the
+    * reader contract — positional getters depend on it). */
+  private[graft] def metaCols(table: String): Seq[String] = table match {
+    case Coarse => Seq("ccell", "cce")
+    case Codebook => Seq("blk", "cid", "ce")
+    case Params => Seq("n_coarse", "m", "sub_dim", "n_centroids")
+    case Manifest => Seq("cell", "gen")
+    case Stats => Seq("build_mean_err_nano", "n")
+    case Drift => Seq("seq", "n", "mean_err_nano")
   }
 
-  /** Read one logical meta table of snapshot `v`: folded layout first,
-    * per-table directory as the fallback for snapshots written by older
-    * code. */
+  /** Read one logical meta table of snapshot `v` — the shared
+    * folded-first/per-table-fallback probe ([[StateCommit.metaTable]]). */
   private[graft] def metaTable(spark: SparkSession, root: String,
-      v: Long, table: String): DataFrame = {
-    val cols: Seq[String] = table match {
-      case Coarse => Seq("ccell", "cce")
-      case Codebook => Seq("blk", "cid", "ce")
-      case Params => Seq("n_coarse", "m", "sub_dim", "n_centroids")
-      case Manifest => Seq("cell", "gen")
-      case Stats => Seq("build_mean_err_nano", "n")
-      case Drift => Seq("seq", "n", "mean_err_nano")
-    }
-    val metaPath = new Path(StateCommit.tableDir(root, v, "meta"))
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(metaPath))
-      spark.read.parquet(metaPath.toString)
-        .where(col("t") === table)
-        .select(cols.map(col): _*)
-    else spark.read.parquet(StateCommit.tableDir(root, v, table))
-  }
+      v: Long, table: String): DataFrame =
+    StateCommit.metaTable(spark, root, v, table, metaCols(table))
 
   /** Generation GC runs on commits that DROPPED generations from the
     * manifest and otherwise every `spark.graft.ann.gcSweepEvery`-th
@@ -404,8 +395,10 @@ object AnnIndexPq {
     val written = listCellDirs(spark, genPath(root, v))
     val entries = live.filterNot(e => touched(e._1)) ++ written.map(_ -> v)
     writeMeta(spark, root, v,
-      coarse = metaTable(spark, root, v0, Coarse),
-      codebook = metaTable(spark, root, v0, Codebook),
+      // reuse the in-scope v0 reads (coarse/cents) — re-probing the
+      // same snap-v0 meta file per table was pure footer-read waste
+      coarse = coarse,
+      codebook = cents,
       params = metaTable(spark, root, v0, Params),
       entries = entries,
       stats = statsRows(spark, root, v0),

@@ -90,35 +90,24 @@ object DedupIndex {
     "gen" -> "long", "n_docs" -> "long",
     "doc_id" -> "long", "before_gen" -> "long")
 
-  private def toMetaRows(t: String, df: DataFrame): DataFrame = {
-    val have = df.columns.toSet
-    df.select(lit(t).as("t") +: MetaCols.map { case (c, tp) =>
-      (if (have(c)) col(c) else lit(null)).cast(tp).as(c)
-    }: _*)
+  private def toMetaRows(t: String, df: DataFrame): DataFrame =
+    StateCommit.foldMetaRows(t, df, MetaCols)
+
+  /** This family's logical-table column lists (select order is the
+    * reader contract). */
+  private[graft] def metaCols(table: String): Seq[String] = table match {
+    case Meta => Seq("k", "r")
+    case Manifest => Seq("gen", "n_docs")
+    case Tombstones => Seq("doc_id", "before_gen")
   }
 
-  /** Read one logical meta table of snapshot `v`: folded layout first
-    * (schema-probed — see [[MetaCols]]), per-table directory as the
-    * fallback for snapshots written by older code. */
+  /** Read one logical meta table of snapshot `v` — the shared
+    * schema-probed folded-first/per-table-fallback probe
+    * ([[StateCommit.metaTable]]; the schema probe matters HERE because
+    * the pre-fold layout's k/r scheme table was also named `meta`). */
   private[graft] def metaTable(spark: SparkSession, root: String,
-      v: Long, table: String): DataFrame = {
-    val cols: Seq[String] = table match {
-      case Meta => Seq("k", "r")
-      case Manifest => Seq("gen", "n_docs")
-      case Tombstones => Seq("doc_id", "before_gen")
-    }
-    val metaPath = new Path(StateCommit.tableDir(root, v, "meta"))
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val folded =
-      if (fs.exists(metaPath))
-        Some(spark.read.parquet(metaPath.toString))
-          .filter(_.columns.contains("t"))
-      else None
-    folded match {
-      case Some(m) => m.where(col("t") === table).select(cols.map(col): _*)
-      case None => spark.read.parquet(StateCommit.tableDir(root, v, table))
-    }
-  }
+      v: Long, table: String): DataFrame =
+    StateCommit.metaTable(spark, root, v, table, metaCols(table))
 
   /** GC deferral — see [[AnnIndexPq]]: reclaim on generation-dropping
     * commits plus a periodic sweep (`spark.graft.dedup.gcSweepEvery`).

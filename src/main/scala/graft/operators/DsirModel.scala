@@ -56,35 +56,25 @@ object DsirModel {
     "bucket" -> "long", "micro" -> "long",
     "buckets" -> "int", "nt" -> "long", "nr" -> "long")
 
-  private def toMetaRows(t: String, df: DataFrame): DataFrame = {
-    val have = df.columns.toSet
-    df.select(lit(t).as("t") +: MetaCols.map { case (c, tp) =>
-      (if (have(c)) col(c) else lit(null)).cast(tp).as(c)
-    }: _*)
+  private def toMetaRows(t: String, df: DataFrame): DataFrame =
+    StateCommit.foldMetaRows(t, df, MetaCols)
+
+  /** This family's logical-table column lists. NOTE: the Meta fallback
+    * must read the per-table dir RAW (a round-11 pre-totals meta
+    * carries only `buckets` — selecting nt/nr there would throw), so
+    * metaAt handles the width tolerance, not the column list. */
+  private[graft] def metaCols(table: String): Seq[String] = table match {
+    case Model => Seq("bucket", "micro")
+    case Meta => Seq("buckets", "nt", "nr")
   }
 
-  /** Read one logical table of snapshot `v`: folded layout first
-    * (schema-probed — the pre-fold layout also had a `meta` dir, the
-    * t-less scheme row), per-table fallback for pre-fold snapshots. */
-  private def metaTable(spark: SparkSession, root: String,
-      v: Long, table: String): DataFrame = {
-    val cols: Seq[String] = table match {
-      case Model => Seq("bucket", "micro")
-      case Meta => Seq("buckets", "nt", "nr")
-    }
-    val metaPath = new org.apache.hadoop.fs.Path(
-      StateCommit.tableDir(root, v, "meta"))
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val folded =
-      if (fs.exists(metaPath))
-        Some(spark.read.parquet(metaPath.toString))
-          .filter(_.columns.contains("t"))
-      else None
-    folded match {
-      case Some(m) => m.where(col("t") === table).select(cols.map(col): _*)
-      case None => spark.read.parquet(StateCommit.tableDir(root, v, table))
-    }
-  }
+  /** Read one logical table of snapshot `v` — the shared schema-probed
+    * folded-first/per-table-fallback probe ([[StateCommit.metaTable]];
+    * the schema probe matters HERE because the pre-fold layout's
+    * buckets/totals row was also named `meta`). */
+  private[graft] def metaTable(spark: SparkSession, root: String,
+      v: Long, table: String): DataFrame =
+    StateCommit.metaTable(spark, root, v, table, metaCols(table))
 
   /** Fit and commit a new model version from the two corpora; returns
     * the committed version. `retain` is the StateCommit snapshot-expiry

@@ -208,37 +208,27 @@ object LexIndex {
     "doc_id" -> "long", "before_gen" -> "long",
     "last_batch_id" -> "long", "build_era" -> "long")
 
-  private def toMetaRows(t: String, df: DataFrame): DataFrame = {
-    val have = df.columns.toSet
-    df.select(lit(t).as("t") +: MetaCols.map { case (c, tp) =>
-      (if (have(c)) col(c) else lit(null)).cast(tp).as(c)
-    }: _*)
+  private def toMetaRows(t: String, df: DataFrame): DataFrame =
+    StateCommit.foldMetaRows(t, df, MetaCols)
+
+  /** This family's logical-table column lists (select order is the
+    * reader contract). */
+  private[graft] def metaCols(table: String): Seq[String] = table match {
+    case Dfs => Seq("token", "df")
+    case Stats => Seq("n_docs", "sum_dl", "n_dl")
+    case Manifest => Seq("gen")
+    case Tombstones => Seq("doc_id", "before_gen")
+    case StreamBatch => Seq("last_batch_id")
+    case EraTable => Seq("build_era")
   }
 
-  /** Read one logical meta table of snapshot `v`: folded layout first,
-    * per-table directory as the fallback for snapshots written by older
-    * code (time travel across the upgrade keeps working). */
+  /** Read one logical meta table of snapshot `v` — the shared
+    * folded-first/per-table-fallback probe ([[StateCommit.metaTable]],
+    * one edit site for the layout precedence rule across the five
+    * persisted families). */
   private[graft] def metaTable(spark: SparkSession, root: String,
-      v: Long, table: String): DataFrame = {
-    val cols: Seq[String] = table match {
-      case Dfs => Seq("token", "df")
-      case Stats => Seq("n_docs", "sum_dl", "n_dl")
-      case Manifest => Seq("gen")
-      case Tombstones => Seq("doc_id", "before_gen")
-      case StreamBatch => Seq("last_batch_id")
-      case EraTable => Seq("build_era")
-    }
-    // layout probe by existence (not exception-driven — a caught
-    // AnalysisException still stack-spams the log): folded `meta` is
-    // the current layout; per-table dirs serve pre-fold snapshots.
-    val metaPath = new Path(StateCommit.tableDir(root, v, "meta"))
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(metaPath))
-      spark.read.parquet(metaPath.toString)
-        .where(col("t") === table)
-        .select(cols.map(col): _*)
-    else spark.read.parquet(StateCommit.tableDir(root, v, table))
-  }
+      v: Long, table: String): DataFrame =
+    StateCommit.metaTable(spark, root, v, table, metaCols(table))
 
   /** Generation GC runs on every commit that DROPPED generations from
     * the manifest (compaction, rebuild — the only commits that orphan
@@ -762,13 +752,20 @@ object LexIndex {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("cos").desc, col("doc_id"))).cast("int"))
       .select(col("doc_id"), col("rank_vec"))
+    rrfFuse(lex, vec, k)
+  }
+
+  /** Exact integer RRF fusion of a (doc_id, rank_lex) and a
+    * (doc_id, rank_vec) pool — shared by [[hybrid]] and [[hybridAnn]]:
+    * the `1000000 div (60 + rank)` expression is the oracle-parity-
+    * critical constant, so it gets ONE edit site. */
+  private def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int): DataFrame =
     lex.join(vec, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
         (coalesce(expr("1000000 div (60 + rank_lex)"), lit(0L)) +
           coalesce(expr("1000000 div (60 + rank_vec)"), lit(0L))).as("rrf_micro"))
       .orderBy(col("rrf_micro").desc, col("doc_id"))
       .limit(k)
-  }
 
   /** [[hybrid]] with the VECTOR side served by the persisted
     * [[AnnIndex]] instead of a brute-force corpus scan — the
@@ -791,11 +788,6 @@ object LexIndex {
     val vec = AnnIndex.search(spark, annRoot, queries, nProbes, k = poolK)
       .select(col("cid").cast("long").as("doc_id"),
         col("rn").cast("int").as("rank_vec"))
-    lex.join(vec, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
-        (coalesce(expr("1000000 div (60 + rank_lex)"), lit(0L)) +
-          coalesce(expr("1000000 div (60 + rank_vec)"), lit(0L))).as("rrf_micro"))
-      .orderBy(col("rrf_micro").desc, col("doc_id"))
-      .limit(k)
+    rrfFuse(lex, vec, k)
   }
 }

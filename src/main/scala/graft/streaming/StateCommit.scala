@@ -207,6 +207,50 @@ object StateCommit {
     }
   }
 
+  /** Shared folded-metadata machinery (round 13): every persisted index
+    * family (LexIndex/AnnIndex/AnnIndexPq/DedupIndex/DsirModel) commits
+    * its metadata-sized tables as ONE `meta` parquet whose rows carry a
+    * `t` discriminator column — N per-table coalesce(1) writes were N
+    * driver-side committer rounds per mutation. Families differ only in
+    * their column superset and logical-table column lists; the fold/read
+    * shape lives here so the mixed-layout precedence rule has one edit
+    * site (it previously had five drifting private copies).
+    *
+    * [[foldMetaRows]] projects one logical table's rows onto the
+    * family's column superset (absent columns null-padded, every column
+    * cast to its canonical type). */
+  def foldMetaRows(t: String, df: DataFrame,
+      metaCols: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.columns.toSet
+    df.select(lit(t).as("t") +: metaCols.map { case (c, tp) =>
+      (if (have(c)) col(c) else lit(null)).cast(tp).as(c)
+    }: _*)
+  }
+
+  /** Read one logical meta table of snapshot `v`: folded layout first,
+    * per-table directory as the fallback for snapshots written by
+    * pre-fold code (time travel across the upgrade keeps working).
+    * "Folded" is decided by SCHEMA (`t` column present), not existence —
+    * two families' PRE-fold layouts also kept a table named `meta`
+    * (DedupIndex's k/r scheme, DsirModel's buckets/totals row), the same
+    * discrimination [[gcGenerations]] applies. */
+  def metaTable(spark: SparkSession, statePath: String, v: Long,
+      table: String, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val metaPath = new Path(tableDir(statePath, v, "meta"))
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val folded =
+      if (fs.exists(metaPath))
+        Some(spark.read.parquet(metaPath.toString))
+          .filter(_.columns.contains("t"))
+      else None
+    folded match {
+      case Some(m) => m.where(col("t") === table).select(cols.map(col): _*)
+      case None => spark.read.parquet(tableDir(statePath, v, table))
+    }
+  }
+
   /** Time travel: read `table` as of snapshot `v`. Fails loudly when
     * `v` was never committed or has been retention-GC'd — a silent
     * fallback to another version would be a correctness bug in any
