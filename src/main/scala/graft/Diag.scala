@@ -56,9 +56,13 @@ object Diag {
       // repeated profiling runs must not accumulate index trees in /tmp
       // (the Bench warmup convention)
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(rootPath).iterator().asScala.toSeq
+      // close the walk stream — it holds a directory handle open until
+      // closed, one leaked per Diag run otherwise (round-13 advice)
+      val walk = java.nio.file.Files.walk(rootPath)
+      try walk.iterator().asScala.toSeq
         .sortBy(-_.getNameCount)
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
     spark.stop()
   }

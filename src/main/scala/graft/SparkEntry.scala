@@ -1393,12 +1393,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // incremental semantic dedup: a new batch probes the existing
-    // corpus's buckets — the online-ingestion shape (corpus never
-    // re-clusters); same 80/20 split convention as dd_incremental
+    // incremental semantic dedup: a new batch routes through the SAME
+    // corpus-trained cell quantizer as the batch path and probes only
+    // its cell-mates — the online-ingestion shape (corpus never
+    // re-clusters; candidates corpus-size-INDEPENDENT, the round-13
+    // verdict's scale fix); same 80/20 split convention as dd_incremental
     "sim_semdedup_inc" -> ((s, dir) => {
       val emb = Catalog.embeddings(s, dir)
-      Similarity.semanticDedupIncremental(
+      Similarity.semanticDedupIncrementalCells(
         emb.where(col("vec_id") % 10 >= 8),
         emb.where(col("vec_id") % 10 < 8), threshold = 0.35)
     }),
@@ -1942,6 +1944,23 @@ object SparkEntry {
   private def sha32Sql(x: String): String =
     s"CAST(CAST(concat('0x', substr(sha256($x), 1, 8)) AS UBIGINT) AS BIGINT)"
 
+  /** Bounded deterministic quantizer-training sample over `src` — the
+    * mirror of Similarity.trainSample (rank by sha32('train:'+vec_id)
+    * with vec_id tiebreak, cap = Similarity.DefaultTrainCap): at or
+    * under the cap the sample IS the corpus, so gated-SF results are
+    * unchanged; past it the mirrored training cost is capped exactly
+    * like the engine's (round-13 ask #3, the FAISS sampled-training
+    * norm). */
+  private def trainSampleCte(name: String, src: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, embedding FROM (
+       |    SELECT vec_id, embedding,
+       |      ROW_NUMBER() OVER (ORDER BY
+       |        ${sha32Sql("'train:' || CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+       |    FROM $src)
+       |  WHERE rn <= ${graft.operators.Similarity.DefaultTrainCap}
+       |)""".stripMargin
+
   /** DuckDB mirror of Similarity.bandSigs (8 bands × 4 sign bits over
     * `embedding`): a list of 'j:bbbb' band signatures. The two-branch
     * CASE (no ELSE) yields NULL for out-of-range coordinates, exactly
@@ -1964,6 +1983,52 @@ object SparkEntry {
     * DISTINCT same-cell (d1 < d2) candidates, exact-cosine scoring at
     * ≥ `threshold`. Emits CTE `pairs` (d1, d2, cos) over `src`. */
   private def cellPairsCtes(src: String, threshold: Double): String =
+    s"""${cellTrainCtes(src)}, ${cellAssignCte("caM", "vsup", src)}, ccand AS (
+       |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM caM a JOIN caM b USING (cell) WHERE a.vec_id < b.vec_id
+       |), pairs AS (
+       |  SELECT d1, d2, cos FROM (
+       |    SELECT c.d1, c.d2,
+       |      round(${cosSql("x.embedding", "y.embedding")}, 6) AS cos
+       |    FROM ccand c JOIN $src x ON c.d1 = x.vec_id
+       |    JOIN $src y ON c.d2 = y.vec_id)
+       |  WHERE cos >= $threshold
+       |)""".stripMargin
+
+  /** Top-2 super ranking of `src` against the trained `sseeds` — the
+    * mirror of Similarity.topSupers, emitted once per assigned frame
+    * (the training chain emits `vsup` for its own corpus; the
+    * incremental oracle adds one for the incoming batch). */
+  private def cellVsupCte(name: String, src: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, sid, srn FROM (
+       |    SELECT e.vec_id, su.sid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${cosSql("e.embedding", "su.se")}, 6) DESC, su.sid) AS srn
+       |    FROM $src e CROSS JOIN sseeds su)
+       |  WHERE srn <= 2
+       |)""".stripMargin
+
+  /** Final cell membership of `src` through super ranking `vsup` —
+    * top-2 refined children across the vector's 2 supers (the mirror of
+    * Similarity.assignWithQuantizer at probes = 2). */
+  private def cellAssignCte(name: String, vsup: String, src: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT v.vec_id, cc.centroid_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(${cosSql("e.embedding", "cc.ce")}, 6) DESC, cc.centroid_id) AS r
+       |    FROM $vsup v JOIN $src e ON e.vec_id = v.vec_id
+       |    JOIN ccsup cc ON cc.sid = v.sid)
+       |  WHERE r <= 2
+       |)""".stripMargin
+
+  /** Training chain of the corpus-adaptive two-level quantizer over
+    * `src` (mirror of Similarity.trainCellQuantizer): adaptive cell
+    * count, super/child seeds, super ranking, one Lloyd round inside
+    * the top-1 super. Emits CTEs through `ccsup` (refined children
+    * keyed by their seed's super) plus `vsup` (src's super ranking). */
+  private def cellTrainCtes(src: String): String =
     s"""cnn AS (
        |  SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 32.0) AS BIGINT)) AS c,
        |    GREATEST(4, CAST(CEIL(SQRT(GREATEST(8,
@@ -1981,14 +2046,7 @@ object SparkEntry {
        |      ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
        |    FROM $src) q, cnn
        |  WHERE q.rn <= cnn.c
-       |), vsup AS (
-       |  SELECT vec_id, sid, srn FROM (
-       |    SELECT e.vec_id, su.sid,
-       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY round(${cosSql("e.embedding", "su.se")}, 6) DESC, su.sid) AS srn
-       |    FROM $src e CROSS JOIN sseeds su)
-       |  WHERE srn <= 2
-       |), csup AS (
+       |), ${cellVsupCte("vsup", src)}, csup AS (
        |  SELECT centroid_id, ce, sid FROM (
        |    SELECT ch.centroid_id, ch.ce, su.sid,
        |      ROW_NUMBER() OVER (PARTITION BY ch.centroid_id
@@ -2014,24 +2072,6 @@ object SparkEntry {
        |), ccsup AS (
        |  SELECT cc.centroid_id, cc.ce, ch.sid
        |  FROM ccents cc JOIN csup ch USING (centroid_id)
-       |), caM AS (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT v.vec_id, cc.centroid_id AS cell,
-       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-       |        ORDER BY round(${cosSql("e.embedding", "cc.ce")}, 6) DESC, cc.centroid_id) AS r
-       |    FROM vsup v JOIN $src e ON e.vec_id = v.vec_id
-       |    JOIN ccsup cc ON cc.sid = v.sid)
-       |  WHERE r <= 2
-       |), ccand AS (
-       |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
-       |  FROM caM a JOIN caM b USING (cell) WHERE a.vec_id < b.vec_id
-       |), pairs AS (
-       |  SELECT d1, d2, cos FROM (
-       |    SELECT c.d1, c.d2,
-       |      round(${cosSql("x.embedding", "y.embedding")}, 6) AS cos
-       |    FROM ccand c JOIN $src x ON c.d1 = x.vec_id
-       |    JOIN $src y ON c.d2 = y.vec_id)
-       |  WHERE cos >= $threshold
        |)""".stripMargin
 
   /** Nano-scaled squared L2 between two lists (mirror of
@@ -2050,17 +2090,18 @@ object SparkEntry {
     * Used by sim_pq / sim_pq_topk (src = embeddings) and sim_ivfpq
     * (src = coarse-residuals). */
   private def pqChain(src: String): String =
-    s"""blocks AS (
+    s"""${trainSampleCte("tsampq", src)}, blocks AS (
        |  SELECT vec_id, b AS blk, embedding[b*8+1 : b*8+8] AS sub
        |  FROM $src, UNNEST(generate_series(0, 7)) t(b)
        |), cseed AS (
-       |  SELECT DISTINCT vec_id FROM blocks ORDER BY vec_id LIMIT 16
+       |  SELECT vec_id FROM tsampq ORDER BY vec_id LIMIT 16
        |), cents0 AS (
        |  SELECT blk, vec_id AS cid, sub AS ce FROM blocks JOIN cseed USING (vec_id)
        |), d0 AS (
        |  SELECT bl.vec_id, bl.blk, bl.sub, c.cid,
        |    ${nanoL2Sql("bl.sub", "c.ce")} AS nano
        |  FROM blocks bl JOIN cents0 c USING (blk)
+       |  JOIN tsampq ts ON ts.vec_id = bl.vec_id
        |), a0 AS (
        |  SELECT vec_id, blk, sub, cid AS cell FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, blk
@@ -3497,14 +3538,14 @@ object SparkEntry {
          |      CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank_lex
          |    FROM agg)
          |  WHERE rank_lex <= 50
-         |), cents0 AS (
-         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8
+         |), ${trainSampleCte("tsam", "embeddings")}, cents0 AS (
+         |  SELECT vec_id AS centroid_id, embedding AS ce FROM tsam ORDER BY vec_id LIMIT 8
          |), a0 AS (
          |  SELECT vec_id, embedding, centroid_id AS cell FROM (
          |    SELECT e.vec_id, e.embedding, c.centroid_id,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |        ORDER BY round(${cosSql("e.embedding", "c.ce")}, 6) DESC, c.centroid_id) AS arn
-         |    FROM embeddings e CROSS JOIN cents0 c)
+         |    FROM tsam e CROSS JOIN cents0 c)
          |  WHERE arn = 1
          |), cmean AS (
          |  SELECT cell, j, round(avg(CAST(embedding[j] AS DOUBLE)), 9) AS m
@@ -4116,24 +4157,27 @@ object SparkEntry {
          |FROM ranked WHERE rn <= 3
          |ORDER BY src, rn""".stripMargin,
 
+    // cells-based incremental mirror (round 14): the quantizer TRAINS on
+    // cor (cellTrainCtes src = cor — cnn/seeds/Lloyd all corpus-only),
+    // cor assigns through its own vsup, inc through a fresh super
+    // ranking against the SAME trained seeds; candidates are cell-mates
     "sim_semdedup_inc" ->
-      s"""WITH b AS (
-         |  SELECT vec_id, embedding, ${bandSigsSql()} AS sigs FROM embeddings
-         |), inc AS (
-         |  SELECT vec_id, embedding, sigs FROM b WHERE vec_id % 10 >= 8
+      s"""WITH inc AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 >= 8
          |), cor AS (
-         |  SELECT vec_id AS cid, embedding AS ce, sigs FROM b WHERE vec_id % 10 < 8
-         |), isig AS (
-         |  SELECT vec_id, unnest(sigs) AS sig FROM inc
-         |), csig AS (
-         |  SELECT cid, unnest(sigs) AS sig FROM cor
-         |), cand AS (
-         |  SELECT DISTINCT i.vec_id, c.cid FROM isig i JOIN csig c USING (sig)
-         |  WHERE i.vec_id <> c.cid
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 < 8
+         |), ${cellTrainCtes("cor")},
+         |${cellAssignCte("corA", "vsup", "cor")},
+         |${cellVsupCte("vsupI", "inc")},
+         |${cellAssignCte("incA", "vsupI", "inc")},
+         |cand AS (
+         |  SELECT DISTINCT i.vec_id, c.vec_id AS cid
+         |  FROM incA i JOIN corA c USING (cell)
+         |  WHERE i.vec_id <> c.vec_id
          |), scored AS (
-         |  SELECT cand.vec_id, round(${cosSql("i.embedding", "c.ce")}, 6) AS cos
+         |  SELECT cand.vec_id, round(${cosSql("i.embedding", "c.embedding")}, 6) AS cos
          |  FROM cand JOIN inc i ON cand.vec_id = i.vec_id
-         |  JOIN cor c ON cand.cid = c.cid
+         |  JOIN cor c ON cand.cid = c.vec_id
          |)
          |SELECT i.vec_id, COUNT(s.cos) AS n_candidates, MAX(s.cos) AS max_cos,
          |  CAST(COALESCE(MAX(s.cos) >= 0.35, FALSE) AS INTEGER) AS is_dup
@@ -4261,14 +4305,14 @@ object SparkEntry {
          |ORDER BY qid, rn""".stripMargin,
 
     "sim_ivf_kmeans" ->
-      s"""WITH cents0 AS (
-         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8
+      s"""WITH ${trainSampleCte("tsam", "embeddings")}, cents0 AS (
+         |  SELECT vec_id AS centroid_id, embedding AS ce FROM tsam ORDER BY vec_id LIMIT 8
          |), a0 AS (
          |  SELECT vec_id, embedding, centroid_id AS cell FROM (
          |    SELECT e.vec_id, e.embedding, c.centroid_id,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |        ORDER BY round(${cosSql("e.embedding", "c.ce")}, 6) DESC, c.centroid_id) AS arn
-         |    FROM embeddings e CROSS JOIN cents0 c)
+         |    FROM tsam e CROSS JOIN cents0 c)
          |  WHERE arn = 1
          |), cmean AS (
          |  SELECT cell, j, round(avg(CAST(embedding[j] AS DOUBLE)), 9) AS m
@@ -4323,14 +4367,14 @@ object SparkEntry {
     // mean 9dp → reassign at 6dp cosine), then per-cell prototypicality
     // rank and the floor(dropFrac·n_cell) drop line
     "sim_prototypes" ->
-      s"""WITH cents0 AS (
-         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8
+      s"""WITH ${trainSampleCte("tsam", "embeddings")}, cents0 AS (
+         |  SELECT vec_id AS centroid_id, embedding AS ce FROM tsam ORDER BY vec_id LIMIT 8
          |), a0 AS (
          |  SELECT vec_id, embedding, centroid_id AS cell FROM (
          |    SELECT e.vec_id, e.embedding, c.centroid_id,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |        ORDER BY round(${cosSql("e.embedding", "c.ce")}, 6) DESC, c.centroid_id) AS arn
-         |    FROM embeddings e CROSS JOIN cents0 c)
+         |    FROM tsam e CROSS JOIN cents0 c)
          |  WHERE arn = 1
          |), cmean AS (
          |  SELECT cell, j, round(avg(CAST(embedding[j] AS DOUBLE)), 9) AS m
@@ -4450,13 +4494,13 @@ object SparkEntry {
 
     // IVF-PQ mirror: integer nano-L2 coarse assignment, exact double
     // residuals, then the shared PQ chain over the residual table
-    "sim_ivfpq" -> (s"""WITH coarse0 AS (
-         |  SELECT vec_id AS ccell, embedding AS cce FROM embeddings
+    "sim_ivfpq" -> (s"""WITH ${trainSampleCte("tsam", "embeddings")}, coarse0 AS (
+         |  SELECT vec_id AS ccell, embedding AS cce FROM tsam
          |  ORDER BY vec_id LIMIT 8
          |), c0scored AS (
          |  SELECT e.vec_id, e.embedding, c.ccell,
          |    ${nanoL2Sql("e.embedding", "c.cce")} AS c0nano
-         |  FROM embeddings e CROSS JOIN coarse0 c
+         |  FROM tsam e CROSS JOIN coarse0 c
          |), c0assign AS (
          |  SELECT vec_id, embedding, ccell FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -4494,13 +4538,13 @@ object SparkEntry {
 
     // IVF-PQ search mirror: per-(query, probed-cell) residual LUT, cell
     // pruning via the candcodes.ccell = lut.pcell equi-join
-    "sim_ivfpq_topk" -> (s"""WITH coarse0 AS (
-         |  SELECT vec_id AS ccell, embedding AS cce FROM embeddings
+    "sim_ivfpq_topk" -> (s"""WITH ${trainSampleCte("tsam", "embeddings")}, coarse0 AS (
+         |  SELECT vec_id AS ccell, embedding AS cce FROM tsam
          |  ORDER BY vec_id LIMIT 8
          |), c0scored AS (
          |  SELECT e.vec_id, e.embedding, c.ccell,
          |    ${nanoL2Sql("e.embedding", "c.cce")} AS c0nano
-         |  FROM embeddings e CROSS JOIN coarse0 c
+         |  FROM tsam e CROSS JOIN coarse0 c
          |), c0assign AS (
          |  SELECT vec_id, embedding, ccell FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id

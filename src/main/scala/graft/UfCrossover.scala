@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Propagation
+
+/** Dev measurement main (round-13 ask #4): the union-find size gate's
+  * 8M-edge default was justified by byte arithmetic, not measurement.
+  * This harness synthesizes pair graphs at a sweep of edge counts —
+  * chain-heavy (the loop's worst case: rounds ∝ log diameter) mixed
+  * with 4-cliques (the near-dup norm: dense local structure) — and
+  * times the single-task union-find against the distributed
+  * pointer-doubling loop on the SAME snapped edge set. The measured
+  * crossover sets (or confirms) `spark.graft.components.localEdges`;
+  * the table lands in SCALE.md §Round-14.
+  *
+  * Memory column: the parent map is two long arrays at power-of-2
+  * capacity ≥ 2·V — reported analytically (capacity × 16 B) because it
+  * is exact by construction; wall-clocks are measured.
+  */
+object UfCrossover {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-uf-crossover").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
+      else Seq(1000000L, 2000000L, 4000000L, 8000000L, 16000000L)
+    println("edges_target edges verts uf_sec loop_sec loop_rounds map_mb")
+    sizes.foreach(run(spark, _))
+    spark.stop()
+  }
+
+  /** Chain+clique pair graph of ~e edges over a hashed id space:
+    * 3/4 of edges form 64-vertex chains (diameter 63 — the loop pays
+    * ~7 pointer-doubling rounds), 1/4 form 4-cliques (6 edges per 4
+    * vertices — the dense near-dup clump). Ids are xxhash64-scrambled
+    * so neither strategy sees sorted input. */
+  private def synth(spark: SparkSession, e: Long): DataFrame = {
+    val chainEdges = e * 3 / 4
+    val chainVerts = chainEdges * 64 / 63
+    val chains = spark.range(chainVerts)
+      .where(col("id") % 64 =!= 63)
+      .select(
+        abs(xxhash64(col("id"))).as("a"),
+        abs(xxhash64(col("id") + 1)).as("b"))
+    val nCliques = (e - chainEdges) / 6
+    val cliques = spark.range(nCliques * 6)
+      .select((col("id") / 6).as("g"), (col("id") % 6).as("k"))
+      // the 6 unordered pairs of {0,1,2,3}: (0,1)(0,2)(0,3)(1,2)(1,3)(2,3)
+      .select(col("g"),
+        when(col("k") < 3, lit(0)).when(col("k") < 5, lit(1))
+          .otherwise(lit(2)).as("i"),
+        when(col("k") === 0, lit(1)).when(col("k") === 1, lit(2))
+          .when(col("k") === 2, lit(3)).when(col("k") === 3, lit(2))
+          .when(col("k") === 4, lit(3)).otherwise(lit(3)).as("j"))
+      .select(
+        abs(xxhash64(concat(lit("cq:"), col("g"), lit(":"), col("i")))).as("a"),
+        abs(xxhash64(concat(lit("cq:"), col("g"), lit(":"), col("j")))).as("b"))
+    chains.unionByName(cliques)
+  }
+
+  private def run(spark: SparkSession, e: Long): Unit = {
+    val edges = synth(spark, e).localCheckpoint()
+    val nEdges = edges.count()
+    val nVerts = edges.select(col("a").as("v"))
+      .unionByName(edges.select(col("b").as("v"))).distinct().count()
+    def time[A](f: => A): (Double, A) = {
+      val s = System.nanoTime(); val r = f
+      ((System.nanoTime() - s) / 1e9, r)
+    }
+    val (ufSec, _) = time {
+      Propagation.unionFindLocal(edges, "vid")
+        .queryExecution.toRdd.count()
+    }
+    spark.conf.set("spark.graft.components.localEdges", "0")
+    val (loopSec, rounds: Int) =
+      try time {
+        // symmetric form: the loop contract expects both directions
+        val sym = edges.unionByName(
+          edges.select(col("b").as("a"), col("a").as("b")))
+        val r = Propagation.minLabelCounted(sym, "vid")
+        r.labels.queryExecution.toRdd.count()
+        r.rounds
+      } finally spark.conf.unset("spark.graft.components.localEdges")
+    // capacity = next power of 2 above 2·V; 16 B per slot (key + value)
+    val cap = java.lang.Long.highestOneBit(math.max(16L, nVerts) * 2 - 1) << 1
+    val mapMb = cap * 16.0 / 1e6
+    println(f"$e $nEdges $nVerts $ufSec%.2f $loopSec%.2f $rounds $mapMb%.0f")
+  }
+}

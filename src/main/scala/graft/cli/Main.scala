@@ -803,26 +803,45 @@ object Main {
       val k = opt(args, "k").getOrElse("10").toInt
       val spark = session()
       (opt(args, "data"), opt(args, "ann-root")) match {
-        case (Some(data), Some(annRoot)) =>
-          // dual-index hybrid: the vector pool from the persisted ANN
-          // index (cell-pruned) instead of a brute-force corpus scan
+        case (Some(data), annRootOpt) if !flag(args, "brute") =>
+          // DEFAULT hybrid drive = the production dual-persisted-index
+          // stack (round-13 ask #8): the vector pool from the persisted
+          // ANN index (cell-pruned), never a brute-force corpus scan.
+          // Without --ann-root the index lives beside the lexical root
+          // (<root>-ann) and is built on first use, announced. The
+          // brute-force leg stays available under --brute as the
+          // documented baseline (and remains the lx_hybrid gate).
           val vecId = opt(args, "vec").getOrElse("0").toLong
+          val emb = graft.catalog.Catalog.embeddings(spark, data)
+          val annRoot = annRootOpt.getOrElse {
+            val default = s"$root-ann"
+            if (graft.streaming.StateCommit
+                .currentVersion(spark, default).isEmpty) {
+              println(s"no ANN index at $default — building one " +
+                "(pass --ann-root to reuse an existing index, " +
+                "--brute for the baseline corpus scan)")
+              graft.operators.AnnIndex.build(emb, default)
+            }
+            default
+          }
           println(s"hybrid(ann) top-$k for terms=${terms.mkString(",")} vec=$vecId:")
           graft.operators.LexIndex.hybridAnn(spark, root, terms, annRoot,
-            graft.catalog.Catalog.embeddings(spark, data)
-              .where(col("vec_id") === vecId)
+            emb.where(col("vec_id") === vecId)
               .select(col("vec_id").as("qid"), col("embedding").as("qe")), k)
             .collect().foreach(r => println(
               s"  doc ${r.getLong(0)}  rrf=${r.getLong(3)} " +
                 s"(lex=${Option(r.get(1)).getOrElse("-")}, vec=${Option(r.get(2)).getOrElse("-")})"))
-        case (Some(data), None) => // hybrid: fuse with cosine ranks of --vec
+        case (Some(data), None) => // --brute: baseline brute-force vector leg
           val vecId = opt(args, "vec").getOrElse("0").toLong
-          println(s"hybrid top-$k for terms=${terms.mkString(",")} vec=$vecId:")
+          println(s"hybrid top-$k for terms=${terms.mkString(",")} vec=$vecId (brute baseline):")
           graft.operators.LexIndex.hybrid(spark, root, terms,
             graft.catalog.Catalog.embeddings(spark, data), vecId, k)
             .collect().foreach(r => println(
               s"  doc ${r.getLong(0)}  rrf=${r.getLong(3)} " +
                 s"(lex=${Option(r.get(1)).getOrElse("-")}, vec=${Option(r.get(2)).getOrElse("-")})"))
+        case (Some(_), Some(_)) => // --brute with --ann-root is contradictory
+          System.err.println("error: --brute and --ann-root are mutually exclusive")
+          sys.exit(2)
         case (None, Some(_)) =>
           System.err.println("error: --ann-root requires --data (for the query embedding)")
           sys.exit(2)
@@ -1030,10 +1049,16 @@ object Main {
         case "lexical" =>
           gensCard(LexIndex.metaTable(spark, root, cur, "manifest")
             .collect().map(_.getLong(0)).distinct.sorted.toSeq)
-          val st = LexIndex.metaTable(spark, root, cur, "stats").head()
+          // headOption, not head(): a snapshot whose folded meta carries
+          // zero rows for a family stats table (pre-monitor carry) must
+          // print an 'unavailable' placeholder, not escape a raw
+          // NoSuchElementException (round-13 advice)
+          val stOpt = LexIndex.metaTable(spark, root, cur, "stats")
+            .collect().headOption
           val tombs = LexIndex.metaTable(spark, root, cur, "tombstones").count()
-          println(s"corpus: ${st.getLong(0)} docs, ${st.getLong(1)} tokens; " +
-            s"tombstoned ids: $tombs")
+          val corpus = stOpt.map(st => s"${st.getLong(0)} docs, " +
+            s"${st.getLong(1)} tokens").getOrElse("stats unavailable")
+          println(s"corpus: $corpus; tombstoned ids: $tombs")
         case "ann" | "ivf-pq" =>
           val mt: (SparkSession, String, Long, String) => org.apache.spark.sql.DataFrame =
             if (family == "ann") AnnIndex.metaTable else AnnIndexPq.metaTable
@@ -1044,23 +1069,29 @@ object Main {
           val entries = DedupIndex.metaTable(spark, root, cur, "manifest")
             .collect()
           gensCard(entries.map(_.getLong(0)).distinct.sorted.toSeq)
-          val sch = DedupIndex.metaTable(spark, root, cur, "meta").head()
+          val schOpt = DedupIndex.metaTable(spark, root, cur, "meta")
+            .collect().headOption
+          val scheme = schOpt.map(sch => s"k=${sch.getInt(0)} r=${sch.getInt(1)}")
+            .getOrElse("unavailable")
           // per-generation doc counts are PRE-tombstone (a replaced
           // doc's superseded copies still count until a compact) —
           // label accordingly instead of implying live-corpus size
-          println(s"scheme: k=${sch.getInt(0)} r=${sch.getInt(1)}; " +
+          println(s"scheme: $scheme; " +
             s"posted docs across generations (pre-tombstone): " +
             s"${entries.map(_.getLong(1)).sum}; tombstoned ids: " +
             s"${DedupIndex.metaTable(spark, root, cur, "tombstones").count()}")
         case "dsir" =>
-          val m = DsirModel.metaTable(spark, root, cur, "meta").head()
+          val mOpt = DsirModel.metaTable(spark, root, cur, "meta")
+            .collect().headOption
           // width tolerance: a round-11 pre-totals meta carries only
           // `buckets` (the DsirModel.metaAt contract)
-          val (nt, nr) =
-            if (m.schema.fieldNames.length >= 3)
-              (m.getLong(1), m.getLong(2)) else (0L, 0L)
-          println(s"scheme: ${m.getInt(0)} buckets; frozen totals " +
-            s"nt=$nt nr=$nr; populated buckets: " +
+          val scheme = mOpt.map { m =>
+            val (nt, nr) =
+              if (m.schema.fieldNames.length >= 3)
+                (m.getLong(1), m.getLong(2)) else (0L, 0L)
+            s"${m.getInt(0)} buckets; frozen totals nt=$nt nr=$nr"
+          }.getOrElse("unavailable")
+          println(s"scheme: $scheme; populated buckets: " +
             s"${DsirModel.metaTable(spark, root, cur, "model").count()}")
         case _ =>
           println(s"snapshot tables: ${ts.toSeq.sorted.mkString(", ")}")

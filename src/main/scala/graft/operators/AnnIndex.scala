@@ -108,11 +108,9 @@ object AnnIndex {
       v: Long, table: String): DataFrame =
     StateCommit.metaTable(spark, root, v, table, metaCols(table))
 
-  /** GC deferral — see [[AnnIndexPq]]: reclaim on generation-dropping
-    * commits plus a periodic sweep (`spark.graft.ann.gcSweepEvery`). */
-  private val DefaultGcSweepEvery = 8L
-
-  /** Write the folded metadata snapshot and commit; GC per the policy
+  /** Write the folded metadata snapshot and commit; GC deferral — see
+    * [[AnnIndexPq]]: reclaim on generation-dropping commits plus a
+    * periodic sweep ([[graft.GraftConf.AnnGcSweepEvery]]); policy
     * above. `droppedGens` = this commit removed generations from the
     * manifest. */
   private def writeMeta(spark: SparkSession, root: String, v: Long,
@@ -129,8 +127,7 @@ object AnnIndex {
     meta.coalesce(1).write.mode("overwrite")
       .parquet(StateCommit.tableDir(root, v, "meta"))
     StateCommit.commit(spark, root, v)
-    val sweepEvery = spark.conf.getOption("spark.graft.ann.gcSweepEvery")
-      .map(_.toLong).getOrElse(DefaultGcSweepEvery)
+    val sweepEvery = graft.GraftConf.long(spark, graft.GraftConf.AnnGcSweepEvery)
     if (droppedGens || (sweepEvery > 0 && v % sweepEvery == 0))
       StateCommit.gcGenerations(spark, root)
   }

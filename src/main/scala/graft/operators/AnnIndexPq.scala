@@ -110,7 +110,6 @@ object AnnIndexPq {
     * paying the manifest-read pass per append commit was pure constant.
     * The sweep bounds the transient leak at `gcSweepEvery` commits'
     * worth of superseded dirs. */
-  private val DefaultGcSweepEvery = 8L
 
   /** Write the folded metadata snapshot and commit; GC per the policy
     * above. `droppedGens` = this commit removed generations from the
@@ -131,8 +130,7 @@ object AnnIndexPq {
     meta.coalesce(1).write.mode("overwrite")
       .parquet(StateCommit.tableDir(root, v, "meta"))
     StateCommit.commit(spark, root, v)
-    val sweepEvery = spark.conf.getOption("spark.graft.ann.gcSweepEvery")
-      .map(_.toLong).getOrElse(DefaultGcSweepEvery)
+    val sweepEvery = graft.GraftConf.long(spark, graft.GraftConf.AnnGcSweepEvery)
     if (droppedGens || (sweepEvery > 0 && v % sweepEvery == 0))
       StateCommit.gcGenerations(spark, root)
   }

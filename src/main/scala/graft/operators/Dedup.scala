@@ -504,11 +504,47 @@ object Dedup {
     // docs that matched any LSH band are a small fraction, so the join
     // rounds run on the near-dup subgraph, not the whole corpus. Isolated
     // docs keep label = doc_id and rejoin at the end (same result, the
-    // rounds just skip rows that could never change). The loop itself —
-    // per-round checkpoint, folded convergence count, loud backstop — is
-    // the shared [[Propagation.minLabel]] core (also the SemDeDup engine).
-    val labels = Propagation
-      .minLabel(edges, "doc_id", rounds, materialize, maxRounds)
+    // rounds just skip rows that could never change).
+    //
+    // Physical strategy by measured size (the cells-engine discipline,
+    // extended to the lexical engine in round 14): a pair set at or
+    // under the union-find bound resolves in ONE single-task job; past
+    // the bound, BAND-LOCAL contraction first — each pair re-joins the
+    // (band, sig) buckets that generated it (one fresh lshBands pass,
+    // paid only in the past-bound regime), one bounded union-find per
+    // bucket collapses dense near-clique structure in one shuffle, and
+    // the global fixpoint runs only on the condensed bridge graph
+    // ([[Propagation.contractThenClose]], the SemDeDup two-phase shape).
+    // Bounded-unroll (`rounds` > 0) and all-lazy forms keep the plain
+    // loop — they exist to mirror the oracle's unrolled SQL shape.
+    val core =
+      if (rounds > 0 || !materialize)
+        Propagation.minLabel(edges, "doc_id", rounds, materialize, maxRounds)
+      else {
+        val bound = Propagation.localEdgeBound(pairs)
+        if (bound > 0 && pairs.count() <= bound)
+          Stage.snap(Propagation.unionFindLocal(
+            pairs.select(col("d1").as("a"), col("d2").as("b")), "doc_id"),
+            materialize)
+        else {
+          val buckets = lshBands(documents, k, r)
+            .select(col("doc_id"),
+              xxhash64(col("band"), col("sig")).as("gkey"))
+          // grouping by the bucket HASH is exact: any partition of the
+          // pair list into groups is (a hash collision just merges two
+          // bucket-local union-finds — still a union-find over a pair
+          // subset), and every pair shares >= 1 bucket by construction
+          val grouped = pairs
+            .join(buckets.select(col("doc_id").as("d1"), col("gkey")),
+              Seq("d1"))
+            .join(buckets.select(col("doc_id").as("d2"), col("gkey")),
+              Seq("d2", "gkey"))
+            .select("gkey", "d1", "d2")
+          Propagation.contractThenClose(grouped, "doc_id", materialize,
+            maxRounds)
+        }
+      }
+    val labels = core
       .unionByName(
         documents.select(col("doc_id"), col("doc_id").as("label"))
           .join(edges.select(col("a").as("doc_id")).distinct(),

@@ -114,7 +114,6 @@ object DedupIndex {
     * Append commits (upsert/delete keep every prior generation) reclaim
     * nothing under retain=2 anyway — the per-commit pass was pure
     * constant. */
-  private val DefaultGcSweepEvery = 8L
 
   /** Write the folded metadata snapshot and commit; GC per the policy
     * above. */
@@ -131,8 +130,7 @@ object DedupIndex {
     meta.coalesce(1).write.mode("overwrite")
       .parquet(StateCommit.tableDir(root, v, "meta"))
     StateCommit.commit(spark, root, v)
-    val sweepEvery = spark.conf.getOption("spark.graft.dedup.gcSweepEvery")
-      .map(_.toLong).getOrElse(DefaultGcSweepEvery)
+    val sweepEvery = graft.GraftConf.long(spark, graft.GraftConf.DedupGcSweepEvery)
     if (droppedGens || (sweepEvery > 0 && v % sweepEvery == 0))
       StateCommit.gcGenerations(spark, root)
   }

@@ -243,7 +243,6 @@ object LexIndex {
     * (round-12 #8); the sweep bounds the transient leak at
     * `gcSweepEvery` commits' worth of superseded dirs, only ever
     * following a compaction/rebuild. */
-  private val DefaultGcSweepEvery = 8L
 
   /** Write the metadata-sized snapshot tables and commit — shared by
     * every mutation (postings generations are written by the caller,
@@ -267,8 +266,7 @@ object LexIndex {
     meta.coalesce(1).write.mode("overwrite")
       .parquet(StateCommit.tableDir(root, v, "meta"))
     StateCommit.commit(spark, root, v)
-    val sweepEvery = spark.conf.getOption("spark.graft.lex.gcSweepEvery")
-      .map(_.toLong).getOrElse(DefaultGcSweepEvery)
+    val sweepEvery = graft.GraftConf.long(spark, graft.GraftConf.LexGcSweepEvery)
     if (droppedGens || (sweepEvery > 0 && v % sweepEvery == 0))
       StateCommit.gcGenerations(spark, root)
     v
@@ -783,6 +781,16 @@ object LexIndex {
   def hybridAnn(spark: SparkSession, root: String, terms: Seq[String],
       annRoot: String, queries: DataFrame, k: Int = 10,
       poolK: Int = 50, nProbes: Int = 1): DataFrame = {
+    // enforce the documented single-query shape: rrfFuse joins on doc_id
+    // alone, so a multi-row `queries` frame would silently mix per-qid
+    // vector ranks into one meaningless fusion (round-13 advice). The
+    // count is an action, but the query frame is one retrieval's worth
+    // of rows by contract — fan-out belongs in a per-qid fusion variant.
+    val nq = queries.count()
+    require(nq == 1,
+      s"hybridAnn fuses ONE query's lexical+vector pools; got $nq rows " +
+        "in `queries` — fuse per qid (carry qid through the RRF join) " +
+        "before batching")
     val lex = search(spark, root, terms, poolK)
       .select(col("doc_id"), col("rank").as("rank_lex"))
     val vec = AnnIndex.search(spark, annRoot, queries, nProbes, k = poolK)

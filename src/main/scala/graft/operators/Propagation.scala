@@ -64,12 +64,12 @@ object Propagation {
     * vertices, ~32 MB typical) — inside an executor's working set. Past
     * the bound the distributed loop (and, on the cell path, cell-local
     * contraction first) carries the 100 TB posture. */
-  val DefaultLocalEdgeBound = 8000000L
+  val DefaultLocalEdgeBound: Long =
+    graft.GraftConf.ComponentsLocalEdges.default.toLong
 
   private[operators] def localEdgeBound(edges: DataFrame): Long =
-    edges.sparkSession.conf
-      .getOption("spark.graft.components.localEdges")
-      .map(_.toLong).getOrElse(DefaultLocalEdgeBound)
+    graft.GraftConf.long(edges.sparkSession,
+      graft.GraftConf.ComponentsLocalEdges)
 
   /** Open-addressing long→long map (power-of-2 capacity, linear
     * probing, amortized-doubling) — the union-find's parent store. A
@@ -150,7 +150,7 @@ object Propagation {
     * condensed graph). Input edges need not be symmetric or deduped; ids
     * must be integral. Output matches the loop's contract exactly:
     * (idCol, label = min id reachable) over the edge VERTEX set only. */
-  private[operators] def unionFindLocal(edges: DataFrame,
+  private[graft] def unionFindLocal(edges: DataFrame,
       idCol: String): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -159,6 +159,82 @@ object Propagation {
       .repartition(1)
       .mapPartitions(unionFind)
       .toDF(idCol, "label")
+  }
+
+  /** Phase A of [[contractThenClose]]: (id, label_local) — each
+    * vertex's per-group component minimum, one bounded union-find per
+    * group over that group's pair list. Input is (gkey, d1, d2); ANY
+    * partition of the pair list into groups is exact (every pair's
+    * union happens in at least its own group; cross-group structure is
+    * phase B's job), so the group key can be a k-means cell, an LSH
+    * (band, sig) bucket hash, or any other generator of the pairs. */
+  private[operators] def groupLocalLabels(groupedPairs: DataFrame,
+      materialize: Boolean): DataFrame = {
+    val spark = groupedPairs.sparkSession
+    import spark.implicits._
+    Stage.snap(
+      groupedPairs.select(col("gkey").cast("long"), col("d1").cast("long"),
+          col("d2").cast("long"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups((_, it) => unionFind(it.map(t => (t._2, t._3))))
+        .toDF("id", "label_local")
+        .distinct(),
+      materialize)
+  }
+
+  /** Phase B input of [[contractThenClose]]: symmetric condensed edges
+    * — one star per vertex spanning groups, from its smallest local
+    * label to the rest. Snapped BEFORE the symmetric union (the
+    * both-branches rule every pair snapshot follows). */
+  private[operators] def bridgeEdges(local: DataFrame,
+      materialize: Boolean): DataFrame = {
+    val bridges = Stage.snap(
+      local.groupBy("id")
+        .agg(min(col("label_local")).as("m"),
+          collect_set(col("label_local")).as("ls"))
+        .select(col("m"), explode(col("ls")).as("o"))
+        .where(col("o") =!= col("m")),
+      materialize)
+    bridges.select(col("m").as("a"), col("o").as("b"))
+      .unionByName(bridges.select(col("o").as("a"), col("m").as("b")))
+  }
+
+  /** Group-local contraction then condensed global closure — exact
+    * connected components in two phases (the standard two-level CC
+    * composition; SemDeDup's own cluster-first shape, shared since
+    * round 14 by the embedding-cell AND lexical-band dedup engines):
+    *
+    *   A. one union-find per group over the group's pair list (bounded
+    *      by group size: ~cellTarget·probes for k-means cells, the LSH
+    *      bucket size for bands) emits (id, local min). Dense
+    *      intra-group structure — near-cliques at near-dup thresholds —
+    *      collapses here, in ONE shuffle, the work the global fixpoint
+    *      was paying ~19 rounds for.
+    *   B. a vertex in two groups bridges its local components: per
+    *      vertex, a star from its smallest local label to the rest.
+    *      The global fixpoint runs only on this condensed graph — and
+    *      re-gates through [[minLabel]], so a condensed graph under the
+    *      bound resolves in one more job.
+    *
+    * Exact: components(∪ per-group edges) ≡ components(pairs) because
+    * every pair lives in ≥1 group of the SAME grouping that carried it
+    * in, and phase B's stars connect exactly the local components that
+    * share a vertex. Labels are min-ids at every level, so the composed
+    * min is the component's global min id. Input (gkey, d1, d2) — a
+    * pair may appear under several groups (dedup is unnecessary: the
+    * union-find tolerates duplicate edges). Output (idCol, label) over
+    * the pair vertex set. */
+  private[graft] def contractThenClose(groupedPairs: DataFrame,
+      idCol: String, materialize: Boolean, maxRounds: Int): DataFrame = {
+    val local = groupLocalLabels(groupedPairs, materialize)
+    val condensed = bridgeEdges(local, materialize)
+    val glab = minLabel(condensed, "label_local", 0, materialize, maxRounds)
+      .select(col("label_local"), col("label").as("glabel"))
+    local.join(glab, Seq("label_local"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("glabel"), col("label_local")).as("label"))
+      .groupBy(idCol).agg(min(col("label")).as("label"))
   }
 
   /** [[minLabel]] plus the number of rounds the fixpoint actually ran —

@@ -100,11 +100,17 @@ object Similarity {
     * [[knnClassify]]), and the dup flag.
     *
     * Scale posture: candidates are sign-LSH bucket-mates only (never
-    * batch × corpus); the per-vector reduction is one combinable
-    * max/count agg. At index scale the corpus side is the snapshot a
-    * vector store maintains anyway. */
+    * batch × corpus) — but banded candidates are corpus-PROPORTIONAL:
+    * each incoming vector meets ≈ bands·n/2^bandBits ≈ n/32 corpus
+    * candidates at corpus size n, the same quadratic-flavor exponent
+    * the cells work removed from the batch path. This form is the
+    * disclosed BASELINE since round 14; the shipped dedup-at-ingest
+    * path is [[semanticDedupIncrementalCells]] (corpus-size-independent
+    * candidates). Threshold default aligned to the family's 0.35
+    * operating point (round-13 advice: call sites passed it explicitly
+    * but the stale 0.25 default was a silent-behavior trap). */
   def semanticDedupIncremental(incoming: DataFrame, corpus: DataFrame,
-      bands: Int = 8, threshold: Double = 0.25,
+      bands: Int = 8, threshold: Double = 0.35,
       bandBits: Int = 8): DataFrame = {
     val incSig = incoming.select(col("vec_id"),
       explode(bandSigs(col("embedding"), bands, bandBits)).as("sig"))
@@ -133,6 +139,92 @@ object Similarity {
       .withColumn("is_dup",
         coalesce((col("max_cos") >= threshold).cast("int"), lit(0)))
       .orderBy("vec_id")
+  }
+
+  /** CELL-LOCAL incremental semantic dedup — [[semanticDedupIncremental]]
+    * with candidates drawn from the SAME corpus-adaptive two-level
+    * quantizer the batch path ([[cosineNearDupCells]]) trains, instead
+    * of fixed sign-bands: the quantizer trains ONCE on the corpus
+    * (seeds, super ranking, one Lloyd round — [[trainCellQuantizer]]),
+    * the corpus assigns to its `probes` best cells, and each INCOMING
+    * vector routes through the same super→child search to its own
+    * `probes` cells; candidates are cell-mates only. Output contract
+    * identical to the banded form (vec_id, n_candidates, max_cos,
+    * is_dup; zero-candidate vectors surface with n=0 — honest
+    * abstention).
+    *
+    * Scale posture — the round-13 verdict's one named scale-killer,
+    * closed: banded candidates grow as ≈ n/32 PER INCOMING VECTOR at
+    * corpus size n (3×10⁷ scored pairs per document at a 10⁹ corpus);
+    * cell-local candidates are ≈ probes²·cellTarget ≈ 128 per vector,
+    * CORPUS-SIZE-INDEPENDENT, because cells ∝ n (measured flat at 10×
+    * data in SCALE.md §Round-14 while the banded form grows ~10×). At
+    * ingest scale the trained quantizer is exactly what a persisted
+    * [[AnnIndex]] already stores — a streaming deployment trains once
+    * per index rebuild and pays one broadcast-assign per batch. */
+  def semanticDedupIncrementalCells(incoming: DataFrame, corpus: DataFrame,
+      cellTarget: Int = 32, probes: Int = 2, threshold: Double = 0.35,
+      materialize: Boolean = true): DataFrame = {
+    val (q, corVsup) = trainCellQuantizer(corpus, cellTarget, materialize)
+    // corpus assignment snaps: it is the reusable "index" side — at
+    // ingest scale this is the persisted posting table, not per-batch work
+    val corAssign = Stage.snap(
+      assignWithQuantizer(corpus, corVsup, q, probes)
+        .select(col("vec_id").as("cid"), col("cell")),
+      materialize)
+    val incAssign = assignWithQuantizer(incoming,
+      topSupers(incoming, q.supers, materialize), q, probes)
+    // vec_id =!= cid: same at-least-once replay guard as the banded form
+    // (a replayed vector finds itself in the corpus snapshot at cos 1.0).
+    // DISTINCT: a pair sharing both probed cells must score once.
+    val cands = incAssign.join(corAssign, Seq("cell"))
+      .where(col("vec_id") =!= col("cid"))
+      .select("vec_id", "cid").distinct()
+    val scored = cands
+      .join(incoming.select(col("vec_id"), col("embedding").as("ie")),
+        Seq("vec_id"))
+      .join(corpus.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+        Seq("cid"))
+      .select(col("vec_id"),
+        round(cos(incoming)(col("ie"), col("ce")), 6).as("cos"))
+    incoming.select(col("vec_id"))
+      .join(scored, Seq("vec_id"), "left_outer")
+      .groupBy("vec_id")
+      .agg(count(col("cos")).as("n_candidates"), max(col("cos")).as("max_cos"))
+      .withColumn("is_dup",
+        coalesce((col("max_cos") >= threshold).cast("int"), lit(0)))
+      .orderBy("vec_id")
+  }
+
+  /** Dev diagnostic (SCALE.md §Round-14's candidates-vs-corpus table —
+    * not a gated query): per-incoming-vector candidate counts of the
+    * cells and banded incremental schemes on the same (incoming, corpus)
+    * split, measured so the corpus-size-independence claim is a number,
+    * not an argument. */
+  private[graft] def incrementalCandidateStats(incoming: DataFrame,
+      corpus: DataFrame, cellTarget: Int = 32, probes: Int = 2,
+      bands: Int = 8, bandBits: Int = 8): Map[String, Long] = {
+    val (q, corVsup) = trainCellQuantizer(corpus, cellTarget,
+      materialize = true)
+    val corAssign = Stage.snap(
+      assignWithQuantizer(corpus, corVsup, q, probes)
+        .select(col("vec_id").as("cid"), col("cell")),
+      materialize = true)
+    val incAssign = assignWithQuantizer(incoming,
+      topSupers(incoming, q.supers, materialize = true), q, probes)
+    val cellCands = incAssign.join(corAssign, Seq("cell"))
+      .where(col("vec_id") =!= col("cid"))
+      .select("vec_id", "cid").distinct().count()
+    val incSig = incoming.select(col("vec_id"),
+      explode(bandSigs(col("embedding"), bands, bandBits)).as("sig"))
+    val corSig = corpus.select(col("vec_id").as("cid"),
+      explode(bandSigs(col("embedding"), bands, bandBits)).as("sig"))
+    val bandCands = incSig.join(corSig,
+        incSig("sig") === corSig("sig") && col("vec_id") =!= col("cid"))
+      .select("vec_id", "cid").distinct().count()
+    val nInc = incoming.count()
+    Map("n_incoming" -> nInc, "n_corpus" -> corpus.count(),
+      "cells_candidates" -> cellCands, "banded_candidates" -> bandCands)
   }
 
   /** kNN label-agreement audit over [[knnGraph]] — the confident-
@@ -380,35 +472,54 @@ object Similarity {
     * supers table (√c rows) broadcasts unconditionally: it outgrows a
     * broadcast only past ~10¹⁰ cells ≈ 10¹² vectors. */
   private def maybeBroadcastCells(df: DataFrame, c: Int): DataFrame = {
-    val bound = df.sparkSession.conf
-      .getOption("spark.graft.quantizer.broadcastCells")
-      .map(_.toInt).getOrElse(131072)
+    val bound = graft.GraftConf.long(df.sparkSession,
+      graft.GraftConf.QuantizerBroadcastCells)
     if (c <= bound) broadcast(df) else df
   }
 
-  private def assignCellsHierarchical(embeddings: DataFrame,
-      cellTarget: Int, probes: Int, materialize: Boolean): DataFrame = {
-    val c = adaptiveCells(embeddings, cellTarget)
+  /** Trained two-level quantizer: the broadcast super table (sid, se),
+    * the Lloyd-refined child centroids keyed by their seed's super
+    * (centroid_id, ce, sid), and the cell count (the broadcast-gate
+    * input). Training and assignment split since round 14 so the
+    * INCREMENTAL dedup path can train on the corpus once and assign
+    * both the corpus and each incoming batch through the same cells. */
+  private[operators] case class CellQuantizer(supers: DataFrame,
+      ccsup: DataFrame, c: Int)
+
+  /** Each vector's top-2 super-cells (vec_id, sid, srn) — the narrow
+    * n·s ranking both training's Lloyd step and every assignment pass
+    * read. Probing TWO supers is the boundary repair (scaladoc above). */
+  private def topSupers(vectors: DataFrame, supers: DataFrame,
+      materialize: Boolean): DataFrame = {
+    val e = vectors.select(col("vec_id"), col("embedding"))
+    val scored = e.crossJoin(broadcast(supers))
+      .select(col("vec_id"), col("sid"),
+        round(cos(vectors)(col("embedding"), col("se")), 6).as("sc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("sc").desc, col("sid"))
+    Stage.snap(scored.withColumn("srn", row_number().over(w))
+      .where(col("srn") <= 2).select("vec_id", "sid", "srn"),
+      materialize)
+  }
+
+  /** Train the corpus-adaptive two-level quantizer on `corpus`: seeds,
+    * super ranking, one Lloyd round inside the top-1 super. Returns the
+    * quantizer plus the corpus's own snapped super ranking (reused by
+    * the corpus's assignment — training already paid for it). */
+  private def trainCellQuantizer(corpus: DataFrame, cellTarget: Int,
+      materialize: Boolean): (CellQuantizer, DataFrame) = {
+    val c = adaptiveCells(corpus, cellTarget)
     val s = math.max(4, math.ceil(math.sqrt(c.toDouble)).toInt)
-    val e = embeddings.select(col("vec_id"), col("embedding"))
-    val supers = seedCents(embeddings, s)
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    val supers = seedCents(corpus, s)
       .select(col("centroid_id").as("sid"), col("ce").as("se"))
     // vector → top-2 supers (narrow n·s window)
-    val vsup = {
-      val scored = e.crossJoin(broadcast(supers))
-        .select(col("vec_id"), col("sid"),
-          round(cos(embeddings)(col("embedding"), col("se")), 6).as("sc"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("sc").desc, col("sid"))
-      Stage.snap(scored.withColumn("srn", row_number().over(w))
-        .where(col("srn") <= 2).select("vec_id", "sid", "srn"),
-        materialize)
-    }
+    val vsup = topSupers(corpus, supers, materialize)
     // child seed → its top-1 super (c·s, all broadcast-sized)
     val csup = {
-      val scored = seedCents(embeddings, c).crossJoin(broadcast(supers))
+      val scored = seedCents(corpus, c).crossJoin(broadcast(supers))
         .select(col("centroid_id"), col("ce"), col("sid"),
-          round(cos(embeddings)(col("ce"), col("se")), 6).as("sc"))
+          round(cos(corpus)(col("ce"), col("se")), 6).as("sc"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("centroid_id").orderBy(col("sc").desc, col("sid"))
       scored.withColumn("r", row_number().over(w))
@@ -421,7 +532,7 @@ object Similarity {
       .join(vsup.where(col("srn") === 1).select("vec_id", "sid"), Seq("vec_id"))
       .join(maybeBroadcastCells(csup, c), Seq("sid"))
       .select(col("vec_id"),
-        round(cos(embeddings)(col("embedding"), col("ce")), 6).as("ccos"),
+        round(cos(corpus)(col("embedding"), col("ce")), 6).as("ccos"),
         col("centroid_id"))
       .groupBy("vec_id")
       .agg(max(struct(col("ccos"), (-col("centroid_id")).as("nc"))).as("m"))
@@ -432,16 +543,30 @@ object Similarity {
     // refined centroids keyed by their SEED's super (no migration)
     val ccsup = cents1.join(csup.select("centroid_id", "sid"),
       Seq("centroid_id"))
-    // final: top-`probes` refined children across the vector's 2 supers
+    (CellQuantizer(supers, ccsup, c), vsup)
+  }
+
+  /** Assign vectors (with their precomputed super ranking) to their
+    * top-`probes` refined children across their 2 supers — the final
+    * membership pass, shared by the batch and incremental paths. */
+  private def assignWithQuantizer(vectors: DataFrame, vsup: DataFrame,
+      q: CellQuantizer, probes: Int): DataFrame = {
+    val e = vectors.select(col("vec_id"), col("embedding"))
     val scored2 = e.join(vsup.select("vec_id", "sid"), Seq("vec_id"))
-      .join(maybeBroadcastCells(ccsup, c), Seq("sid"))
+      .join(maybeBroadcastCells(q.ccsup, q.c), Seq("sid"))
       .select(col("vec_id"), col("centroid_id"),
-        round(cos(embeddings)(col("embedding"), col("ce")), 6).as("ccos"))
+        round(cos(vectors)(col("embedding"), col("ce")), 6).as("ccos"))
     val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("ccos").desc, col("centroid_id"))
     scored2.withColumn("r", row_number().over(w2))
       .where(col("r") <= probes)
       .select(col("vec_id"), col("centroid_id").as("cell"))
+  }
+
+  private def assignCellsHierarchical(embeddings: DataFrame,
+      cellTarget: Int, probes: Int, materialize: Boolean): DataFrame = {
+    val (q, vsup) = trainCellQuantizer(embeddings, cellTarget, materialize)
+    assignWithQuantizer(embeddings, vsup, q, probes)
   }
 
   /** CELL-LOCAL embedding near-dup — the 100× form of [[cosineNearDup]]
@@ -559,6 +684,29 @@ object Similarity {
     scored.withColumn("arn", row_number().over(w))
   }
 
+  /** Quantizer-training sample size: ~256 training points per centroid
+    * at the family's 16-centroid codebooks — the FAISS norm (its docs
+    * recommend 39×k minimum, 256×k typical). At or under the cap the
+    * sample IS the corpus, so every sf0.01 oracle is unchanged
+    * bit-for-bit; past it codebook training cost is CAPPED while
+    * encode/assign still covers every vector — the round-13 plan audit
+    * measured ~60% of the IVF-PQ build as corpus-proportional training,
+    * the build's dominant term at 100 TB. */
+  val DefaultTrainCap = 4096
+
+  /** Bounded deterministic training sample: the `cap` smallest rows by
+    * (sha32("train:" + vec_id), vec_id) — a rank, not a modulus, so the
+    * bound is exact at any corpus size and the DuckDB mirror is one
+    * ROW_NUMBER window (the ta_sample hash convention). One map-side
+    * TakeOrdered pass; no shuffle of the corpus. */
+  private[operators] def trainSample(vectors: DataFrame, cap: Int): DataFrame = {
+    val h = graft.functions.Functions.sha32(
+      concat(lit("train:"), col("vec_id").cast("string")))
+    vectors.select(col("vec_id"), col("embedding"), h.as("h"))
+      .orderBy("h", "vec_id").limit(cap)
+      .select("vec_id", "embedding")
+  }
+
   /** Seed centroids: the `nCentroids` SMALLEST vec_ids — rank-based, not
     * `vec_id < n`, so a filtered/non-contiguous id space still seeds a
     * full codebook (TakeOrderedAndProject: map-side top-N, no full sort). */
@@ -622,9 +770,14 @@ object Similarity {
     * (centroid_id, ce). Shared by [[ivfKmeansTopK]] and the persisted
     * [[AnnIndex]] so the in-query and build-once paths train the SAME
     * quantizer — their results must agree row-for-row (spec-gated). */
-  def trainCentroids(embeddings: DataFrame, nCentroids: Int = 8): DataFrame =
-    elementwiseMean(ivfAssign(embeddings, nCentroids), Seq("cell"),
-        "embedding", "ce")
+  def trainCentroids(embeddings: DataFrame, nCentroids: Int = 8,
+      trainCap: Int = DefaultTrainCap): DataFrame =
+    // TRAIN on the bounded sample (seeds = the sample's smallest ids,
+    // Lloyd mean over sample members only — identical to full-corpus
+    // training whenever the corpus fits the cap); assignment against
+    // the result still covers every vector
+    elementwiseMean(ivfAssign(trainSample(embeddings, trainCap), nCentroids),
+        Seq("cell"), "embedding", "ce")
       .select(col("cell").as("centroid_id"), col("ce"))
 
   /** Every vector assigned to its nearest centroid:
@@ -935,59 +1088,25 @@ object Similarity {
     * that generated it, and phase B's stars connect exactly the local
     * components that share a vector. Labels are min-ids at every level,
     * so the composed min is the component's global min id. */
-  private def cellContractLabels(assigned: DataFrame, pairs: DataFrame,
-      materialize: Boolean, maxRounds: Int): DataFrame = {
-    val local = cellLocalLabels(assigned, pairs, materialize)
-    val condensed = bridgeEdges(local, materialize)
-    val glab = Propagation
-      .minLabel(condensed, "label_local", 0, materialize, maxRounds)
-      .select(col("label_local"), col("label").as("glabel"))
-    local.join(glab, Seq("label_local"), "left_outer")
-      .select(col("vec_id"),
-        coalesce(col("glabel"), col("label_local")).as("label"))
-      .groupBy("vec_id").agg(min(col("label")).as("label"))
-  }
-
-  /** Phase A of [[cellContractLabels]]: (vec_id, label_local) — each
-    * vector's per-cell component minimum, one bounded union-find per
-    * cell. */
-  private def cellLocalLabels(assigned: DataFrame, pairs: DataFrame,
-      materialize: Boolean): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    val pc = pairs
+  /** The cell-keyed (gkey, d1, d2) pair grouping [[cellContractLabels]]
+    * and the stats diagnostic share: each pair re-joins the assignment
+    * to recover its generating cell(s). */
+  private def cellGroupedPairs(assigned: DataFrame,
+      pairs: DataFrame): DataFrame =
+    pairs
       .join(assigned.select(col("vec_id").as("d1"), col("cell")), Seq("d1"))
       .join(assigned.select(col("vec_id").as("d2"), col("cell")),
         Seq("d2", "cell"))
-    Stage.snap(
-      pc.select(col("cell").cast("long"), col("d1").cast("long"),
-          col("d2").cast("long"))
-        .as[(Long, Long, Long)]
-        .groupByKey(_._1)
-        .flatMapGroups((_, it) =>
-          Propagation.unionFind(it.map(t => (t._2, t._3))))
-        .toDF("vec_id", "label_local")
-        .distinct(),
-      materialize)
-  }
+      .select(col("cell").cast("long").as("gkey"), col("d1"), col("d2"))
 
-  /** Phase B input of [[cellContractLabels]]: symmetric condensed edges
-    * — one star per vector spanning cells, from its smallest local
-    * label to the rest. */
-  private def bridgeEdges(local: DataFrame,
-      materialize: Boolean): DataFrame = {
-    // snap the stars BEFORE the symmetric union (the same both-branches
-    // rule as every pair snapshot in this file)
-    val bridges = Stage.snap(
-      local.groupBy("vec_id")
-        .agg(min(col("label_local")).as("m"),
-          collect_set(col("label_local")).as("ls"))
-        .select(col("m"), explode(col("ls")).as("o"))
-        .where(col("o") =!= col("m")),
-      materialize)
-    bridges.select(col("m").as("a"), col("o").as("b"))
-      .unionByName(bridges.select(col("o").as("a"), col("m").as("b")))
-  }
+  private def cellContractLabels(assigned: DataFrame, pairs: DataFrame,
+      materialize: Boolean, maxRounds: Int): DataFrame =
+    // the generic two-phase core ([[Propagation.contractThenClose]] —
+    // shared with the lexical band engine since round 14); the cell
+    // grouping is exact because every pair was GENERATED by a shared
+    // cell of this same assignment snapshot
+    Propagation.contractThenClose(cellGroupedPairs(assigned, pairs),
+      "vec_id", materialize, maxRounds)
 
   /** Dev diagnostic (SCALE.md's rounds/size table — not a gated query):
     * the cell-contraction path's stage sizes and the condensed loop's
@@ -999,8 +1118,9 @@ object Similarity {
     val (assigned, pairs) = cosineNearDupCellsParts(embeddings, cellTarget,
       probes, threshold, materialize = true)
     val p = Stage.snap(pairs.select("d1", "d2"), materialize = true)
-    val local = cellLocalLabels(assigned, p, materialize = true)
-    val condensed = bridgeEdges(local, materialize = true)
+    val local = Propagation.groupLocalLabels(
+      cellGroupedPairs(assigned, p), materialize = true)
+    val condensed = Propagation.bridgeEdges(local, materialize = true)
     val spark = embeddings.sparkSession
     val prev = spark.conf.getOption("spark.graft.components.localEdges")
     spark.conf.set("spark.graft.components.localEdges", "0")
@@ -1198,11 +1318,17 @@ object Similarity {
     * vec_ids), not `vec_id < n`: a filtered corpus with non-contiguous
     * ids would otherwise under-seed or empty the codebook. */
   private def pqCodebook(blocks: DataFrame, source: DataFrame,
-      nCentroids: Int): DataFrame = {
-    val seedIds = source.select("vec_id").orderBy("vec_id").limit(nCentroids)
+      nCentroids: Int, trainCap: Int = DefaultTrainCap): DataFrame = {
+    // TRAINING is sample-bounded (seeds from the sample's smallest ids,
+    // Lloyd mean over the sample's blocks only — the corpus-proportional
+    // term the round-13 build profile flagged); ENCODE (the callers'
+    // pqNearest against the returned codebook) still covers every vector
+    val sampleIds = trainSample(source, trainCap).select("vec_id")
+    val seedIds = sampleIds.orderBy("vec_id").limit(nCentroids)
+    val blocksS = blocks.join(broadcast(sampleIds), Seq("vec_id"), "left_semi")
     val cents0 = blocks.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("blk"), col("vec_id").as("cid"), col("sub").as("ce"))
-    elementwiseMean(pqNearest(blocks, cents0), Seq("blk", "cell"),
+    elementwiseMean(pqNearest(blocksS, cents0), Seq("blk", "cell"),
         "sub", "ce")
       .select(col("blk"), col("cell").as("cid"), col("ce"))
   }
@@ -1315,7 +1441,8 @@ object Similarity {
         col("best.ccell").as("ccell"), col("best.cce").as("cce"))
 
   private[operators] def ivfPqParts(embeddings: DataFrame, nCoarse: Int, m: Int,
-      subDim: Int, nCentroids: Int, materialize: Boolean): IvfPqParts = {
+      subDim: Int, nCentroids: Int, materialize: Boolean,
+      trainCap: Int = DefaultTrainCap): IvfPqParts = {
     def assignTo(cents: DataFrame): DataFrame = assignCoarse(embeddings, cents)
     // coarse quantizer: rank-based seeds + ONE Lloyd round (assign all,
     // re-center each cell on its members' mean — one narrow combinable
@@ -1323,11 +1450,18 @@ object Similarity {
     // Every seed lands in its own cell (self-distance 0), so no cell is
     // empty unless two seeds are identical vectors — in which case the
     // duplicate cell drops out here and out of the search fan-out too.
-    val coarse0 = embeddings
+    // coarse TRAINING rides the bounded deterministic sample (seeds =
+    // the sample's smallest ids, Lloyd mean over sample members); the
+    // final assignment below still covers every vector. Residual PQ
+    // codebooks sample by the SAME per-id hash, so one id set trains
+    // both quantizer levels.
+    val sample = trainSample(embeddings, trainCap)
+    val coarse0 = sample
       .select(col("vec_id").as("ccell"), col("embedding").as("cce"))
       .orderBy("ccell").limit(nCoarse)
     val coarse = Stage.snap(
-      elementwiseMean(assignTo(coarse0), Seq("ccell"), "embedding", "cce"),
+      elementwiseMean(assignCoarse(sample, coarse0),
+        Seq("ccell"), "embedding", "cce"),
       materialize)
     val assigned = assignTo(coarse)
     // snapshot the residual table: the codebook training, the code
@@ -1339,7 +1473,8 @@ object Similarity {
           (x, c) => x.cast("double") - c.cast("double")).as("embedding")),
       materialize)
     val blocks = pqBlocks(residuals.select("vec_id", "embedding"), m, subDim)
-    val cents = Stage.snap(pqCodebook(blocks, residuals, nCentroids), materialize)
+    val cents = Stage.snap(
+      pqCodebook(blocks, residuals, nCentroids, trainCap), materialize)
     IvfPqParts(coarse, residuals, cents, pqNearest(blocks, cents))
   }
 

@@ -29,8 +29,9 @@ object Stage {
     * inspection and equivalence tests). */
   def snap(df: DataFrame, materialize: Boolean): DataFrame =
     if (!materialize) df
-    else df.sparkSession.conf.getOption("spark.graft.checkpoint") match {
-      case Some("reliable") =>
+    else graft.GraftConf.string(df.sparkSession,
+        graft.GraftConf.Checkpoint) match {
+      case "reliable" =>
         require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
           "spark.graft.checkpoint=reliable requires sparkContext.setCheckpointDir")
         // eager: same semantics as localCheckpoint(), different storage
@@ -51,8 +52,9 @@ object Stage {
     * (Spark's classic persist-before-checkpoint gotcha), which is worse
     * than the extra probe action it would save. */
   def snapLazy(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption("spark.graft.checkpoint") match {
-      case Some("reliable") =>
+    graft.GraftConf.string(df.sparkSession,
+        graft.GraftConf.Checkpoint) match {
+      case "reliable" =>
         require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
           "spark.graft.checkpoint=reliable requires sparkContext.setCheckpointDir")
         df.checkpoint()

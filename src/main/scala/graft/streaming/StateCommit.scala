@@ -247,7 +247,14 @@ object StateCommit {
       else None
     folded match {
       case Some(m) => m.where(col("t") === table).select(cols.map(col): _*)
-      case None => spark.read.parquet(tableDir(statePath, v, table))
+      case None =>
+        // project `cols` whenever the pre-fold snapshot has them all, so
+        // positional readers see the SAME column order on both layouts;
+        // raw only when some are missing (DsirModel's pre-totals meta is
+        // the one genuinely narrower legacy schema) — round-13 advice
+        val raw = spark.read.parquet(tableDir(statePath, v, table))
+        if (cols.forall(raw.columns.contains)) raw.select(cols.map(col): _*)
+        else raw
     }
   }
 

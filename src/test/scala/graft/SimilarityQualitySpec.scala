@@ -496,6 +496,46 @@ class SimilarityQualitySpec extends SparkSpec {
     assert(exact.size > 50, s"vacuous baseline: ${exact.size} exact pairs")
   }
 
+  test("probes→recall curve at the gated threshold is monotone, with measured cost (round-13 ask #2)") {
+    // the operating-point decision, measured instead of argued: recall
+    // vs the exact all-pairs baseline AND candidate volume (threshold
+    // −1 admits every candidate, so the pair count IS the cost) at
+    // probes = 2/3/4. Recall must be monotone in probes (more cells per
+    // vector can only add candidate pairs — same quantizer, superset
+    // membership); the numbers land in SCALE.md §Round-14 where the
+    // shipped default is justified.
+    import org.apache.spark.sql.functions._
+    val threshold = 0.35
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
+    val a = emb.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+    val b = emb.select(col("vec_id").as("d2"), col("embedding").as("e2"))
+    val exact = a.crossJoin(b).where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(graft.expressions.GraftFunctions.cosineSim(col("e1"), col("e2")), 6)
+          .as("cos"))
+      .where(col("cos") >= threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val curve = Seq(2, 3, 4).map { p =>
+      val found = Similarity
+        .cosineNearDupCells(emb, probes = p, threshold = threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(found.subsetOf(exact),
+        s"probes=$p found non-pairs: ${(found -- exact).take(3)}")
+      val cands = Similarity
+        .cosineNearDupCells(emb, probes = p, threshold = -1.0).count()
+      (p, found.size.toDouble / exact.size, cands)
+    }
+    curve.foreach { case (p, r, c) =>
+      info(f"probes=$p recall $r%.3f candidates $c") }
+    curve.sliding(2).foreach { case Seq((p1, r1, _), (p2, r2, _)) =>
+      assert(r2 >= r1, f"recall fell from $r1%.3f (probes=$p1) to " +
+        f"$r2%.3f (probes=$p2) — same quantizer must be monotone")
+    }
+    assert(curve.head._2 > 0.3, "probes=2 recall collapsed — quantizer broken")
+  }
+
   test("quantizer broadcast gate: shuffle-join assignment is row-identical to the broadcast path") {
     // round-12 review #4: the child-centroid broadcast is the flat
     // assignment's memory cliff at extreme c. Forcing the gate (bound 1
