@@ -36,6 +36,8 @@ object ScaleCurve {
     "lx_search", "lx_search_inc", "lx_search_del", "lx_search_upd",
     // round 13 continued: the remaining changed-commit-path family
     "lx_search_cdc",
+    // round 14: the cells-ified incremental probe + the dual-index hybrid
+    "sim_semdedup_inc", "lx_hybrid_ann",
     "ta_release",
     // round-11 final session: the selection family + banded near-dup
     "ta_dsir", "ta_dsir_select", "ta_dsir_store",

@@ -21,32 +21,36 @@ import org.apache.spark.sql.functions._
   * round) times a round count that grows as ~log_φ(diameter) on
   * chain-heavy graphs. The loop below remains the past-the-bound path.
   *
-  * `rounds <= 0` (the production default) iterates until a round changes
-  * no label — exact connected components at ANY chain depth, capped at
-  * `maxRounds` as a loud pathological-graph backstop ([[DefaultMaxRounds]]
-  * unless the caller raises it for a corpus whose duplicate chains are
-  * genuinely deeper; a parameter, not a code change — round-10 advice).
-  * A positive `rounds` keeps the bounded-unroll form for oracle mirrors
-  * and shallow-graph equivalence specs.
+  * `rounds <= 0` (the production default) runs Borůvka hook-and-contract
+  * to the empty contracted graph — exact connected components in
+  * O(log n) rounds for ANY id ordering (round 14; see the loop body for
+  * the one-hop degeneration that retired the pointer-doubling form) —
+  * capped at `maxRounds` as a loud backstop ([[DefaultMaxRounds]]; a
+  * parameter, not a code change — round-10 advice). A positive `rounds`
+  * keeps the bounded-unroll one-hop form for oracle mirrors and
+  * shallow-graph equivalence specs.
   *
-  * Scale posture: each round is one narrow (edge ⋈ label) equi-join over
-  * the pair-graph VERTEX set only (isolated docs never enter; callers
-  * union them back), checkpointed per round so plan depth stays O(1) in
-  * the round count. The convergence test is FOLDED INTO the checkpoint
-  * materialization: the round's single action counts changed labels
-  * while the lazily-marked checkpoint persists its blocks — round 10
-  * paid an eager checkpoint PLUS a separate `isEmpty` per round, and
-  * `isEmpty`'s take(1) escalation (scan 1 partition, then 4, then 20…)
-  * made the "cheap" test 2–4 scheduler round-trips on an
-  * about-to-converge graph. That constant was the real component of
+  * Scale posture: each round shuffles the CONTRACTED cluster-edge set
+  * (shrinking geometrically — self-loops drop at every contraction) plus
+  * one cluster-sized hook/compress map; isolated docs never enter
+  * (callers union them back). The convergence test is FOLDED INTO the
+  * checkpoint materialization: the round's single action counts the
+  * contracted edges (zero left IS convergence) while the lazily-marked
+  * checkpoints persist their blocks — round 10 paid an eager checkpoint
+  * PLUS a separate `isEmpty` per round, and `isEmpty`'s take(1)
+  * escalation made the "cheap" test 2–4 scheduler round-trips on an
+  * about-to-converge graph; that constant was the real component of
   * dd_near_apply's round-10 bench regression. */
 object Propagation {
 
-  /** Backstop for the fixpoint loop. With the pointer-doubling step the
-    * label horizon grows as 2^round − 1, so 64 rounds covers any graph a
-    * physical corpus can hold (diameter up to ~2^63) — hitting the
-    * backstop now means the loop is genuinely broken, not that the chain
-    * is deep. Kept as a parameter anyway so the bounded-unroll oracle
+  /** Backstop for the fixpoint loop. Borůvka hook-and-contract at least
+    * halves every component's cluster count per round — for ANY id
+    * ordering, unlike the pointer-doubling loop it replaced in round 14
+    * (whose 2^round horizon claim silently degenerated to ONE hop per
+    * round on paths whose ids increase toward the component minimum) —
+    * so 64 rounds covers components of up to ~2^64 vertices. Hitting
+    * the backstop means the loop is genuinely broken, not that the
+    * graph is deep. Kept as a parameter so the bounded-unroll oracle
     * mirrors and pathology drills can lower it. */
   val DefaultMaxRounds = 64
 
@@ -237,6 +241,27 @@ object Propagation {
       .groupBy(idCol).agg(min(col("label")).as("label"))
   }
 
+  /** Stage snapshot that also RESETS plan-statistics flow: the eager
+    * localCheckpoint persists the blocks, and re-wrapping the
+    * checkpointed RDD in a fresh leaf drops the ESTIMATED origin
+    * statistics the checkpoint node would otherwise carry into the next
+    * consumer's plan. The contraction loop references its hook/compress
+    * map twice and the edge set once per round, so carried size
+    * estimates compound ×~5 per round — measured in the round-14
+    * crossover harness as the optimizer spending MINUTES in
+    * BigInteger.multiplyToomCook3 (and eventually overflowing
+    * BigInteger's 2^31-bit cap) once a loop ran past ~10 rounds. A
+    * fresh leaf pins each round's estimates at the conservative
+    * constant default. The Row re-wrap costs one conversion pass over
+    * a cluster-sized, geometrically-shrinking frame — only on the
+    * past-the-union-find-bound path. */
+  private def snapReset(df: DataFrame, materialize: Boolean): DataFrame =
+    if (!materialize) df
+    else {
+      val cp = Stage.snap(df, materialize)
+      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
+
   /** [[minLabel]] plus the number of rounds the fixpoint actually ran —
     * the observable the O(log d) convergence specs assert on (a 60-hop
     * chain must close in ~7 rounds, not 60). */
@@ -284,63 +309,109 @@ object Propagation {
     val cap = if (fixpoint) maxRounds else rounds
     var round = 0
     var converged = false
-    while (!converged && round < cap) {
-      val nbrMin = edges.join(labels, edges("b") === labels(idCol))
-        .groupBy(col("a")).agg(min("label").as("nl"))
-      // the previous round's label rides along so the convergence test is
-      // a scan of THIS round's snapshot, not a join back to the old one
-      val stepped = labels
-        .join(nbrMin, labels(idCol) === nbrMin("a"), "left_outer")
-        .select(col(idCol), col("label").as("prev_label"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-      if (fixpoint) {
-        // Pointer doubling FROM THE THIRD ROUND ON: fold in the previous
-        // round's label of the label just computed (every label is a
-        // vertex id, so the lookup is a vertex-sized equi-join against
-        // the already-materialized map). The reachable-min horizon then
-        // grows as ~2^round instead of round — O(log d) rounds on a
-        // depth-d chain, so the 64-round backstop covers diameters up to
-        // ~2^63 rather than 64 (round-10 advice: a >64-deep
-        // template-drift chain used to abort the job). The first two
-        // rounds stay plain one-hop: typical near-dup graphs (pair/star
-        // clusters, diameter ≤ 2) converge inside them, and the measured
-        // cost of compressing every round was a 1.5–4× constant across
-        // the whole propagation family at sf0.1 for zero round savings.
-        // The bounded-unroll branch below stays pure one-hop min-label —
-        // the shape the DuckDB oracle mirrors.
-        val jumped = if (round < 2) stepped else {
-          val lmap = labels
-            .select(col(idCol).as("pj_id"), col("label").as("pj_label"))
-          stepped
-            .join(lmap, stepped("label") === lmap("pj_id"), "left_outer")
-            .select(col(idCol), col("prev_label"),
-              least(col("label"), coalesce(col("pj_label"), col("label")))
-                .as("label"))
-        }
-        // ONE action: the count's job computes every partition of the
-        // lazily-checkpoint-marked frame, persisting the round's snapshot
-        // and producing the changed-label count in the same pass. Labels
-        // only ever decrease, so "no label changed" IS the global fixpoint
-        // (a stable neighbor step implies the compression step is stable
-        // too, so the combined-round test is still exact).
-        // (materialize=false — the all-lazy plan-inspection form — skips
-        // the checkpoint and pays the per-round re-derivation; fine on
-        // the fixture-sized graphs that form inspects.)
-        val snapped = if (materialize) Stage.snapLazy(jumped) else jumped
-        converged =
-          snapped.where(col("label") =!= col("prev_label")).count() == 0L
-        labels = snapped.select(idCol, "label")
-      } else {
-        labels = Stage.snap(stepped.select(idCol, "label"), materialize)
+    if (!fixpoint) {
+      // bounded-unroll form: pure one-hop min-label — the shape the
+      // DuckDB oracles mirror with chained CTEs; never gated, never
+      // compressed.
+      while (round < cap) {
+        val nbrMin = edges.join(labels, edges("b") === labels(idCol))
+          .groupBy(col("a")).agg(min("label").as("nl"))
+        val stepped = labels
+          .join(nbrMin, labels(idCol) === nbrMin("a"), "left_outer")
+          .select(col(idCol),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        labels = Stage.snap(stepped, materialize)
+        round += 1
       }
+      return Labeled(labels, round)
+    }
+    // Fixpoint form: BORŮVKA HOOK-AND-CONTRACT (round 14). The previous
+    // pointer-doubling min-label loop was O(log d) only when ids
+    // DECREASE toward the component minimum along paths: on an "uphill"
+    // run (ids increasing toward the min — content-addressed ids,
+    // wrap-around orderings, any non-monotone numbering) every label
+    // pointed AWAY from the min, the jump map compressed toward a local
+    // id minimum, and the true min crawled ONE hop per round — measured
+    // in the round-14 crossover harness as non-convergence at 16 rounds
+    // on a diameter-63 chain whose ids straddle a modular wrap. Hooking
+    // follows EDGES instead of label horizons, so no ordering can
+    // defeat it:
+    //
+    //   hook:     every cluster adopts min(itself, min adjacent cluster)
+    //   compress: one pointer-jump over the hook forest (chains halve)
+    //   contract: edges relabel to cluster roots; self-loops drop
+    //
+    // Each round every edge-bearing cluster merges into another, so the
+    // cluster count at least halves per round — O(log n) rounds for ANY
+    // id ordering (the standard MapReduce-CC result, Kiveris et al.),
+    // making the 64-round backstop an honest 2^64-component bound.
+    // Cluster ids are always original vertex ids and only ever decrease
+    // to ids of ADJACENT clusters, and the component minimum never
+    // hooks away, so the terminal one-cluster-per-component state is
+    // labeled by exactly the component min — the same contract as the
+    // union-find gate (spec-pinned equivalent on seeded random graphs).
+    //
+    // ONE action per round: the contracted edge set is lazily
+    // checkpoint-marked and its count IS the convergence test (no
+    // cross-cluster edges left); the hook/compress map rides the same
+    // job lazily and is read again only from its persisted blocks. The
+    // vertex→cluster map stays a lazy chain over those per-round
+    // snapshots and materializes once at the end.
+    var ce = snapReset(
+      edges.select(col("a").as("x"), col("b").as("y"))
+        .where(col("x") =!= col("y")).distinct(),
+      materialize)
+    converged = ce.count() == 0L
+    while (!converged && round < cap) {
+      val hooks = ce.groupBy("x").agg(min("y").as("h"))
+      // compress the hook forest to IDEMPOTENCE: min-neighbor hooking on
+      // a monotone path produces one long parent chain, and a single
+      // compression step only shortens it by 2 per round (measured: 30
+      // rounds on a 60-hop path). Pointer-jumping the map against
+      // itself doubles the jump distance per step — log(depth) steps —
+      // and exactness survives ANY early exit (a partially compressed
+      // map still maps to valid smaller cluster ids; the next outer
+      // round continues), so the cap is a safety, not a correctness,
+      // bound.
+      var comp = snapReset(
+        hooks.select(col("x"), col("x").as("prev"),
+          least(col("x"), col("h")).as("nx")),
+        materialize)
+      var stable = false
+      var steps = 0
+      while (!stable && steps < cap) {
+        stable = comp.where(col("nx") =!= col("prev")).count() == 0L
+        if (!stable) {
+          comp = snapReset(
+            comp.join(
+                comp.select(col("x").as("t"), col("nx").as("tn")),
+                comp("nx") === col("t"), "left_outer")
+              .select(col("x"), col("nx").as("prev"),
+                least(col("nx"), coalesce(col("tn"), col("nx"))).as("nx")),
+            materialize)
+          steps += 1
+        }
+      }
+      val ceNew = ce
+        .join(comp.select(col("x"), col("nx").as("cx")), Seq("x"))
+        .join(comp.select(col("x").as("y"), col("nx").as("cy")), Seq("y"))
+        .select(col("cx").as("x"), col("cy").as("y"))
+        .where(col("x") =!= col("y")).distinct()
+      val ceSnap = snapReset(ceNew, materialize)
+      converged = ceSnap.count() == 0L
+      ce = ceSnap
+      labels = labels.join(
+          comp.select(col("x").as("label"), col("nx")), Seq("label"),
+          "left_outer")
+        .select(col(idCol), coalesce(col("nx"), col("label")).as("label"))
       round += 1
     }
-    if (fixpoint && !converged)
+    if (!converged)
       throw new IllegalStateException(
-        s"min-label propagation did not converge in $maxRounds rounds — " +
-          "with pointer doubling that bounds the graph diameter at ~2^" +
-          s"$maxRounds: the loop is broken, not the data; investigate " +
-          "before raising maxRounds")
-    Labeled(labels, round)
+        s"hook-and-contract did not converge in $maxRounds rounds — " +
+          "Borůvka halving bounds components at ~2^" + s"$maxRounds: " +
+          "the loop is broken, not the data; investigate before raising " +
+          "maxRounds")
+    Labeled(Stage.snap(labels, materialize), round)
   }
 }

@@ -1262,8 +1262,8 @@ object Similarity {
     * narrow (blk, cell, j) combinable aggregation; the final code
     * assembly is one groupBy(vec_id) over m-row groups. */
   def pqEncode(embeddings: DataFrame, m: Int = 8, subDim: Int = 8,
-      nCentroids: Int = 16): DataFrame =
-    pqAssign(embeddings, m, subDim, nCentroids)
+      nCentroids: Int = 16, trainCap: Int = DefaultTrainCap): DataFrame =
+    pqAssign(embeddings, m, subDim, nCentroids, trainCap)
       .groupBy("vec_id")
       .agg(
         to_json(transform(
@@ -1318,12 +1318,16 @@ object Similarity {
     * vec_ids), not `vec_id < n`: a filtered corpus with non-contiguous
     * ids would otherwise under-seed or empty the codebook. */
   private def pqCodebook(blocks: DataFrame, source: DataFrame,
-      nCentroids: Int, trainCap: Int = DefaultTrainCap): DataFrame = {
+      nCentroids: Int, trainCap: Int = DefaultTrainCap,
+      materialize: Boolean = true): DataFrame = {
     // TRAINING is sample-bounded (seeds from the sample's smallest ids,
     // Lloyd mean over the sample's blocks only — the corpus-proportional
     // term the round-13 build profile flagged); ENCODE (the callers'
-    // pqNearest against the returned codebook) still covers every vector
-    val sampleIds = trainSample(source, trainCap).select("vec_id")
+    // pqNearest against the returned codebook) still covers every vector.
+    // The sample snaps: two consumers (seeds + the semi-join) would
+    // otherwise each re-run the corpus TakeOrdered.
+    val sampleIds = Stage.snap(
+      trainSample(source, trainCap).select("vec_id"), materialize)
     val seedIds = sampleIds.orderBy("vec_id").limit(nCentroids)
     val blocksS = blocks.join(broadcast(sampleIds), Seq("vec_id"), "left_semi")
     val cents0 = blocks.join(broadcast(seedIds), Seq("vec_id"))
@@ -1336,9 +1340,9 @@ object Similarity {
   /** Final PQ assignment (vec_id, blk, sub, cell, nano) against the
     * trained codebook. */
   private def pqAssign(embeddings: DataFrame, m: Int, subDim: Int,
-      nCentroids: Int): DataFrame = {
+      nCentroids: Int, trainCap: Int): DataFrame = {
     val blocks = pqBlocks(embeddings, m, subDim)
-    pqNearest(blocks, pqCodebook(blocks, embeddings, nCentroids))
+    pqNearest(blocks, pqCodebook(blocks, embeddings, nCentroids, trainCap))
   }
 
   /** PQ ADC (asymmetric distance computation) top-k — the SEARCH path
@@ -1364,7 +1368,9 @@ object Similarity {
     // both the candidate-encode pass and the query LUT read it, and
     // without a stage boundary the whole seed-assign + Lloyd training
     // lineage runs twice (the lshComponents lesson)
-    val cents = Stage.snap(pqCodebook(blocks, embeddings, nCentroids), materialize)
+    val cents = Stage.snap(
+      pqCodebook(blocks, embeddings, nCentroids, materialize = materialize),
+      materialize)
     val codes = pqNearest(blocks, cents)
       .select(col("vec_id").as("cid2"), col("blk"), col("cell"))
     val lut = blocks
@@ -1454,8 +1460,9 @@ object Similarity {
     // the sample's smallest ids, Lloyd mean over sample members); the
     // final assignment below still covers every vector. Residual PQ
     // codebooks sample by the SAME per-id hash, so one id set trains
-    // both quantizer levels.
-    val sample = trainSample(embeddings, trainCap)
+    // both quantizer levels. Snapped: the seed TakeOrdered and the
+    // Lloyd assignment both read it.
+    val sample = Stage.snap(trainSample(embeddings, trainCap), materialize)
     val coarse0 = sample
       .select(col("vec_id").as("ccell"), col("embedding").as("cce"))
       .orderBy("ccell").limit(nCoarse)
@@ -1474,14 +1481,17 @@ object Similarity {
       materialize)
     val blocks = pqBlocks(residuals.select("vec_id", "embedding"), m, subDim)
     val cents = Stage.snap(
-      pqCodebook(blocks, residuals, nCentroids, trainCap), materialize)
+      pqCodebook(blocks, residuals, nCentroids, trainCap, materialize),
+      materialize)
     IvfPqParts(coarse, residuals, cents, pqNearest(blocks, cents))
   }
 
   def ivfPqEncode(embeddings: DataFrame, nCoarse: Int = 8, m: Int = 8,
       subDim: Int = 8, nCentroids: Int = 16,
-      materialize: Boolean = true): DataFrame = {
-    val parts = ivfPqParts(embeddings, nCoarse, m, subDim, nCentroids, materialize)
+      materialize: Boolean = true,
+      trainCap: Int = DefaultTrainCap): DataFrame = {
+    val parts = ivfPqParts(embeddings, nCoarse, m, subDim, nCentroids,
+      materialize, trainCap)
     val codes = parts.assign
       .groupBy("vec_id")
       .agg(

@@ -34,10 +34,12 @@ class PropagationSpec extends SparkSpec {
     assert(labels.length == 60)
     assert(labels.forall(_._2 == 0L),
       s"split component: ${labels.filter(_._2 != 0L).take(5).toSeq}")
-    // horizon grows as 2^round − 1 → 59 hops close in 6 growth rounds
-    // plus the final no-change round; plain min-label would need 60
+    // hook-and-contract (round 14): the min-neighbor hook forest on the
+    // path compresses to roots inside the round's pointer-jumping inner
+    // loop, so the OUTER round count stays O(log) — plain one-hop
+    // min-label would need 60 rounds
     assert(r.rounds <= 10,
-      s"pointer doubling regressed: ${r.rounds} rounds for a 60-hop path")
+      s"contraction regressed: ${r.rounds} rounds for a 60-hop path")
   }
 
   test("small edge sets dispatch to the union-find: one job, same labels") {
