@@ -21,10 +21,12 @@ object GraftConf {
   final case class Knob(key: String, default: String, unit: String,
       what: String)
 
-  /** Edge-count bound under which connected components dispatch to the
-    * exact single-task union-find; 0 disables the gate (always loop). */
+  /** Bound (in DIRECTED candidate pairs — minLabelCounted halves its
+    * symmetric input count so every gate measures the same unit) under
+    * which connected components dispatch to the exact single-task
+    * union-find; 0 disables the gate (always loop). */
   val ComponentsLocalEdges: Knob = Knob(
-    "spark.graft.components.localEdges", "8000000", "edges",
+    "spark.graft.components.localEdges", "8000000", "directed pairs",
     "union-find gate for min-label components (Propagation.minLabel)")
 
   /** Cell-count bound under which the hierarchical quantizer's child

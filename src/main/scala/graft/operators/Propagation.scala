@@ -43,30 +43,43 @@ import org.apache.spark.sql.functions._
   * dd_near_apply's round-10 bench regression. */
 object Propagation {
 
-  /** Backstop for the fixpoint loop. Borůvka hook-and-contract at least
-    * halves every component's cluster count per round — for ANY id
-    * ordering, unlike the pointer-doubling loop it replaced in round 14
-    * (whose 2^round horizon claim silently degenerated to ONE hop per
-    * round on paths whose ids increase toward the component minimum) —
-    * so 64 rounds covers components of up to ~2^64 vertices. Hitting
-    * the backstop means the loop is genuinely broken, not that the
-    * graph is deep. Kept as a parameter so the bounded-unroll oracle
-    * mirrors and pathology drills can lower it. */
+  /** Backstop for the fixpoint loop. Borůvka hook-and-contract merges
+    * every cluster that is NOT a local id-minimum per round — for ANY
+    * id ordering, unlike the pointer-doubling loop it replaced in
+    * round 14 (whose 2^round horizon claim silently degenerated to ONE
+    * hop per round on paths whose ids increase toward the component
+    * minimum). Local minima form an independent set in the cluster
+    * graph and are absorbed as their neighborhoods merge, so rounds
+    * are O(log n) in practice (spec-pinned: diameter-63 chains under
+    * every id ordering close in ≤ ~10 rounds; seeded random graphs in
+    * ≤ 5) — but min-hooking has no per-round HALVING theorem (a star
+    * whose center is the local max shrinks k+1 → k in its first
+    * round), so 64 is a generous practical ceiling, not a 2^64 proof.
+    * Hitting the backstop aborts loudly (never wrong results) and
+    * means the loop or the graph deserves a look. Kept as a parameter
+    * so the bounded-unroll oracle mirrors and pathology drills can
+    * lower it. */
   val DefaultMaxRounds = 64
 
   /** Edge-count bound under which the fixpoint dispatches to the
     * single-task union-find instead of the round loop (conf
-    * `spark.graft.components.localEdges`; 0 disables the gate). The
-    * broadcast-join pattern applied to connected components: per
-    * distributed round the loop pays ~4 shuffle stages plus a count
-    * action — a fixed multi-second scheduler constant at ANY graph size
-    * — and a chain-heavy pair graph needs ~log_φ(diameter) rounds (the
-    * round-12 semdedup regression: 19 rounds × ~2.4 s on a 2,324-edge
-    * graph). Union-find over one coalesced partition is exact, one job,
-    * and at 8M edges costs ~10⁸ find steps on one executor thread with
-    * a 16 B/vertex primitive parent map (≈256 MB at the worst-case 16M
-    * vertices, ~32 MB typical) — inside an executor's working set. Past
-    * the bound the distributed loop (and, on the cell path, cell-local
+    * `spark.graft.components.localEdges`; 0 disables the gate).
+    * UNIT: DIRECTED candidate pairs — the (d1, d2) rows the dedup
+    * engines count before symmetrizing. [[minLabelCounted]] receives
+    * the SYMMETRIZED edge set and halves its count before comparing,
+    * so one knob value admits the same graph through every gate
+    * (round-14 advice: the un-normalized core gate let a graph twice
+    * the documented budget through). The broadcast-join pattern applied
+    * to connected components: per distributed round the loop pays ~4
+    * shuffle stages plus a count action — a fixed multi-second
+    * scheduler constant at ANY graph size — and a chain-heavy pair
+    * graph needs ~log_φ(diameter) rounds (the round-12 semdedup
+    * regression: 19 rounds × ~2.4 s on a 2,324-edge graph). Union-find
+    * over one coalesced partition is exact, one job, and at 8M pairs
+    * costs ~10⁸ find steps on one executor thread with a 16 B/vertex
+    * primitive parent map (≈256 MB at the worst-case 16M vertices,
+    * ~32 MB typical) — inside an executor's working set. Past the
+    * bound the distributed loop (and, on the cell path, cell-local
     * contraction first) carries the 100 TB posture. */
   val DefaultLocalEdgeBound: Long =
     graft.GraftConf.ComponentsLocalEdges.default.toLong
@@ -241,24 +254,30 @@ object Propagation {
       .groupBy(idCol).agg(min(col("label")).as("label"))
   }
 
-  /** Stage snapshot that also RESETS plan-statistics flow: the eager
-    * localCheckpoint persists the blocks, and re-wrapping the
-    * checkpointed RDD in a fresh leaf drops the ESTIMATED origin
-    * statistics the checkpoint node would otherwise carry into the next
-    * consumer's plan. The contraction loop references its hook/compress
-    * map twice and the edge set once per round, so carried size
-    * estimates compound ×~5 per round — measured in the round-14
-    * crossover harness as the optimizer spending MINUTES in
-    * BigInteger.multiplyToomCook3 (and eventually overflowing
-    * BigInteger's 2^31-bit cap) once a loop ran past ~10 rounds. A
-    * fresh leaf pins each round's estimates at the conservative
-    * constant default. The Row re-wrap costs one conversion pass over
-    * a cluster-sized, geometrically-shrinking frame — only on the
-    * past-the-union-find-bound path. */
+  /** Stage snapshot that also RESETS plan-statistics flow: a
+    * LAZILY-MARKED localCheckpoint ([[Stage.snapLazy]] — the caller's
+    * next count both persists the blocks AND answers its convergence
+    * test, one action instead of checkpoint + probe; round-15, closing
+    * the round-14 advice that the eager form had quietly regressed the
+    * folded-convergence optimization) re-wrapped in a fresh leaf, which
+    * drops the ESTIMATED origin statistics the checkpoint node would
+    * otherwise carry into the next consumer's plan. The contraction
+    * loop references its hook/compress map twice and the edge set once
+    * per round, so carried size estimates compound ×~5 per round —
+    * measured in the round-14 crossover harness as the optimizer
+    * spending MINUTES in BigInteger.multiplyToomCook3 (and eventually
+    * overflowing BigInteger's 2^31-bit cap) once a loop ran past ~10
+    * rounds. A fresh leaf pins each round's estimates at the
+    * conservative constant default. The Row re-wrap costs one
+    * conversion pass over a cluster-sized, geometrically-shrinking
+    * frame — only on the past-the-union-find-bound path. CONTRACT:
+    * every snapReset caller must run an action on the result before
+    * (or as) its first fan-out read — the loop's convergence counts
+    * are exactly those actions. */
   private def snapReset(df: DataFrame, materialize: Boolean): DataFrame =
     if (!materialize) df
     else {
-      val cp = Stage.snap(df, materialize)
+      val cp = Stage.snapLazy(df)
       cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
     }
 
@@ -301,7 +320,10 @@ object Propagation {
       edges.schema(c).dataType == org.apache.spark.sql.types.LongType)
     if (fixpoint && materialize && longIds) {
       val bound = localEdgeBound(edges)
-      if (bound > 0 && edges.count() <= bound)
+      // the knob's unit is DIRECTED pairs; this edge set is symmetric
+      // (callers union both directions), so halve before comparing —
+      // every gate in the engine admits the same graph size
+      if (bound > 0 && edges.count() <= 2L * bound)
         return Labeled(Stage.snap(unionFindLocal(edges, idCol), materialize), 1)
     }
     val vertices = edges.select(col("a").as(idCol)).distinct()
@@ -341,22 +363,32 @@ object Propagation {
     //   compress: one pointer-jump over the hook forest (chains halve)
     //   contract: edges relabel to cluster roots; self-loops drop
     //
-    // Each round every edge-bearing cluster merges into another, so the
-    // cluster count at least halves per round — O(log n) rounds for ANY
-    // id ordering (the standard MapReduce-CC result, Kiveris et al.),
-    // making the 64-round backstop an honest 2^64-component bound.
+    // Each round every cluster that is NOT a local id-minimum hooks
+    // into a strictly-smaller neighbor and contracts away. Local minima
+    // form an independent set in the cluster graph (two adjacent
+    // clusters can't both be smaller than each other) and are absorbed
+    // as their neighborhoods merge into them, so rounds are O(log n) in
+    // PRACTICE — spec-pinned (diameter-63 chains under every id
+    // ordering close in ≤ ~10 rounds; seeded random graphs in ≤ 5) —
+    // but min-hooking carries no per-round halving THEOREM (a star
+    // whose center is the local max shrinks k+1 → k clusters in its
+    // first round; Kiveris et al.'s provable O(log n) variants
+    // alternate large-star/small-star hooks). The maxRounds backstop is
+    // therefore a loud abort on pathology, never wrong results
+    // (round-14 advice: the previous comment overstated this as a
+    // halving guarantee).
     // Cluster ids are always original vertex ids and only ever decrease
     // to ids of ADJACENT clusters, and the component minimum never
     // hooks away, so the terminal one-cluster-per-component state is
     // labeled by exactly the component min — the same contract as the
     // union-find gate (spec-pinned equivalent on seeded random graphs).
     //
-    // ONE action per round: the contracted edge set is lazily
-    // checkpoint-marked and its count IS the convergence test (no
-    // cross-cluster edges left); the hook/compress map rides the same
-    // job lazily and is read again only from its persisted blocks. The
-    // vertex→cluster map stays a lazy chain over those per-round
-    // snapshots and materializes once at the end.
+    // ONE action per round-step (round-15): every snapReset below is a
+    // LAZY checkpoint mark, and the count that follows it — the
+    // contracted-edge convergence test, the compression stability test
+    // — is the job that persists its blocks. The vertex→cluster map
+    // stays a lazy chain over those per-round snapshots and
+    // materializes once at the end.
     var ce = snapReset(
       edges.select(col("a").as("x"), col("b").as("y"))
         .where(col("x") =!= col("y")).distinct(),
@@ -377,20 +409,24 @@ object Propagation {
         hooks.select(col("x"), col("x").as("prev"),
           least(col("x"), col("h")).as("nx")),
         materialize)
-      var stable = false
+      // ONE action per compression step (round-15): the changed-row
+      // count runs on the lazily-marked snapshot, so the job that
+      // answers the stability test is the SAME job that persists the
+      // step's blocks — the eager-snap + separate-probe form paid
+      // 2 actions × O(log depth) steps × O(log n) rounds on the
+      // past-bound path (round-14 advice; action census spec-pinned).
+      var changed = comp.where(col("nx") =!= col("prev")).count()
       var steps = 0
-      while (!stable && steps < cap) {
-        stable = comp.where(col("nx") =!= col("prev")).count() == 0L
-        if (!stable) {
-          comp = snapReset(
-            comp.join(
-                comp.select(col("x").as("t"), col("nx").as("tn")),
-                comp("nx") === col("t"), "left_outer")
-              .select(col("x"), col("nx").as("prev"),
-                least(col("nx"), coalesce(col("tn"), col("nx"))).as("nx")),
-            materialize)
-          steps += 1
-        }
+      while (changed > 0L && steps < cap) {
+        comp = snapReset(
+          comp.join(
+              comp.select(col("x").as("t"), col("nx").as("tn")),
+              comp("nx") === col("t"), "left_outer")
+            .select(col("x"), col("nx").as("prev"),
+              least(col("nx"), coalesce(col("tn"), col("nx"))).as("nx")),
+          materialize)
+        changed = comp.where(col("nx") =!= col("prev")).count()
+        steps += 1
       }
       val ceNew = ce
         .join(comp.select(col("x"), col("nx").as("cx")), Seq("x"))

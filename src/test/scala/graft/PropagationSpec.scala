@@ -42,6 +42,28 @@ class PropagationSpec extends SparkSpec {
       s"contraction regressed: ${r.rounds} rounds for a 60-hop path")
   }
 
+  test("hook-and-contract closes a diameter-63 chain under every id ordering in O(log n) rounds") {
+    // the round-14 pointer-doubling killer: orderings where ids INCREASE
+    // toward the component minimum (reversed, modular wrap) degenerated
+    // the old loop to one hop per round. Hooking follows edges, so all
+    // three orderings must close fast and label with the global min.
+    val n = 64
+    val orderings: Seq[(String, Int => Long)] = Seq(
+      "monotone" -> (i => i.toLong),
+      "reversed" -> (i => (n - 1 - i).toLong),
+      "wrapped" -> (i => ((i + 40) % n).toLong)) // min mid-chain
+    for ((name, ids) <- orderings) {
+      val dir = (0 until n - 1).map(i => (ids(i), ids(i + 1)))
+      val edges = (dir ++ dir.map(_.swap)).toDF("a", "b")
+      val r = withLoopForced {
+        Propagation.minLabelCounted(edges, "doc_id")
+      }
+      assert(r.rounds <= 10, s"$name ordering took ${r.rounds} rounds")
+      val labels = r.labels.collect().map(x => x.getLong(1)).distinct
+      assert(labels.toSeq == Seq(0L), s"$name ordering mislabeled: $labels")
+    }
+  }
+
   test("small edge sets dispatch to the union-find: one job, same labels") {
     val r = Propagation.minLabelCounted(pathEdges(60), "doc_id")
     assert(r.rounds == 1, s"gate missed: ran ${r.rounds} distributed rounds")
@@ -178,6 +200,39 @@ class PropagationSpec extends SparkSpec {
       }
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("folded convergence: forced-loop action census is ~1 job per snapshot (round-15)") {
+    // ask #6: every snapReset in the hook-and-contract loop is a LAZY
+    // checkpoint mark whose convergence/stability count is the job that
+    // persists it — the eager-snap + separate-probe form paid one extra
+    // job per snapshot (≈2× total actions). AQE/broadcast sub-jobs make
+    // raw job ids a noisy census, so both are disabled here: one action
+    // = one job exactly. A monotone 60-hop path converges in ONE outer
+    // round with ~6 inner compression steps; folded-form jobs = 1 (edge
+    // init) + 1 (comp init) + steps + 1 (contract) + 1 (final labels
+    // snap) + 1 (collect) ≈ 11–12. The eager form pays 8 + 2·steps ≈ 21
+    // on the same fixture. 15 is the regression tripwire.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.setJobGroup("prop-census", "action census")
+    val r = try withLoopForced {
+      val l = Propagation.minLabelCounted(pathEdges(60), "doc_id")
+      l.labels.collect()
+      l
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+    val jobs =
+      spark.sparkContext.statusTracker.getJobIdsForGroup("prop-census").length
+    assert(r.rounds <= 10)
+    assert(jobs <= 15,
+      s"action census regressed: $jobs jobs for ${r.rounds} rounds — " +
+        "did a snapReset go back to eager, or a probe action reappear?")
   }
 
   test("loop converges on a dense clique in 2 rounds regardless of size") {
