@@ -3579,7 +3579,8 @@ object SparkEntry {
          |      + COALESCE(1000000 // (60 + rank_vec), 0) AS rrf_micro
          |  FROM lexpool l FULL OUTER JOIN vecpool v ON l.doc_id = v.doc_id
          |)
-         |SELECT doc_id, rank_lex, rank_vec, CAST(rrf_micro AS BIGINT) AS rrf_micro
+         |SELECT CAST(0 AS BIGINT) AS qid, doc_id, rank_lex, rank_vec,
+         |  CAST(rrf_micro AS BIGINT) AS rrf_micro
          |FROM fused
          |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
 

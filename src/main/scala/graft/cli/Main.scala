@@ -828,9 +828,11 @@ object Main {
           graft.operators.LexIndex.hybridAnn(spark, root, terms, annRoot,
             emb.where(col("vec_id") === vecId)
               .select(col("vec_id").as("qid"), col("embedding").as("qe")), k)
+            // per-qid output since round 15: (qid, doc_id, rank_lex,
+            // rank_vec, rrf_micro) — one qid here, so qid prints once
             .collect().foreach(r => println(
-              s"  doc ${r.getLong(0)}  rrf=${r.getLong(3)} " +
-                s"(lex=${Option(r.get(1)).getOrElse("-")}, vec=${Option(r.get(2)).getOrElse("-")})"))
+              s"  doc ${r.getLong(1)}  rrf=${r.getLong(4)} " +
+                s"(lex=${Option(r.get(2)).getOrElse("-")}, vec=${Option(r.get(3)).getOrElse("-")})"))
         case (Some(data), None) => // --brute: baseline brute-force vector leg
           val vecId = opt(args, "vec").getOrElse("0").toLong
           println(s"hybrid top-$k for terms=${terms.mkString(",")} vec=$vecId (brute baseline):")

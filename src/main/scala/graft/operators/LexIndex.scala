@@ -3,7 +3,7 @@ package graft.operators
 import scala.util.Try
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.streaming.StateCommit
@@ -707,23 +707,82 @@ object LexIndex {
     val postings = livePostings(spark, root, v,
         prefixes = Some(terms.map(_.take(1)).distinct))
       .where(col("token").isin(terms: _*))
-    val idf = log(lit(1.0) +
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val avgdl = col("sum_dl").cast("double") / col("n_dl")
-    val score = idf * (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) *
-        (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
     postings
       .join(broadcast(dfs), Seq("token"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id").cast("long").as("doc_id"),
-        round(score * 1e6, 0).cast("bigint").as("micro"))
+        bm25Micro(k1, b).as("micro"))
       .groupBy("doc_id").agg(sum("micro").as("score_micro"))
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(k)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("score_micro").desc, col("doc_id"))).cast("int"))
+  }
+
+  /** The exact BM25 per-posting micro-score over the joined
+    * (postings ⋈ dfs ⋈ stats) row shape — ONE edit site for the
+    * oracle-parity-critical constants, shared by [[searchAt]] and
+    * [[searchManyAt]]. */
+  private def bm25Micro(k1: Double, b: Double): Column = {
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val avgdl = col("sum_dl").cast("double") / col("n_dl")
+    val score = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    round(score * 1e6, 0).cast("bigint")
+  }
+
+  /** Batched BM25 — per-qid top-k for a driver-side (qid → terms) list
+    * in ONE job: (qid, doc_id, score_micro, rank). Per-qid semantics
+    * are exactly [[search]]'s (spec-pinned): the postings scan is
+    * pruned and filtered by the UNION of all queries' terms (tpfx
+    * directory pruning + token pushdown, both plan-gated), each
+    * posting row fans out to the qids that asked for its token via a
+    * broadcast (qid, token) map, and the per-qid ranking is one rank
+    * window over (qid). N queries cost one index scan plus one shuffle
+    * keyed (qid, doc_id) — not N driver round-trips. `termsByQid` is
+    * driver-side by design (query terms originate at the caller), so
+    * the prefix pruning list needs no action. */
+  def searchMany(spark: SparkSession, root: String,
+      termsByQid: Seq[(Long, Seq[String])], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    searchManyAt(spark, root, termsByQid,
+      StateCommit.currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed lexical index at $root")),
+      k, k1, b)
+
+  /** Time travel: [[searchMany]] as of snapshot `v`. */
+  def searchManyAt(spark: SparkSession, root: String,
+      termsByQid: Seq[(Long, Seq[String])], v: Long, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    StateCommit.requireRetained(spark, root, v)
+    val s = spark; import s.implicits._
+    val qt = termsByQid
+      .flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }.distinct
+    if (qt.isEmpty)
+      return Seq.empty[(Long, Long, Long, Int)]
+        .toDF("qid", "doc_id", "score_micro", "rank")
+    val allTerms = qt.map(_._2).distinct
+    val stats = metaTable(spark, root, v, Stats)
+    val dfs = metaTable(spark, root, v, Dfs)
+      .where(col("token").isin(allTerms: _*))
+    val postings = livePostings(spark, root, v,
+        prefixes = Some(allTerms.map(_.take(1)).distinct))
+      .where(col("token").isin(allTerms: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score_micro").desc, col("doc_id"))
+    postings
+      .join(broadcast(dfs), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qt.toDF("qid", "token")), Seq("token"))
+      .select(col("qid"), col("doc_id").cast("long").as("doc_id"),
+        bm25Micro(k1, b).as("micro"))
+      .groupBy("qid", "doc_id").agg(sum("micro").as("score_micro"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .orderBy("qid", "rank")
   }
 
   /** Hybrid retrieval: reciprocal-rank fusion of this index's BM25
@@ -753,17 +812,41 @@ object LexIndex {
     rrfFuse(lex, vec, k)
   }
 
+  /** The exact integer RRF score over a joined (rank_lex, rank_vec)
+    * row — `1000000 div (60 + rank)` is the oracle-parity-critical
+    * constant, so it gets ONE edit site, shared by the single-pool and
+    * per-qid fusers. */
+  private def rrfMicro: Column =
+    coalesce(expr("1000000 div (60 + rank_lex)"), lit(0L)) +
+      coalesce(expr("1000000 div (60 + rank_vec)"), lit(0L))
+
   /** Exact integer RRF fusion of a (doc_id, rank_lex) and a
-    * (doc_id, rank_vec) pool — shared by [[hybrid]] and [[hybridAnn]]:
-    * the `1000000 div (60 + rank)` expression is the oracle-parity-
-    * critical constant, so it gets ONE edit site. */
+    * (doc_id, rank_vec) pool — the single-query form ([[hybrid]]). */
   private def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int): DataFrame =
     lex.join(vec, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
-        (coalesce(expr("1000000 div (60 + rank_lex)"), lit(0L)) +
-          coalesce(expr("1000000 div (60 + rank_vec)"), lit(0L))).as("rrf_micro"))
+        rrfMicro.as("rrf_micro"))
       .orderBy(col("rrf_micro").desc, col("doc_id"))
       .limit(k)
+
+  /** Per-qid exact integer RRF fusion of (qid, doc_id, rank_lex) and
+    * (qid, doc_id, rank_vec) pools — the batched form ([[hybridAnn]] /
+    * [[hybridAnnMany]]): the join carries qid, so N queries fuse in ONE
+    * job with no driver round-trips, and the per-qid top-k is a rank
+    * window over (qid). Pools are ≤ poolK rows per qid by construction,
+    * so the window partitions are bounded. */
+  private def rrfFusePerQid(lex: DataFrame, vec: DataFrame,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("rrf_micro").desc, col("doc_id"))
+    lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"), col("rank_lex"), col("rank_vec"),
+        rrfMicro.as("rrf_micro"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .drop("rn")
+      .orderBy(col("qid"), col("rrf_micro").desc, col("doc_id"))
+  }
 
   /** [[hybrid]] with the VECTOR side served by the persisted
     * [[AnnIndex]] instead of a brute-force corpus scan — the
@@ -776,26 +859,46 @@ object LexIndex {
     * `nProbes = 1` keeps the vector pool's result contract equal to
     * [[Similarity.ivfKmeansTopK]]'s (the sim_ann_store parity), so the
     * whole fusion stays oracle-exact end to end; raise nProbes for
-    * recall once past the oracle. `queries` is (qid, qe) — one row for
-    * the single-query retrieval shape. */
+    * recall once past the oracle. `queries` is (qid, qe) — ANY number
+    * of rows since round 15: fusion is PER QID (the RRF join carries
+    * qid), so batching N queries is one job, not N driver round-trips,
+    * and the round-14 `require(nq == 1)` + its `count()` action are
+    * retired (a spec pins multi-query fusion ≡ the per-query loop).
+    * Every qid fuses against the SAME `terms` lexical pool here; for
+    * per-qid term sets use [[hybridAnnMany]]. Output: (qid, doc_id,
+    * rank_lex, rank_vec, rrf_micro), top-k per qid. */
   def hybridAnn(spark: SparkSession, root: String, terms: Seq[String],
       annRoot: String, queries: DataFrame, k: Int = 10,
       poolK: Int = 50, nProbes: Int = 1): DataFrame = {
-    // enforce the documented single-query shape: rrfFuse joins on doc_id
-    // alone, so a multi-row `queries` frame would silently mix per-qid
-    // vector ranks into one meaningless fusion (round-13 advice). The
-    // count is an action, but the query frame is one retrieval's worth
-    // of rows by contract — fan-out belongs in a per-qid fusion variant.
-    val nq = queries.count()
-    require(nq == 1,
-      s"hybridAnn fuses ONE query's lexical+vector pools; got $nq rows " +
-        "in `queries` — fuse per qid (carry qid through the RRF join) " +
-        "before batching")
     val lex = search(spark, root, terms, poolK)
       .select(col("doc_id"), col("rank").as("rank_lex"))
-    val vec = AnnIndex.search(spark, annRoot, queries, nProbes, k = poolK)
-      .select(col("cid").cast("long").as("doc_id"),
-        col("rn").cast("int").as("rank_vec"))
-    rrfFuse(lex, vec, k)
+    // the shared lexical pool (≤ poolK rows) broadcasts and replicates
+    // per qid — the qid set never collects to the driver
+    val qids = queries.select(col("qid").cast("long").as("qid")).distinct()
+    val lexQ = qids.crossJoin(broadcast(lex))
+    rrfFusePerQid(lexQ, annPool(spark, annRoot, queries, nProbes, poolK), k)
   }
+
+  /** [[hybridAnn]] with PER-QID term sets — the full production batch
+    * shape: `termsByQid` drives one [[searchMany]] pass (union-pruned
+    * postings scan, per-qid rank window) and the ANN leg serves every
+    * qid's probes in one search; fusion joins on (qid, doc_id). Output
+    * contract identical to [[hybridAnn]]. */
+  def hybridAnnMany(spark: SparkSession, root: String,
+      termsByQid: Seq[(Long, Seq[String])], annRoot: String,
+      queries: DataFrame, k: Int = 10, poolK: Int = 50,
+      nProbes: Int = 1): DataFrame = {
+    val lex = searchMany(spark, root, termsByQid, poolK)
+      .select(col("qid"), col("doc_id"), col("rank").as("rank_lex"))
+    rrfFusePerQid(lex, annPool(spark, annRoot, queries, nProbes, poolK), k)
+  }
+
+  /** The ANN leg's (qid, doc_id, rank_vec) pool, shared by both hybrid
+    * batch forms. */
+  private def annPool(spark: SparkSession, annRoot: String,
+      queries: DataFrame, nProbes: Int, poolK: Int): DataFrame =
+    AnnIndex.search(spark, annRoot, queries, nProbes, k = poolK)
+      .select(col("qid").cast("long").as("qid"),
+        col("cid").cast("long").as("doc_id"),
+        col("rn").cast("int").as("rank_vec"))
 }

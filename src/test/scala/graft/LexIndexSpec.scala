@@ -96,6 +96,47 @@ class LexIndexSpec extends SparkSpec {
     assert(scores.toSeq == scores.sortBy { case (s, d) => (-s, d) }.toSeq)
   }
 
+  test("multi-query hybridAnn fuses per qid — identical to the per-query loop (round-15)") {
+    // the round-14 require(nq == 1) + count() action are retired: the
+    // RRF join carries qid, so batching N queries is one job and each
+    // qid's fused top-k must equal what a single-query call returns.
+    val root = freshIndex()
+    val emb = catalog.Catalog.embeddings(spark, sfDir)
+    val annRoot = Files.createTempDirectory("lexha_ann_").toString
+    graft.operators.AnnIndex.build(emb, annRoot, nCells = 8)
+    val qids = Seq(0L, 5L, 9L)
+    def queriesOf(ids: Seq[Long]) = emb.where(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val terms = Seq("vector", "merge", "spark")
+    val batched = LexIndex.hybridAnn(spark, root, terms, annRoot,
+        queriesOf(qids), k = 10, poolK = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)), r.getLong(4))).toSet
+    val looped = qids.flatMap(q =>
+      LexIndex.hybridAnn(spark, root, terms, annRoot,
+          queriesOf(Seq(q)), k = 10, poolK = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)), Option(r.get(3)), r.getLong(4)))).toSet
+    assert(batched.nonEmpty && batched.map(_._1) == qids.toSet)
+    assert(batched == looped, "batched fusion diverged from per-query loop")
+  }
+
+  test("searchMany equals per-qid search, one index scan (round-15)") {
+    val root = freshIndex()
+    val termsByQid = Seq(7L -> Seq("vector", "merge"),
+      42L -> Seq("spark"), 99L -> Seq("vector", "spark", "draft"))
+    val many = LexIndex.searchMany(spark, root, termsByQid, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSeq
+    val loop = termsByQid.flatMap { case (q, ts) =>
+      LexIndex.search(spark, root, ts, k = 10)
+        .collect().map(r => (q, r.getLong(0), r.getLong(1), r.getInt(2)))
+    }
+    assert(many.sorted == loop.sorted,
+      "batched BM25 diverged from the per-query search")
+    assert(many.map(_._1).distinct.sorted == Seq(7L, 42L, 99L))
+  }
+
   test("incremental ingest equals a from-scratch rebuild row-for-row") {
     import org.apache.spark.sql.functions._
     val rootInc = Files.createTempDirectory("lex_inc_").toString
