@@ -1443,6 +1443,20 @@ object SparkEntry {
     // partition (file) level; with nProbes=1 the result contract is
     // exactly ivfKmeansTopK's, so it shares that oracle (and AnnIndexSpec
     // pins the row-for-row equality + the PartitionFilters plan gate)
+    // persisted SEMANTIC dedup index (round 15): train-once quantizer +
+    // corpus cell assignments under the StateCommit discipline; the
+    // probe is spec-pinned row-identical to sim_semdedup_inc's in-query
+    // operator on this exact split, so it shares that oracle verbatim —
+    // the amortization point is that THIS path never retrains per batch
+    "sim_semdedup_store" -> ((s, dir) => {
+      val (root, _) = freshScratch(s, "sdd_q")
+      val emb = Catalog.embeddings(s, dir)
+      graft.operators.SemDedupIndex.build(
+        emb.where(col("vec_id") % 10 < 8), root)
+      graft.operators.SemDedupIndex.probe(s, root,
+        emb.where(col("vec_id") % 10 >= 8), threshold = 0.35)
+    }),
+
     "sim_ann_store" -> ((s, dir) => {
       val (root, _) = freshScratch(s, "ann_q")
       val emb = Catalog.embeddings(s, dir)
@@ -2378,6 +2392,37 @@ object SparkEntry {
     * computes — any chain depth, no unrolled round cap (the same mirror
     * shape as [[componentsCtes]], keyed on vec_id). The final CTE keeps
     * its historical name `l3`. Consumers must say WITH RECURSIVE. */
+  /** The cells-based incremental-dedup mirror (round 14): the quantizer
+    * TRAINS on cor (cellTrainCtes src = cor — cnn/seeds/Lloyd all
+    * corpus-only), cor assigns through its own vsup, inc through a
+    * fresh super ranking against the SAME trained seeds; candidates are
+    * cell-mates. Shared verbatim by sim_semdedup_inc (in-query) and
+    * sim_semdedup_store (persisted probe — round-15; row-identity
+    * spec-pinned). */
+  private lazy val SemDedupIncSql: String =
+    s"""WITH inc AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 >= 8
+         |), cor AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 < 8
+         |), ${cellTrainCtes("cor")},
+         |${cellAssignCte("corA", "vsup", "cor")},
+         |${cellVsupCte("vsupI", "inc")},
+         |${cellAssignCte("incA", "vsupI", "inc")},
+         |cand AS (
+         |  SELECT DISTINCT i.vec_id, c.vec_id AS cid
+         |  FROM incA i JOIN corA c USING (cell)
+         |  WHERE i.vec_id <> c.vec_id
+         |), scored AS (
+         |  SELECT cand.vec_id, round(${cosSql("i.embedding", "c.embedding")}, 6) AS cos
+         |  FROM cand JOIN inc i ON cand.vec_id = i.vec_id
+         |  JOIN cor c ON cand.cid = c.vec_id
+         |)
+         |SELECT i.vec_id, COUNT(s.cos) AS n_candidates, MAX(s.cos) AS max_cos,
+         |  CAST(COALESCE(MAX(s.cos) >= 0.35, FALSE) AS INTEGER) AS is_dup
+         |FROM inc i LEFT JOIN scored s ON i.vec_id = s.vec_id
+         |GROUP BY i.vec_id
+         |ORDER BY i.vec_id""".stripMargin
+
   private lazy val SemDedupCtes: String =
     s"""${cellPairsCtes("embeddings", 0.35)}, edges AS (
        |  SELECT d1 AS a, d2 AS bb FROM pairs
@@ -4162,29 +4207,13 @@ object SparkEntry {
     // cor (cellTrainCtes src = cor — cnn/seeds/Lloyd all corpus-only),
     // cor assigns through its own vsup, inc through a fresh super
     // ranking against the SAME trained seeds; candidates are cell-mates
-    "sim_semdedup_inc" ->
-      s"""WITH inc AS (
-         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 >= 8
-         |), cor AS (
-         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 < 8
-         |), ${cellTrainCtes("cor")},
-         |${cellAssignCte("corA", "vsup", "cor")},
-         |${cellVsupCte("vsupI", "inc")},
-         |${cellAssignCte("incA", "vsupI", "inc")},
-         |cand AS (
-         |  SELECT DISTINCT i.vec_id, c.vec_id AS cid
-         |  FROM incA i JOIN corA c USING (cell)
-         |  WHERE i.vec_id <> c.vec_id
-         |), scored AS (
-         |  SELECT cand.vec_id, round(${cosSql("i.embedding", "c.embedding")}, 6) AS cos
-         |  FROM cand JOIN inc i ON cand.vec_id = i.vec_id
-         |  JOIN cor c ON cand.cid = c.vec_id
-         |)
-         |SELECT i.vec_id, COUNT(s.cos) AS n_candidates, MAX(s.cos) AS max_cos,
-         |  CAST(COALESCE(MAX(s.cos) >= 0.35, FALSE) AS INTEGER) AS is_dup
-         |FROM inc i LEFT JOIN scored s ON i.vec_id = s.vec_id
-         |GROUP BY i.vec_id
-         |ORDER BY i.vec_id""".stripMargin,
+    "sim_semdedup_inc" -> SemDedupIncSql,
+
+    // the persisted-index probe (sim_semdedup_store) is spec-pinned
+    // row-identical to the in-query operator on this split
+    // (SemDedupIndexSpec), so it shares the mirror verbatim — same
+    // training CTEs, same assignment, same verdict aggregate
+    "sim_semdedup_store" -> SemDedupIncSql,
 
     "sim_knn_classify" ->
       s"""WITH b AS (

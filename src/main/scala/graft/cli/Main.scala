@@ -787,6 +787,51 @@ object Main {
       }
       spark.stop()
 
+    // semdedup-build --data <sfdir> --root <dir> [--split N]: build the
+    // persisted SEMANTIC dedup index over the head split of embeddings
+    // (train-once quantizer + corpus cell assignments, round 15).
+    case Some("semdedup-build") =>
+      val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
+      val root = opt(args, "root").getOrElse { System.err.println("error: --root required"); sys.exit(2); "" }
+      val split = opt(args, "split").getOrElse("8").toInt
+      val spark = session()
+      val emb = graft.catalog.Catalog.embeddings(spark, data)
+        .where(col("vec_id") % 10 < split)
+      val t0 = System.nanoTime()
+      graft.operators.SemDedupIndex.build(emb, root)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val n = graft.operators.SemDedupIndex.vectors(spark, root).count()
+      val v = graft.operators.SemDedupIndex.version(spark, root)
+      println(f"semantic dedup index built in $dt%.1fs: $n vectors at $root (snapshot $v)")
+      spark.stop()
+
+    // semdedup-probe --data <sfdir> --root <dir> [--split N]
+    // [--threshold X]: near-dup verdicts for the held-out tail against
+    // the index — assign-incoming + probe stored cell-mates, NO
+    // quantizer retraining (the amortized ingest path).
+    case Some("semdedup-probe") =>
+      val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
+      val root = opt(args, "root").getOrElse { System.err.println("error: --root required"); sys.exit(2); "" }
+      val split = opt(args, "split").getOrElse("8").toInt
+      val threshold = opt(args, "threshold").getOrElse("0.35").toDouble
+      val spark = session()
+      val batch = graft.catalog.Catalog.embeddings(spark, data)
+        .where(col("vec_id") % 10 >= split)
+      val t0 = System.nanoTime()
+      val verdicts = graft.operators.SemDedupIndex
+        .probe(spark, root, batch, threshold)
+        .localCheckpoint() // histogram + detail rows: one probe, two reads
+      val nDup = verdicts.where(col("is_dup") === 1).count()
+      val n = verdicts.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"semdedup probe in $dt%.1fs: $n vectors, $nDup near-dups at threshold $threshold%.2f")
+      verdicts.where(col("is_dup") === 1)
+        .orderBy(col("max_cos").desc, col("vec_id")).limit(10).collect()
+        .foreach(r => println(
+          f"  vec ${r.getLong(0)}%6d  max_cos=${r.getDouble(2)}%.6f  " +
+            f"candidates=${r.getLong(1)}%3d"))
+      spark.stop()
+
     case Some("lex-build") =>
       val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
       val root = opt(args, "root").getOrElse { System.err.println("error: --root required"); sys.exit(2); "" }
@@ -1101,7 +1146,7 @@ object Main {
       spark.stop()
 
     case other =>
-      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export|index-build|index-search|index-status|pq-build|pq-search|dedup-build|dedup-classify|compact|diff|fuzzy|lex-build|lex-search|lex-delete|lex-upsert|lex-compact|dsir-fit|dsir-score")
+      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export|index-build|index-search|index-status|pq-build|pq-search|dedup-build|dedup-classify|semdedup-build|semdedup-probe|compact|diff|fuzzy|lex-build|lex-search|lex-delete|lex-upsert|lex-compact|dsir-fit|dsir-score")
       sys.exit(2)
   }
 }

@@ -158,10 +158,16 @@ object Similarity {
     * corpus size n (3×10⁷ scored pairs per document at a 10⁹ corpus);
     * cell-local candidates are ≈ probes²·cellTarget ≈ 128 per vector,
     * CORPUS-SIZE-INDEPENDENT, because cells ∝ n (measured flat at 10×
-    * data in SCALE.md §Round-14 while the banded form grows ~10×). At
-    * ingest scale the trained quantizer is exactly what a persisted
-    * [[AnnIndex]] already stores — a streaming deployment trains once
-    * per index rebuild and pays one broadcast-assign per batch. */
+    * data in SCALE.md §Round-14 while the banded form grows ~10×).
+    *
+    * This form still TRAINS the quantizer per call — the right shape
+    * for a one-shot query (and the driver gate's oracle mirrors it),
+    * but a real ingest loop must not pay O(corpus) Lloyd + assign per
+    * batch. The shipped ingest path is the persisted [[SemDedupIndex]]
+    * (round 15): train once at build, store quantizer + corpus cell
+    * assignments under the StateCommit snapshot discipline, and each
+    * batch pays assign-incoming + probe stored cell-mates only
+    * (spec-pinned row-identical to this operator on a fresh index). */
   def semanticDedupIncrementalCells(incoming: DataFrame, corpus: DataFrame,
       cellTarget: Int = 32, probes: Int = 2, threshold: Double = 0.35,
       materialize: Boolean = true): DataFrame = {
@@ -489,7 +495,7 @@ object Similarity {
   /** Each vector's top-2 super-cells (vec_id, sid, srn) — the narrow
     * n·s ranking both training's Lloyd step and every assignment pass
     * read. Probing TWO supers is the boundary repair (scaladoc above). */
-  private def topSupers(vectors: DataFrame, supers: DataFrame,
+  private[operators] def topSupers(vectors: DataFrame, supers: DataFrame,
       materialize: Boolean): DataFrame = {
     val e = vectors.select(col("vec_id"), col("embedding"))
     val scored = e.crossJoin(broadcast(supers))
@@ -506,7 +512,7 @@ object Similarity {
     * super ranking, one Lloyd round inside the top-1 super. Returns the
     * quantizer plus the corpus's own snapped super ranking (reused by
     * the corpus's assignment — training already paid for it). */
-  private def trainCellQuantizer(corpus: DataFrame, cellTarget: Int,
+  private[operators] def trainCellQuantizer(corpus: DataFrame, cellTarget: Int,
       materialize: Boolean): (CellQuantizer, DataFrame) = {
     val c = adaptiveCells(corpus, cellTarget)
     val s = math.max(4, math.ceil(math.sqrt(c.toDouble)).toInt)
@@ -549,7 +555,7 @@ object Similarity {
   /** Assign vectors (with their precomputed super ranking) to their
     * top-`probes` refined children across their 2 supers — the final
     * membership pass, shared by the batch and incremental paths. */
-  private def assignWithQuantizer(vectors: DataFrame, vsup: DataFrame,
+  private[operators] def assignWithQuantizer(vectors: DataFrame, vsup: DataFrame,
       q: CellQuantizer, probes: Int): DataFrame = {
     val e = vectors.select(col("vec_id"), col("embedding"))
     val scored2 = e.join(vsup.select("vec_id", "sid"), Seq("vec_id"))

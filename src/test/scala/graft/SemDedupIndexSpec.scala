@@ -1,0 +1,200 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SemDedupIndex, Similarity}
+import graft.streaming.StreamingSemDedup
+
+/** Persisted semantic-dedup index (round-15 ask #1): probe over a
+  * fresh index is row-identical to the in-query cells operator, the
+  * quantizer trains once (mutations never retrain), tombstones /
+  * compaction / time travel follow the family contract, and the
+  * streaming ingester is replay-safe.
+  */
+class SemDedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the SemanticDedupSpec fixture: 3 tight clusters of 4 (cos ~0.9999)
+  // + 4 well-separated singletons, distinct-frequency sinusoid centers
+  private def center(c: Int): Array[Float] =
+    Array.tabulate(16)(j => (math.sin((c + 1) * (j + 0.7)) * 10).toFloat)
+  private def fixture: DataFrame = {
+    val clustered = (0 until 12).map { i =>
+      val p = center(i % 3).zipWithIndex.map { case (v, j) =>
+        v + (math.cos(i * 13 + j) * 0.01).toFloat
+      }
+      (i.toLong, p)
+    }
+    val singles = (0 until 4).map(s => ((12 + s).toLong, center(4 + s)))
+    (clustered ++ singles).toDF("vec_id", "embedding")
+  }
+  private def perturbed(of: Int, id: Long): (Long, Array[Float]) =
+    (id, center(of).map(v => v + 0.005f))
+
+  private def verdictRows(df: DataFrame): Seq[(Long, Long, Option[Double], Int)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      Option(r.get(2)).map(_.asInstanceOf[Double]), r.getInt(3))).toSeq
+
+  test("probe over a fresh index ≡ the in-query cells operator, row for row (sf0.001 corpus)") {
+    // the done-criterion: the exact (incoming, corpus) split the gated
+    // sim_semdedup_inc query runs, on the REAL embeddings table — the
+    // persisted path must reproduce the in-query operator bit-for-bit
+    // (same quantizer training, same assignment tie-breaks, parquet
+    // round-trip exact on floats)
+    val emb = catalog.Catalog.embeddings(spark, sfDir)
+    val corpus = emb.where(col("vec_id") % 10 < 8)
+    val incoming = emb.where(col("vec_id") % 10 >= 8)
+    val root = Files.createTempDirectory("semdd_eq_").toString
+    SemDedupIndex.build(corpus, root)
+    val persisted = verdictRows(
+      SemDedupIndex.probe(spark, root, incoming, threshold = 0.35))
+    val inQuery = verdictRows(
+      Similarity.semanticDedupIncrementalCells(incoming, corpus,
+        threshold = 0.35))
+    assert(persisted.nonEmpty && persisted == inQuery,
+      s"persisted diverged from in-query: " +
+        s"${persisted.diff(inQuery).take(3)} vs ${inQuery.diff(persisted).take(3)}")
+  }
+
+  test("mutations never retrain: upserted vectors route through the stored quantizer") {
+    val root = Files.createTempDirectory("semdd_up_").toString
+    SemDedupIndex.build(fixture, root)
+    // batch A: one twin of corpus cluster 0 + one genuinely new vector
+    val batchA = Seq(perturbed(0, 100L), (101L, center(9))).toDF("vec_id", "embedding")
+    val vA = verdictRows(SemDedupIndex.probe(spark, root, batchA, threshold = 0.99))
+      .map(t => t._1 -> t).toMap
+    assert(vA(100L)._4 == 1 && vA(100L)._3.get > 0.999, vA(100L).toString)
+    assert(vA(101L)._4 == 0, vA(101L).toString)
+    SemDedupIndex.upsert(spark, root, batchA)
+    // batch B: a twin of batch A's NEW vector — found only via the
+    // upserted generation, proving the stored quantizer routes fresh
+    // corpus rows without retraining
+    val batchB = Seq((200L, center(9).map(v => v + 0.004f))).toDF("vec_id", "embedding")
+    val vB = verdictRows(SemDedupIndex.probe(spark, root, batchB, threshold = 0.99))
+    assert(vB.head._4 == 1 && vB.head._3.get > 0.999,
+      s"upserted vector not probeable: ${vB.head}")
+    // quantizer identity: the scheme's quant_gen still points at the
+    // build generation (no retrain happened on upsert)
+    val scheme = SemDedupIndex.metaTable(spark, root,
+      SemDedupIndex.version(spark, root), "scheme").head()
+    assert(scheme.getLong(3) == 1L,
+      s"upsert retrained/moved the quantizer: quant_gen=${scheme.getLong(3)}")
+  }
+
+  test("replay convergence: probing an already-upserted batch returns identical verdicts") {
+    val root = Files.createTempDirectory("semdd_rp_").toString
+    SemDedupIndex.build(fixture, root)
+    val batch = Seq(perturbed(0, 100L), (101L, center(9))).toDF("vec_id", "embedding")
+    val before = verdictRows(SemDedupIndex.probe(spark, root, batch, threshold = 0.99))
+    SemDedupIndex.upsert(spark, root, batch)
+    // the replay: same batch probed again — own ids are excluded from
+    // the candidate side, so no self-match at cos 1.0 and no drift
+    val after = verdictRows(SemDedupIndex.probe(spark, root, batch, threshold = 0.99))
+    assert(after == before, "replayed probe diverged from first delivery")
+    // re-upsert (the at-least-once second delivery): visible state converges
+    SemDedupIndex.upsert(spark, root, batch)
+    val again = verdictRows(SemDedupIndex.probe(spark, root, batch, threshold = 0.99))
+    assert(again == before, "second delivery changed visible state")
+  }
+
+  test("delete tombstones, compact folds (quantizer carried), time travel reproduces") {
+    val root = Files.createTempDirectory("semdd_del_").toString
+    SemDedupIndex.build(fixture, root)
+    val twin = Seq(perturbed(1, 300L)).toDF("vec_id", "embedding")
+    val v1 = SemDedupIndex.version(spark, root)
+    assert(verdictRows(SemDedupIndex.probe(spark, root, twin,
+      threshold = 0.99)).head._4 == 1)
+    // delete cluster 1 entirely -> the twin loses all its mates
+    SemDedupIndex.delete(spark, root,
+      Seq(1L, 4L, 7L, 10L).toDF("vec_id"))
+    val afterDel = verdictRows(SemDedupIndex.probe(spark, root, twin,
+      threshold = 0.99)).head
+    assert(afterDel._4 == 0, s"tombstoned mates still matched: $afterDel")
+    // time travel: the pre-delete snapshot still answers the old way
+    val atV1 = verdictRows(SemDedupIndex.probeAt(spark, root, twin, v1,
+      threshold = 0.99)).head
+    assert(atV1._4 == 1, s"time travel lost the pre-delete verdict: $atV1")
+    // compact: folds live rows + carries the quantizer; results identical
+    val preCompact = verdictRows(SemDedupIndex.probe(spark, root, fixture,
+      threshold = 0.99))
+    SemDedupIndex.compact(spark, root)
+    val postCompact = verdictRows(SemDedupIndex.probe(spark, root, fixture,
+      threshold = 0.99))
+    assert(postCompact == preCompact, "compaction changed probe results")
+    // and the folded snapshot holds exactly the live rows (12 + 4 - 4)
+    assert(SemDedupIndex.vectors(spark, root).count() == 12L)
+  }
+
+  test("rebuild retrains on the live corpus: probe ≡ in-query over the merged corpus") {
+    val root = Files.createTempDirectory("semdd_rb_").toString
+    val corpus = fixture
+    SemDedupIndex.build(corpus, root)
+    val grown = Seq(perturbed(0, 100L), (101L, center(9)),
+      (102L, center(10))).toDF("vec_id", "embedding")
+    SemDedupIndex.upsert(spark, root, grown)
+    SemDedupIndex.rebuild(spark, root)
+    val incoming = Seq((500L, center(9).map(v => v + 0.003f)),
+      perturbed(2, 501L)).toDF("vec_id", "embedding")
+    val persisted = verdictRows(SemDedupIndex.probe(spark, root, incoming,
+      threshold = 0.99))
+    val merged = corpus.unionByName(grown)
+    val inQuery = verdictRows(Similarity.semanticDedupIncrementalCells(
+      incoming, merged, threshold = 0.99))
+    assert(persisted == inQuery,
+      s"rebuild diverged from in-query over the live corpus: $persisted vs $inQuery")
+  }
+
+  test("streaming ingest: later batches dedup against earlier ones; crash-replay converges") {
+    implicit val ctx = spark.sqlContext
+    def mkStream() = {
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      (input, input.toDF()
+        .select(col("_1").as("vec_id"), col("_2").as("embedding")))
+    }
+    val root = Files.createTempDirectory("semdd_st_root").toString
+    val out = Files.createTempDirectory("semdd_st_out").toString
+    val ckpt1 = Files.createTempDirectory("semdd_st_ck1").toString
+    // seed corpus: the quantizer needs training points by design
+    SemDedupIndex.build(fixture, root)
+    val (in1, vecs1) = mkStream()
+    in1.addData(Seq((100L, center(9)), (101L, center(10))))
+    StreamingSemDedup.startProbed(vecs1, root, ckpt1, out, threshold = 0.99)
+      .awaitTermination()
+    // crash-and-lose-the-checkpoint replay of batch 1 under a fresh
+    // checkpoint, BEFORE any later batch (an at-least-once replay
+    // re-delivers before subsequent offsets commit): the verdict
+    // partition overwrites byte-identically — own-id exclusion means
+    // the already-upserted rows don't self-match — and the re-upserted
+    // generation's predecessor is masked by its own tombstones
+    val before = StreamingSemDedup.probed(spark, out)
+      .collect().map(_.toString).sorted.toSeq
+    val ckpt2 = Files.createTempDirectory("semdd_st_ck2").toString
+    val (in2, vecs2) = mkStream()
+    in2.addData(Seq((100L, center(9)), (101L, center(10))))
+    StreamingSemDedup.startProbed(vecs2, root, ckpt2, out, threshold = 0.99)
+      .awaitTermination()
+    val after = StreamingSemDedup.probed(spark, out)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "replay duplicated or changed verdict rows")
+    // batch 2 against the (converged) index: a twin of batch 1's vector
+    // flags through the upserted generation; fresh vectors stay new
+    in2.addData(Seq((200L, center(9).map(v => v + 0.004f)),
+      (201L, center(11))))
+    StreamingSemDedup.startProbed(vecs2, root, ckpt2, out, threshold = 0.99)
+      .awaitTermination()
+    val verdicts = StreamingSemDedup.probed(spark, out)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(verdicts(100L) == 0 && verdicts(101L) == 0,
+      s"first batch must be new: $verdicts")
+    assert(verdicts(200L) == 1,
+      s"batch-2 twin of batch-1's vector 100 must flag: $verdicts")
+    assert(verdicts(201L) == 0, s"fresh vector misflagged: $verdicts")
+    val probe = verdictRows(SemDedupIndex.probe(spark, root,
+      Seq((900L, center(9))).toDF("vec_id", "embedding"), threshold = 0.99))
+    assert(probe.head._4 == 1, "replayed index lost batch-1 state")
+  }
+}
