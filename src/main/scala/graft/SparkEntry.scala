@@ -1457,6 +1457,20 @@ object SparkEntry {
         emb.where(col("vec_id") % 10 >= 8), threshold = 0.35)
     }),
 
+    // retrieval over the SAME persisted artifact (round-15 stretch:
+    // one training job, two families): the SemDedupIndex's stored
+    // quantizer + cell assignments serve cosine top-k — queries route
+    // through the stored super→child search, candidates are cell-mates
+    "sim_semdedup_search" -> ((s, dir) => {
+      val (root, _) = freshScratch(s, "sds_q")
+      val emb = Catalog.embeddings(s, dir)
+      graft.operators.SemDedupIndex.build(emb, root)
+      graft.operators.SemDedupIndex.searchTopK(s, root,
+        emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        k = 5)
+    }),
+
     "sim_ann_store" -> ((s, dir) => {
       val (root, _) = freshScratch(s, "ann_q")
       val emb = Catalog.embeddings(s, dir)
@@ -4214,6 +4228,35 @@ object SparkEntry {
     // (SemDedupIndexSpec), so it shares the mirror verbatim — same
     // training CTEs, same assignment, same verdict aggregate
     "sim_semdedup_store" -> SemDedupIncSql,
+
+    // retrieval over the persisted dedup artifact: the same training
+    // chain (cellTrainCtes over the WHOLE table), corpus assignment,
+    // head queries probe their own 2 cells, exact-cosine rank — the
+    // sim_ann_store shape on the two-level quantizer
+    "sim_semdedup_search" ->
+      s"""WITH ${cellTrainCtes("embeddings")},
+         |${cellAssignCte("corA", "vsup", "embeddings")},
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8
+         |), qa AS (
+         |  SELECT vec_id AS qid, cell FROM corA WHERE vec_id < 8
+         |), cand AS (
+         |  SELECT DISTINCT qa.qid, c.vec_id AS cid
+         |  FROM qa JOIN corA c USING (cell)
+         |  WHERE c.vec_id <> qa.qid
+         |), scored AS (
+         |  SELECT cand.qid, cand.cid,
+         |    round(${cosSql("q.qe", "e.embedding")}, 6) AS cos
+         |  FROM cand JOIN q ON q.qid = cand.qid
+         |  JOIN embeddings e ON e.vec_id = cand.cid
+         |), ranked AS (
+         |  SELECT qid, cid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |  FROM scored
+         |)
+         |SELECT qid, cid, cos, CAST(rn AS INTEGER) AS rn
+         |FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
 
     "sim_knn_classify" ->
       s"""WITH b AS (

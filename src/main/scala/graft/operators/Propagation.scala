@@ -185,7 +185,7 @@ object Propagation {
     * union happens in at least its own group; cross-group structure is
     * phase B's job), so the group key can be a k-means cell, an LSH
     * (band, sig) bucket hash, or any other generator of the pairs. */
-  private[operators] def groupLocalLabels(groupedPairs: DataFrame,
+  private[graft] def groupLocalLabels(groupedPairs: DataFrame,
       materialize: Boolean): DataFrame = {
     val spark = groupedPairs.sparkSession
     import spark.implicits._
@@ -204,7 +204,7 @@ object Propagation {
     * — one star per vertex spanning groups, from its smallest local
     * label to the rest. Snapped BEFORE the symmetric union (the
     * both-branches rule every pair snapshot follows). */
-  private[operators] def bridgeEdges(local: DataFrame,
+  private[graft] def bridgeEdges(local: DataFrame,
       materialize: Boolean): DataFrame = {
     val bridges = Stage.snap(
       local.groupBy("id")

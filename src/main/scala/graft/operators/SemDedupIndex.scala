@@ -309,6 +309,52 @@ object SemDedupIndex {
       root, cellTarget, probes)
   }
 
+  /** Cell-pruned cosine top-k over the index — the SAME persisted
+    * training artifact serving RETRIEVAL (the round-15 stretch: one
+    * training job feeding two families; FAISS's norm of one trained
+    * quantizer behind both `search` and `add`-time dedup). Queries are
+    * (qid, qe); each routes through the stored super→child search to
+    * its `probes` cells and ranks its cell-mates by exact cosine —
+    * the [[AnnIndex.search]] output contract: (qid, cid, cos, rn),
+    * 6-dp-rounded cosine, cid tiebreak, self-matches excluded.
+    *
+    * Scale posture: candidates are ≈ probes²·cellTarget per query,
+    * corpus-size-independent; the query side broadcasts through the
+    * assignment joins while the stored assignment scan stays put. */
+  def searchTopK(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int = 5): DataFrame =
+    searchTopKAt(spark, root, queries, version(spark, root), k)
+
+  /** Time travel: [[searchTopK]] as of snapshot `v`. */
+  def searchTopKAt(spark: SparkSession, root: String, queries: DataFrame,
+      v: Long, k: Int = 5): DataFrame = {
+    StateCommit.requireRetained(spark, root, v)
+    val (q, probes) = quantizerAt(spark, root, v)
+    val qe = queries.select(col("qid").cast("long").as("qid"), col("qe"))
+    val qAssign = assignBatch(
+      qe.select(col("qid").as("vec_id"), col("qe").as("embedding")),
+      q, probes)
+      .select(col("vec_id").as("qid"), col("cell"))
+    val corAssign = liveRows(spark, root, v, assignDir(root, _))
+      .select(col("vec_id").cast("long").as("cid"), col("cell"))
+    val cands = qAssign.join(corAssign, Seq("cell"))
+      .where(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    val corVecs = liveRows(spark, root, v, vecsDir(root, _))
+      .select(col("vec_id").cast("long").as("cid"),
+        col("embedding").as("ce"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    cands.join(qe, Seq("qid"))
+      .join(corVecs, Seq("cid"))
+      .select(col("qid"), col("cid"),
+        round(Similarity.cos(queries)(col("qe"), col("ce")), 6).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("qid", "cid", "cos", "rn")
+      .orderBy("qid", "rn")
+  }
+
   /** Near-dup verdicts for an INCOMING batch against the index —
     * the [[Similarity.semanticDedupIncrementalCells]] output contract:
     * (vec_id, n_candidates, max_cos, is_dup), one row per incoming

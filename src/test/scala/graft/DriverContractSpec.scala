@@ -52,6 +52,9 @@ class DriverContractSpec extends SparkSpec {
       "ia_rewrite", "ia_rewrite_avg", "cp_compact_scan", "lx_search",
       "lx_hybrid", "lx_search_inc", "lx_search_del", "lx_search_upd",
       "lx_search_cdc", "sim_annpq_rerank", "lx_hybrid_ann",
+      // build + commit the persisted semantic-dedup index at
+      // construction — the persisted-artifact write IS the gate
+      "sim_semdedup_store", "sim_semdedup_search",
       // fits + commits a DSIR model snapshot at construction — the
       // persisted-artifact write IS what ta_dsir_store gates
       "ta_dsir_store")

@@ -147,6 +147,36 @@ class SemDedupIndexSpec extends SparkSpec {
       s"rebuild diverged from in-query over the live corpus: $persisted vs $inQuery")
   }
 
+  test("one training job, two families: the stored artifact serves retrieval AND dedup") {
+    // the round-15 stretch: build once, then searchTopK (ANN retrieval)
+    // and probe (dedup-at-ingest) both consume the same persisted
+    // quantizer + assignments — no second training pass anywhere
+    val root = Files.createTempDirectory("semdd_srch_").toString
+    SemDedupIndex.build(fixture, root)
+    // retrieval: a corpus member's top-1 neighbor is its cluster mate
+    val queries = fixture.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val hits = SemDedupIndex.searchTopK(spark, root, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(hits.nonEmpty && hits.head._4 == 1)
+    assert(Set(3L, 6L, 9L).contains(hits.head._2) && hits.head._3 > 0.999,
+      s"top-1 for vector 0 should be a cluster-0 mate at ~1.0: ${hits.head}")
+    // determinism: a second search is row-identical
+    val again = SemDedupIndex.searchTopK(spark, root, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(hits.toSeq == again.toSeq)
+    // retrieval sees upserts through the same stored quantizer
+    SemDedupIndex.upsert(spark, root,
+      Seq((400L, center(0).map(v => v + 0.002f))).toDF("vec_id", "embedding"))
+    val post = SemDedupIndex.searchTopK(spark, root, queries, k = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(post.contains(400L), s"upserted neighbor missing from search: $post")
+    // and the dedup leg still answers off the same artifact
+    val v = verdictRows(SemDedupIndex.probe(spark, root,
+      Seq(perturbed(0, 500L)).toDF("vec_id", "embedding"), threshold = 0.99))
+    assert(v.head._4 == 1)
+  }
+
   test("streaming ingest: later batches dedup against earlier ones; crash-replay converges") {
     implicit val ctx = spark.sqlContext
     def mkStream() = {
