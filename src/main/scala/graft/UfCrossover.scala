@@ -10,8 +10,9 @@ import graft.operators.Propagation
   * This harness synthesizes pair graphs at a sweep of edge counts —
   * chain-heavy (the loop's worst case: rounds ∝ log diameter) mixed
   * with 4-cliques (the near-dup norm: dense local structure) — and
-  * times the single-task union-find against the distributed
-  * pointer-doubling loop on the SAME snapped edge set. The measured
+  * times the single-task union-find against the distributed round
+  * loop (pointer-doubling in round 14's harness run; Borůvka
+  * hook-and-contract since) on the SAME snapped edge set. The measured
   * crossover sets (or confirms) `spark.graft.components.localEdges`;
   * the table lands in SCALE.md §Round-14.
   *
@@ -35,7 +36,7 @@ object UfCrossover {
   }
 
   /** Chain+clique pair graph of ~e edges: 3/4 of edges form 64-vertex
-    * chains (diameter 63 — the loop pays ~7 pointer-doubling rounds),
+    * chains (diameter 63 — the round loop's log-depth stress case),
     * 1/4 form 4-cliques (6 edges per 4 vertices — the dense near-dup
     * clump). Ids are scrambled by a modular bijection i ↦ i·48271 mod p
     * (p prime > any id here, product < 2^47 — overflow-free) so neither
@@ -98,8 +99,9 @@ object UfCrossover {
         .queryExecution.toRdd.count()
     }
     spark.conf.set("spark.graft.components.localEdges", "0")
-    // diameter-63 chains converge in ~10 pointer-doubling rounds; cap at
-    // 16 so a mis-converging run reports loudly instead of spinning
+    // diameter-63 chains converge in ~10 rounds (hook + inner
+    // compression); cap at 16 so a mis-converging run reports loudly
+    // instead of spinning
     val (loopSec, rounds: Int) =
       try time {
         // symmetric form: the loop contract expects both directions

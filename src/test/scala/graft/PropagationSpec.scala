@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** The shared propagation core's convergence contract: exact component
   * minima at any chain depth — via the size-gated single-task union-find
-  * on small edge sets (round 13), or the O(log d)-round pointer-doubling
-  * loop past the bound — with the loud backstop still reachable when
-  * doubling is bypassed via a tiny maxRounds. Loop-specific tests force
+  * on small edge sets (round 13), or Borůvka hook-and-contract past the
+  * bound (round 14; replaced the pointer-doubling loop) — with the loud
+  * backstop still reachable via a tiny maxRounds. Loop-specific tests force
   * the distributed path by zeroing the gate conf. */
 class PropagationSpec extends SparkSpec {
   import spark.implicits._
