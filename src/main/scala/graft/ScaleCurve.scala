@@ -38,6 +38,9 @@ object ScaleCurve {
     "lx_search_cdc",
     // round 14: the cells-ified incremental probe + the dual-index hybrid
     "sim_semdedup_inc", "lx_hybrid_ann",
+    // round 15: the persisted semantic-dedup index (build+probe and
+    // build+search time the artifact write by design, like sim_ann_store)
+    "sim_semdedup_store", "sim_semdedup_search",
     "ta_release",
     // round-11 final session: the selection family + banded near-dup
     "ta_dsir", "ta_dsir_select", "ta_dsir_store",
