@@ -24,8 +24,21 @@ import graft.streaming.StateCommit
   *                           metadata tables (the quantizer scheme,
   *                           the live-generation manifest, the
   *                           tombstones), discriminated by column `t`
-  *   root/gen-v/assign/    — IMMUTABLE (vec_id, cell) rows of mutation v
-  *   root/gen-v/vecs/      — IMMUTABLE (vec_id, embedding) of mutation v
+  *   root/gen-v/members/   — IMMUTABLE (vec_id, cell, embedding) rows
+  *                           of mutation v, one row per assigned cell
+  *                           (×probes duplication — materializing
+  *                           exactly the corpus assignment the
+  *                           in-query operator computes per call),
+  *                           PARTITIONED BY `cbk` = cell mod
+  *                           [[CellBuckets]]. Directory-per-CELL (the
+  *                           AnnIndex layout) would not survive this
+  *                           quantizer — cells ∝ n/32 means 3×10⁷
+  *                           directories at 10⁹ vectors — so cells
+  *                           bucket into a BOUNDED directory count:
+  *                           probes prune to their cells' buckets
+  *                           (PartitionFilters) and the residual
+  *                           `cell IN (…)` pushes to the scan
+  *                           (PushedFilters), both plan-gated
   *   root/gen-q/supers/    — the trained super table (sid, se) — only
   *   root/gen-q/cells/       under the quantizer's OWN generation q
   *                           (scheme row `quant_gen`); [[compact]]
@@ -54,10 +67,11 @@ import graft.streaming.StateCommit
   * Scale posture: probe candidates are cell-mates only —
   * ≈ probes²·cellTarget per incoming vector, corpus-size-independent
   * (SCALE.md §Round-14) — and the per-batch cost no longer carries the
-  * O(corpus) training term (measured, SCALE.md §Round-15). The
-  * assign/vecs tables never rewrite on mutation; the batch side's
-  * signatures broadcast into the candidate join's probe side while the
-  * corpus scan stays put. Reference semantics: the verdict contract of
+  * O(corpus) training term (measured, SCALE.md §Round-15). The member
+  * table never rewrites on mutation, is bucketed by cell, and a probe
+  * opens ONLY its probed cells' buckets (plan-gated), so a micro-batch
+  * against a 100 TB corpus reads ~|batch cells|/[[CellBuckets]] of the
+  * member table instead of scanning it. Reference semantics: the verdict contract of
   * `semanticDedupIncrementalCells` (vec_id, n_candidates, max_cos,
   * is_dup), which itself generalizes the reference's
   * needs-update-vs-store check (wc-vector-indexing
@@ -70,8 +84,31 @@ object SemDedupIndex {
   private val Tombstones = "tombstones"
   private val DeleteAll = Long.MaxValue
 
+  /** Member/vecs-table directory fan-out cap, with the per-index count
+    * ADAPTIVE in the trained cell count ([[bucketsFor]]) and locked
+    * into the scheme at build: a directory per CELL would be 3×10⁷
+    * dirs at 10⁹ vectors (cells ∝ n/32), while a fixed 1024 shredded a
+    * 160k-vector index into 160-row files whose open/footer overhead
+    * measured ~2× on every full read. c/64 keeps files chunky at small
+    * corpora and saturates at 1024 dirs (~10⁶ rows each at 10⁹
+    * vectors), where a micro-batch probe reads ~|probed cells|/1024 of
+    * the table. */
+  val MaxCellBuckets = 1024L
+
+  /** Bucket count for a trained cell count `c`: clamp(c/64, 8, 1024). */
+  def bucketsFor(c: Int): Int =
+    math.max(8L, math.min(MaxCellBuckets, c / 64L)).toInt
+
+  /** Pruning cutoff: above this many probed cells the IN-list filters
+    * cost more per row than the directories they skip (a corpus-sized
+    * batch probes every bucket anyway — measured at the 100× fixture:
+    * a ~5000-cell list made the probe 2× slower than the full scan it
+    * failed to avoid). The candidate equi-join filters exactly either
+    * way; pruning is purely an I/O reduction for micro-batches. */
+  private val PruneMaxCells = 1024
+
   private def genPath(root: String, gen: Long) = s"$root/gen-$gen"
-  private def assignDir(root: String, gen: Long) = s"${genPath(root, gen)}/assign"
+  private def membersDir(root: String, gen: Long) = s"${genPath(root, gen)}/members"
   private def vecsDir(root: String, gen: Long) = s"${genPath(root, gen)}/vecs"
   private def supersDir(root: String, gen: Long) = s"${genPath(root, gen)}/supers"
   private def cellsDir(root: String, gen: Long) = s"${genPath(root, gen)}/cells"
@@ -87,7 +124,7 @@ object SemDedupIndex {
     * layout). */
   private val MetaCols: Seq[(String, String)] = Seq(
     "cell_target" -> "int", "probes" -> "int", "n_cells" -> "int",
-    "quant_gen" -> "long",
+    "n_buckets" -> "int", "quant_gen" -> "long",
     "gen" -> "long", "n_vecs" -> "long",
     "vec_id" -> "long", "before_gen" -> "long")
 
@@ -95,7 +132,8 @@ object SemDedupIndex {
     StateCommit.foldMetaRows(t, df, MetaCols)
 
   private[graft] def metaCols(table: String): Seq[String] = table match {
-    case Scheme => Seq("cell_target", "probes", "n_cells", "quant_gen")
+    case Scheme => Seq("cell_target", "probes", "n_cells", "n_buckets",
+      "quant_gen")
     case Manifest => Seq("gen", "n_vecs")
     case Tombstones => Seq("vec_id", "before_gen")
   }
@@ -105,11 +143,11 @@ object SemDedupIndex {
     StateCommit.metaTable(spark, root, v, table, metaCols(table))
 
   /** The quantizer scheme locked at build:
-    * (cellTarget, probes, nCells, quantGen). */
+    * (cellTarget, probes, nCells, nBuckets, quantGen). */
   private def schemeAt(spark: SparkSession, root: String,
-      v: Long): (Int, Int, Int, Long) = {
+      v: Long): (Int, Int, Int, Int, Long) = {
     val r = metaTable(spark, root, v, Scheme).head()
-    (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
+    (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))
   }
 
   /** Re-hydrate the trained quantizer of snapshot `v` — the two parquet
@@ -117,11 +155,11 @@ object SemDedupIndex {
     * a read-back quantizer is row-identical to assignment through the
     * in-memory one (spec-pinned). */
   private def quantizerAt(spark: SparkSession, root: String,
-      v: Long): (Similarity.CellQuantizer, Int) = {
-    val (_, probes, c, qg) = schemeAt(spark, root, v)
+      v: Long): (Similarity.CellQuantizer, Int, Int) = {
+    val (_, probes, c, nBuckets, qg) = schemeAt(spark, root, v)
     (Similarity.CellQuantizer(
       spark.read.parquet(supersDir(root, qg)),
-      spark.read.parquet(cellsDir(root, qg)), c), probes)
+      spark.read.parquet(cellsDir(root, qg)), c), probes, nBuckets)
   }
 
   /** Write the folded metadata snapshot and commit; GC per the shared
@@ -129,13 +167,13 @@ object SemDedupIndex {
     * `spark.graft.dedup.gcSweepEvery` — this family shares the dedup
     * knob: both are dedup-state roots with the same churn shape). */
   private def writeMetaTables(spark: SparkSession, root: String, v: Long,
-      scheme: (Int, Int, Int, Long), entries: Seq[(Long, Long)],
+      scheme: (Int, Int, Int, Int, Long), entries: Seq[(Long, Long)],
       tombstones: DataFrame, droppedGens: Boolean): Unit = {
     val s = spark; import s.implicits._
-    val (cellTarget, probes, c, qg) = scheme
+    val (cellTarget, probes, c, nBuckets, qg) = scheme
     val meta = Seq(
-      toMetaRows(Scheme, Seq((cellTarget, probes, c, qg))
-        .toDF("cell_target", "probes", "n_cells", "quant_gen")),
+      toMetaRows(Scheme, Seq((cellTarget, probes, c, nBuckets, qg))
+        .toDF("cell_target", "probes", "n_cells", "n_buckets", "quant_gen")),
       toMetaRows(Manifest, entries.toDF("gen", "n_vecs")),
       toMetaRows(Tombstones, tombstones
         .select(col("vec_id").cast("long"), col("before_gen").cast("long")))
@@ -172,15 +210,28 @@ object SemDedupIndex {
       .unionByName(touchedIds.select(col("vec_id"),
         lit(beforeGen).as("before_gen")))
 
-  /** Union of the live generations' `sub` tables with a `gen` column,
+  /** Union of the live generations' `dir` tables with a `gen` column,
     * tombstone filter applied (the tombstone table broadcasts — bounded
-    * by churn since the last compaction, never corpus-sized). */
+    * by churn since the last compaction, never corpus-sized). `prune`
+    * restricts the READ of each generation: a (bucket-col, bucket
+    * values, key-col, key values) quadruple whose bucket IN list lands
+    * on the partition column (PartitionFilters — only those directories
+    * open) and whose key IN list pushes to the opened files
+    * (PushedFilters) — both applied BEFORE the tombstone join, both
+    * plan-gated. Bucket literals are INT: the partition reader infers
+    * `…=N` dirs as IntegerType, and a long literal would wrap the
+    * partition column in a cast that defeats directory pruning (the
+    * AnnIndex.searchAt lesson). */
   private def liveRows(spark: SparkSession, root: String, v: Long,
-      dir: Long => String): DataFrame = {
+      dir: Long => String,
+      prune: Option[(String, Seq[Int], String, Seq[Long])]): DataFrame = {
     val gens = manifestOf(spark, root, v)
     require(gens.nonEmpty, s"empty manifest for $root snap-$v")
     val unioned = gens.map { case (g, _) =>
-      spark.read.parquet(dir(g)).withColumn("gen", lit(g))
+      val raw = spark.read.parquet(dir(g))
+      prune.fold(raw) { case (bCol, buckets, kCol, keys) =>
+        raw.where(col(bCol).isin(buckets: _*) && col(kCol).isin(keys: _*))
+      }.withColumn("gen", lit(g))
     }.reduce(_.unionByName(_))
     val dead = tombstonesOf(spark, root, v)
     unioned.join(broadcast(dead), Seq("vec_id"), "left_outer")
@@ -188,13 +239,32 @@ object SemDedupIndex {
       .drop("before_gen")
   }
 
+  /** The narrow live (vec_id, cell) assignment rows, optionally pruned
+    * to `cells` (their cbk buckets + the residual cell IN). `nBuckets`
+    * is the scheme's locked fan-out (needed only when pruning). */
+  private def liveMembers(spark: SparkSession, root: String, v: Long,
+      cells: Option[Seq[Long]] = None, nBuckets: Int = 1): DataFrame =
+    liveRows(spark, root, v, membersDir(root, _),
+      cells.map(cs => ("cbk", cs.map(c => (c % nBuckets).toInt).distinct,
+        "cell", cs)))
+
+  /** The fat live (vec_id, embedding) rows — ONE per vector — optionally
+    * pruned to `ids` (their vbk buckets + the residual vec_id IN). */
+  private def liveVecs(spark: SparkSession, root: String, v: Long,
+      ids: Option[Seq[Long]] = None, nBuckets: Int = 1): DataFrame =
+    liveRows(spark, root, v, vecsDir(root, _),
+      ids.map(vs => ("vbk", vs.map(i => (i % nBuckets).toInt).distinct,
+        "vec_id", vs)))
+
   /** All live (vec_id, cell, gen) assignments. */
   def assignments(spark: SparkSession, root: String): DataFrame =
-    liveRows(spark, root, version(spark, root), assignDir(root, _))
+    liveMembers(spark, root, version(spark, root))
+      .select("vec_id", "cell", "gen")
 
-  /** All live (vec_id, embedding, gen) rows. */
+  /** All live (vec_id, embedding) rows, one per vector. */
   def vectors(spark: SparkSession, root: String): DataFrame =
-    liveRows(spark, root, version(spark, root), vecsDir(root, _))
+    liveVecs(spark, root, version(spark, root))
+      .select("vec_id", "embedding")
 
   /** Assign a batch through a (re-hydrated) quantizer. One super
     * ranking over the batch's own rows + the shared child-assignment
@@ -207,11 +277,25 @@ object SemDedupIndex {
   }
 
   private def writeGen(spark: SparkSession, root: String, v: Long,
-      batch: DataFrame, assigned: DataFrame): Long = {
+      batch: DataFrame, assigned: DataFrame, nBuckets: Int): Long = {
+    // repartition on the bucket key so each bucket directory gets one
+    // file per write (not one per upstream task — 32 shuffle tasks ×
+    // buckets was a small-file explosion at any scale). The NARROW
+    // assignment rows (×probes) and the FAT one-row-per-vector
+    // embeddings land in separate tables: the candidate join never
+    // drags the embedding through a ×probes duplication, and scoring
+    // never needs a fat duplicate-drop shuffle (measured 2× on the
+    // 100× fixture when a single duplicated fat table served both).
     assigned.select("vec_id", "cell")
-      .write.mode("overwrite").parquet(assignDir(root, v))
+      .withColumn("cbk", pmod(col("cell"), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("cbk"))
+      .write.mode("overwrite").partitionBy("cbk")
+      .parquet(membersDir(root, v))
     batch.select(col("vec_id"), col("embedding"))
-      .write.mode("overwrite").parquet(vecsDir(root, v))
+      .withColumn("vbk", pmod(col("vec_id"), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("vbk"))
+      .write.mode("overwrite").partitionBy("vbk")
+      .parquet(vecsDir(root, v))
     spark.read.parquet(vecsDir(root, v)).count()
   }
 
@@ -237,8 +321,9 @@ object SemDedupIndex {
       spark.read.parquet(cellsDir(root, v)), q.c)
     val assigned = Similarity.assignWithQuantizer(corpus, corVsup,
       qRead, probes)
-    val n = writeGen(spark, root, v, corpus, assigned)
-    writeMetaTables(spark, root, v, (cellTarget, probes, q.c, v),
+    val nBuckets = bucketsFor(q.c)
+    val n = writeGen(spark, root, v, corpus, assigned, nBuckets)
+    writeMetaTables(spark, root, v, (cellTarget, probes, q.c, nBuckets, v),
       Seq(v -> n), emptyTombstones(spark),
       droppedGens = prior.isDefined)
   }
@@ -250,13 +335,13 @@ object SemDedupIndex {
       seqCol: String = ""): Unit = {
     val v0 = version(spark, root)
     val v = v0 + 1
-    val (q, probes) = quantizerAt(spark, root, v0)
+    val (q, probes, nBuckets) = quantizerAt(spark, root, v0)
     // last-wins collapse + snap: two versions of one vector in a CDC
     // batch must land once, and the assignment and tombstone scan below
     // both read the collapsed batch
     val batch = Stage.snap(CdcBatch.collapse(rawBatch, "vec_id", seqCol),
       materialize = true)
-    writeGen(spark, root, v, batch, assignBatch(batch, q, probes))
+    writeGen(spark, root, v, batch, assignBatch(batch, q, probes), nBuckets)
     val ids = batch.select(col("vec_id").cast("long")).distinct()
     writeMetaTables(spark, root, v, schemeAt(spark, root, v0),
       manifestOf(spark, root, v0) :+
@@ -284,16 +369,20 @@ object SemDedupIndex {
   def compact(spark: SparkSession, root: String): Unit = {
     val v0 = version(spark, root)
     val v = v0 + 1
-    val (cellTarget, probes, c, qg) = schemeAt(spark, root, v0)
-    liveRows(spark, root, v0, assignDir(root, _)).drop("gen")
-      .write.mode("overwrite").parquet(assignDir(root, v))
-    liveRows(spark, root, v0, vecsDir(root, _)).drop("gen")
-      .write.mode("overwrite").parquet(vecsDir(root, v))
+    val (cellTarget, probes, c, nBuckets, qg) = schemeAt(spark, root, v0)
+    liveMembers(spark, root, v0).drop("gen")
+      .repartition(col("cbk"))
+      .write.mode("overwrite").partitionBy("cbk")
+      .parquet(membersDir(root, v))
+    liveVecs(spark, root, v0).drop("gen")
+      .repartition(col("vbk"))
+      .write.mode("overwrite").partitionBy("vbk")
+      .parquet(vecsDir(root, v))
     spark.read.parquet(supersDir(root, qg))
       .write.mode("overwrite").parquet(supersDir(root, v))
     spark.read.parquet(cellsDir(root, qg))
       .write.mode("overwrite").parquet(cellsDir(root, v))
-    writeMetaTables(spark, root, v, (cellTarget, probes, c, v),
+    writeMetaTables(spark, root, v, (cellTarget, probes, c, nBuckets, v),
       Seq(v -> spark.read.parquet(vecsDir(root, v)).count()),
       emptyTombstones(spark), droppedGens = true)
   }
@@ -303,11 +392,39 @@ object SemDedupIndex {
     * when the corpus has outgrown the build-time cells. */
   def rebuild(spark: SparkSession, root: String): Unit = {
     val v0 = version(spark, root)
-    val (cellTarget, probes, _, _) = schemeAt(spark, root, v0)
-    build(Stage.snap(liveRows(spark, root, v0, vecsDir(root, _))
-        .select("vec_id", "embedding"), materialize = true),
+    val (cellTarget, probes, _, _, _) = schemeAt(spark, root, v0)
+    build(Stage.snap(vectors(spark, root), materialize = true),
       root, cellTarget, probes)
   }
+
+  /** The candidate pairs + the scoring side's (cid, ce) rows, with the
+    * physical strategy picked by probed-cell count:
+    *
+    *   - MICRO-BATCH (≤ [[PruneMaxCells]] probed cells): the candidate
+    *     set is tiny by construction (≤ cells × cellTarget ids), so it
+    *     SNAPS and its distinct ids collect to prune the fat vecs read
+    *     to their vbk buckets + a pushed vec_id IN — a probe against a
+    *     100 TB corpus reads only its candidates' buckets.
+    *   - CORPUS-SIZED batch: every list and extra materialization costs
+    *     more than it saves (measured 2-3× at the 100× fixture), so the
+    *     whole chain stays LAZY — one final job, full narrow+fat scans,
+    *     the equi-joins doing the exact filtering.
+    *
+    * Row-identical either way (pruning only removes rows the joins
+    * would drop) — the broadcast-join-pattern stance. */
+  private def candsAndVecs(spark: SparkSession, root: String, v: Long,
+      candsRaw: DataFrame, pruned: Boolean,
+      nBuckets: Int): (DataFrame, DataFrame) =
+    if (!pruned)
+      (candsRaw, liveVecs(spark, root, v)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+    else {
+      val cands = Stage.snap(candsRaw, materialize = true)
+      val ids = cands.select("cid").distinct()
+        .collect().map(_.getLong(0)).toIndexedSeq
+      (cands, liveVecs(spark, root, v, Some(ids), nBuckets)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+    }
 
   /** Cell-pruned cosine top-k over the index — the SAME persisted
     * training artifact serving RETRIEVAL (the round-15 stretch: one
@@ -329,20 +446,28 @@ object SemDedupIndex {
   def searchTopKAt(spark: SparkSession, root: String, queries: DataFrame,
       v: Long, k: Int = 5): DataFrame = {
     StateCommit.requireRetained(spark, root, v)
-    val (q, probes) = quantizerAt(spark, root, v)
+    val (q, probes, nBuckets) = quantizerAt(spark, root, v)
     val qe = queries.select(col("qid").cast("long").as("qid"), col("qe"))
-    val qAssign = assignBatch(
-      qe.select(col("qid").as("vec_id"), col("qe").as("embedding")),
-      q, probes)
-      .select(col("vec_id").as("qid"), col("cell"))
-    val corAssign = liveRows(spark, root, v, assignDir(root, _))
-      .select(col("vec_id").cast("long").as("cid"), col("cell"))
-    val cands = qAssign.join(corAssign, Seq("cell"))
+    val qAssign = Stage.snap(assignBatch(
+        qe.select(col("qid").as("vec_id"), col("qe").as("embedding")),
+        q, probes)
+      .select(col("vec_id").as("qid"), col("cell")),
+      materialize = true)
+    // probed-cell list collects to the driver to prune the member
+    // buckets — bounded by nQueries × probes longs, the standard
+    // query-time partition-pruning shape (the AnnIndex.search stance)
+    val cellVals = qAssign.select("cell").distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val pruned = cellVals.size <= PruneMaxCells
+    val members = liveMembers(spark, root, v,
+      if (pruned) Some(cellVals) else None, nBuckets)
+    val candsRaw = qAssign
+      .join(members.select(col("vec_id").cast("long").as("cid"), col("cell")),
+        Seq("cell"))
       .where(col("qid") =!= col("cid"))
       .select("qid", "cid").distinct()
-    val corVecs = liveRows(spark, root, v, vecsDir(root, _))
-      .select(col("vec_id").cast("long").as("cid"),
-        col("embedding").as("ce"))
+    val (cands, corVecs) = candsAndVecs(spark, root, v, candsRaw, pruned,
+      nBuckets)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     cands.join(qe, Seq("qid"))
@@ -379,19 +504,27 @@ object SemDedupIndex {
   def probeAt(spark: SparkSession, root: String, incoming: DataFrame,
       v: Long, threshold: Double = 0.35): DataFrame = {
     StateCommit.requireRetained(spark, root, v)
-    val (q, probes) = quantizerAt(spark, root, v)
+    val (q, probes, nBuckets) = quantizerAt(spark, root, v)
     val inc = incoming.select(col("vec_id"), col("embedding"))
     val incAssign = Stage.snap(assignBatch(inc, q, probes),
       materialize = true)
+    // probed-cell list → driver, to prune the member buckets. For a
+    // micro-batch this is ≪ the cell universe; a corpus-sized batch
+    // degrades gracefully to the full scan it would have paid anyway
+    // (its cells cover every bucket).
+    val cellVals = incAssign.select("cell").distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val pruned = cellVals.size <= PruneMaxCells
+    val members = liveMembers(spark, root, v,
+      if (pruned) Some(cellVals) else None, nBuckets)
     val ownIds = inc.select(col("vec_id").cast("long").as("cid")).distinct()
-    val corAssign = liveRows(spark, root, v, assignDir(root, _))
-      .select(col("vec_id").cast("long").as("cid"), col("cell"))
-    val cands = incAssign.join(corAssign, Seq("cell"))
+    val candsRaw = incAssign
+      .join(members.select(col("vec_id").cast("long").as("cid"), col("cell")),
+        Seq("cell"))
       .join(broadcast(ownIds), Seq("cid"), "left_anti")
       .select("vec_id", "cid").distinct()
-    val corVecs = liveRows(spark, root, v, vecsDir(root, _))
-      .select(col("vec_id").cast("long").as("cid"),
-        col("embedding").as("ce"))
+    val (cands, corVecs) = candsAndVecs(spark, root, v, candsRaw, pruned,
+      nBuckets)
     val scored = cands
       .join(inc.select(col("vec_id"), col("embedding").as("ie")),
         Seq("vec_id"))

@@ -80,8 +80,8 @@ class SemDedupIndexSpec extends SparkSpec {
     // build generation (no retrain happened on upsert)
     val scheme = SemDedupIndex.metaTable(spark, root,
       SemDedupIndex.version(spark, root), "scheme").head()
-    assert(scheme.getLong(3) == 1L,
-      s"upsert retrained/moved the quantizer: quant_gen=${scheme.getLong(3)}")
+    assert(scheme.getLong(4) == 1L,
+      s"upsert retrained/moved the quantizer: quant_gen=${scheme.getLong(4)}")
   }
 
   test("replay convergence: probing an already-upserted batch returns identical verdicts") {
@@ -145,6 +145,34 @@ class SemDedupIndexSpec extends SparkSpec {
       incoming, merged, threshold = 0.99))
     assert(persisted == inQuery,
       s"rebuild diverged from in-query over the live corpus: $persisted vs $inQuery")
+  }
+
+  test("probe reads only its probed cells' buckets (plan-gated pruning)") {
+    // the member table is bucketed by cell (cbk = cell mod 1024); a
+    // micro-batch's probe must open only its own buckets' directories
+    // (cbk IN (…) in PartitionFilters) and push the residual cell IN
+    // to the opened files (PushedFilters) — never a full member scan
+    val root = Files.createTempDirectory("semdd_prune_").toString
+    SemDedupIndex.build(fixture, root)
+    val batch = Seq(perturbed(0, 100L)).toDF("vec_id", "embedding")
+    // the candidate stage snaps (localCheckpoint), so the returned plan
+    // shows the SCORING scan — whose vbk partition pruning + vec_id
+    // pushdown exercise the one shared liveRows prune implementation
+    // the member (cbk/cell) instance also goes through
+    val plan = SemDedupIndex.probe(spark, root, batch, threshold = 0.99)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("vbk#"),
+      s"bucket pruning missing from the probe's scoring scan:\n$plan")
+    assert(plan.contains("In(vec_id"),
+      s"candidate-id filter not pushed to the vecs scan:\n$plan")
+    // and the physical layouts really are bucket-partitioned
+    for ((sub, pfx) <- Seq("members" -> "cbk=", "vecs" -> "vbk=")) {
+      val dirs = new java.io.File(s"$root/gen-1/$sub").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSeq
+      assert(dirs.nonEmpty && dirs.forall(_.startsWith(pfx)),
+        s"$sub: $dirs")
+    }
   }
 
   test("one training job, two families: the stored artifact serves retrieval AND dedup") {
