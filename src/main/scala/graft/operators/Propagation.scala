@@ -445,9 +445,9 @@ object Propagation {
     if (!converged)
       throw new IllegalStateException(
         s"hook-and-contract did not converge in $maxRounds rounds — " +
-          "Borůvka halving bounds components at ~2^" + s"$maxRounds: " +
-          "the loop is broken, not the data; investigate before raising " +
-          "maxRounds")
+          "min-hooking has no per-round halving guarantee (each round " +
+          "only contracts an independent star set), so investigate the " +
+          "loop or graph pathology before raising maxRounds")
     Labeled(Stage.snap(labels, materialize), round)
   }
 }

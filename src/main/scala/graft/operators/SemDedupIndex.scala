@@ -107,6 +107,17 @@ object SemDedupIndex {
     * way; pruning is purely an I/O reduction for micro-batches. */
   private val PruneMaxCells = 1024
 
+  /** Second pruning gate, on the CANDIDATE-ID list: the probed-cell
+    * count bounds the candidate set only on a fresh index (~cellTarget
+    * members per cell). Staleness is an explicitly allowed state —
+    * cells grow unboundedly between rebuilds — so a drifted index can
+    * put millions of ids behind 1024 cells, and collecting them for a
+    * `vec_id IN (…)` literal would choke the driver and the optimizer.
+    * Past this many distinct candidates the fat-vecs read falls back to
+    * the lazy full-scan plan (the equi-join filters exactly either
+    * way). */
+  private val PruneMaxCandidates = 32768L
+
   private def genPath(root: String, gen: Long) = s"$root/gen-$gen"
   private def membersDir(root: String, gen: Long) = s"${genPath(root, gen)}/members"
   private def vecsDir(root: String, gen: Long) = s"${genPath(root, gen)}/vecs"
@@ -332,20 +343,28 @@ object SemDedupIndex {
     * training), append as one generation; prior rows of the batch's ids
     * die by tombstone. The corpus is never rescanned or rewritten. */
   def upsert(spark: SparkSession, root: String, rawBatch: DataFrame,
-      seqCol: String = ""): Unit = {
-    val v0 = version(spark, root)
-    val v = v0 + 1
-    val (q, probes, nBuckets) = quantizerAt(spark, root, v0)
+      seqCol: String = ""): Unit =
     // last-wins collapse + snap: two versions of one vector in a CDC
     // batch must land once, and the assignment and tombstone scan below
     // both read the collapsed batch
-    val batch = Stage.snap(CdcBatch.collapse(rawBatch, "vec_id", seqCol),
-      materialize = true)
-    writeGen(spark, root, v, batch, assignBatch(batch, q, probes), nBuckets)
+    upsertCollapsed(spark, root,
+      Stage.snap(CdcBatch.collapse(rawBatch, "vec_id", seqCol),
+        materialize = true))
+
+  /** [[upsert]] for a batch the CALLER has already CDC-collapsed (and
+    * snapped) — the streaming probe-then-ingest path collapses once and
+    * feeds the SAME frame to both probe and upsert, so the verdict row
+    * always describes the exact row that lands in the index. */
+  private[graft] def upsertCollapsed(spark: SparkSession, root: String,
+      batch: DataFrame): Unit = {
+    val v0 = version(spark, root)
+    val v = v0 + 1
+    val (q, probes, nBuckets) = quantizerAt(spark, root, v0)
+    val n = writeGen(spark, root, v, batch, assignBatch(batch, q, probes),
+      nBuckets)
     val ids = batch.select(col("vec_id").cast("long")).distinct()
     writeMetaTables(spark, root, v, schemeAt(spark, root, v0),
-      manifestOf(spark, root, v0) :+
-        (v -> spark.read.parquet(vecsDir(root, v)).count()),
+      manifestOf(spark, root, v0) :+ (v -> n),
       mergedTombstones(tombstonesOf(spark, root, v0), ids, beforeGen = v),
       droppedGens = false)
   }
@@ -420,10 +439,18 @@ object SemDedupIndex {
         .select(col("vec_id").as("cid"), col("embedding").as("ce")))
     else {
       val cands = Stage.snap(candsRaw, materialize = true)
-      val ids = cands.select("cid").distinct()
-        .collect().map(_.getLong(0)).toIndexedSeq
-      (cands, liveVecs(spark, root, v, Some(ids), nBuckets)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      // count BEFORE collecting: on a drifted index (cells grow between
+      // rebuilds) the id list behind ≤PruneMaxCells cells is unbounded;
+      // the count is one cheap job on the snapped frame
+      val distinctIds = cands.select("cid").distinct()
+      if (distinctIds.count() > PruneMaxCandidates)
+        (cands, liveVecs(spark, root, v)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      else {
+        val ids = distinctIds.collect().map(_.getLong(0)).toIndexedSeq
+        (cands, liveVecs(spark, root, v, Some(ids), nBuckets)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      }
     }
 
   /** Cell-pruned cosine top-k over the index — the SAME persisted

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.operators.SemDedupIndex
+import graft.operators.{CdcBatch, SemDedupIndex, Stage}
 
 /** Streaming ingest into the persisted SEMANTIC dedup index — the
   * embedding-space twin of [[StreamingDedup]], closing the round-14
@@ -49,7 +49,12 @@ object StreamingSemDedup {
 
   /** Probe-then-ingest: verdicts for batch B land at `out/batch_id=B`
     * BEFORE the batch joins the index (a vector is never its own
-    * near-dup), then the batch upserts. */
+    * near-dup), then the batch upserts. The trigger window CDC-collapses
+    * ONCE, and the same collapsed frame feeds both probe and upsert —
+    * so when a window carries two versions of one vec_id, the verdict
+    * row describes exactly the version that lands in the index (probing
+    * the raw batch would aggregate candidates/max_cos across the
+    * superseded version's embedding). */
   def startProbed(vectors: DataFrame, root: String,
       checkpoint: String, out: String, threshold: Double = 0.35,
       seqCol: String = ""): StreamingQuery =
@@ -57,9 +62,12 @@ object StreamingSemDedup {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          SemDedupIndex.probe(spark, root, batch.toDF(), threshold)
+          val collapsed = Stage.snap(
+            CdcBatch.collapse(batch.toDF(), "vec_id", seqCol),
+            materialize = true)
+          SemDedupIndex.probe(spark, root, collapsed, threshold)
             .write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
-          SemDedupIndex.upsert(spark, root, batch.toDF(), seqCol = seqCol)
+          SemDedupIndex.upsertCollapsed(spark, root, collapsed)
         }
         ()
       }

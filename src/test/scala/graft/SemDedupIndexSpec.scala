@@ -255,4 +255,51 @@ class SemDedupIndexSpec extends SparkSpec {
       Seq((900L, center(9))).toDF("vec_id", "embedding"), threshold = 0.99))
     assert(probe.head._4 == 1, "replayed index lost batch-1 state")
   }
+
+  test("probed CDC window: the verdict describes the version that lands, not the superseded one") {
+    // round-15 advice: startProbed used to probe the RAW micro-batch
+    // but upsert the collapsed one — a window carrying two versions of
+    // one vec_id aggregated candidates/max_cos across the superseded
+    // embedding. Here version 1 of id 300 is a near-dup of the seeded
+    // cluster (would flag at 0.99) while version 2 — the one that
+    // actually lands — is a fresh center: the verdict must be is_dup=0,
+    // and the index must hold version 2.
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("semdd_cdc_root").toString
+    val out = Files.createTempDirectory("semdd_cdc_out").toString
+    val ckpt = Files.createTempDirectory("semdd_cdc_ck").toString
+    SemDedupIndex.build(fixture, root)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float], Int)]
+    val vecs = input.toDF().select(col("_1").as("vec_id"),
+      col("_2").as("embedding"), col("_3").as("seq"))
+    input.addData(Seq(
+      (300L, center(0).map(v => v + 0.005f), 1), // superseded near-dup
+      (300L, center(12), 2)))                    // the landing version
+    StreamingSemDedup.startProbed(vecs, root, ckpt, out, threshold = 0.99,
+      seqCol = "seq").awaitTermination()
+    val v300 = StreamingSemDedup.probed(spark, out)
+      .where(col("vec_id") === 300L).collect()
+    assert(v300.length == 1, s"one verdict row expected: ${v300.toSeq}")
+    assert(v300.head.getInt(3) == 0,
+      s"verdict aggregated the superseded version: ${v300.head}")
+    // the landed row IS version 2: a twin of center(12) flags, a twin
+    // of the superseded version 1 does not
+    val twin12 = verdictRows(SemDedupIndex.probe(spark, root,
+      Seq((901L, center(12).map(v => v + 0.004f)))
+        .toDF("vec_id", "embedding"), threshold = 0.99))
+    assert(twin12.head._4 == 1, "version 2 missing from the index")
+    val twin0 = verdictRows(SemDedupIndex.probe(spark, root,
+      Seq((902L, center(0).map(v => v + 0.004f)))
+        .toDF("vec_id", "embedding"), threshold = 0.99))
+    // center(0) is the seeded cluster — it flags against the CORPUS, so
+    // assert on the superseded id instead: id 300's stored embedding
+    val stored = SemDedupIndex.vectors(spark, root)
+      .where(col("vec_id") === 300L).collect()
+    assert(stored.length == 1)
+    val e = stored.head.getSeq[Float](1)
+    assert(math.abs(e.head - center(12).head) < 1e-6f,
+      s"index holds the superseded version: ${e.take(3)}")
+    assert(twin0.head._4 == 1) // sanity: the seeded cluster still flags
+  }
 }
