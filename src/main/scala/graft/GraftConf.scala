@@ -54,8 +54,19 @@ object GraftConf {
     "spark.graft.lex.gcSweepEvery", "8", "commits",
     "periodic generation GC for LexIndex roots")
 
+  /** Loud abort bound on FuzzyJoin.resolve's estimated candidate/output
+    * pair count — the r12 disclosed DNF fixed as a GUARD: a
+    * duplicate-heavy corpus can make the full pair multiset
+    * output-combinatorial (~10¹¹ rows at sf10) and fill the disk before
+    * emitting; past the bound the call fails loudly and points at the
+    * bounded forms (resolveCapped / resolveBest). 0 disables. */
+  val FuzzyMaxPairs: Knob = Knob(
+    "spark.graft.fuzzy.maxPairs", "1000000000", "estimated pairs",
+    "output-bound guard for FuzzyJoin.resolve (abort, not a strategy gate)")
+
   val All: Seq[Knob] = Seq(ComponentsLocalEdges, QuantizerBroadcastCells,
-    Checkpoint, AnnGcSweepEvery, DedupGcSweepEvery, LexGcSweepEvery)
+    Checkpoint, AnnGcSweepEvery, DedupGcSweepEvery, LexGcSweepEvery,
+    FuzzyMaxPairs)
 
   private val known: Set[String] = All.map(_.key).toSet
 

@@ -27,12 +27,14 @@ object ScaleCurve {
     "s8_json_props",
     "dd_exact", "dd_minhash", "dd_lsh_pairs", "dd_components",
     "dd_near_apply", "dd_spans",
-    // dd_fuzzy is EXCLUDED from the 100× curve (round 15): at sf10 its
-    // ANSWER is output-combinatorial on this corpus (2M part rows over
-    // 64 distinct names → ~10¹¹ verified key pairs — the r12 disclosed
-    // DNF; the run fills the disk with shuffle before it could emit).
-    // dd_fuzzy_best (the assignment form a pipeline ships) stays.
-    "dd_fuzzy_best",
+    // dd_fuzzy is EXCLUDED from the 100× curve: at sf10 its ANSWER is
+    // output-combinatorial on this corpus (2M part rows over 64
+    // distinct names → ~10¹¹ verified key pairs — the r12 disclosed
+    // DNF). Since round 16 the query FAILS LOUDLY there instead of
+    // filling the disk (spark.graft.fuzzy.maxPairs guard); the
+    // shippable forms — dd_fuzzy_best (top-1) and dd_fuzzy_capped
+    // (budgeted top-N, output |probe| × cap by construction) — run.
+    "dd_fuzzy_best", "dd_fuzzy_capped",
     "dd_index_query",
     "sim_topk", "sim_ivf_kmeans", "sim_pq_topk", "sim_ivfpq_topk",
     "sim_ann_store", "sim_annpq_store", "sim_annpq_rerank", "sim_semdedup",

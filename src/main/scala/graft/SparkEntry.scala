@@ -1285,6 +1285,20 @@ object SparkEntry {
         .orderBy("probe_key", "match_key")
     }),
 
+    // the BUDGETED form (round 16): top-`cap` matches per probe row by
+    // (dist, match_key) + a capped flag — output |probe| × cap-bounded
+    // by construction, the catalog entry that stays runnable at sf10
+    // where dd_fuzzy's full multiset is output-combinatorial
+    "dd_fuzzy_capped" -> ((s, dir) => {
+      val part = Catalog.part(s, dir).select(col("p_partkey"), col("p_name"))
+      val probe = part.where(col("p_partkey") % 10 === 0)
+        .withColumn("p_name",
+          concat(substring(col("p_name"), 1, 1), expr("substring(p_name, 3)")))
+      graft.operators.FuzzyJoin.resolveCapped(part, probe, "p_partkey",
+        "p_name", prefixLen = 5, maxDist = 2, dualBlock = true, cap = 10)
+        .orderBy("probe_key", "match_key")
+    }),
+
     // the assignment form: best (lowest-distance, then lowest-key)
     // master match per dirty record
     "dd_fuzzy_best" -> ((s, dir) => {
@@ -3669,6 +3683,33 @@ object SparkEntry {
         |  ON substring(p_text, 1, 5) = substring(m_text, 1, 5)
         |  OR substring(reverse(p_text), 1, 5) = substring(reverse(m_text), 1, 5)
         |WHERE levenshtein(p_text, m_text) <= 2
+        |ORDER BY probe_key, match_key""".stripMargin,
+
+    // mirrors resolveCapped: top-cap window over the pair multiset per
+    // probe key by (dist, match_key), capped = full match count > cap
+    // (the Spark side never materializes the multiset; equivalence
+    // argued in FuzzyJoin.resolveCapped's scaladoc)
+    "dd_fuzzy_capped" ->
+      """WITH probe AS (
+        |  SELECT p_partkey AS probe_key,
+        |    substring(p_name, 1, 1) || substring(p_name, 3) AS p_text
+        |  FROM part WHERE p_partkey % 10 = 0
+        |), master AS (
+        |  SELECT p_partkey AS match_key, p_name AS m_text FROM part
+        |), pairs AS (
+        |  SELECT probe_key, match_key,
+        |    CAST(levenshtein(p_text, m_text) AS INTEGER) AS dist,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_key
+        |      ORDER BY levenshtein(p_text, m_text), match_key) AS rn,
+        |    COUNT(*) OVER (PARTITION BY probe_key) AS n_matches
+        |  FROM probe JOIN master
+        |    ON substring(p_text, 1, 5) = substring(m_text, 1, 5)
+        |    OR substring(reverse(p_text), 1, 5) = substring(reverse(m_text), 1, 5)
+        |  WHERE levenshtein(p_text, m_text) <= 2
+        |)
+        |SELECT probe_key, match_key, dist,
+        |  CAST(n_matches > 10 AS INTEGER) AS capped
+        |FROM pairs WHERE rn <= 10
         |ORDER BY probe_key, match_key""".stripMargin,
 
     "dd_fuzzy_best" ->

@@ -39,6 +39,66 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
+  private def prefixBlk(prefixLen: Int): Column => Column =
+    c => substring(c, 1, prefixLen)
+  private def suffixBlk(prefixLen: Int): Column => Column =
+    c => substring(reverse(c), 1, prefixLen)
+
+  /** Estimated within-block pair count, Σ over blocks (and passes) of
+    * |probe ∩ block| × |master ∩ block| — two narrow (block, count)
+    * aggregations and a tiny join; an UPPER bound for the dual-block
+    * union (the disjointness filter only removes pairs). Double, not
+    * long: the estimate exists to catch 10¹¹-pair blowups, where
+    * summation precision is irrelevant and long products could
+    * overflow. */
+  private def blockedEstimate(master: DataFrame, probe: DataFrame,
+      textCol: String, prefixLen: Int, dualBlock: Boolean): Double = {
+    val passes =
+      if (dualBlock) Seq(prefixBlk(prefixLen) -> 0, suffixBlk(prefixLen) -> 1)
+      else Seq(prefixBlk(prefixLen) -> 0)
+    def cnts(df: DataFrame) = passes.map { case (blk, pass) =>
+      df.select(blk(col(textCol)).as("blk"), lit(pass).as("pass"))
+        .groupBy("blk", "pass").agg(count(lit(1)).as("c"))
+    }.reduce(_.unionByName(_))
+    Option(cnts(probe)
+      .join(cnts(master).withColumnRenamed("c", "mc"), Seq("blk", "pass"))
+      .agg(sum(col("c").cast("double") * col("mc"))).head().get(0))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0)
+  }
+
+  /** The loud output-bound guard (`spark.graft.fuzzy.maxPairs`): a
+    * duplicate-heavy corpus makes the full pair multiset
+    * output-combinatorial even when the ANSWER a pipeline needs is
+    * probe-linear (sf10: 2M part rows over 64 distinct names → ~10¹¹
+    * verified pairs, 77 GB of spill before one row emitted — the r12
+    * DNF). Failing BEFORE the explosion, with the bounded alternatives
+    * named, beats filling the disk. */
+  private def guardPairs(spark: org.apache.spark.sql.SparkSession,
+      est: Double, what: String): Unit = {
+    val bound = graft.GraftConf.long(spark, graft.GraftConf.FuzzyMaxPairs)
+    if (bound > 0 && est > bound.toDouble)
+      throw new IllegalStateException(
+        f"FuzzyJoin.resolve: estimated $what ≈ $est%.3g pairs exceeds " +
+          s"spark.graft.fuzzy.maxPairs=$bound — the result multiset is " +
+          "output-combinatorial on this corpus; use resolveCapped " +
+          "(bounded top-N per probe key) or resolveBest (one row per " +
+          "probe row), or raise the bound deliberately")
+  }
+
+  /** Verified DISTINCT-text match pairs (p_text, m_text, dist) — the
+    * text-level core every distinct-text path shares: blocking-key
+    * cardinality is a property of the text distribution, so this table
+    * is bounded by distinct-text counts regardless of row counts. */
+  private def verifiedTexts(master: DataFrame, probe: DataFrame,
+      textCol: String, prefixLen: Int, maxDist: Int,
+      dualBlock: Boolean): DataFrame = {
+    val pD = probe.select(col(textCol).as("t")).distinct()
+    val mD = master.select(col(textCol).as("t")).distinct()
+    resolveBlocked(mD, pD, "t", "t", prefixLen, maxDist, dualBlock)
+      .select(col("probe_key").as("p_text"), col("match_key").as("m_text"),
+        col("dist"))
+  }
+
   /** (probe_key, match_key, dist ≤ maxDist) for every within-block
     * candidate pair. `master`/`probe` provide (`keyCol`, `textCol`).
     *
@@ -60,11 +120,35 @@ object FuzzyJoin {
       dualBlock: Boolean = false,
       verifyDistinctTexts: Boolean = false): DataFrame = {
     if (verifyDistinctTexts) {
-      val pD = probe.select(col(textCol).as("t")).distinct()
-      val mD = master.select(col(textCol).as("t")).distinct()
-      val verified = resolve(mD, pD, "t", "t", prefixLen, maxDist, dualBlock)
-        .select(col("probe_key").as("p_text"), col("match_key").as("m_text"),
-          col("dist"))
+      // guard the text-level verification too (huge blocks over mostly
+      // distinct texts are a candidate blowup the expansion estimate
+      // below can't see)
+      guardPairs(master.sparkSession,
+        blockedEstimate(
+          master.select(col(textCol).as("t")).distinct(),
+          probe.select(col(textCol).as("t")).distinct(),
+          "t", prefixLen, dualBlock),
+        "within-block text candidates")
+      // snapped: the output-bound estimate below and the expansion both
+      // read the verified text pairs — without a stage boundary the
+      // blocked levenshtein verification would run twice
+      val verified = Stage.snap(
+        verifiedTexts(master, probe, textCol, prefixLen, maxDist, dualBlock),
+        materialize = true)
+      // OUTPUT estimate before expanding: Σ over verified text pairs of
+      // |probe rows with p_text| × |master rows with m_text| — exact,
+      // and computable from text-level counts long before any pair
+      // materializes (the guard this path exists for: the r12 DNF blew
+      // up HERE, not in the text-level verification)
+      guardPairs(master.sparkSession,
+        Option(verified
+          .join(probe.groupBy(col(textCol).as("p_text"))
+            .agg(count(lit(1)).as("pc")), Seq("p_text"))
+          .join(master.groupBy(col(textCol).as("m_text"))
+            .agg(count(lit(1)).as("mc")), Seq("m_text"))
+          .agg(sum(col("pc").cast("double") * col("mc"))).head().get(0))
+          .map(_.asInstanceOf[Double]).getOrElse(0.0),
+        "expanded output")
       // re-expansion keeps the master's full rows OFF the shuffle: the
       // verified pairs broadcast into the (small, by contract) probe,
       // and the expanded probe side broadcasts into the master scan —
@@ -78,15 +162,30 @@ object FuzzyJoin {
         .join(broadcast(expanded), Seq("m_text"))
         .select("probe_key", "match_key", "dist")
     }
+    guardPairs(master.sparkSession,
+      blockedEstimate(master, probe, textCol, prefixLen, dualBlock),
+      "within-block candidates")
+    resolveBlocked(master, probe, keyCol, textCol, prefixLen, maxDist,
+      dualBlock)
+  }
+
+  /** The unguarded blocked core — [[resolve]] wraps it with the
+    * `spark.graft.fuzzy.maxPairs` estimates; [[verifiedTexts]] (the
+    * path under [[resolveBest]]/[[resolveCapped]], whose outputs are
+    * probe-bounded by construction) calls it directly so the guard's
+    * own recommendations can never trip the guard. */
+  private def resolveBlocked(master: DataFrame, probe: DataFrame,
+      keyCol: String, textCol: String, prefixLen: Int, maxDist: Int,
+      dualBlock: Boolean): DataFrame = {
     def side(df: DataFrame, key: String, txt: String,
         blk: Column => Column): DataFrame =
       df.select(col(keyCol).as(key), col(textCol).as(txt),
         blk(col(textCol)).as("blk"))
-    val prefix = (c: Column) => substring(c, 1, prefixLen)
+    val prefix = prefixBlk(prefixLen)
     // suffix block via reverse: equal reversed prefixes == equal
     // suffixes, and substring(reverse(s), 1, L) compares whole short
     // strings the same way on both engines (unlike right(s, L))
-    val suffix = (c: Column) => substring(reverse(c), 1, prefixLen)
+    val suffix = suffixBlk(prefixLen)
     val pre = broadcast(side(probe, "probe_key", "p_text", prefix))
       .join(side(master, "match_key", "m_text", prefix), "blk")
     val cand =
@@ -137,11 +236,8 @@ object FuzzyJoin {
         .agg(min(struct(col("dist"), col("match_key"))).as("best"))
         .select(col("probe_key"), col("best.match_key").as("match_key"),
           col("best.dist").as("dist"))
-    val pD = probe.select(col(textCol).as("t")).distinct()
-    val mD = master.select(col(textCol).as("t")).distinct()
-    val verified = resolve(mD, pD, "t", "t", prefixLen, maxDist, dualBlock)
-      .select(col("probe_key").as("p_text"), col("match_key").as("m_text"),
-        col("dist"))
+    val verified =
+      verifiedTexts(master, probe, textCol, prefixLen, maxDist, dualBlock)
     // smallest master key per DISTINCT master text (narrow agg over the
     // master scan — no pair multiset), then best per probe text:
     // min dist first, smallest qualifying master key to break ties —
@@ -164,5 +260,55 @@ object FuzzyJoin {
     probe.select(col(keyCol).as("probe_key"), col(textCol).as("p_text"))
       .join(bestPerText, Seq("p_text"))
       .select("probe_key", "match_key", "dist")
+  }
+
+  /** BUDGETED resolve — the round-15 verdict's dd_fuzzy fix: at most
+    * `cap` matches per probe row (the (dist, match_key)-smallest, the
+    * resolveBest order generalized to top-N), plus a `capped` flag (1
+    * when the probe row's FULL match count exceeded the cap), so the
+    * output is |probe| × cap-bounded BY CONSTRUCTION and a
+    * duplicate-heavy corpus can never make the query
+    * output-combinatorial.
+    *
+    * Always routes through the distinct-text machinery and never
+    * materializes the pair multiset: per master TEXT only its `cap`
+    * smallest keys survive (for a fixed (p_text, m_text) pair every
+    * expanded row shares one dist, so a global top-`cap` by
+    * (dist, match_key) can use at most the `cap` smallest keys of any
+    * single text — the preselection is lossless), the top-N then
+    * resolves per probe TEXT over ≤ |verified texts| × cap rows, and
+    * key expansion joins each probe row to exactly its text's ≤ cap
+    * winners. The `capped` flag folds from per-text master counts —
+    * the full multiset's size without the multiset. Equivalent (and
+    * oracle-mirrored) to ROW_NUMBER ≤ cap over the full pair multiset
+    * ordered by (dist, match_key) per probe key, given unique master
+    * keys. */
+  def resolveCapped(master: DataFrame, probe: DataFrame, keyCol: String,
+      textCol: String, prefixLen: Int = 4, maxDist: Int = 2,
+      dualBlock: Boolean = false, cap: Int = 10): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val verified = Stage.snap(
+      verifiedTexts(master, probe, textCol, prefixLen, maxDist, dualBlock),
+      materialize = true)
+    val wM = org.apache.spark.sql.expressions.Window
+      .partitionBy("m_text").orderBy("m_key")
+    val mRows = master.select(col(keyCol).as("m_key"),
+      col(textCol).as("m_text"))
+    val mTop = mRows.withColumn("rn", row_number().over(wM))
+      .where(col("rn") <= cap).drop("rn")
+    val mCnt = mRows.groupBy("m_text").agg(count(lit(1)).as("mc"))
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_text").orderBy(col("dist"), col("m_key"))
+    val bestN = verified.join(mTop, Seq("m_text"))
+      .withColumn("rn", row_number().over(wT))
+      .where(col("rn") <= cap)
+      .select("p_text", "m_key", "dist")
+    val totals = verified.join(mCnt, Seq("m_text"))
+      .groupBy("p_text").agg(sum("mc").as("n_matches"))
+    probe.select(col(keyCol).as("probe_key"), col(textCol).as("p_text"))
+      .join(bestN, Seq("p_text"))
+      .join(totals, Seq("p_text"))
+      .select(col("probe_key"), col("m_key").as("match_key"), col("dist"),
+        (col("n_matches") > cap).cast("int").as("capped"))
   }
 }

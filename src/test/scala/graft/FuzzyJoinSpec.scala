@@ -182,4 +182,52 @@ class FuzzyJoinSpec extends SparkSpec {
       assert(degraded == small, "join strategy changed the result")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("resolveCapped ≡ top-N window over the full multiset; capped flag = full count > cap") {
+    // duplicated texts so several probe keys carry more matches than
+    // the cap — the corpus shape the budget exists for
+    val dupMaster = master.unionByName(
+      master.withColumn("k", col("k") + 100))
+    val probe = Seq((100L, "alpha clustr node"), (300L, "Alpha cluster node"),
+      (101L, "alpha cluster"), (102L, "alpha clustr node")).toDF("k", "name")
+    val cap = 2
+    val full = FuzzyJoin.resolve(dupMaster, probe, "k", "name", 4, 2,
+      dualBlock = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_key").orderBy(col("dist"), col("match_key"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("probe_key")
+    val expect = full
+      .withColumn("rn", row_number().over(w))
+      .withColumn("capped", (count(lit(1)).over(wc) > cap).cast("int"))
+      .where(col("rn") <= cap)
+      .select("probe_key", "match_key", "dist", "capped")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3))).sorted.toSeq
+    val got = FuzzyJoin.resolveCapped(dupMaster, probe, "k", "name", 4, 2,
+      dualBlock = true, cap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3))).sorted.toSeq
+    assert(got == expect, s"capped diverged: $got vs $expect")
+    assert(got.exists(_._4 == 1), "fixture never exercised the cap")
+    assert(got.groupBy(_._1).values.forall(_.size <= cap))
+  }
+
+  test("output-bound guard: resolve fails loudly past spark.graft.fuzzy.maxPairs, bounded forms still run") {
+    val probe = Seq((100L, "alpha clustr node")).toDF("k", "name")
+    spark.conf.set("spark.graft.fuzzy.maxPairs", "1")
+    try {
+      val eBlocked = intercept[IllegalStateException] {
+        FuzzyJoin.resolve(master, probe, "k", "name", 4, 2)
+      }
+      assert(eBlocked.getMessage.contains("spark.graft.fuzzy.maxPairs"))
+      val eExpanded = intercept[IllegalStateException] {
+        FuzzyJoin.resolve(master, probe, "k", "name", 4, 2,
+          verifyDistinctTexts = true)
+      }
+      assert(eExpanded.getMessage.contains("resolveCapped"))
+      // the budgeted form is output-bounded by construction — no guard
+      assert(FuzzyJoin.resolveCapped(master, probe, "k", "name", 4, 2,
+        cap = 1).count() == 1)
+    } finally spark.conf.unset("spark.graft.fuzzy.maxPairs")
+  }
 }
