@@ -64,9 +64,20 @@ object GraftConf {
     "spark.graft.fuzzy.maxPairs", "1000000000", "estimated pairs",
     "output-bound guard for FuzzyJoin.resolve (abort, not a strategy gate)")
 
+  /** ADVISORY rebuild threshold for the frozen-quantizer semantic
+    * dedup index: when more than this percent of live member rows sit
+    * in cells grown past 4× the build-time cellTarget, the drift card
+    * (index-status / SemDedupIndex.driftCard) advises a rebuild.
+    * Advisory only — verdicts stay exact under drift (candidate
+    * ROUTING stales, scoring never approximates), so nothing aborts;
+    * 0 advises on any oversized cell, 100 never advises. */
+  val SemDedupRebuildAt: Knob = Knob(
+    "spark.graft.semdedup.rebuildAt", "25", "percent of member rows",
+    "drift-card rebuild advisory for SemDedupIndex (never aborts)")
+
   val All: Seq[Knob] = Seq(ComponentsLocalEdges, QuantizerBroadcastCells,
     Checkpoint, AnnGcSweepEvery, DedupGcSweepEvery, LexGcSweepEvery,
-    FuzzyMaxPairs)
+    FuzzyMaxPairs, SemDedupRebuildAt)
 
   private val known: Set[String] = All.map(_.key).toSet
 

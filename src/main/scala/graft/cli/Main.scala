@@ -832,6 +832,30 @@ object Main {
             f"candidates=${r.getLong(1)}%3d"))
       spark.stop()
 
+    // semdedup-search --root <dir> --query <vec_id> [--data <sfdir>]
+    // [--k N] [--at V]: cosine top-k retrieval off the SAME stored
+    // training artifact the dedup probe uses (SemDedupIndex.searchTopK
+    // — one quantizer, two families; round-16 ask #5 closes the CLI
+    // gap for the one gated family that wasn't drivable end-to-end).
+    case Some("semdedup-search") =>
+      val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
+      val root = opt(args, "root").getOrElse { System.err.println("error: --root required"); sys.exit(2); "" }
+      val qid = opt(args, "query").getOrElse("0").toLong
+      val k = opt(args, "k").getOrElse("5").toInt
+      val spark = session()
+      val q = graft.catalog.Catalog.embeddings(spark, data)
+        .where(col("vec_id") === qid)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      if (q.isEmpty) { System.err.println(s"error: vec_id $qid not found in $data"); sys.exit(1) }
+      val hits = (opt(args, "at") match {
+        case Some(v) => graft.operators.SemDedupIndex
+          .searchTopKAt(spark, root, q, v.toLong, k)
+        case None => graft.operators.SemDedupIndex.searchTopK(spark, root, q, k)
+      }).collect()
+      println(s"query=$qid k=$k -> ${hits.length} neighbors (stored semdedup quantizer):")
+      hits.foreach(r => println(f"  rank ${r.getInt(3)}%2d  vec ${r.getLong(1)}%6d  cos ${r.getDouble(2)}%.6f"))
+      spark.stop()
+
     case Some("lex-build") =>
       val data = opt(args, "data").getOrElse("/root/testdata/sf0.001")
       val root = opt(args, "root").getOrElse { System.err.println("error: --root required"); sys.exit(2); "" }
@@ -1069,6 +1093,9 @@ object Main {
         else if (ts.contains("coarse")) "ivf-pq"
         else if (ts.contains("centroids")) "ann"
         else if (ts.contains("model")) "dsir"
+        // SemDedupIndex's folded meta: scheme + manifest (+ tombstones
+        // when churned) — `scheme` is its distinguishing table
+        else if (ts.contains("scheme") && ts.contains("manifest")) "semdedup"
         // dedup's distinguishing tables: an EMPTY tombstone table emits
         // zero meta rows, so membership tests on `tombstones` alone
         // would miss a churn-free index — its (meta + manifest) pair is
@@ -1112,6 +1139,30 @@ object Main {
           val entries = mt(spark, root, cur, "manifest").collect()
           gensCard(entries.map(_.getLong(1)).distinct.sorted.toSeq)
           println(s"live cells: ${entries.length}")
+        case "semdedup" =>
+          import graft.operators.SemDedupIndex
+          val entries = SemDedupIndex.metaTable(spark, root, cur, "manifest")
+            .collect()
+          gensCard(entries.map(_.getLong(0)).distinct.sorted.toSeq)
+          val sch = SemDedupIndex.metaTable(spark, root, cur, "scheme").head()
+          println(s"scheme: cellTarget=${sch.getInt(0)} probes=${sch.getInt(1)} " +
+            s"cells=${sch.getInt(2)} buckets=${sch.getInt(3)} " +
+            s"quantizer gen=${sch.getLong(4)}; " +
+            s"posted vectors across generations (pre-tombstone): " +
+            s"${entries.map(_.getLong(1)).sum}; tombstoned ids: " +
+            s"${SemDedupIndex.metaTable(spark, root, cur, "tombstones").count()}")
+          // the drift card (round-16): the frozen quantizer's one open
+          // operational question is WHEN to rebuild — answered by the
+          // live cell-occupancy distribution vs the build-time target
+          val d = SemDedupIndex.driftCard(spark, root)
+          val advisory = graft.GraftConf.long(spark,
+            graft.GraftConf.SemDedupRebuildAt)
+          println(f"drift: ${d.memberRows} member rows in ${d.liveCells} " +
+            f"live cells (built for ${d.nCells}); cell size " +
+            f"p50=${d.p50}%.0f p95=${d.p95}%.0f max=${d.maxCell} vs " +
+            f"target ${d.cellTarget}; ${d.oversizedPct}%.1f%% of rows in " +
+            f"cells >4x target (advisory ${advisory}%%)" +
+            (if (d.rebuildAdvised) " -> REBUILD ADVISED" else ""))
         case "dedup" =>
           val entries = DedupIndex.metaTable(spark, root, cur, "manifest")
             .collect()
@@ -1146,7 +1197,7 @@ object Main {
       spark.stop()
 
     case other =>
-      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export|index-build|index-search|index-status|pq-build|pq-search|dedup-build|dedup-classify|semdedup-build|semdedup-probe|compact|diff|fuzzy|lex-build|lex-search|lex-delete|lex-upsert|lex-compact|dsir-fit|dsir-score")
+      System.err.println(s"error: unknown command ${other.getOrElse("<none>")}; expected chunk|embed|preview|sync|sample|scan|loop|status|purge|pipeline|delete|validate|uninstall|analyze|export|index-build|index-search|index-status|pq-build|pq-search|dedup-build|dedup-classify|semdedup-build|semdedup-probe|semdedup-search|compact|diff|fuzzy|lex-build|lex-search|lex-delete|lex-upsert|lex-compact|dsir-fit|dsir-score")
       sys.exit(2)
   }
 }

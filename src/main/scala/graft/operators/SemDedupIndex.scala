@@ -406,6 +406,54 @@ object SemDedupIndex {
       emptyTombstones(spark), droppedGens = true)
   }
 
+  /** The quantizer-drift card (round-16 ask #3): live cell-occupancy
+    * distribution vs the build-time cellTarget, answering the one
+    * operational question the frozen-quantizer design leaves open —
+    * WHEN to [[rebuild]]. `oversizedPct` is the percent of live member
+    * rows sitting in cells grown past 4× cellTarget: that count is
+    * exactly the candidate-set unit (probe candidates are member-table
+    * cell-mates), so it measures how far probe cost has drifted from
+    * the ~probes²·cellTarget design point. `rebuildAdvised` compares it
+    * to the `spark.graft.semdedup.rebuildAt` advisory knob — advisory
+    * only, because verdicts stay EXACT under drift (routing stales,
+    * scoring never approximates). */
+  /** `memberRows` counts live (vec_id, cell) assignment rows — the
+    * ×probes-duplicated candidate-set unit, deliberately NOT the
+    * one-per-vector count. */
+  final case class DriftCard(memberRows: Long, nCells: Int, liveCells: Long,
+      cellTarget: Int, p50: Double, p95: Double, maxCell: Long,
+      oversizedPct: Double, rebuildAdvised: Boolean)
+
+  def driftCard(spark: SparkSession, root: String): DriftCard = {
+    val v = version(spark, root)
+    val (cellTarget, _, c, _, _) = schemeAt(spark, root, v)
+    // one narrow groupBy over the live (vec_id, cell) member rows, then
+    // one single-row fold over the ≤nCells per-cell counts.
+    // percentile_approx, not exact percentile: cells ∝ n/32 means the
+    // exact form buffers every cell count in one task (~3×10⁷ longs at
+    // 10⁹ vectors); the approx sketch is merge-combinable and its
+    // 1/accuracy=1e-4 rank error is noise against a 4× size threshold
+    val sizes = liveMembers(spark, root, v)
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+    val big = lit(4L * cellTarget)
+    val r = sizes.agg(
+      sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("live_cells"),
+      expr("percentile_approx(cnt, array(0.5, 0.95), 10000)").as("pcts"),
+      max(col("cnt")).as("max_cell"),
+      sum(when(col("cnt") > big, col("cnt")).otherwise(lit(0L)))
+        .as("oversized_rows")).head()
+    val nRows = r.getLong(0)
+    val pcts = r.getSeq[Long](2)
+    val oversizedPct =
+      if (nRows == 0) 0.0 else 100.0 * r.getLong(4) / nRows
+    val advisory = graft.GraftConf.long(spark,
+      graft.GraftConf.SemDedupRebuildAt)
+    DriftCard(nRows, c, r.getLong(1), cellTarget,
+      pcts(0).toDouble, pcts(1).toDouble, r.getLong(3), oversizedPct,
+      rebuildAdvised = oversizedPct > advisory)
+  }
+
   /** Retrain the quantizer on the CURRENT live corpus and reassign —
     * the drift repair ([[build]] over the live rows, one commit). Run
     * when the corpus has outgrown the build-time cells. */

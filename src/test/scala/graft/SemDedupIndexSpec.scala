@@ -205,6 +205,36 @@ class SemDedupIndexSpec extends SparkSpec {
     assert(v.head._4 == 1)
   }
 
+  test("drift card: 10x corpus growth past build crosses the rebuild advisory; rebuild clears it") {
+    // round-16 ask #3: the frozen quantizer's missing WHEN-to-rebuild
+    // signal. Build over a small head, grow the live corpus ~10x via
+    // upserts (no retraining), and the cell-occupancy card must cross
+    // the spark.graft.semdedup.rebuildAt advisory; a rebuild retrains
+    // to ~cellTarget-sized cells and clears it.
+    val emb = catalog.Catalog.embeddings(spark, sfDir)
+    val root = Files.createTempDirectory("semdd_drift_").toString
+    SemDedupIndex.build(emb.where(col("vec_id") < 50), root)
+    val fresh = SemDedupIndex.driftCard(spark, root)
+    assert(!fresh.rebuildAdvised,
+      s"fresh index must not advise a rebuild: $fresh")
+    assert(fresh.maxCell <= 4L * fresh.cellTarget,
+      s"fresh cells already oversized: $fresh")
+    SemDedupIndex.upsert(spark, root, emb.where(col("vec_id") >= 50))
+    val grown = SemDedupIndex.driftCard(spark, root)
+    assert(grown.memberRows >= 9 * fresh.memberRows)
+    assert(grown.nCells == fresh.nCells, "upsert must not retrain")
+    assert(grown.oversizedPct > 25.0 && grown.rebuildAdvised,
+      s"10x growth over frozen cells must advise: $grown")
+    // the knob is the threshold: at 100% the same card stays advisory-off
+    spark.conf.set("spark.graft.semdedup.rebuildAt", "100")
+    try assert(!SemDedupIndex.driftCard(spark, root).rebuildAdvised)
+    finally spark.conf.unset("spark.graft.semdedup.rebuildAt")
+    SemDedupIndex.rebuild(spark, root)
+    val rebuilt = SemDedupIndex.driftCard(spark, root)
+    assert(!rebuilt.rebuildAdvised && rebuilt.nCells > fresh.nCells,
+      s"rebuild must retrain to the live corpus: $rebuilt")
+  }
+
   test("streaming ingest: later batches dedup against earlier ones; crash-replay converges") {
     implicit val ctx = spark.sqlContext
     def mkStream() = {
