@@ -575,4 +575,48 @@ class SimilarityQualitySpec extends SparkSpec {
     assert(ratio >= 2.0, s"candidate growth $ratio implausibly flat " +
       s"($cSmall -> $cBig) — the measurement is broken")
   }
+
+  test("hybrid ANN leg: fused recall@10 vs the brute hybrid is monotone in nProbes; full probe is exact") {
+    // round-16 ask #7: the dedup probe has a probes→recall curve, the
+    // hybrid retrieval stack didn't. Baseline = LexIndex.hybrid (brute
+    // cosine vector leg); variant = hybridAnn (persisted AnnIndex leg)
+    // at probes 1/2/4/8. More probes can only grow the vector pool
+    // toward the brute pool, and at probes = nCells the pools are
+    // IDENTICAL (same 6-dp rounding, same doc_id tiebreak, same self
+    // exclusion), so the fused top-10 must match the baseline exactly.
+    import org.apache.spark.sql.functions._
+    import graft.operators.{AnnIndex, LexIndex}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val lexRoot = java.nio.file.Files
+      .createTempDirectory("graft_hyq_lex").toString
+    val annRoot = java.nio.file.Files
+      .createTempDirectory("graft_hyq_ann").toString
+    LexIndex.build(spark, docs, lexRoot)
+    AnnIndex.build(embeddings, annRoot)
+    val terms = Seq("vector", "merge")
+    val qids = (0L until 8L).toSeq
+    val exact: Map[Long, Set[Long]] = qids.map { q =>
+      q -> LexIndex.hybrid(spark, lexRoot, terms, embeddings, q, k = 10)
+        .collect().map(_.getLong(0)).toSet
+    }.toMap
+    val queries = embeddings.where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def fusedRecall(nProbes: Int): Double = {
+      val got = LexIndex.hybridAnn(spark, lexRoot, terms, annRoot,
+        queries, k = 10, nProbes = nProbes)
+        .collect().toSeq.groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+      recall(got, exact)
+    }
+    val byProbes = Seq(1, 2, 4, 8).map(p => p -> fusedRecall(p))
+    byProbes.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+      assert(rb >= ra,
+        s"fused recall not monotone: probes $pa→$pb gave $ra→$rb " +
+          s"(full curve $byProbes)")
+    }
+    assert(byProbes.head._2 > 0.5,
+      s"single-probe fused recall implausibly low: $byProbes")
+    assert(byProbes.last._2 == 1.0,
+      s"probing every cell must reproduce the brute hybrid: $byProbes")
+  }
 }
