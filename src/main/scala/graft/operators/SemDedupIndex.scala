@@ -104,8 +104,23 @@ object SemDedupIndex {
     * batch probes every bucket anyway — measured at the 100× fixture:
     * a ~5000-cell list made the probe 2× slower than the full scan it
     * failed to avoid). The candidate equi-join filters exactly either
-    * way; pruning is purely an I/O reduction for micro-batches. */
+    * way; pruning is purely an I/O reduction for micro-batches.
+    *
+    * Second condition ([[pruneWorthIt]]): the probed cells must cover
+    * LESS THAN HALF the trained cell universe. The absolute cap alone
+    * let a corpus-sized batch over a mid-size index (40k batch, 500
+    * cells at the 10× fixture) slip into the pruned path — paying the
+    * candidate snap + id collect to "prune" buckets it was going to
+    * read anyway; measured 12.6 s vs 9.0 s lazy (SCALE.md §Round-16).
+    * Pruning pays exactly when the batch is SMALL relative to the
+    * corpus — which is also when it saves the corpus-sized scan. */
   private val PruneMaxCells = 1024
+
+  /** True when bucket/IN pruning is worth its materialization cost:
+    * few probed cells in absolute terms AND minority coverage of the
+    * cell universe. */
+  private def pruneWorthIt(probedCells: Int, nCells: Int): Boolean =
+    probedCells <= PruneMaxCells && probedCells * 2 <= nCells
 
   /** Second pruning gate, on the CANDIDATE-ID list: the probed-cell
     * count bounds the candidate set only on a fresh index (~cellTarget
@@ -533,7 +548,7 @@ object SemDedupIndex {
     // query-time partition-pruning shape (the AnnIndex.search stance)
     val cellVals = qAssign.select("cell").distinct()
       .collect().map(_.getLong(0)).toIndexedSeq
-    val pruned = cellVals.size <= PruneMaxCells
+    val pruned = pruneWorthIt(cellVals.size, q.c)
     val members = liveMembers(spark, root, v,
       if (pruned) Some(cellVals) else None, nBuckets)
     val candsRaw = qAssign
@@ -589,7 +604,7 @@ object SemDedupIndex {
     // (its cells cover every bucket).
     val cellVals = incAssign.select("cell").distinct()
       .collect().map(_.getLong(0)).toIndexedSeq
-    val pruned = cellVals.size <= PruneMaxCells
+    val pruned = pruneWorthIt(cellVals.size, q.c)
     val members = liveMembers(spark, root, v,
       if (pruned) Some(cellVals) else None, nBuckets)
     val ownIds = inc.select(col("vec_id").cast("long").as("cid")).distinct()

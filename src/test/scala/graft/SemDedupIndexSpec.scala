@@ -152,9 +152,16 @@ class SemDedupIndexSpec extends SparkSpec {
     // micro-batch's probe must open only its own buckets' directories
     // (cbk IN (…) in PartitionFilters) and push the residual cell IN
     // to the opened files (PushedFilters) — never a full member scan
+    // sf0.001's 400-vector corpus trains ~13 cells — enough for a
+    // one-vector micro-batch to cover a MINORITY of the cell universe
+    // (the round-16 pruneWorthIt coverage gate: pruning only engages
+    // when it can actually skip most of the table; the tiny 16-vector
+    // fixture's 1-2 cells would legitimately take the lazy plan)
     val root = Files.createTempDirectory("semdd_prune_").toString
-    SemDedupIndex.build(fixture, root)
-    val batch = Seq(perturbed(0, 100L)).toDF("vec_id", "embedding")
+    val emb = catalog.Catalog.embeddings(spark, sfDir)
+    SemDedupIndex.build(emb.where(col("vec_id") % 10 < 8), root)
+    val batch = emb.where(col("vec_id") === 481)
+      .select(col("vec_id"), col("embedding"))
     // the candidate stage snaps (localCheckpoint), so the returned plan
     // shows the SCORING scan — whose vbk partition pruning + vec_id
     // pushdown exercise the one shared liveRows prune implementation
