@@ -1359,11 +1359,19 @@ object SparkEntry {
     // close to any bucket-mate benchmark vector are flagged with their
     // best score and the offending benchmark id — the semantic
     // companion to dd_decontaminate's shingle matching
+    // the bench side is the FIXED eval set: a real benchmark does not
+    // grow with the corpus, so the split caps it at the first 100
+    // step-20 ids (vec_id < 2000 — vacuous at sf0.01/sf0.1 where every
+    // id is < 2000, so those oracles are bit-identical; at the 100×
+    // fixture it pins bench at 100 rows and the curve measures
+    // train-side growth only — the deployment shape). Uncapped, the
+    // 100× candidate volume is bands·n_t·n_b/2^bandBits with BOTH
+    // sides ∝ corpus: quadratic (measured 290× at 100× data, r16).
     "sim_decon" -> ((s, dir) => {
       val emb = Catalog.embeddings(s, dir)
       Similarity.semanticDecontaminate(
-        emb.where(col("vec_id") % 20 =!= 0),
-        emb.where(col("vec_id") % 20 === 0))
+        emb.where(col("vec_id") % 20 =!= 0 || col("vec_id") >= 2000),
+        emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 2000))
     }),
 
     // banded (OR-amplified) semantic decontamination on the same split:
@@ -1372,8 +1380,8 @@ object SparkEntry {
     "sim_decon_banded" -> ((s, dir) => {
       val emb = Catalog.embeddings(s, dir)
       Similarity.semanticDecontaminateBanded(
-        emb.where(col("vec_id") % 20 =!= 0),
-        emb.where(col("vec_id") % 20 === 0))
+        emb.where(col("vec_id") % 20 =!= 0 || col("vec_id") >= 2000),
+        emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 2000))
     }),
 
     // bucketed kNN graph: every vector's top-k among its sign-LSH
@@ -4195,10 +4203,11 @@ object SparkEntry {
              s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS bucket
          |  FROM embeddings
          |), t AS (
-         |  SELECT vec_id, embedding, bucket FROM b WHERE vec_id % 20 <> 0
+         |  SELECT vec_id, embedding, bucket FROM b
+         |  WHERE vec_id % 20 <> 0 OR vec_id >= 2000
          |), bm AS (
          |  SELECT vec_id AS bench_id, embedding AS be, bucket FROM b
-         |  WHERE vec_id % 20 = 0
+         |  WHERE vec_id % 20 = 0 AND vec_id < 2000
          |), hits AS (
          |  SELECT t.vec_id, bm.bench_id,
          |    round(${cosSql("t.embedding", "bm.be")}, 6) AS cos
@@ -4216,17 +4225,19 @@ object SparkEntry {
       s"""WITH e AS (
          |  SELECT vec_id, embedding, ${bandSigsSql(4)} AS sigs FROM embeddings
          |), t AS (
-         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 20 <> 0 OR vec_id >= 2000
          |), ts AS (
-         |  SELECT vec_id, unnest(sigs) AS sig FROM e WHERE vec_id % 20 <> 0
+         |  SELECT vec_id, unnest(sigs) AS sig FROM e
+         |  WHERE vec_id % 20 <> 0 OR vec_id >= 2000
          |), bs AS (
          |  SELECT vec_id AS bench_id, unnest(sigs) AS sig FROM e
-         |  WHERE vec_id % 20 = 0
+         |  WHERE vec_id % 20 = 0 AND vec_id < 2000
          |), cand AS (
          |  SELECT DISTINCT ts.vec_id, bs.bench_id FROM ts JOIN bs USING (sig)
          |), bm AS (
          |  SELECT vec_id AS bench_id, embedding AS be FROM embeddings
-         |  WHERE vec_id % 20 = 0
+         |  WHERE vec_id % 20 = 0 AND vec_id < 2000
          |), hits AS (
          |  SELECT c.vec_id, c.bench_id,
          |    round(${cosSql("t.embedding", "bm.be")}, 6) AS cos
