@@ -174,10 +174,21 @@ object PipelineDemo {
       .start()
 
     val tStream0 = System.nanoTime()
+    // restart ONLY the planted drill crash: walk the cause chain for the
+    // DRILL marker (null-safe — a genuine stream failure, nodrill runs
+    // included, must propagate with its real error, not be mislabeled
+    // "as drilled" and silently re-run into the measurement table)
+    def isDrill(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(t => Option(t.getMessage).exists(_.contains("DRILL:")))
     try startStream().awaitTermination()
     catch {
-      case e: org.apache.spark.sql.streaming.StreamingQueryException =>
-        println(s"stream failed as drilled: ${e.getCause.getMessage}")
+      case e: org.apache.spark.sql.streaming.StreamingQueryException
+          if isDrill(e) =>
+        println("stream failed as drilled: " +
+          Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .take(8).flatMap(t => Option(t.getMessage)).toSeq.lastOption
+            .getOrElse("<no message>"))
         println("restarting from the checkpoint — the drilled batch " +
           "must redeliver and every stage must converge")
         startStream().awaitTermination()

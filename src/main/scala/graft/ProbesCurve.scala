@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.Similarity
 
@@ -34,6 +34,16 @@ object ProbesCurve {
       .createTempDirectory("graft_pc_lex").toString
     val annRoot = java.nio.file.Files
       .createTempDirectory("graft_pc_ann").toString
+    try hybridModeAt(spark, dir, probes, lexRoot, annRoot, emb, docs)
+    finally Seq(lexRoot, annRoot).foreach(r =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r)))
+  }
+
+  private def hybridModeAt(spark: SparkSession, dir: String,
+      probes: Seq[Int], lexRoot: String, annRoot: String,
+      emb: DataFrame, docs: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{AnnIndex, LexIndex}
     LexIndex.build(spark, docs, lexRoot)
     AnnIndex.build(emb, annRoot)
     val terms = Seq("vector", "merge")

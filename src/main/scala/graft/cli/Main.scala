@@ -1153,16 +1153,24 @@ object Main {
             s"${SemDedupIndex.metaTable(spark, root, cur, "tombstones").count()}")
           // the drift card (round-16): the frozen quantizer's one open
           // operational question is WHEN to rebuild — answered by the
-          // live cell-occupancy distribution vs the build-time target
-          val d = SemDedupIndex.driftCard(spark, root)
-          val advisory = graft.GraftConf.long(spark,
-            graft.GraftConf.SemDedupRebuildAt)
-          println(f"drift: ${d.memberRows} member rows in ${d.liveCells} " +
-            f"live cells (built for ${d.nCells}); cell size " +
-            f"p50=${d.p50}%.0f p95=${d.p95}%.0f max=${d.maxCell} vs " +
-            f"target ${d.cellTarget}; ${d.oversizedPct}%.1f%% of rows in " +
-            f"cells >4x target (advisory ${advisory}%%)" +
-            (if (d.rebuildAdvised) " -> REBUILD ADVISED" else ""))
+          // live cell-occupancy distribution vs the build-time target.
+          // OPT-IN (--drift): unlike every other status line this reads
+          // the full live member table (a corpus-sized scan at the
+          // design scale), so a quick "what version is committed?"
+          // check must not pay it
+          if (args.contains("--drift")) {
+            val d = SemDedupIndex.driftCard(spark, root)
+            val advisory = graft.GraftConf.long(spark,
+              graft.GraftConf.SemDedupRebuildAt)
+            println(f"drift: ${d.memberRows} member rows in ${d.liveCells} " +
+              f"live cells (built for ${d.nCells}); cell size " +
+              f"p50=${d.p50}%.0f p95=${d.p95}%.0f max=${d.maxCell} vs " +
+              f"target ${d.cellTarget}; ${d.oversizedPct}%.1f%% of rows in " +
+              f"cells >4x target (advisory ${advisory}%%)" +
+              (if (d.rebuildAdvised) " -> REBUILD ADVISED" else ""))
+          } else
+            println("drift: pass --drift for the cell-occupancy card " +
+              "(scans the live member table)")
         case "dedup" =>
           val entries = DedupIndex.metaTable(spark, root, cur, "manifest")
             .collect()

@@ -171,9 +171,11 @@ object FuzzyJoin {
 
   /** The unguarded blocked core — [[resolve]] wraps it with the
     * `spark.graft.fuzzy.maxPairs` estimates; [[verifiedTexts]] (the
-    * path under [[resolveBest]]/[[resolveCapped]], whose outputs are
-    * probe-bounded by construction) calls it directly so the guard's
-    * own recommendations can never trip the guard. */
+    * path under [[resolveBest]]/[[resolveCapped]] DEFAULTS, whose
+    * outputs are probe-bounded by construction) calls it directly so
+    * the guard's own recommendations never trip the guard.
+    * (`resolveBest(verifyDistinctTexts = false)` is the one explicit
+    * opt-out back into the guarded multiset path.) */
   private def resolveBlocked(master: DataFrame, probe: DataFrame,
       keyCol: String, textCol: String, prefixLen: Int, maxDist: Int,
       dualBlock: Boolean): DataFrame = {
@@ -224,11 +226,19 @@ object FuzzyJoin {
     * ANSWER is one row per probe row (the sf10 generator carries 2M
     * part rows over 64 distinct names: the expanded multiset is ~10¹¹
     * rows and filled 77 GB of spill before any top-1 ran; the
-    * text-level form never materializes more than probe-linear rows). */
+    * text-level form never materializes more than probe-linear rows).
+    *
+    * The distinct-text path is therefore the DEFAULT here (unlike
+    * [[resolve]], whose full multiset output genuinely needs the
+    * per-row path on all-distinct corpora): the guard's abort message
+    * recommends this method as a bounded alternative, so its default
+    * must be the form that cannot itself trip the guard. Passing
+    * `verifyDistinctTexts = false` opts back into the guarded
+    * multiset-then-aggregate shape (kept for A/B equivalence specs). */
   def resolveBest(master: DataFrame, probe: DataFrame, keyCol: String,
       textCol: String, prefixLen: Int = 4, maxDist: Int = 2,
       dualBlock: Boolean = false,
-      verifyDistinctTexts: Boolean = false): DataFrame = {
+      verifyDistinctTexts: Boolean = true): DataFrame = {
     if (!verifyDistinctTexts)
       return resolve(master, probe, keyCol, textCol, prefixLen, maxDist,
         dualBlock, verifyDistinctTexts)

@@ -458,6 +458,12 @@ object SemDedupIndex {
       max(col("cnt")).as("max_cell"),
       sum(when(col("cnt") > big, col("cnt")).otherwise(lit(0L)))
         .as("oversized_rows")).head()
+    // an index whose every id is tombstoned has zero live member rows:
+    // the sum/percentile/max aggregates all return null then, so the
+    // empty card must resolve BEFORE any getLong dereferences
+    if (r.isNullAt(0))
+      return DriftCard(0L, c, 0L, cellTarget, 0.0, 0.0, 0L, 0.0,
+        rebuildAdvised = false)
     val nRows = r.getLong(0)
     val pcts = r.getSeq[Long](2)
     val oversizedPct =

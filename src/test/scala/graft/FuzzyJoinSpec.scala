@@ -228,6 +228,12 @@ class FuzzyJoinSpec extends SparkSpec {
       // the budgeted form is output-bounded by construction — no guard
       assert(FuzzyJoin.resolveCapped(master, probe, "k", "name", 4, 2,
         cap = 1).count() == 1)
+      // the guard's OTHER recommendation must not trip the guard either:
+      // resolveBest's default routes the unguarded distinct-text core
+      // (a default of verifyDistinctTexts = false would re-enter the
+      // guarded resolve and throw exactly the error that recommended it)
+      assert(FuzzyJoin.resolveBest(master, probe, "k", "name", 4, 2)
+        .count() == 1)
     } finally spark.conf.unset("spark.graft.fuzzy.maxPairs")
   }
 }

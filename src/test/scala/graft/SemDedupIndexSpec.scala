@@ -242,6 +242,20 @@ class SemDedupIndexSpec extends SparkSpec {
       s"rebuild must retrain to the live corpus: $rebuilt")
   }
 
+  test("drift card: an all-tombstoned index yields the empty card, not an NPE") {
+    // sum/percentile_approx/max over zero live member rows all return
+    // null; the card must resolve the empty case before dereferencing
+    // (index-status calls this unconditionally for any semdedup root)
+    val emb = catalog.Catalog.embeddings(spark, sfDir)
+    val root = Files.createTempDirectory("semdd_empty_").toString
+    SemDedupIndex.build(emb.where(col("vec_id") < 40), root)
+    SemDedupIndex.delete(spark, root,
+      emb.where(col("vec_id") < 40).select("vec_id"))
+    val d = SemDedupIndex.driftCard(spark, root)
+    assert(d.memberRows == 0L && d.liveCells == 0L && !d.rebuildAdvised,
+      s"empty live set must produce the zero card: $d")
+  }
+
   test("streaming ingest: later batches dedup against earlier ones; crash-replay converges") {
     implicit val ctx = spark.sqlContext
     def mkStream() = {
